@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator queries over the TPC-H-ish star schema.
+  *
+  * The reference has no joins/aggregations/filters — they are declared
+  * future work (/root/reference/TODO:61-75). We supply them as idiomatic
+  * Spark built-ins so Catalyst gets full pushdown/pruning/join-selection.
+  *
+  * Numeric outputs are rounded in BOTH the Spark plan and the DuckDB
+  * oracle SQL: double summation order differs across engines (and across
+  * Spark partitions), rounding kills the ulp noise deterministically.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  import org.apache.spark.sql.Column
+
+  /** Deterministic sum of a double column: per-row cast to decimal makes
+    * the aggregation exact (independent of partial-aggregation order),
+    * then round + cast back to double. The oracle SQL mirrors the same
+    * casts so both engines compute the identical value.
+    */
+  private def dsum(c: Column, scale: Int = 4, outScale: Int = 2): Column =
+    round(sum(c.cast(s"decimal(30,$scale)")), outScale).cast("double")
+
+  private def davg(c: Column, scale: Int = 4, outScale: Int = 4): Column =
+    round(sum(c.cast(s"decimal(30,$scale)")).cast("double") / count(lit(1)), outScale)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy groupBy aggregate with partial (map-side)
+    // aggregation. Filter + needed-columns-only reach the parquet scan.
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_discount", scale = 6, outScale = 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // Pure filter + projection — predicate pushdown + column pruning;
+    // the physical scan must read only 4 columns with PushedFilters.
+    "q2_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_discount" >= 0.05 && $"l_quantity" < 10.0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Star join: fact ⋈ 3 small dims. Dims are explicitly broadcast —
+    // no shuffle of the fact table at any scale.
+    "q3_join_star" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      t(s, dir, "orders")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          dsum($"o_totalprice").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // Semi join: orders having at least one high-quantity lineitem.
+    // left_semi never materializes right-side columns.
+    "q4_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val bigLines = t(s, dir, "lineitem").filter($"l_quantity" >= 45.0)
+      t(s, dir, "orders")
+        .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 2).as("o_totalprice"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Anti join: customers with no orders.
+    "q5_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Window functions: ranking + running aggregate inside one shuffle
+    // (both windows share partitionBy l_orderkey ordering).
+    "q6_window" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" < 100)
+        .select(
+          $"l_orderkey", $"l_linenumber", $"l_quantity",
+          row_number().over(w).as("rn"),
+          round(sum($"l_quantity").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_qty"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Top-k per group via ranked window + filter (no global sort).
+    "q7_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter($"rk" <= 3)
+        .orderBy($"o_custkey", $"rk")
+    }),
+
+    // Global sort + limit: TakeOrderedAndProject, not a full sort.
+    "q8_sort_limit" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(20)
+        .select($"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
+    }),
+
+    // Set operations: union / intersect / except of key sets.
+    "q9_setops" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("custkey"))
+      val b = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+        .select($"o_custkey".as("custkey"))
+      a.intersect(b)                      // custkeys with both F and O orders
+        .union(a.except(b))               // plus F-only custkeys
+        .distinct()
+        .orderBy($"custkey")
+    }),
+
+    // Multi-dimensional aggregate: rollup (region → nation → total).
+    "q10_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(dsum($"c_acctbal").as("acctbal"), count(lit(1)).as("n"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // Distinct aggregation (exact).
+    "q11_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Correlated-style aggregate join: revenue per order vs its order
+    // total (orders ⋈ pre-aggregated lineitem — aggregate BEFORE the
+    // join so the join input is one row per key).
+    "q12_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val liAgg = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+      t(s, dir, "orders")
+        .join(liAgg, $"o_orderkey" === $"l_orderkey")
+        .filter($"n_lines" >= 5)
+        .select($"o_orderkey", $"revenue", $"n_lines")
+        .orderBy($"o_orderkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_star" ->
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q4_join_semi" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q5_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_window" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q7_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q8_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q9_setops" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  UNION
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |   EXCEPT
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'))
+        |ORDER BY custkey""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,4))), 2) AS DOUBLE) AS acctbal,
+        |  count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q11_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q12_join_agg" ->
+      """SELECT o_orderkey, revenue, n_lines FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
+        |        count(*) AS n_lines
+        |      FROM lineitem GROUP BY l_orderkey) li
+        |  ON o_orderkey = l_orderkey
+        |WHERE n_lines >= 5
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
