@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.Sources
+import graft.sinks.Sinks
+
+/** Format round-trip queries — the reference's format-conversion surface
+  * (SURVEY.md §2.1-2.3: csvread/csvwrite, ndjsonread/ndjsonwrite,
+  * jsonread/jsonwrite, xmlread/xmlwrite, fixedwidthread/fixedwidthwrite,
+  * gzip/gunzip) made oracle-checkable: parquet table → write format X →
+  * read format X back → must equal the original rows (DuckDB reads the
+  * original parquet). A hash match proves the writer+reader pair is
+  * lossless, types included.
+  */
+object Formats {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // csvwrite → csvread (header, quoting, timestamps, doubles).
+    "q20_roundtrip_csv" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val out = tmpDir("csv")
+      Sinks.csv(orders, out)
+      Sources.csv(s, out, schema = Some(orders.schema))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ndjsonwrite → ndjsonread (streaming JSON lines — the scalable path).
+    "q21_roundtrip_ndjson" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val out = tmpDir("ndjson")
+      Sinks.ndjson(li, out)
+      Sources.ndjson(s, out, schema = Some(li.schema))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // fixedwidthwrite → fixedwidthread (pad/truncate/trim + typed cast).
+    "q22_roundtrip_fixedwidth" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val out = tmpDir("fw")
+      val widths = Seq(6, 24, 6)
+      Sinks.fixedWidth(nat, out, widths)
+      Sources.fixedWidth(s, out, widths, names = nat.columns.toSeq)
+        .select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // xmlwrite → xmlread (Spark 4 built-in XML, escaping included).
+    "q23_roundtrip_xml" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+      val out = tmpDir("xml")
+      Sinks.xml(sup, out)
+      Sources.xml(s, out, schema = Some(sup.schema))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // jsonwrite → jsonread (single JSON array document, in-memory by
+    // design — same caveat the reference documents, README.md:31-41).
+    "q24_roundtrip_jsonarray" -> ((s, dir) => {
+      val reg = Tables(s, dir, "region")
+      val out = tmpDir("ja") + "/data.json"
+      Sinks.jsonArray(reg, out)
+      Sources.jsonArray(s, out, schema = Some(reg.schema))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // gzip codec at the edge (replaces the reference's gzip/gunzip
+    // modules; its own docs recommend edge compression,
+    // dbitool.pl:3304-3307).
+    "q25_roundtrip_csv_gzip" -> ((s, dir) => {
+      val part = Tables(s, dir, "part")
+      val out = tmpDir("gz")
+      Sinks.csv(part, out, compression = Some("gzip"))
+      Sources.csv(s, out, schema = Some(part.schema))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  private def selectAll(table: String, order: String): String =
+    s"SELECT * FROM $table ORDER BY $order"
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_roundtrip_csv" -> selectAll("orders", "o_orderkey"),
+    "q21_roundtrip_ndjson" -> selectAll("lineitem", "l_orderkey, l_linenumber"),
+    "q22_roundtrip_fixedwidth" -> selectAll("nation", "n_nationkey"),
+    "q23_roundtrip_xml" -> selectAll("supplier", "s_suppkey"),
+    "q24_roundtrip_jsonarray" -> selectAll("region", "r_regionkey"),
+    "q25_roundtrip_csv_gzip" -> selectAll("part", "p_partkey")
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+import graft.sinks.Sinks
+
+/** Edge-case round-trips in the spirit of the reference's TestRow
+  * self-check oracle (/root/reference/t/TestRow.pm:50-57): deterministic
+  * adversarial rows through write→read must come back identical.
+  */
+class FormatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("txt", StringType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("l", LongType, nullable = true)
+  ))
+
+  /** Deterministic adversarial rows: quotes, separators, unicode,
+    * escapes, nulls, extreme numerics. (Own derivation; the reference's
+    * TestRow dictionary is not copied.)
+    */
+  private def rows(n: Int): Seq[Row] = (0 until n).map { i =>
+    val s = Integer.rotateLeft(i * 0x9E3779B9, i % 31) // golden-ratio mix
+    val txt = (s % 7 + 7) match {
+      case 7  => s"""plain_$s"""
+      case 8  => s"""with,comma,$s"""
+      case 9  => s""""quoted" $s"""
+      case 10 => s"""uni✓λ中$s"""
+      case 11 => s"""tab\tand back\\slash $s"""
+      case 12 => null
+      case _  => s"""'single' & <xml> $s"""
+    }
+    Row(i, txt,
+      if (s % 5 == 0) null else s / 1000.0,
+      if (s % 11 == 0) null else s.toLong * 1000003L)
+  }
+
+  private def df(n: Int) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows(n), 4), schema)
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_test_$tag").toString
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): Unit = {
+    val x = a.orderBy("id").collect()
+    val y = b.orderBy("id").collect()
+    assert(x.length == y.length)
+    x.zip(y).foreach { case (r1, r2) => assert(r1 == r2, s"\n$r1\n$r2") }
+  }
+
+  test("csv round-trip preserves quoting, unicode, nulls") {
+    val d = df(200); val out = tmp("csv")
+    Sinks.csv(d, out)
+    assertSame(d, Sources.csv(spark, out, schema = Some(schema)))
+  }
+
+  test("csv with alternate separator") {
+    val d = df(50); val out = tmp("csvsep")
+    Sinks.csv(d, out, sep = "|")
+    assertSame(d, Sources.csv(spark, out, sep = "|", schema = Some(schema)))
+  }
+
+  test("ndjson round-trip") {
+    val d = df(200); val out = tmp("nd")
+    Sinks.ndjson(d, out)
+    assertSame(d, Sources.ndjson(spark, out, Some(schema)))
+  }
+
+  test("json array round-trip") {
+    val d = df(60); val out = tmp("ja") + "/d.json"
+    Sinks.jsonArray(d, out)
+    assertSame(d, Sources.jsonArray(spark, out, Some(schema)))
+  }
+
+  test("xml round-trip escapes markup") {
+    val d = df(100); val out = tmp("xml")
+    Sinks.xml(d, out)
+    assertSame(d, Sources.xml(spark, out, schema = Some(schema)))
+  }
+
+  test("gzip csv round-trip") {
+    val d = df(100); val out = tmp("gz")
+    Sinks.csv(d, out, compression = Some("gzip"))
+    assertSame(d, Sources.csv(spark, out, schema = Some(schema)))
+  }
+
+  test("fixed-width pads, truncates, trims") {
+    import spark.implicits._
+    val d = Seq((1, "abc"), (22, "defghij"), (333, "x")).toDF("k", "v")
+    val out = tmp("fw")
+    Sinks.fixedWidth(d, out, Seq(5, 4))
+    val back = Sources.fixedWidth(spark, out, Seq(5, 4), names = Seq("k", "v"))
+    val got = back.orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("1", "abc"), ("22", "defg"), ("333", "x")))
+  }
+
+  test("fixed-width header mode") {
+    import spark.implicits._
+    val d = Seq((1, "abc"), (2, "def")).toDF("key", "val")
+    val out = tmp("fwh")
+    Sinks.fixedWidth(d, out, Seq(5, 5), header = true)
+    val back = Sources.fixedWidth(spark, out, Seq(5, 5), header = true)
+    assert(back.columns.toSeq == Seq("key", "val"))
+    assert(back.count() == 2)
+  }
+
+  test("text source keeps reference col1 naming") {
+    val out = tmp("txt")
+    import spark.implicits._
+    Sinks.text(Seq("a", "b", "c").toDF("value"), out)
+    val back = Sources.text(spark, out)
+    assert(back.columns.toSeq == Seq("col1"))
+    assert(back.count() == 3)
+  }
+}
