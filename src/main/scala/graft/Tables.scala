@@ -1,18 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
   * The reference discovers schema dynamically at runtime per source
   * (/root/reference/scripts/dbitool.pl:3048-3058); here parquet footers
   * carry the schema and Catalyst resolves it at analysis time.
+  *
+  * Spark's TimestampType is microsecond; parquet TIMESTAMP(NANOS)
+  * columns (events.ts) are read via the nanosAsLong escape hatch and
+  * converted — the test data is µs-precision (ns % 1000 == 0), so the
+  * conversion is lossless and oracle-parity-safe.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
 }

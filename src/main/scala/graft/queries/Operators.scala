@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Ops
+
+/** Oracle-checked queries for the operator layer (SURVEY.md §1.4, §2.6):
+  * keyed last-write-wins dedup (ndb), broadcast lookup, schema-merging
+  * concat, as-of join, approximate distinct.
+  */
+object Operators {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ndb last-write-wins keyed dedup: latest event per user
+    // (recency = ts, tie-broken by event_id).
+    "q30_dedup_lastwins" -> ((s, dir) => {
+      import s.implicits._
+      Ops.dedupLastWins(t(s, dir, "events"),
+          keys = Seq("user_id"), order = Seq($"ts", $"event_id"))
+        .select($"user_id", $"event_id", $"event_type", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // Broadcast lookup enrichment: lineitem × part dimension.
+    "q31_lookup_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val part = t(s, dir, "part").select($"p_partkey", $"p_brand")
+      Ops.lookup(
+          t(s, dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey"),
+          part, keys = Seq("p_partkey"), how = "inner")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice".cast("decimal(30,4)")), 2)
+            .cast("double").as("total_price"))
+        .orderBy($"p_brand")
+    }),
+
+    // Schema-merging concat (unionByName + missing columns → null).
+    "q32_concat" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val a = o.filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_custkey")
+      val b = o.filter($"o_orderstatus" === "O")
+        .select($"o_orderkey", $"o_totalprice")
+      Ops.concat(Seq(a, b))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"o_custkey").as("n_custkey"),
+          count($"o_totalprice").as("n_totalprice"),
+          round(sum($"o_totalprice".cast("decimal(30,4)")), 2)
+            .cast("double").as("sum_price"))
+    }),
+
+    // As-of join: each click event matched to the user's most recent
+    // purchase at-or-before it. Single-shuffle union+window plan.
+    "q33_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"),
+          $"value".as("purchase_value"))
+      Ops.asofJoin(clicks, purchases, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightPrefix = "p_")
+        .select($"event_id", $"user_id", $"p_purchase_id",
+          round($"p_purchase_value", 2).as("p_purchase_value"))
+        .orderBy($"event_id")
+    }),
+
+    // Approximate distinct (HLL++). No DuckDB oracle — approximate
+    // results are engine-specific; the spec asserts <5% error vs exact.
+    "q34_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_orderkey").as("approx_orders"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_lastwins" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q31_lookup_enrich" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q32_concat" ->
+      """SELECT count(*) AS n_rows,
+        |  count(o_custkey) AS n_custkey,
+        |  count(o_totalprice) AS n_totalprice,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, NULL AS o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL AS o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "q33_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  p.purchase_id AS p_purchase_id,
+        |  round(p.purchase_value, 2) AS p_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id,
+        |                  value AS purchase_value
+        |                FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin
+  )
+}

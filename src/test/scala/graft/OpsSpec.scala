@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ops
+
+class OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("dedupLastWins keeps exactly the latest row per key") {
+    val df = Seq(
+      ("a", 1L, "old"), ("a", 3L, "new"), ("a", 2L, "mid"),
+      ("b", 5L, "only")).toDF("k", "v", "tag")
+    val out = Ops.dedupLastWins(df, Seq("k"), Seq($"v")).orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("a", "new"), ("b", "only")))
+  }
+
+  test("dedupLastWins tie-break is deterministic") {
+    val df = Seq(("a", 1L, 10L), ("a", 1L, 20L)).toDF("k", "ts", "id")
+    val out = Ops.dedupLastWins(df, Seq("k"), Seq($"ts", $"id")).collect()
+    assert(out.head.getLong(2) == 20L)
+  }
+
+  test("concat merges mismatched schemas with nulls") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, 9.5)).toDF("id", "d")
+    val out = Ops.concat(Seq(a, b)).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Any]("d") == null && out(1).getAs[Any]("s") == null)
+  }
+
+  test("asofJoin picks most recent right row at-or-before left ts") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("id", "u", "t")
+      .withColumn("t", timestamp_micros($"t"))
+    val right = Seq(("u1", 100L, "exact"), ("u1", 200L, "later"),
+      ("u1", 40L, "early"), ("u2", 60L, "future"))
+      .toDF("u", "t", "tag")
+      .withColumn("t", timestamp_micros($"t"))
+    val out = Ops.asofJoin(left, right, Seq("u"), "t", "t")
+      .orderBy("id").collect()
+    // id=1: right@100 == left ts → inclusive match "exact"
+    // id=2: latest <= 250 is 200 "later"
+    // id=3: nothing at-or-before 50 → null
+    assert(out.map(_.getAs[String]("r_tag")).toSeq ==
+      Seq("exact", "later", null))
+  }
+
+  test("asofJoin left rows are all preserved (left-join semantics)") {
+    val left = Tables(spark, sf, "events").filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val right = Tables(spark, sf, "events").filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val out = Ops.asofJoin(left, right, Seq("user_id"), "ts", "ts")
+    assert(out.count() == left.count())
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables(spark, sf, "lineitem")
+    val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct($"l_partkey")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("keyedParquet persists last-write-wins keyed table") {
+    import graft.sinks.Sinks
+    val out = java.nio.file.Files.createTempDirectory("graft_ndb").toString + "/kv"
+    val df = Seq((1, "a"), (2, "b"), (1, "c")).toDF("k", "v")
+    Sinks.keyedParquet(df, out, "k")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+}
