@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Formats.queries ++
-      graft.queries.Operators.queries
+      graft.queries.Operators.queries ++
+      graft.queries.TextQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Formats.oracleSql ++
-      graft.queries.Operators.oracleSql
+      graft.queries.Operators.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines.
+  *
+  * Everything here composes built-in `org.apache.spark.sql.functions`
+  * (split / filter / transform / regexp_count / xxhash64 / md5) so the
+  * whole column stays inside whole-stage codegen — no Scala UDF
+  * boxing, no Python round-trips; these run at scan throughput on a
+  * 100 TB corpus. The reference has no text operators at all (its only
+  * string ops are trim/pad, SURVEY.md §2.6) — this layer is the
+  * north-star extension.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Single-space joined corpora (our `documents`
+    * table) round-trip exactly; `\\s+` variant for messy text.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: word-or-punct chunks, plus a length/4 term
+    * for long words (BPE splits rare long words into multiple units).
+    * A deterministic, codegen'd estimator — NOT a real tokenizer, but
+    * scale-correct for data-budget accounting.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[\\.,;:!\\?]"))
+
+  /** Ratio of tokens found in `stopwords` — the classic
+    * natural-language-vs-garbage quality signal.
+    */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(stopwords: _*)))
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from")
+
+  /** Composite quality score in [0,1]: stopword density + length signal
+    * + punctuation sanity. Deterministic arithmetic over codegen'd
+    * counts; mirrors 1:1 into the DuckDB oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text, EnStopwords).cast("double") / nTok
+    val lenSignal = least(nTok / lit(64.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / nTok
+    round(
+      lit(0.4) * least(stopRatio * lit(4.0), lit(1.0)) +
+        lit(0.4) * lenSignal +
+        lit(0.2) * (lit(1.0) - least(punctRatio, lit(1.0))), 4)
+  }
+
+  /** Language-ID: tiny per-language function-word marker lists, scored
+    * by marker hits, argmax with a fixed priority order for ties.
+    * A deterministic heuristic (n-gram-free variant of the classic
+    * stopword profile method) — expressible identically in ANSI SQL,
+    * so it stays oracle-checkable.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers: _*)))
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    // Priority = declaration order; a language wins only with a
+    // strictly greater score than every earlier language.
+    scores.tail.foldLeft((lit("en"): Column, scores.head._2)) {
+      case ((bestLang, bestScore), (l, sc)) =>
+        (when(sc > bestScore, lit(l)).otherwise(bestLang),
+          when(sc > bestScore, sc).otherwise(bestScore))
+    }._1
+  }
+
+  /** Content fingerprint for exact dedup: md5 hex (cross-engine
+    * comparable); xxhash64 for speed when the oracle isn't involved.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  def fastFingerprint(text: Column): Column = xxhash64(text)
+
+  /** Word n-grams as an array column (1-indexed element_at to mirror
+    * SQL list semantics).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(ws) - lit(n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+  }
+}

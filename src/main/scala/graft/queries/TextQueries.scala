@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` — oracle-checked: every
+  * heuristic is deterministic arithmetic over codegen'd counts, so the
+  * identical rule is expressed in DuckDB SQL.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+  private def stopSql = sqlList(EnStopwords)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-language corpus statistics: token/char counts via split().
+    "q40_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang", tokenCount($"text").as("n_tok"),
+          charCount($"text").as("n_chars"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          sum($"n_chars").as("total_chars"),
+          round(sum($"n_tok").cast("double") / count(lit(1)), 4).as("avg_tokens"))
+        .orderBy($"lang")
+    }),
+
+    // Per-document quality score; top/bottom cut for curation.
+    "q41_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", qualityScore($"text").as("quality"))
+        .filter($"quality" >= 0.5)
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic language-ID heuristic vs the labeled lang column.
+    "q42_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang", langId($"text").as("lang_pred"))
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"lang_pred")
+    }),
+
+    // Content fingerprint (md5) + exact dedup: keep min doc_id per
+    // distinct text, count the duplicate family size.
+    "q43_dedup_exact_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("family"))
+        .orderBy($"keep_id")
+    }),
+
+    // Top-20 word bigrams across the corpus (deterministic tie-break).
+    "q44_bigram_top" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(wordNgrams($"text", 2)).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram".asc)
+        .limit(20)
+    }),
+
+    // BPE-ish token budget accounting per source.
+    "q45_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          sum(bpeTokenEstimate($"text")).as("est_bpe_tokens"),
+          sum(tokenCount($"text")).as("ws_tokens"))
+        .orderBy($"source")
+    })
+  )
+
+  private val langCaseSql: String = {
+    // Mirror of TextFunctions.langId: fold with strictly-greater wins.
+    def score(markers: Seq[String]) =
+      s"len(list_filter(ws, w -> list_contains(${sqlList(markers)}, w)))"
+    val scores = LangMarkers.map { case (l, m) => l -> score(m) }
+    val folded = scores.tail.foldLeft("'en'" -> scores.head._2) {
+      case ((bestLang, bestScore), (l, sc)) =>
+        (s"CASE WHEN $sc > ($bestScore) THEN '$l' ELSE $bestLang END",
+          s"CASE WHEN $sc > ($bestScore) THEN ($sc) ELSE ($bestScore) END")
+    }
+    folded._1
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  sum(length(text)) AS total_chars,
+        |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q41_quality_score" ->
+      s"""SELECT doc_id, quality FROM (
+         |  SELECT doc_id,
+         |    round(
+         |      0.4 * least(4.0 * len(list_filter(string_split(text,' '),
+         |            w -> list_contains($stopSql, w))) / len(string_split(text,' ')), 1.0)
+         |      + 0.4 * least(len(string_split(text,' ')) / 64.0, 1.0)
+         |      + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[\\.,;:!\\?]'))
+         |            / len(string_split(text,' ')), 1.0)), 4) AS quality
+         |  FROM documents)
+         |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    "q42_lang_id" ->
+      s"""SELECT lang, lang_pred, count(*) AS n FROM (
+         |  SELECT lang, $langCaseSql AS lang_pred
+         |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents))
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    "q43_dedup_exact_text" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS family
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q44_bigram_top" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q45_token_budget" ->
+      """SELECT source,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))) AS est_bpe_tokens,
+        |  sum(len(string_split(text, ' '))) AS ws_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
