@@ -10,12 +10,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Formats.queries ++
       graft.queries.Operators.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupSim.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Formats.oracleSql ++
       graft.queries.Operators.oracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupSim.oracleSql
 }

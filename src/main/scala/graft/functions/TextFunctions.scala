@@ -99,8 +99,10 @@ object TextFunctions {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val ws = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(ws) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+    // Guard: Spark's sequence(1, 0) DESCENDS ([1,0]) rather than being
+    // empty — short docs must return [] explicitly.
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
   }
 }

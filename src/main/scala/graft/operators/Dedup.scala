@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection for large text corpora.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Shingling/minhashing are narrow per-row transforms over built-in
+  *    higher-order functions — no shuffle, no UDF serialization.
+  *  - Candidate generation is LSH banding: duplicates collide on a
+  *    (band, bandHash) key, so the only shuffle is an equi-join on
+  *    band hashes — never an all-pairs product. With b bands of r rows
+  *    collision probability is 1-(1-j^r)^b: b=16, r=4 gives >99%
+  *    recall at jaccard 0.8 while keeping buckets tiny.
+  *  - Candidate pairs are id-only; shingle sets are joined back ONLY
+  *    for the surviving pairs (exact verify via array_intersect /
+  *    array_union) — big arrays never ride the banded shuffle.
+  *  - All hashing is xxhash64 — deterministic across runs/executors.
+  *
+  * The reference's only dedup is last-write-wins by key
+  * (/root/reference/scripts/dbitool.pl:2680-2681 — see Ops); fuzzy
+  * dedup is north-star extension work.
+  */
+object Dedup {
+
+  /** Distinct word-k-shingles per document. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(TextFunctions.wordNgrams(text, k))
+
+  private def permSeed(j: Int): Long = j * 0x9E3779B97F4A7C15L
+
+  /** MinHash signature: strings hashed once (xxhash64), then each
+    * permutation only re-mixes the longs — array<long> of numPerm.
+    */
+  def minhashSignature(sh: Column, numPerm: Int = 64): Column = {
+    val hs = transform(sh, s => xxhash64(s))
+    array((0 until numPerm).map { j =>
+      array_min(transform(hs, h => xxhash64(h.bitwiseXOR(lit(permSeed(j))))))
+    }: _*)
+  }
+
+  /** LSH band keys: hash each group of rowsPerBand signature slots.
+    * Same (bandIdx, bandHash) ⇒ candidate pair.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** Exact jaccard over two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH candidate pairs, verified with EXACT shingle jaccard.
+    * Output: (idA, idB, jaccard), idA < idB, jaccard >= threshold.
+    */
+  def minhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.7): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+
+    val base = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val banded = base
+      .withColumn("bandArr",
+        bandKeys(minhashSignature(col("sh")), bands, rowsPerBand))
+      .select(col("id"), posexplode(col("bandArr")).as(Seq("bandIdx", "bandHash")))
+
+    // id-only candidate join: the shuffled payload is 3 longs per row.
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("bandIdx", "bandHash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      .dropDuplicates("idA", "idB")
+
+    // Exact verification joins shingles back for surviving pairs only.
+    candidates
+      .join(base.select(col("id").as("idA"), col("sh").as("shA")), "idA")
+      .join(base.select(col("id").as("idB"), col("sh").as("shB")), "idB")
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash-64 from token hashes: bit b of the output is 1 iff tokens
+    * with bit b set outnumber those without. Composed from built-in
+    * higher-order functions (deterministic, distributed); see
+    * graft.functions for the codegen'd Expression variant used in hot
+    * paths.
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val n = size(hs)
+    // Unrolled per-bit majority votes (shift amounts must be literal).
+    (0 until 64).map { b =>
+      when(aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L))) * 2 >= n,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (codegen'd). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: 16-bit band blocking (a pair within
+    * hamming distance 3 of 64 bits must agree on ≥1 of 4 bands), then
+    * exact hamming verify. Same join-on-band-key scale shape as
+    * MinHash-LSH.
+    */
+  def simhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                            maxDist: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val banded = base.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("bandIdx", "bandVal")))
+    banded.as("a").join(banded.as("b"), Seq("bandIdx", "bandVal"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hamming(col("a.fp"), col("b.fp")).as("dist"))
+      .dropDuplicates("idA", "idB")
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Greedy keep-smallest-id dedup from a pair list: drop every doc
+    * that appears as the larger id of a duplicate pair. (Not full
+    * connected components — the standard "keep first seen" corpus
+    * policy, one anti-join.)
+    */
+  def dropDuplicatesByPairs(df: DataFrame, idCol: String,
+                            pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("idB").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+}

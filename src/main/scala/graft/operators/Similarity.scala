@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Scale design:
+  *  - Brute-force path broadcasts the (small) query set and streams the
+  *    corpus once — per-query top-k via window; corpus never shuffles
+  *    on anything but the final tiny top-k.
+  *  - ANN path: random-hyperplane LSH signatures (deterministic planes
+  *    derived from a fixed seed) → candidates collide on (band, key)
+  *    exactly like text LSH; only candidates get exact cosine.
+  *  - Arithmetic is element-cast-to-double then sequential sum, chosen
+  *    to be bit-identical to the DuckDB oracle's evaluation order.
+  */
+object Similarity {
+
+  /** dot(a,b) with per-element double cast, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the query
+    * set, one corpus scan, per-query window top-k. Self-matches are
+    * excluded when id columns collide.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+    val scored = corpus.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col(embCol), col("__qe")).as("sim"))
+    Ops.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("sim").desc, col(idCol).asc), k)
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim doubles in [-1, 1)
+    * from a splitmix-style hash of (bit, dim) — identical on every
+    * executor without shipping state.
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      var z = seed + (b.toLong * dim + d + 1) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  /** LSH signature: sign bit per hyperplane, packed into a long. */
+  def lshSignature(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(emb, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates must share ≥1 of `bands` signature
+    * bands with the query (multi-band OR amplification), then exact
+    * cosine + window top-k on the (much smaller) candidate set.
+    * Equi-join on (band, key): no all-pairs product at any scale.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nBits: Int = 16, bands: Int = 4,
+              dim: Int = 64): DataFrame = {
+    require(nBits % bands == 0)
+    val bandBits = nBits / bands
+    val planes = hyperplanes(nBits, dim)
+    val mask = (1L << bandBits) - 1
+
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(embCol).as(s"__e_$id"),
+        lshSignature(col(embCol), planes).as("__sig"))
+        .select(col(id), col(s"__e_$id"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+            .as(Seq("bandIdx", "bandKey")))
+
+    val c = banded(corpus, "vec_id_c")
+    val q = banded(queries, "query_id")
+    val cand = c.join(q, Seq("bandIdx", "bandKey"))
+      .filter(col("vec_id_c") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id_c").as(idCol),
+        col("__e_query_id"), col("__e_vec_id_c"))
+      .dropDuplicates("query_id", idCol)
+      .select(col("query_id"), col(idCol),
+        cosine(col("__e_vec_id_c"), col("__e_query_id")).as("sim"))
+    Ops.topKPerGroup(cand, Seq("query_id"),
+      Seq(col("sim").desc, col(idCol).asc), k)
+  }
+
+  /** Exact near-duplicate pairs above a cosine threshold inside a
+    * blocking key (e.g. a label / cluster / LSH bucket): the block key
+    * bounds the pair explosion; use `lshSignature` bands as the block
+    * at open-corpus scale.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("__blk"), col(idCol).as("idA"),
+      col(embCol).as("__ea"))
+    val b = df.select(col(blockCol).as("__blk"), col(idCol).as("idB"),
+      col(embCol).as("__eb"))
+    a.join(b, "__blk")
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), cosine(col("__ea"), col("__eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Near-dedup + similarity-search queries (north-star extensions).
+  *
+  * Oracle-checkable where the algorithm is exact (pairwise jaccard,
+  * brute-force cosine); rows-only where it is probabilistic-recall
+  * (MinHash-LSH, SimHash, ANN) — those get recall assertions in
+  * DedupSimSpec instead.
+  */
+object DedupSim {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EXACT pairwise 3-gram jaccard on a bounded sample (quadratic by
+    // definition — the sample keeps pair count ~O(10^4); the scalable
+    // path is q51's LSH).
+    "q50_jaccard_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter($"source" === "src0" && $"doc_id" % 10 === 0)
+        .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      val a = docs.select($"doc_id".as("idA"), $"sh".as("shA"))
+      val b = docs.select($"doc_id".as("idB"), $"sh".as("shB"))
+      a.crossJoin(b).filter($"idA" < $"idB")
+        .withColumn("jac", Dedup.jaccard($"shA", $"shB"))
+        .filter($"jac" >= 0.5)
+        .select($"idA", $"idB", round($"jac", 4).as("jac"))
+        .orderBy($"idA", $"idB")
+    }),
+
+    // MinHash-LSH near-dup pairs, exact-jaccard verified. Deterministic
+    // but xxhash64 isn't expressible in the oracle → rows-only check;
+    // recall vs exact is asserted in DedupSimSpec.
+    "q51_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashDuplicatePairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+        .orderBy($"idA", $"idB")
+    }),
+
+    // SimHash near-dup pairs (hamming ≤ 3 on 64-bit fingerprints) —
+    // rows-only for the same reason.
+    "q52_simhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashDuplicatePairs(t(s, dir, "documents"),
+          "doc_id", "text", maxDist = 3)
+        .orderBy($"idA", $"idB")
+    }),
+
+    // Brute-force cosine top-5 for 10 query vectors: broadcast queries,
+    // ONE corpus scan, per-query window top-k. Oracle-checked.
+    "q53_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // Exact near-dup pairs above cosine 0.3 inside a blocked sample.
+    "q54_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .filter($"label" === 0 && $"vec_id" % 5 === 0)
+      Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+        .select($"idA", $"idB", round($"sim", 4).as("sim"))
+        .orderBy($"idA", $"idB")
+    }),
+
+    // ANN top-k via random-hyperplane LSH (16 bits, 4 bands): the
+    // 100 TB path — equi-join on band keys, exact cosine only on
+    // colliding candidates. Rows-only; recall vs q53 asserted in spec.
+    "q55_ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
+    })
+  )
+
+  private val shinglesSql =
+    """list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))""".stripMargin
+
+  private val cosSql =
+    """list_sum(list_transform(range(1, len(ea) + 1),
+      |      i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+      |      i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(range(1, len(eb) + 1),
+      |      i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_jaccard_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |        WHERE source = 'src0' AND doc_id % 10 = 0))
+         |SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         |ORDER BY idA, idB""".stripMargin,
+
+    "q53_cosine_topk" ->
+      s"""SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (
+         |  SELECT query_id, vec_id, sim, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id,
+         |      $cosSql AS sim
+         |    FROM (SELECT vec_id, embedding AS ea FROM embeddings) c,
+         |         (SELECT vec_id, embedding AS eb FROM embeddings WHERE vec_id < 10) q
+         |    WHERE c.vec_id != q.vec_id))
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q54_embed_neardup" ->
+      s"""SELECT idA, idB, round(sim, 4) AS sim FROM (
+         |  SELECT a.vec_id AS idA, b.vec_id AS idB, $cosSql AS sim
+         |  FROM (SELECT vec_id, embedding AS ea FROM embeddings
+         |        WHERE label = 0 AND vec_id % 5 = 0) a,
+         |       (SELECT vec_id, embedding AS eb FROM embeddings
+         |        WHERE label = 0 AND vec_id % 5 = 0) b
+         |  WHERE a.vec_id < b.vec_id)
+         |WHERE sim >= 0.3 ORDER BY idA, idB""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  /** Ground truth: exact all-pairs shingle jaccard (500 docs → 125k
+    * pairs — fine at test scale).
+    */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val d = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val a = d.select($"doc_id".as("idA"), $"sh".as("shA"))
+    val b = d.select($"doc_id".as("idB"), $"sh".as("shB"))
+    a.crossJoin(b).filter($"idA" < $"idB")
+      .withColumn("jac", Dedup.jaccard($"shA", $"shB"))
+      .filter($"jac" >= 0.8)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash-LSH recall >= 0.9 vs exact jaccard at 0.8") {
+    assert(exactPairs.nonEmpty, "test data should contain near-dup pairs")
+    val lsh = Dedup.minhashDuplicatePairs(docs, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val recall = (lsh & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall=$recall lsh=${lsh.size} exact=${exactPairs.size}")
+    // verification step guarantees precision 1.0 vs threshold
+    assert(lsh.forall { case (a, b) => a < b })
+  }
+
+  test("simhash finds the high-jaccard families") {
+    val sim = Dedup.simhashDuplicatePairs(docs, "doc_id", "text", maxDist = 3)
+    val found = sim.select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    // simhash(hamming<=3) and jaccard(>=0.8) measure different things;
+    // on this corpus the near-identical families should overlap heavily.
+    val recall = (found & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall=$recall found=${found.size}")
+    val dists = sim.select(max($"dist")).head().getInt(0)
+    assert(dists <= 3)
+  }
+
+  test("dropDuplicatesByPairs keeps smallest id of each family") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (5L, 6L)).toDF("idA", "idB")
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val kept = Dedup.dropDuplicatesByPairs(df, "doc_id", pairs)
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  test("brute-force topk: sims within [-1,1], k rows per query, sorted") {
+    val r = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 5)
+    val rows = r.collect()
+    assert(rows.length == 25)
+    assert(rows.forall(x => math.abs(x.getAs[Double]("sim")) <= 1.0 + 1e-9))
+    val perQuery = r.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .select(min($"n")).head().getLong(0)
+    assert(perQuery == 5)
+  }
+
+  test("ANN topk recall vs brute force on hostile (random) vectors") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    // random 64-dim vectors are the worst case for LSH; just require
+    // clearly-better-than-chance candidate quality and full coverage.
+    assert(recall >= 0.15, s"recall=$recall")
+    assert(ann.groupBy(_._1).size == 20, "every query produced candidates")
+  }
+
+  test("cosine of identical vectors is 1") {
+    val one = emb.limit(1).select($"embedding".as("a"), $"embedding".as("b"))
+      .select(Similarity.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+}
