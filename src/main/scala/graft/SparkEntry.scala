@@ -11,7 +11,8 @@ object SparkEntry {
       graft.queries.Formats.queries ++
       graft.queries.Operators.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupSim.queries
+      graft.queries.DedupSim.queries ++
+      graft.queries.EventQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       graft.queries.Formats.oracleSql ++
       graft.queries.Operators.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.DedupSim.oracleSql
+      graft.queries.DedupSim.oracleSql ++
+      graft.queries.EventQueries.oracleSql
 }

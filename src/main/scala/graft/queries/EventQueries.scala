@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Event-time queries over `events` — the batch twins of the
+  * Structured Streaming pipelines in graft.streaming (same functions,
+  * so the oracle checks streaming semantics too).
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSON side-channel: from_json extraction + aggregate.
+    "q60_from_json" -> ((s, dir) => {
+      import s.implicits._
+      EventStreams.withProps(t(s, dir, "events"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          count($"k").as("n_k"))
+        .orderBy($"event_type")
+    }),
+
+    // Tumbling 1h event-time windows.
+    "q61_window_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      EventStreams.tumblingCounts(t(s, dir, "events"))
+        .orderBy($"ws", $"event_type")
+    }),
+
+    // Sliding 1h windows every 30min.
+    "q62_window_sliding" -> ((s, dir) => {
+      import s.implicits._
+      EventStreams.slidingCounts(t(s, dir, "events"))
+        .orderBy($"ws", $"event_type")
+    }),
+
+    // Session windows (30min gap) per user.
+    "q63_session_window" -> ((s, dir) => {
+      import s.implicits._
+      EventStreams.userSessions(t(s, dir, "events"))
+        .orderBy($"user_id", $"session_start")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_from_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  count(json_extract_string(props, '$.k')) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q61_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "q62_window_sliding" ->
+      """SELECT ws, event_type, count(*) AS n FROM (
+        |  SELECT event_type, ts, unnest([
+        |    time_bucket(INTERVAL 30 MINUTE, ts),
+        |    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+        |  FROM events)
+        |WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q63_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM events),
+        |grouped AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
+        |FROM grouped GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time processing over the `events` table.
+  *
+  * The reference's "streams" are in-process FIFO buffers
+  * (/root/reference/scripts/dbitool.pl:415-491) — batch plumbing, no
+  * event time. Here the same transforms are written once against a
+  * DataFrame and run EITHER in batch (oracle-checkable) or under
+  * Structured Streaming (readStream + watermark), because every
+  * function below only uses unbounded-safe operations (windowed
+  * aggregations over event time).
+  */
+object EventStreams {
+
+  val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
+
+  /** JSON side-channel extraction (`props` column). */
+  def withProps(events: DataFrame): DataFrame =
+    events.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+
+  /** Tumbling event-time window aggregate. Works identically on batch
+    * and streaming input; under streaming add `withWatermark` first.
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,4)")), 2).cast("double").as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding window: each event lands in width/slide windows. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(30,4)")), 2).cast("double").as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  /** Streaming entry over the sf directory (file streaming sources
+    * take a directory; the glob keeps it to the events table).
+    */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming tumbling aggregate with late-data watermark — the
+    * canonical unbounded pipeline: readStream → watermark → window →
+    * sink (append mode emits a window once the watermark passes it).
+    */
+  def streamingTumbling(events: DataFrame, watermark: String = "2 hours",
+                        width: String = "1 hour"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark), width)
+
+  /** Streaming exact dedup by key with state eviction via watermark —
+    * the unbounded version of Ops.dedupExact.
+    */
+  def streamingDedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Structured Streaming slice: the same EventStreams functions run
+  * incrementally (readStream → watermark → memory sink) must converge
+  * to the batch answer once all input is processed.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming tumbling agg converges to the batch result") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.streamingTumbling(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_tumbling")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_tumbling")
+      .select("ws", "event_type", "n", "total")
+
+    val batch = EventStreams.tumblingCounts(Tables(spark, sf, "events"))
+
+    // Append mode only emits windows the watermark has passed; every
+    // emitted window must match its batch twin exactly, and most
+    // windows must have been emitted (watermark = 2h of a 30-day span).
+    val total = batch.count()
+    val emitted = streamed.count()
+    assert(emitted >= total - 50, s"emitted=$emitted batch=$total")
+    val mismatched = streamed.join(batch,
+      Seq("ws", "event_type", "n", "total"), "left_anti").count()
+    assert(mismatched == 0, s"$mismatched streamed windows disagree with batch")
+  }
+
+  test("streaming dedup drops in-watermark duplicate event_ids") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, sf)
+    // Duplicate the stream by unioning it with itself: every event_id
+    // arrives twice within the watermark.
+    val doubled = stream.union(stream)
+    val q = EventStreams.streamingDedup(doubled)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("stream_dedup").count()
+    val distinctIds = spark.table("stream_dedup")
+      .select("event_id").distinct().count()
+    assert(n == distinctIds, s"rows=$n distinct=$distinctIds")
+    val batchTotal = Tables(spark, sf, "events").count()
+    assert(n == batchTotal)
+  }
+}
