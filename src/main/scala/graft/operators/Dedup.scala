@@ -31,14 +31,34 @@ object Dedup {
 
   private def permSeed(j: Int): Long = j * 0x9E3779B97F4A7C15L
 
-  /** MinHash signature: strings hashed once (xxhash64), then each
-    * permutation only re-mixes the longs — array<long> of numPerm.
+  /** MinHash signature as a Column (array<long> of numPerm). NOTE:
+    * convenient for ad-hoc use, but Catalyst's CollapseProject inlines
+    * the shingle subtree into all numPerm elements — interpreted
+    * higher-order functions then recompute it numPerm times. The
+    * scalable path is `minhashSignatures` (explode + codegen'd
+    * hash-aggregate), which is what the LSH pipeline uses.
     */
   def minhashSignature(sh: Column, numPerm: Int = 64): Column = {
     val hs = transform(sh, s => xxhash64(s))
     array((0 until numPerm).map { j =>
       array_min(transform(hs, h => xxhash64(h.bitwiseXOR(lit(permSeed(j))))))
     }: _*)
+  }
+
+  /** MinHash signatures for a whole table: explode shingles (each
+    * string hashed ONCE), then numPerm `min(xxhash64(h ^ seed_j))`
+    * columns in one hash-aggregate — fully whole-stage-codegen'd, with
+    * map-side partial mins, one shuffle on id. Output: (id, m0..m{n-1}).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, numPerm: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val sigCols = (0 until numPerm).map { j =>
+      min(xxhash64(col("h").bitwiseXOR(lit(permSeed(j))))).as(s"m$j")
+    }
+    exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH band keys: hash each group of rowsPerBand signature slots.
@@ -68,10 +88,12 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    val banded = base
-      .withColumn("bandArr",
-        bandKeys(minhashSignature(col("sh")), bands, rowsPerBand))
-      .select(col("id"), posexplode(col("bandArr")).as(Seq("bandIdx", "bandHash")))
+    val sig = minhashSignatures(df, idCol, textCol, k, numPerm)
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}")): _*)
+      }: _*)).as(Seq("bandIdx", "bandHash")))
 
     // id-only candidate join: the shuffled payload is 3 longs per row.
     val candidates = banded.as("a")
@@ -106,6 +128,26 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash for a whole table via explode + 64 codegen'd bit-count
+    * sums in one hash-aggregate (same scale shape as
+    * `minhashSignatures`; the Column variant above recomputes the
+    * token-hash array per bit under CollapseProject).
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b")
+    } :+ count(lit(1)).as("n")
+    val counts = exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"c$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    counts.select(col("id"), fp.as("fp"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints (codegen'd). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -116,7 +158,7 @@ object Dedup {
     */
   def simhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxDist: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val base = simhashTable(df, idCol, textCol)
     val banded = base.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
