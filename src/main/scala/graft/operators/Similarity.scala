@@ -17,14 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) with per-element double cast, sequential fold. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a,b) with per-element double cast, sequential fold —
+    * higher-order-function reference implementation (interpreted).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+
+  /** Production kernels: native Catalyst expressions with doGenCode
+    * (graft.functions.ArrayMath) — same element order and double
+    * widening as the HOF forms, so results are bit-identical, but the
+    * loop stays inside whole-stage codegen.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayMath.dotProduct(a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.ArrayMath.cosineSimilarity(a, b)
 
   /** Exact top-k neighbors for each query vector: broadcast the query
     * set, one corpus scan, per-query window top-k. Self-matches are
