@@ -1,0 +1,525 @@
+package graft.pipeline
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** dbitool-compatible pipeline specs, compiled to DataFrame plans.
+  *
+  * The reference assembles a module DAG from CLI words
+  * (`name:arg=val:arg=val ...`, /root/reference/scripts/
+  * dbitool.pl:66-155) connected by named streams, then pumps rows with
+  * a cooperative scheduler. Here the same words COMPILE to a lazy
+  * DataFrame graph: streams are named DataFrame references (multi-
+  * reader fan-out is free — Spark plans are immutable), the scheduler
+  * is Catalyst + distributed execution, and sinks become actions run
+  * by `Pipeline.run`.
+  *
+  * Preserved reference semantics:
+  *  - `in=`/`out=` stream naming; implicit `streamN` names and
+  *    last-out chaining (dbitool.pl:671-680)
+  *  - `@file` shortcuts: `in=@f.csv` ⇒ fileread, `out=@f` ⇒ filewrite
+  *    (dbitool.pl:93-103)
+  *  - raw vs row stream typing, validated at build time
+  *    (dbitool.pl:3060-3084; type check dbitool.pl:665-666)
+  *  - every stream needs ≥1 writer and ≥1 reader (dbitool.pl:581-591)
+  *  - log channel as consumable data (`in=log`), drained after data
+  *    sinks finish (dbitool.pl:845-874, 245-252)
+  *  - `listModules` registry table (dbitool.pl:158-171, 2972-2998)
+  *  - per-module stats (rows through each named stream) on request
+  *    (dbitool.pl:595-623)
+  *
+  * Extensions (the reference's own TODO list + north star): filter,
+  * select, join, agg, sort, limit, union, dedup.
+  */
+object Pipeline {
+
+  sealed trait StreamType { def label: String }
+  case object RawType extends StreamType { val label = "raw" }
+  case object RowType extends StreamType { val label = "row" }
+  case object NoneType extends StreamType { val label = "none" }
+
+  case class ModuleSpec(name: String, args: Map[String, String], raw: String)
+
+  final class BuildError(msg: String) extends RuntimeException(msg)
+
+  /** One parsed CLI word: `name(:k=v|:flag)*`. Flags parse as k -> "1". */
+  def parseWord(word: String): ModuleSpec = {
+    val parts = word.split(":", -1)
+    val name = parts.head
+    if (!name.matches("\\w+"))
+      throw new BuildError(s"bad module word: '$word'")
+    val args = parts.tail.map { p =>
+      p.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "1"
+      }
+    }.toMap
+    ModuleSpec(name, args, word)
+  }
+
+  case class Registered(name: String, inType: StreamType, outType: StreamType,
+                        argHelp: String,
+                        build: (Context, ModuleSpec) => Unit)
+
+  /** Build-time state: named streams, pending sink actions, log rows. */
+  final class Context(val spark: SparkSession) {
+    val streams = mutable.LinkedHashMap[String, (DataFrame, StreamType)]()
+    val writers = mutable.Map[String, Int]().withDefaultValue(0)
+    val readers = mutable.Map[String, Int]().withDefaultValue(0)
+    val sinks = mutable.ArrayBuffer[(String, () => Long)]()
+    val logRows = mutable.ArrayBuffer[(java.sql.Timestamp, String, String)]()
+    val logReaders = mutable.ArrayBuffer[(ModuleSpec, String)]()
+    var lastOut: Option[String] = None
+    var counter = 0
+    var pendingCodec: Option[String] = None // set by gzip module
+
+    def log(mod: String, msg: String): Unit =
+      logRows += ((new java.sql.Timestamp(System.currentTimeMillis()), mod, msg))
+
+    def freshStream(): String = { counter += 1; s"stream$counter" }
+
+    def inName(spec: ModuleSpec): String =
+      spec.args.getOrElse("in",
+        lastOut.getOrElse(throw new BuildError(
+          s"${spec.name}: no in= and no previous out stream")))
+
+    def outName(spec: ModuleSpec): String =
+      spec.args.getOrElse("out", freshStream())
+
+    def readStream(spec: ModuleSpec, expect: StreamType): DataFrame = {
+      val n = inName(spec)
+      val (df, t) = streams.getOrElse(n,
+        throw new BuildError(s"${spec.name}: unknown in stream '$n'"))
+      if (t != expect)
+        throw new BuildError(
+          s"${spec.name}: in stream '$n' is ${t.label}, expected ${expect.label}")
+      readers(n) += 1
+      df
+    }
+
+    def writeStream(spec: ModuleSpec, df: DataFrame, t: StreamType): String = {
+      val n = outName(spec)
+      if (writers(n) > 0) // reference: one writer per stream (README.md:13-16)
+        throw new BuildError(s"${spec.name}: stream '$n' already has a writer")
+      streams(n) = (df, t)
+      writers(n) += 1
+      lastOut = Some(n)
+      n
+    }
+
+    def addSink(name: String, action: () => Long): Unit = {
+      sinks += ((name, action))
+      lastOut = None
+    }
+  }
+
+  // ----- module implementations -----------------------------------------
+
+  private def rawDf(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sources.text(spark, path)
+
+  private val modules: Seq[Registered] = Seq(
+    Registered("fileread", NoneType, RawType, "in=FILE:out=STREAM", (ctx, m) => {
+      val path = m.args.getOrElse("in", throw new BuildError("fileread: in= required"))
+      ctx.writeStream(m.copy(args = m.args - "in"), rawDf(ctx.spark, path), RawType)
+      ctx.log("fileread", s"open $path")
+    }),
+
+    Registered("filewrite", RawType, NoneType, "in=STREAM:out=FILE[:gzip]", (ctx, m) => {
+      val df = ctx.readStream(m, RawType)
+      val path = m.args.getOrElse("out", throw new BuildError("filewrite: out= required"))
+      val codec = ctx.pendingCodec.orElse(
+        if (m.args.contains("gzip") || path.endsWith(".gz")) Some("gzip") else None)
+      ctx.pendingCodec = None
+      ctx.addSink(m.raw, () => {
+        val n = df.count()
+        graft.sinks.Sinks.text(df, path, singleFile = true, compression = codec)
+        ctx.log("filewrite", s"wrote $n rows to $path")
+        n
+      })
+    }),
+
+    Registered("stdin", NoneType, RawType, "out=STREAM", (ctx, m) => {
+      import scala.jdk.CollectionConverters._
+      val lines = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in)).lines().iterator().asScala.toSeq
+      import ctx.spark.implicits._
+      ctx.writeStream(m, lines.toDF("col1"), RawType)
+    }),
+
+    Registered("stdout", RawType, NoneType, "in=STREAM", (ctx, m) => {
+      val df = ctx.readStream(m, RawType)
+      ctx.addSink(m.raw, () => {
+        val rows = df.collect()
+        rows.foreach(r => println(r.getString(0)))
+        rows.length.toLong
+      })
+    }),
+
+    Registered("stderr", RawType, NoneType, "in=STREAM", (ctx, m) => {
+      val df = ctx.readStream(m, RawType)
+      ctx.addSink(m.raw, () => {
+        val rows = df.collect()
+        rows.foreach(r => System.err.println(r.getString(0)))
+        rows.length.toLong
+      })
+    }),
+
+    Registered("csvread", RawType, RowType,
+      "in=STREAM:out=STREAM:sep=,:header=1", (ctx, m) => {
+        val df = ctx.readStream(m, RawType)
+        import ctx.spark.implicits._
+        val lines = df.select(col("col1")).as[String]
+        val parsed = ctx.spark.read
+          .option("header", m.args.getOrElse("header", "1") == "1")
+          .option("sep", m.args.getOrElse("sep", ","))
+          .option("quote", m.args.getOrElse("quote", "\""))
+          .option("escape", m.args.getOrElse("escape", "\""))
+          .option("inferSchema", m.args.getOrElse("infer", "0") == "1")
+          .csv(lines)
+        ctx.writeStream(m, parsed, RowType)
+      }),
+
+    Registered("csvwrite", RowType, RawType,
+      "in=STREAM:out=STREAM:sep=,:header=1", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val sep = m.args.getOrElse("sep", ",")
+        val body = df.select(to_csv(struct(df.columns.map(col): _*),
+          new java.util.HashMap[String, String] {
+            put("sep", sep); put("quote", "\""); put("escape", "\"")
+          }).as("col1"))
+        val out =
+          if (m.args.getOrElse("header", "1") == "1") {
+            import ctx.spark.implicits._
+            // Prepend the header INSIDE one partition — a union'd
+            // header row has no stable position under AQE.
+            val hdr = df.columns.mkString(sep)
+            body.select(col("col1")).as[String].coalesce(1)
+              .mapPartitions(it => Iterator(hdr) ++ it).toDF("col1")
+          } else body
+        ctx.writeStream(m, out, RawType)
+      }),
+
+    Registered("ndjsonread", RawType, RowType, "in=STREAM:out=STREAM", (ctx, m) => {
+      val df = ctx.readStream(m, RawType)
+      import ctx.spark.implicits._
+      val parsed = ctx.spark.read.json(df.select(col("col1")).as[String])
+      ctx.writeStream(m, parsed, RowType)
+    }),
+
+    Registered("ndjsonwrite", RowType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      ctx.writeStream(m,
+        df.select(to_json(struct(df.columns.map(col): _*)).as("col1")), RawType)
+    }),
+
+    Registered("jsonread", RawType, RowType, "in=STREAM:out=STREAM", (ctx, m) => {
+      // Whole-document JSON array — in-memory by design, like the
+      // reference (dbitool.pl:2228-2242).
+      val df = ctx.readStream(m, RawType)
+      import ctx.spark.implicits._
+      val doc = df.select(col("col1")).as[String].collect().mkString("\n")
+      val ds = ctx.spark.createDataset(Seq(doc))
+      ctx.writeStream(m, ctx.spark.read.json(ds), RowType)
+    }),
+
+    Registered("jsonwrite", RowType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      import ctx.spark.implicits._
+      // Single-document accumulation (reference dbitool.pl:2307-2311).
+      val arr = df.toJSON.collect().mkString("[", ",", "]")
+      ctx.writeStream(m, Seq(arr).toDF("col1"), RawType)
+    }),
+
+    Registered("fixedwidthread", RawType, RowType,
+      "in=STREAM:out=STREAM:width=8,4,...:header=1:trim=1", (ctx, m) => {
+        val df = ctx.readStream(m, RawType)
+        val widths = m.args.getOrElse("width",
+          throw new BuildError("fixedwidthread: width= required"))
+          .split(",").map(_.trim.toInt).toSeq
+        val trim0 = m.args.getOrElse("trim", "1") == "1"
+        val offsets = widths.scanLeft(1)(_ + _)
+        val names = widths.indices.map(i => s"col${i + 1}")
+        val cols = widths.indices.map { i =>
+          val c = substring(col("col1"), offsets(i), widths(i))
+          (if (trim0) trim(c) else c).as(names(i))
+        }
+        ctx.writeStream(m, df.select(cols: _*), RowType)
+      }),
+
+    Registered("fixedwidthwrite", RowType, RawType,
+      "in=STREAM:out=STREAM:width=8,4,...", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val widths = m.args.getOrElse("width",
+          throw new BuildError("fixedwidthwrite: width= required"))
+          .split(",").map(_.trim.toInt).toSeq
+        if (widths.length != df.columns.length)
+          throw new BuildError("fixedwidthwrite: width count != column count")
+        val line = concat(df.columns.zip(widths).map { case (c, w) =>
+          rpad(coalesce(col(c).cast("string"), lit("")).substr(1, w), w, " ")
+        }: _*).as("col1")
+        ctx.writeStream(m, df.select(line), RawType)
+      }),
+
+    Registered("xmlwrite", RowType, RawType,
+      "in=STREAM:out=STREAM:row=row", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val rowTag = m.args.getOrElse("row", "row")
+        def esc(c: org.apache.spark.sql.Column) =
+          regexp_replace(regexp_replace(regexp_replace(
+            c.cast("string"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        val inner = concat(df.columns.map(c =>
+          concat(lit(s"<$c>"), esc(col(c)), lit(s"</$c>"))): _*)
+        ctx.writeStream(m,
+          df.select(concat(lit(s"<$rowTag>"), inner, lit(s"</$rowTag>")).as("col1")),
+          RawType)
+      }),
+
+    Registered("gzip", RawType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
+      // Spark model: compression is a file-boundary codec. The module
+      // passes rows through and arms the next filewrite with gzip —
+      // the edge-compression the reference's own docs recommend over
+      // its in-tree gzip (dbitool.pl:3304-3307).
+      val df = ctx.readStream(m, RawType)
+      ctx.pendingCodec = Some("gzip")
+      ctx.writeStream(m, df, RawType)
+    }),
+
+    Registered("gunzip", RawType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
+      // Readers decompress .gz transparently; explicit module is a
+      // pass-through for spec compatibility.
+      val df = ctx.readStream(m, RawType)
+      ctx.writeStream(m, df, RawType)
+    }),
+
+    Registered("column", RowType, RowType, "in=STREAM:out=STREAM:clist=a,b,c",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val clist = m.args.getOrElse("clist",
+          throw new BuildError("column: clist= required")).split(",").toSeq
+        ctx.writeStream(m, df.select(clist.map(col): _*), RowType)
+      }),
+
+    Registered("ndb", RowType, RowType,
+      "in=STREAM[:out=STREAM]:fname=PATH:key=COL", (ctx, m) => {
+        // Keyed last-write-wins store (dbitool.pl:2561-2694): dedup by
+        // key, persist as keyed parquet, optionally pass through.
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("ndb: key= required"))
+        val deduped = df.dropDuplicates(key)
+        m.args.get("fname").foreach { f =>
+          ctx.addSink(m.raw, () => {
+            graft.sinks.Sinks.keyedParquet(df, f, key)
+            ctx.log("ndb", s"persisted keyed table $f")
+            deduped.count()
+          })
+        }
+        if (m.args.contains("out") || m.args.get("fname").isEmpty)
+          ctx.writeStream(m, deduped, RowType)
+      }),
+
+    // ----- extensions: the relational ops the reference TODO'd -----
+    Registered("filter", RowType, RowType, "in=STREAM:out=STREAM:expr=SQL",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val e = m.args.getOrElse("expr", throw new BuildError("filter: expr= required"))
+        ctx.writeStream(m, df.filter(e), RowType)
+      }),
+
+    Registered("select", RowType, RowType, "in=STREAM:out=STREAM:exprs=a;b+1 as c",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val es = m.args.getOrElse("exprs",
+          throw new BuildError("select: exprs= required")).split(";").toSeq
+        ctx.writeStream(m, df.selectExpr(es: _*), RowType)
+      }),
+
+    Registered("join", RowType, RowType,
+      "in=STREAM:with=STREAM:on=k1,k2:how=inner:out=STREAM", (ctx, m) => {
+        val left = ctx.readStream(m, RowType)
+        val wname = m.args.getOrElse("with", throw new BuildError("join: with= required"))
+        val (right, rt) = ctx.streams.getOrElse(wname,
+          throw new BuildError(s"join: unknown stream '$wname'"))
+        if (rt != RowType) throw new BuildError(s"join: '$wname' is not a row stream")
+        ctx.readers(wname) += 1
+        val on = m.args.getOrElse("on", throw new BuildError("join: on= required"))
+          .split(",").toSeq
+        val how = m.args.getOrElse("how", "inner")
+        val joined =
+          if (m.args.contains("broadcast")) left.join(broadcast(right), on, how)
+          else left.join(right, on, how)
+        ctx.writeStream(m, joined, RowType)
+      }),
+
+    Registered("agg", RowType, RowType,
+      "in=STREAM:by=k1,k2:exprs=sum(x) as sx;count(*) as n:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val es = m.args.getOrElse("exprs",
+          throw new BuildError("agg: exprs= required")).split(";").map(expr).toSeq
+        val out = m.args.get("by") match {
+          case Some(by) =>
+            df.groupBy(by.split(",").map(col): _*).agg(es.head, es.tail: _*)
+          case None => df.agg(es.head, es.tail: _*)
+        }
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("sort", RowType, RowType, "in=STREAM:by=a,-b:out=STREAM", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      val by = m.args.getOrElse("by", throw new BuildError("sort: by= required"))
+        .split(",").toSeq.map {
+          case s if s.startsWith("-") => col(s.drop(1)).desc
+          case s => col(s).asc
+        }
+      ctx.writeStream(m, df.orderBy(by: _*), RowType)
+    }),
+
+    Registered("limit", RowType, RowType, "in=STREAM:n=100:out=STREAM", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      ctx.writeStream(m, df.limit(m.args.getOrElse("n", "100").toInt), RowType)
+    }),
+
+    Registered("union", RowType, RowType, "in=STREAM:with=STREAM:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val wname = m.args.getOrElse("with", throw new BuildError("union: with= required"))
+        val (right, rt) = ctx.streams.getOrElse(wname,
+          throw new BuildError(s"union: unknown stream '$wname'"))
+        if (rt != RowType) throw new BuildError(s"union: '$wname' is not a row stream")
+        ctx.readers(wname) += 1
+        ctx.writeStream(m,
+          df.unionByName(right, allowMissingColumns = true), RowType)
+      }),
+
+    Registered("dedup", RowType, RowType, "in=STREAM:key=k1,k2:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val out = m.args.get("key") match {
+          case Some(k) => df.dropDuplicates(k.split(",").toSeq)
+          case None => df.dropDuplicates()
+        }
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("parquetread", NoneType, RowType, "in=PATH:out=STREAM", (ctx, m) => {
+      val path = m.args.getOrElse("in", throw new BuildError("parquetread: in= required"))
+      ctx.writeStream(m.copy(args = m.args - "in"),
+        ctx.spark.read.parquet(path), RowType)
+    }),
+
+    Registered("parquetwrite", RowType, NoneType, "in=STREAM:out=PATH", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      val path = m.args.getOrElse("out", throw new BuildError("parquetwrite: out= required"))
+      ctx.addSink(m.raw, () => {
+        df.write.mode("overwrite").parquet(path)
+        ctx.log("parquetwrite", s"wrote $path")
+        0L
+      })
+    })
+  )
+
+  val registry: Map[String, Registered] = modules.map(r => r.name -> r).toMap
+
+  /** The `--listmodules` table (reference dbitool.pl:2972-2998). */
+  def listModules: Seq[(String, String, String, String)] =
+    modules.sortBy(_.name).map(r =>
+      (r.name, r.inType.label, r.outType.label, r.argHelp))
+
+  /** Expand `@file` shortcuts (dbitool.pl:93-103): `in=@f` prepends a
+    * reader word, `out=@f` appends a writer word.
+    */
+  private[pipeline] def expandAtFiles(words: Seq[String]): Seq[String] =
+    words.flatMap { w =>
+      val spec = parseWord(w)
+      (spec.args.get("in"), spec.args.get("out")) match {
+        case (Some(f), _) if f.startsWith("@") =>
+          val path = f.drop(1)
+          val s = s"__at_in_$path"
+          Seq(s"fileread:in=$path:out=$s",
+            w.replace(s"in=$f", s"in=$s"))
+        case (_, Some(f)) if f.startsWith("@") =>
+          val path = f.drop(1)
+          val s = s"__at_out_$path"
+          Seq(w.replace(s"out=$f", s"out=$s"),
+            s"filewrite:in=$s:out=$path")
+        case _ => Seq(w)
+      }
+    }
+
+  case class RunResult(rowsWritten: Map[String, Long],
+                       log: DataFrame,
+                       streamStats: Map[String, Long])
+
+  /** Build + validate + execute a pipeline. `stats=true` counts rows
+    * through every named stream (extra actions — debugging aid, like
+    * the reference's loglevel 2, dbitool.pl:815-818).
+    */
+  def run(spark: SparkSession, words: Seq[String],
+          stats: Boolean = false): RunResult = {
+    val ctx = build(spark, words)
+    val written = ctx.sinks.map { case (name, action) => name -> action() }.toMap
+
+    // Drain-after-EOF: the log stream materializes only after the data
+    // sinks finish (reference dbitool.pl:245-252), then any deferred
+    // `in=log` consumers build against it and run as a second wave.
+    import spark.implicits._
+    val logDf = ctx.logRows.toSeq.toDF("time", "mod", "msg")
+    val logWritten: Map[String, Long] =
+      if (ctx.logReaders.isEmpty) Map.empty
+      else {
+        ctx.streams("log") = (logDf, RowType)
+        ctx.sinks.clear()
+        ctx.lastOut = None
+        ctx.logReaders.foreach { case (spec, _) =>
+          registry(spec.name).build(ctx, spec)
+        }
+        ctx.sinks.map { case (name, action) => name -> action() }.toMap
+      }
+
+    val stat =
+      if (stats) ctx.streams.map { case (n, (df, _)) => n -> df.count() }.toMap
+      else Map.empty[String, Long]
+    RunResult(written ++ logWritten, logDf, stat)
+  }
+
+  /** Parse + build + validate without executing sinks.
+    *
+    * Words whose input traces back to the `log` stream are deferred
+    * (the whole downstream subtree, like the reference's setlog
+    * marking, dbitool.pl:187-196) — they are built in `run` after the
+    * data sinks finish.
+    */
+  def build(spark: SparkSession, words0: Seq[String]): Context = {
+    val ctx = new Context(spark)
+    val words = expandAtFiles(words0)
+    ctx.log("dbitool", s"pipeline: ${words.mkString(" ")}")
+    val deferredOuts = mutable.Set("log")
+    var prevDeferred = false
+    words.foreach { w =>
+      val spec = parseWord(w)
+      val reg = registry.getOrElse(spec.name,
+        throw new BuildError(s"unknown module '${spec.name}'"))
+      val inLogChain = spec.args.get("in") match {
+        case Some(n) => deferredOuts.contains(n)
+        case None => prevDeferred
+      }
+      if (inLogChain) {
+        ctx.logReaders += ((spec, spec.args.getOrElse("in", "log")))
+        spec.args.get("out").foreach(deferredOuts += _)
+        prevDeferred = true
+      } else {
+        reg.build(ctx, spec)
+        prevDeferred = false
+      }
+    }
+    // Dangling-stream validation (reference streamlist->check,
+    // dbitool.pl:581-591).
+    ctx.streams.keys.foreach { n =>
+      if (ctx.readers(n) == 0 && !n.startsWith("__at_"))
+        throw new BuildError(s"stream '$n' has no reader")
+    }
+    ctx
+  }
+}

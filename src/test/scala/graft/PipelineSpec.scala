@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Pipeline
+import graft.pipeline.Pipeline.BuildError
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_pipe_$tag").toString
+
+  private def writeCsv(path: String, lines: String*): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath, lines.mkString("\n"))
+  }
+
+  private def readOut(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.startsWith("part-")).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+  }
+
+  test("word parsing: args, flags, bad words") {
+    val m = Pipeline.parseWord("csvread:in=a:sep=;:header=0:trim")
+    assert(m.name == "csvread")
+    assert(m.args == Map("in" -> "a", "sep" -> ";", "header" -> "0", "trim" -> "1"))
+    intercept[BuildError](Pipeline.parseWord("bad-name:x=1"))
+  }
+
+  test("reference example pipeline: fileread csvread ndjsonwrite filewrite") {
+    val in = tmp("rt") + "/in.csv"
+    writeCsv(in, "a,b", "1,x", "2,y")
+    val out = tmp("rt") + "/out.ndjson"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$in", "csvread", "ndjsonwrite", s"filewrite:out=$out"))
+    val lines = readOut(out).sorted
+    assert(lines == Seq("""{"a":"1","b":"x"}""", """{"a":"2","b":"y"}"""))
+  }
+
+  test("implicit stream chaining matches explicit naming") {
+    val in = tmp("chain") + "/in.csv"
+    writeCsv(in, "a,b", "1,x", "2,y")
+    val out = tmp("chain") + "/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$in:out=s1", "csvread:in=s1:out=s2",
+      "column:in=s2:clist=b:out=s3", "csvwrite:in=s3:out=s4",
+      s"filewrite:in=s4:out=$out"))
+    assert(readOut(out) == Seq("b", "x", "y"))
+  }
+
+  test("filter/agg/sort extension modules") {
+    val in = tmp("agg") + "/in.csv"
+    writeCsv(in, "k,v", "a,1", "b,2", "a,3", "b,4", "a,5")
+    val out = tmp("agg") + "/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$in", "csvread:infer=1",
+      "filter:expr=v >= 2",
+      "agg:by=k:exprs=sum(v) as sv;count(*) as n",
+      "sort:by=k", "csvwrite", s"filewrite:out=$out"))
+    assert(readOut(out) == Seq("k,sv,n", "a,8,2", "b,6,2"))
+  }
+
+  test("join module with broadcast") {
+    val d = tmp("join")
+    writeCsv(s"$d/l.csv", "k,v", "1,a", "2,b", "3,c")
+    writeCsv(s"$d/r.csv", "k,w", "1,X", "3,Z")
+    val out = s"$d/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/r.csv:out=rraw", "csvread:in=rraw:out=dim",
+      s"fileread:in=$d/l.csv", "csvread",
+      "join:with=dim:on=k:how=inner:broadcast",
+      "sort:by=k", "csvwrite", s"filewrite:out=$out"))
+    assert(readOut(out) == Seq("k,v,w", "1,a,X", "3,c,Z"))
+  }
+
+  test("@file shortcuts expand to fileread/filewrite") {
+    val d = tmp("atfile")
+    writeCsv(s"$d/in.csv", "a,b", "1,x")
+    Pipeline.run(spark, Seq(
+      s"csvread:in=@$d/in.csv", s"csvwrite:out=@$d/out.csv"))
+    assert(readOut(s"$d/out.csv") == Seq("a,b", "1,x"))
+  }
+
+  test("gzip module arms filewrite codec; gunzip reads transparently") {
+    val d = tmp("gz")
+    writeCsv(s"$d/in.csv", "a", "1", "2")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "gzip", s"filewrite:out=$d/out"))
+    val gzFiles = new java.io.File(s"$d/out").listFiles()
+      .filter(_.getName.endsWith(".gz"))
+    assert(gzFiles.nonEmpty, "expected gzip-compressed part files")
+    // round back through gunzip
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/out", "gunzip", s"filewrite:out=$d/back"))
+    assert(readOut(s"$d/back").sorted == Seq("1", "2", "a"))
+  }
+
+  test("ndb module dedups by key and persists") {
+    val d = tmp("ndb")
+    writeCsv(s"$d/in.csv", "k,v", "1,a", "2,b", "1,c")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread", s"ndb:key=k:fname=$d/kv:out=deduped",
+      "csvwrite:in=deduped", s"filewrite:out=$d/out.csv"))
+    assert(spark.read.parquet(s"$d/kv").count() == 2)
+    assert(readOut(s"$d/out.csv").length == 3) // header + 2 rows
+  }
+
+  test("validation: unknown module, dangling stream, type mismatch, double writer") {
+    intercept[BuildError](Pipeline.build(spark, Seq("nosuchmodule:x=1")))
+    val d = tmp("val")
+    writeCsv(s"$d/in.csv", "a", "1")
+    // dangling: csvread output never consumed
+    intercept[BuildError](Pipeline.run(spark,
+      Seq(s"fileread:in=$d/in.csv", "csvread:out=dangling")))
+    // type mismatch: filter (row) fed a raw stream
+    intercept[BuildError](Pipeline.build(spark,
+      Seq(s"fileread:in=$d/in.csv:out=r", "filter:in=r:expr=a>1")))
+    // two writers to one stream
+    intercept[BuildError](Pipeline.build(spark,
+      Seq(s"fileread:in=$d/in.csv:out=s", s"fileread:in=$d/in.csv:out=s")))
+  }
+
+  test("log channel: in=log consumers run after data sinks") {
+    val d = tmp("log")
+    writeCsv(s"$d/in.csv", "a", "1", "2")
+    val r = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", s"filewrite:out=$d/out.csv",
+      "csvwrite:in=log:out=logcsv", s"filewrite:in=logcsv:out=$d/log.csv"))
+    val logLines = readOut(s"$d/log.csv")
+    assert(logLines.exists(_.contains("filewrite")), logLines.mkString("|"))
+    assert(r.log.count() >= 2)
+  }
+
+  test("listModules covers the reference module surface") {
+    val names = Pipeline.listModules.map(_._1).toSet
+    val expected = Set("fileread", "filewrite", "stdin", "stdout", "stderr",
+      "csvread", "csvwrite", "ndjsonread", "ndjsonwrite", "jsonread",
+      "jsonwrite", "fixedwidthread", "fixedwidthwrite", "xmlwrite",
+      "gzip", "gunzip", "column", "ndb",
+      "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
+      "parquetread", "parquetwrite")
+    assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("stats mode reports per-stream row counts") {
+    val d = tmp("stats")
+    writeCsv(s"$d/in.csv", "a", "1", "2", "3")
+    val r = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv:out=raw1", "csvread:in=raw1:out=rows1",
+      "csvwrite:in=rows1:out=txt1", s"filewrite:in=txt1:out=$d/o.csv"),
+      stats = true)
+    assert(r.streamStats("raw1") == 4)   // header + 3
+    assert(r.streamStats("rows1") == 3)
+    assert(r.rowsWritten.values.sum == 4)
+  }
+}
