@@ -403,6 +403,22 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    Registered("bsonread", NoneType, RowType, "in=FILE:out=STREAM", (ctx, m) => {
+      val path = m.args.getOrElse("in", throw new BuildError("bsonread: in= required"))
+      ctx.writeStream(m.copy(args = m.args - "in"),
+        graft.formats.Bson.read(ctx.spark, path), RowType)
+    }),
+
+    Registered("bsonwrite", RowType, NoneType, "in=STREAM:out=FILE", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      val path = m.args.getOrElse("out", throw new BuildError("bsonwrite: out= required"))
+      ctx.addSink(m.raw, () => {
+        graft.formats.Bson.write(df, path)
+        ctx.log("bsonwrite", s"wrote $path")
+        0L
+      })
+    }),
+
     Registered("parquetread", NoneType, RowType, "in=PATH:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("parquetread: in= required"))
       ctx.writeStream(m.copy(args = m.args - "in"),
