@@ -70,9 +70,23 @@ object Pipeline {
     val sinks = mutable.ArrayBuffer[(String, () => Long)]()
     val logRows = mutable.ArrayBuffer[(java.sql.Timestamp, String, String)]()
     val logReaders = mutable.ArrayBuffer[(ModuleSpec, String)]()
+    /** Per-module corrupt-row DataFrames (mod, record) — the reference's
+      * error channel (dbitool.pl:876-890) as distributed data.
+      */
+    val errorDfs = mutable.ArrayBuffer[DataFrame]()
     var lastOut: Option[String] = None
     var counter = 0
     var pendingCodec: Option[String] = None // set by gzip module
+
+    def addErrors(mod: String, records: DataFrame): Unit =
+      errorDfs += records.select(lit(mod).as("mod"),
+        col(records.columns.head).cast("string").as("record"))
+
+    def errorStream: DataFrame =
+      if (errorDfs.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("mod", "record")
+      } else errorDfs.reduce(_.unionByName(_))
 
     def log(mod: String, msg: String): Unit =
       logRows += ((new java.sql.Timestamp(System.currentTimeMillis()), mod, msg))
@@ -171,14 +185,29 @@ object Pipeline {
         val df = ctx.readStream(m, RawType)
         import ctx.spark.implicits._
         val lines = df.select(col("col1")).as[String]
-        val parsed = ctx.spark.read
+        def reader = ctx.spark.read
           .option("header", m.args.getOrElse("header", "1") == "1")
           .option("sep", m.args.getOrElse("sep", ","))
           .option("quote", m.args.getOrElse("quote", "\""))
           .option("escape", m.args.getOrElse("escape", "\""))
           .option("inferSchema", m.args.getOrElse("infer", "0") == "1")
+        // Two-phase read: resolve the schema, then re-read PERMISSIVE
+        // with a corrupt-record column — malformed rows route to the
+        // error channel instead of poisoning the data stream
+        // (reference error semantics, dbitool.pl:234-243).
+        val schema = reader.csv(lines).schema
+          .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+        val parsed = reader
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema)
           .csv(lines)
-        ctx.writeStream(m, parsed, RowType)
+        ctx.addErrors("csvread",
+          parsed.filter(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record")))
+        ctx.writeStream(m,
+          parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+          RowType)
       }),
 
     Registered("csvwrite", RowType, RawType,
@@ -205,7 +234,16 @@ object Pipeline {
       val df = ctx.readStream(m, RawType)
       import ctx.spark.implicits._
       val parsed = ctx.spark.read.json(df.select(col("col1")).as[String])
-      ctx.writeStream(m, parsed, RowType)
+      // Spark's JSON inference surfaces unparseable lines as a
+      // _corrupt_record column — route them to the error channel.
+      val out =
+        if (parsed.columns.contains("_corrupt_record")) {
+          ctx.addErrors("ndjsonread",
+            parsed.filter(col("_corrupt_record").isNotNull)
+              .select(col("_corrupt_record")))
+          parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+        } else parsed
+      ctx.writeStream(m, out, RowType)
     }),
 
     Registered("ndjsonwrite", RowType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
@@ -472,10 +510,31 @@ object Pipeline {
     * through every named stream (extra actions — debugging aid, like
     * the reference's loglevel 2, dbitool.pl:815-818).
     */
+  /** Raised when parse errors exceed the budget (reference `errorsize`
+    * abort, dbitool.pl:234-243 — checked after the run rather than
+    * mid-stream, since Spark executes whole stages).
+    */
+  final class ErrorBudgetExceeded(val count: Long, limit: Int,
+                                  val sample: Seq[String])
+    extends RuntimeException(
+      s"$count rows hit the error channel (limit $limit); first: " +
+        sample.take(3).mkString(" | "))
+
   def run(spark: SparkSession, words: Seq[String],
-          stats: Boolean = false): RunResult = {
+          stats: Boolean = false, errorSize: Int = 3): RunResult = {
     val ctx = build(spark, words)
     val written = ctx.sinks.map { case (name, action) => name -> action() }.toMap
+
+    // Error budget (reference default 3, dbitool.pl:39). Errors also
+    // print to stderr when nothing consumed them — the reference
+    // auto-wires error→stderr unconditionally (dbitool.pl:117-129).
+    if (ctx.errorDfs.nonEmpty) {
+      val errs = ctx.errorStream.limit(errorSize + 1).collect()
+      errs.foreach(r => System.err.println(s"error: [${r.getString(0)}] ${r.getString(1)}"))
+      if (errs.length > errorSize)
+        throw new ErrorBudgetExceeded(errs.length, errorSize,
+          errs.map(_.getString(1)).toSeq)
+    }
 
     // Drain-after-EOF: the log stream materializes only after the data
     // sinks finish (reference dbitool.pl:245-252), then any deferred
@@ -511,24 +570,39 @@ object Pipeline {
     val ctx = new Context(spark)
     val words = expandAtFiles(words0)
     ctx.log("dbitool", s"pipeline: ${words.mkString(" ")}")
-    val deferredOuts = mutable.Set("log")
-    var prevDeferred = false
+    val logOuts = mutable.Set("log")
+    val errorOuts = mutable.Set("error")
+    val errorReaders = mutable.ArrayBuffer[ModuleSpec]()
+    var prevChain: Option[String] = None // Some("log"|"error") when deferred
     words.foreach { w =>
       val spec = parseWord(w)
       val reg = registry.getOrElse(spec.name,
         throw new BuildError(s"unknown module '${spec.name}'"))
-      val inLogChain = spec.args.get("in") match {
-        case Some(n) => deferredOuts.contains(n)
-        case None => prevDeferred
+      val chain: Option[String] = spec.args.get("in") match {
+        case Some(n) if logOuts.contains(n) => Some("log")
+        case Some(n) if errorOuts.contains(n) => Some("error")
+        case Some(_) => None
+        case None => prevChain
       }
-      if (inLogChain) {
-        ctx.logReaders += ((spec, spec.args.getOrElse("in", "log")))
-        spec.args.get("out").foreach(deferredOuts += _)
-        prevDeferred = true
-      } else {
-        reg.build(ctx, spec)
-        prevDeferred = false
+      chain match {
+        case Some("log") =>
+          ctx.logReaders += ((spec, spec.args.getOrElse("in", "log")))
+          spec.args.get("out").foreach(logOuts += _)
+        case Some("error") =>
+          errorReaders += spec
+          spec.args.get("out").foreach(errorOuts += _)
+        case _ =>
+          reg.build(ctx, spec)
       }
+      prevChain = chain
+    }
+    // Error rows are plan-time data: the channel closes once all words
+    // are parsed, so error consumers build now (the reference's
+    // always-auto-wired error channel, dbitool.pl:117-129).
+    if (errorReaders.nonEmpty) {
+      ctx.streams("error") = (ctx.errorStream, RowType)
+      ctx.lastOut = None
+      errorReaders.foreach(spec => registry(spec.name).build(ctx, spec))
     }
     // Dangling-stream validation (reference streamlist->check,
     // dbitool.pl:581-591).

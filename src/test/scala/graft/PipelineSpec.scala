@@ -155,4 +155,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.streamStats("rows1") == 3)
     assert(r.rowsWritten.values.sum == 4)
   }
+
+  test("error channel: corrupt csv rows route to error stream") {
+    val d = tmp("err")
+    writeCsv(s"$d/in.csv", "a,b", "1,x", "\"unclosed,oops", "2,y")
+    val r = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1",
+      "csvwrite", s"filewrite:out=$d/out.csv",
+      "csvwrite:in=error:out=errcsv", s"filewrite:in=errcsv:out=$d/err.csv"))
+    val good = readOut(s"$d/out.csv")
+    assert(good.length == 3, good.mkString("|")) // header + 2 clean rows
+    val errs = readOut(s"$d/err.csv")
+    assert(errs.exists(_.contains("csvread")), errs.mkString("|"))
+  }
+
+  test("error budget: too many corrupt rows fail the run") {
+    val d = tmp("errbudget")
+    writeCsv(s"$d/in.csv", "a,b",
+      "\"u1,x", "\"u2,x", "\"u3,x", "\"u4,x", "\"u5,x")
+    intercept[Pipeline.ErrorBudgetExceeded] {
+      Pipeline.run(spark, Seq(
+        s"fileread:in=$d/in.csv", "csvread:infer=1",
+        "csvwrite", s"filewrite:out=$d/out.csv"), errorSize = 3)
+    }
+  }
 }
