@@ -300,6 +300,17 @@ object Pipeline {
         ctx.writeStream(m, df.select(line), RawType)
       }),
 
+    Registered("xmlread", NoneType, RowType,
+      "in=FILE:out=STREAM:row=row", (ctx, m) => {
+        // Whole-document XML needs the file boundary (the reference
+        // buffers the full input too, dbitool.pl:2095-2104); Spark 4's
+        // built-in XML source handles rowTag extraction distributed.
+        val path = m.args.getOrElse("in", throw new BuildError("xmlread: in= required"))
+        ctx.writeStream(m.copy(args = m.args - "in"),
+          graft.sources.Sources.xml(ctx.spark, path,
+            rowTag = m.args.getOrElse("row", "row")), RowType)
+      }),
+
     Registered("xmlwrite", RowType, RawType,
       "in=STREAM:out=STREAM:row=row", (ctx, m) => {
         val df = ctx.readStream(m, RowType)

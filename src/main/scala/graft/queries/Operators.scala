@@ -73,6 +73,18 @@ object Operators {
         .orderBy($"event_id")
     }),
 
+    // Custom typed Aggregator (UDAF surface): quantity-weighted average
+    // price per return flag, exact-decimal partial aggregation.
+    "q35_weighted_avg" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.udaf
+      val wavg = udaf(new graft.functions.Aggregators.WeightedAverage(4))
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(wavg($"l_extendedprice", $"l_quantity").as("wavg_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Approximate distinct (HLL++). No DuckDB oracle — approximate
     // results are engine-specific; the spec asserts <5% error vs exact.
     "q34_approx_distinct" -> ((s, dir) => {
@@ -111,6 +123,12 @@ object Operators {
         |  UNION ALL
         |  SELECT o_orderkey, NULL AS o_custkey, o_totalprice
         |  FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "q35_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q33_asof_join" ->
       """SELECT c.event_id, c.user_id,

@@ -170,6 +170,40 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // Full cube over two dimensions (all 4 grouping sets in one pass).
+    "q13_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // Scalar function battery: string/date/math/conditional built-ins
+    // (the reference's only scalar ops are trim/pad/escape — SURVEY
+    // §2.6); every function here mirrors 1:1 into ANSI SQL.
+    "q14_scalar_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderkey" < 500)
+        .select(
+          $"o_orderkey",
+          upper($"o_orderstatus").as("status_u"),
+          substring($"o_orderpriority", 1, 1).as("prio1"),
+          concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("cat"),
+          length($"o_orderpriority").as("prio_len"),
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("d"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          round(abs($"o_totalprice" - 100000.0), 2).as("dist100k"),
+          when($"o_totalprice" > 200000.0, "big")
+            .when($"o_totalprice" > 50000.0, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status2"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Correlated-style aggregate join: revenue per order vs its order
     // total (orders ⋈ pre-aggregated lineitem — aggregate BEFORE the
     // join so the join input is one row per key).
@@ -283,6 +317,31 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q14_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderstatus) AS status_u,
+        |  substring(o_orderpriority, 1, 1) AS prio1,
+        |  o_orderstatus || '-' || o_orderpriority AS cat,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  round(abs(o_totalprice - 100000.0), 2) AS dist100k,
+        |  CASE WHEN o_totalprice > 200000.0 THEN 'big'
+        |       WHEN o_totalprice > 50000.0 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q12_join_agg" ->
       """SELECT o_orderkey, revenue, n_lines FROM orders
