@@ -452,6 +452,60 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    Registered("spreadsheetread", NoneType, RowType,
+      "fname=FILE:type=csv:x=1:y=1:header=1:out=STREAM", (ctx, m) => {
+        // Reference spreadsheetread (dbitool.pl:2696-2784) reads an
+        // x/y-origin cell block with optional header row. xls/xlsx/ods
+        // need POI (absent in the zero-egress jar set) — csv type
+        // carries the semantics. In-memory like the reference.
+        if (m.args.getOrElse("type", "csv") != "csv")
+          throw new BuildError("spreadsheetread: only type=csv supported (no POI)")
+        val f = m.args.getOrElse("fname",
+          throw new BuildError("spreadsheetread: fname= required"))
+        val x = m.args.getOrElse("x", "1").toInt
+        val y = m.args.getOrElse("y", "1").toInt
+        val hasHeader = m.args.getOrElse("header", "1") == "1"
+        val lines = scala.io.Source.fromFile(f).getLines().drop(y - 1)
+          .map(_.split(",", -1).drop(x - 1).toSeq).toSeq
+        if (lines.isEmpty) throw new BuildError(s"spreadsheetread: empty block in $f")
+        val names =
+          if (hasHeader) lines.head.map(_.trim)
+          else lines.head.indices.map(i => s"col${i + 1}")
+        val body = if (hasHeader) lines.tail else lines
+        import ctx.spark.implicits._
+        val df = body.map(r => names.indices.map(i =>
+            if (i < r.length) r(i) else null).toList)
+          .toDF("cells")
+          .select(names.zipWithIndex.map { case (n, i) =>
+            col("cells").getItem(i).as(n) }: _*)
+        ctx.writeStream(m, df, RowType)
+      }),
+
+    Registered("spreadsheetwrite", RowType, NoneType,
+      "in=STREAM:fname=FILE:type=csv:x=1:y=1:header=1", (ctx, m) => {
+        if (m.args.getOrElse("type", "csv") != "csv")
+          throw new BuildError("spreadsheetwrite: only type=csv supported (no POI)")
+        val df = ctx.readStream(m, RowType)
+        val f = m.args.getOrElse("fname",
+          throw new BuildError("spreadsheetwrite: fname= required"))
+        val x = m.args.getOrElse("x", "1").toInt
+        val y = m.args.getOrElse("y", "1").toInt
+        val hasHeader = m.args.getOrElse("header", "1") == "1"
+        ctx.addSink(m.raw, () => {
+          val pad = "," * (x - 1)
+          val rows = df.collect().map(r => pad + r.toSeq.map {
+            case null => ""; case v => v.toString
+          }.mkString(","))
+          val hdr = if (hasHeader) Seq(pad + df.columns.mkString(",")) else Nil
+          val blank = Seq.fill(y - 1)("")
+          val p = java.nio.file.Paths.get(f)
+          Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.writeString(p,
+            (blank ++ hdr ++ rows).mkString("\n"))
+          rows.length.toLong
+        })
+      }),
+
     Registered("bsonread", NoneType, RowType, "in=FILE:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("bsonread: in= required"))
       ctx.writeStream(m.copy(args = m.args - "in"),

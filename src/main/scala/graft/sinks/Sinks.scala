@@ -32,6 +32,13 @@ object Sinks {
     val w = prep(df, singleFile).write.mode(SaveMode.Overwrite)
       .option("header", header).option("sep", sep)
       .option("quote", quote).option("escape", escape)
+      // univocity's writer trims whitespace and writes empty == null by
+      // default — all three lose data on round-trip (found by
+      // PropertySpec): keep whitespace, quote empty strings.
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .option("emptyValue", "\"\"")
+      .option("nullValue", "\\N")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     compression.fold(w)(c => w.option("compression", c)).csv(path)
   }

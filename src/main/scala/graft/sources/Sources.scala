@@ -40,6 +40,11 @@ object Sources {
       .option("sep", sep)
       .option("quote", quote)
       .option("escape", escape)
+      // \N sentinel for null (classic convention): with escape==quote
+      // a quoted empty "" is indistinguishable from null to the parser,
+      // so empty-vs-null fidelity needs an explicit null encoding
+      // (found by PropertySpec; pairs with the writer's nullValue).
+      .option("nullValue", "\\N")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     val r2 = schema.map(r.schema).getOrElse(r.option("inferSchema", inferSchema))
     r2.csv(path)
