@@ -96,6 +96,23 @@ object Ops {
     joined.select(outLeft ++ outRight: _*)
   }
 
+  /** Skew-resistant equi-join by key salting: the (few, hot) left keys
+    * are split across `salt` sub-partitions while the right side is
+    * replicated `salt`× per key — turns one straggler partition into
+    * `salt` even ones. AQE's skew-join handles moderate skew
+    * automatically; explicit salting is for the pathological keys AQE
+    * can't split (e.g. a single key holding 30% of a 100 TB fact
+    * table). Right side should be the smaller input.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int, how: String = "inner"): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), how).drop("__salt")
+  }
+
   /** Top-k rows per group without a global sort (shuffle on the group
     * key only; AQE handles skewed groups).
     */

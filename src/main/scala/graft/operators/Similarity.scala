@@ -112,6 +112,71 @@ object Similarity {
       Seq(col("sim").desc, col(idCol).asc), k)
   }
 
+  /** IVF-style ANN: an inverted file over nList coarse centroids.
+    *
+    *  - Centroids: a deterministic sample of the corpus itself (hash-
+    *    ordered — no k-means iterations needed for a coarse quantizer),
+    *    broadcast to every task.
+    *  - Assignment: one corpus scan, argmax cosine against the
+    *    broadcast centroids (codegen'd kernel), giving each vector its
+    *    list id. At 100 TB this materializes once as a bucketed table.
+    *  - Search: each query probes its nProbe nearest lists only; the
+    *    candidate join is an equi-join on list id — the corpus never
+    *    cross-joins the query set.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nList: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+
+    // Deterministic coarse centroids: first nList vectors by content
+    // hash (cheap, reproducible, good enough for a coarse quantizer).
+    val centroids: Array[(Int, Seq[Float])] = corpus
+      .select(col(idCol), col(embCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"))
+      .limit(nList)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+
+    def centroidLit(c: Seq[Float]) = array(c.map(lit): _*)
+
+    // argmax over nList cosine scores, unrolled (codegen'd kernels).
+    def assignExpr(e: Column): Column = {
+      val scored = centroids.map { case (i, c) =>
+        struct(cosine(e, centroidLit(c)).as("s"), lit(i).as("i"))
+      }
+      greatest(scored: _*).getField("i")
+    }
+
+    // top-nProbe lists per query via the same scores.
+    def probeExpr(e: Column): Column = {
+      val scored = array(centroids.map { case (i, c) =>
+        struct(cosine(e, centroidLit(c)).as("s"), lit(i).as("i"))
+      }: _*)
+      slice(array_sort(scored,
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1).otherwise(0)),
+        1, nProbe).getField("i")
+    }
+
+    val assigned = corpus.select(col(idCol), col(embCol),
+      assignExpr(col(embCol)).as("__list"))
+    val probed = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("__qe"),
+      explode(probeExpr(col(embCol))).as("__list"))
+
+    val cand = assigned.join(probed, "__list")
+      .filter(col(idCol) =!= col("query_id"))
+      .dropDuplicates("query_id", idCol)
+      .select(col("query_id"), col(idCol),
+        cosine(col(embCol), col("__qe")).as("sim"))
+    Ops.topKPerGroup(cand, Seq("query_id"),
+      Seq(col("sim").desc, col(idCol).asc), k)
+  }
+
   /** Exact near-duplicate pairs above a cosine threshold inside a
     * blocking key (e.g. a label / cluster / LSH bucket): the block key
     * bounds the pair explosion; use `lshSignature` bands as the block

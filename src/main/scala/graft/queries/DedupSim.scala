@@ -85,6 +85,17 @@ object DedupSim {
           "vec_id", "embedding", k = 5)
         .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // ANN top-k via IVF (16 coarse lists, probe 4): the other scale
+    // path. Rows-only; recall asserted in spec.
+    "q56_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
     })
   )
 

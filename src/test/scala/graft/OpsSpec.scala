@@ -74,4 +74,14 @@ class OpsSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
+
+  test("saltedJoin equals plain join on a skewed key") {
+    val left = Tables(spark, sf, "lineitem")
+      .select($"l_orderkey".as("k"), $"l_quantity")
+    val right = Tables(spark, sf, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice")
+    val plain = left.join(right, Seq("k")).count()
+    val salted = Ops.saltedJoin(left, right, "k", salt = 8).count()
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
 }
