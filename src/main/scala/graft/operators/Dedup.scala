@@ -84,11 +84,25 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
 
-    val base = df
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Shingle + hash ONCE, persist: the plan references this relation
+    // three times (signature pass + both sides of the verify join) and
+    // Catalyst does not share common subtrees across joins — without
+    // the persist the shingling runs 3x. Verification compares hashed
+    // shingle sets (64-bit): identical to string jaccard up to hash
+    // collisions (~1e-9 for 10^2-shingle docs), and the arrays that
+    // ride the verify shuffle are longs instead of strings.
+    val hashed = df
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), k), s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sig = minhashSignatures(df, idCol, textCol, k, numPerm)
+    val sigCols = (0 until numPerm).map { j =>
+      min(xxhash64(col("h").bitwiseXOR(lit(permSeed(j))))).as(s"m$j")
+    }
+    val sig = hashed.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((0 until rowsPerBand).map(r =>
@@ -102,10 +116,11 @@ object Dedup {
       .select(col("a.id").as("idA"), col("b.id").as("idB"))
       .dropDuplicates("idA", "idB")
 
-    // Exact verification joins shingles back for surviving pairs only.
+    // Exact verification joins hashed shingles back for surviving
+    // pairs only.
     candidates
-      .join(base.select(col("id").as("idA"), col("sh").as("shA")), "idA")
-      .join(base.select(col("id").as("idB"), col("sh").as("shB")), "idB")
+      .join(hashed.select(col("id").as("idA"), col("hs").as("shA")), "idA")
+      .join(hashed.select(col("id").as("idB"), col("hs").as("shB")), "idB")
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
