@@ -204,6 +204,15 @@ object Relational {
         .orderBy($"o_orderkey")
     }),
 
+    // SQL entry point (SURVEY §3.2): temp views + spark.sql — the same
+    // ANSI text runs on our engine and the oracle verbatim.
+    "q15_sql_entry" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlEntryText)
+    }),
+
     // Correlated-style aggregate join: revenue per order vs its order
     // total (orders ⋈ pre-aggregated lineitem — aggregate BEFORE the
     // join so the join input is one row per key).
@@ -221,7 +230,25 @@ object Relational {
     })
   )
 
+  /** TPC-H Q3-shaped market-segment revenue query — ANSI subset that
+    * parses identically in Spark SQL and DuckDB, so the Spark side
+    * executes the very same text the oracle runs.
+    */
+  val SqlEntryText: String =
+    """SELECT o_orderkey,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+      |GROUP BY o_orderkey
+      |HAVING count(*) >= 3
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 50""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q15_sql_entry" -> SqlEntryText,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_qty,
