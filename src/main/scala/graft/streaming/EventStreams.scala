@@ -79,4 +79,70 @@ object EventStreams {
   def streamingDedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, total: Double)
+
+  /** Custom state machine via flatMapGroupsWithState: per-user gap
+    * sessionization with event-time timeout — the arbitrary-state API
+    * for semantics `session_window` can't express (e.g. emitting
+    * session aggregates with custom close rules). State is evicted by
+    * the watermark; emits one row per CLOSED session.
+    */
+  def statefulSessions(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                       watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // State tracks epoch-MICROS: Timestamp.getTime is ms and would
+    // truncate event times (the same 53-bit/precision family of bug as
+    // the ns→µs loader fix).
+    def toMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapUs = gapMs * 1000L
+
+    def fn(userId: Long, it: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var st = state.getOption
+      it.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+        val t = toMicros(e.ts)
+        st match {
+          case Some(s) if t - s.last <= gapUs =>
+            st = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, fromMicros(s.start), s.n, s.total)
+            st = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            st = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      (st, state.hasTimedOut) match {
+        case (Some(s), true) =>
+          out += SessionOut(userId, fromMicros(s.start), s.n, s.total)
+          state.remove()
+        case (Some(s), false) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last / 1000L + gapMs)
+        case _ => state.remove()
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
 }

@@ -53,4 +53,29 @@ class StreamingSpec extends AnyFunSuite {
     val batchTotal = Tables(spark, sf, "events").count()
     assert(n == batchTotal)
   }
+
+  test("flatMapGroupsWithState sessionization matches batch session windows") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEventStream(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.statefulSessions(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stateful_sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stateful_sessions")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+
+    val batch = EventStreams.userSessions(Tables(spark, sf, "events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+
+    // Append mode only emits CLOSED sessions (watermark-passed); each
+    // emitted session must exactly match a batch session window.
+    val emitted = got.count()
+    assert(emitted > 0)
+    val mismatched = got.join(batch,
+      Seq("user_id", "session_start", "n_events"), "left_anti").count()
+    assert(mismatched == 0, s"$mismatched stateful sessions disagree with batch")
+    assert(emitted >= batch.count() - 20) // tail sessions may stay open
+  }
 }
