@@ -223,8 +223,10 @@ object Pipeline {
             import ctx.spark.implicits._
             // Prepend the header INSIDE one partition — a union'd
             // header row has no stable position under AQE.
+            // repartition(1), not coalesce: an empty frame has 0
+            // partitions and coalesce(1) would drop the header.
             val hdr = df.columns.mkString(sep)
-            body.select(col("col1")).as[String].coalesce(1)
+            body.select(col("col1")).as[String].repartition(1)
               .mapPartitions(it => Iterator(hdr) ++ it).toDF("col1")
           } else body
         ctx.writeStream(m, out, RawType)

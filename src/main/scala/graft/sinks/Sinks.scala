@@ -94,10 +94,14 @@ object Sinks {
           .map { case (c, w) => c.take(w).padTo(w, ' ') }.mkString
         val spark = df.sparkSession
         import spark.implicits._
-        // Header as its own 1-row partition ahead of the data.
-        Seq(h).toDF("value").union(body)
+        // Prepend the header INSIDE one partition — a union'd header
+        // row has no stable position under AQE. repartition(1), not
+        // coalesce: coalesce can't raise an empty frame's 0 partitions
+        // to 1, which would drop the header entirely.
+        body.as[String].repartition(1)
+          .mapPartitions(it => Iterator(h) ++ it).toDF("value")
       } else body
-    prep(out, singleFile || header).write.mode(SaveMode.Overwrite).text(path)
+    prep(out, singleFile && !header).write.mode(SaveMode.Overwrite).text(path)
   }
 
   /** sqliteinsert / future mysqlinsert (dbitool.pl:1696-1755, TODO:40-46):

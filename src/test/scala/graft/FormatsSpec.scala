@@ -118,4 +118,17 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("col1"))
     assert(back.count() == 3)
   }
+
+  test("fixed-width header survives an empty input frame") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    val out = tmp("fwempty")
+    Sinks.fixedWidth(empty, out, Seq(5, 5), header = true)
+    val lines = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines == Seq("k    v    "))
+  }
 }
