@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.Operators.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupSim.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       graft.queries.Operators.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupSim.oracleSql ++
-      graft.queries.EventQueries.oracleSql
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.pipeline.Pipeline
+
+/** End-to-end pipeline-DSL queries under the DuckDB oracle: a dbitool
+  * CLI word chain runs (file in → parse → relational ops → format out),
+  * and the files it writes are read back as the query result — so the
+  * oracle checks the whole DSL round trip, not just the operators.
+  */
+object PipelineQueries {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_pq_$tag").toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // parquet → csv file → [fileread csvread filter agg sort csvwrite
+    // filewrite] → csv file → DataFrame.
+    "q70_pipeline_e2e" -> ((s, dir) => {
+      val work = tmpDir("e2e")
+      // Stage the input as CSV (strings + doubles survive inference).
+      graft.sinks.Sinks.csv(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        s"$work/in", singleFile = true)
+      Pipeline.run(s, Seq(
+        s"fileread:in=$work/in",
+        "csvread:infer=1",
+        "filter:expr=o_totalprice >= 150000.0",
+        "agg:by=o_orderstatus:exprs=count(*) as n;" +
+          "cast(round(sum(cast(o_totalprice as decimal(30,4))), 2) as double) as total",
+        "sort:by=o_orderstatus",
+        "csvwrite",
+        s"filewrite:out=$work/out"))
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n", LongType),
+        StructField("total", DoubleType)))
+      graft.sources.Sources.csv(s, s"$work/out", schema = Some(schema))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_pipeline_e2e" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice >= 150000.0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+  )
+}
