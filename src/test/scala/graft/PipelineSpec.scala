@@ -179,4 +179,36 @@ class PipelineSpec extends AnyFunSuite {
         "csvwrite", s"filewrite:out=$d/out.csv"), errorSize = 3)
     }
   }
+
+  test("spreadsheet csv-type modules honor x/y origin and header") {
+    val d = tmp("sheet")
+    // block starts at column 2 (x=2), row 2 (y=2)
+    writeCsv(s"$d/in.csv",
+      "junk-row-to-skip",
+      ",k,v",
+      ",1,a",
+      ",2,b")
+    Pipeline.run(spark, Seq(
+      s"spreadsheetread:fname=$d/in.csv:x=2:y=2",
+      "filter:expr=k > 1",
+      s"spreadsheetwrite:fname=$d/out.csv:x=3:y=2"))
+    val out = scala.io.Source.fromFile(s"$d/out.csv").getLines().toSeq
+    assert(out == Seq("", ",,k,v", ",,2,b"), out.mkString("|"))
+    intercept[BuildError](Pipeline.build(spark,
+      Seq(s"spreadsheetread:fname=$d/in.csv:type=xlsx")))
+  }
+
+  test("select and limit and union modules") {
+    val d = tmp("sel")
+    writeCsv(s"$d/in.csv", "a,b", "1,x", "2,y", "3,z")
+    val out = s"$d/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv:out=r1", "csvread:in=r1:infer=1:out=rows",
+      "select:in=rows:exprs=a;a*10 as a10:out=sel1",
+      "limit:in=sel1:n=2:out=lim1",
+      "union:in=lim1:with=lim1:out=u1",
+      "agg:in=u1:exprs=count(*) as n;sum(a10) as s:out=res",
+      "csvwrite:in=res", s"filewrite:out=$out"))
+    assert(readOut(out) == Seq("n,s", "4,60"))
+  }
 }
