@@ -82,25 +82,40 @@ object Similarity {
     * bands with the query (multi-band OR amplification), then exact
     * cosine + window top-k on the (much smaller) candidate set.
     * Equi-join on (band, key): no all-pairs product at any scale.
+    *
+    * `multiProbe > 0` additionally probes, per band, every key within
+    * hamming distance `multiProbe` bits of the query's key (classic
+    * multi-probe LSH): recall rises steeply while only the (small)
+    * query side fans out — corpus-side work is unchanged.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nBits: Int = 16, bands: Int = 4,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, multiProbe: Int = 1): DataFrame = {
     require(nBits % bands == 0)
     val bandBits = nBits / bands
     val planes = hyperplanes(nBits, dim)
     val mask = (1L << bandBits) - 1
 
-    def banded(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(embCol).as(s"__e_$id"),
+    def bandKeysOf(df: DataFrame, id: String, probe: Int): DataFrame = {
+      val base = df.select(col(idCol).as(id), col(embCol).as(s"__e_$id"),
         lshSignature(col(embCol), planes).as("__sig"))
+      val flips: Seq[Long] =
+        0L +: (if (probe >= 1) (0 until bandBits).map(1L << _) else Nil)
+      // probe>=2 would add 2-bit flips; 1-bit probing suffices here.
+      base.select(col(id), col(s"__e_$id"),
+        posexplode(array((for {
+          b <- 0 until bands
+          f <- flips
+        } yield struct(lit(b).as("b"),
+          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))
+            .bitwiseXOR(lit(f)).as("k"))): _*))
+          .as(Seq("__pos", "__bk")))
         .select(col(id), col(s"__e_$id"),
-          posexplode(array((0 until bands).map(b =>
-            shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
-            .as(Seq("bandIdx", "bandKey")))
+          col("__bk.b").as("bandIdx"), col("__bk.k").as("bandKey"))
+    }
 
-    val c = banded(corpus, "vec_id_c")
-    val q = banded(queries, "query_id")
+    val c = bandKeysOf(corpus, "vec_id_c", probe = 0)
+    val q = bandKeysOf(queries, "query_id", probe = multiProbe)
     val cand = c.join(q, Seq("bandIdx", "bandKey"))
       .filter(col("vec_id_c") =!= col("query_id"))
       .select(col("query_id"), col("vec_id_c").as(idCol),

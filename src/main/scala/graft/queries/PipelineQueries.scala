@@ -23,6 +23,8 @@ object PipelineQueries {
     "q70_pipeline_e2e" -> ((s, dir) => {
       val work = tmpDir("e2e")
       // Stage the input as CSV (strings + doubles survive inference).
+      // singleFile: a raw line stream carries ONE header (multi-part
+      // staging would interleave per-file headers as data rows).
       graft.sinks.Sinks.csv(
         Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),

@@ -72,9 +72,9 @@ class DedupSimSpec extends AnyFunSuite {
     val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", 5)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
     val recall = (ann & exact).size.toDouble / exact.size
-    // random 64-dim vectors are the worst case for LSH; just require
-    // clearly-better-than-chance candidate quality and full coverage.
-    assert(recall >= 0.15, s"recall=$recall")
+    // random 64-dim vectors are the worst case for LSH; 1-bit
+    // multi-probe lifts observed recall@5 to ~0.9.
+    assert(recall >= 0.5, s"recall=$recall")
     assert(ann.groupBy(_._1).size == 20, "every query produced candidates")
   }
 
