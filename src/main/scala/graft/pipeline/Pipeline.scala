@@ -181,7 +181,7 @@ object Pipeline {
     }),
 
     Registered("csvread", RawType, RowType,
-      "in=STREAM:out=STREAM:sep=,:header=1", (ctx, m) => {
+      "in=STREAM:out=STREAM:sep=,:quote=x:escape=x:header=1:infer=0", (ctx, m) => {
         val df = ctx.readStream(m, RawType)
         import ctx.spark.implicits._
         val lines = df.select(col("col1")).as[String]
@@ -273,7 +273,7 @@ object Pipeline {
     }),
 
     Registered("fixedwidthread", RawType, RowType,
-      "in=STREAM:out=STREAM:width=8,4,...:header=1:trim=1", (ctx, m) => {
+      "in=STREAM:out=STREAM:width=8,4:trim=1", (ctx, m) => {
         val df = ctx.readStream(m, RawType)
         val widths = m.args.getOrElse("width",
           throw new BuildError("fixedwidthread: width= required"))
@@ -289,7 +289,7 @@ object Pipeline {
       }),
 
     Registered("fixedwidthwrite", RowType, RawType,
-      "in=STREAM:out=STREAM:width=8,4,...", (ctx, m) => {
+      "in=STREAM:out=STREAM:width=8,4", (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val widths = m.args.getOrElse("width",
           throw new BuildError("fixedwidthwrite: width= required"))
@@ -388,7 +388,7 @@ object Pipeline {
       }),
 
     Registered("join", RowType, RowType,
-      "in=STREAM:with=STREAM:on=k1,k2:how=inner:out=STREAM", (ctx, m) => {
+      "in=STREAM:with=STREAM:on=k1,k2:how=inner:broadcast:out=STREAM", (ctx, m) => {
         val left = ctx.readStream(m, RowType)
         val wname = m.args.getOrElse("with", throw new BuildError("join: with= required"))
         val (right, rt) = ctx.streams.getOrElse(wname,
@@ -651,6 +651,15 @@ object Pipeline {
         case Some(_) => None
         case None => prevChain
       }
+      // Strict arg validation (reference setup() dies on unmatched
+      // args, dbitool.pl:663-681): every key must appear in argHelp.
+      val allowed = reg.argHelp.split("[:\\[\\]]").toSeq
+        .flatMap(seg => "^\\w+".r.findFirstIn(seg)) .toSet ++ Set("in", "out")
+      val unknown = spec.args.keySet -- allowed
+      if (unknown.nonEmpty)
+        throw new BuildError(
+          s"${spec.name}: unknown arg(s) ${unknown.mkString(", ")} " +
+            s"(accepted: ${allowed.toSeq.sorted.mkString(", ")})")
       chain match {
         case Some("log") =>
           ctx.logReaders += ((spec, spec.args.getOrElse("in", "log")))

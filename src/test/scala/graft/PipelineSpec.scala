@@ -211,4 +211,14 @@ class PipelineSpec extends AnyFunSuite {
       "csvwrite:in=res", s"filewrite:out=$out"))
     assert(readOut(out) == Seq("n,s", "4,60"))
   }
+
+  test("unknown module args are rejected with the accepted list") {
+    val d = tmp("argcheck")
+    writeCsv(s"$d/in.csv", "a", "1")
+    val e = intercept[BuildError](Pipeline.build(spark,
+      Seq(s"fileread:in=$d/in.csv:out=s", "csvread:in=s:seq=|:out=r",
+          "csvwrite:in=r:out=t", s"filewrite:in=t:out=$d/y")))
+    assert(e.getMessage.contains("seq"), e.getMessage)
+    assert(e.getMessage.contains("sep"), e.getMessage)
+  }
 }
