@@ -64,7 +64,8 @@ object Ops {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightPrefix: String = "r_"): DataFrame = {
+               rightPrefix: String = "r_",
+               toleranceMicros: Option[Long] = None): DataFrame = {
     val rightValCols = right.columns.filterNot(keys.contains).toSeq
     val payload = struct(rightValCols.map(col): _*)
 
@@ -87,9 +88,19 @@ object Ops {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val joined = l2.unionByName(r3)
+    val joined0 = l2.unionByName(r3)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+
+    // Bounded staleness: a match older than the tolerance is no match
+    // (left row survives with nulls — still left-join semantics).
+    val joined = toleranceMicros.fold(joined0) { tol =>
+      joined0.withColumn("__match",
+        when(col("__match").isNotNull &&
+          unix_micros(col("__ts")) -
+            unix_micros(col(s"__match.$rightTs")) <= tol,
+          col("__match")))
+    }
 
     val outLeft = leftCols.map(c => col(s"__lrow.$c").as(c))
     val outRight = rightValCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))

@@ -73,6 +73,21 @@ object Operators {
         .orderBy($"event_id")
     }),
 
+    // As-of join with tolerance: purchases older than 24h don't count.
+    "q36_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+      Ops.asofJoin(clicks, purchases, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightPrefix = "p_",
+          toleranceMicros = Some(24L * 3600 * 1000000))
+        .select($"event_id", $"user_id", $"p_purchase_id")
+        .orderBy($"event_id")
+    }),
+
     // Custom typed Aggregator (UDAF surface): quantity-weighted average
     // price per return flag, exact-decimal partial aggregation.
     "q35_weighted_avg" -> ((s, dir) => {
@@ -123,6 +138,17 @@ object Operators {
         |  UNION ALL
         |  SELECT o_orderkey, NULL AS o_custkey, o_totalprice
         |  FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "q36_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN c.ts - p.ts <= INTERVAL 24 HOURS
+        |       THEN p.purchase_id END AS p_purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id
+        |                FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q35_weighted_avg" ->
       """SELECT l_returnflag,
