@@ -204,6 +204,13 @@ object Relational {
         .orderBy($"o_orderkey")
     }),
 
+    // Explicit GROUPING SETS (the general form behind rollup/cube),
+    // via the SQL surface with grouping() disambiguation.
+    "q17_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(GroupingSetsText)
+    }),
+
     // SQL entry point (SURVEY §3.2): temp views + spark.sql — the same
     // ANSI text runs on our engine and the oracle verbatim.
     "q15_sql_entry" -> ((s, dir) => {
@@ -247,8 +254,19 @@ object Relational {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 50""".stripMargin
 
+  val GroupingSetsText: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  grouping(o_orderstatus) AS g_status,
+      |  grouping(o_orderpriority) AS g_prio,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q15_sql_entry" -> SqlEntryText,
+    "q17_grouping_sets" -> GroupingSetsText,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_qty,
