@@ -327,6 +327,55 @@ object Pipeline {
           RawType)
       }),
 
+    // DB modules (dbitool.pl:1387-1755) over Spark's JDBC source/sink.
+    // The zero-egress image ships no JDBC drivers, so these fail at
+    // run with the driver-missing error — the module surface, arg
+    // validation, and plan wiring are real.
+    Registered("mysqlselect", NoneType, RowType,
+      "host=localhost:port=3306:user=u:pw=p:db=d:query=SQL:table=t:out=STREAM",
+      (ctx, m) => {
+        val host = m.args.getOrElse("host", "localhost")
+        val port = m.args.getOrElse("port", "3306")
+        val db = m.args.getOrElse("db", throw new BuildError("mysqlselect: db= required"))
+        val q = m.args.get("query").orElse(m.args.get("table"))
+          .getOrElse(throw new BuildError("mysqlselect: query= or table= required"))
+        val props = Map("user" -> m.args.getOrElse("user", ""),
+          "password" -> m.args.getOrElse("pw", ""))
+        ctx.writeStream(m, graft.sources.Sources.jdbc(ctx.spark,
+          s"jdbc:mysql://$host:$port/$db", q, props), RowType)
+      }),
+
+    Registered("sqliteselect", NoneType, RowType,
+      "fname=FILE:query=SQL:table=t:out=STREAM", (ctx, m) => {
+        val f = m.args.getOrElse("fname",
+          throw new BuildError("sqliteselect: fname= required"))
+        val q = m.args.get("query").orElse(m.args.get("table"))
+          .getOrElse(throw new BuildError("sqliteselect: query= or table= required"))
+        ctx.writeStream(m, graft.sources.Sources.jdbc(ctx.spark,
+          s"jdbc:sqlite:$f", q), RowType)
+      }),
+
+    Registered("sqliteinsert", RowType, NoneType,
+      "in=STREAM:fname=FILE:table=t", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val f = m.args.getOrElse("fname",
+          throw new BuildError("sqliteinsert: fname= required"))
+        val t = m.args.getOrElse("table",
+          throw new BuildError("sqliteinsert: table= required"))
+        ctx.addSink(m.raw, () => {
+          graft.sinks.Sinks.jdbc(df, s"jdbc:sqlite:$f", t)
+          df.count()
+        })
+      }),
+
+    // log/error are channels, not buildable words: listed for
+    // --listmodules parity (dbitool.pl:2972-2998); consumed via
+    // in=log / in=error on any module.
+    Registered("log", NoneType, RowType, "consume with in=log", (_, m) =>
+      throw new BuildError("log: tap the channel with in=log on a consumer")),
+    Registered("error", NoneType, RowType, "consume with in=error", (_, m) =>
+      throw new BuildError("error: tap the channel with in=error on a consumer")),
+
     Registered("gzip", RawType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
       // Spark model: compression is a file-boundary codec. The module
       // passes rows through and arms the next filewrite with gzip —

@@ -140,7 +140,10 @@ class PipelineSpec extends AnyFunSuite {
       "jsonwrite", "fixedwidthread", "fixedwidthwrite", "xmlwrite",
       "gzip", "gunzip", "column", "ndb",
       "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
-      "parquetread", "parquetwrite")
+      "parquetread", "parquetwrite",
+      "mysqlselect", "sqliteselect", "sqliteinsert", "log", "error",
+      "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
+      "xmlread")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
