@@ -100,8 +100,13 @@ object Dedup {
     val sigCols = (0 until numPerm).map { j =>
       min(xxhash64(col("h").bitwiseXOR(lit(permSeed(j))))).as(s"m$j")
     }
+    // The signature aggregate is the expensive stage and feeds BOTH
+    // sides of the band self-join; without the persist it runs twice
+    // (exchange reuse is not guaranteed under AQE). numDocs × numPerm
+    // longs — tiny.
     val sig = hashed.select(col("id"), explode(col("hs")).as("h"))
       .groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
