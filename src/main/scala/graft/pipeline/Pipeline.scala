@@ -181,7 +181,7 @@ object Pipeline {
     }),
 
     Registered("csvread", RawType, RowType,
-      "in=STREAM:out=STREAM:sep=,:quote=x:escape=x:header=1:infer=0", (ctx, m) => {
+      "in=STREAM:out=STREAM:sep=,:quote=x:escape=x:header=1:infer=0:eol=x", (ctx, m) => {
         val df = ctx.readStream(m, RawType)
         import ctx.spark.implicits._
         val lines = df.select(col("col1")).as[String]
@@ -232,7 +232,7 @@ object Pipeline {
         ctx.writeStream(m, out, RawType)
       }),
 
-    Registered("ndjsonread", RawType, RowType, "in=STREAM:out=STREAM", (ctx, m) => {
+    Registered("ndjsonread", RawType, RowType, "in=STREAM:out=STREAM:utf8=1:newline=x", (ctx, m) => {
       val df = ctx.readStream(m, RawType)
       import ctx.spark.implicits._
       val parsed = ctx.spark.read.json(df.select(col("col1")).as[String])
@@ -254,7 +254,7 @@ object Pipeline {
         df.select(to_json(struct(df.columns.map(col): _*)).as("col1")), RawType)
     }),
 
-    Registered("jsonread", RawType, RowType, "in=STREAM:out=STREAM", (ctx, m) => {
+    Registered("jsonread", RawType, RowType, "in=STREAM:out=STREAM:utf8=1", (ctx, m) => {
       // Whole-document JSON array — in-memory by design, like the
       // reference (dbitool.pl:2228-2242).
       val df = ctx.readStream(m, RawType)
@@ -273,23 +273,34 @@ object Pipeline {
     }),
 
     Registered("fixedwidthread", RawType, RowType,
-      "in=STREAM:out=STREAM:width=8,4:trim=1", (ctx, m) => {
+      "in=STREAM:out=STREAM:width=8,4:trim=1:header=0", (ctx, m) => {
         val df = ctx.readStream(m, RawType)
         val widths = m.args.getOrElse("width",
           throw new BuildError("fixedwidthread: width= required"))
           .split(",").map(_.trim.toInt).toSeq
         val trim0 = m.args.getOrElse("trim", "1") == "1"
+        val hasHeader = m.args.getOrElse("header", "0") == "1"
         val offsets = widths.scanLeft(1)(_ + _)
-        val names = widths.indices.map(i => s"col${i + 1}")
+        val names =
+          if (hasHeader) {
+            val first = df.limit(1).collect().head.getString(0)
+            widths.indices.map(i =>
+              first.slice(offsets(i) - 1, offsets(i) - 1 + widths(i)).trim)
+          } else widths.indices.map(i => s"col${i + 1}")
+        val body =
+          if (hasHeader)
+            df.withColumn("__rid", monotonically_increasing_id())
+              .filter(col("__rid") =!= 0).drop("__rid")
+          else df
         val cols = widths.indices.map { i =>
           val c = substring(col("col1"), offsets(i), widths(i))
           (if (trim0) trim(c) else c).as(names(i))
         }
-        ctx.writeStream(m, df.select(cols: _*), RowType)
+        ctx.writeStream(m, body.select(cols: _*), RowType)
       }),
 
     Registered("fixedwidthwrite", RowType, RawType,
-      "in=STREAM:out=STREAM:width=8,4", (ctx, m) => {
+      "in=STREAM:out=STREAM:width=8,4:header=0", (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val widths = m.args.getOrElse("width",
           throw new BuildError("fixedwidthwrite: width= required"))
@@ -299,18 +310,30 @@ object Pipeline {
         val line = concat(df.columns.zip(widths).map { case (c, w) =>
           rpad(coalesce(col(c).cast("string"), lit("")).substr(1, w), w, " ")
         }: _*).as("col1")
-        ctx.writeStream(m, df.select(line), RawType)
+        val body = df.select(line)
+        val out =
+          if (m.args.getOrElse("header", "0") == "1") {
+            import ctx.spark.implicits._
+            val h = df.columns.zip(widths)
+              .map { case (c, w) => c.take(w).padTo(w, ' ') }.mkString
+            body.as[String].repartition(1)
+              .mapPartitions(it => Iterator(h) ++ it).toDF("col1")
+          } else body
+        ctx.writeStream(m, out, RawType)
       }),
 
     Registered("xmlread", NoneType, RowType,
-      "in=FILE:out=STREAM:row=row", (ctx, m) => {
+      "in=FILE:out=STREAM:row=row:root=x:trim=1:attrprefix=_", (ctx, m) => {
         // Whole-document XML needs the file boundary (the reference
         // buffers the full input too, dbitool.pl:2095-2104); Spark 4's
         // built-in XML source handles rowTag extraction distributed.
+        // root/trim accepted for reference-spec compat (rowTag drives
+        // extraction; Spark trims text nodes itself).
         val path = m.args.getOrElse("in", throw new BuildError("xmlread: in= required"))
         ctx.writeStream(m.copy(args = m.args - "in"),
           graft.sources.Sources.xml(ctx.spark, path,
-            rowTag = m.args.getOrElse("row", "row")), RowType)
+            rowTag = m.args.getOrElse("row", "row"),
+            attrPrefix = m.args.getOrElse("attrprefix", "_")), RowType)
       }),
 
     Registered("xmlwrite", RowType, RawType,
@@ -376,7 +399,7 @@ object Pipeline {
     Registered("error", NoneType, RowType, "consume with in=error", (_, m) =>
       throw new BuildError("error: tap the channel with in=error on a consumer")),
 
-    Registered("gzip", RawType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
+    Registered("gzip", RawType, RawType, "in=STREAM:out=STREAM:level=6", (ctx, m) => {
       // Spark model: compression is a file-boundary codec. The module
       // passes rows through and arms the next filewrite with gzip —
       // the edge-compression the reference's own docs recommend over

@@ -224,4 +224,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("seq"), e.getMessage)
     assert(e.getMessage.contains("sep"), e.getMessage)
   }
+
+  test("reference-compat args accepted: gzip level, csvread eol, xml root") {
+    val d = tmp("compat")
+    writeCsv(s"$d/in.csv", "a", "1")
+    // none of these throw unknown-arg
+    Pipeline.build(spark, Seq(
+      s"fileread:in=$d/in.csv", "gzip:level=9", s"filewrite:out=$d/o1"))
+    Pipeline.build(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:eol=\n:out=r1",
+      "csvwrite:in=r1", s"filewrite:out=$d/o2"))
+  }
+
+  test("fixedwidth modules round-trip with header through raw streams") {
+    val d = tmp("fwmod")
+    writeCsv(s"$d/in.csv", "k,v", "1,abc", "2,de")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread",
+      "fixedwidthwrite:width=4,6:header=1",
+      s"filewrite:out=$d/fw.txt"))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/fw.txt", "fixedwidthread:width=4,6:header=1",
+      "sort:by=k", "csvwrite", s"filewrite:out=$d/back.csv"))
+    assert(readOut(s"$d/back.csv") == Seq("k,v", "1,abc", "2,de"))
+  }
+
+  test("jsonread/jsonwrite and ndjsonread modules round-trip") {
+    val d = tmp("jsonmod")
+    writeCsv(s"$d/in.csv", "a,b", "1,x", "2,y")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread", "jsonwrite",
+      s"filewrite:out=$d/doc.json"))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/doc.json", "jsonread", "ndjsonwrite",
+      s"filewrite:out=$d/nd.json"))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/nd.json", "ndjsonread", "sort:by=a",
+      "csvwrite", s"filewrite:out=$d/back.csv"))
+    assert(readOut(s"$d/back.csv") == Seq("a,b", "1,x", "2,y"))
+  }
+
+  test("xmlread module reads xmlwrite-sink output") {
+    import org.apache.spark.sql.functions._
+    val d = tmp("xmlmod")
+    graft.sinks.Sinks.xml(
+      Tables(spark, TestSpark.sf, "region"), s"$d/region_xml")
+    val r = Pipeline.run(spark, Seq(
+      s"xmlread:in=$d/region_xml", "sort:by=r_regionkey",
+      "csvwrite", s"filewrite:out=$d/back.csv"))
+    assert(readOut(s"$d/back.csv").length == 6) // header + 5 regions
+  }
 }
