@@ -107,6 +107,41 @@ object Ops {
     joined.select(outLeft ++ outRight: _*)
   }
 
+  /** Range join: match point rows to interval rows with
+    * `start <= point <= end` on shared keys — WITHOUT the quadratic
+    * per-key blowup of a raw inequality join.
+    *
+    * Implementation: quantize time into `bucketMicros`-wide buckets;
+    * each interval explodes into the buckets it covers, each point maps
+    * to one bucket, and the join becomes an EQUI-join on
+    * (keys, bucket) followed by the exact range filter. Work scales
+    * with points + interval-spans/bucket, not points × intervals.
+    * Choose bucketMicros ≈ typical interval length: shorter buckets
+    * fan intervals out; longer buckets admit more false candidates.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointTs: String, startTs: String, endTs: String,
+                bucketMicros: Long, how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left_outer" || how == "left",
+      s"unsupported join type $how")
+    val pB = points.withColumn("__bucket",
+      (unix_micros(col(pointTs)) / bucketMicros).cast("long"))
+    val iB = intervals.withColumn("__bucket",
+      explode(sequence(
+        (unix_micros(col(startTs)) / bucketMicros).cast("long"),
+        (unix_micros(col(endTs)) / bucketMicros).cast("long"))))
+    val cond = col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs)
+    val joined = pB.join(iB, keys :+ "__bucket")
+      .filter(cond).drop("__bucket")
+    if (how == "inner") joined
+    else {
+      // left join: points with no covering interval survive with nulls.
+      val matchedKeys = joined.select((keys :+ pointTs).map(col): _*).distinct()
+      val unmatched = points.join(matchedKeys, keys :+ pointTs, "left_anti")
+      joined.unionByName(unmatched, allowMissingColumns = true)
+    }
+  }
+
   /** Skew-resistant equi-join by key salting: the (few, hot) left keys
     * are split across `salt` sub-partitions while the right side is
     * replicated `salt`× per key — turns one straggler partition into

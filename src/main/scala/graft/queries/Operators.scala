@@ -88,6 +88,25 @@ object Operators {
         .orderBy($"event_id")
     }),
 
+    // Range join: clicks landing inside a 1-hour attribution window
+    // after any purchase by the same user — bucketed equi-join, not a
+    // quadratic inequality join.
+    "q37_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val windows = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("w_start"),
+          ($"ts" + expr("INTERVAL 1 HOUR")).as("w_end"),
+          $"event_id".as("purchase_id"))
+      Ops.rangeJoin(clicks, windows, keys = Seq("user_id"),
+          pointTs = "ts", startTs = "w_start", endTs = "w_end",
+          bucketMicros = 3600L * 1000000)
+        .select($"event_id", $"user_id", $"purchase_id")
+        .orderBy($"event_id", $"purchase_id")
+    }),
+
     // Custom typed Aggregator (UDAF surface): quantity-weighted average
     // price per return flag, exact-decimal partial aggregation.
     "q35_weighted_avg" -> ((s, dir) => {
@@ -138,6 +157,16 @@ object Operators {
         |  UNION ALL
         |  SELECT o_orderkey, NULL AS o_custkey, o_totalprice
         |  FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+
+    "q37_range_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY c.event_id, purchase_id""".stripMargin,
 
     "q36_asof_tolerance" ->
       """SELECT c.event_id, c.user_id,

@@ -84,4 +84,24 @@ class OpsSpec extends AnyFunSuite {
     val salted = Ops.saltedJoin(left, right, "k", salt = 8).count()
     assert(salted == plain, s"salted=$salted plain=$plain")
   }
+
+  test("rangeJoin equals the naive inequality join; left keeps unmatched") {
+    val ev = Tables(spark, sf, "events")
+    val pts = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val iv = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("s"),
+        ($"ts" + org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS")).as("e"),
+        $"event_id".as("iv_id"))
+    val naive = pts.join(iv, Seq("user_id"))
+      .filter($"ts" >= $"s" && $"ts" <= $"e")
+      .select($"event_id", $"iv_id").as[(Long, Long)].collect().toSet
+    val bucketed = Ops.rangeJoin(pts, iv, Seq("user_id"), "ts", "s", "e",
+        bucketMicros = 3600L * 1000000)
+      .select($"event_id", $"iv_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive, s"${(bucketed -- naive).size} extra, ${(naive -- bucketed).size} missing")
+    val left = Ops.rangeJoin(pts, iv, Seq("user_id"), "ts", "s", "e",
+        bucketMicros = 3600L * 1000000, how = "left")
+    assert(left.select($"event_id").distinct().count() == pts.count())
+  }
 }
