@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text kernels shared by the interpreted `eval` and the
+  * generated code of the Expressions below.
+  *
+  * The higher-order-function formulation of word n-grams
+  * (`transform(sequence(...), i -> concat_ws(element_at...))`) pays an
+  * interpreted lambda per gram plus Catalyst's CollapseProject
+  * re-inlining the token split into every element — it dominated the
+  * round-1 bench (q44/q50/q51 ≈ 64% of total). These kernels exploit
+  * the joiner == splitter identity: a space-joined n-gram over
+  * single-space tokens IS a contiguous byte range of the original
+  * string (0x20 never occurs inside a UTF-8 multi-byte sequence), so
+  * one byte scan finds token boundaries and each gram is a slice —
+  * no token array, no per-gram concatenation.
+  */
+object TextKernels {
+
+  private val SP: Byte = ' '.toByte
+
+  /** Token-start byte offsets with a sentinel: starts(t) is the byte
+    * index where token t begins; starts(numTokens) = numBytes + 1 so
+    * `end(t) = starts(t+1) - 1` holds uniformly for the last token.
+    * Returns null when numTokens < n (caller emits an empty array).
+    */
+  private def tokenStarts(bytes: Array[Byte], n: Int): Array[Int] = {
+    val nb = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < nb) { if (bytes(i) == SP) spaces += 1; i += 1 }
+    val numTokens = spaces + 1
+    if (numTokens < n) return null
+    val starts = new Array[Int](numTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < nb) { if (bytes(i) == SP) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(numTokens) = nb + 1
+    starts
+  }
+
+  private val EmptyStrings = new GenericArrayData(Array.empty[Any])
+  private val EmptyLongs = UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+
+  /** Word n-grams, semantics identical to
+    * `transform(sequence(1, size(ws)-n+1), i -> concat_ws(" ", ws[i..i+n-1]))`
+    * over `ws = split(text, " ")` — including empty tokens from
+    * consecutive/leading/trailing spaces, and [] when fewer than n
+    * tokens exist.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes, n)
+    if (starts == null) return EmptyStrings
+    val numTokens = starts.length - 1
+    val numGrams = numTokens - n + 1
+    val out = new Array[Any](numGrams)
+    var g = 0
+    while (g < numGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1 // end of token g+n-1
+      out(g) = UTF8String.fromBytes(bytes, s, e - s)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted-distinct xxhash64 (seed 42 — Spark's `xxhash64` seed, so
+    * values are bit-identical to `transform(array_distinct(ngrams),
+    * xxhash64)`) of the word-n-gram shingle set. Grams are hashed
+    * straight from their byte range — the gram strings are never
+    * materialized. Sorted output enables merge-based jaccard.
+    */
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes, n)
+    if (starts == null) return EmptyLongs
+    val numTokens = starts.length - 1
+    val numGrams = numTokens - n + 1
+    val hs = new Array[Long](numGrams)
+    var g = 0
+    while (g < numGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1
+      hs(g) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var i = 1
+    while (i < numGrams) {
+      if (hs(i) != hs(m)) { m += 1; hs(m) = hs(i) }
+      i += 1
+    }
+    val distinct = if (m + 1 == numGrams) hs else java.util.Arrays.copyOf(hs, m + 1)
+    UnsafeArrayData.fromPrimitiveArray(distinct)
+  }
+
+  /** Jaccard |A∩B| / |A∪B| over two SORTED distinct long arrays —
+    * one merge pass, no per-call hash sets. NaN when both are empty
+    * (matches `size(array_intersect)/size(array_union)` = 0/0).
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+/** Word n-grams of a single-space-tokenized string (array<string>). */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.wordNgrams(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted-distinct xxhash64(seed 42) word-n-gram shingle set
+  * (array<long>) — the minhash/jaccard input, computed in one pass.
+  */
+case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.hashedShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.hashedShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Merge-based jaccard over two sorted-distinct array<long> columns. */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects array<long> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.jaccardSorted(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.jaccardSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextExpr {
+  /** Column-API entry points (codegen'd). */
+  def wordNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(text), n))
+
+  def hashedShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text), n))
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

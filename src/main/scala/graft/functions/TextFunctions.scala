@@ -94,10 +94,16 @@ object TextFunctions {
 
   def fastFingerprint(text: Column): Column = xxhash64(text)
 
-  /** Word n-grams as an array column (1-indexed element_at to mirror
-    * SQL list semantics).
+  /** Word n-grams as an array column — the codegen'd single-pass
+    * Expression (see TextExpressions.scala; the HOF formulation below
+    * is kept as the semantic reference for its spec).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column = TextExpr.wordNgrams(text, n)
+
+  /** Reference HOF formulation of wordNgrams (interpreted lambdas —
+    * ~10× slower than the Expression; used only to cross-check it).
+    */
+  def wordNgramsHof(text: Column, n: Int): Column = {
     val ws = tokens(text)
     // Guard: Spark's sequence(1, 0) DESCENDS ([1,0]) rather than being
     // empty — short docs must return [] explicitly.

@@ -29,6 +29,15 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     array_distinct(TextFunctions.wordNgrams(text, k))
 
+  /** Sorted-distinct xxhash64'd word-k-shingles — one codegen'd pass
+    * (no gram strings materialized); value-set identical to
+    * `transform(shingles(text, k), xxhash64)`. The minhash/jaccard
+    * input of choice: arrays of longs, already sorted for merge-based
+    * jaccard (`TextExpr.jaccardSorted`).
+    */
+  def hashedShingles(text: Column, k: Int): Column =
+    graft.functions.TextExpr.hashedShingles(text, k)
+
   private def permSeed(j: Int): Long = j * 0x9E3779B97F4A7C15L
 
   /** MinHash signature as a Column (array<long> of numPerm). NOTE:
@@ -53,8 +62,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numPerm: Int): DataFrame = {
     val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col(idCol).as("id"),
+        explode(hashedShingles(col(textCol), k)).as("h"))
     val sigCols = (0 until numPerm).map { j =>
       min(xxhash64(col("h").bitwiseXOR(lit(permSeed(j))))).as(s"m$j")
     }
@@ -84,16 +93,17 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
 
-    // Shingle + hash ONCE, persist: the plan references this relation
-    // three times (signature pass + both sides of the verify join) and
-    // Catalyst does not share common subtrees across joins — without
-    // the persist the shingling runs 3x. Verification compares hashed
-    // shingle sets (64-bit): identical to string jaccard up to hash
-    // collisions (~1e-9 for 10^2-shingle docs), and the arrays that
-    // ride the verify shuffle are longs instead of strings.
+    // Shingle + hash ONCE (codegen'd single-pass kernel), persist: the
+    // plan references this relation three times (signature pass + both
+    // sides of the verify join) and Catalyst does not share common
+    // subtrees across joins — without the persist the shingling runs
+    // 3x. Verification compares hashed shingle sets (64-bit):
+    // identical to string jaccard up to hash collisions (~1e-9 for
+    // 10^2-shingle docs), and the arrays that ride the verify shuffle
+    // are sorted longs instead of strings.
     val hashed = df
       .select(col(idCol).as("id"),
-        transform(shingles(col(textCol), k), s => xxhash64(s)).as("hs"))
+        hashedShingles(col(textCol), k).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -126,7 +136,8 @@ object Dedup {
     candidates
       .join(hashed.select(col("id").as("idA"), col("hs").as("shA")), "idA")
       .join(hashed.select(col("id").as("idB"), col("hs").as("shB")), "idB")
-      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .withColumn("jaccard",
+        graft.functions.TextExpr.jaccardSorted(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -19,17 +19,26 @@ object DedupSim {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // EXACT pairwise 3-gram jaccard on a bounded sample (quadratic by
-    // definition — the sample keeps pair count ~O(10^4); the scalable
-    // path is q51's LSH).
+    // definition; the scalable path is q51's LSH). The sample is an
+    // ABSOLUTE cap (first 500 doc_ids), so the pair count stays O(10^5)
+    // at any corpus size — a modulus sample would grow linearly with
+    // the corpus and the cross join quadratically. Shingles are
+    // pre-hashed to 64-bit longs: jaccard over hashed sets equals
+    // string jaccard up to hash collisions (~1e-9 per doc pair), and
+    // the cross join compares longs instead of strings.
     "q50_jaccard_pairs" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-        .filter($"source" === "src0" && $"doc_id" % 10 === 0)
-        .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
-      val a = docs.select($"doc_id".as("idA"), $"sh".as("shA"))
+        .orderBy($"doc_id").limit(500)
+        .select($"doc_id", Dedup.hashedShingles($"text", 3).as("sh"))
+        // tiny (≤500 rows) but referenced by both sides of the cross
+        // join — persist so shingling runs once, and spread the
+        // left side so the quadratic verify parallelizes.
+        .persist()
+      val a = docs.select($"doc_id".as("idA"), $"sh".as("shA")).repartition(32)
       val b = docs.select($"doc_id".as("idB"), $"sh".as("shB"))
-      a.crossJoin(b).filter($"idA" < $"idB")
-        .withColumn("jac", Dedup.jaccard($"shA", $"shB"))
+      a.crossJoin(broadcast(b)).filter($"idA" < $"idB")
+        .withColumn("jac", graft.functions.TextExpr.jaccardSorted($"shA", $"shB"))
         .filter($"jac" >= 0.5)
         .select($"idA", $"idB", round($"jac", 4).as("jac"))
         .orderBy($"idA", $"idB")
@@ -115,8 +124,8 @@ object DedupSim {
     "q50_jaccard_pairs" ->
       s"""WITH d AS (
          |  SELECT doc_id, $shinglesSql AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |        WHERE source = 'src0' AND doc_id % 10 = 0))
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)))
          |SELECT a.doc_id AS idA, b.doc_id AS idB,
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac

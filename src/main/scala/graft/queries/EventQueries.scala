@@ -51,7 +51,7 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q60_from_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  count(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -91,8 +91,12 @@ object Relational {
     // Anti join: customers with no orders.
     "q5_join_anti" -> ((s, dir) => {
       import s.implicits._
+      // Right side scoped to status 'F' so some customers genuinely lack
+      // matches — an unfiltered right side matches every customer in this
+      // data and the check would be vacuous (0 rows both engines).
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(t(s, dir, "orders").filter($"o_orderstatus" === "F"),
+          $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
     }),
@@ -307,7 +311,8 @@ object Relational {
     "q5_join_anti" ->
       """SELECT c_custkey, c_name
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
     "q6_window" ->

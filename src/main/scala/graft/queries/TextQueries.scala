@@ -101,8 +101,8 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "q40_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
-        |  sum(length(text)) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -137,8 +137,8 @@ object TextQueries {
 
     "q45_token_budget" ->
       """SELECT source,
-        |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))) AS est_bpe_tokens,
-        |  sum(len(string_split(text, ' '))) AS ws_tokens
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))) AS BIGINT) AS est_bpe_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

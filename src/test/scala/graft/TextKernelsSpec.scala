@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextExpr, TextFunctions}
+import graft.operators.Dedup
+
+/** The codegen'd single-pass text kernels (TextExpressions.scala) must
+  * be semantically identical to the HOF reference formulations they
+  * replaced — checked on hostile hand-picked strings AND the real
+  * documents table.
+  */
+class TextKernelsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val hostile = Seq(
+    "a b c d e",
+    "single",
+    "",
+    " ",
+    "  ",
+    "a  b", // consecutive spaces → empty token
+    " leading and trailing ",
+    "héllo wörld ünïcode ✓ 多字节 字符",
+    "a b",
+    "x y z").toDF("text")
+
+  test("wordNgrams expression == HOF reference on hostile strings") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = hostile.select(
+        TextExpr.wordNgrams($"text", n).as("fast"),
+        TextFunctions.wordNgramsHof($"text", n).as("ref"))
+        .filter(!($"fast" <=> $"ref")).count()
+      assert(diff == 0, s"n=$n: $diff rows differ")
+    }
+  }
+
+  test("wordNgrams expression == HOF reference on documents corpus") {
+    val docs = Tables(spark, sf, "documents")
+    for (n <- Seq(2, 3)) {
+      val diff = docs.select(
+        TextExpr.wordNgrams($"text", n).as("fast"),
+        TextFunctions.wordNgramsHof($"text", n).as("ref"))
+        .filter(!($"fast" <=> $"ref")).count()
+      assert(diff == 0, s"n=$n: $diff docs differ")
+    }
+  }
+
+  test("hashedShingles == sorted distinct xxhash64 of string shingles") {
+    val docs = Tables(spark, sf, "documents").select($"text")
+      .union(hostile)
+    val diff = docs.select(
+      Dedup.hashedShingles($"text", 3).as("fast"),
+      array_sort(transform(Dedup.shingles($"text", 3), s => xxhash64(s))).as("ref"))
+      .filter(!($"fast" <=> $"ref")).count()
+    assert(diff == 0, s"$diff rows differ")
+  }
+
+  test("jaccardSorted == intersect/union jaccard on hashed shingles") {
+    val docs = Tables(spark, sf, "documents")
+      .filter($"doc_id" < 60)
+      .select($"doc_id", Dedup.hashedShingles($"text", 3).as("sh"))
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select(
+        TextExpr.jaccardSorted($"a.sh", $"b.sh").as("fast"),
+        Dedup.jaccard($"a.sh", $"b.sh").as("ref"))
+    assert(pairs.filter(!($"fast" <=> $"ref")).count() == 0)
+  }
+
+  test("null text yields null; short text yields empty arrays") {
+    val df = Seq(Option.empty[String], Some("one two")).toDF("text")
+    val rows = df.select(
+      TextExpr.wordNgrams($"text", 3).as("g"),
+      TextExpr.hashedShingles($"text", 3).as("h")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getSeq[String](0).isEmpty && rows(1).getSeq[Long](1).isEmpty)
+  }
+}
