@@ -152,6 +152,10 @@ object Ops {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int, how: String = "inner"): DataFrame = {
+    // The right side is replicated salt× — right/full-outer would emit
+    // unmatched right rows once per replica.
+    require(how == "inner" || how == "left" || how == "left_outer",
+      s"saltedJoin supports inner/left joins only, got '$how'")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedRight = right.withColumn("__salt",

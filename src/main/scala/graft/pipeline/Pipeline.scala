@@ -76,7 +76,15 @@ object Pipeline {
     val errorDfs = mutable.ArrayBuffer[DataFrame]()
     var lastOut: Option[String] = None
     var counter = 0
-    var pendingCodec: Option[String] = None // set by gzip module
+    /** Codec carried ON the stream (set by gzip on its out stream, read
+      * by the filewrite that consumes that stream) — mutable
+      * armed-codec state would misfire in branched pipelines.
+      */
+    val codecs = mutable.Map[String, String]()
+    /** File origin of raw streams (set by fileread) — lets gunzip
+      * re-read the bytes when the text parse would be wrong.
+      */
+    val originPaths = mutable.Map[String, String]()
 
     def addErrors(mod: String, records: DataFrame): Unit =
       errorDfs += records.select(lit(mod).as("mod"),
@@ -133,22 +141,46 @@ object Pipeline {
   private def rawDf(spark: SparkSession, path: String): DataFrame =
     graft.sources.Sources.text(spark, path)
 
+  /** DB-select query text: exactly one of query= / table= / in=STREAM
+    * (reference one-of rule, dbitool.pl:1435-1437). `in=` assembles the
+    * query from an upstream raw stream, rows joined by spaces
+    * (dbitool.pl:1444-1451) — query text is small, so the driver-side
+    * materialization matches the reference's own buffering.
+    */
+  private def dbQuery(ctx: Context, m: ModuleSpec, mod: String): String = {
+    val given = Seq("query", "table", "in").filter(m.args.contains)
+    if (given.size != 1)
+      throw new BuildError(
+        s"$mod: exactly one of query=, table=, in= required (got: ${
+          if (given.isEmpty) "none" else given.mkString(", ")})")
+    given.head match {
+      case "query" => m.args("query")
+      case "table" => s"SELECT * FROM ${m.args("table")}"
+      case "in" =>
+        ctx.readStream(m, RawType).collect().map(_.getString(0)).mkString(" ")
+    }
+  }
+
   private val modules: Seq[Registered] = Seq(
     Registered("fileread", NoneType, RawType, "in=FILE:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("fileread: in= required"))
-      ctx.writeStream(m.copy(args = m.args - "in"), rawDf(ctx.spark, path), RawType)
+      val out = ctx.writeStream(m.copy(args = m.args - "in"), rawDf(ctx.spark, path), RawType)
+      ctx.originPaths(out) = path
       ctx.log("fileread", s"open $path")
     }),
 
     Registered("filewrite", RawType, NoneType, "in=STREAM:out=FILE[:gzip]", (ctx, m) => {
       val df = ctx.readStream(m, RawType)
       val path = m.args.getOrElse("out", throw new BuildError("filewrite: out= required"))
-      val codec = ctx.pendingCodec.orElse(
+      val codec = ctx.codecs.get(ctx.inName(m)).orElse(
         if (m.args.contains("gzip") || path.endsWith(".gz")) Some("gzip") else None)
-      ctx.pendingCodec = None
       ctx.addSink(m.raw, () => {
-        val n = df.count()
-        graft.sinks.Sinks.text(df, path, singleFile = true, compression = codec)
+        // Row count observed DURING the write — a separate df.count()
+        // would execute the whole upstream plan twice.
+        val o = org.apache.spark.sql.Observation()
+        val observed = df.observe(o, count(lit(1)).as("rows"))
+        graft.sinks.Sinks.text(observed, path, singleFile = true, compression = codec)
+        val n = o.get("rows").asInstanceOf[Long]
         ctx.log("filewrite", s"wrote $n rows to $path")
         n
       })
@@ -191,11 +223,15 @@ object Pipeline {
           .option("quote", m.args.getOrElse("quote", "\""))
           .option("escape", m.args.getOrElse("escape", "\""))
           .option("inferSchema", m.args.getOrElse("infer", "0") == "1")
-        // Two-phase read: resolve the schema, then re-read PERMISSIVE
-        // with a corrupt-record column — malformed rows route to the
-        // error channel instead of poisoning the data stream
-        // (reference error semantics, dbitool.pl:234-243).
-        val schema = reader.csv(lines).schema
+        // Two-phase read: resolve the schema on a BOUNDED sample (a
+        // full inference pass would double the scan cost at scale),
+        // then one PERMISSIVE pass with a corrupt-record column —
+        // malformed rows route to the error channel instead of
+        // poisoning the data stream (reference error semantics,
+        // dbitool.pl:234-243). The reference itself types from the
+        // header row only (dbitool.pl:3077-3078); 10k lines is a
+        // strictly stronger sample.
+        val schema = reader.csv(lines.limit(10000)).schema
           .add("_corrupt_record", org.apache.spark.sql.types.StringType)
         val parsed = reader
           .option("mode", "PERMISSIVE")
@@ -287,10 +323,10 @@ object Pipeline {
             widths.indices.map(i =>
               first.slice(offsets(i) - 1, offsets(i) - 1 + widths(i)).trim)
           } else widths.indices.map(i => s"col${i + 1}")
+        // Per-FILE header drop (multi-file inputs keep every file's
+        // header as data under a naive global-first-row filter).
         val body =
-          if (hasHeader)
-            df.withColumn("__rid", monotonically_increasing_id())
-              .filter(col("__rid") =!= 0).drop("__rid")
+          if (hasHeader) graft.sources.Sources.dropFirstLinePerFile(df)
           else df
         val cols = widths.indices.map { i =>
           val c = substring(col("col1"), offsets(i), widths(i))
@@ -355,13 +391,12 @@ object Pipeline {
     // run with the driver-missing error — the module surface, arg
     // validation, and plan wiring are real.
     Registered("mysqlselect", NoneType, RowType,
-      "host=localhost:port=3306:user=u:pw=p:db=d:query=SQL:table=t:out=STREAM",
+      "host=localhost:port=3306:user=u:pw=p:db=d:query=SQL:table=t:in=STREAM:out=STREAM",
       (ctx, m) => {
         val host = m.args.getOrElse("host", "localhost")
         val port = m.args.getOrElse("port", "3306")
         val db = m.args.getOrElse("db", throw new BuildError("mysqlselect: db= required"))
-        val q = m.args.get("query").orElse(m.args.get("table"))
-          .getOrElse(throw new BuildError("mysqlselect: query= or table= required"))
+        val q = dbQuery(ctx, m, "mysqlselect")
         val props = Map("user" -> m.args.getOrElse("user", ""),
           "password" -> m.args.getOrElse("pw", ""))
         ctx.writeStream(m, graft.sources.Sources.jdbc(ctx.spark,
@@ -369,13 +404,29 @@ object Pipeline {
       }),
 
     Registered("sqliteselect", NoneType, RowType,
-      "fname=FILE:query=SQL:table=t:out=STREAM", (ctx, m) => {
+      "fname=FILE:query=SQL:table=t:in=STREAM:out=STREAM", (ctx, m) => {
         val f = m.args.getOrElse("fname",
           throw new BuildError("sqliteselect: fname= required"))
-        val q = m.args.get("query").orElse(m.args.get("table"))
-          .getOrElse(throw new BuildError("sqliteselect: query= or table= required"))
+        val q = dbQuery(ctx, m, "sqliteselect")
         ctx.writeStream(m, graft.sources.Sources.jdbc(ctx.spark,
           s"jdbc:sqlite:$f", q), RowType)
+      }),
+
+    // cassandraselect (dbitool.pl:1461-1532): registered with the
+    // reference's arg surface and one-of validation; no Cassandra
+    // connector jar exists in this build, so a valid spec fails with
+    // an explicit capability error rather than a missing-module error.
+    Registered("cassandraselect", NoneType, RowType,
+      "host=localhost:keyspace=k:consistency=one:query=SQL:table=t:in=STREAM:out=STREAM",
+      (ctx, m) => {
+        if (m.args.getOrElse("host", "localhost").isEmpty)
+          throw new BuildError("cassandraselect: host not specified")
+        if (m.args.getOrElse("keyspace", "").isEmpty)
+          throw new BuildError("cassandraselect: keyspace= required")
+        dbQuery(ctx, m, "cassandraselect")
+        throw new BuildError(
+          "cassandraselect: no Cassandra connector available in this build " +
+            "(module surface registered for spec parity)")
       }),
 
     Registered("sqliteinsert", RowType, NoneType,
@@ -405,15 +456,40 @@ object Pipeline {
       // the edge-compression the reference's own docs recommend over
       // its in-tree gzip (dbitool.pl:3304-3307).
       val df = ctx.readStream(m, RawType)
-      ctx.pendingCodec = Some("gzip")
-      ctx.writeStream(m, df, RawType)
+      val out = ctx.writeStream(m, df, RawType)
+      ctx.codecs(out) = "gzip"
     }),
 
     Registered("gunzip", RawType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
-      // Readers decompress .gz transparently; explicit module is a
-      // pass-through for spec compatibility.
+      // Three cases, mirroring the reference's lazy header sniff
+      // (dbitool.pl:1295-1299):
+      //  - file-origin stream NOT named *.gz: the text parse upstream
+      //    would be mojibake — re-read the bytes per file, sniff the
+      //    1F 8B magic, and decompress through GZIPInputStream
+      //    (gzip members aren't splittable; one task per file, the
+      //    same unit of work any engine gets for raw gzip).
+      //  - *.gz file: Spark's text reader already decompressed it —
+      //    pass through.
+      //  - in-memory stream: strings can't carry gzip bytes — pass
+      //    through.
       val df = ctx.readStream(m, RawType)
-      ctx.writeStream(m, df, RawType)
+      val out = ctx.originPaths.get(ctx.inName(m)) match {
+        case Some(path) if !path.endsWith(".gz") =>
+          import ctx.spark.implicits._
+          ctx.spark.read.format("binaryFile").load(path)
+            .select(col("content")).as[Array[Byte]]
+            .flatMap { bytes =>
+              val raw = new java.io.ByteArrayInputStream(bytes)
+              val in =
+                if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F
+                  && (bytes(1) & 0xFF) == 0x8B)
+                  new java.util.zip.GZIPInputStream(raw)
+                else raw
+              scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            }.toDF("col1")
+        case _ => df
+      }
+      ctx.writeStream(m, out, RawType)
     }),
 
     Registered("column", RowType, RowType, "in=STREAM:out=STREAM:clist=a,b,c",

@@ -72,6 +72,16 @@ object Formats {
         .orderBy(col("r_regionkey"))
     }),
 
+    // bsonwrite → bsonread (single BSON document, in-memory by design —
+    // the reference buffers the whole input too, dbitool.pl:2504-2559).
+    "q26_roundtrip_bson" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val out = tmpDir("bson") + "/data.bson"
+      graft.formats.Bson.write(nat, out)
+      graft.formats.Bson.read(s, out)
+        .orderBy(col("n_nationkey"))
+    }),
+
     // gzip codec at the edge (replaces the reference's gzip/gunzip
     // modules; its own docs recommend edge compression,
     // dbitool.pl:3304-3307).
@@ -93,6 +103,7 @@ object Formats {
     "q22_roundtrip_fixedwidth" -> selectAll("nation", "n_nationkey"),
     "q23_roundtrip_xml" -> selectAll("supplier", "s_suppkey"),
     "q24_roundtrip_jsonarray" -> selectAll("region", "r_regionkey"),
+    "q26_roundtrip_bson" -> selectAll("nation", "n_nationkey"),
     "q25_roundtrip_csv_gzip" -> selectAll("part", "p_partkey")
   )
 }

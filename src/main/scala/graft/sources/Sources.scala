@@ -114,20 +114,33 @@ object Sources {
           first.slice(offsets(i) - 1, offsets(i) - 1 + widths(i)).trim
         }
       } else widths.indices.map(i => s"col${i + 1}")
-    val body =
-      if (header) {
-        // Drop the header line without a global sort: exclude rows equal
-        // to the first line is wrong in general, so tag by file+offset.
-        import org.apache.spark.sql.functions.{input_file_name, monotonically_increasing_id}
-        raw.withColumn("_fn", input_file_name())
-          .withColumn("_id", monotonically_increasing_id())
-          .filter(col("_id") =!= 0).drop("_fn", "_id")
-      } else raw
+    val body = if (header) dropFirstLinePerFile(raw) else raw
     val cols = widths.indices.map { i =>
       val c = substring(col("value"), offsets(i), widths(i))
       (if (trim) org.apache.spark.sql.functions.trim(c) else c).as(colNames(i))
     }
     body.select(cols: _*)
+  }
+
+  /** Drop the first line of EVERY file in a (possibly multi-file,
+    * possibly split) text scan — the header-consumption primitive.
+    *
+    * `monotonically_increasing_id` is `partition << 33 | row`, and a
+    * file's first split is its lowest-indexed partition, so the
+    * per-file MINIMUM id is exactly the file's first line. The per-file
+    * minima are one row per file — aggregated with map-side partials
+    * and broadcast back, so no full-data shuffle (a `Window.partitionBy
+    * (file)` would hash every row of a file to one partition — a skew
+    * bomb at 100 TB). For non-file inputs `input_file_name()` is ""
+    * for all rows → one group → drops the globally first line.
+    */
+  def dropFirstLinePerFile(df: DataFrame): DataFrame = {
+    val tagged = df.withColumn("_fn", input_file_name())
+      .withColumn("_id", monotonically_increasing_id())
+    val firsts = tagged.groupBy(col("_fn")).agg(min(col("_id")).as("_minid"))
+    tagged.join(broadcast(firsts), Seq("_fn"))
+      .filter(col("_id") =!= col("_minid"))
+      .drop("_fn", "_id", "_minid")
   }
 
   /** Binary/opaque files (multimodal payloads): path, mtime, length,

@@ -110,6 +110,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("fixed-width header mode drops the header of EVERY file") {
+    // Two header'd files in one directory: a global first-row filter
+    // keeps the second file's header as a data row.
+    val out = tmp("fwmulti")
+    new java.io.File(out).mkdirs()
+    def write(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(out, name))
+      try lines.foreach(w.println) finally w.close()
+    }
+    write("a.txt", Seq("key  val  ", "1    abc  ", "2    def  "))
+    write("b.txt", Seq("key  val  ", "3    ghi  ", "4    jkl  "))
+    val back = Sources.fixedWidth(spark, out, Seq(5, 5), header = true)
+    assert(back.columns.toSeq == Seq("key", "val"))
+    val got = back.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq ==
+      Seq(("1", "abc"), ("2", "def"), ("3", "ghi"), ("4", "jkl")))
+  }
+
   test("text source keeps reference col1 naming") {
     val out = tmp("txt")
     import spark.implicits._

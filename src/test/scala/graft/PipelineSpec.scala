@@ -97,6 +97,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(readOut(s"$d/back").sorted == Seq("1", "2", "a"))
   }
 
+  test("gunzip decompresses gzip data WITHOUT a .gz extension") {
+    val d = tmp("gzraw")
+    // gzip bytes in a file with no suffix — the reference sniffs the
+    // 1F 8B magic (dbitool.pl:1295-1299); the text reader would parse
+    // mojibake.
+    val f = new java.io.File(s"$d/data.bin")
+    f.getParentFile.mkdirs()
+    val os = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(f))
+    os.write("hello\nworld\n".getBytes("UTF-8"))
+    os.close()
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/data.bin", "gunzip", s"filewrite:out=$d/out"))
+    assert(readOut(s"$d/out").sorted == Seq("hello", "world"))
+  }
+
+  test("gunzip passes plain text through (sniff finds no gzip magic)") {
+    val d = tmp("gzplain")
+    writeCsv(s"$d/in.txt", "plain1", "plain2")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.txt", "gunzip", s"filewrite:out=$d/out"))
+    assert(readOut(s"$d/out").sorted == Seq("plain1", "plain2"))
+  }
+
+  test("gzip codec rides its stream, not pipeline-global state") {
+    val d = tmp("gzbranch")
+    writeCsv(s"$d/in.txt", "r1", "r2")
+    // Branched pipeline: the gzip'd branch compresses, the sibling
+    // branch reading the SAME source stream must stay plain.
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.txt:out=s",
+      "gzip:in=s:out=g", s"filewrite:in=g:out=$d/zipped",
+      s"filewrite:in=s:out=$d/plain"))
+    assert(new java.io.File(s"$d/zipped").listFiles()
+      .exists(_.getName.endsWith(".gz")), "gzip branch not compressed")
+    assert(!new java.io.File(s"$d/plain").listFiles()
+      .exists(_.getName.endsWith(".gz")), "plain branch was compressed")
+    assert(readOut(s"$d/plain").sorted == Seq("r1", "r2"))
+  }
+
+  test("DB selects: one-of query|table|in enforced; in=STREAM assembles SQL") {
+    // both query= and table= → one-of violation
+    intercept[BuildError](Pipeline.build(spark,
+      Seq("sqliteselect:fname=/tmp/x.db:query=SELECT 1:table=t:out=s",
+        "dedup:in=s:out=d", "ndjsonwrite:in=d", "filewrite:out=/tmp/never")))
+    // neither → one-of violation
+    intercept[BuildError](Pipeline.build(spark,
+      Seq("sqliteselect:fname=/tmp/x.db:out=s")))
+    // in=STREAM: the query text is assembled from the upstream raw
+    // stream; the failure must then be the missing JDBC driver (a
+    // connector-level error), NOT a BuildError about the query source.
+    val d = tmp("sqlstream")
+    writeCsv(s"$d/q.sql", "SELECT 1")
+    val e = intercept[Throwable](Pipeline.build(spark, Seq(
+      s"fileread:in=$d/q.sql:out=q",
+      "sqliteselect:fname=/tmp/x.db:in=q:out=s")))
+    assert(!e.isInstanceOf[BuildError], s"unexpected BuildError: $e")
+  }
+
+  test("cassandraselect: registered, validates args, reports no connector") {
+    assert(Pipeline.listModules.map(_._1).contains("cassandraselect"))
+    val eKs = intercept[BuildError](Pipeline.build(spark,
+      Seq("cassandraselect:host=h:query=SELECT 1:out=s")))
+    assert(eKs.getMessage.contains("keyspace"))
+    val eConn = intercept[BuildError](Pipeline.build(spark,
+      Seq("cassandraselect:host=h:keyspace=k:query=SELECT 1:out=s")))
+    assert(eConn.getMessage.contains("connector"))
+  }
+
   test("ndb module dedups by key and persists") {
     val d = tmp("ndb")
     writeCsv(s"$d/in.csv", "k,v", "1,a", "2,b", "1,c")
@@ -141,7 +210,8 @@ class PipelineSpec extends AnyFunSuite {
       "gzip", "gunzip", "column", "ndb",
       "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
       "parquetread", "parquetwrite",
-      "mysqlselect", "sqliteselect", "sqliteinsert", "log", "error",
+      "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
+      "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread")
     assert(expected.subsetOf(names), (expected -- names).toString)
