@@ -16,7 +16,13 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write, not count(): count() lets Catalyst elide
+      // sorts and prune every column, under-measuring ORDER BY and
+      // wide-projection cost. The noop sink executes the full plan and
+      // consumes every row.
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   *
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct alongside — the parquet/shuffle layer never interprets them.
-  * Decode / feature-extract / resize / frame-sample run as
-  * `mapPartitions` over the binary column (the JVM twin of the Python
-  * `mapInPandas` batch shape): one fused pass per partition, no
-  * per-row task overhead, codec state amortized across a partition.
+  * Decode / feature-extract / resize / frame-sample run as typed Scala
+  * UDFs over ONLY the binary column: the rest of the row never leaves
+  * Tungsten (an `df.rdd.mapPartitions` round-trip would deserialize
+  * every column and break whole-stage codegen around the operator).
+  * Per-partition codec state (a real decoder instance) amortizes via a
+  * lazy transient val in the codec object.
   *
   * !!! The codecs themselves are STUBS — this container has no image/
   * audio libraries, so `decodeMeta`/`extractFeatures`/`resize`/
@@ -34,9 +36,11 @@ object Multimodal {
                        durationMs: Long, valid: Boolean)
 
   val metaSchema: StructType = StructType(Seq(
-    StructField("format", StringType), StructField("width", IntegerType),
-    StructField("height", IntegerType), StructField("durationMs", LongType),
-    StructField("valid", BooleanType)))
+    StructField("format", StringType),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("durationMs", LongType, nullable = false),
+    StructField("valid", BooleanType, nullable = false)))
 
   /** The stub "codec": real codecs (JPEG/PNG/WAV decoders) slot in
     * behind exactly this interface.
@@ -114,50 +118,36 @@ object Multimodal {
     df.repartition(parts)
   }
 
-  private def withMapped(df: DataFrame, binCol: String, outField: StructField)(
-      f: Array[Byte] => Any): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+ outField)
-    val idx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      // one batch pass per partition — codec state amortized here
-      it.map { r =>
-        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ f(bytes))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+  /** Decode metadata: adds a `meta` struct column. Struct-returning
+    * UDF over the binary column only — the plan stays in Catalyst.
+    */
+  def decodeMeta(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => StubCodec.decode(bytes))
+    df.withColumn("meta", f(col(binCol)))
   }
-
-  /** Decode metadata: adds a `meta` struct column. */
-  def decodeMeta(df: DataFrame, binCol: String = "content"): DataFrame =
-    withMapped(df, binCol, StructField("meta", metaSchema)) { bytes =>
-      val m = StubCodec.decode(bytes)
-      Row(m.format, m.width, m.height, m.durationMs, m.valid)
-    }
 
   /** Feature extraction: adds `embedding array<float>` — composable
     * with graft.operators.Similarity (cosine top-k / ANN).
     */
   def extractFeatures(df: DataFrame, binCol: String = "content",
-                      dim: Int = 64): DataFrame =
-    withMapped(df, binCol,
-      StructField("embedding", ArrayType(FloatType))) { bytes =>
-      StubCodec.features(bytes, dim)
-    }
+                      dim: Int = 64): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => StubCodec.features(bytes, dim))
+    df.withColumn("embedding", f(col(binCol)))
+  }
 
   /** Resize: adds `resized binary`. */
   def resize(df: DataFrame, w: Int, h: Int,
-             binCol: String = "content"): DataFrame =
-    withMapped(df, binCol, StructField("resized", BinaryType)) { bytes =>
-      if (bytes == null) null else StubCodec.resize(bytes, w, h)
-    }
+             binCol: String = "content"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) null else StubCodec.resize(bytes, w, h))
+    df.withColumn("resized", f(col(binCol)))
+  }
 
   /** Frame sampling: adds `frames array<binary>`. */
   def sampleFrames(df: DataFrame, n: Int,
-                   binCol: String = "content"): DataFrame =
-    withMapped(df, binCol,
-      StructField("frames", ArrayType(BinaryType))) { bytes =>
-      if (bytes == null) null else StubCodec.sampleFrames(bytes, n)
-    }
+                   binCol: String = "content"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) null else StubCodec.sampleFrames(bytes, n))
+    df.withColumn("frames", f(col(binCol)))
+  }
 }

@@ -43,13 +43,21 @@ object Pipeline {
 
   final class BuildError(msg: String) extends RuntimeException(msg)
 
-  /** One parsed CLI word: `name(:k=v|:flag)*`. Flags parse as k -> "1". */
+  /** One parsed CLI word: `name(:k=v|:flag)*`. Flags parse as k -> "1".
+    * `url=` swallows the REST of the word (JDBC URLs contain colons),
+    * so it must come last.
+    */
   def parseWord(word: String): ModuleSpec = {
     val parts = word.split(":", -1)
     val name = parts.head
     if (!name.matches("\\w+"))
       throw new BuildError(s"bad module word: '$word'")
-    val args = parts.tail.map { p =>
+    val pieces = {
+      val i = parts.indexWhere(_.startsWith("url="))
+      if (i >= 1) parts.slice(1, i) :+ parts.drop(i).mkString(":")
+      else parts.tail
+    }
+    val args = pieces.map { p =>
       p.split("=", 2) match {
         case Array(k, v) => k -> v
         case Array(k) => k -> "1"
@@ -410,6 +418,39 @@ object Pipeline {
         val q = dbQuery(ctx, m, "sqliteselect")
         ctx.writeStream(m, graft.sources.Sources.jdbc(ctx.spark,
           s"jdbc:sqlite:$f", q), RowType)
+      }),
+
+    // Generic JDBC modules (extension): the url= form of the DB-select
+    // surface, e2e-testable against any driver on the classpath (the
+    // image ships embedded Derby). mysqlselect/sqliteselect are the
+    // reference-named sugar over the same Sources.jdbc/Sinks.jdbc path.
+    Registered("jdbcselect", NoneType, RowType,
+      "url=JDBC_URL:driver=CLASS:user=u:pw=p:query=SQL:table=t:in=STREAM:out=STREAM",
+      (ctx, m) => {
+        val url = m.args.getOrElse("url",
+          throw new BuildError("jdbcselect: url= required"))
+        val q = dbQuery(ctx, m, "jdbcselect")
+        val props = Seq("driver", "user").flatMap(k => m.args.get(k).map(k -> _)) ++
+          m.args.get("pw").map("password" -> _)
+        ctx.writeStream(m, graft.sources.Sources.jdbc(ctx.spark, url, q,
+          props.toMap), RowType)
+      }),
+
+    Registered("jdbcinsert", RowType, NoneType,
+      "in=STREAM:url=JDBC_URL:driver=CLASS:table=t", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val url = m.args.getOrElse("url",
+          throw new BuildError("jdbcinsert: url= required"))
+        val t = m.args.getOrElse("table",
+          throw new BuildError("jdbcinsert: table= required"))
+        val props = Seq("driver", "user").flatMap(k => m.args.get(k).map(k -> _)) ++
+          m.args.get("pw").map("password" -> _)
+        ctx.addSink(m.raw, () => {
+          val o = org.apache.spark.sql.Observation()
+          val observed = df.observe(o, count(lit(1)).as("rows"))
+          graft.sinks.Sinks.jdbc(observed, url, t, props = props.toMap)
+          o.get("rows").asInstanceOf[Long]
+        })
       }),
 
     // cassandraselect (dbitool.pl:1461-1532): registered with the
