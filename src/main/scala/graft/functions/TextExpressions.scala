@@ -106,6 +106,83 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(distinct)
   }
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS scheme): Rabin-Karp rolling hash over byte
+    * k-grams, then the minimum hash of every window of w consecutive
+    * grams (rightmost-min tie-break). Guarantees: any shared substring
+    * of length ≥ k+w-1 produces ≥1 shared fingerprint; position-
+    * independent. Output is the SORTED DISTINCT selected hashes, so
+    * `jaccardSorted` compares two documents' fingerprints directly.
+    * O(n) time, one pass, no gram strings materialized.
+    */
+  def winnowFingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return EmptyLongs
+    val m = n - k + 1 // k-gram count
+    val hs = new Array[Long](m)
+    val B = 1000003L
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    // splitmix64-style finalizer: the raw polynomial hash is monotone
+    // in the leading byte, which would bias window minima toward
+    // particular characters.
+    @inline def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    hs(0) = mix(h)
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xFF) * pow) * B + (bytes(i) & 0xFF)
+      hs(i - k + 1) = mix(h)
+      i += 1
+    }
+    if (m <= w) {
+      // single (short) window: its minimum is the whole fingerprint
+      var min = hs(0)
+      i = 1
+      while (i < m) { if (hs(i) <= min) min = hs(i); i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(min))
+    }
+    // winnow: rightmost minimum per window, amortized O(m)
+    val sel = new Array[Long](m - w + 1)
+    var selN = 0
+    var minIdx = -1
+    var j = 0
+    while (j <= m - w) {
+      if (minIdx < j) {
+        // previous min slid out — rescan the window
+        minIdx = j
+        var t = j + 1
+        while (t < j + w) { if (hs(t) <= hs(minIdx)) minIdx = t; t += 1 }
+        sel(selN) = hs(minIdx); selN += 1
+      } else if (hs(j + w - 1) <= hs(minIdx)) {
+        minIdx = j + w - 1
+        sel(selN) = hs(minIdx); selN += 1
+      }
+      j += 1
+    }
+    // sorted distinct (selection emits each chosen position once, but
+    // equal hash VALUES can be chosen at different positions)
+    val out = java.util.Arrays.copyOf(sel, selN)
+    java.util.Arrays.sort(out)
+    var d = 0
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(d)) { d += 1; out(d) = out(i) }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (d + 1 == out.length) out else java.util.Arrays.copyOf(out, d + 1))
+  }
+
   /** Jaccard |A∩B| / |A∪B| over two SORTED distinct long arrays —
     * one merge pass, no per-call hash sets. NaN when both are empty
     * (matches `size(array_intersect)/size(array_union)` = 0/0).
@@ -179,6 +256,32 @@ case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint of a document (sorted-distinct array<long>). */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.winnowFingerprint(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFingerprint($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Merge-based jaccard over two sorted-distinct array<long> columns. */
 case class SortedLongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -221,4 +324,8 @@ object TextExpr {
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprintExpr(
+      ColumnBridge.expression(text), k, w))
 }

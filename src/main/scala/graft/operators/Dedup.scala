@@ -202,6 +202,53 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Winnowing fingerprint (rolling-hash, MOSS scheme — see
+    * functions.TextKernels.winnowFingerprint): sorted-distinct selected
+    * hashes per document.
+    */
+  def winnowFingerprints(text: Column, k: Int = 16, w: Int = 8): Column =
+    graft.functions.TextExpr.winnowFingerprint(text, k, w)
+
+  /** Fingerprint-based near-dup pairs: candidates are documents that
+    * SHARE a selected fingerprint (guaranteed for any common substring
+    * of ≥ k+w-1 bytes), verified by exact fingerprint-set jaccard.
+    *
+    * Scale shape: explode fingerprints → equi-join on the fingerprint
+    * value — never all-pairs. Fingerprints appearing in more than
+    * maxBucket docs are dropped BEFORE the self-join (boilerplate
+    * shared by everything — headers, licenses — would otherwise create
+    * quadratic hub buckets), the standard common-fingerprint cut.
+    */
+  def winnowDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, w: Int = 8, threshold: Double = 0.5,
+                           maxBucket: Int = 64): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("id"), winnowFingerprints(col(textCol), k, w).as("fp"))
+      .filter(size(col("fp")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val exploded = fps.select(col("id"), explode(col("fp")).as("f"))
+    val rare = exploded.groupBy(col("f"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) between (2, maxBucket))
+
+    // pair generation INSIDE each fingerprint bucket (bounded by
+    // maxBucket), id-only payload
+    val candidates = rare
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+
+    candidates
+      .join(fps.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
+      .join(fps.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
+      .withColumn("jaccard",
+        graft.functions.TextExpr.jaccardSorted(col("fpA"), col("fpB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Greedy keep-smallest-id dedup from a pair list: drop every doc
     * that appears as the larger id of a duplicate pair. (Not full
     * connected components — the standard "keep first seen" corpus

@@ -646,21 +646,27 @@ object Pipeline {
     Registered("spreadsheetread", NoneType, RowType,
       "fname=FILE:type=csv:x=1:y=1:header=1:out=STREAM", (ctx, m) => {
         // Reference spreadsheetread (dbitool.pl:2696-2784) reads an
-        // x/y-origin cell block with optional header row. xls/xlsx/ods
-        // need POI (absent in the zero-egress jar set) — csv type
-        // carries the semantics. In-memory like the reference.
-        if (m.args.getOrElse("type", "csv") != "csv")
-          throw new BuildError("spreadsheetread: only type=csv supported (no POI)")
+        // x/y-origin cell block with optional header row. type=csv and
+        // type=xlsx (pure-JDK OOXML reader, formats/Xlsx.scala); the
+        // legacy binary xls and ods need POI/ODF libraries absent from
+        // this image. In-memory like the reference.
         val f = m.args.getOrElse("fname",
           throw new BuildError("spreadsheetread: fname= required"))
+        val grid: Seq[Seq[String]] = m.args.getOrElse("type", "csv") match {
+          case "csv" =>
+            scala.io.Source.fromFile(f).getLines()
+              .map(_.split(",", -1).toSeq).toSeq
+          case "xlsx" => graft.formats.Xlsx.read(f)
+          case t => throw new BuildError(
+            s"spreadsheetread: type=$t unsupported (csv, xlsx; xls/ods need POI)")
+        }
         val x = m.args.getOrElse("x", "1").toInt
         val y = m.args.getOrElse("y", "1").toInt
         val hasHeader = m.args.getOrElse("header", "1") == "1"
-        val lines = scala.io.Source.fromFile(f).getLines().drop(y - 1)
-          .map(_.split(",", -1).drop(x - 1).toSeq).toSeq
+        val lines = grid.drop(y - 1).map(_.drop(x - 1))
         if (lines.isEmpty) throw new BuildError(s"spreadsheetread: empty block in $f")
         val names =
-          if (hasHeader) lines.head.map(_.trim)
+          if (hasHeader) lines.head.map(c => Option(c).getOrElse("").trim)
           else lines.head.indices.map(i => s"col${i + 1}")
         val body = if (hasHeader) lines.tail else lines
         import ctx.spark.implicits._
@@ -674,8 +680,10 @@ object Pipeline {
 
     Registered("spreadsheetwrite", RowType, NoneType,
       "in=STREAM:fname=FILE:type=csv:x=1:y=1:header=1", (ctx, m) => {
-        if (m.args.getOrElse("type", "csv") != "csv")
-          throw new BuildError("spreadsheetwrite: only type=csv supported (no POI)")
+        val typ = m.args.getOrElse("type", "csv")
+        if (typ != "csv" && typ != "xlsx")
+          throw new BuildError(
+            s"spreadsheetwrite: type=$typ unsupported (csv, xlsx; xls/ods need POI)")
         val df = ctx.readStream(m, RowType)
         val f = m.args.getOrElse("fname",
           throw new BuildError("spreadsheetwrite: fname= required"))
@@ -683,17 +691,28 @@ object Pipeline {
         val y = m.args.getOrElse("y", "1").toInt
         val hasHeader = m.args.getOrElse("header", "1") == "1"
         ctx.addSink(m.raw, () => {
-          val pad = "," * (x - 1)
-          val rows = df.collect().map(r => pad + r.toSeq.map {
-            case null => ""; case v => v.toString
-          }.mkString(","))
-          val hdr = if (hasHeader) Seq(pad + df.columns.mkString(",")) else Nil
-          val blank = Seq.fill(y - 1)("")
-          val p = java.nio.file.Paths.get(f)
-          Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-          java.nio.file.Files.writeString(p,
-            (blank ++ hdr ++ rows).mkString("\n"))
-          rows.length.toLong
+          val data = df.collect()
+          if (typ == "xlsx") {
+            // x/y origin as sparse leading nulls; numerics stay typed.
+            val lead = Seq.fill[Any](x - 1)(null)
+            val hdr: Seq[Seq[Any]] =
+              if (hasHeader) Seq(lead ++ df.columns.toSeq) else Nil
+            val blank = Seq.fill(y - 1)(Seq.empty[Any])
+            graft.formats.Xlsx.write(f,
+              blank ++ hdr ++ data.map(r => lead ++ r.toSeq))
+          } else {
+            val pad = "," * (x - 1)
+            val rows = data.map(r => pad + r.toSeq.map {
+              case null => ""; case v => v.toString
+            }.mkString(","))
+            val hdr = if (hasHeader) Seq(pad + df.columns.mkString(",")) else Nil
+            val blank = Seq.fill(y - 1)("")
+            val p = java.nio.file.Paths.get(f)
+            Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+            java.nio.file.Files.writeString(p,
+              (blank ++ hdr ++ rows).mkString("\n"))
+          }
+          data.length.toLong
         })
       }),
 

@@ -96,6 +96,18 @@ object DedupSim {
         .orderBy($"query_id", $"rk")
     }),
 
+    // Winnowing (rolling-hash) fingerprint near-dup pairs: candidates
+    // share a selected fingerprint (equi-join, never all-pairs; hub
+    // fingerprints cut), verified by fingerprint-set jaccard. Hashes
+    // aren't oracle-expressible → rows-only; identity/recall/guarantee
+    // asserted in DedupSimSpec.
+    "q57_winnow_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.winnowDuplicatePairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 16, w = 8, threshold = 0.5)
+        .orderBy($"idA", $"idB")
+    }),
+
     // ANN top-k via IVF (16 coarse lists, probe 4): the other scale
     // path. Rows-only; recall asserted in spec.
     "q56_ivf_topk" -> ((s, dir) => {

@@ -46,6 +46,39 @@ class DedupSimSpec extends AnyFunSuite {
     assert(dists <= 3)
   }
 
+  test("winnowing fingerprints: exact dup identity + near-dup recall") {
+    // identical text → identical fingerprint set → jaccard 1.0
+    val twin = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "a completely different sentence about winnowing hashes"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowDuplicatePairs(twin, "doc_id", "text",
+      k = 8, w = 4, threshold = 0.9)
+      .select($"idA", $"idB", $"jaccard").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+
+    // recall vs exact word-shingle near-dups on the real corpus
+    val found = Dedup.winnowDuplicatePairs(docs, "doc_id", "text",
+        k = 16, w = 8, threshold = 0.5)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val recall = (found & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall=$recall found=${found.size} exact=${exactPairs.size}")
+  }
+
+  test("winnow guarantee: shared substring >= k+w-1 shares a fingerprint") {
+    import graft.functions.TextExpr
+    // 40-byte shared substring embedded in different contexts
+    val shared = "zzzz common payload substring here zzzz"
+    val df = Seq(
+      ("prefix one " + shared + " suffix alpha"),
+      ("other beginning text " + shared + " and another ending"))
+      .toDF("text")
+      .select(TextExpr.winnowFingerprint($"text", 16, 8).as("fp"))
+    val Array(a, b) = df.collect().map(_.getSeq[Long](0).toSet)
+    assert((a & b).nonEmpty, "guaranteed shared fingerprint missing")
+  }
+
   test("dropDuplicatesByPairs keeps smallest id of each family") {
     val pairs = Seq((1L, 2L), (1L, 3L), (5L, 6L)).toDF("idA", "idB")
     val df = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
