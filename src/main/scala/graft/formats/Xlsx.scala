@@ -20,23 +20,84 @@ object Xlsx {
 
   // ---- read ------------------------------------------------------------
 
-  /** Cell grid of the first worksheet, row-major; missing cells null. */
-  def read(path: String): Seq[Seq[String]] = {
+  /** Cell grid of a worksheet, row-major; missing cells null.
+    * `sheet` selects by name or 1-based index from workbook order
+    * (reference `sheet=`, dbitool.pl:2734, 2752-2754); "" = first.
+    */
+  def read(path: String, sheet: String = ""): Seq[Seq[String]] = {
     val zf = new ZipFile(path)
     try {
       import scala.jdk.CollectionConverters._
       val entries = zf.entries().asScala.toSeq
-      val shared = entries.find(_.getName == "xl/sharedStrings.xml")
+      def entry(name: String) = entries.find(_.getName == name)
+      val shared = entry("xl/sharedStrings.xml")
         .map(e => parseSharedStrings(zf.getInputStream(e)))
         .getOrElse(IndexedSeq.empty)
-      val sheet = entries
-        .filter(_.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
-        .sortBy(e => e.getName.stripPrefix("xl/worksheets/sheet")
-          .stripSuffix(".xml").toInt)
-        .headOption
-        .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
-      parseSheet(zf.getInputStream(sheet), shared)
+      // workbook order: sheet name -> r:id, then rels: r:id -> part
+      val sheets: Seq[(String, String)] = entry("xl/workbook.xml")
+        .map(e => parseWorkbookSheets(zf.getInputStream(e)))
+        .getOrElse(Seq.empty)
+      val rels: Map[String, String] = entry("xl/_rels/workbook.xml.rels")
+        .map(e => parseRels(zf.getInputStream(e)))
+        .getOrElse(Map.empty)
+      val partName: Option[String] =
+        if (sheets.isEmpty) None
+        else {
+          val pick =
+            if (sheet.isEmpty) Some(sheets.head)
+            else sheets.find(_._1 == sheet)
+              .orElse(sheet.toIntOption.flatMap(i => sheets.lift(i - 1)))
+          val chosen = pick.getOrElse(throw new IllegalArgumentException(
+            s"""sheet "$sheet" not found in $path (has: ${sheets.map(_._1).mkString(", ")})"""))
+          rels.get(chosen._2).map(t =>
+            if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t")
+        }
+      val sheetEntry = partName.flatMap(entry).orElse {
+        // fallback for rels-less minimal files: lowest-numbered part
+        entries.filter(_.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
+          .sortBy(e => e.getName.stripPrefix("xl/worksheets/sheet")
+            .stripSuffix(".xml").toInt).headOption
+      }.getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
+      parseSheet(zf.getInputStream(sheetEntry), shared)
     } finally zf.close()
+  }
+
+  /** (name, r:id) per sheet, workbook order. */
+  private def parseWorkbookSheets(in: InputStream): Seq[(String, String)] = {
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val out = mutable.ArrayBuffer[(String, String)]()
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          val name = Option(r.getAttributeValue(null, "name")).getOrElse("")
+          var rid: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+            i += 1
+          }
+          if (rid != null) out += ((name, rid))
+        }
+      }
+    } finally r.close()
+    out.toSeq
+  }
+
+  /** r:id -> Target map from a .rels part. */
+  private def parseRels(in: InputStream): Map[String, String] = {
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val out = mutable.Map[String, String]()
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val target = r.getAttributeValue(null, "Target")
+          if (id != null && target != null) out(id) = target
+        }
+      }
+    } finally r.close()
+    out.toMap
   }
 
   /** "BC" -> 54 (0-based column index). */

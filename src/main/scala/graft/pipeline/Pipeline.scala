@@ -644,21 +644,24 @@ object Pipeline {
       }),
 
     Registered("spreadsheetread", NoneType, RowType,
-      "fname=FILE:type=csv:x=1:y=1:header=1:out=STREAM", (ctx, m) => {
+      "fname=FILE:type=csv:sheet=NAME:x=1:y=1:header=1:out=STREAM", (ctx, m) => {
         // Reference spreadsheetread (dbitool.pl:2696-2784) reads an
-        // x/y-origin cell block with optional header row. type=csv and
-        // type=xlsx (pure-JDK OOXML reader, formats/Xlsx.scala); the
-        // legacy binary xls and ods need POI/ODF libraries absent from
-        // this image. In-memory like the reference.
+        // x/y-origin cell block with optional header row and sheet
+        // selection. type=csv, type=xlsx (pure-JDK OOXML reader,
+        // formats/Xlsx.scala) and type=ods/sxc (formats/Ods.scala);
+        // only the legacy binary xls needs POI, absent from this
+        // image. In-memory like the reference.
         val f = m.args.getOrElse("fname",
           throw new BuildError("spreadsheetread: fname= required"))
+        val sheet = m.args.getOrElse("sheet", "")
         val grid: Seq[Seq[String]] = m.args.getOrElse("type", "csv") match {
           case "csv" =>
             scala.io.Source.fromFile(f).getLines()
               .map(_.split(",", -1).toSeq).toSeq
-          case "xlsx" => graft.formats.Xlsx.read(f)
+          case "xlsx" => graft.formats.Xlsx.read(f, sheet)
+          case "ods" | "sxc" => graft.formats.Ods.read(f, sheet)
           case t => throw new BuildError(
-            s"spreadsheetread: type=$t unsupported (csv, xlsx; xls/ods need POI)")
+            s"spreadsheetread: type=$t unsupported (csv, xlsx, ods; xls needs POI)")
         }
         val x = m.args.getOrElse("x", "1").toInt
         val y = m.args.getOrElse("y", "1").toInt
@@ -681,9 +684,9 @@ object Pipeline {
     Registered("spreadsheetwrite", RowType, NoneType,
       "in=STREAM:fname=FILE:type=csv:x=1:y=1:header=1", (ctx, m) => {
         val typ = m.args.getOrElse("type", "csv")
-        if (typ != "csv" && typ != "xlsx")
+        if (!Set("csv", "xlsx", "ods").contains(typ))
           throw new BuildError(
-            s"spreadsheetwrite: type=$typ unsupported (csv, xlsx; xls/ods need POI)")
+            s"spreadsheetwrite: type=$typ unsupported (csv, xlsx, ods; xls needs POI)")
         val df = ctx.readStream(m, RowType)
         val f = m.args.getOrElse("fname",
           throw new BuildError("spreadsheetwrite: fname= required"))
@@ -692,14 +695,15 @@ object Pipeline {
         val hasHeader = m.args.getOrElse("header", "1") == "1"
         ctx.addSink(m.raw, () => {
           val data = df.collect()
-          if (typ == "xlsx") {
+          if (typ == "xlsx" || typ == "ods") {
             // x/y origin as sparse leading nulls; numerics stay typed.
             val lead = Seq.fill[Any](x - 1)(null)
             val hdr: Seq[Seq[Any]] =
               if (hasHeader) Seq(lead ++ df.columns.toSeq) else Nil
             val blank = Seq.fill(y - 1)(Seq.empty[Any])
-            graft.formats.Xlsx.write(f,
-              blank ++ hdr ++ data.map(r => lead ++ r.toSeq))
+            val grid = blank ++ hdr ++ data.map(r => lead ++ r.toSeq)
+            if (typ == "xlsx") graft.formats.Xlsx.write(f, grid)
+            else graft.formats.Ods.write(f, grid)
           } else {
             val pad = "," * (x - 1)
             val rows = data.map(r => pad + r.toSeq.map {

@@ -51,6 +51,103 @@ class XlsxSpec extends AnyFunSuite {
     assert(lines == Seq("k,v", "1,alpha", "2,beta"))
   }
 
+  test("ods grid round-trip: strings, escapes, numbers, sparse cells") {
+    import graft.formats.Ods
+    val f = s"${tmp("ods")}/t.ods"
+    val grid: Seq[Seq[Any]] = Seq(
+      Seq("plain", "a&b<c>\"d\"", "héllo ✓"),
+      Seq[Any](42, 3.14, -7L),
+      Seq("x", null, "z"))
+    Ods.write(f, grid)
+    val back = Ods.read(f)
+    assert(back(0) == Seq("plain", "a&b<c>\"d\"", "héllo ✓"))
+    assert(back(1) == Seq("42", "3.14", "-7"))
+    assert(back(2) == Seq("x", null, "z"))
+    // mimetype must be the FIRST entry and STORED (OpenDocument spec)
+    val zf = new java.util.zip.ZipFile(f)
+    try {
+      val first = zf.entries().nextElement()
+      assert(first.getName == "mimetype")
+      assert(first.getMethod == java.util.zip.ZipEntry.STORED)
+    } finally zf.close()
+  }
+
+  test("ods reader expands repeated columns/rows and selects sheets") {
+    import graft.formats.Ods
+    val d = tmp("odsrep")
+    val f = s"$d/rep.ods"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream({ new java.io.File(d).mkdirs(); f }))
+    zos.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    zos.write((
+      """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:spreadsheet>""" +
+        """<table:table table:name="First"><table:table-row>""" +
+        """<table:table-cell table:number-columns-repeated="3" office:value-type="string"><text:p>x</text:p></table:table-cell>""" +
+        """<table:table-cell table:number-columns-repeated="1000"/>""" +
+        """</table:table-row><table:table-row table:number-rows-repeated="2">""" +
+        """<table:table-cell office:value-type="float" office:value="5"><text:p>5</text:p></table:table-cell>""" +
+        """</table:table-row></table:table>""" +
+        """<table:table table:name="Second"><table:table-row>""" +
+        """<table:table-cell office:value-type="string"><text:p>only</text:p></table:table-cell>""" +
+        """</table:table-row></table:table>""" +
+        """</office:spreadsheet></office:body></office:document-content>""").getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val first = Ods.read(f)
+    assert(first == Seq(Seq("x", "x", "x"), Seq("5"), Seq("5")))
+    assert(Ods.read(f, "Second") == Seq(Seq("only")))
+    assert(Ods.read(f, "2") == Seq(Seq("only")))
+    intercept[IllegalArgumentException](Ods.read(f, "nope"))
+  }
+
+  test("spreadsheet modules round-trip type=ods") {
+    val d = tmp("odsmod")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/in.csv"),
+      "k,v\n1,alpha\n2,beta")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread",
+      s"spreadsheetwrite:fname=$d/out.ods:type=ods"))
+    val r = Pipeline.run(spark, Seq(
+      s"spreadsheetread:fname=$d/out.ods:type=ods:out=s",
+      "csvwrite:in=s", s"filewrite:out=$d/back.csv"))
+    val lines = new java.io.File(s"$d/back.csv").listFiles()
+      .filter(_.getName.startsWith("part-")).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines == Seq("k,v", "1,alpha", "2,beta"))
+  }
+
+  test("xlsx sheet selection by name and index via workbook rels") {
+    // Two-sheet workbook with rels in NON-sequential part order: sheet
+    // "B" (workbook first) lives in sheet2.xml — name/index selection
+    // must follow workbook order, not part numbering.
+    val d = tmp("sheets")
+    val f = s"$d/two.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream({ new java.io.File(d).mkdirs(); f }))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="B" sheetId="1" r:id="rId2"/><sheet name="A" sheetId="2" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>""" +
+        """</Relationships>""")
+    def sheetXml(v: String) =
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        s"""<row r="1"><c r="A1" t="inlineStr"><is><t>$v</t></is></c></row>""" +
+        "</sheetData></worksheet>"
+    put("xl/worksheets/sheet1.xml", sheetXml("in-sheet1"))
+    put("xl/worksheets/sheet2.xml", sheetXml("in-sheet2"))
+    zos.close()
+    assert(Xlsx.read(f) == Seq(Seq("in-sheet2")))        // first by workbook order = B
+    assert(Xlsx.read(f, "A") == Seq(Seq("in-sheet1")))
+    assert(Xlsx.read(f, "2") == Seq(Seq("in-sheet1")))   // index follows workbook order
+    intercept[IllegalArgumentException](Xlsx.read(f, "missing"))
+  }
+
   test("reads files with shared strings and explicit cell refs") {
     // Hand-built workbook exercising the parts our writer does NOT
     // emit: sharedStrings.xml and gap-jumping r= refs.
