@@ -183,6 +183,23 @@ object TextKernels {
       if (d + 1 == out.length) out else java.util.Arrays.copyOf(out, d + 1))
   }
 
+  /** Tokens (single-space split, empties included) present in `set`. */
+  def tokenSetCount(text: UTF8String, set: java.util.HashSet[UTF8String]): Int = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    var count = 0
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == ' '.toByte) {
+        if (set.contains(UTF8String.fromBytes(bytes, start, i - start))) count += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    count
+  }
+
   /** Jaccard |A∩B| / |A∪B| over two SORTED distinct long arrays —
     * one merge pass, no per-call hash sets. NaN when both are empty
     * (matches `size(array_intersect)/size(array_union)` = 0/0).
@@ -251,6 +268,45 @@ case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels.hashedShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of single-space tokens contained in a fixed string set —
+  * the codegen'd form of `size(filter(split(text," "), w.isin(set)))`
+  * (stopword density, language-marker scoring). The HOF form pays an
+  * interpreted lambda per token AND recomputes the split per use site
+  * under CollapseProject (langId scores 5 languages → 5 splits); this
+  * is one byte scan with a hash probe per token.
+  */
+case class TokenSetCountExpr(child: Expression, tokens: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](tokens.size * 2)
+    tokens.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.tokenSetCount(t.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.tokenSetCount($c, $setRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -328,4 +384,8 @@ object TextExpr {
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprintExpr(
       ColumnBridge.expression(text), k, w))
+
+  def tokenSetCount(text: Column, tokens: Seq[String]): Column =
+    ColumnBridge.column(TokenSetCountExpr(
+      ColumnBridge.expression(text), tokens))
 }

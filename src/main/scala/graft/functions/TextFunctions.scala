@@ -36,9 +36,14 @@ object TextFunctions {
     regexp_count(text, lit("[\\.,;:!\\?]"))
 
   /** Ratio of tokens found in `stopwords` — the classic
-    * natural-language-vs-garbage quality signal.
+    * natural-language-vs-garbage quality signal. Codegen'd single-pass
+    * kernel (TokenSetCountExpr); the HOF reference below cross-checks.
     */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    TextExpr.tokenSetCount(text, stopwords)
+
+  /** Reference HOF formulation (interpreted; spec cross-check only). */
+  def stopwordCountHof(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), w => w.isin(stopwords: _*)))
 
   val EnStopwords: Seq[String] = Seq(
@@ -74,7 +79,7 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "不", "了", "在", "我"))
 
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isin(markers: _*)))
+    TextExpr.tokenSetCount(text, markers)
 
   def langId(text: Column): Column = {
     val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }

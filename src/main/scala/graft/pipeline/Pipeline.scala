@@ -660,8 +660,9 @@ object Pipeline {
               .map(_.split(",", -1).toSeq).toSeq
           case "xlsx" => graft.formats.Xlsx.read(f, sheet)
           case "ods" | "sxc" => graft.formats.Ods.read(f, sheet)
+          case "xls" => graft.formats.Xls.read(f, sheet)
           case t => throw new BuildError(
-            s"spreadsheetread: type=$t unsupported (csv, xlsx, ods; xls needs POI)")
+            s"spreadsheetread: type=$t unsupported (csv, xls, xlsx, ods)")
         }
         val x = m.args.getOrElse("x", "1").toInt
         val y = m.args.getOrElse("y", "1").toInt
@@ -684,9 +685,9 @@ object Pipeline {
     Registered("spreadsheetwrite", RowType, NoneType,
       "in=STREAM:fname=FILE:type=csv:x=1:y=1:header=1", (ctx, m) => {
         val typ = m.args.getOrElse("type", "csv")
-        if (!Set("csv", "xlsx", "ods").contains(typ))
+        if (!Set("csv", "xls", "xlsx", "ods").contains(typ))
           throw new BuildError(
-            s"spreadsheetwrite: type=$typ unsupported (csv, xlsx, ods; xls needs POI)")
+            s"spreadsheetwrite: type=$typ unsupported (csv, xls, xlsx, ods)")
         val df = ctx.readStream(m, RowType)
         val f = m.args.getOrElse("fname",
           throw new BuildError("spreadsheetwrite: fname= required"))
@@ -695,15 +696,18 @@ object Pipeline {
         val hasHeader = m.args.getOrElse("header", "1") == "1"
         ctx.addSink(m.raw, () => {
           val data = df.collect()
-          if (typ == "xlsx" || typ == "ods") {
+          if (typ != "csv") {
             // x/y origin as sparse leading nulls; numerics stay typed.
             val lead = Seq.fill[Any](x - 1)(null)
             val hdr: Seq[Seq[Any]] =
               if (hasHeader) Seq(lead ++ df.columns.toSeq) else Nil
             val blank = Seq.fill(y - 1)(Seq.empty[Any])
             val grid = blank ++ hdr ++ data.map(r => lead ++ r.toSeq)
-            if (typ == "xlsx") graft.formats.Xlsx.write(f, grid)
-            else graft.formats.Ods.write(f, grid)
+            typ match {
+              case "xlsx" => graft.formats.Xlsx.write(f, grid)
+              case "ods" => graft.formats.Ods.write(f, grid)
+              case _ => graft.formats.Xls.write(f, grid)
+            }
           } else {
             val pad = "," * (x - 1)
             val rows = data.map(r => pad + r.toSeq.map {

@@ -267,9 +267,9 @@ class PipelineSpec extends AnyFunSuite {
       s"spreadsheetwrite:fname=$d/out.csv:x=3:y=2"))
     val out = scala.io.Source.fromFile(s"$d/out.csv").getLines().toSeq
     assert(out == Seq("", ",,k,v", ",,2,b"), out.mkString("|"))
-    // xlsx is now supported (XlsxSpec); legacy binary xls still needs POI
+    // csv/xls/xlsx/ods all supported now; anything else still rejected
     intercept[BuildError](Pipeline.build(spark,
-      Seq(s"spreadsheetread:fname=$d/in.csv:type=xls")))
+      Seq(s"spreadsheetread:fname=$d/in.csv:type=xlsb")))
   }
 
   test("select and limit and union modules") {

@@ -69,6 +69,16 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(pairs.filter(!($"fast" <=> $"ref")).count() == 0)
   }
 
+  test("tokenSetCount == HOF filter/isin count on corpus + hostile strings") {
+    val words = Seq("the", "a", "", "多字节", "zzz")
+    val all = Tables(spark, sf, "documents").select($"text").union(hostile)
+    val diff = all.select(
+      TextExpr.tokenSetCount($"text", words).as("fast"),
+      TextFunctions.stopwordCountHof($"text", words).as("ref"))
+      .filter(!($"fast" <=> $"ref")).count()
+    assert(diff == 0, s"$diff rows differ")
+  }
+
   test("null text yields null; short text yields empty arrays") {
     val df = Seq(Option.empty[String], Some("one two")).toDF("text")
     val rows = df.select(
