@@ -215,6 +215,23 @@ object Relational {
       s.sql(GroupingSetsText)
     }),
 
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`: both sort-and-interpolate, so values hash-match;
+    // `percentile_approx` would not). Exact percentile is a full sort
+    // per group — the sketch path at 100 TB is approx_percentile (see
+    // q34's approx_count_distinct for the same trade).
+    "q16_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // SQL entry point (SURVEY §3.2): temp views + spark.sql — the same
     // ANSI text runs on our engine and the oracle verbatim.
     "q15_sql_entry" -> ((s, dir) => {
@@ -270,6 +287,14 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q15_sql_entry" -> SqlEntryText,
+
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q17_grouping_sets" -> GroupingSetsText,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

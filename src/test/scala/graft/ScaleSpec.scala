@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the 100 TB story: these tests fail if a
+  * future change silently reintroduces a shuffle, loses pushdown, or
+  * breaks broadcast — the regressions that don't show up at sf0.01.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("bucketed tables join WITHOUT a shuffle (co-located join)") {
+    // The bucketing path replaces the per-join shuffle of a 100 TB
+    // fact-fact join with a one-time bucketed write.
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+      val plan = executed(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() ==
+        Tables(spark, sf, "lineitem").count()) // FK: every line has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val plan = executed(
+      Tables(spark, sf, "lineitem")
+        .filter($"l_quantity" > 40)
+        .select($"l_orderkey", $"l_quantity"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      s"filter not pushed:\n$plan")
+    assert("ReadSchema:.*l_orderkey.*l_quantity".r.findFirstIn(plan).isDefined)
+    assert(!plan.contains("l_comment"), "column pruning lost")
+  }
+
+  test("star join broadcasts dims; fact side never shuffles for the join") {
+    val plan = executed(SparkEntry.queries("q3_join_star")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only non-broadcast exchanges allowed are for the final agg/sort
+    val joins = "SortMergeJoin".r.findAllIn(plan).length
+    assert(joins == 0, s"dim join degraded to sort-merge:\n$plan")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = executed(SparkEntry.queries("q8_sort_limit")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("winnow dedup is equi-join shaped: no cartesian, no nested loop") {
+    val plan = executed(SparkEntry.queries("q57_winnow_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("minhash LSH is equi-join shaped: no cartesian, no nested loop") {
+    val plan = executed(SparkEntry.queries("q51_minhash_lsh")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("text kernels stay inside whole-stage codegen") {
+    // The expression must appear INSIDE a WholeStageCodegen span — a
+    // codegen fallback would show it outside every *(n) region.
+    val df = Tables(spark, sf, "documents")
+      .select(graft.operators.Dedup.hashedShingles($"text", 3).as("h"))
+      .select(sum(size($"h")))
+    df.collect() // finalize AQE so codegen markers appear
+    val plan = executed(df)
+    // whole-stage-codegen spans print as *(n) markers; inspect the AQE
+    // final plan only (the echoed initial plan has no markers)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("*("), s"no codegen span:\n$finalPlan")
+    val unsupported = finalPlan.linesIterator
+      .filter(l => l.contains("Project") || l.contains("HashAggregate"))
+      .filterNot(_.contains("*("))
+    assert(unsupported.isEmpty,
+      s"operator fell out of codegen:\n${unsupported.mkString("\n")}\n$finalPlan")
+  }
+}
