@@ -163,6 +163,24 @@ object Ops {
     saltedLeft.join(saltedRight, Seq(key, "__salt"), how).drop("__salt")
   }
 
+  /** Deterministic stratified sample: per-stratum fractions via a hash
+    * of the row key — reproducible across runs/executors (unlike
+    * `sampleBy`'s RNG, whose draw order is partitioning-dependent),
+    * narrow (no shuffle), and stable under re-partitioning. The
+    * class-balancing step of a training-data pipeline.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame = {
+    // uniform in [0,1) from the key hash; compare per-stratum threshold
+    val u = (pmod(xxhash64(col(keyCol), lit(seed)), lit(1L << 31)).cast("double")
+      / lit((1L << 31).toDouble))
+    val threshold = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(u < threshold)
+  }
+
   /** Top-k rows per group without a global sort (shuffle on the group
     * key only; AQE handles skewed groups).
     */

@@ -108,6 +108,18 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // Deterministic stratified sample (hash-threshold, not RNG): the
+    // class-balancing curation step. Hash isn't oracle-expressible →
+    // rows-only; proportions + determinism asserted in OpsSpec.
+    "q58_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Ops.stratifiedSample(
+          t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "es" -> 1.0, "fr" -> 0.25, "de" -> 1.0, "zh" -> 1.0))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     // ANN top-k via IVF (16 coarse lists, probe 4): the other scale
     // path. Rows-only; recall asserted in spec.
     "q56_ivf_topk" -> ((s, dir) => {

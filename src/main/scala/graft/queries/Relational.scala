@@ -152,6 +152,46 @@ object Relational {
         .orderBy($"custkey")
     }),
 
+    // Pivot: status columns from rows (oracle expresses the same thing
+    // with FILTERed aggregates — identical values, identical names).
+    "q18_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Full outer join: order counts per customer INCLUDING customers
+    // with no qualifying orders and orders whose custkey has no
+    // customer row (none in this data, but the join form is exercised).
+    "q19_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+        .select($"c_custkey", $"c_name")
+      val ords = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_f_orders"))
+      cust.join(ords, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_name", coalesce($"n_f_orders", lit(0L)).as("n_f_orders"))
+        .orderBy($"custkey")
+    }),
+
+    // Unpivot / melt: wide → long (oracle via UNION ALL stack).
+    "q38_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_partkey" <= 200)
+        .select($"p_partkey", $"p_size".cast("double").as("p_size"),
+          $"p_retailprice")
+        .unpivot(Array($"p_partkey"),
+          Array($"p_size", $"p_retailprice"), "metric", "value")
+        .orderBy($"p_partkey", $"metric")
+    }),
+
     // Multi-dimensional aggregate: rollup (region → nation → total).
     "q10_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -374,6 +414,32 @@ object Relational {
         |   EXCEPT
         |   SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'))
         |ORDER BY custkey""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        |  coalesce(o.n_f_orders, 0) AS n_f_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_f_orders FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q38_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |  FROM part WHERE p_partkey <= 200
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        |  FROM part WHERE p_partkey <= 200)
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "q10_rollup" ->
       """SELECT r_name, n_name,

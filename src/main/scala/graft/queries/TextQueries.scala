@@ -73,6 +73,25 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Token-budget packing: per source, take the highest-quality docs
+    // until a token budget fills — the standard curation step of a
+    // training-data pipeline. One window shuffle on source; cumulative
+    // sum inside the partition.
+    "q46_token_pack" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source")
+        .orderBy($"quality".desc, $"doc_id".asc)
+      t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          qualityScore($"text").as("quality"),
+          bpeTokenEstimate($"text").cast("long").as("toks"))
+        .withColumn("cum", sum($"toks").over(w))
+        .filter($"cum" <= 1000)
+        .select($"doc_id", $"source", $"toks", $"cum")
+        .orderBy($"doc_id")
+    }),
+
     // BPE-ish token budget accounting per source.
     "q45_token_budget" -> ((s, dir) => {
       import s.implicits._
@@ -134,6 +153,23 @@ object TextQueries {
         |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q46_token_pack" ->
+      s"""SELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum FROM (
+         |  SELECT doc_id, source, toks,
+         |    sum(toks) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id ASC) AS cum
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      round(
+         |        0.4 * least(4.0 * len(list_filter(string_split(text,' '),
+         |              w -> list_contains($stopSql, w))) / len(string_split(text,' ')), 1.0)
+         |        + 0.4 * least(len(string_split(text,' ')) / 64.0, 1.0)
+         |        + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[\\.,;:!\\?]'))
+         |              / len(string_split(text,' ')), 1.0)), 4) AS quality,
+         |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks
+         |    FROM documents))
+         |WHERE cum <= 1000 ORDER BY doc_id""".stripMargin,
 
     "q45_token_budget" ->
       """SELECT source,

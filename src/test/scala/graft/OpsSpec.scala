@@ -104,4 +104,30 @@ class OpsSpec extends AnyFunSuite {
         bucketMicros = 3600L * 1000000, how = "left")
     assert(left.select($"event_id").distinct().count() == pts.count())
   }
+
+  test("stratifiedSample: proportions, determinism, partition-stability") {
+    val docs = Tables(spark, sf, "documents")
+    val fr = Map("en" -> 0.5, "es" -> 1.0, "fr" -> 0.0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Ops.stratifiedSample(df, "lang", "doc_id", fr)
+        .select($"doc_id").as[Long].collect().toSet
+    val s1 = ids(docs)
+    // deterministic: same input → same sample; partitioning-independent
+    assert(ids(docs) == s1)
+    assert(ids(docs.repartition(7)) == s1)
+    // fraction 1.0 keeps everything, 0.0 keeps nothing
+    val byLang = Ops.stratifiedSample(docs, "lang", "doc_id", fr)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.getOrElse("es", 0L) == totals("es"))
+    assert(byLang.getOrElse("fr", 0L) == 0L)
+    assert(!byLang.contains("de") && !byLang.contains("zh")) // default 0
+    // en ≈ half (hash-uniform; generous tolerance at 100-doc strata)
+    val enFrac = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+    // no shuffle: sampling must stay a narrow filter
+    val plan = Ops.stratifiedSample(docs, "lang", "doc_id", fr)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
