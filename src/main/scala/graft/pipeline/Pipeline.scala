@@ -754,6 +754,25 @@ object Pipeline {
         ctx.log("parquetwrite", s"wrote $path")
         0L
       })
+    }),
+
+    // ORC: the other splittable columnar format Spark ships natively —
+    // same role as parquetread/parquetwrite (extension; the reference
+    // has no columnar formats at all).
+    Registered("orcread", NoneType, RowType, "in=PATH:out=STREAM", (ctx, m) => {
+      val path = m.args.getOrElse("in", throw new BuildError("orcread: in= required"))
+      ctx.writeStream(m.copy(args = m.args - "in"),
+        ctx.spark.read.orc(path), RowType)
+    }),
+
+    Registered("orcwrite", RowType, NoneType, "in=STREAM:out=PATH", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      val path = m.args.getOrElse("out", throw new BuildError("orcwrite: out= required"))
+      ctx.addSink(m.raw, () => {
+        df.write.mode("overwrite").orc(path)
+        ctx.log("orcwrite", s"wrote $path")
+        0L
+      })
     })
   )
 

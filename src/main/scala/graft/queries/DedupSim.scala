@@ -108,6 +108,18 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // Per-label embedding centroids (element-wise mean): the cluster/
+    // class prototype computation — posexplode + one aggregation, long
+    // format so the oracle compares scalars. Oracle-checked.
+    "q59_embed_centroid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding").as(Seq("pos", "e")))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"e".cast("double")), 4).as("v"))
+        .orderBy($"label", $"pos")
+    }),
+
     // Deterministic stratified sample (hash-threshold, not RNG): the
     // class-balancing curation step. Hash isn't oracle-expressible →
     // rows-only; proportions + determinism asserted in OpsSpec.
@@ -145,6 +157,13 @@ object DedupSim {
       |      i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q59_embed_centroid" ->
+      """SELECT label, i - 1 AS pos, round(avg(CAST(e AS DOUBLE)), 4) AS v
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
     "q50_jaccard_pairs" ->
       s"""WITH d AS (
          |  SELECT doc_id, $shinglesSql AS sh

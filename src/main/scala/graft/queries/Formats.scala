@@ -82,6 +82,15 @@ object Formats {
         .orderBy(col("n_nationkey"))
     }),
 
+    // orcwrite → orcread (columnar round trip; DuckDB reads the
+    // ORIGINAL parquet, so a hash match proves ORC loses nothing).
+    "q27_roundtrip_orc" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+      val out = tmpDir("orc")
+      sup.write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("s_suppkey"))
+    }),
+
     // gzip codec at the edge (replaces the reference's gzip/gunzip
     // modules; its own docs recommend edge compression,
     // dbitool.pl:3304-3307).
@@ -104,6 +113,7 @@ object Formats {
     "q23_roundtrip_xml" -> selectAll("supplier", "s_suppkey"),
     "q24_roundtrip_jsonarray" -> selectAll("region", "r_regionkey"),
     "q26_roundtrip_bson" -> selectAll("nation", "n_nationkey"),
+    "q27_roundtrip_orc" -> selectAll("supplier", "s_suppkey"),
     "q25_roundtrip_csv_gzip" -> selectAll("part", "p_partkey")
   )
 }

@@ -209,7 +209,8 @@ class PipelineSpec extends AnyFunSuite {
       "jsonwrite", "fixedwidthread", "fixedwidthwrite", "xmlwrite",
       "gzip", "gunzip", "column", "ndb",
       "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
-      "parquetread", "parquetwrite",
+      "parquetread", "parquetwrite", "orcread", "orcwrite",
+      "jdbcselect", "jdbcinsert",
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
       "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
@@ -270,6 +271,16 @@ class PipelineSpec extends AnyFunSuite {
     // csv/xls/xlsx/ods all supported now; anything else still rejected
     intercept[BuildError](Pipeline.build(spark,
       Seq(s"spreadsheetread:fname=$d/in.csv:type=xlsb")))
+  }
+
+  test("orcread/orcwrite modules round-trip") {
+    val d = tmp("orc")
+    writeCsv(s"$d/in.csv", "a,b", "1,x", "2,y")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1", s"orcwrite:out=$d/t.orc"))
+    Pipeline.run(spark, Seq(
+      s"orcread:in=$d/t.orc", "csvwrite", s"filewrite:out=$d/back.csv"))
+    assert(readOut(s"$d/back.csv").sorted == Seq("1,x", "2,y", "a,b"))
   }
 
   test("select and limit and union modules") {
