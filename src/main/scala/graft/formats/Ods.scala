@@ -46,10 +46,13 @@ object Ods {
     } finally zf.close()
   }
 
-  /** Drop trailing all-empty rows and per-row trailing nulls. */
+  /** Drop trailing all-null rows and per-row trailing nulls (absent
+    * cell == null; an empty `<text:p/>` is a REAL empty string and is
+    * kept).
+    */
   private def clip(grid: Seq[Seq[String]]): Seq[Seq[String]] = {
     val rows = grid.map { r =>
-      val last = r.lastIndexWhere(c => c != null && c.nonEmpty)
+      val last = r.lastIndexWhere(_ != null)
       r.take(last + 1)
     }
     val lastRow = rows.lastIndexWhere(_.nonEmpty)
@@ -68,6 +71,7 @@ object Ods {
     var text = new StringBuilder
     var inCell = false
     var inP = false
+    var sawP = false                 // <text:p/> present ⇒ "" not null
     try {
       while (r.hasNext) {
         r.next() match {
@@ -89,7 +93,8 @@ object Ods {
                     .flatMap(_.toIntOption).getOrElse(1))
                 cellValue = r.getAttributeValue(null, "value")
                 text = new StringBuilder
-              case "p" if inCell => inP = true
+                sawP = false
+              case "p" if inCell => inP = true; sawP = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS if inP =>
@@ -100,7 +105,7 @@ object Ods {
               case "table-cell" | "covered-table-cell" if row != null =>
                 val v =
                   if (cellValue != null) cellValue
-                  else if (text.nonEmpty) text.toString
+                  else if (sawP) text.toString
                   else null
                 var i = 0
                 while (i < cellRepeat) { row += v; i += 1 }

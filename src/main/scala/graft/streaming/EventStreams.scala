@@ -80,6 +80,15 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * bounded dimension (the reference's ndb-lookup shape, unbounded).
+    * The static side re-plans per micro-batch — broadcast keeps every
+    * batch shuffle-free on the stream side.
+    */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame,
+                         key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -78,4 +78,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatched == 0, s"$mismatched stateful sessions disagree with batch")
     assert(emitted >= batch.count() - 20) // tail sessions may stay open
   }
+
+  test("stream-static enrichment joins every event to its dimension row") {
+    import spark.implicits._
+    val dim = (0L until 500L).map(u => (u, s"user_$u", u % 7)).toSeq
+      .toDF("user_id", "user_name", "cohort")
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.streamStaticEnrich(stream, dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_enriched")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_enriched")
+    val events = Tables(spark, sf, "events")
+    assert(got.count() == events.count()) // left join preserves the stream
+    // every user present in the dim must be enriched
+    val missing = got.filter($"user_id" < 500 && $"user_name".isNull).count()
+    assert(missing == 0, s"$missing events lost their dimension row")
+    val batchTwin = EventStreams.streamStaticEnrich(events, dim, "user_id")
+    assert(batchTwin.count() == got.count())
+  }
 }
