@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** SQL surface for graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *  - config-driven (the standard Spark-native-library path):
+  *    `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *    installs the functions in every new session;
+  *  - `GraftExtensions.register(spark)` adds them to an existing
+  *    session (temp functions).
+  *
+  * After either, `spark.sql("SELECT graft_cosine(a.e, b.e) ...")` uses
+  * the same codegen'd kernels as the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def litStrings(e: Expression, fn: String, arg: String): Seq[String] =
+    e match {
+      case CreateArray(items, _) => items.map {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be an array of string literals, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an array of string literals, got $other")
+    }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(s"$fn expects $n arguments, got ${args.length}")
+
+  /** name → builder for every exposed function. */
+  val all: Seq[(String, FunctionBuilder)] = Seq(
+    "graft_cosine" -> { args =>
+      arity("graft_cosine", args, 2); CosineSimilarity(args(0), args(1))
+    },
+    "graft_dot" -> { args =>
+      arity("graft_dot", args, 2); DotProduct(args(0), args(1))
+    },
+    "graft_word_ngrams" -> { args =>
+      arity("graft_word_ngrams", args, 2)
+      WordNgramsExpr(args(0), litInt(args(1), "graft_word_ngrams", "n"))
+    },
+    "graft_hashed_shingles" -> { args =>
+      arity("graft_hashed_shingles", args, 2)
+      HashedShinglesExpr(args(0), litInt(args(1), "graft_hashed_shingles", "k"))
+    },
+    "graft_jaccard_sorted" -> { args =>
+      arity("graft_jaccard_sorted", args, 2)
+      SortedLongJaccard(args(0), args(1))
+    },
+    "graft_winnow" -> { args =>
+      arity("graft_winnow", args, 3)
+      WinnowFingerprintExpr(args(0),
+        litInt(args(1), "graft_winnow", "k"), litInt(args(2), "graft_winnow", "w"))
+    },
+    "graft_token_set_count" -> { args =>
+      arity("graft_token_set_count", args, 2)
+      TokenSetCountExpr(args(0),
+        litStrings(args(1), "graft_token_set_count", "tokens"))
+    })
+
+  /** Install on an EXISTING session as temp functions. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .registerTempFunction(spark, name, builder)
+    }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftExtensions
+
+/** The SQL surface must reach the same codegen'd kernels as the Column
+  * API — checked by running the functions from spark.sql text.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  GraftExtensions.register(spark)
+
+  test("graft_cosine / graft_dot from SQL") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("graft_word_ngrams / graft_hashed_shingles / graft_jaccard_sorted from SQL") {
+    val r = spark.sql(
+      """SELECT graft_word_ngrams('a b c d', 2) AS g,
+        |  graft_jaccard_sorted(graft_hashed_shingles('a b c d', 3),
+        |                       graft_hashed_shingles('a b c d', 3)) AS j""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("graft_winnow and graft_token_set_count from SQL") {
+    val r = spark.sql(
+      """SELECT size(graft_winnow('the quick brown fox jumps over it', 8, 4)) AS n,
+        |  graft_token_set_count('the cat and the hat', array('the', 'and')) AS c""".stripMargin)
+      .head()
+    assert(r.getInt(0) > 0)
+    assert(r.getInt(1) == 3)
+  }
+
+  test("SQL results match the Column API on the corpus") {
+    import spark.implicits._
+    Tables(spark, sf, "documents").createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      "SELECT sum(size(graft_hashed_shingles(text, 3))) FROM docs_ext")
+      .head().getLong(0)
+    val viaApi = Tables(spark, sf, "documents")
+      .select(graft.operators.Dedup.hashedShingles($"text", 3).as("h"))
+      .selectExpr("sum(size(h))").head().getLong(0)
+    assert(viaSql == viaApi)
+  }
+
+  test("non-literal n is rejected with a clear error") {
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_word_ngrams('a b', cast(rand() * 3 AS INT))").head())
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("extensions install into a fresh session via withExtensions") {
+    // `spark.sql.extensions` is a STATIC conf read from the
+    // SparkContext at first-session creation, so a late second session
+    // can't pick it up from conf; the public withExtensions builder is
+    // the same injection path, testable over the existing context.
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val v = s2.sql("SELECT graft_dot(array(2.0D, 0.0D), array(3.0D, 1.0D))")
+        .head().getDouble(0)
+      assert(v == 6.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+}
