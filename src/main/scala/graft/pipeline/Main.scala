@@ -21,6 +21,15 @@ object Main {
       return
     }
     val verbose = args.contains("-v")
+    // Reference global options (dbitool.pl:38-57): --errorsize is the
+    // error budget; --streamsize/--memorylimit tune its cooperative
+    // scheduler and have no Spark equivalent — accepted for CLI compat.
+    def optVal(name: String): Option[String] =
+      args.collectFirst { case a if a.startsWith(s"--$name=") =>
+        a.drop(name.length + 3) }
+    val errorSize = optVal("errorsize").map(_.toInt).getOrElse(3)
+    require(errorSize >= 1 && errorSize <= 256,
+      s"--errorsize must be 1..256, got $errorSize") // dbitool.pl:56
     val words = args.filterNot(_.startsWith("-")).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,7 +40,8 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val result = Pipeline.run(spark, words, stats = verbose)
+    val result = Pipeline.run(spark, words, stats = verbose,
+      errorSize = errorSize)
     if (verbose) {
       result.log.collect().foreach(r => System.err.println(s"log: $r"))
       result.streamStats.foreach { case (s, n) =>
