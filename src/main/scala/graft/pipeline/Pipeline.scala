@@ -643,6 +643,66 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // As-of join from the DSL (wraps Ops.asofJoin — union + one window
+    // pass, one shuffle, no per-key quadratic). tolerance= in
+    // microseconds bounds staleness.
+    Registered("asofjoin", RowType, RowType,
+      "in=STREAM:with=STREAM:on=k1,k2:lts=COL:rts=COL:prefix=r_:tolerance=USEC:out=STREAM",
+      (ctx, m) => {
+        val left = ctx.readStream(m, RowType)
+        val wname = m.args.getOrElse("with",
+          throw new BuildError("asofjoin: with= required"))
+        val (right, rt) = ctx.streams.getOrElse(wname,
+          throw new BuildError(s"asofjoin: unknown stream '$wname'"))
+        if (rt != RowType) throw new BuildError(s"asofjoin: '$wname' is not a row stream")
+        ctx.readers(wname) += 1
+        val keys = m.args.getOrElse("on",
+          throw new BuildError("asofjoin: on= required")).split(",").toSeq
+        val lts = m.args.getOrElse("lts", throw new BuildError("asofjoin: lts= required"))
+        val rts = m.args.getOrElse("rts", throw new BuildError("asofjoin: rts= required"))
+        ctx.writeStream(m, graft.operators.Ops.asofJoin(left, right, keys,
+          lts, rts, rightPrefix = m.args.getOrElse("prefix", "r_"),
+          toleranceMicros = m.args.get("tolerance").map(_.toLong)), RowType)
+      }),
+
+    // Range (point-in-interval) join from the DSL (wraps Ops.rangeJoin
+    // — bucketed equi-join, never points × intervals).
+    Registered("rangejoin", RowType, RowType,
+      "in=STREAM:with=STREAM:on=k1:pts=COL:start=COL:end=COL:bucket=USEC:how=inner:out=STREAM",
+      (ctx, m) => {
+        val points = ctx.readStream(m, RowType)
+        val wname = m.args.getOrElse("with",
+          throw new BuildError("rangejoin: with= required"))
+        val (intervals, rt) = ctx.streams.getOrElse(wname,
+          throw new BuildError(s"rangejoin: unknown stream '$wname'"))
+        if (rt != RowType) throw new BuildError(s"rangejoin: '$wname' is not a row stream")
+        ctx.readers(wname) += 1
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"rangejoin: $k= required"))
+        ctx.writeStream(m, graft.operators.Ops.rangeJoin(points, intervals,
+          req("on").split(",").toSeq, req("pts"), req("start"), req("end"),
+          bucketMicros = req("bucket").toLong,
+          how = m.args.getOrElse("how", "inner")), RowType)
+      }),
+
+    // Fuzzy near-dedup from the DSL: MinHash-LSH pairs + keep-smallest-
+    // id drop (wraps Dedup — banded equi-join candidates, exact verify,
+    // never all-pairs).
+    Registered("dedupnear", RowType, RowType,
+      "in=STREAM:key=COL:text=COL:threshold=0.8:k=3:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("dedupnear: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("dedupnear: text= required"))
+        val threshold = m.args.getOrElse("threshold", "0.8").toDouble
+        val k = m.args.getOrElse("k", "3").toInt
+        val pairs = graft.operators.Dedup.minhashDuplicatePairs(
+          df, key, text, k = k, threshold = threshold)
+        ctx.writeStream(m,
+          graft.operators.Dedup.dropDuplicatesByPairs(df, key, pairs), RowType)
+      }),
+
     Registered("spreadsheetread", NoneType, RowType,
       "fname=FILE:type=csv:sheet=NAME:x=1:y=1:header=1:out=STREAM", (ctx, m) => {
         // Reference spreadsheetread (dbitool.pl:2696-2784) reads an

@@ -209,6 +209,7 @@ class PipelineSpec extends AnyFunSuite {
       "jsonwrite", "fixedwidthread", "fixedwidthwrite", "xmlwrite",
       "gzip", "gunzip", "column", "ndb",
       "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
+      "asofjoin", "rangejoin", "dedupnear",
       "parquetread", "parquetwrite", "orcread", "orcwrite",
       "jdbcselect", "jdbcinsert",
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
@@ -271,6 +272,51 @@ class PipelineSpec extends AnyFunSuite {
     // csv/xls/xlsx/ods all supported now; anything else still rejected
     intercept[BuildError](Pipeline.build(spark,
       Seq(s"spreadsheetread:fname=$d/in.csv:type=xlsb")))
+  }
+
+  test("asofjoin module: latest right row at-or-before each left ts") {
+    val d = tmp("asof")
+    writeCsv(s"$d/left.csv", "k,ts,x",
+      "a,2024-01-01T00:05:00,1", "a,2024-01-01T00:20:00,2")
+    writeCsv(s"$d/right.csv", "k,ts,px",
+      "a,2024-01-01T00:00:00,10", "a,2024-01-01T00:10:00,20")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/left.csv", "csvread:infer=1:out=l",
+      s"fileread:in=$d/right.csv", "csvread:infer=1:out=r",
+      "asofjoin:in=l:with=r:on=k:lts=ts:rts=ts:out=j",
+      "select:in=j:exprs=k;x;r_px:out=p",
+      "csvwrite:in=p", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted ==
+      Seq("a,1,10", "a,2,20", "k,x,r_px").sorted)
+  }
+
+  test("rangejoin module: points land in their intervals") {
+    val d = tmp("range")
+    writeCsv(s"$d/pts.csv", "k,ts,ev",
+      "a,2024-01-01T00:05:00,p1", "a,2024-01-01T02:00:00,p2")
+    writeCsv(s"$d/iv.csv", "k,s,e,tag",
+      "a,2024-01-01T00:00:00,2024-01-01T01:00:00,w1")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/pts.csv", "csvread:infer=1:out=p",
+      s"fileread:in=$d/iv.csv", "csvread:infer=1:out=iv",
+      "rangejoin:in=p:with=iv:on=k:pts=ts:start=s:end=e:bucket=3600000000:out=j",
+      "select:in=j:exprs=ev;tag:out=sel",
+      "csvwrite:in=sel", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted == Seq("ev,tag", "p1,w1"))
+  }
+
+  test("dedupnear module drops near-duplicate texts, keeps smallest key") {
+    val d = tmp("near")
+    writeCsv(s"$d/in.csv", "id,body",
+      "1,the quick brown fox jumps over the lazy dog today",
+      "2,the quick brown fox jumps over the lazy dog today",
+      "3,a completely different document about spark pipelines here")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1",
+      "dedupnear:key=id:text=body:threshold=0.9",
+      "select:exprs=id:out=ids",
+      "csvwrite:in=ids", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted == Seq("1", "3", "id"))
   }
 
   test("orcread/orcwrite modules round-trip") {
