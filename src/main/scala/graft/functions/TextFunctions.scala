@@ -92,6 +92,15 @@ object TextFunctions {
     }._1
   }
 
+  /** Canonical text normalization for dedup robustness: lowercase,
+    * strip non-alphanumerics, collapse runs of spaces, trim. Composed
+    * from codegen'd built-ins; mirrors 1:1 into the oracle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[^a-z0-9 ]"), lit("")),
+      lit(" +"), lit(" ")))
+
   /** Content fingerprint for exact dedup: md5 hex (cross-engine
     * comparable); xxhash64 for speed when the oracle isn't involved.
     */

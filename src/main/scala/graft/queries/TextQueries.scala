@@ -92,6 +92,16 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Normalization-then-dedup: families that only differ in case/
+    // punctuation/whitespace collapse to one normalized fingerprint.
+    "q47_normalize_dedup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(fingerprint(normalizeText($"text")).as("nfp"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("family"))
+        .orderBy($"keep_id")
+    }),
+
     // BPE-ish token budget accounting per source.
     "q45_token_budget" -> ((s, dir) => {
       import s.implicits._
@@ -170,6 +180,13 @@ object TextQueries {
          |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks
          |    FROM documents))
          |WHERE cum <= 1000 ORDER BY doc_id""".stripMargin,
+
+    "q47_normalize_dedup" ->
+      """SELECT md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS nfp,
+        |  min(doc_id) AS keep_id, count(*) AS family
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "q45_token_budget" ->
       """SELECT source,
