@@ -78,6 +78,16 @@ object GraftExtensions {
       arity("graft_token_set_count", args, 2)
       TokenSetCountExpr(args(0),
         litStrings(args(1), "graft_token_set_count", "tokens"))
+    },
+    // composed from built-in catalyst expressions (not a custom
+    // Expression) — registry builders need resolved trees, so this is
+    // assembled directly rather than via the Column API
+    "graft_normalize" -> { args =>
+      arity("graft_normalize", args, 1)
+      import org.apache.spark.sql.catalyst.expressions.{Lower, RegExpReplace, StringTrim}
+      StringTrim(RegExpReplace(
+        RegExpReplace(Lower(args(0)), Literal("[^a-z0-9 ]"), Literal("")),
+        Literal(" +"), Literal(" ")))
     })
 
   /** Install on an EXISTING session as temp functions. */

@@ -39,6 +39,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3)
   }
 
+  test("graft_normalize from SQL (composed-builtins builder)") {
+    val r = spark.sql(
+      "SELECT graft_normalize('  Hello,   WORLD!! 42  ') AS n").head()
+    assert(r.getString(0) == "hello world 42")
+  }
+
   test("SQL results match the Column API on the corpus") {
     import spark.implicits._
     Tables(spark, sf, "documents").createOrReplaceTempView("docs_ext")
