@@ -84,12 +84,50 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Candidate pairs from banded rows `(id, bandIdx, <keyCol>)` with a
+    * hub-bucket cut — the piece that keeps LSH banding linear on real
+    * corpora. A band key shared by B near-identical documents
+    * (boilerplate, empty strings, license headers — guaranteed in any
+    * crawl) would make a naive band self-join emit B² candidate rows.
+    * Instead:
+    *
+    *  - bucket stats (count + min id) in one hash-aggregate with
+    *    map-side partials — never a per-bucket array in memory;
+    *  - buckets with ≤ maxBucket members take the all-pairs self-join
+    *    (bounded at maxBucket² rows per bucket);
+    *  - oversized buckets emit LINEAR "star" edges member→representative
+    *    (the bucket's min id). Members of a hub bucket are near-identical
+    *    by construction, so linking them through one representative
+    *    preserves the keep-smallest-id dedup outcome
+    *    (`dropDuplicatesByPairs`) at B-1 instead of B² edges.
+    *
+    * All three stages shuffle on the same (bandIdx, key) key, so the
+    * stats join and the self-join co-partition. Callers still verify
+    * every emitted pair exactly — star edges included.
+    */
+  private[operators] def bandCandidates(banded: DataFrame, keyCol: String,
+                                        maxBucket: Int): DataFrame = {
+    val stats = banded.groupBy(col("bandIdx"), col(keyCol))
+      .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
+    val sized = banded.join(stats, Seq("bandIdx", keyCol))
+    val small = sized.filter(col("__bsz") <= maxBucket)
+      .select(col("bandIdx"), col(keyCol), col("id"))
+    val smallPairs = small.as("a").join(small.as("b"), Seq("bandIdx", keyCol))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
+    val starPairs = sized
+      .filter(col("__bsz") > maxBucket && col("id") =!= col("__rep"))
+      .select(col("__rep").as("idA"), col("id").as("idB"))
+    smallPairs.unionByName(starPairs).dropDuplicates("idA", "idB")
+  }
+
   /** MinHash-LSH candidate pairs, verified with EXACT shingle jaccard.
     * Output: (idA, idB, jaccard), idA < idB, jaccard >= threshold.
     */
   def minhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, numPerm: Int = 64, bands: Int = 16,
-                            threshold: Double = 0.7): DataFrame = {
+                            threshold: Double = 0.7,
+                            maxBucket: Int = 64): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
 
@@ -124,12 +162,9 @@ object Dedup {
           col(s"m${b * rowsPerBand + r}")): _*)
       }: _*)).as(Seq("bandIdx", "bandHash")))
 
-    // id-only candidate join: the shuffled payload is 3 longs per row.
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("bandIdx", "bandHash"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"))
-      .dropDuplicates("idA", "idB")
+    // id-only candidate join (shuffled payload: 3 longs per row) with
+    // the hub-bucket cut — see bandCandidates.
+    val candidates = bandCandidates(banded, "bandHash", maxBucket)
 
     // Exact verification joins hashed shingles back for surviving
     // pairs only.
@@ -185,20 +220,25 @@ object Dedup {
   /** SimHash near-dup pairs: 16-bit band blocking (a pair within
     * hamming distance 3 of 64 bits must agree on ≥1 of 4 bands), then
     * exact hamming verify. Same join-on-band-key scale shape as
-    * MinHash-LSH.
+    * MinHash-LSH, including the hub-bucket cut (identical boilerplate
+    * docs all share a fingerprint, hence every band — a naive band
+    * self-join would go quadratic on them).
     */
   def simhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
-                            maxDist: Int = 3): DataFrame = {
+                            maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
+    // (id, fp) is two longs per row; persisted because it feeds the
+    // banding AND both sides of the verify join below.
     val base = simhashTable(df, idCol, textCol)
-    val banded = base.select(col("id"), col("fp"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("bandIdx", "bandVal")))
-    banded.as("a").join(banded.as("b"), Seq("bandIdx", "bandVal"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"),
-        hamming(col("a.fp"), col("b.fp")).as("dist"))
-      .dropDuplicates("idA", "idB")
+        .as(Seq("bandIdx", "bandHash")))
+    bandCandidates(banded, "bandHash", maxBucket)
+      .join(base.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
+      .join(base.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
+      .select(col("idA"), col("idB"),
+        hamming(col("fpA"), col("fpB")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

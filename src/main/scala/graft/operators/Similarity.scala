@@ -90,7 +90,8 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nBits: Int = 16, bands: Int = 4,
-              dim: Int = 64, multiProbe: Int = 1): DataFrame = {
+              dim: Int = 64, multiProbe: Int = 1,
+              maxBucket: Int = 1024): DataFrame = {
     require(nBits % bands == 0)
     val bandBits = nBits / bands
     val planes = hyperplanes(nBits, dim)
@@ -114,7 +115,22 @@ object Similarity {
           col("__bk.b").as("bandIdx"), col("__bk.k").as("bandKey"))
     }
 
-    val c = bandKeysOf(corpus, "vec_id_c", probe = 0)
+    // Hub-bucket cut on the corpus side: a band key holding B
+    // near-identical vectors multiplies B × (queries probing it) in the
+    // candidate join. Buckets over maxBucket are thinned to ~maxBucket
+    // members by a deterministic hash test (no sort, no per-bucket
+    // array; the stats join and candidate join share the (bandIdx,
+    // bandKey) partitioning). The survivors are an unbiased sample of a
+    // bucket whose members are near-interchangeable for top-k anyway,
+    // and each vector keeps its other bands' buckets untouched.
+    val c0 = bandKeysOf(corpus, "vec_id_c", probe = 0)
+    val cStats = c0.groupBy(col("bandIdx"), col("bandKey"))
+      .agg(count(lit(1)).as("__bsz"))
+    val c = c0.join(cStats, Seq("bandIdx", "bandKey"))
+      .filter(col("__bsz") <= maxBucket ||
+        pmod(xxhash64(col("vec_id_c"), col("bandIdx"), col("bandKey")),
+          col("__bsz")) < maxBucket)
+      .drop("__bsz")
     val q = bandKeysOf(queries, "query_id", probe = multiProbe)
     val cand = c.join(q, Seq("bandIdx", "bandKey"))
       .filter(col("vec_id_c") =!= col("query_id"))
@@ -158,30 +174,28 @@ object Similarity {
 
     def centroidLit(c: Seq[Float]) = array(c.map(lit): _*)
 
-    // argmax over nList cosine scores, unrolled (codegen'd kernels).
-    def assignExpr(e: Column): Column = {
-      val scored = centroids.map { case (i, c) =>
-        struct(cosine(e, centroidLit(c)).as("s"), lit(i).as("i"))
-      }
-      greatest(scored: _*).getField("i")
-    }
+    // ONE scored array (cosine vs every centroid) per row, built in a
+    // dedicated projection and referenced exactly once downstream —
+    // assignment argmax (corpus side) and probe slice (query side) both
+    // read it, so the nList cosine kernels run once per row. array_max
+    // on array<struct<s,i>> orders by (s, i) — identical to a greatest()
+    // over the structs.
+    def scoredExpr(e: Column): Column = array(centroids.map { case (i, c) =>
+      struct(cosine(e, centroidLit(c)).as("s"), lit(i).as("i"))
+    }: _*)
 
-    // top-nProbe lists per query via the same scores.
-    def probeExpr(e: Column): Column = {
-      val scored = array(centroids.map { case (i, c) =>
-        struct(cosine(e, centroidLit(c)).as("s"), lit(i).as("i"))
-      }: _*)
-      slice(array_sort(scored,
-        (l, r) => when(l.getField("s") > r.getField("s"), -1)
-          .when(l.getField("s") < r.getField("s"), 1).otherwise(0)),
-        1, nProbe).getField("i")
-    }
-
-    val assigned = corpus.select(col(idCol), col(embCol),
-      assignExpr(col(embCol)).as("__list"))
-    val probed = queries.select(col(idCol).as("query_id"),
-      col(embCol).as("__qe"),
-      explode(probeExpr(col(embCol))).as("__list"))
+    val assigned = corpus
+      .select(col(idCol), col(embCol), scoredExpr(col(embCol)).as("__scored"))
+      .select(col(idCol), col(embCol),
+        array_max(col("__scored")).getField("i").as("__list"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+        scoredExpr(col(embCol)).as("__scored"))
+      .select(col("query_id"), col("__qe"),
+        explode(slice(array_sort(col("__scored"),
+          (l, r) => when(l.getField("s") > r.getField("s"), -1)
+            .when(l.getField("s") < r.getField("s"), 1).otherwise(0)),
+          1, nProbe).getField("i")).as("__list"))
 
     val cand = assigned.join(probed, "__list")
       .filter(col(idCol) =!= col("query_id"))

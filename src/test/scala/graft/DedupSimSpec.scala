@@ -79,6 +79,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert((a & b).nonEmpty, "guaranteed shared fingerprint missing")
   }
 
+  test("hub-bucket cut: 1k identical docs yield linear star edges, not B^2") {
+    // Boilerplate-heavy corpus: 1000 byte-identical docs share every
+    // band bucket. Without the hub cut the band self-join would emit
+    // ~499,500 candidate pairs per band; with it, each member links to
+    // the bucket representative (min id) — exactly 999 edges total.
+    val hub = (1L to 1000L).map(i =>
+      (i, "the same boilerplate license header text repeated everywhere"))
+    val solo = Seq((2001L, "an entirely unrelated document about turnips"),
+      (2002L, "another unique text regarding astronomy and tea"))
+    val df = (hub ++ solo).toDF("doc_id", "text")
+
+    val mh = Dedup.minhashDuplicatePairs(df, "doc_id", "text",
+      k = 3, numPerm = 16, bands = 4, threshold = 0.9, maxBucket = 8)
+    val mhPairs = mh.select($"idA", $"idB").as[(Long, Long)].collect()
+    assert(mhPairs.length == 999,
+      s"expected 999 linear star edges, got ${mhPairs.length}")
+    assert(mhPairs.forall(_._1 == 1L), "star edges must point at the rep")
+    assert(Dedup.dropDuplicatesByPairs(df, "doc_id", mh).count() == 3)
+
+    val sh = Dedup.simhashDuplicatePairs(df, "doc_id", "text",
+      maxDist = 3, maxBucket = 8)
+    val shPairs = sh.select($"idA", $"idB").as[(Long, Long)].collect()
+    assert(shPairs.length == 999, s"got ${shPairs.length}")
+    assert(shPairs.forall(_._1 == 1L))
+  }
+
   test("dropDuplicatesByPairs keeps smallest id of each family") {
     val pairs = Seq((1L, 2L), (1L, 3L), (5L, 6L)).toDF("idA", "idB")
     val df = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
