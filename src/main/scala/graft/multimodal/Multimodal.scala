@@ -15,13 +15,13 @@ import org.apache.spark.sql.types._
   * Per-partition codec state (a real decoder instance) amortizes via a
   * lazy transient val in the codec object.
   *
-  * !!! The codecs themselves are STUBS — this container has no image/
-  * audio libraries, so `decodeMeta`/`extractFeatures`/`resize`/
-  * `sampleFrames` parse a deterministic fake header (`GMM1` magic) or
-  * derive pseudo-content from a hash. The Spark-side contracts —
-  * schemas, batch iteration, partition sizing, null passthrough — are
-  * real and tested; swapping a real codec into `StubCodec` changes no
-  * plumbing.
+  * Codecs: STILL IMAGES ARE REAL — `ImageIoCodec` (pure-JDK
+  * javax.imageio) decodes PNG/JPEG/GIF/BMP with header-only metadata
+  * reads, bilinear resampling and luminance-grid features. Audio/video
+  * remain STUBS (`StubCodec` parses a deterministic fake `GMM1` header)
+  * because this container ships no audio/video libraries; `AutoCodec`
+  * sniffs magic bytes and dispatches per payload, so real audio codecs
+  * slot in behind the same `MediaCodec` trait with no plumbing change.
   *
   * Scale notes: binaryFile scans support pathGlobFilter/pruning;
   * payloads ride shuffles only when explicitly selected; partition
@@ -42,10 +42,27 @@ object Multimodal {
     StructField("durationMs", LongType, nullable = false),
     StructField("valid", BooleanType, nullable = false)))
 
-  /** The stub "codec": real codecs (JPEG/PNG/WAV decoders) slot in
-    * behind exactly this interface.
+  /** Magic-sniffing dispatcher: JDK-decodable image payloads go through
+    * the real `ImageIoCodec`; everything else (incl. the `GMM1` test
+    * format standing in for audio/video) through `StubCodec`.
     */
-  object StubCodec {
+  object AutoCodec extends MediaCodec {
+    private def pick(bytes: Array[Byte]): MediaCodec =
+      if (ImageIoCodec.supports(bytes)) ImageIoCodec else StubCodec
+    def decode(bytes: Array[Byte]): MediaMeta = pick(bytes).decode(bytes)
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      pick(bytes).features(bytes, dim)
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      pick(bytes).resize(bytes, w, h)
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      pick(bytes).sampleFrames(bytes, n)
+  }
+
+  /** The stub codec for formats with no in-container decoder (audio/
+    * video): parses the deterministic fake `GMM1` header so plumbing
+    * contracts stay testable end-to-end.
+    */
+  object StubCodec extends MediaCodec {
     /** Parse the fake header: GMM1 | fmt(4) | w(4) | h(4) | durMs(8). */
     def decode(bytes: Array[Byte]): MediaMeta = {
       if (bytes == null || bytes.length < 24 ||
@@ -122,7 +139,7 @@ object Multimodal {
     * UDF over the binary column only — the plan stays in Catalyst.
     */
   def decodeMeta(df: DataFrame, binCol: String = "content"): DataFrame = {
-    val f = udf((bytes: Array[Byte]) => StubCodec.decode(bytes))
+    val f = udf((bytes: Array[Byte]) => AutoCodec.decode(bytes))
     df.withColumn("meta", f(col(binCol)))
   }
 
@@ -131,7 +148,7 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, binCol: String = "content",
                       dim: Int = 64): DataFrame = {
-    val f = udf((bytes: Array[Byte]) => StubCodec.features(bytes, dim))
+    val f = udf((bytes: Array[Byte]) => AutoCodec.features(bytes, dim))
     df.withColumn("embedding", f(col(binCol)))
   }
 
@@ -139,7 +156,7 @@ object Multimodal {
   def resize(df: DataFrame, w: Int, h: Int,
              binCol: String = "content"): DataFrame = {
     val f = udf((bytes: Array[Byte]) =>
-      if (bytes == null) null else StubCodec.resize(bytes, w, h))
+      if (bytes == null) null else AutoCodec.resize(bytes, w, h))
     df.withColumn("resized", f(col(binCol)))
   }
 
@@ -147,7 +164,7 @@ object Multimodal {
   def sampleFrames(df: DataFrame, n: Int,
                    binCol: String = "content"): DataFrame = {
     val f = udf((bytes: Array[Byte]) =>
-      if (bytes == null) null else StubCodec.sampleFrames(bytes, n))
+      if (bytes == null) null else AutoCodec.sampleFrames(bytes, n))
     df.withColumn("frames", f(col(binCol)))
   }
 }
