@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *  - every operator is a declarative DataFrame transform, so Catalyst
   *    keeps pushdown/pruning and AQE can re-plan shuffles at runtime;
   *  - the as-of join is a union + single window pass — ONE shuffle on
-  *    the key, no row-pair explosion, skew-safe at 100 TB (vs. the
-  *    naive inequality join which is quadratic per key).
+  *    the key, no row-pair explosion (vs. the naive inequality join
+  *    which is quadratic per key). Quadratic-safe, NOT skew-safe: one
+  *    window partition per key means a hot key serializes into one
+  *    task — `asofJoinBucketed` is the skew-safe variant.
   */
 object Ops {
 
@@ -58,9 +60,13 @@ object Ops {
     * Implementation: tag both sides, union, one window pass partitioned
     * by key ordered by (ts, side) carrying the latest right-row payload
     * via `last(ignoreNulls)` — then keep left rows. Exactly one shuffle
-    * on `keys`; linear in rows; no per-key quadratic blowup, which is
-    * what makes it usable against 100 TB fact tables. Right-side columns
-    * come back prefixed with `rightPrefix`.
+    * on `keys`; linear in rows; no per-key quadratic blowup. Right-side
+    * columns come back prefixed with `rightPrefix`.
+    *
+    * Skew caveat: the window makes ONE partition per key, so a single
+    * key holding 30% of the rows serializes into one task (linear, but
+    * a straggler). For hot-key distributions use `asofJoinBucketed`,
+    * which splits each key across time buckets.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
@@ -99,6 +105,107 @@ object Ops {
         when(col("__match").isNotNull &&
           unix_micros(col("__ts")) -
             unix_micros(col(s"__match.$rightTs")) <= tol,
+          col("__match")))
+    }
+
+    val outLeft = leftCols.map(c => col(s"__lrow.$c").as(c))
+    val outRight = rightValCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
+    joined.select(outLeft ++ outRight: _*)
+  }
+
+  /** Skew-safe as-of join: identical semantics to `asofJoin` (backward,
+    * inclusive, optional tolerance), but the expensive window is
+    * partitioned by (key, time-bucket) instead of key alone — a hot key
+    * spreads across its time buckets, so no single task owns 30% of a
+    * 100 TB table.
+    *
+    * Three stages, all linear:
+    *  1. Per-(key, bucket) LAST right payload via one `max_by`
+    *     hash-aggregate (map-side partials).
+    *  2. Carry-in per left bucket: a window over the bucket AGGREGATES
+    *     (one row per key×bucket, not per input row) finds the latest
+    *     right payload from strictly-earlier buckets. Left markers sort
+    *     before same-bucket aggregates, so a bucket's own right rows
+    *     are never carried into it — they're handled exactly in stage 3.
+    *  3. The union+window as-of inside each (key, bucket): carry-in row
+    *     at -infinity, right rows, left rows — same ordering rules as
+    *     `asofJoin`, partition key now includes the bucket.
+    *
+    * Choose bucketMicros so a hot key's rows spread over many buckets
+    * (≈ expected hot-key span / desired parallelism); cold keys just
+    * pay one extra tiny aggregate.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, bucketMicros: Long,
+                       rightPrefix: String = "r_",
+                       toleranceMicros: Option[Long] = None): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val rightValCols = right.columns.filterNot(keys.contains).toSeq
+    val payload = struct(rightValCols.map(col): _*)
+    val leftCols = left.columns.toSeq
+
+    val rB = right.select(
+      keys.map(col) ++ Seq(
+        (unix_micros(col(rightTs)) / bucketMicros).as("__bucket"),
+        unix_micros(col(rightTs)).as("__tsu"),
+        payload.as("__payload")): _*)
+    val payloadType = rB.schema("__payload").dataType
+
+    val lB = left.select(
+      keys.map(col) ++ Seq(
+        (unix_micros(col(leftTs)) / bucketMicros).as("__bucket"),
+        unix_micros(col(leftTs)).as("__tsu"),
+        struct(leftCols.map(col): _*).as("__lrow")): _*)
+    val lrowType = lB.schema("__lrow").dataType
+
+    // 1. last right payload per (key, bucket)
+    val rAgg = rB.groupBy((keys :+ "__bucket").map(col): _*)
+      .agg(max_by(col("__payload"), col("__tsu")).as("__lastPayload"))
+
+    // 2. carry-in: per distinct left (key, bucket), the latest right
+    // payload from buckets strictly before it. Left markers get side 0
+    // so at an equal bucket they sort BEFORE the bucket's own aggregate
+    // (side 1) — the running last() sees earlier buckets only. This
+    // window runs over bucket aggregates: O(buckets per key) rows.
+    val leftBuckets = lB.select((keys :+ "__bucket").map(col): _*).distinct()
+    val wKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bucket").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryIn = leftBuckets
+      .withColumn("__side", lit(0))
+      .withColumn("__lastPayload", lit(null).cast(payloadType))
+      .unionByName(rAgg.withColumn("__side", lit(1)))
+      .withColumn("__carry",
+        last(col("__lastPayload"), ignoreNulls = true).over(wKey))
+      .filter(col("__side") === 0)
+      .select((keys :+ "__bucket").map(col) :+ col("__carry"): _*)
+
+    // 3. the as-of window inside each (key, bucket)
+    val carryRows = carryIn.select(
+      keys.map(col) ++ Seq(col("__bucket"),
+        lit(Long.MinValue).as("__tsu"), lit(-1).as("__side"),
+        col("__carry").as("__payload"),
+        lit(null).cast(lrowType).as("__lrow")): _*)
+    val rRows = rB.select(
+      keys.map(col) ++ Seq(col("__bucket"), col("__tsu"),
+        lit(0).as("__side"), col("__payload"),
+        lit(null).cast(lrowType).as("__lrow")): _*)
+    val lRows = lB.select(
+      keys.map(col) ++ Seq(col("__bucket"), col("__tsu"),
+        lit(1).as("__side"), lit(null).cast(payloadType).as("__payload"),
+        col("__lrow")): _*)
+
+    val w = Window.partitionBy((keys :+ "__bucket").map(col): _*)
+      .orderBy(col("__tsu").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined0 = carryRows.unionByName(rRows).unionByName(lRows)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val joined = toleranceMicros.fold(joined0) { tol =>
+      joined0.withColumn("__match",
+        when(col("__match").isNotNull &&
+          col("__tsu") - unix_micros(col(s"__match.$rightTs")) <= tol,
           col("__match")))
     }
 

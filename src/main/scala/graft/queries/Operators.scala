@@ -107,6 +107,25 @@ object Operators {
         .orderBy($"event_id", $"purchase_id")
     }),
 
+    // Skew-safe bucketed as-of join: identical semantics to q33 (same
+    // oracle), but the window partitions on (user, 6h-bucket) so a hot
+    // user parallelizes across time buckets.
+    "q39_asof_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"),
+          $"value".as("purchase_value"))
+      Ops.asofJoinBucketed(clicks, purchases, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          bucketMicros = 6L * 3600 * 1000000, rightPrefix = "p_")
+        .select($"event_id", $"user_id", $"p_purchase_id",
+          round($"p_purchase_value", 2).as("p_purchase_value"))
+        .orderBy($"event_id")
+    }),
+
     // Custom typed Aggregator (UDAF surface): quantity-weighted average
     // price per return flag, exact-decimal partial aggregation.
     "q35_weighted_avg" -> ((s, dir) => {
@@ -119,18 +138,34 @@ object Operators {
         .orderBy($"l_returnflag")
     }),
 
-    // Approximate distinct (HLL++). No DuckDB oracle — approximate
-    // results are engine-specific; the spec asserts <5% error vs exact.
+    // Approximate distinct (HLL++). Raw sketch values are
+    // engine-specific, so the oracle-checked output carries the exact
+    // counts plus booleans asserting the approx is within 5% of exact
+    // (the oracle emits literal TRUE); OpsSpec asserts the error bound
+    // numerically as well.
     "q34_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
         .agg(
+          count_distinct($"l_partkey").as("exact_parts"),
+          count_distinct($"l_orderkey").as("exact_orders"),
           approx_count_distinct($"l_partkey").as("approx_parts"),
           approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .select($"exact_parts", $"exact_orders",
+          (abs($"approx_parts" - $"exact_parts") <=
+            $"exact_parts" * 0.05).as("approx_parts_ok"),
+          (abs($"approx_orders" - $"exact_orders") <=
+            $"exact_orders" * 0.05).as("approx_orders_ok"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q34_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
+        |FROM lineitem""".stripMargin,
+
     "q30_dedup_lastwins" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
@@ -186,6 +221,20 @@ object Operators {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q33_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  p.purchase_id AS p_purchase_id,
+        |  round(p.purchase_value, 2) AS p_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id,
+        |                  value AS purchase_value
+        |                FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // Same semantics (and oracle) as q33 — the bucketed implementation
+    // must be indistinguishable from the plain one.
+    "q39_asof_bucketed" ->
       """SELECT c.event_id, c.user_id,
         |  p.purchase_id AS p_purchase_id,
         |  round(p.purchase_value, 2) AS p_purchase_value

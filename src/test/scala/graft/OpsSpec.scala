@@ -48,6 +48,44 @@ class OpsSpec extends AnyFunSuite {
       Seq("exact", "later", null))
   }
 
+  test("asofJoinBucketed matches asofJoin on a hot-key (50%) fixture") {
+    // one key owns half of all rows — the distribution that serializes
+    // the plain window as-of into a single task. Unique ts per key keeps
+    // every match unambiguous so the two implementations must agree
+    // row-for-row.
+    val hotL = (0 until 500).map(i => (i.toLong, "hot", i * 13L + 7))
+    val coldL = for (k <- 0 until 10; i <- 0 until 50)
+      yield (10000L + k * 100 + i, s"k$k", i * 17L + 3)
+    val left = (hotL ++ coldL).toDF("id", "u", "t")
+      .withColumn("t", timestamp_micros($"t"))
+    val hotR = (0 until 200).map(i => ("hot", i * 29L + 1, s"h$i"))
+    val coldR = for (k <- 0 until 10; i <- 0 until 20)
+      yield (s"k$k", i * 31L + 2, s"c${k}_$i")
+    val right = (hotR ++ coldR).toDF("u", "t", "tag")
+      .withColumn("t", timestamp_micros($"t"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"r_tag").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("r_tag"))).sortBy(_._1).toSeq
+
+    // bucket of 1000µs splits the hot key's ~6500µs span across buckets
+    val plain = norm(Ops.asofJoin(left, right, Seq("u"), "t", "t"))
+    val bucketed = norm(Ops.asofJoinBucketed(left, right, Seq("u"), "t", "t",
+      bucketMicros = 1000L))
+    assert(plain == bucketed)
+    assert(plain.length == 1000)
+    assert(plain.count(_._2 != null) > 900, "fixture should mostly match")
+
+    // tolerance variant must agree too (bounded staleness drops matches)
+    val plainTol = norm(Ops.asofJoin(left, right, Seq("u"), "t", "t",
+      toleranceMicros = Some(40L)))
+    val bucketedTol = norm(Ops.asofJoinBucketed(left, right, Seq("u"), "t", "t",
+      bucketMicros = 1000L, toleranceMicros = Some(40L)))
+    assert(plainTol == bucketedTol)
+    assert(plainTol.count(_._2 != null) < plain.count(_._2 != null),
+      "tolerance should drop stale matches")
+  }
+
   test("asofJoin left rows are all preserved (left-join semantics)") {
     val left = Tables(spark, sf, "events").filter($"event_type" === "click")
       .select($"event_id", $"user_id", $"ts")
