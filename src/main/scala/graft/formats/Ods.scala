@@ -22,8 +22,11 @@ object Ods {
 
   val Mime = "application/vnd.oasis.opendocument.spreadsheet"
 
-  /** Repeats beyond this are treated as trailing padding and clipped
-    * (the reference's Spreadsheet::Read `clip` behavior).
+  /** EMPTY repeats beyond this are treated as trailing padding and
+    * clipped (the reference's Spreadsheet::Read `clip` behavior —
+    * LibreOffice pads sheets to 2^20 trailing empty rows/columns).
+    * Repeated runs carrying REAL values are always expanded in full:
+    * capping them would silently drop data.
     */
   private val RepeatCap = 4096
 
@@ -83,14 +86,14 @@ object Ods {
                 rows = mutable.ArrayBuffer[Seq[String]]()
               case "table-row" if rows != null =>
                 row = mutable.ArrayBuffer[String]()
-                rowRepeat = math.min(RepeatCap,
+                rowRepeat =
                   Option(r.getAttributeValue(null, "number-rows-repeated"))
-                    .flatMap(_.toIntOption).getOrElse(1))
+                    .flatMap(_.toIntOption).getOrElse(1)
               case "table-cell" | "covered-table-cell" if row != null =>
                 inCell = true
-                cellRepeat = math.min(RepeatCap,
+                cellRepeat =
                   Option(r.getAttributeValue(null, "number-columns-repeated"))
-                    .flatMap(_.toIntOption).getOrElse(1))
+                    .flatMap(_.toIntOption).getOrElse(1)
                 cellValue = r.getAttributeValue(null, "value")
                 text = new StringBuilder
                 sawP = false
@@ -107,13 +110,19 @@ object Ods {
                   if (cellValue != null) cellValue
                   else if (sawP) text.toString
                   else null
+                // cap applies ONLY to empty padding runs; real values
+                // expand in full (decided here, where the value is known)
+                val rep = if (v == null || v.isEmpty)
+                  math.min(RepeatCap, cellRepeat) else cellRepeat
                 var i = 0
-                while (i < cellRepeat) { row += v; i += 1 }
+                while (i < rep) { row += v; i += 1 }
                 inCell = false; cellValue = null
               case "table-row" if rows != null =>
                 val snap = row.toSeq
+                val rep = if (snap.forall(c => c == null || c.isEmpty))
+                  math.min(RepeatCap, rowRepeat) else rowRepeat
                 var i = 0
-                while (i < rowRepeat) { rows += snap; i += 1 }
+                while (i < rep) { rows += snap; i += 1 }
                 row = null
               case "table" if rows != null =>
                 tables += ((tableName, rows.toSeq))

@@ -27,6 +27,8 @@ object Xls {
   private val RecNUMBER = 0x0203
   private val RecRK = 0x027E
   private val RecMULRK = 0x00BD
+  private val RecFORMULA = 0x0006
+  private val RecSTRING = 0x0207
   private val RecDIMENSION = 0x0200
   private val RecCODEPAGE = 0x0042
   private val RecWINDOW1 = 0x003D
@@ -200,6 +202,20 @@ object Xls {
     var pos = start
     var depth = 0
     var done = false
+    // (row, col) of a FORMULA whose cached string result arrives in the
+    // following STRING record (string-valued formulas only).
+    var pendingString: Option[(Int, Int)] = None
+    // BIFF error-code byte -> display string ([MS-XLS] BErr).
+    def errName(code: Int): String = code match {
+      case 0x00 => "#NULL!"
+      case 0x07 => "#DIV/0!"
+      case 0x0F => "#VALUE!"
+      case 0x17 => "#REF!"
+      case 0x1D => "#NAME?"
+      case 0x24 => "#NUM!"
+      case 0x2A => "#N/A"
+      case _ => "#ERR!"
+    }
     while (!done && pos + 4 <= wb.length) {
       val rec = bb.getShort(pos) & 0xFFFF
       val len = bb.getShort(pos + 2) & 0xFFFF
@@ -234,7 +250,36 @@ object Xls {
             if ((grbit & 1) == 0) new String(wb, body + 9, cch, "ISO-8859-1")
             else new String(wb, body + 9, cch * 2, "UTF-16LE")
           put(r, c, s)
-        case _ => // BLANK/MULBLANK/FORMULA/styles: no value contribution
+        case RecFORMULA =>
+          // The cached RESULT rides in the record (the reference gets
+          // these evaluated-for-free from its parser, dbitool.pl:
+          // 2696-2784; we read the cache, we don't evaluate): 8 bytes at
+          // body+6 are an IEEE double UNLESS the high word is 0xFFFF, in
+          // which case byte 0 tags the type — 0 string (value follows in
+          // a STRING record), 1 boolean, 2 error, 3 empty string.
+          val r = bb.getShort(body) & 0xFFFF
+          val c = bb.getShort(body + 2) & 0xFFFF
+          if ((bb.getShort(body + 12) & 0xFFFF) == 0xFFFF) {
+            (wb(body + 6) & 0xFF) match {
+              case 0 => pendingString = Some((r, c))
+              case 1 => put(r, c, if (wb(body + 8) != 0) "TRUE" else "FALSE")
+              case 2 => put(r, c, errName(wb(body + 8) & 0xFF))
+              case 3 => put(r, c, "")
+              case _ => // unknown result tag: leave the cell empty
+            }
+          } else put(r, c, fmtNum(bb.getDouble(body + 6)))
+        case RecSTRING =>
+          // XLUnicodeString: cch(2) grbit(1) chars
+          pendingString.foreach { case (r, c) =>
+            val cch = bb.getShort(body) & 0xFFFF
+            val grbit = wb(body + 2) & 0xFF
+            val s =
+              if ((grbit & 1) == 0) new String(wb, body + 3, cch, "ISO-8859-1")
+              else new String(wb, body + 3, cch * 2, "UTF-16LE")
+            put(r, c, s)
+          }
+          pendingString = None
+        case _ => // BLANK/MULBLANK/styles: no value contribution
       }
       pos += 4 + len
     }
@@ -274,6 +319,13 @@ object Xls {
   }
 
   def write(path: String, rows: Seq[Seq[Any]]): Unit = {
+    // BIFF8 row/col indices are 16/8-bit: silently wrapping via toShort
+    // would overwrite earlier cells. Fail loudly instead (xlsx has no
+    // such limit — the module layer steers big grids there).
+    require(rows.length <= 65536,
+      s"xls supports at most 65536 rows, got ${rows.length}")
+    val maxCols = rows.map(_.length).maxOption.getOrElse(0)
+    require(maxCols <= 256, s"xls supports at most 256 columns, got $maxCols")
     // SST over distinct strings (single SST record: string data capped
     // at one record — ample for the module's in-memory scope)
     val strings = mutable.LinkedHashMap[String, Int]()

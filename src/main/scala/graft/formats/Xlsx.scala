@@ -10,8 +10,10 @@ import scala.collection.mutable
   * block the reference's spreadsheetread consumes
   * (/root/reference/scripts/dbitool.pl:2696-2784): one worksheet,
   * strings + numbers. Read side understands shared strings, inline
-  * strings and sparse rows (explicit `r=` cell refs); write side emits
-  * inline strings (self-contained, no sharedStrings part).
+  * strings, sparse rows (explicit `r=` cell refs) and formula cells —
+  * the cached result in `<v>` is returned (formula text in `<f>` is
+  * ignored, never evaluated); write side emits inline strings
+  * (self-contained, no sharedStrings part).
   *
   * In-memory by design, like the reference (whole-workbook formats
   * aren't splittable) — the distributed path is csv/parquet.
@@ -53,11 +55,17 @@ object Xlsx {
             if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t")
         }
       val sheetEntry = partName.flatMap(entry).orElse {
-        // fallback for rels-less minimal files: lowest-numbered part
-        entries.filter(_.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
-          .sortBy(e => e.getName.stripPrefix("xl/worksheets/sheet")
-            .stripSuffix(".xml").toInt).headOption
-      }.getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
+        // fallback for rels-less minimal files: lowest-numbered part —
+        // but ONLY for a default read. An explicitly requested sheet
+        // that can't be resolved must fail, not silently read another.
+        if (sheet.isEmpty)
+          entries.filter(_.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
+            .sortBy(e => e.getName.stripPrefix("xl/worksheets/sheet")
+              .stripSuffix(".xml").toInt).headOption
+        else None
+      }.getOrElse(throw new IllegalArgumentException(
+        if (sheet.isEmpty) s"no worksheet in $path"
+        else s"""sheet "$sheet" could not be resolved in $path"""))
       parseSheet(zf.getInputStream(sheetEntry), shared)
     } finally zf.close()
   }
@@ -150,6 +158,9 @@ object Xlsx {
         while (row.length < cellCol) row += null
         val v = cellType match {
           case "s" => shared.lift(text.toString.trim.toInt).orNull
+          // "b" boolean cells (common as cached formula results) align
+          // with the BIFF reader's TRUE/FALSE rendering.
+          case "b" => if (text.toString.trim == "1") "TRUE" else "FALSE"
           case _ => text.toString
         }
         if (row.length == cellCol) row += v else row(cellCol) = v

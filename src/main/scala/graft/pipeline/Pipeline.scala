@@ -43,9 +43,18 @@ object Pipeline {
 
   final class BuildError(msg: String) extends RuntimeException(msg)
 
+  /** Keys that may legally FOLLOW `url=` in a module word: the URL
+    * swallow (below) stops at the first of these, so the printed usage
+    * templates (`url=...:driver=...:table=...`) parse as documented.
+    */
+  private val PostUrlKeys = Set("driver", "user", "pw", "password",
+    "table", "query", "in", "out", "fetchsize")
+
   /** One parsed CLI word: `name(:k=v|:flag)*`. Flags parse as k -> "1".
-    * `url=` swallows the REST of the word (JDBC URLs contain colons),
-    * so it must come last.
+    * `url=` swallows following `:`-segments (JDBC URLs contain colons)
+    * UNTIL a known `key=` argument appears — so both `...:url=jdbc:...`
+    * last-position and the usage-template order `url=...:table=t` work.
+    * Credentials belong in user=/pw= args, not inside the URL.
     */
   def parseWord(word: String): ModuleSpec = {
     val parts = word.split(":", -1)
@@ -54,8 +63,15 @@ object Pipeline {
       throw new BuildError(s"bad module word: '$word'")
     val pieces = {
       val i = parts.indexWhere(_.startsWith("url="))
-      if (i >= 1) parts.slice(1, i) :+ parts.drop(i).mkString(":")
-      else parts.tail
+      if (i >= 1) {
+        val rest = parts.drop(i)
+        val j = rest.indexWhere(p => {
+          val eq = p.indexOf('=')
+          eq > 0 && PostUrlKeys.contains(p.substring(0, eq))
+        }, 1)
+        val url = (if (j < 0) rest else rest.take(j)).mkString(":")
+        parts.slice(1, i) ++ (url +: (if (j < 0) Array.empty[String] else rest.drop(j)))
+      } else parts.tail
     }
     val args = pieces.map { p =>
       p.split("=", 2) match {

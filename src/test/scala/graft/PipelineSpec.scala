@@ -29,6 +29,17 @@ class PipelineSpec extends AnyFunSuite {
     intercept[BuildError](Pipeline.parseWord("bad-name:x=1"))
   }
 
+  test("url= keeps its colons but yields to known key= args after it") {
+    // the documented usage order (url= first, table=/in= after) parses
+    val m = Pipeline.parseWord(
+      "jdbcselect:url=jdbc:derby:memory:db;create=true:table=t:in=s")
+    assert(m.args("url") == "jdbc:derby:memory:db;create=true")
+    assert(m.args("table") == "t" && m.args("in") == "s")
+    // url in last position still swallows everything
+    val last = Pipeline.parseWord("jdbcinsert:in=s:url=jdbc:h2:mem:test")
+    assert(last.args("url") == "jdbc:h2:mem:test" && last.args("in") == "s")
+  }
+
   test("reference example pipeline: fileread csvread ndjsonwrite filewrite") {
     val in = tmp("rt") + "/in.csv"
     writeCsv(in, "a,b", "1,x", "2,y")

@@ -107,6 +107,68 @@ class XlsSpec extends AnyFunSuite {
     assert(grid(1) == Seq("7", "2.5"))
   }
 
+  test("formula cells read their cached results (numeric, bool, error, string)") {
+    // Real producers store the last-evaluated result inside the FORMULA
+    // record; we read that cache (never evaluate). String results
+    // arrive in a following STRING record.
+    def rec(id: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(id.toShort).putShort(body.length.toShort).put(body)
+      b.array()
+    }
+    def bof(t: Int) = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x0600.toShort).putShort(t.toShort)
+      rec(0x0809, b.array())
+    }
+    // FORMULA: row(2) col(2) xf(2) num(8) grbit(2) chn(4) cce(2)
+    def formulaNum(row: Int, col: Int, v: Double) = {
+      val b = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(row.toShort).putShort(col.toShort).putShort(0.toShort)
+        .putDouble(v).putShort(0.toShort).putInt(0).putShort(0.toShort)
+      rec(0x0006, b.array())
+    }
+    // tagged result: num = tag,0,value,0,0,0,0xFF,0xFF
+    def formulaTagged(row: Int, col: Int, tag: Int, value: Int) = {
+      val b = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(row.toShort).putShort(col.toShort).putShort(0.toShort)
+        .put(tag.toByte).put(0.toByte).put(value.toByte).put(0.toByte)
+        .putShort(0.toShort).putShort(0xFFFF.toShort)
+        .putShort(0.toShort).putInt(0).putShort(0.toShort)
+      rec(0x0006, b.array())
+    }
+    def stringRec(s: String) = {
+      val bytes = s.getBytes("ISO-8859-1")
+      val b = ByteBuffer.allocate(3 + bytes.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(s.length.toShort).put(0.toByte).put(bytes)
+      rec(0x0207, b.array())
+    }
+    val sheet = Array.concat(bof(0x0010),
+      formulaNum(0, 0, 6.0),
+      formulaTagged(0, 1, 1, 1),     // bool TRUE
+      formulaTagged(0, 2, 2, 0x07),  // #DIV/0!
+      formulaTagged(1, 0, 0, 0), stringRec("cat"), // string via STRING rec
+      formulaTagged(1, 1, 3, 0),     // empty string
+      rec(0x000A, Array.empty))
+    val boundsheet = {
+      val name = "S1".getBytes("ISO-8859-1")
+      val globalsLen = 20 + (4 + 8 + name.length) + 4
+      val b = ByteBuffer.allocate(8 + name.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(globalsLen).put(0.toByte).put(0.toByte)
+        .put(name.length.toByte).put(0.toByte).put(name)
+      rec(0x0085, b.array())
+    }
+    val globals = Array.concat(bof(0x0005), boundsheet, rec(0x000A, Array.empty))
+    val f = s"${tmp("fml")}/fml.xls"
+    new java.io.File(f).getParentFile.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      Cfb.writeStream("Workbook", Array.concat(globals, sheet)))
+
+    val grid = Xls.read(f, "S1")
+    assert(grid(0) == Seq("6", "TRUE", "#DIV/0!"))
+    assert(grid(1) == Seq("cat", ""))
+  }
+
   test("spreadsheet modules round-trip type=xls") {
     val d = tmp("mod")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/in.csv"),

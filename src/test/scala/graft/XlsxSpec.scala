@@ -148,6 +148,27 @@ class XlsxSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Xlsx.read(f, "missing"))
   }
 
+  test("formula cells return cached <v> results, formula text ignored") {
+    val d = tmp("fml")
+    val f = s"$d/fml.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream({ new java.io.File(d).mkdirs(); f }))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1">""" +
+        """<c r="A1"><f>1+5</f><v>6</v></c>""" +
+        """<c r="B1" t="str"><f>A9&amp;B9</f><v>cat</v></c>""" +
+        """<c r="C1" t="b"><f>1=1</f><v>1</v></c>""" +
+        """</row>""" +
+        "</sheetData></worksheet>")
+    zos.close()
+    assert(Xlsx.read(f) == Seq(Seq("6", "cat", "TRUE")))
+  }
+
   test("reads files with shared strings and explicit cell refs") {
     // Hand-built workbook exercising the parts our writer does NOT
     // emit: sharedStrings.xml and gap-jumping r= refs.
