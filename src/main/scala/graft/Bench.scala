@@ -26,16 +26,26 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, _) =>
-      val t1 = time(name)
-      // This host shows heavy run-to-run CPU-steal noise (identical
-      // code measures 3-25x spreads). Re-measure slow outliers once
-      // and take the min — the repeatable cost, not the noise spike.
-      name -> (if (t1 > 3.0) math.min(t1, time(name)) else t1)
+    // This host shows heavy run-to-run CPU-steal noise (identical code
+    // measures 3-25x spreads). Median of 3 runs per query makes rounds
+    // comparable query-by-query; all samples are persisted alongside so
+    // a regression can be distinguished from a noise spike.
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      name -> Seq.fill(3)(time(name))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = samples.map { case (n, s) => n -> s.sorted.apply(1) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = medians.map(_._2).sum
+    try {
+      val all = samples.map { case (k, s) =>
+        s"\"" + k + "\":[" + s.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_samples.json"),
+        s"""{"sf":"$sfDir","samples":$all}""" + "\n")
+    } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
