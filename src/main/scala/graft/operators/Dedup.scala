@@ -292,10 +292,85 @@ object Dedup {
   /** Greedy keep-smallest-id dedup from a pair list: drop every doc
     * that appears as the larger id of a duplicate pair. (Not full
     * connected components — the standard "keep first seen" corpus
-    * policy, one anti-join.)
+    * policy, one anti-join. For transitive-closure-correct dedup use
+    * `duplicateClusters` + `dropDuplicatesByClusters`.)
     */
   def dropDuplicatesByPairs(df: DataFrame, idCol: String,
                             pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("idB").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Connected components over a duplicate-pair graph: one row per node
+    * appearing in `pairs` with `rep` = the smallest id of its component
+    * (reps map to themselves). The transitive-closure grouping a
+    * near-dup pair list implies — A~B and B~C put A,B,C in one cluster
+    * even though (A,C) was never emitted.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — each round is
+    * hash-aggregates and equi-joins only (min over neighborhoods joined
+    * back; never a per-node neighbor list in memory, so hub nodes don't
+    * blow a task), and the edge set converges to min-rooted stars in
+    * O(log n) rounds even on worst-case path graphs. Each round ends in
+    * `localCheckpoint` to truncate the iterative plan lineage.
+    * Convergence is detected by an order-independent edge-set checksum
+    * (count + XOR of pair hashes), one tiny aggregate per round.
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "idA",
+                        idB: String = "idB", maxIter: Int = 25): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val d = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = d.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      d.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = d.groupBy("u").agg(min("v").as("m"))
+      d.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(
+        xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = pairs
+      .select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
+      edges = next
+      iter += 1
+    }
+    // converged edges are min-rooted stars: u -> componentMin
+    edges.select(col("u").as("id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("rep")))
+      .distinct()
+  }
+
+  /** Keep exactly one doc (the component representative) per duplicate
+    * cluster; docs in no cluster survive untouched.
+    */
+  def dropDuplicatesByClusters(df: DataFrame, idCol: String,
+                               clusters: DataFrame): DataFrame =
+    df.join(clusters.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
 }

@@ -663,7 +663,7 @@ object Pipeline {
     // pass, one shuffle, no per-key quadratic). tolerance= in
     // microseconds bounds staleness.
     Registered("asofjoin", RowType, RowType,
-      "in=STREAM:with=STREAM:on=k1,k2:lts=COL:rts=COL:prefix=r_:tolerance=USEC:out=STREAM",
+      "in=STREAM:with=STREAM:on=k1,k2:lts=COL:rts=COL:prefix=r_:tolerance=USEC:bucket=USEC:out=STREAM",
       (ctx, m) => {
         val left = ctx.readStream(m, RowType)
         val wname = m.args.getOrElse("with",
@@ -676,9 +676,17 @@ object Pipeline {
           throw new BuildError("asofjoin: on= required")).split(",").toSeq
         val lts = m.args.getOrElse("lts", throw new BuildError("asofjoin: lts= required"))
         val rts = m.args.getOrElse("rts", throw new BuildError("asofjoin: rts= required"))
-        ctx.writeStream(m, graft.operators.Ops.asofJoin(left, right, keys,
-          lts, rts, rightPrefix = m.args.getOrElse("prefix", "r_"),
-          toleranceMicros = m.args.get("tolerance").map(_.toLong)), RowType)
+        val prefix = m.args.getOrElse("prefix", "r_")
+        val tol = m.args.get("tolerance").map(_.toLong)
+        // bucket= switches to the skew-safe (key, time-bucket) variant
+        // for hot-key distributions; semantics are identical.
+        val out = m.args.get("bucket").map(_.toLong) match {
+          case Some(b) => graft.operators.Ops.asofJoinBucketed(left, right,
+            keys, lts, rts, b, rightPrefix = prefix, toleranceMicros = tol)
+          case None => graft.operators.Ops.asofJoin(left, right, keys,
+            lts, rts, rightPrefix = prefix, toleranceMicros = tol)
+        }
+        ctx.writeStream(m, out, RowType)
       }),
 
     // Range (point-in-interval) join from the DSL (wraps Ops.rangeJoin

@@ -44,6 +44,28 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // Connected components over the exact-jaccard pair graph (same
+    // bounded pair source as q50): transitive-closure clusters with
+    // rep = component min, via alternating large-star/small-star
+    // rounds. Oracle: DuckDB recursive CTE reachability. This is the
+    // grouping step a pair list implies — A~B, B~C clusters A,B,C even
+    // though (A,C) was never emitted.
+    "q48_dup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .orderBy($"doc_id").limit(500)
+        .select($"doc_id", Dedup.hashedShingles($"text", 3).as("sh"))
+        .persist()
+      val a = docs.select($"doc_id".as("idA"), $"sh".as("shA")).repartition(32)
+      val b = docs.select($"doc_id".as("idB"), $"sh".as("shB"))
+      val pairs = a.crossJoin(broadcast(b)).filter($"idA" < $"idB")
+        .withColumn("jac",
+          graft.functions.TextExpr.jaccardSorted($"shA", $"shB"))
+        .filter($"jac" >= 0.5)
+        .select($"idA", $"idB")
+      Dedup.duplicateClusters(pairs).orderBy($"id")
+    }),
+
     // MinHash-LSH near-dup pairs, exact-jaccard verified. Deterministic
     // but xxhash64 isn't expressible in the oracle → rows-only check;
     // recall vs exact is asserted in DedupSimSpec.
@@ -176,6 +198,26 @@ object DedupSim {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY idA, idB""".stripMargin,
+
+    "q48_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500))),
+         |p AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |e AS (SELECT ida AS a, idb AS b FROM p
+         |      UNION SELECT idb, ida FROM p),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+         |  WHERE e2.b <> r.a)
+         |SELECT a AS id, least(a, min(b)) AS rep
+         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q53_cosine_topk" ->
       s"""SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (

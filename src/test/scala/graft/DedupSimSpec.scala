@@ -105,6 +105,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(shPairs.forall(_._1 == 1L))
   }
 
+  test("connected components: chain, clique, pair — union-find parity") {
+    // worst-case diameter: a 100-node path (stresses the O(log n)
+    // star-contraction rounds), plus a 5-clique and an isolated pair
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val clique = for (x <- 200L to 204L; y <- 200L to 204L if x < y)
+      yield (x, y)
+    val pairs = (chain ++ clique ++ Seq((300L, 301L))).toDF("idA", "idB")
+    val cc = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 99L).forall(cc(_) == 0L), "path collapses to min 0")
+    assert((200L to 204L).forall(cc(_) == 200L))
+    assert(cc(300L) == 300L && cc(301L) == 300L)
+    assert(cc.size == 107)
+
+    // transitive-closure dedup: exactly one survivor per component
+    val docs = (0L to 350L).toDF("doc_id")
+    val kept = Dedup.dropDuplicatesByClusters(docs, "doc_id",
+      Dedup.duplicateClusters(pairs))
+    assert(kept.count() == 351 - 99 - 4 - 1)
+  }
+
   test("dropDuplicatesByPairs keeps smallest id of each family") {
     val pairs = Seq((1L, 2L), (1L, 3L), (5L, 6L)).toDF("idA", "idB")
     val df = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")

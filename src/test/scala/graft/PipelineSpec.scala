@@ -299,6 +299,17 @@ class PipelineSpec extends AnyFunSuite {
       "csvwrite:in=p", s"filewrite:out=$d/out.csv"))
     assert(readOut(s"$d/out.csv").sorted ==
       Seq("a,1,10", "a,2,20", "k,x,r_px").sorted)
+
+    // bucket= selects the skew-safe variant; identical output (the
+    // 5-minute bucket forces a cross-bucket carry for the 00:20 row)
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/left.csv", "csvread:infer=1:out=l2",
+      s"fileread:in=$d/right.csv", "csvread:infer=1:out=r2",
+      "asofjoin:in=l2:with=r2:on=k:lts=ts:rts=ts:bucket=300000000:out=j2",
+      "select:in=j2:exprs=k;x;r_px:out=p2",
+      "csvwrite:in=p2", s"filewrite:out=$d/out2.csv"))
+    assert(readOut(s"$d/out2.csv").sorted ==
+      Seq("a,1,10", "a,2,20", "k,x,r_px").sorted)
   }
 
   test("rangejoin module: points land in their intervals") {
