@@ -73,6 +73,32 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Gopher-style repetition/diversity gate: per-doc distinct-token
+    // ratio and the share of bigram slots taken by the doc's most
+    // frequent bigram — the standard "drop template/spam pages" filter
+    // of a training-data pipeline. Two hash-aggregates, both keyed on
+    // doc_id (map-side partials; no windows, no sorts except the output
+    // ORDER BY). Thresholds are tuned to this corpus's distributions so
+    // the keep boolean exercises BOTH branches (non-vacuous oracle).
+    "q49_repetition_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val stats = docs.select($"doc_id", tokens($"text").as("ws"))
+        .select($"doc_id", size($"ws").cast("long").as("n_tokens"),
+          round(size(array_distinct($"ws")).cast("double") / size($"ws"), 4)
+            .as("uniq_ratio"))
+      val top = docs.select($"doc_id", explode(wordNgrams($"text", 2)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_c"))
+      stats.join(top, Seq("doc_id"))
+        .select($"doc_id", $"n_tokens", $"uniq_ratio",
+          round($"top_c".cast("double") / ($"n_tokens" - 1), 4)
+            .as("top_bigram_share"),
+          ($"uniq_ratio" >= 0.35 &&
+            $"top_c".cast("double") / ($"n_tokens" - 1) <= 0.06).as("keep"))
+        .orderBy($"doc_id")
+    }),
+
     // Token-budget packing: per source, take the highest-quality docs
     // until a token budget fills — the standard curation step of a
     // training-data pipeline. One window shuffle on source; cumulative
@@ -156,6 +182,26 @@ object TextQueries {
     "q43_dedup_exact_text" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS family
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q49_repetition_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |        round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+        |          AS uniq_ratio
+        |      FROM w),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM (
+        |        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS g FROM w)
+        |      GROUP BY doc_id, g),
+        |m AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens, s.uniq_ratio,
+        |  round(CAST(m.top_c AS DOUBLE) / (s.n_tokens - 1), 4)
+        |    AS top_bigram_share,
+        |  (s.uniq_ratio >= 0.35 AND
+        |   CAST(m.top_c AS DOUBLE) / (s.n_tokens - 1) <= 0.06) AS keep
+        |FROM s JOIN m ON s.doc_id = m.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q44_bigram_top" ->
       """SELECT bigram, count(*) AS n FROM (
