@@ -143,6 +143,55 @@ object Similarity {
       Seq(col("sim").desc, col(idCol).asc), k)
   }
 
+  /** Distributed Lloyd (k-means) refinement for a coarse quantizer:
+    * start from deterministic hash-ordered seeds, then `iters` rounds
+    * of assign (one corpus scan against broadcast centroids, codegen'd
+    * cosine kernels) + re-center (posexplode embeddings, one
+    * (list, dim) hash-aggregate with map-side partial sums; k×dim
+    * means collected to the driver — tiny for any sane k). Cosine
+    * geometry: centroids are L2-normalized after averaging so argmax
+    * cosine assignment matches the training objective.
+    *
+    * At 100 TB this is iters × (scan + 1 shuffle of k×dim partials) —
+    * the standard coarse-quantizer training shape; assignment output is
+    * materializable as a bucketed table.
+    */
+  def kmeansCentroids(corpus: DataFrame, embCol: String, k: Int,
+                      iters: Int = 2, idCol: String = "",
+                      dim: Int = 0): Array[Seq[Float]] = {
+    val orderCol = if (idCol.nonEmpty) col(idCol) else col(embCol).cast("string")
+    var centroids: Array[Seq[Float]] = corpus
+      .select(col(embCol), xxhash64(orderCol).as("__h"))
+      .orderBy(col("__h")).limit(k).collect()
+      .map(_.getSeq[Float](0))
+    var it = 0
+    while (it < iters) {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(col(embCol), array(c.map(lit): _*)).as("s"),
+          lit(i).as("i"))
+      }: _*)
+      val assigned = corpus.select(col(embCol),
+        array_max(scored).getField("i").as("__list"))
+      val means = assigned
+        .select(col("__list"), posexplode(col(embCol)).as(Seq("__pos", "__e")))
+        .groupBy(col("__list"), col("__pos"))
+        .agg(avg(col("__e").cast("double")).as("__m"))
+        .collect()
+      val byList = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byList.get(i) match {
+          case Some(rows) =>
+            val v = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n == 0) old else v.map(x => (x / n).toFloat).toSeq
+          case None => old // empty list keeps its seed
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF-style ANN: an inverted file over nList coarse centroids.
     *
     *  - Centroids: a deterministic sample of the corpus itself (hash-
@@ -157,20 +206,22 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nList: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import org.apache.spark.sql.Row
-
+              nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
     // Deterministic coarse centroids: first nList vectors by content
-    // hash (cheap, reproducible, good enough for a coarse quantizer).
-    val centroids: Array[(Int, Seq[Float])] = corpus
-      .select(col(idCol), col(embCol))
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h"))
-      .limit(nList)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    // hash (cheap, reproducible, good enough for a coarse quantizer);
+    // kmeansIters > 0 refines them with distributed Lloyd rounds.
+    val seeds: Array[Seq[Float]] =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, embCol, nList, kmeansIters, idCol)
+      else corpus
+        .select(col(idCol), col(embCol))
+        .withColumn("__h", xxhash64(col(idCol)))
+        .orderBy(col("__h"))
+        .limit(nList)
+        .collect()
+        .map(_.getSeq[Float](1))
+    val centroids: Array[(Int, Seq[Float])] =
+      seeds.zipWithIndex.map { case (c, i) => (i, c) }
 
     def centroidLit(c: Seq[Float]) = array(c.map(lit): _*)
 

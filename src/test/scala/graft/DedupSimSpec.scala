@@ -158,6 +158,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).size == 20, "every query produced candidates")
   }
 
+  test("kmeans refinement: deterministic, never worsens quantizer fit") {
+    def fit(cs: Array[Seq[Float]]): Double = {
+      val scored = array(cs.map(c =>
+        Similarity.cosine($"embedding", array(c.map(lit): _*))): _*)
+      emb.select(avg(array_max(scored))).head().getDouble(0)
+    }
+    val seeds = Similarity.kmeansCentroids(emb, "embedding", 8,
+      iters = 0, idCol = "vec_id")
+    val refined = Similarity.kmeansCentroids(emb, "embedding", 8,
+      iters = 2, idCol = "vec_id")
+    val again = Similarity.kmeansCentroids(emb, "embedding", 8,
+      iters = 2, idCol = "vec_id")
+    assert(refined.map(_.toList).toSeq == again.map(_.toList).toSeq,
+      "refinement must be deterministic")
+    // spherical k-means: mean best-cosine is non-decreasing per round
+    assert(fit(refined) >= fit(seeds) - 1e-9,
+      s"fit worsened: ${fit(seeds)} -> ${fit(refined)}")
+    // refined IVF still returns full coverage
+    val ivf = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 5, nList = 8, nProbe = 2, kmeansIters = 2)
+    assert(ivf.select($"query_id").distinct().count() == 5)
+  }
+
   test("cosine of identical vectors is 1") {
     val one = emb.limit(1).select($"embedding".as("a"), $"embedding".as("b"))
       .select(Similarity.cosine($"a", $"b")).head().getDouble(0)

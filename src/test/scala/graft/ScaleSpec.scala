@@ -80,6 +80,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("simhash band join is equi-join shaped: no cartesian, no NLJ") {
+    val plan = executed(SparkEntry.queries("q52_simhash_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bucketed as-of join windows on (key, bucket), never inequality-joins") {
+    val plan = executed(SparkEntry.queries("q39_asof_bucketed")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the expensive window must partition on the bucket too — that's
+    // the skew escape; a key-only window would be a silent regression
+    val mainWindow = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("last("))
+    assert(mainWindow.exists(l => l.contains("user_id") && l.contains("__bucket")),
+      s"as-of window lost the bucket partition key:\n$plan")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     // The expression must appear INSIDE a WholeStageCodegen span — a
     // codegen fallback would show it outside every *(n) region.
