@@ -74,6 +74,9 @@ object GraftExtensions {
       WinnowFingerprintExpr(args(0),
         litInt(args(1), "graft_winnow", "k"), litInt(args(2), "graft_winnow", "w"))
     },
+    "graft_simhash" -> { args =>
+      arity("graft_simhash", args, 1); SimHash64Expr(args(0))
+    },
     "graft_token_set_count" -> { args =>
       arity("graft_token_set_count", args, 2)
       TokenSetCountExpr(args(0),

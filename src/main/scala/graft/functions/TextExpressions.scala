@@ -106,6 +106,35 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(distinct)
   }
 
+  /** SimHash-64 in ONE pass: xxhash64(seed 42, matching Spark's
+    * `xxhash64`) per single-space token, 64 bit-majority counters,
+    * packed fingerprint. Bit-identical to the HOF formulation
+    * (`Dedup.simhash64`), which recomputes the token-hash array once
+    * PER BIT under CollapseProject — 64 tokenizations per row.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes, 1) // never null: numTokens >= 1
+    val numTokens = starts.length - 1
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < numTokens) {
+      val s = starts(t)
+      val e = starts(t + 1) - 1
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 >= numTokens) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS scheme): Rabin-Karp rolling hash over byte
     * k-grams, then the minimum hash of every window of w consecutive
@@ -273,6 +302,32 @@ case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** 64-bit SimHash fingerprint of the token stream (long) — one byte
+  * scan per row; see TextKernels.simhash64.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.simhash64(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of single-space tokens contained in a fixed string set —
   * the codegen'd form of `size(filter(split(text," "), w.isin(set)))`
   * (stopword density, language-marker scoring). The HOF form pays an
@@ -380,6 +435,9 @@ object TextExpr {
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprintExpr(

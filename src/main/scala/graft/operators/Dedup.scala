@@ -179,9 +179,11 @@ object Dedup {
 
   /** SimHash-64 from token hashes: bit b of the output is 1 iff tokens
     * with bit b set outnumber those without. Composed from built-in
-    * higher-order functions (deterministic, distributed); see
-    * graft.functions for the codegen'd Expression variant used in hot
-    * paths.
+    * higher-order functions — the REFERENCE formulation: CollapseProject
+    * inlines the token-hash array into all 64 bit sums, so this
+    * tokenizes 64× per row. Production path:
+    * `graft.functions.TextExpr.simhash64` (single-pass codegen kernel,
+    * bit-identical — asserted in TextKernelsSpec).
     */
   def simhash64(text: Column): Column = {
     val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
@@ -195,9 +197,10 @@ object Dedup {
   }
 
   /** SimHash for a whole table via explode + 64 codegen'd bit-count
-    * sums in one hash-aggregate (same scale shape as
-    * `minhashSignatures`; the Column variant above recomputes the
-    * token-hash array per bit under CollapseProject).
+    * sums in one hash-aggregate. Superseded by the single-pass scalar
+    * kernel (`TextExpr.simhash64` — narrow, zero shuffle, bit-identical)
+    * which the pair path uses; kept as the independent cross-check
+    * implementation (TextKernelsSpec asserts all three agree).
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
@@ -226,9 +229,12 @@ object Dedup {
     */
   def simhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
-    // (id, fp) is two longs per row; persisted because it feeds the
-    // banding AND both sides of the verify join below.
-    val base = simhashTable(df, idCol, textCol)
+    // Single-pass codegen kernel: fingerprints are a NARROW projection
+    // (no explode/aggregate shuffle). (id, fp) is two longs per row;
+    // persisted because it feeds the banding AND both sides of the
+    // verify join below.
+    val base = df.select(col(idCol).as("id"),
+        graft.functions.TextExpr.simhash64(col(textCol)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       posexplode(array((0 until 4).map(b =>

@@ -39,6 +39,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3)
   }
 
+  test("graft_simhash from SQL matches the Column API") {
+    val viaSql = spark.sql(
+      "SELECT graft_simhash('the quick brown fox') AS fp").head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.TextExpr.simhash64(
+        org.apache.spark.sql.functions.lit("the quick brown fox")))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("graft_normalize from SQL (composed-builtins builder)") {
     val r = spark.sql(
       "SELECT graft_normalize('  Hello,   WORLD!! 42  ') AS n").head()

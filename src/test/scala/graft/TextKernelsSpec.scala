@@ -57,6 +57,26 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows differ")
   }
 
+  test("simhash64 kernel == HOF column == explode/aggregate table path") {
+    val docs = Tables(spark, sf, "documents").select($"text")
+      .union(hostile)
+    // kernel vs the 64-bit-sum HOF formulation
+    val diff = docs.select(
+      TextExpr.simhash64($"text").as("fast"),
+      Dedup.simhash64($"text").as("ref"))
+      .filter(!($"fast" <=> $"ref")).count()
+    assert(diff == 0, s"$diff rows differ from HOF")
+    // kernel vs the explode/aggregate table path on the corpus
+    val withId = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    val viaKernel = withId.select($"doc_id",
+      TextExpr.simhash64($"text").as("fp"))
+    val viaTable = Dedup.simhashTable(withId, "doc_id", "text")
+    val mismatch = viaKernel.as("a")
+      .join(viaTable.as("b"), col("a.doc_id") === col("b.id"))
+      .filter(col("a.fp") =!= col("b.fp")).count()
+    assert(mismatch == 0, s"$mismatch docs differ from table path")
+  }
+
   test("jaccardSorted == intersect/union jaccard on hashed shingles") {
     val docs = Tables(spark, sf, "documents")
       .filter($"doc_id" < 60)
