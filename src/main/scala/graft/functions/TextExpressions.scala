@@ -135,6 +135,34 @@ object TextKernels {
     fp
   }
 
+  /** MinHash signature from a document's (distinct) shingle-hash set in
+    * ONE pass: for each hash h and permutation j, the j-th slot is
+    * min over h of xxhash64_long(h ^ seed_j) — XXH64.hashLong with
+    * Spark's seed 42, so every value is bit-identical to the
+    * explode + 64×min hash-aggregate formulation
+    * (`Dedup.minhashSignatures`), but computed as a NARROW per-row
+    * projection: no explode, no shuffle. Empty input yields
+    * Long.MaxValue slots (the aggregate path emits no row at all —
+    * callers filter empty shingle sets first, as the pair path does).
+    */
+  def minhashFromHashes(hashes: ArrayData, numPerm: Int): ArrayData = {
+    val n = hashes.numElements()
+    val mins = new Array[Long](numPerm)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numPerm) {
+        val v = XXH64.hashLong(h ^ (j * 0x9E3779B97F4A7C15L), 42L)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS scheme): Rabin-Karp rolling hash over byte
     * k-grams, then the minimum hash of every window of w consecutive
@@ -302,6 +330,36 @@ case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** MinHash signature (array<long> of numPerm slots) from a shingle-hash
+  * array — one pass per row; see TextKernels.minhashFromHashes.
+  */
+case class MinHashSigExpr(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+  require(numPerm >= 1, s"numPerm must be >= 1, got $numPerm")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<bigint> input, got $other")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.minhashFromHashes(t.asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.minhashFromHashes($c, $numPerm);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash fingerprint of the token stream (long) — one byte
   * scan per row; see TextKernels.simhash64.
   */
@@ -438,6 +496,9 @@ object TextExpr {
 
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+
+  def minhashSig(hashes: Column, numPerm: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes), numPerm))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprintExpr(

@@ -56,8 +56,11 @@ object Dedup {
 
   /** MinHash signatures for a whole table: explode shingles (each
     * string hashed ONCE), then numPerm `min(xxhash64(h ^ seed_j))`
-    * columns in one hash-aggregate — fully whole-stage-codegen'd, with
-    * map-side partial mins, one shuffle on id. Output: (id, m0..m{n-1}).
+    * columns in one hash-aggregate — map-side partial mins, one shuffle
+    * on id. Output: (id, m0..m{n-1}). Superseded in the pair path by
+    * the single-pass narrow kernel (`TextExpr.minhashSig` — zero
+    * shuffle, bit-identical); kept as the independent cross-check
+    * implementation (TextKernelsSpec asserts agreement).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numPerm: Int): DataFrame = {
@@ -145,21 +148,20 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sigCols = (0 until numPerm).map { j =>
-      min(xxhash64(col("h").bitwiseXOR(lit(permSeed(j))))).as(s"m$j")
-    }
-    // The signature aggregate is the expensive stage and feeds BOTH
-    // sides of the band self-join; without the persist it runs twice
-    // (exchange reuse is not guaranteed under AQE). numDocs × numPerm
-    // longs — tiny.
-    val sig = hashed.select(col("id"), explode(col("hs")).as("h"))
-      .groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    // Signatures via the single-pass kernel: a NARROW projection over
+    // the cached shingle hashes — no explode, no 64-min aggregate, no
+    // shuffle (bit-identical to that formulation; TextKernelsSpec).
+    // The persist doubles as a CollapseProject barrier: the banding
+    // below reads numPerm slots of "sig", and without materialization
+    // Catalyst would inline the kernel into every element_at use.
+    val sig = hashed.select(col("id"),
+        graft.functions.TextExpr.minhashSig(col("hs"), numPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((0 until rowsPerBand).map(r =>
-          col(s"m${b * rowsPerBand + r}")): _*)
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("bandIdx", "bandHash")))
 
     // id-only candidate join (shuffled payload: 3 longs per row) with

@@ -77,6 +77,22 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(mismatch == 0, s"$mismatch docs differ from table path")
   }
 
+  test("minhashSig kernel == explode/64-min-aggregate signatures") {
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    val viaKernel = docs
+      .select($"doc_id", Dedup.hashedShingles($"text", 3).as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id", TextExpr.minhashSig($"hs", 16).as("sig"))
+    val viaAgg = Dedup.minhashSignatures(docs, "doc_id", "text",
+      k = 3, numPerm = 16)
+      .select($"id", array((0 until 16).map(j => col(s"m$j")): _*).as("sig"))
+    val mismatch = viaKernel.as("a")
+      .join(viaAgg.as("b"), col("a.doc_id") === col("b.id"))
+      .filter(!(col("a.sig") <=> col("b.sig"))).count()
+    assert(mismatch == 0, s"$mismatch docs differ")
+    assert(viaKernel.count() == viaAgg.count())
+  }
+
   test("jaccardSorted == intersect/union jaccard on hashed shingles") {
     val docs = Tables(spark, sf, "documents")
       .filter($"doc_id" < 60)
