@@ -77,6 +77,14 @@ object GraftExtensions {
     "graft_simhash" -> { args =>
       arity("graft_simhash", args, 1); SimHash64Expr(args(0))
     },
+    // minhash signature straight from text: shingle-hash then the
+    // one-pass signature kernel, both codegen'd
+    "graft_minhash" -> { args =>
+      arity("graft_minhash", args, 3)
+      MinHashSigExpr(
+        HashedShinglesExpr(args(0), litInt(args(1), "graft_minhash", "k")),
+        litInt(args(2), "graft_minhash", "numPerm"))
+    },
     "graft_token_set_count" -> { args =>
       arity("graft_token_set_count", args, 2)
       TokenSetCountExpr(args(0),

@@ -857,7 +857,50 @@ object Pipeline {
         ctx.log("orcwrite", s"wrote $path")
         0L
       })
-    })
+    }),
+
+    // ---- multimodal modules (extension; no reference counterpart) ----
+    // Media files as rows of (path, modificationTime, length, content):
+    // the binary column stays opaque until a media* transform touches it.
+    Registered("binaryread", NoneType, RowType, "in=DIR:glob=PATTERN:out=STREAM",
+      (ctx, m) => {
+        val dir = m.args.getOrElse("in",
+          throw new BuildError("binaryread: in= required"))
+        ctx.writeStream(m.copy(args = m.args - "in" - "glob"),
+          graft.multimodal.Multimodal.readBinary(ctx.spark, dir,
+            m.args.getOrElse("glob", "*")), RowType)
+      }),
+
+    // Decode media metadata (real javax.imageio for PNG/JPEG/GIF/BMP;
+    // GMM1 stub for formats with no in-container codec).
+    Registered("mediameta", RowType, RowType, "in=STREAM:col=content:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        ctx.writeStream(m, graft.multimodal.Multimodal.decodeMeta(
+          df, m.args.getOrElse("col", "content")), RowType)
+      }),
+
+    // Deterministic feature vector from media bytes — feeds the
+    // similarity operators (cosine top-k / ANN / near-dup).
+    Registered("mediafeatures", RowType, RowType,
+      "in=STREAM:col=content:dim=64:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        ctx.writeStream(m, graft.multimodal.Multimodal.extractFeatures(
+          df, m.args.getOrElse("col", "content"),
+          m.args.getOrElse("dim", "64").toInt), RowType)
+      }),
+
+    // Resample still images (bilinear, re-encoded PNG).
+    Registered("mediaresize", RowType, RowType,
+      "in=STREAM:w=W:h=H:col=content:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val w = m.args.getOrElse("w",
+          throw new BuildError("mediaresize: w= required")).toInt
+        val h = m.args.getOrElse("h",
+          throw new BuildError("mediaresize: h= required")).toInt
+        ctx.writeStream(m, graft.multimodal.Multimodal.resize(
+          df, w, h, m.args.getOrElse("col", "content")), RowType)
+      })
   )
 
   val registry: Map[String, Registered] = modules.map(r => r.name -> r).toMap

@@ -49,6 +49,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("graft_minhash from SQL: numPerm slots, identical for identical text") {
+    val r = spark.sql(
+      """SELECT graft_minhash('a b c d e f', 3, 16) AS s1,
+        |       graft_minhash('a b c d e f', 3, 16) AS s2,
+        |       graft_minhash('totally different words here now', 3, 16) AS s3
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 16)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0) != r.getSeq[Long](2))
+  }
+
   test("graft_normalize from SQL (composed-builtins builder)") {
     val r = spark.sql(
       "SELECT graft_normalize('  Hello,   WORLD!! 42  ') AS n").head()

@@ -312,6 +312,34 @@ class PipelineSpec extends AnyFunSuite {
       Seq("a,1,10", "a,2,20", "k,x,r_px").sorted)
   }
 
+  test("multimodal modules: binaryread -> mediameta -> csv of dimensions") {
+    val d = tmp("media")
+    // one real PNG (8x6) + one GMM1 stub payload ("aud" 1x2)
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/a.png"), bos.toByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/b.bin"),
+      graft.multimodal.Multimodal.StubCodec.encode("aud", 1, 2, 99L))
+    Pipeline.run(spark, Seq(
+      s"binaryread:in=$d:glob=*:out=m",
+      "mediameta:in=m:out=mm",
+      "select:in=mm:exprs=meta.format as fmt;meta.width as w;meta.height as h:out=p",
+      "csvwrite:in=p", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted ==
+      Seq("aud,1,2", "fmt,w,h", "png,8,6").sorted)
+
+    // features flow into rows usable by the similarity operators
+    Pipeline.run(spark, Seq(
+      s"binaryread:in=$d:glob=*.png:out=m2",
+      "mediafeatures:in=m2:dim=8:out=f",
+      "select:in=f:exprs=size(embedding) as d:out=p2",
+      "csvwrite:in=p2", s"filewrite:out=$d/feat.csv"))
+    assert(readOut(s"$d/feat.csv").sorted == Seq("8", "d").sorted)
+  }
+
   test("rangejoin module: points land in their intervals") {
     val d = tmp("range")
     writeCsv(s"$d/pts.csv", "k,ts,ev",
