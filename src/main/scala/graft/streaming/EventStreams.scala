@@ -80,6 +80,22 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup drop on TEXT content: the single-pass SimHash
+    * kernel fingerprints each document (narrow, codegen'd) and
+    * in-watermark fingerprint matches are dropped. State per retained
+    * doc is one long, expiring with the watermark — the streaming
+    * analogue of exact-fingerprint dedup. (Banded hamming-distance
+    * candidates need a stream-stream self-join; for true fuzzy dedup,
+    * land the stream and run the batch LSH path — documented trade-off,
+    * not a gap: unbounded fuzzy state can't expire safely.)
+    */
+  def streamingNearDedup(docs: DataFrame, textCol: String, tsCol: String,
+                         watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__fp", graft.functions.TextExpr.simhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension (the reference's ndb-lookup shape, unbounded).
     * The static side re-plans per micro-batch — broadcast keeps every

@@ -54,6 +54,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == batchTotal)
   }
 
+  test("streaming near-dedup drops in-watermark same-fingerprint docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdocs").toString
+    Seq(
+      (1L, 1000000L, "the same boilerplate text"),
+      (2L, 2000000L, "the same boilerplate text"), // dup fingerprint
+      (3L, 3000000L, "a completely different document"))
+      .toDF("doc_id", "tsu", "text")
+      .withColumn("ts", timestamp_micros($"tsu")).drop("tsu")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.streamingNearDedup(stream, "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_neardedup")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("stream_neardedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 2, s"kept=$kept")
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size == 1)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session windows") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.readEventStream(spark, sf)
