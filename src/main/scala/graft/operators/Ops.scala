@@ -288,6 +288,24 @@ object Ops {
     df.filter(u < threshold)
   }
 
+  /** Portable twin of `stratifiedSample`: the uniform draw is the first
+    * 8 hex chars of md5(key-as-string) compared lexicographically
+    * against a per-stratum hex threshold — md5 is standardized, so ANY
+    * engine (the DuckDB oracle included) reproduces the exact sample.
+    * Same narrow no-shuffle shape; xxhash64 variant stays the hot path
+    * (no string materialization).
+    */
+  def stratifiedSampleMd5(df: DataFrame, stratumCol: String, keyCol: String,
+                          fractions: Map[String, Double]): DataFrame = {
+    val u = substring(md5(col(keyCol).cast("string")), 1, 8)
+    val threshold = fractions.foldLeft(lit("00000000")) { case (acc, (k, f)) =>
+      // f >= 1 must keep ALL rows: "zzzzzzzz" sorts above every hex u
+      val hex = if (f >= 1.0) "zzzzzzzz" else f"${(f * 4294967296L).toLong}%08x"
+      when(col(stratumCol) === k, lit(hex)).otherwise(acc)
+    }
+    df.filter(u < threshold)
+  }
+
   /** Top-k rows per group without a global sort (shuffle on the group
     * key only; AQE handles skewed groups).
     */

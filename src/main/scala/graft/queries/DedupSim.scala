@@ -142,12 +142,13 @@ object DedupSim {
         .orderBy($"label", $"pos")
     }),
 
-    // Deterministic stratified sample (hash-threshold, not RNG): the
-    // class-balancing curation step. Hash isn't oracle-expressible →
-    // rows-only; proportions + determinism asserted in OpsSpec.
+    // Deterministic stratified sample via an md5 hash threshold (md5 is
+    // standardized, so the DuckDB oracle reproduces the EXACT sample —
+    // not just its proportions). The xxhash64 variant stays the hot
+    // path; proportions + determinism asserted in OpsSpec for both.
     "q58_stratified_sample" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Ops.stratifiedSample(
+      graft.operators.Ops.stratifiedSampleMd5(
           t(s, dir, "documents"), "lang", "doc_id",
           Map("en" -> 0.5, "es" -> 1.0, "fr" -> 0.25, "de" -> 1.0, "zh" -> 1.0))
         .select($"doc_id", $"lang")
@@ -230,6 +231,14 @@ object DedupSim {
          |         (SELECT vec_id, embedding AS eb FROM embeddings WHERE vec_id < 10) q
          |    WHERE c.vec_id != q.vec_id))
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q58_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'es' THEN 'zzzzzzzz'
+        |            WHEN 'fr' THEN '40000000' WHEN 'de' THEN 'zzzzzzzz'
+        |            WHEN 'zh' THEN 'zzzzzzzz' ELSE '00000000' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q54_embed_neardup" ->
       s"""SELECT idA, idB, round(sim, 4) AS sim FROM (

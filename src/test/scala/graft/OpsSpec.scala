@@ -167,5 +167,21 @@ class OpsSpec extends AnyFunSuite {
     val plan = Ops.stratifiedSample(docs, "lang", "doc_id", fr)
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), plan)
+
+    // the md5-threshold (oracle-portable) twin: same contracts
+    def md5Ids(df: org.apache.spark.sql.DataFrame) =
+      Ops.stratifiedSampleMd5(df, "lang", "doc_id", fr)
+        .select($"doc_id").as[Long].collect().toSet
+    val m1 = md5Ids(docs)
+    assert(md5Ids(docs.repartition(7)) == m1)
+    val mByLang = Ops.stratifiedSampleMd5(docs, "lang", "doc_id", fr)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(mByLang.getOrElse("es", 0L) == totals("es"), "f=1.0 keeps all")
+    assert(mByLang.getOrElse("fr", 0L) == 0L)
+    val mEnFrac = mByLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(mEnFrac > 0.3 && mEnFrac < 0.7, s"en fraction $mEnFrac")
+    val mPlan = Ops.stratifiedSampleMd5(docs, "lang", "doc_id", fr)
+      .queryExecution.executedPlan.toString()
+    assert(!mPlan.contains("Exchange"), mPlan)
   }
 }
