@@ -207,15 +207,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nList: Int = 16,
               nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
-    // Deterministic coarse centroids: first nList vectors by content
-    // hash (cheap, reproducible, good enough for a coarse quantizer);
-    // kmeansIters > 0 refines them with distributed Lloyd rounds.
+    // Deterministic coarse centroids: first nList vectors ordered by a
+    // PORTABLE content hash (md5 prefix — standardized, so the DuckDB
+    // oracle reproduces the exact seed set and q56 is hash-checked
+    // end-to-end); kmeansIters > 0 refines with distributed Lloyd
+    // rounds. The one-time seed sort is tiny — hash choice is about
+    // reproducibility, not speed.
     val seeds: Array[Seq[Float]] =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, embCol, nList, kmeansIters, idCol)
       else corpus
         .select(col(idCol), col(embCol))
-        .withColumn("__h", xxhash64(col(idCol)))
+        .withColumn("__h", substring(md5(col(idCol).cast("string")), 1, 16))
         .orderBy(col("__h"))
         .limit(nList)
         .collect()

@@ -108,7 +108,10 @@ object DedupSim {
 
     // ANN top-k via random-hyperplane LSH (16 bits, 4 bands): the
     // 100 TB path — equi-join on band keys, exact cosine only on
-    // colliding candidates. Rows-only; recall vs q53 asserted in spec.
+    // colliding candidates. Oracle-checked END-TO-END: the seed-derived
+    // hyperplanes are embedded as literals in the DuckDB SQL, which
+    // replays signatures, multi-probe key fan-out, the band join and
+    // the final top-k exactly (recall vs q53 additionally in spec).
     "q55_ann_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -156,7 +159,9 @@ object DedupSim {
     }),
 
     // ANN top-k via IVF (16 coarse lists, probe 4): the other scale
-    // path. Rows-only; recall asserted in spec.
+    // path. Oracle-checked END-TO-END: md5-ordered seeds, argmax-cosine
+    // assignment, probe ranking and candidate top-k are all replayed
+    // exactly in DuckDB (no cosine ties exist — embeddings are unique).
     "q56_ivf_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -170,6 +175,60 @@ object DedupSim {
   private val shinglesSql =
     """list_distinct(list_transform(range(1, len(ws) - 1),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))""".stripMargin
+
+  /** Cosine over two named list columns (lambda var `ii` avoids
+    * shadowing any outer `i` column).
+    */
+  private def cosOf(a: String, b: String) =
+    s"""(list_sum(list_transform(range(1, len($a) + 1),
+       |      ii -> CAST($a[ii] AS DOUBLE) * CAST($b[ii] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |      ii -> CAST($a[ii] AS DOUBLE) * CAST($a[ii] AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |      ii -> CAST($b[ii] AS DOUBLE) * CAST($b[ii] AS DOUBLE))))))""".stripMargin
+
+  /** The q55 oracle: generated SQL embedding the 16 seed-derived
+    * 64-dim hyperplanes as literal lists (the same
+    * `Similarity.hyperplanes(16, 64)` every executor derives).
+    */
+  private def annOracleSql: String = {
+    val planes = Similarity.hyperplanes(16, 64)
+    def dotPlane(p: Array[Double]) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      ii -> CAST(embedding[ii] AS DOUBLE) *
+         |            (${p.mkString("[", ", ", "]")}[ii])))""".stripMargin
+    val sigExpr = (0 until 16).map(i =>
+      s"(CASE WHEN ${dotPlane(planes(i))} >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding,
+       |    ($sigExpr) AS sig
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, embedding, b, (sig >> (b * 4)) & 15 AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |qkeys AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, b,
+       |    xor((sig >> (b * 4)) & 15, f) AS key
+       |  FROM sigs
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f)
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id, c.embedding, q.qe
+       |  FROM corpus c JOIN qkeys q ON c.b = q.b AND c.key = q.key
+       |  WHERE c.vec_id <> q.query_id),
+       |sims AS (
+       |  SELECT query_id, vec_id,
+       |    ${cosOf("embedding", "qe")} AS sim
+       |  FROM cand)
+       |SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM sims) WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   private val cosSql =
     """list_sum(list_transform(range(1, len(ea) + 1),
@@ -239,6 +298,56 @@ object DedupSim {
         |            WHEN 'fr' THEN '40000000' WHEN 'de' THEN 'zzzzzzzz'
         |            WHEN 'zh' THEN 'zzzzzzzz' ELSE '00000000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // Full LSH-ANN replay: the deterministic hyperplanes (seeded
+    // splitmix doubles — shortest-round-trip decimal literals parse to
+    // identical IEEE bits) are embedded in the SQL; signature bits,
+    // 4-bit band keys, the [0,1,2,4,8] multi-probe XOR fan-out, the
+    // band equi-join and the top-k all replayed. The corpus hub-bucket
+    // thinning is a no-op at this scale (500 vectors < maxBucket=1024),
+    // so the oracle omits it.
+    "q55_ann_topk" -> annOracleSql,
+
+    // Full IVF replay: same seeds (md5-prefix order), same assignment
+    // tie-break (max list id — array_max on struct(s,i)), same probe
+    // tie-break (stable sort = min list id), same final top-k ordering.
+    "q56_ivf_topk" ->
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (
+         |      ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16)) - 1 AS i,
+         |    embedding AS ce
+         |  FROM embeddings
+         |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) LIMIT 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, s.i,
+         |    ${cosOf("e.embedding", "s.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |assigned AS (
+         |  SELECT vec_id, embedding, i AS list FROM (
+         |    SELECT vec_id, embedding, i,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cs DESC, i DESC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |probed AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, i AS list FROM (
+         |    SELECT vec_id, embedding, i,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cs DESC, i ASC) AS rk
+         |    FROM scored WHERE vec_id < 10) WHERE rk <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id, a.embedding, p.qe
+         |  FROM assigned a JOIN probed p ON a.list = p.list
+         |  WHERE a.vec_id <> p.query_id),
+         |sims AS (
+         |  SELECT query_id, vec_id,
+         |    ${cosOf("embedding", "qe")} AS sim
+         |  FROM cand)
+         |SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (
+         |  SELECT query_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM sims) WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
 
     "q54_embed_neardup" ->
       s"""SELECT idA, idB, round(sim, 4) AS sim FROM (
