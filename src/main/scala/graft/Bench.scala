@@ -19,6 +19,10 @@ object Bench {
     // wide-projection cost. The noop sink executes the full plan and
     // consumes every row.
     def time(name: String): Double = {
+      // Some operators persist internal relations (LSH signatures etc.)
+      // scoped to one invocation; clearing between runs keeps the 3
+      // samples independent and bounds cache growth across 60+ queries.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)

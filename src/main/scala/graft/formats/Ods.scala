@@ -25,10 +25,15 @@ object Ods {
   /** EMPTY repeats beyond this are treated as trailing padding and
     * clipped (the reference's Spreadsheet::Read `clip` behavior —
     * LibreOffice pads sheets to 2^20 trailing empty rows/columns).
-    * Repeated runs carrying REAL values are always expanded in full:
-    * capping them would silently drop data.
+    * Repeated runs carrying REAL values expand in full up to the
+    * actual LibreOffice grid limits (2^20 rows × 16384 columns) —
+    * capping below that would silently drop data, while honoring a
+    * larger claim would let a few-KB crafted file allocate billions of
+    * cells.
     */
   private val RepeatCap = 4096
+  private val MaxCols = 16384
+  private val MaxRows = 1 << 20
 
   // ---- read ------------------------------------------------------------
 
@@ -111,16 +116,19 @@ object Ods {
                   else if (sawP) text.toString
                   else null
                 // cap applies ONLY to empty padding runs; real values
-                // expand in full (decided here, where the value is known)
+                // expand in full up to the grid limit (decided here,
+                // where the value is known)
                 val rep = if (v == null || v.isEmpty)
-                  math.min(RepeatCap, cellRepeat) else cellRepeat
+                  math.min(RepeatCap, cellRepeat)
+                else math.min(MaxCols, cellRepeat)
                 var i = 0
                 while (i < rep) { row += v; i += 1 }
                 inCell = false; cellValue = null
               case "table-row" if rows != null =>
                 val snap = row.toSeq
                 val rep = if (snap.forall(c => c == null || c.isEmpty))
-                  math.min(RepeatCap, rowRepeat) else rowRepeat
+                  math.min(RepeatCap, rowRepeat)
+                else math.min(MaxRows, rowRepeat)
                 var i = 0
                 while (i < rep) { rows += snap; i += 1 }
                 row = null

@@ -86,6 +86,7 @@ object ImageIoCodec extends MediaCodec {
     catch { case NonFatal(_) => None }
 
   def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (dim <= 0) return Array.empty
     val out = new Array[Float](dim)
     readImage(bytes).foreach { img =>
       val g = math.ceil(math.sqrt(dim.toDouble)).toInt
@@ -128,7 +129,10 @@ object ImageIoCodec extends MediaCodec {
   }
 
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-    readImage(bytes) match {
+    // throw-free contract: nonsense dims pass the payload through
+    // rather than killing the stage from inside a UDF
+    if (w <= 0 || h <= 0) bytes
+    else readImage(bytes) match {
       case None => bytes
       case Some(img) =>
         val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

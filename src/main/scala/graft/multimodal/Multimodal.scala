@@ -81,6 +81,7 @@ object Multimodal {
       * for a CNN/audio embedding; feeds the REAL similarity ops).
       */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (dim <= 0) return Array.empty
       val out = new Array[Float](dim)
       var h = 0x9E3779B97F4A7C15L
       if (bytes != null) {

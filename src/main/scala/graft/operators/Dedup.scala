@@ -22,6 +22,13 @@ import graft.functions.TextFunctions
   * The reference's only dedup is last-write-wins by key
   * (/root/reference/scripts/dbitool.pl:2680-2681 — see Ops); fuzzy
   * dedup is north-star extension work.
+  *
+  * Cache note: the pair builders persist small internal relations
+  * (hashed shingles, signatures) that are load-bearing for both
+  * correctness-of-cost (plan reuse across join sides) and plan-shape
+  * tests, and stay cached until the session ends. Long-lived sessions
+  * running many dedup jobs should `spark.catalog.clearCache()` between
+  * them (Bench does).
   */
 object Dedup {
 
@@ -74,7 +81,9 @@ object Dedup {
   }
 
   /** LSH band keys: hash each group of rowsPerBand signature slots.
-    * Same (bandIdx, bandHash) ⇒ candidate pair.
+    * Same (bandIdx, bandHash) ⇒ candidate pair. THE definition of a
+    * band key — `minhashDuplicatePairs` calls this, so the two can
+    * never diverge.
     */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
@@ -107,6 +116,16 @@ object Dedup {
     * All three stages shuffle on the same (bandIdx, key) key, so the
     * stats join and the self-join co-partition. Callers still verify
     * every emitted pair exactly — star edges included.
+    *
+    * Recall trade-off, stated honestly: inside an OVERSIZED bucket,
+    * a pair (A, B) is only found if each member verifies against the
+    * REPRESENTATIVE — a pair where both are near each other but far
+    * from the rep is missed. For MinHash this is rare (sharing a full
+    * band = r equal signature slots is strong near-dup evidence, so
+    * hub members are mutually similar); SimHash's 16-bit bands are
+    * weaker evidence, so size maxBucket to the corpus (the guarantee
+    * "any pair within hamming ≤ 3 collides on ≥1 band" holds
+    * unconditionally only for buckets within maxBucket).
     */
   private[operators] def bandCandidates(banded: DataFrame, keyCol: String,
                                         maxBucket: Int): DataFrame = {
@@ -159,10 +178,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-      }: _*)).as(Seq("bandIdx", "bandHash")))
+      posexplode(bandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("bandIdx", "bandHash")))
 
     // id-only candidate join (shuffled payload: 3 longs per row) with
     // the hub-bucket cut — see bandCandidates.

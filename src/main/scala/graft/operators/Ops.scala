@@ -146,14 +146,17 @@ object Ops {
 
     val rB = right.select(
       keys.map(col) ++ Seq(
-        (unix_micros(col(rightTs)) / bucketMicros).as("__bucket"),
+        // Column./ is TRUE division (Double) — without the long cast
+        // every distinct timestamp becomes its own "bucket" and the
+        // skew-safety silently degrades to per-timestamp groups.
+        (unix_micros(col(rightTs)) / bucketMicros).cast("long").as("__bucket"),
         unix_micros(col(rightTs)).as("__tsu"),
         payload.as("__payload")): _*)
     val payloadType = rB.schema("__payload").dataType
 
     val lB = left.select(
       keys.map(col) ++ Seq(
-        (unix_micros(col(leftTs)) / bucketMicros).as("__bucket"),
+        (unix_micros(col(leftTs)) / bucketMicros).cast("long").as("__bucket"),
         unix_micros(col(leftTs)).as("__tsu"),
         struct(leftCols.map(col): _*).as("__lrow")): _*)
     val lrowType = lB.schema("__lrow").dataType
@@ -279,6 +282,7 @@ object Ops {
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        fractions: Map[String, Double],
                        seed: Long = 42L): DataFrame = {
+    requireFractions(fractions)
     // uniform in [0,1) from the key hash; compare per-stratum threshold
     val u = (pmod(xxhash64(col(keyCol), lit(seed)), lit(1L << 31)).cast("double")
       / lit((1L << 31).toDouble))
@@ -287,6 +291,13 @@ object Ops {
     }
     df.filter(u < threshold)
   }
+
+  // out-of-range fractions fail differently in the two hash encodings
+  // (negative %08x renders 16 chars and fails OPEN) — reject loudly
+  private def requireFractions(fractions: Map[String, Double]): Unit =
+    fractions.foreach { case (k, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for '$k' must be in [0,1], got $f")
+    }
 
   /** Portable twin of `stratifiedSample`: the uniform draw is the first
     * 8 hex chars of md5(key-as-string) compared lexicographically
@@ -297,6 +308,7 @@ object Ops {
     */
   def stratifiedSampleMd5(df: DataFrame, stratumCol: String, keyCol: String,
                           fractions: Map[String, Double]): DataFrame = {
+    requireFractions(fractions)
     val u = substring(md5(col(keyCol).cast("string")), 1, 8)
     val threshold = fractions.foldLeft(lit("00000000")) { case (acc, (k, f)) =>
       // f >= 1 must keep ALL rows: "zzzzzzzz" sorts above every hex u

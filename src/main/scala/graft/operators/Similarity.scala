@@ -123,7 +123,12 @@ object Similarity {
     // bandKey) partitioning). The survivors are an unbiased sample of a
     // bucket whose members are near-interchangeable for top-k anyway,
     // and each vector keeps its other bands' buckets untouched.
+    // c0 feeds BOTH the stats aggregate and the join side; Catalyst
+    // does not share common subtrees across joins, so without the
+    // persist the corpus signature computation (16 dot products per
+    // row — the dominant cost) runs twice.
     val c0 = bandKeysOf(corpus, "vec_id_c", probe = 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cStats = c0.groupBy(col("bandIdx"), col("bandKey"))
       .agg(count(lit(1)).as("__bsz"))
     val c = c0.join(cStats, Seq("bandIdx", "bandKey"))

@@ -885,9 +885,10 @@ object Pipeline {
     Registered("mediafeatures", RowType, RowType,
       "in=STREAM:col=content:dim=64:out=STREAM", (ctx, m) => {
         val df = ctx.readStream(m, RowType)
+        val dim = m.args.getOrElse("dim", "64").toInt
+        if (dim <= 0) throw new BuildError(s"mediafeatures: dim must be > 0, got $dim")
         ctx.writeStream(m, graft.multimodal.Multimodal.extractFeatures(
-          df, m.args.getOrElse("col", "content"),
-          m.args.getOrElse("dim", "64").toInt), RowType)
+          df, m.args.getOrElse("col", "content"), dim), RowType)
       }),
 
     // Resample still images (bilinear, re-encoded PNG).
@@ -898,6 +899,8 @@ object Pipeline {
           throw new BuildError("mediaresize: w= required")).toInt
         val h = m.args.getOrElse("h",
           throw new BuildError("mediaresize: h= required")).toInt
+        if (w <= 0 || h <= 0)
+          throw new BuildError(s"mediaresize: w/h must be > 0, got ${w}x$h")
         ctx.writeStream(m, graft.multimodal.Multimodal.resize(
           df, w, h, m.args.getOrElse("col", "content")), RowType)
       })

@@ -96,6 +96,11 @@ class ScaleSpec extends AnyFunSuite {
       .filter(l => l.contains("Window") && l.contains("last("))
     assert(mainWindow.exists(l => l.contains("user_id") && l.contains("__bucket")),
       s"as-of window lost the bucket partition key:\n$plan")
+    // the bucket must be an integral LONG (attrs print as __bucket#nL):
+    // Column./ is true division, and a fractional Double bucket makes
+    // every distinct timestamp its own group — skew-safety silently gone
+    assert("__bucket#\\d+L".r.findFirstIn(plan).isDefined,
+      s"__bucket is not a long (fractional buckets?):\n$plan")
   }
 
   test("text kernels stay inside whole-stage codegen") {
