@@ -97,6 +97,22 @@ class XlsxSpec extends AnyFunSuite {
     assert(Ods.read(f, "Second") == Seq(Seq("only")))
     assert(Ods.read(f, "2") == Seq(Seq("only")))
     intercept[IllegalArgumentException](Ods.read(f, "nope"))
+
+    // value-bearing repeats above the empty-padding cap (4096) expand
+    // in full (bounded by the real grid limit) — data is never dropped
+    val f2 = s"$d/big.ods"
+    val z2 = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f2))
+    z2.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    z2.write((
+      """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:spreadsheet>""" +
+        """<table:table table:name="S"><table:table-row>""" +
+        """<table:table-cell table:number-columns-repeated="5000" office:value="7"/>""" +
+        """</table:table-row></table:table>""" +
+        """</office:spreadsheet></office:body></office:document-content>""").getBytes("UTF-8"))
+    z2.closeEntry(); z2.close()
+    val wide = Ods.read(f2)
+    assert(wide.head.length == 5000, s"got ${wide.head.length}")
+    assert(wide.head.forall(_ == "7"))
   }
 
   test("spreadsheet modules round-trip type=ods") {
