@@ -713,7 +713,8 @@ object Pipeline {
     // id drop (wraps Dedup — banded equi-join candidates, exact verify,
     // never all-pairs).
     Registered("dedupnear", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:threshold=0.8:k=3:out=STREAM", (ctx, m) => {
+      "in=STREAM:key=COL:text=COL:threshold=0.8:k=3:transitive:out=STREAM",
+      (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",
           throw new BuildError("dedupnear: key= required"))
@@ -723,8 +724,16 @@ object Pipeline {
         val k = m.args.getOrElse("k", "3").toInt
         val pairs = graft.operators.Dedup.minhashDuplicatePairs(
           df, key, text, k = k, threshold = threshold)
-        ctx.writeStream(m,
-          graft.operators.Dedup.dropDuplicatesByPairs(df, key, pairs), RowType)
+        // transitive: connected-components clustering keeps ONE doc per
+        // duplicate cluster (A~B, B~C drops both B and C even though
+        // the pair (A,C) was never emitted); default is the greedy
+        // pair-drop policy.
+        val deduped =
+          if (m.args.contains("transitive"))
+            graft.operators.Dedup.dropDuplicatesByClusters(df, key,
+              graft.operators.Dedup.duplicateClusters(pairs))
+          else graft.operators.Dedup.dropDuplicatesByPairs(df, key, pairs)
+        ctx.writeStream(m, deduped, RowType)
       }),
 
     Registered("spreadsheetread", NoneType, RowType,

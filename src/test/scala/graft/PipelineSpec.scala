@@ -367,6 +367,14 @@ class PipelineSpec extends AnyFunSuite {
       "select:exprs=id:out=ids",
       "csvwrite:in=ids", s"filewrite:out=$d/out.csv"))
     assert(readOut(s"$d/out.csv").sorted == Seq("1", "3", "id"))
+
+    // transitive flag: connected components keep one doc per cluster
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=r2",
+      "dedupnear:in=r2:key=id:text=body:threshold=0.9:transitive",
+      "select:exprs=id:out=ids2",
+      "csvwrite:in=ids2", s"filewrite:out=$d/out2.csv"))
+    assert(readOut(s"$d/out2.csv").sorted == Seq("1", "3", "id"))
   }
 
   test("orcread/orcwrite modules round-trip") {
