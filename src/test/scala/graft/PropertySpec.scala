@@ -126,4 +126,48 @@ class PropertySpec extends AnyFunSuite {
       assert(back == named)
     }
   }
+
+  test("image codec properties: decode/resize dims, throw-free on garbage") {
+    import graft.multimodal.ImageIoCodec
+    // arbitrary dims: painted PNG decodes to its true size; resize to
+    // arbitrary positive dims yields a decodable PNG of those dims
+    val dims = Gen.zip(Gen.choose(1, 80), Gen.choose(1, 60),
+      Gen.choose(1, 40), Gen.choose(1, 40), Gen.choose(0, 255))
+    samples(dims, 10).foreach { case (w, h, rw, rh, seed) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 31 + y * 7 + seed) & 0xFFFFFF); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val bytes = bos.toByteArray
+      val m = ImageIoCodec.decode(bytes)
+      assert(m.valid && m.format == "png" && m.width == w && m.height == h)
+      val resized = ImageIoCodec.resize(bytes, rw, rh)
+      val rm = ImageIoCodec.decode(resized)
+      assert(rm.valid && rm.width == rw && rm.height == rh)
+      val f = ImageIoCodec.features(bytes, 16)
+      assert(f.length == 16 && f.forall(v => v >= -0.5f && v <= 0.5f))
+    }
+    // arbitrary garbage bytes: never throw, never claim validity
+    val garbage = Gen.listOfN(64, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    samples(garbage, 10).foreach { g =>
+      assert(!ImageIoCodec.decode(g).valid || !ImageIoCodec.supports(g))
+      ImageIoCodec.features(g, 8) // must not throw
+      ImageIoCodec.resize(g, 4, 4)
+      ImageIoCodec.sampleFrames(g, 2)
+    }
+    // truncated real PNG header: sniffs as png but must fail SOFT
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB), "png", bos2)
+    val truncated = bos2.toByteArray.take(20)
+    val tm = ImageIoCodec.decode(truncated)
+    assert(!tm.valid && tm.format == "png")
+  }
 }
