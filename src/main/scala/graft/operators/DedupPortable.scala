@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.{TextExpr, TextFunctions}
+
+/** Oracle-mode (cross-engine portable) variants of the near-dup
+  * operators in [[Dedup]].
+  *
+  * The hot paths hash with xxhash64 (codegen'd single-pass kernels —
+  * TextExpressions.scala); xxhash64 does not exist in DuckDB, so those
+  * results can only be rows-checked by the driver's oracle. Every hash
+  * here is instead derived from md5 — standardized, bit-identical in
+  * Spark and DuckDB — so the FULL near-dup pipelines (shingling,
+  * signatures, banding, hub cuts, verification) replay exactly in
+  * plain SQL and the driver hash-compares end to end. The md5 variants
+  * are verify-scale tools; at 100 TB you run the xxhash64 kernels
+  * (same shapes, cheaper hash — agreement between the two families is
+  * asserted statistically in DedupPortableSpec).
+  *
+  * Portability rules the whole file obeys (each breaks subtly if
+  * ignored):
+  *  - every intermediate stays inside a signed 64-bit long so Spark's
+  *    ANSI mode never overflows: hashes are md5 PREFIXES (60- or
+  *    40-bit), multiplications happen in 31-bit space;
+  *  - no xxhash64, no floating-point in key derivation (doubles don't
+  *    round-trip through SQL literals reliably; longs do);
+  *  - tie-breaks are encoded arithmetically (e.g. the winnow position
+  *    packing) rather than relying on engine-specific ordering.
+  */
+object DedupPortable {
+
+  /** First `hexChars` hex digits of md5 as a positive long. DuckDB
+    * twin: `CAST('0x' || substr(md5(x), 1, hexChars) AS BIGINT)`.
+    * 15 hex chars = 60 bits (sums/shifts stay in-range under ANSI);
+    * 10 chars = 40 bits (leaves 20 bits for position packing).
+    */
+  def md5Long(c: Column, hexChars: Int = 15): Column =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  val Mask31 = 0x7FFFFFFFL
+
+  /** Per-permutation affine constants (a odd, both 31-bit): the MinHash
+    * permutation family h -> (a*h + b) mod 2^31 — a true bijection on
+    * [0, 2^31) for odd a, derived deterministically so the oracle SQL
+    * can embed the very same literals. Products are bounded by
+    * (2^31-1)^2 + 2^31 < 2^63, so ANSI-safe.
+    */
+  def permConstants(numPerm: Int): Seq[(Long, Long)] =
+    (0 until numPerm).map { j =>
+      ((splitmix(2L * j) & Mask31) | 1L, splitmix(2L * j + 1) & Mask31)
+    }
+
+  /** The permutation itself, Column form (mirrors the SQL generator in
+    * queries.DedupPortableSql — keep the two in lockstep).
+    */
+  def perm(h: Column, a: Long, b: Long): Column =
+    (h.bitwiseAND(lit(Mask31)) * lit(a) + lit(b)).bitwiseAND(lit(Mask31))
+
+  /** Portable twin of [[Dedup.minhashDuplicatePairs]]: md5Long'd
+    * distinct word-k-shingles, numPerm affine-permutation minima
+    * (explode + one hash-aggregate — map-side partial mins), md5Long
+    * band keys over rowsPerBand signature slots, the shared hub-cut
+    * candidate join, exact jaccard verification on the hashed shingle
+    * sets. Same shuffle count and plan shape as the hot path; only the
+    * hash family differs.
+    */
+  def minhashDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
+                                    k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                                    threshold: Double = 0.7,
+                                    maxBucket: Int = 64): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+
+    val hashed = df
+      .select(col(idCol).as("id"),
+        sort_array(array_distinct(
+          transform(TextFunctions.wordNgrams(col(textCol), k),
+            s => md5Long(s)))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val ex = hashed.select(col("id"), explode(col("hs")).as("h"))
+    val pcs = permConstants(numPerm)
+    val sigCols = pcs.zipWithIndex.map { case ((a, b), j) =>
+      min(perm(col("h"), a, b)).as(s"m$j")
+    }
+    val sig = ex.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map { bnd =>
+        md5Long(concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"m${bnd * rowsPerBand + r}").cast("string")): _*))
+      }: _*)).as(Seq("bandIdx", "bandHash")))
+
+    Dedup.bandCandidates(banded, "bandHash", maxBucket)
+      .join(hashed.select(col("id").as("idA"), col("hs").as("shA")), "idA")
+      .join(hashed.select(col("id").as("idB"), col("hs").as("shB")), "idB")
+      .withColumn("jaccard", TextExpr.jaccardSorted(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Portable twin of [[Dedup.simhashDuplicatePairs]]: 60-bit SimHash
+    * over md5Long'd whitespace tokens (counted WITH multiplicity, like
+    * the kernel), majority fold via 60 conditional sums in one
+    * hash-aggregate, 4 bands of 15 bits, shared hub cut, exact hamming
+    * verification. The unconditional guarantee — any pair within
+    * hamming maxDist<=3 shares >=1 of the 4 bands — holds for buckets
+    * within maxBucket, same conditionality as the hot path (see
+    * [[Dedup.simhashDuplicatePairs]] scaladoc).
+    */
+  /** The 60-bit md5-family SimHash per row: (id, fp). Exposed so specs
+    * can brute-force pairs over the same fingerprints the banded path
+    * uses.
+    */
+  def simhashPortableFingerprints(df: DataFrame, idCol: String,
+                                  textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), md5Long(col("t")).as("h"))
+    val aggs = (0 until 60).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b")
+    } :+ count(lit(1)).as("n")
+    val counts = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val fpExpr = (0 until 60).map { b =>
+      when(col(s"c$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    counts.select(col("id"), fpExpr.as("fp"))
+  }
+
+  def simhashDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
+                                    maxDist: Int = 3,
+                                    maxBucket: Int = 256): DataFrame = {
+    val base = simhashPortableFingerprints(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val banded = base.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("bandIdx", "bandHash")))
+
+    Dedup.bandCandidates(banded, "bandHash", maxBucket)
+      .join(base.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
+      .join(base.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
+      .select(col("idA"), col("idB"),
+        Dedup.hamming(col("fpA"), col("fpB")).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Portable twin of [[Dedup.winnowDuplicatePairs]], reformulated so
+    * a SQL engine replays it with window functions:
+    *
+    *  - character k-grams (`substr`, char-based in both engines) hashed
+    *    to 40 bits (md5 prefix);
+    *  - each position packed into ONE long:
+    *    `key = (h40 << 20) + (2^20 - 1 - i)` — the window MINIMUM of
+    *    `key` is then exactly robust winnowing's "smallest hash,
+    *    rightmost position on ties" selection, with the selected hash
+    *    recoverable as `key >> 20`. No structs, no argmin, no
+    *    engine-specific tie-break semantics;
+    *  - `min(key) OVER (PARTITION BY doc ORDER BY i ROWS CURRENT..w-1
+    *    FOLLOWING)` per window start, truncated tail windows filtered
+    *    (`i <= m - (w-1)`, m = k-gram count);
+    *  - the fingerprint set per doc is the distinct selected hashes —
+    *    same rare-fingerprint candidate join + exact jaccard as the
+    *    hot path.
+    *
+    * Selection differs from the byte-rolling kernel only in hash family
+    * and char-vs-byte k-gram units; the winnowing guarantee (any shared
+    * substring of >= k+w-1 chars yields a shared fingerprint) holds
+    * identically. Documents shorter than k+w-1 chars have no full
+    * window and are excluded (the kernel instead fingerprints any doc
+    * with >= k bytes — at these thresholds both treat short docs as
+    * un-fingerprintable).
+    */
+  def winnowDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
+                                   k: Int = 16, w: Int = 8, threshold: Double = 0.5,
+                                   maxBucket: Int = 64): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+      .select(col("id"), col("t"), (length(col("t")) - (k - 1)).as("m"))
+    val pos = base
+      .select(col("id"), col("m"), explode(sequence(lit(1), col("m"))).as("i"), col("t"))
+      .select(col("id"), col("m"), col("i"),
+        (shiftleft(md5Long(col("t").substr(col("i"), lit(k)), 10), 20) +
+          (lit(1048575) - col("i"))).as("key"))
+    val winSpec = Window.partitionBy("id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = pos
+      .select(col("id"), col("i"), col("m"),
+        min(col("key")).over(winSpec).as("mk"))
+      .filter(col("i") <= col("m") - (w - 1))
+      .select(col("id"), shiftright(col("mk"), 20).as("f"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fps = sel.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("f"))).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // rare-fingerprint cut BEFORE the self-join, as in the hot path
+    val cnt = sel.groupBy(col("f")).agg(count(lit(1)).as("__c"))
+    val small = sel.join(cnt.filter(col("__c").between(2, maxBucket)), "f")
+      .select(col("f"), col("id"))
+    val candidates = small.as("a").join(small.as("b"), "f")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      .dropDuplicates("idA", "idB")
+
+    candidates
+      .join(fps.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
+      .join(fps.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
+      .withColumn("jaccard", TextExpr.jaccardSorted(col("fpA"), col("fpB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

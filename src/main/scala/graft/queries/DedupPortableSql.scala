@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.operators.DedupPortable
+
+/** DuckDB replay SQL for the portable (md5-family) near-dup pipelines
+  * in [[graft.operators.DedupPortable]] — the oracle side of q51/q52/
+  * q57. Generated programmatically so the permutation constants, band
+  * layout and hub-cut parameters are read from the SAME definitions the
+  * Spark operators use; any drift breaks the hash compare immediately.
+  *
+  * Pattern precedent: q55/q56 (DedupSim.annOracleSql) replay the whole
+  * ANN pipeline in SQL; these do the same for MinHash/SimHash/winnow.
+  */
+object DedupPortableSql {
+
+  /** `CAST('0x' || substr(md5(x),1,n) AS BIGINT)` — DuckDB twin of
+    * [[DedupPortable.md5Long]].
+    */
+  private def md5Long(x: String, hexChars: Int = 15): String =
+    s"CAST('0x' || substr(md5($x), 1, $hexChars) AS BIGINT)"
+
+  /** The shared hub-cut candidate CTEs (twin of Dedup.bandCandidates):
+    * expects a prior CTE `banded(doc_id, b, key)`; defines `cand(idA,
+    * idB)`. Buckets <= maxBucket take the bounded all-pairs self-join;
+    * oversized buckets emit linear member -> min-id star edges.
+    */
+  private def hubCutCtes(maxBucket: Int): String =
+    s"""stats AS (
+       |  SELECT b, key, count(*) AS bsz, min(doc_id) AS rep
+       |  FROM banded GROUP BY b, key),
+       |sized AS (
+       |  SELECT banded.doc_id, banded.b, banded.key, stats.bsz, stats.rep
+       |  FROM banded JOIN stats ON banded.b = stats.b AND banded.key = stats.key),
+       |smallp AS (
+       |  SELECT a.doc_id AS idA, c.doc_id AS idB
+       |  FROM sized a JOIN sized c
+       |    ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+       |  WHERE a.bsz <= $maxBucket),
+       |starp AS (
+       |  SELECT rep AS idA, doc_id AS idB FROM sized
+       |  WHERE bsz > $maxBucket AND doc_id <> rep),
+       |cand AS (
+       |  SELECT DISTINCT idA, idB FROM
+       |    (SELECT * FROM smallp UNION ALL SELECT * FROM starp))""".stripMargin
+
+  /** Exact jaccard between two distinct-element lists. */
+  private def jaccardSql(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |      / len(list_distinct(list_concat($a, $b)))""".stripMargin
+
+  /** q51 oracle: full MinHash-LSH replay (k=3 word shingles). */
+  def minhashOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                       maxBucket: Int): String = {
+    val rowsPerBand = numPerm / bands
+    val pcs = DedupPortable.permConstants(numPerm)
+    val sigCols = pcs.zipWithIndex.map { case ((a, b), j) =>
+      s"min((((h & 2147483647) * $a + $b) & 2147483647)) AS m$j"
+    }.mkString(",\n    ")
+    val bandArms = (0 until bands).map { bnd =>
+      val slots = (0 until rowsPerBand)
+        .map(r => s"m${bnd * rowsPerBand + r}::VARCHAR").mkString(", ")
+      s"WHEN $bnd THEN ${md5Long(s"concat_ws('|', $slots)")}"
+    }.mkString("\n      ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |    g -> ${md5Long("g")}))) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |d AS (SELECT * FROM d0 WHERE len(hs) > 0),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM d),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b,
+       |    CASE b
+       |      $bandArms
+       |    END AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
+       |${hubCutCtes(maxBucket)},
+       |ver AS (
+       |  SELECT cand.idA, cand.idB,
+       |    ${jaccardSql("x.hs", "y.hs")} AS jaccard
+       |  FROM cand JOIN d x ON x.doc_id = cand.idA
+       |            JOIN d y ON y.doc_id = cand.idB)
+       |SELECT idA, idB, round(jaccard, 4) AS jaccard
+       |FROM ver WHERE jaccard >= $threshold
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  /** q52 oracle: full 60-bit SimHash replay. */
+  def simhashOracleSql(maxDist: Int, maxBucket: Int): String = {
+    val sums = (0 until 60)
+      .map(b => s"sum((h >> $b) & 1) AS c$b").mkString(",\n    ")
+    val fpTerms = (0 until 60).map { b =>
+      s"(CASE WHEN c$b * 2 >= n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, ${md5Long("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)),
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    $sums
+       |  FROM ex GROUP BY doc_id),
+       |fps AS (
+       |  SELECT doc_id,
+       |    ($fpTerms) AS fp
+       |  FROM cnt),
+       |banded AS (
+       |  SELECT doc_id, b, (fp >> (b * 15)) & 32767 AS key
+       |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |${hubCutCtes(maxBucket)},
+       |ver AS (
+       |  SELECT cand.idA, cand.idB,
+       |    CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS dist
+       |  FROM cand JOIN fps x ON x.doc_id = cand.idA
+       |            JOIN fps y ON y.doc_id = cand.idB)
+       |SELECT idA, idB, dist FROM ver WHERE dist <= $maxDist
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  /** q57 oracle: window-function winnowing replay. The position packing
+    * `(h40 << 20) + (2^20-1-i)` makes `min(key)` the rightmost-min
+    * selection; `key >> 20` recovers the hash.
+    */
+  def winnowOracleSql(k: Int, w: Int, threshold: Double,
+                      maxBucket: Int): String = {
+    s"""WITH base AS (
+       |  SELECT doc_id, text, length(text) - ${k - 1} AS m
+       |  FROM documents WHERE length(text) >= ${k + w - 1}),
+       |pos AS (
+       |  SELECT doc_id, m, i,
+       |    (${md5Long(s"substr(text, CAST(i AS INTEGER), $k)", 10)} << 20)
+       |      + (1048575 - i) AS key
+       |  FROM (SELECT doc_id, m, text, unnest(range(1, m + 1)) AS i
+       |        FROM base)),
+       |sel0 AS (
+       |  SELECT doc_id, i, m,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk
+       |  FROM pos),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, mk >> 20 AS f
+       |  FROM sel0 WHERE i <= m - ${w - 1}),
+       |fps AS (SELECT doc_id, list_sort(list(f)) AS fp FROM sel GROUP BY doc_id),
+       |cnt AS (SELECT f, count(*) AS c FROM sel GROUP BY f),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM sel a JOIN sel b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  JOIN cnt ON cnt.f = a.f
+       |  WHERE cnt.c BETWEEN 2 AND $maxBucket),
+       |ver AS (
+       |  SELECT cand.idA, cand.idB,
+       |    ${jaccardSql("x.fp", "y.fp")} AS jaccard
+       |  FROM cand JOIN fps x ON x.doc_id = cand.idA
+       |            JOIN fps y ON y.doc_id = cand.idB)
+       |SELECT idA, idB, round(jaccard, 4) AS jaccard
+       |FROM ver WHERE jaccard >= $threshold
+       |ORDER BY idA, idB""".stripMargin
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, DedupPortable, Similarity}
 
 /** Near-dedup + similarity-search queries (north-star extensions).
   *
@@ -66,21 +66,25 @@ object DedupSim {
       Dedup.duplicateClusters(pairs).orderBy($"id")
     }),
 
-    // MinHash-LSH near-dup pairs, exact-jaccard verified. Deterministic
-    // but xxhash64 isn't expressible in the oracle → rows-only check;
-    // recall vs exact is asserted in DedupSimSpec.
+    // MinHash-LSH near-dup pairs, exact-jaccard verified, in PORTABLE
+    // (md5-family) mode: shingle hashes, affine-permutation signatures,
+    // band keys, the hub cut and the verification all replay exactly in
+    // the DuckDB oracle (DedupPortableSql.minhashOracleSql) → full hash
+    // check. The xxhash64 kernel path stays the 100 TB default
+    // (Dedup.minhashDuplicatePairs) and is cross-checked in
+    // TextKernelsSpec/DedupPortableSpec.
     "q51_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      Dedup.minhashDuplicatePairs(t(s, dir, "documents"),
+      DedupPortable.minhashDuplicatePairsPortable(t(s, dir, "documents"),
           "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.7)
         .orderBy($"idA", $"idB")
     }),
 
-    // SimHash near-dup pairs (hamming ≤ 3 on 64-bit fingerprints) —
-    // rows-only for the same reason.
+    // SimHash near-dup pairs (hamming ≤ 3), portable mode: 60-bit
+    // md5-derived fingerprints, 4×15-bit bands — full DuckDB replay.
     "q52_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashDuplicatePairs(t(s, dir, "documents"),
+      DedupPortable.simhashDuplicatePairsPortable(t(s, dir, "documents"),
           "doc_id", "text", maxDist = 3)
         .orderBy($"idA", $"idB")
     }),
@@ -121,14 +125,14 @@ object DedupSim {
         .orderBy($"query_id", $"rk")
     }),
 
-    // Winnowing (rolling-hash) fingerprint near-dup pairs: candidates
-    // share a selected fingerprint (equi-join, never all-pairs; hub
-    // fingerprints cut), verified by fingerprint-set jaccard. Hashes
-    // aren't oracle-expressible → rows-only; identity/recall/guarantee
-    // asserted in DedupSimSpec.
+    // Winnowing fingerprint near-dup pairs, portable mode: the
+    // rightmost-min selection is encoded arithmetically
+    // ((h40<<20)+(2^20-1-i), window min) so DuckDB replays selection,
+    // candidate join and verification exactly. The byte-rolling kernel
+    // (Dedup.winnowDuplicatePairs) stays the 100 TB default.
     "q57_winnow_neardup" -> ((s, dir) => {
       import s.implicits._
-      Dedup.winnowDuplicatePairs(t(s, dir, "documents"),
+      DedupPortable.winnowDuplicatePairsPortable(t(s, dir, "documents"),
           "doc_id", "text", k = 16, w = 8, threshold = 0.5)
         .orderBy($"idA", $"idB")
     }),
@@ -298,6 +302,15 @@ object DedupSim {
         |            WHEN 'fr' THEN '40000000' WHEN 'de' THEN 'zzzzzzzz'
         |            WHEN 'zh' THEN 'zzzzzzzz' ELSE '00000000' END
         |ORDER BY doc_id""".stripMargin,
+
+    // Full replays of the portable near-dup pipelines (md5 hash
+    // family — see DedupPortable / DedupPortableSql).
+    "q51_minhash_lsh" -> DedupPortableSql.minhashOracleSql(
+      numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
+    "q52_simhash_neardup" -> DedupPortableSql.simhashOracleSql(
+      maxDist = 3, maxBucket = 256),
+    "q57_winnow_neardup" -> DedupPortableSql.winnowOracleSql(
+      k = 16, w = 8, threshold = 0.5, maxBucket = 64),
 
     // Full LSH-ANN replay: the deterministic hyperplanes (seeded
     // splitmix doubles — shortest-round-trip decimal literals parse to

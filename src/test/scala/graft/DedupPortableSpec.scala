@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, DedupPortable}
+
+/** The portable (md5-family, oracle-replayable) near-dup variants:
+  * cross-engine hash constants, agreement with the xxhash64 hot paths,
+  * and the algorithmic guarantees on synthetic fixtures.
+  */
+class DedupPortableSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("md5Long matches DuckDB's CAST('0x'||substr(md5(x),1,n) AS BIGINT)") {
+    // Constants produced by DuckDB v1.0.0 (and equal to
+    // int(md5_hex[:n], 16) — md5 is standardized, so any engine agrees).
+    val got = Seq("hello", "a b c", "", "z123").toDF("s")
+      .select(DedupPortable.md5Long($"s").as("h15"),
+        DedupPortable.md5Long($"s", 10).as("h10"))
+      .as[(Long, Long)].collect()
+    assert(got(0) == ((419982666956583591L, 400526682812L)))
+    assert(got(1)._1 == 31251835280889960L)
+    assert(got(2)._1 == 955282973525019424L)
+    assert(got(3)._1 == 287487456454488776L)
+  }
+
+  test("permConstants: deterministic, odd multipliers, 31-bit range") {
+    val pcs = DedupPortable.permConstants(64)
+    assert(pcs == DedupPortable.permConstants(64))
+    assert(pcs.distinct.size == 64)
+    pcs.foreach { case (a, b) =>
+      assert(a % 2 == 1 && a > 0 && a <= DedupPortable.Mask31)
+      assert(b >= 0 && b <= DedupPortable.Mask31)
+    }
+  }
+
+  test("portable minhash agrees with the xxhash64 hot path on real docs") {
+    // Different hash families sample different permutations, so banding
+    // may differ per pair — but both verify exactly at the same
+    // threshold, so both are subsets of exact-jaccard>=0.7 pairs and
+    // should find essentially the same set at test scale.
+    val portable = DedupPortable.minhashDuplicatePairsPortable(
+        docs, "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val hot = Dedup.minhashDuplicatePairs(
+        docs, "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(portable.nonEmpty)
+    val overlap = (portable & hot).size.toDouble / math.max(portable.size, hot.size)
+    assert(overlap >= 0.9, s"portable=${portable.size} hot=${hot.size} overlap=$overlap")
+  }
+
+  test("portable minhash jaccard values are exact (verification step)") {
+    val rows = DedupPortable.minhashDuplicatePairsPortable(
+        docs, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, j) => a < b && j >= 0.7 && j <= 1.0 })
+  }
+
+  test("portable simhash equals brute-force hamming over its fingerprints") {
+    // Banded pairs must be EXACTLY the brute-force hamming<=3 pairs of
+    // the same fingerprints (no hub buckets at 50 docs, so the band
+    // guarantee is unconditional), with exact distances.
+    val fps = DedupPortable.simhashPortableFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield ((a, b), d)).toMap
+    val banded = DedupPortable.simhashDuplicatePairsPortable(
+        docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => ((a, b), d) }.toMap
+    assert(brute.nonEmpty, "test corpus should contain near-dup families")
+    assert(banded == brute)
+  }
+
+  test("portable winnow: shared long substring guarantees a shared fingerprint") {
+    val common = "this exact shared paragraph is long enough to fingerprint"
+    val fx = Seq(
+      (1L, s"prefix one $common and some trailing text here"),
+      (2L, s"a different beginning $common with another ending"),
+      (3L, "nothing in common with the others at all, distinct content"))
+      .toDF("doc_id", "text")
+    // threshold 0 surfaces every candidate pair that shares >=1
+    // fingerprint — the winnowing guarantee for k=16, w=8 (shared
+    // substring of >= 23 chars).
+    val pairs = DedupPortable.winnowDuplicatePairsPortable(
+        fx, "doc_id", "text", k = 16, w = 8, threshold = 0.0)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("portable winnow agrees with the kernel path on real docs") {
+    val portable = DedupPortable.winnowDuplicatePairsPortable(
+        docs, "doc_id", "text", k = 16, w = 8, threshold = 0.5)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val hot = Dedup.winnowDuplicatePairs(
+        docs, "doc_id", "text", k = 16, w = 8, threshold = 0.5)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(portable.nonEmpty)
+    val overlap = (portable & hot).size.toDouble / math.max(portable.size, hot.size)
+    assert(overlap >= 0.9, s"portable=${portable.size} hot=${hot.size} overlap=$overlap")
+  }
+
+  test("portable variants are deterministic across invocations") {
+    def run() = DedupPortable.simhashDuplicatePairsPortable(
+        docs, "doc_id", "text").as[(Long, Long, Int)].collect().toSet
+    assert(run() == run())
+  }
+}

@@ -37,8 +37,13 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Optional 3rd arg: comma-separated query-name prefixes to check
+    # (pairs with Verify's SPARK_GRAFT_ONLY dev filter).
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
