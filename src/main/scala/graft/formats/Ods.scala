@@ -116,19 +116,27 @@ object Ods {
                   else if (sawP) text.toString
                   else null
                 // cap applies ONLY to empty padding runs; real values
-                // expand in full up to the grid limit (decided here,
-                // where the value is known)
-                val rep = if (v == null || v.isEmpty)
-                  math.min(RepeatCap, cellRepeat)
-                else math.min(MaxCols, cellRepeat)
+                // expand in full up to the grid limit. The limit is
+                // CUMULATIVE over the row (MaxCols - cells already
+                // present), not per-run — many value-bearing runs each
+                // claiming 16384 repeats must not multiply (crafted-file
+                // OOM, ADVICE r3).
+                val rep = math.max(0, math.min(
+                  if (v == null || v.isEmpty) math.min(RepeatCap, cellRepeat)
+                  else cellRepeat,
+                  MaxCols - row.length))
                 var i = 0
                 while (i < rep) { row += v; i += 1 }
                 inCell = false; cellValue = null
               case "table-row" if rows != null =>
                 val snap = row.toSeq
-                val rep = if (snap.forall(c => c == null || c.isEmpty))
-                  math.min(RepeatCap, rowRepeat)
-                else math.min(MaxRows, rowRepeat)
+                // same cumulative clamp as cells: bound by the rows the
+                // grid can still hold, not per-run
+                val rep = math.max(0, math.min(
+                  if (snap.forall(c => c == null || c.isEmpty))
+                    math.min(RepeatCap, rowRepeat)
+                  else rowRepeat,
+                  MaxRows - rows.length))
                 var i = 0
                 while (i < rep) { rows += snap; i += 1 }
                 row = null

@@ -222,7 +222,9 @@ object Xls {
       val body = pos + 4
       rec match {
         case RecBOF => depth += 1
-        case RecEOF => depth -= 1; if (depth == 0) done = true
+        case RecEOF =>
+          pendingString = None // a STRING never crosses a sheet boundary
+          depth -= 1; if (depth == 0) done = true
         case RecNUMBER =>
           put(bb.getShort(body) & 0xFFFF, bb.getShort(body + 2) & 0xFFFF,
             fmtNum(bb.getDouble(body + 6)))
@@ -259,6 +261,10 @@ object Xls {
           // a STRING record), 1 boolean, 2 error, 3 empty string.
           val r = bb.getShort(body) & 0xFFFF
           val c = bb.getShort(body + 2) & 0xFFFF
+          // Any new FORMULA invalidates a stale pending string target —
+          // a malformed stream must not attribute a later STRING record
+          // to an earlier formula's (row, col).
+          pendingString = None
           if ((bb.getShort(body + 12) & 0xFFFF) == 0xFFFF) {
             (wb(body + 6) & 0xFF) match {
               case 0 => pendingString = Some((r, c))

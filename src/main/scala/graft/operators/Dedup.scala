@@ -245,9 +245,18 @@ object Dedup {
     * MinHash-LSH, including the hub-bucket cut (identical boilerplate
     * docs all share a fingerprint, hence every band — a naive band
     * self-join would go quadratic on them).
+    *
+    * Guarantee is CONDITIONAL on bucket size: "hamming <= maxDist ⇒
+    * >= 1 shared band ⇒ pair emitted" holds unconditionally only for
+    * band buckets within maxBucket members; oversized hub buckets emit
+    * member→representative star edges instead, trading in-bucket pair
+    * recall for linearity (see bandCandidates). SimHash's 16-bit bands
+    * are weaker collision evidence than MinHash's, so the default
+    * maxBucket is 4× larger here (256 vs 64); size it to the corpus's
+    * boilerplate profile.
     */
   def simhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
-                            maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
+                            maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     // Single-pass codegen kernel: fingerprints are a NARROW projection
     // (no explode/aggregate shuffle). (id, fp) is two longs per row;
     // persisted because it feeds the banding AND both sides of the

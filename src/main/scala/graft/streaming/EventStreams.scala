@@ -90,11 +90,18 @@ object EventStreams {
     * not a gap: unbounded fuzzy state can't expire safely.)
     */
   def streamingNearDedup(docs: DataFrame, textCol: String, tsCol: String,
-                         watermark: String = "2 hours"): DataFrame =
-    docs.withWatermark(tsCol, watermark)
+                         watermark: String = "2 hours"): DataFrame = {
+    // Null-text rows bypass the dedup entirely: a null fingerprint is a
+    // regular key to dropDuplicatesWithinWatermark, which would
+    // collapse ALL distinct null-text documents in the watermark to one
+    // survivor (ADVICE r3).
+    val wm = docs.withWatermark(tsCol, watermark)
+    wm.filter(col(textCol).isNotNull)
       .withColumn("__fp", graft.functions.TextExpr.simhash64(col(textCol)))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+      .unionByName(wm.filter(col(textCol).isNull))
+  }
 
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension (the reference's ndb-lookup shape, unbounded).

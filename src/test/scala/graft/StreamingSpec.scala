@@ -61,7 +61,9 @@ class StreamingSpec extends AnyFunSuite {
     Seq(
       (1L, 1000000L, "the same boilerplate text"),
       (2L, 2000000L, "the same boilerplate text"), // dup fingerprint
-      (3L, 3000000L, "a completely different document"))
+      (3L, 3000000L, "a completely different document"),
+      (4L, 4000000L, null.asInstanceOf[String]),   // null text…
+      (5L, 5000000L, null.asInstanceOf[String]))   // …must BOTH survive
       .toDF("doc_id", "tsu", "text")
       .withColumn("ts", timestamp_micros($"tsu")).drop("tsu")
       .write.mode("overwrite").parquet(dir)
@@ -76,9 +78,12 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val kept = spark.table("stream_neardedup")
       .select("doc_id").as[Long].collect().toSet
-    assert(kept.size == 2, s"kept=$kept")
+    assert(kept.size == 4, s"kept=$kept")
     assert(kept.contains(3L))
     assert(kept.intersect(Set(1L, 2L)).size == 1)
+    // null fingerprints are NOT a dedup key (ADVICE r3): distinct
+    // null-text docs all pass through
+    assert(kept.contains(4L) && kept.contains(5L))
   }
 
   test("flatMapGroupsWithState sessionization matches batch session windows") {

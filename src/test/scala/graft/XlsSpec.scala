@@ -167,6 +167,23 @@ class XlsSpec extends AnyFunSuite {
     val grid = Xls.read(f, "S1")
     assert(grid(0) == Seq("6", "TRUE", "#DIV/0!"))
     assert(grid(1) == Seq("cat", ""))
+
+    // Malformed stream: a non-string FORMULA intervenes between a
+    // string-tagged FORMULA and its STRING record. The STRING must NOT
+    // attach to the stale (row, col) — it is orphaned and dropped
+    // (ADVICE r3).
+    val sheet2 = Array.concat(bof(0x0010),
+      formulaTagged(0, 0, 0, 0),  // expects a STRING…
+      formulaNum(0, 1, 5.0),      // …but a number formula intervenes
+      stringRec("ghost"),         // orphaned: must not land at (0,0)
+      rec(0x000A, Array.empty))
+    val f2 = s"${tmp("fml2")}/fml2.xls"
+    new java.io.File(f2).getParentFile.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f2),
+      Cfb.writeStream("Workbook", Array.concat(globals, sheet2)))
+    val grid2 = Xls.read(f2, "S1")
+    assert(!grid2.flatten.contains("ghost"), s"grid=$grid2")
+    assert(grid2(0)(1) == "5")
   }
 
   test("spreadsheet modules round-trip type=xls") {

@@ -113,6 +113,29 @@ class XlsxSpec extends AnyFunSuite {
     val wide = Ods.read(f2)
     assert(wide.head.length == 5000, s"got ${wide.head.length}")
     assert(wide.head.forall(_ == "7"))
+
+    // the grid limit is CUMULATIVE, not per-run: many value-bearing
+    // runs in one row (or many repeated rows) clamp at the real grid
+    // bounds instead of multiplying — a few-KB crafted file must not
+    // allocate beyond 16384 cols / 2^20 rows (ADVICE r3)
+    val f3 = s"$d/cum.ods"
+    val z3 = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f3))
+    z3.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    z3.write((
+      """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body><office:spreadsheet>""" +
+        """<table:table table:name="S"><table:table-row>""" +
+        """<table:table-cell table:number-columns-repeated="10000" office:value="1"/>""" +
+        """<table:table-cell table:number-columns-repeated="10000" office:value="2"/>""" +
+        """<table:table-cell table:number-columns-repeated="10000" office:value="3"/>""" +
+        """</table:table-row>""" +
+        """<table:table-row table:number-rows-repeated="600000"><table:table-cell office:value="4"/></table:table-row>""" +
+        """<table:table-row table:number-rows-repeated="600000"><table:table-cell office:value="5"/></table:table-row>""" +
+        """<table:table-row table:number-rows-repeated="600000"><table:table-cell office:value="6"/></table:table-row>""" +
+        """</table:table></office:spreadsheet></office:body></office:document-content>""").getBytes("UTF-8"))
+    z3.closeEntry(); z3.close()
+    val cum = Ods.read(f3)
+    assert(cum.head.length == 16384, s"cols=${cum.head.length}")
+    assert(cum.length == (1 << 20), s"rows=${cum.length}")
   }
 
   test("spreadsheet modules round-trip type=ods") {
