@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
   *
   * Codecs: STILL IMAGES ARE REAL — `ImageIoCodec` (pure-JDK
   * javax.imageio) decodes PNG/JPEG/GIF/BMP with header-only metadata
-  * reads, bilinear resampling and luminance-grid features. Audio/video
-  * remain STUBS (`StubCodec` parses a deterministic fake `GMM1` header)
-  * because this container ships no audio/video libraries; `AutoCodec`
-  * sniffs magic bytes and dispatches per payload, so real audio codecs
-  * slot in behind the same `MediaCodec` trait with no plumbing change.
+  * reads, bilinear resampling and luminance-grid features. AUDIO IS
+  * REAL for WAV — `WavCodec` (pure-JDK javax.sound.sampled): header-only
+  * metadata, windowed RMS + zero-crossing features, segment sampling.
+  * Video remains a STUB (`StubCodec` parses a deterministic fake `GMM1`
+  * header) because the JDK ships no video decoder; `AutoCodec` sniffs
+  * magic bytes and dispatches per payload, so a real video codec slots
+  * in behind the same `MediaCodec` trait with no plumbing change.
   *
   * Scale notes: binaryFile scans support pathGlobFilter/pruning;
   * payloads ride shuffles only when explicitly selected; partition
@@ -48,7 +50,9 @@ object Multimodal {
     */
   object AutoCodec extends MediaCodec {
     private def pick(bytes: Array[Byte]): MediaCodec =
-      if (ImageIoCodec.supports(bytes)) ImageIoCodec else StubCodec
+      if (ImageIoCodec.supports(bytes)) ImageIoCodec
+      else if (WavCodec.supports(bytes)) WavCodec
+      else StubCodec
     def decode(bytes: Array[Byte]): MediaMeta = pick(bytes).decode(bytes)
     def features(bytes: Array[Byte], dim: Int): Array[Float] =
       pick(bytes).features(bytes, dim)

@@ -146,6 +146,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!m.getAs[Boolean]("valid"))
   }
 
+  // ---- real WAV audio codec (javax.sound.sampled) -------------------
+
+  /** 16-bit signed mono PCM WAV: `freq` Hz sine at `rate` Hz for
+    * `ms` milliseconds, via the JDK encoder itself.
+    */
+  private def sineWav(freq: Double, rate: Float = 8000f,
+                      ms: Int = 500): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      bb.putShort((math.sin(2 * math.Pi * freq * i / rate) * 12000).toShort)
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("wav decode: header-only meta (rate, channels, duration)") {
+    import graft.multimodal.WavCodec
+    val m = WavCodec.decode(sineWav(440.0, rate = 8000f, ms = 500))
+    assert(m.valid && m.format == "wav")
+    assert(m.width == 8000 && m.height == 1)
+    assert(m.durationMs == 500, s"durationMs=${m.durationMs}")
+    // AutoCodec routes RIFF/WAVE payloads to the real codec
+    val auto = Multimodal.AutoCodec.decode(sineWav(220.0))
+    assert(auto.valid && auto.format == "wav")
+  }
+
+  test("wav features: RMS/zero-crossing grid separates tone pitch and silence") {
+    import graft.multimodal.WavCodec
+    val lo = WavCodec.features(sineWav(200.0), 64)
+    val hi = WavCodec.features(sineWav(2000.0), 64)
+    val silence = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](8000) // 0.5 s of zeros
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4000L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      WavCodec.features(bos.toByteArray, 64)
+    }
+    assert(lo.length == 64 && hi.length == 64)
+    assert(lo.toSeq == WavCodec.features(sineWav(200.0), 64).toSeq, "deterministic")
+    // same amplitude → similar RMS halves; 10× frequency → much higher
+    // zero-crossing half
+    val zcrLo = lo.drop(32).map(_.toDouble).sum / 32
+    val zcrHi = hi.drop(32).map(_.toDouble).sum / 32
+    assert(zcrHi > zcrLo + 0.2, s"zcrLo=$zcrLo zcrHi=$zcrHi")
+    // silence: RMS slots at the -0.5 floor, no crossings
+    assert(silence.take(32).forall(v => math.abs(v + 0.5f) < 1e-6))
+    assert(lo.take(32).forall(_ > -0.4f))
+  }
+
+  test("wav frame sampling cuts standalone playable segments") {
+    import graft.multimodal.WavCodec
+    val segs = WavCodec.sampleFrames(sineWav(440.0, ms = 600), 3)
+    assert(segs.length == 3)
+    segs.foreach { seg =>
+      val m = WavCodec.decode(seg)
+      assert(m.valid && m.width == 8000)
+      assert(math.abs(m.durationMs - 200) <= 1, s"durationMs=${m.durationMs}")
+    }
+  }
+
+  test("corrupt wav surfaces as valid=false, never throws") {
+    import graft.multimodal.WavCodec
+    val junk = "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](20)(7)
+    val m = WavCodec.decode(junk)
+    assert(!m.valid)
+    assert(WavCodec.features(junk, 16).toSeq == Seq.fill(16)(0f))
+    assert(WavCodec.sampleFrames(junk, 2).isEmpty)
+  }
+
   test("partitionByBytes sizes tasks by payload bytes") {
     val df = Multimodal.readBinary(spark, mediaDir, "*.bin")
     val p = Multimodal.partitionByBytes(df, "length", targetBytes = 2000)
