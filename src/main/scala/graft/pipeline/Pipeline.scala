@@ -549,6 +549,66 @@ object Pipeline {
       ctx.writeStream(m, out, RawType)
     }),
 
+    Registered("zipread", NoneType, RawType,
+      "in=ZIPFILE[:entry=NAME]:out=STREAM", (ctx, m) => {
+        // Reference TODO:48-50 (unimplemented there): read one zip file
+        // with one or many entries. A zip is a whole-container local
+        // format — entries are enumerated and inflated driver-side
+        // through the same pure-JDK java.util.zip plumbing the xlsx/ods
+        // codecs use (central directory via ZipFile, no temp files),
+        // then parallelized as a raw line stream. Same in-memory caveat
+        // as jsonread/bsonread; for splittable scale paths use
+        // csvread/ndjsonread on extracted files.
+        val path = m.args.getOrElse("in",
+          throw new BuildError("zipread: in= required"))
+        val entrySel = m.args.get("entry")
+        val zf = new java.util.zip.ZipFile(path)
+        val lines: Seq[String] = try {
+          import scala.jdk.CollectionConverters._
+          val entries = zf.entries().asScala.filterNot(_.isDirectory)
+            .filter(e => entrySel.forall(_ == e.getName)).toSeq
+          if (entries.isEmpty)
+            throw new BuildError(entrySel match {
+              case Some(n) => s"zipread: entry '$n' not found in $path"
+              case None => s"zipread: no entries in $path"
+            })
+          entries.flatMap { e =>
+            val src = scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
+            try src.getLines().toVector finally src.close()
+          }
+        } finally zf.close()
+        import ctx.spark.implicits._
+        ctx.writeStream(m.copy(args = m.args - "in"), lines.toDF("col1"), RawType)
+        ctx.log("zipread", s"read ${lines.size} lines from $path")
+      }),
+
+    Registered("zipwrite", RawType, NoneType,
+      "in=STREAM:out=ZIPFILE[:entry=NAME]", (ctx, m) => {
+        // Reference TODO:51-53: write the stream as a single-entry zip
+        // file. Single output file ⇒ driver-side assembly (the same
+        // whole-document shape as jsonwrite, which the reference also
+        // buffers fully, dbitool.pl:2307-2311).
+        val df = ctx.readStream(m, RawType)
+        val path = m.args.getOrElse("out",
+          throw new BuildError("zipwrite: out= required"))
+        val entry = m.args.getOrElse("entry", "data")
+        ctx.addSink(m.raw, () => {
+          val rows = df.collect().map(_.getString(0))
+          val f = new java.io.File(path)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          val zos = new java.util.zip.ZipOutputStream(
+            new java.io.FileOutputStream(f))
+          try {
+            zos.putNextEntry(new java.util.zip.ZipEntry(entry))
+            if (rows.nonEmpty)
+              zos.write(rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+            zos.closeEntry()
+          } finally zos.close()
+          ctx.log("zipwrite", s"wrote ${rows.length} rows to $path!$entry")
+          rows.length.toLong
+        })
+      }),
+
     Registered("column", RowType, RowType, "in=STREAM:out=STREAM:clist=a,b,c",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)

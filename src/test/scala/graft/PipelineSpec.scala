@@ -226,8 +226,75 @@ class PipelineSpec extends AnyFunSuite {
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
       "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
-      "xmlread")
+      "xmlread", "zipread", "zipwrite")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("stdin module e2e: piped bytes flow stdin -> csvread -> filewrite") {
+    // The one module that needs a real process boundary: launch Main in
+    // a child JVM (same classpath — Test/fork gives the full one) and
+    // pipe CSV into its stdin, the reference's `cat f | dbitool stdin
+    // csvread …` shape (dbitool.pl:956-992).
+    val d = tmp("stdinmod")
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.pipeline.Main",
+      "stdin", "csvread", "sort:by=k", "csvwrite",
+      s"filewrite:out=$d/out.csv")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.environment().put("SPARK_GRAFT_CPUS", "2")
+    val p = pb.start()
+    p.getOutputStream.write("k,v\n2,beta\n1,alpha\n".getBytes("UTF-8"))
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    assert(rc == 0, s"exit=$rc output tail:\n${out.takeRight(2000)}")
+    assert(readOut(s"$d/out.csv") == Seq("k,v", "1,alpha", "2,beta"))
+  }
+
+  test("zipread/zipwrite modules round-trip (reference TODO:48-53)") {
+    val d = tmp("zipmod")
+    // multi-entry zip: zipread concatenates entries in archive order
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$d/in.zip"))
+    zos.putNextEntry(new java.util.zip.ZipEntry("a.csv"))
+    zos.write("k,v\n1,alpha\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("b.txt"))
+    zos.write("ignored\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    // entry= selects one member; csv parse → filter → zipwrite
+    Pipeline.run(spark, Seq(
+      s"zipread:in=$d/in.zip:entry=a.csv", "csvread",
+      "csvwrite", s"zipwrite:out=$d/out.zip:entry=out.csv"))
+    val zf = new java.util.zip.ZipFile(s"$d/out.zip")
+    val back = try {
+      val e = zf.getEntry("out.csv")
+      assert(e != null, "entry out.csv missing")
+      scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
+        .getLines().toList
+    } finally zf.close()
+    assert(back == List("k,v", "1,alpha"))
+    // whole-archive read: both entries' lines flow (raw stream)
+    Pipeline.run(spark, Seq(
+      s"zipread:in=$d/in.zip", s"filewrite:out=$d/all.txt"))
+    assert(readOut(s"$d/all.txt").toSet ==
+      Set("k,v", "1,alpha", "ignored"))
+    // missing entry fails loudly
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"zipread:in=$d/in.zip:entry=nope", s"filewrite:out=$d/x.txt")))
   }
 
   test("stats mode reports per-stream row counts") {
