@@ -40,25 +40,19 @@ object DedupPortable {
   def md5Long(c: Column, hexChars: Int = 15): Column =
     conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
 
-  private def splitmix(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   val Mask31 = 0x7FFFFFFFL
 
   /** Per-permutation affine constants (a odd, both 31-bit): the MinHash
     * permutation family h -> (a*h + b) mod 2^31 — a true bijection on
     * [0, 2^31) for odd a, derived deterministically so the oracle SQL
     * can embed the very same literals. Products are bounded by
-    * (2^31-1)^2 + 2^31 < 2^63, so ANSI-safe.
+    * (2^31-1)^2 + 2^31 < 2^63, so ANSI-safe. Source of truth lives in
+    * PortableKernels (the codegen kernels read the flat form).
     */
-  def permConstants(numPerm: Int): Seq[(Long, Long)] =
-    (0 until numPerm).map { j =>
-      ((splitmix(2L * j) & Mask31) | 1L, splitmix(2L * j + 1) & Mask31)
-    }
+  def permConstants(numPerm: Int): Seq[(Long, Long)] = {
+    val flat = graft.functions.PortableKernels.permConstantsFlat(numPerm)
+    (0 until numPerm).map(j => (flat(2 * j), flat(2 * j + 1)))
+  }
 
   /** The permutation itself, Column form (mirrors the SQL generator in
     * queries.DedupPortableSql — keep the two in lockstep).
@@ -66,13 +60,22 @@ object DedupPortable {
   def perm(h: Column, a: Long, b: Long): Column =
     (h.bitwiseAND(lit(Mask31)) * lit(a) + lit(b)).bitwiseAND(lit(Mask31))
 
-  /** Portable twin of [[Dedup.minhashDuplicatePairs]]: md5Long'd
-    * distinct word-k-shingles, numPerm affine-permutation minima
-    * (explode + one hash-aggregate — map-side partial mins), md5Long
-    * band keys over rowsPerBand signature slots, the shared hub-cut
+  /** Composed-builtin md5 shingle hashes — the semantic reference for
+    * the single-pass kernel (bit-equality asserted in
+    * DedupPortableSpec; the kernel is what the pair path runs).
+    */
+  def hashedShinglesMd5Hof(text: Column, k: Int): Column =
+    sort_array(array_distinct(
+      transform(TextFunctions.wordNgrams(text, k), s => md5Long(s))))
+
+  /** Portable twin of [[Dedup.minhashDuplicatePairs]]: md5'd distinct
+    * word-k-shingles and affine-permutation signature minima via
+    * single-pass codegen kernels (narrow projections — no explode, no
+    * aggregate shuffle, same plan shape as the hot path), md5Long band
+    * keys over rowsPerBand signature slots, the shared hub-cut
     * candidate join, exact jaccard verification on the hashed shingle
-    * sets. Same shuffle count and plan shape as the hot path; only the
-    * hash family differs.
+    * sets. Only the hash family differs from the hot path — and it
+    * replays verbatim in DuckDB (DedupPortableSql.minhashOracleSql).
     */
   def minhashDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
                                     k: Int = 3, numPerm: Int = 64, bands: Int = 16,
@@ -83,23 +86,22 @@ object DedupPortable {
 
     val hashed = df
       .select(col(idCol).as("id"),
-        sort_array(array_distinct(
-          transform(TextFunctions.wordNgrams(col(textCol), k),
-            s => md5Long(s)))).as("hs"))
+        graft.functions.PortableExpr.md5Shingles(col(textCol), k).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val ex = hashed.select(col("id"), explode(col("hs")).as("h"))
-    val pcs = permConstants(numPerm)
-    val sigCols = pcs.zipWithIndex.map { case ((a, b), j) =>
-      min(perm(col("h"), a, b)).as(s"m$j")
-    }
-    val sig = ex.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    // persist doubles as a CollapseProject barrier: the banding below
+    // reads numPerm slots via element_at, and without materialization
+    // Catalyst would inline the kernel into every slot use (same trap
+    // the hot path documents).
+    val sig = hashed.select(col("id"),
+        graft.functions.PortableExpr.minhashAffineSig(col("hs"), numPerm).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map { bnd =>
         md5Long(concat_ws("|", (0 until rowsPerBand).map(r =>
-          col(s"m${bnd * rowsPerBand + r}").cast("string")): _*))
+          element_at(col("sig"), bnd * rowsPerBand + r + 1).cast("string")): _*))
       }: _*)).as(Seq("bandIdx", "bandHash")))
 
     Dedup.bandCandidates(banded, "bandHash", maxBucket)
@@ -110,21 +112,20 @@ object DedupPortable {
       .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Portable twin of [[Dedup.simhashDuplicatePairs]]: 60-bit SimHash
-    * over md5Long'd whitespace tokens (counted WITH multiplicity, like
-    * the kernel), majority fold via 60 conditional sums in one
-    * hash-aggregate, 4 bands of 15 bits, shared hub cut, exact hamming
-    * verification. The unconditional guarantee — any pair within
-    * hamming maxDist<=3 shares >=1 of the 4 bands — holds for buckets
-    * within maxBucket, same conditionality as the hot path (see
-    * [[Dedup.simhashDuplicatePairs]] scaladoc).
-    */
-  /** The 60-bit md5-family SimHash per row: (id, fp). Exposed so specs
-    * can brute-force pairs over the same fingerprints the banded path
-    * uses.
+  /** The 60-bit md5-family SimHash per row via the single-pass kernel:
+    * (id, fp).
     */
   def simhashPortableFingerprints(df: DataFrame, idCol: String,
-                                  textCol: String): DataFrame = {
+                                  textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.PortableExpr.simhashMd5(col(textCol)).as("fp"))
+
+  /** Composed explode + 60-conditional-sum aggregate formulation — the
+    * semantic reference the kernel is asserted against (and the shape
+    * the DuckDB oracle replays).
+    */
+  def simhashPortableFingerprintsAgg(df: DataFrame, idCol: String,
+                                     textCol: String): DataFrame = {
     val ex = df
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
@@ -139,6 +140,13 @@ object DedupPortable {
     counts.select(col("id"), fpExpr.as("fp"))
   }
 
+  /** Portable twin of [[Dedup.simhashDuplicatePairs]]: 60-bit md5-family
+    * SimHash (single-pass kernel; tokens counted WITH multiplicity),
+    * 4 bands of 15 bits, shared hub cut, exact hamming verification.
+    * The band guarantee — any pair within hamming maxDist<=3 shares
+    * >=1 of the 4 bands — holds for buckets within maxBucket, same
+    * conditionality as the hot path.
+    */
   def simhashDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
                                     maxDist: Int = 3,
                                     maxBucket: Int = 256): DataFrame = {
@@ -187,27 +195,15 @@ object DedupPortable {
   def winnowDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
                                    k: Int = 16, w: Int = 8, threshold: Double = 0.5,
                                    maxBucket: Int = 64): DataFrame = {
-    val base = df
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .filter(length(col("t")) >= k + w - 1)
-      .select(col("id"), col("t"), (length(col("t")) - (k - 1)).as("m"))
-    val pos = base
-      .select(col("id"), col("m"), explode(sequence(lit(1), col("m"))).as("i"), col("t"))
-      .select(col("id"), col("m"), col("i"),
-        (shiftleft(md5Long(col("t").substr(col("i"), lit(k)), 10), 20) +
-          (lit(1048575) - col("i"))).as("key"))
-    val winSpec = Window.partitionBy("id").orderBy("i")
-      .rowsBetween(Window.currentRow, w - 1)
-    val sel = pos
-      .select(col("id"), col("i"), col("m"),
-        min(col("key")).over(winSpec).as("mk"))
-      .filter(col("i") <= col("m") - (w - 1))
-      .select(col("id"), shiftright(col("mk"), 20).as("f"))
-      .distinct()
+    // Single-pass kernel: per-doc fingerprint set in one narrow
+    // projection (the exploded + window-min DataFrame formulation below
+    // is the bit-identical semantic reference).
+    val fps = df
+      .select(col(idCol).as("id"),
+        graft.functions.PortableExpr.winnowMd5(col(textCol), k, w).as("fp"))
+      .filter(size(col("fp")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fps = sel.groupBy(col("id"))
-      .agg(sort_array(collect_set(col("f"))).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sel = fps.select(col("id"), explode(col("fp")).as("f"))
 
     // rare-fingerprint cut BEFORE the self-join, as in the hot path
     val cnt = sel.groupBy(col("f")).agg(count(lit(1)).as("__c"))
@@ -224,5 +220,34 @@ object DedupPortable {
       .withColumn("jaccard", TextExpr.jaccardSorted(col("fpA"), col("fpB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exploded + window-min formulation of the portable winnowing
+    * fingerprints — (id, fp). Bit-identical to the kernel (asserted in
+    * DedupPortableSpec); this is also the exact shape the DuckDB
+    * oracle replays with SQL window functions.
+    */
+  def winnowPortableFingerprintsWindowed(df: DataFrame, idCol: String,
+                                         textCol: String, k: Int,
+                                         w: Int): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+      .select(col("id"), col("t"), (length(col("t")) - (k - 1)).as("m"))
+    val pos = base
+      .select(col("id"), col("m"), explode(sequence(lit(1), col("m"))).as("i"), col("t"))
+      .select(col("id"), col("m"), col("i"),
+        (shiftleft(md5Long(col("t").substr(col("i"), lit(k)), 10), 20) +
+          (lit(1048575) - col("i"))).as("key"))
+    val winSpec = Window.partitionBy("id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    pos
+      .select(col("id"), col("i"), col("m"),
+        min(col("key")).over(winSpec).as("mk"))
+      .filter(col("i") <= col("m") - (w - 1))
+      .select(col("id"), shiftright(col("mk"), 20).as("f"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("f"))).as("fp"))
   }
 }

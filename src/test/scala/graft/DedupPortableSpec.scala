@@ -106,6 +106,44 @@ class DedupPortableSpec extends AnyFunSuite {
     assert(overlap >= 0.9, s"portable=${portable.size} hot=${hot.size} overlap=$overlap")
   }
 
+  test("md5 kernels are bit-identical to the composed-builtin forms") {
+    import graft.functions.PortableExpr
+    // shingle hashes: kernel vs sort_array(array_distinct(transform(md5Long)))
+    val sh = docs.select(
+        PortableExpr.md5Shingles($"text", 3).as("k"),
+        DedupPortable.hashedShinglesMd5Hof($"text", 3).as("c"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(sh.nonEmpty && sh.forall { case (k, c) => k == c })
+
+    // minhash signature: kernel vs per-row HOF array_min(transform(perm))
+    val pcs = DedupPortable.permConstants(16)
+    val hofSig = array(pcs.map { case (a, b) =>
+      array_min(transform($"k", h => DedupPortable.perm(h, a, b)))
+    }: _*)
+    val sig = docs.select(PortableExpr.md5Shingles($"text", 3).as("k"))
+      .filter(size($"k") > 0)
+      .select(PortableExpr.minhashAffineSig($"k", 16).as("ks"), hofSig.as("cs"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(sig.nonEmpty && sig.forall { case (k, c) => k == c })
+
+    // simhash: kernel vs explode + 60-conditional-sum aggregate
+    val fpK = DedupPortable.simhashPortableFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val fpA = DedupPortable.simhashPortableFingerprintsAgg(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fpK == fpA)
+
+    // winnow: kernel vs exploded window-min formulation
+    val wK = docs.select($"doc_id",
+        PortableExpr.winnowMd5($"text", 16, 8).as("fp"))
+      .filter(size($"fp") > 0)
+      .as[(Long, Seq[Long])].collect().toMap
+    val wW = DedupPortable.winnowPortableFingerprintsWindowed(
+        docs, "doc_id", "text", 16, 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(wK.nonEmpty && wK == wW)
+  }
+
   test("portable variants are deterministic across invocations") {
     def run() = DedupPortable.simhashDuplicatePairsPortable(
         docs, "doc_id", "text").as[(Long, Long, Int)].collect().toSet
