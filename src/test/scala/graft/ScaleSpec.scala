@@ -121,4 +121,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(unsupported.isEmpty,
       s"operator fell out of codegen:\n${unsupported.mkString("\n")}\n$finalPlan")
   }
+
+  test("portable md5 kernels stay inside whole-stage codegen") {
+    // Same gate as the text kernels, for the oracle-replayable family:
+    // a codegen fallback would silently reintroduce the interpreted
+    // per-element md5 these kernels exist to remove.
+    val df = Tables(spark, sf, "documents")
+      .select(
+        graft.functions.PortableExpr.md5Shingles($"text", 3).as("hs"),
+        graft.functions.PortableExpr.simhashMd5($"text").as("fp"),
+        graft.functions.PortableExpr.winnowMd5($"text", 16, 8).as("wf"))
+      // bit_xor, not sum: summing 60-bit fingerprints overflows ANSI longs
+      .select(sum(size($"hs")) + bit_xor($"fp") + sum(size($"wf")))
+    df.collect()
+    val finalPlan = executed(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("*("), s"no codegen span:\n$finalPlan")
+    val unsupported = finalPlan.linesIterator
+      .filter(l => l.contains("Project") || l.contains("HashAggregate"))
+      .filterNot(_.contains("*("))
+    assert(unsupported.isEmpty,
+      s"portable kernel fell out of codegen:\n$finalPlan")
+  }
 }
