@@ -19,6 +19,7 @@ object Verify {
     // query names (prefix match). Unset = full run (the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // set-but-empty means unset: full run
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

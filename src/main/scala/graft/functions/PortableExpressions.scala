@@ -196,7 +196,7 @@ object PortableKernels {
   }
 
   /** Portable winnowing fingerprints: 40-bit md5 of each char-k-gram,
-    * position packed into the key `(h40 << 20) + (2^20 - 1 - i)` so the
+    * position packed into the key `(h40 << 20) + max(0, 2^20 - 1 - i)` so the
     * window MINIMUM is robust winnowing's smallest-hash-rightmost-pos
     * selection, exactly as the SQL replay computes it. Char positions
     * are CODE POINTS (Spark substr / DuckDB substr semantics); k-grams
@@ -227,8 +227,16 @@ object PortableKernels {
     while (g < m) {
       val s = charStart(g)
       val e = charStart(g + k)
-      // SQL i is 1-based: key = (h40 << 20) + (1048575 - (g+1))
-      keys(g) = (md5Long40(bytes, s, e - s) << 20) + (1048575L - (g + 1))
+      // SQL i is 1-based: key = (h40 << 20) + max(0, 1048575 - (g+1)).
+      // The position term is CLAMPED at zero: past 2^20-1 k-grams
+      // (~1 MB of text) an unclamped term would go negative and borrow
+      // into the hash bits — corrupting the recovered fingerprint and
+      // silently breaking the shared-substring guarantee for large
+      // documents. Clamped, the recovered hash stays exact everywhere;
+      // only the rightmost-on-ties preference degrades to
+      // leftmost-beyond-the-cap, identically in all three twins.
+      keys(g) = (md5Long40(bytes, s, e - s) << 20) +
+        math.max(0L, 1048575L - (g + 1))
       g += 1
     }
     // window minima (w is small — direct scan beats deque overhead),

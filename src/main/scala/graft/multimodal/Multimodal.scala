@@ -45,8 +45,9 @@ object Multimodal {
     StructField("valid", BooleanType, nullable = false)))
 
   /** Magic-sniffing dispatcher: JDK-decodable image payloads go through
-    * the real `ImageIoCodec`; everything else (incl. the `GMM1` test
-    * format standing in for audio/video) through `StubCodec`.
+    * the real `ImageIoCodec`, RIFF/WAVE audio through the real
+    * `WavCodec`; everything else (incl. the `GMM1` test format standing
+    * in for video) through `StubCodec`.
     */
   object AutoCodec extends MediaCodec {
     private def pick(bytes: Array[Byte]): MediaCodec =

@@ -48,21 +48,46 @@ object WavCodec extends MediaCodec {
         if (frames > 0 && f.getFrameRate > 0)
           (frames.toDouble / f.getFrameRate * 1000.0).toLong
         else 0L
+      // valid means FEATURIZABLE, not just header-parsed: a format we
+      // can neither read directly nor convert would otherwise flow
+      // downstream as valid with an all-zero feature vector — making
+      // every such file an exact "duplicate" of every other in the
+      // similarity ops.
       MediaMeta("wav", math.round(f.getSampleRate), f.getChannels, durMs,
-        valid = true)
+        valid = featurizable(f))
     } catch { case NonFatal(_) => MediaMeta("wav", 0, 0, 0L, valid = false) }
   }
 
-  /** Channel-mixed samples in [-1, 1], or null if undecodable. */
+  private def directlyReadable(f: AudioFormat): Boolean =
+    (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+      f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) &&
+      (f.getSampleSizeInBits == 8 || f.getSampleSizeInBits == 16)
+
+  private def pcm16(f: AudioFormat): AudioFormat =
+    new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+      f.getChannels, f.getChannels * 2, f.getSampleRate, false)
+
+  private def featurizable(f: AudioFormat): Boolean =
+    directlyReadable(f) ||
+      (try AudioSystem.isConversionSupported(pcm16(f), f)
+       catch { case NonFatal(_) => false })
+
+  /** Channel-mixed samples in [-1, 1], or null if undecodable. Formats
+    * beyond 8/16-bit integer PCM (24-bit, 32-bit float WAVs are common
+    * in the wild) go through the JDK's own converter to 16-bit PCM
+    * first; only unconvertible payloads return null.
+    */
   private def samples(bytes: Array[Byte]): Array[Double] =
     try {
-      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val in =
+        if (directlyReadable(raw.getFormat)) raw
+        else if (AudioSystem.isConversionSupported(pcm16(raw.getFormat), raw.getFormat))
+          AudioSystem.getAudioInputStream(pcm16(raw.getFormat), raw)
+        else { raw.close(); return null }
       try {
         val f = in.getFormat
         val bits = f.getSampleSizeInBits
-        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED &&
-            f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED) return null
-        if (bits != 8 && bits != 16) return null
         val data = in.readAllBytes()
         val ch = f.getChannels
         val bytesPerSample = bits / 8

@@ -172,7 +172,7 @@ object DedupPortable {
     *  - character k-grams (`substr`, char-based in both engines) hashed
     *    to 40 bits (md5 prefix);
     *  - each position packed into ONE long:
-    *    `key = (h40 << 20) + (2^20 - 1 - i)` — the window MINIMUM of
+    *    `key = (h40 << 20) + max(0, 2^20 - 1 - i)` — the window MINIMUM of
     *    `key` is then exactly robust winnowing's "smallest hash,
     *    rightmost position on ties" selection, with the selected hash
     *    recoverable as `key >> 20`. No structs, no argmin, no
@@ -237,8 +237,9 @@ object DedupPortable {
     val pos = base
       .select(col("id"), col("m"), explode(sequence(lit(1), col("m"))).as("i"), col("t"))
       .select(col("id"), col("m"), col("i"),
+        // position term clamped at 0 — see PortableKernels.winnowMd5
         (shiftleft(md5Long(col("t").substr(col("i"), lit(k)), 10), 20) +
-          (lit(1048575) - col("i"))).as("key"))
+          greatest(lit(0), lit(1048575) - col("i"))).as("key"))
     val winSpec = Window.partitionBy("id").orderBy("i")
       .rowsBetween(Window.currentRow, w - 1)
     pos

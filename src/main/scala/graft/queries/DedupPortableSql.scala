@@ -123,7 +123,7 @@ object DedupPortableSql {
   }
 
   /** q57 oracle: window-function winnowing replay. The position packing
-    * `(h40 << 20) + (2^20-1-i)` makes `min(key)` the rightmost-min
+    * `(h40 << 20) + max(0, 2^20-1-i)` makes `min(key)` the rightmost-min
     * selection; `key >> 20` recovers the hash.
     */
   def winnowOracleSql(k: Int, w: Int, threshold: Double,
@@ -134,7 +134,7 @@ object DedupPortableSql {
        |pos AS (
        |  SELECT doc_id, m, i,
        |    (${md5Long(s"substr(text, CAST(i AS INTEGER), $k)", 10)} << 20)
-       |      + (1048575 - i) AS key
+       |      + greatest(0, 1048575 - i) AS key
        |  FROM (SELECT doc_id, m, text, unnest(range(1, m + 1)) AS i
        |        FROM base)),
        |sel0 AS (

@@ -127,7 +127,7 @@ object DedupSim {
 
     // Winnowing fingerprint near-dup pairs, portable mode: the
     // rightmost-min selection is encoded arithmetically
-    // ((h40<<20)+(2^20-1-i), window min) so DuckDB replays selection,
+    // ((h40<<20)+max(0, 2^20-1-i), window min) so DuckDB replays selection,
     // candidate join and verification exactly. The byte-rolling kernel
     // (Dedup.winnowDuplicatePairs) stays the 100 TB default.
     "q57_winnow_neardup" -> ((s, dir) => {

@@ -217,6 +217,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wav valid flag means featurizable: float WAVs are consistent") {
+    // 32-bit IEEE-float WAV (format tag 3), hand-crafted: the contract
+    // is CONSISTENCY — valid=true implies real (content-sensitive)
+    // features via the JDK's PCM conversion; if this JDK can't convert,
+    // the file must surface as valid=false rather than flowing
+    // downstream with an all-zero "embedding".
+    def floatWav(freq: Double, rate: Int = 8000, n: Int = 4000): Array[Byte] = {
+      val dataLen = n * 4
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(3) // IEEE float
+        .putShort(1).putInt(rate).putInt(rate * 4).putShort(4).putShort(32)
+      bb.put("data".getBytes).putInt(dataLen)
+      (0 until n).foreach(i =>
+        bb.putFloat((math.sin(2 * math.Pi * freq * i / rate) * 0.8).toFloat))
+      bb.array()
+    }
+    import graft.multimodal.WavCodec
+    val m = WavCodec.decode(floatWav(440.0))
+    val lo = WavCodec.features(floatWav(200.0), 64)
+    val hi = WavCodec.features(floatWav(2000.0), 64)
+    if (m.valid) {
+      assert(m.width == 8000 && m.height == 1 && m.durationMs == 500)
+      assert(lo.toSeq != hi.toSeq, "features must be content-sensitive")
+      assert(lo.exists(_ != 0f))
+    } else {
+      assert(lo.forall(_ == 0f) && hi.forall(_ == 0f))
+    }
+  }
+
   test("corrupt wav surfaces as valid=false, never throws") {
     import graft.multimodal.WavCodec
     val junk = "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](20)(7)
