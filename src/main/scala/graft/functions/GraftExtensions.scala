@@ -90,6 +90,28 @@ object GraftExtensions {
       TokenSetCountExpr(args(0),
         litStrings(args(1), "graft_token_set_count", "tokens"))
     },
+    // Portable (md5-family) twins — every value replayable in external
+    // SQL engines (see DedupPortable/PortableKernels); same kernels the
+    // oracle-checked q51/q52/q57 run.
+    "graft_md5_shingles" -> { args =>
+      arity("graft_md5_shingles", args, 2)
+      Md5ShinglesExpr(args(0), litInt(args(1), "graft_md5_shingles", "k"))
+    },
+    "graft_simhash_md5" -> { args =>
+      arity("graft_simhash_md5", args, 1); SimHashMd5Expr(args(0))
+    },
+    "graft_minhash_md5" -> { args =>
+      arity("graft_minhash_md5", args, 3)
+      MinHashAffineSigExpr(
+        Md5ShinglesExpr(args(0), litInt(args(1), "graft_minhash_md5", "k")),
+        litInt(args(2), "graft_minhash_md5", "numPerm"))
+    },
+    "graft_winnow_md5" -> { args =>
+      arity("graft_winnow_md5", args, 3)
+      WinnowMd5Expr(args(0),
+        litInt(args(1), "graft_winnow_md5", "k"),
+        litInt(args(2), "graft_winnow_md5", "w"))
+    },
     // composed from built-in catalyst expressions (not a custom
     // Expression) — registry builders need resolved trees, so this is
     // assembled directly rather than via the Column API

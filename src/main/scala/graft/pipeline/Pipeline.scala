@@ -773,7 +773,7 @@ object Pipeline {
     // id drop (wraps Dedup — banded equi-join candidates, exact verify,
     // never all-pairs).
     Registered("dedupnear", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:threshold=0.8:k=3:transitive:out=STREAM",
+      "in=STREAM:key=COL:text=COL:threshold=0.8:k=3:hash=xx|md5:transitive:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",
@@ -782,8 +782,16 @@ object Pipeline {
           throw new BuildError("dedupnear: text= required"))
         val threshold = m.args.getOrElse("threshold", "0.8").toDouble
         val k = m.args.getOrElse("k", "3").toInt
-        val pairs = graft.operators.Dedup.minhashDuplicatePairs(
-          df, key, text, k = k, threshold = threshold)
+        // hash=md5 selects the portable family (every hash replayable in
+        // external SQL engines — see DedupPortable); xx(hash64) is the
+        // throughput default. Same banding, hub cut and exact verify.
+        val pairs = m.args.getOrElse("hash", "xx") match {
+          case "md5" => graft.operators.DedupPortable
+            .minhashDuplicatePairsPortable(df, key, text, k = k, threshold = threshold)
+          case "xx" => graft.operators.Dedup.minhashDuplicatePairs(
+            df, key, text, k = k, threshold = threshold)
+          case other => throw new BuildError(s"dedupnear: hash=$other (use xx or md5)")
+        }
         // transitive: connected-components clustering keeps ONE doc per
         // duplicate cluster (A~B, B~C drops both B and C even though
         // the pair (A,C) was never emitted); default is the greedy

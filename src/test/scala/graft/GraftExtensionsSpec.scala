@@ -60,6 +60,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) != r.getSeq[Long](2))
   }
 
+  test("portable md5 family from SQL matches the Column API and md5()") {
+    // graft_simhash_md5 / graft_minhash_md5 / graft_md5_shingles /
+    // graft_winnow_md5 expose the oracle-replayable kernels in SQL.
+    val r = spark.sql(
+      """SELECT graft_simhash_md5('the quick brown fox') AS fp,
+        |  graft_minhash_md5('a b c d e f', 3, 16) AS sig,
+        |  graft_md5_shingles('a b c', 3) AS sh,
+        |  size(graft_winnow_md5('the quick brown fox jumps over everything', 8, 4)) AS nw,
+        |  CAST(conv(substr(md5('a b c'), 1, 15), 16, 10) AS BIGINT) AS ref
+        |""".stripMargin).head()
+    val viaCol = spark.range(1)
+      .select(graft.functions.PortableExpr.simhashMd5(
+        org.apache.spark.sql.functions.lit("the quick brown fox")))
+      .head().getLong(0)
+    assert(r.getLong(0) == viaCol)
+    assert(r.getSeq[Long](1).length == 16)
+    // single 3-gram "a b c": its kernel hash equals the builtin
+    // md5-prefix formulation evaluated by Spark SQL itself
+    assert(r.getSeq[Long](2) == Seq(r.getLong(4)))
+    assert(r.getInt(3) > 0)
+  }
+
   test("graft_normalize from SQL (composed-builtins builder)") {
     val r = spark.sql(
       "SELECT graft_normalize('  Hello,   WORLD!! 42  ') AS n").head()

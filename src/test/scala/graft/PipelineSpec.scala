@@ -390,13 +390,26 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$d/a.png"), bos.toByteArray)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/b.bin"),
       graft.multimodal.Multimodal.StubCodec.encode("aud", 1, 2, 99L))
+    // one real WAV (16-bit mono PCM, 8 kHz): AutoCodec must route it to
+    // the real audio codec inside the same pipeline
+    locally {
+      import javax.sound.sampled._
+      val pcm = new Array[Byte](1600)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(8000f, 16, 1, true, false), 800L)
+      val wbos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, wbos)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d/c.wav"), wbos.toByteArray)
+    }
     Pipeline.run(spark, Seq(
       s"binaryread:in=$d:glob=*:out=m",
       "mediameta:in=m:out=mm",
       "select:in=mm:exprs=meta.format as fmt;meta.width as w;meta.height as h:out=p",
       "csvwrite:in=p", s"filewrite:out=$d/out.csv"))
     assert(readOut(s"$d/out.csv").sorted ==
-      Seq("aud,1,2", "fmt,w,h", "png,8,6").sorted)
+      Seq("aud,1,2", "fmt,w,h", "png,8,6", "wav,8000,1").sorted)
 
     // features flow into rows usable by the similarity operators
     Pipeline.run(spark, Seq(
@@ -442,6 +455,18 @@ class PipelineSpec extends AnyFunSuite {
       "select:exprs=id:out=ids2",
       "csvwrite:in=ids2", s"filewrite:out=$d/out2.csv"))
     assert(readOut(s"$d/out2.csv").sorted == Seq("1", "3", "id"))
+
+    // hash=md5 selects the portable family — same survivors here
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=r3",
+      "dedupnear:in=r3:key=id:text=body:threshold=0.9:hash=md5",
+      "select:exprs=id:out=ids3",
+      "csvwrite:in=ids3", s"filewrite:out=$d/out3.csv"))
+    assert(readOut(s"$d/out3.csv").sorted == Seq("1", "3", "id"))
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=r4",
+      "dedupnear:in=r4:key=id:text=body:hash=sha9",
+      "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
   test("orcread/orcwrite modules round-trip") {
