@@ -67,6 +67,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("portable md5 kernels == composed builtins on adversarial unicode") {
+    // The kernels hash byte ranges via hand-rolled token/char offset
+    // tables (UTF-8 continuation-byte scanning in winnowMd5) — fuzz
+    // them against the composed Spark-builtin formulations, which use
+    // Spark's own split/substr/md5. Multi-byte chars, empty tokens,
+    // consecutive spaces, and short docs are the edge cases.
+    import graft.functions.PortableExpr
+    import graft.operators.DedupPortable
+    import org.apache.spark.sql.functions._
+    val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "bb", "word", "", " ", "  "),
+      Gen.oneOf("é", "中文字", "✓✓", "naïve", "🙂"),
+      Gen.alphaNumStr.map(_.take(8))
+    )).map(_.mkString(" "))
+    val texts = samples(textGen, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select(
+        PortableExpr.md5Shingles($"t", 2).as("ks"),
+        DedupPortable.hashedShinglesMd5Hof($"t", 2).as("cs"),
+        PortableExpr.winnowMd5($"t", 4, 3).as("kw"),
+        PortableExpr.simhashMd5($"t").as("kf"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"shingle kernel/composed mismatch")
+    }
+    // winnow: compare against the windowed DataFrame reference
+    val ww = DedupPortable.winnowPortableFingerprintsWindowed(
+        df, "id", "t", 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kw = df.select($"id", PortableExpr.winnowMd5($"t", 4, 3).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .filter(_._2.nonEmpty).toMap
+    assert(kw == ww, "winnow kernel/windowed mismatch")
+    // simhash: kernel vs aggregate formulation
+    val fa = DedupPortable.simhashPortableFingerprintsAgg(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fk = df.select($"id", PortableExpr.simhashMd5($"t").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fk == fa, "simhash kernel/aggregate mismatch")
+  }
+
   test("spreadsheet codecs (xlsx/ods/xls): arbitrary grids round-trip") {
     // Cells: strings (xml/markup-hostile incl. newlines — fine here,
     // these aren't line-based formats), typed numbers, nulls. Every
