@@ -281,4 +281,52 @@ object Similarity {
       .select(col("idA"), col("idB"), cosine(col("__ea"), col("__eb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ---- int8 scalar quantization ------------------------------------------
+
+  /** Per-vector symmetric int8 quantization: struct(q array<long>,
+    * scale double) with scale = max|v| / 127 and
+    * `q_i = floor(v_i / scale + 0.5)` — floor-based rounding because
+    * `round()` half-even/half-away semantics differ across engines,
+    * floor does not. Codes stay in [-127, 127]; zero vectors quantize
+    * to all-zero codes with scale 0.
+    *
+    * The 100 TB story: int8 codes cut embedding storage and shuffle
+    * bytes 4× (plus the scan bandwidth of every ANN pass over them);
+    * rank on dequantized cosine, rescore survivors on the full floats
+    * when the index keeps them.
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val mx = array_max(transform(emb, v => abs(v.cast("double"))))
+    val scale = mx / lit(127.0)
+    struct(
+      when(mx > 0,
+        transform(emb, v => floor(v.cast("double") / scale + lit(0.5)).cast("long")))
+        .otherwise(transform(emb, _ => lit(0L))).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Codes × scale back to array<double>. */
+  def dequantize(qz: Column): Column =
+    transform(qz.getField("q"), c => c.cast("double") * qz.getField("scale"))
+
+  /** Exact top-k over QUANTIZED vectors (both sides int8): same
+    * broadcast + one-scan + window shape as `bruteForceTopK`, but the
+    * cosine runs on dequantized codes — the fidelity/bandwidth
+    * trade-off measured end to end, and exactly replayable in the
+    * oracle because quantization is pure floor/multiply arithmetic.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      dequantize(quantizeInt8(col(embCol))).as("__qe"))
+    val scored = corpus
+      .select(col(idCol), dequantize(quantizeInt8(col(embCol))).as("__ce"))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col("__ce"), col("__qe")).as("sim"))
+    Ops.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("sim").desc, col(idCol).asc), k)
+  }
 }

@@ -162,6 +162,20 @@ object DedupSim {
         .orderBy($"doc_id")
     }),
 
+    // Top-k over int8-QUANTIZED embeddings (both sides): the 4×
+    // bandwidth-reduction path for ANN at scale, exact-replayed in the
+    // oracle because quantization is pure floor/multiply arithmetic.
+    // Quantization fidelity vs the float top-k (q53) is asserted in
+    // DedupSimSpec.
+    "q65_quantized_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
+    }),
+
     // ANN top-k via IVF (16 coarse lists, probe 4): the other scale
     // path. Oracle-checked END-TO-END: md5-ordered seeds, argmax-cosine
     // assignment, probe ranking and candidate top-k are all replayed
@@ -355,6 +369,32 @@ object DedupSim {
          |  SELECT query_id, vec_id,
          |    ${cosOf("embedding", "qe")} AS sim
          |  FROM cand)
+         |SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (
+         |  SELECT query_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM sims) WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // int8 quantization replay: same floor/multiply arithmetic, then
+    // the q53 cosine/top-k shape over dequantized lists.
+    "q65_quantized_topk" ->
+      s"""WITH dq AS (
+         |  SELECT vec_id,
+         |    CASE WHEN mx > 0 THEN
+         |      list_transform(embedding,
+         |        v -> CAST(floor(CAST(v AS DOUBLE) / (mx / 127.0) + 0.5) AS BIGINT)
+         |             * (mx / 127.0))
+         |    ELSE list_transform(embedding, v -> 0.0) END AS e
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding,
+         |            v -> abs(CAST(v AS DOUBLE)))) AS mx
+         |        FROM embeddings)),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    ${cosOf("c.e", "q.qe")} AS sim
+         |  FROM dq c CROSS JOIN (SELECT vec_id, e AS qe FROM dq WHERE vec_id < 10) q
+         |  WHERE c.vec_id <> q.vec_id)
          |SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (
          |  SELECT query_id, vec_id, sim,
          |    row_number() OVER (PARTITION BY query_id

@@ -16,7 +16,53 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
   private def stopSql = sqlList(EnStopwords)
 
+  /** BM25 terms + constants, shared by the Spark query and its oracle.
+    * Every literal is written as the SAME decimal string in both (2.2,
+    * 0.25, 0.5) — composing them differently (e.g. 1.2 + 1) yields a
+    * different double than parsing "2.2".
+    */
+  private val Bm25Terms = Seq("data", "spark", "merge", "window")
+  private val Bm25K1 = "1.2"
+  private val Bm25K1Plus1 = "2.2"
+  private val Bm25OneMinusB = "0.25"
+  private val Bm25B = "0.75"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 relevance top-20 for a fixed term set — the classic sparse
+    // retrieval scorer a training-data pipeline uses for quality/topic
+    // filtering. Per-doc term frequencies come from the codegen'd
+    // token-set kernel (NARROW — no explode of the whole corpus);
+    // corpus stats (N, avgdl, df per term) are one tiny aggregate
+    // broadcast back. Oracle replays the identical formula.
+    "q64_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select(
+        ($"doc_id" +: tokenCount($"text").cast("double").as("dl") +:
+          Bm25Terms.map(tm =>
+            graft.functions.TextExpr.tokenSetCount($"text", Seq(tm))
+              .cast("double").as(s"tf_$tm"))): _*)
+      val statAggs = count(lit(1)).cast("double").as("n") +:
+        avg($"dl").as("avgdl") +:
+        Bm25Terms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0, 1).otherwise(0)).cast("double")
+            .as(s"df_$tm"))
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      val score = Bm25Terms.map { tm =>
+        val tf = col(s"tf_$tm"); val df = col(s"df_$tm")
+        log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+          (tf * expr(Bm25K1Plus1)) /
+          (tf + expr(Bm25K1) * (expr(Bm25OneMinusB) +
+            expr(Bm25B) * $"dl" / $"avgdl"))
+      }.reduce(_ + _)
+      val scored = base.crossJoin(broadcast(stats))
+        .select($"doc_id", score.as("score"))
+      graft.operators.Ops.topKPerGroup(
+          scored.withColumn("__g", lit(1)), Seq("__g"),
+          Seq($"score".desc, $"doc_id".asc), 20)
+        .select($"doc_id", round($"score", 4).as("bm25"), $"rk")
+        .orderBy($"rk")
+    }),
 
     // Per-language corpus statistics: token/char counts via split().
     "q40_text_stats" -> ((s, dir) => {
@@ -154,6 +200,40 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q64_bm25_topk" -> {
+      val tfCols = Bm25Terms.map(tm =>
+        s"""CAST(len(list_filter(string_split(text, ' '),
+           |      x -> x = '$tm')) AS DOUBLE) AS tf_$tm""".stripMargin)
+        .mkString(",\n    ")
+      val dfCols = Bm25Terms.map(tm =>
+        s"CAST(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm")
+        .mkString(",\n    ")
+      val scoreTerms = Bm25Terms.map(tm =>
+        s"""ln(1.0 + (n - df_$tm + 0.5) / (df_$tm + 0.5))
+           |      * (tf_$tm * $Bm25K1Plus1)
+           |      / (tf_$tm + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))"""
+          .stripMargin)
+        .mkString("\n    + ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |    $dfCols
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id,
+         |    $scoreTerms AS score
+         |  FROM base CROSS JOIN stats)
+         |SELECT doc_id, round(score, 4) AS bm25, rk FROM (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 20
+         |ORDER BY rk""".stripMargin
+    },
+
     "q40_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

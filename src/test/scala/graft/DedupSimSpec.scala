@@ -202,4 +202,33 @@ class DedupSimSpec extends AnyFunSuite {
     assert(found.groupBy(_._1).size == 20)
     assert(found.groupBy(_._1).values.forall(_.size == 5))
   }
+
+  test("int8 quantization: codes bounded, round-trip error <= scale/2, high top-k fidelity") {
+    import graft.operators.Similarity
+    val qz = emb.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("qz"))
+      .select($"vec_id", $"embedding", $"qz.q".as("q"), $"qz.scale".as("s"),
+        Similarity.dequantize($"qz").as("dq"))
+      .collect()
+    qz.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val q = r.getSeq[Long](2)
+      val s = r.getDouble(3)
+      val dq = r.getSeq[Double](4)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // reconstruction error is at most half a quantization step
+      v.zip(dq).foreach { case (orig, rec) =>
+        assert(math.abs(orig.toDouble - rec) <= s / 2 + 1e-12,
+          s"err=${math.abs(orig.toDouble - rec)} scale=$s")
+      }
+    }
+    // ranking fidelity: quantized top-5 overlaps float top-5 heavily
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val overlap = (quant & exact).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"overlap=$overlap")
+  }
 }
