@@ -326,4 +326,25 @@ object Ops {
     val w = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Deterministic EXACT-k per-stratum sample: rank rows inside each
+    * stratum by md5 of their key (a uniform, engine-portable shuffle
+    * order — any engine reproduces the identical sample) and keep the
+    * first k. One window pass, shuffle on the stratum key only.
+    *
+    * Scale note: a window partitioned by stratum concentrates each
+    * stratum on one task — right for many moderate strata, wrong for a
+    * handful of giant ones. For huge strata use the narrow
+    * hash-threshold sample (`stratifiedSampleMd5` — no shuffle at all)
+    * to pre-thin to ~2-3k, then this for the exact-k trim.
+    */
+  def groupSampleMd5(df: DataFrame, stratumCol: String, keyCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -149,6 +149,16 @@ object DedupSim {
         .orderBy($"label", $"pos")
     }),
 
+    // Deterministic EXACT-k per-language sample (md5-ordered ranking —
+    // the oracle reproduces the identical 40 docs per stratum).
+    "q66_group_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Ops.groupSampleMd5(
+          t(s, dir, "documents"), "lang", "doc_id", k = 40)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified sample via an md5 hash threshold (md5 is
     // standardized, so the DuckDB oracle reproduces the EXACT sample —
     // not just its proportions). The xxhash64 variant stays the hot
@@ -308,6 +318,13 @@ object DedupSim {
          |         (SELECT vec_id, embedding AS eb FROM embeddings WHERE vec_id < 10) q
          |    WHERE c.vec_id != q.vec_id))
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q66_group_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 40
+        |ORDER BY doc_id""".stripMargin,
 
     "q58_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -184,4 +184,24 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(!mPlan.contains("Exchange"), mPlan)
   }
+
+  test("groupSampleMd5: exact k per stratum, deterministic, a true subset") {
+    val docs = Tables(spark, sf, "documents")
+    def sample() = Ops.groupSampleMd5(docs, "lang", "doc_id", 10)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    val s1 = sample()
+    assert(sample() == s1, "not deterministic")
+    // exactly min(k, stratum size) per language
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val counts = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    totals.foreach { case (lang, n) =>
+      assert(counts.getOrElse(lang, 0) == math.min(10L, n), s"$lang: $counts")
+    }
+    // subset of the source, and partitioning-independent
+    val all = docs.select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(s1.subsetOf(all))
+    val s2 = Ops.groupSampleMd5(docs.repartition(7), "lang", "doc_id", 10)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(s2 == s1)
+  }
 }
