@@ -549,6 +549,79 @@ object Pipeline {
       ctx.writeStream(m, out, RawType)
     }),
 
+    Registered("dbdumpread", NoneType, RowType,
+      "in=DUMPFILE:out=STREAM", (ctx, m) => {
+        // Executable migration path for the reference's Berkeley-DB ndb
+        // files (which no plain JVM can open): `db_dump` output is a
+        // standardized TEXT format (VERSION=3 header, HEADER=END, then
+        // alternating key/value lines, DATA=END), and the reference
+        // stores each row as a JSON array under its key with the column
+        // list under the magic "_col" key (dbitool.pl:2669-2686,
+        // :2607-2612). Parse the dump, decode hex ("format=bytevalue")
+        // or print-escaped ("format=print") payloads, reconstruct
+        // columns from _col, and emit a row stream — `db_dump f.ndb |`
+        // this module replaces the unopenable binary. Whole-file,
+        // driver-side (the reference ties the whole DB in memory too).
+        val path = m.args.getOrElse("in",
+          throw new BuildError("dbdumpread: in= required"))
+        import scala.jdk.CollectionConverters._
+        val all = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(path)).asScala.toSeq
+        val headerEnd = all.indexWhere(_ == "HEADER=END")
+        if (headerEnd < 0)
+          throw new BuildError(s"dbdumpread: no HEADER=END in $path")
+        val fmt = all.take(headerEnd).collectFirst {
+          case l if l.startsWith("format=") => l.drop("format=".length)
+        }.getOrElse("bytevalue")
+        def decode(l: String): String = {
+          val s = if (l.startsWith(" ")) l.drop(1) else l
+          fmt match {
+            case "bytevalue" =>
+              val bytes = new Array[Byte](s.length / 2)
+              var i = 0
+              while (i < bytes.length) {
+                bytes(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+                i += 1
+              }
+              new String(bytes, "UTF-8")
+            case "print" =>
+              val sb = new StringBuilder
+              var i = 0
+              while (i < s.length) {
+                if (s(i) == '\\' && i + 1 < s.length && s(i + 1) == '\\') {
+                  sb += '\\'; i += 2
+                } else if (s(i) == '\\' && i + 2 < s.length) {
+                  sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+                  i += 3
+                } else { sb += s(i); i += 1 }
+              }
+              sb.toString
+            case other =>
+              throw new BuildError(s"dbdumpread: unsupported format=$other")
+          }
+        }
+        val data = all.drop(headerEnd + 1).takeWhile(_ != "DATA=END")
+        if (data.length % 2 != 0)
+          throw new BuildError(s"dbdumpread: odd key/value line count in $path")
+        val pairs = data.grouped(2).map(p => (decode(p(0)), decode(p(1)))).toSeq
+        import ctx.spark.implicits._
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val parsed = pairs.toDF("__k", "__v")
+          .select(col("__k"),
+            from_json(col("__v"), ArrayType(StringType)).as("__arr"))
+        val names = parsed.filter(col("__k") === "_col")
+          .select(col("__arr")).collect().headOption
+          .map(_.getSeq[String](0))
+          .getOrElse(throw new BuildError(
+            s"dbdumpread: no _col schema row in $path (not a dbitool ndb dump?)"))
+        val rows = parsed.filter(col("__k") =!= "_col")
+          .select(names.zipWithIndex.map { case (n, i) =>
+            col("__arr").getItem(i).as(n)
+          }: _*)
+        ctx.writeStream(m.copy(args = m.args - "in"), rows, RowType)
+        ctx.log("dbdumpread", s"read ${pairs.length - 1} rows from $path")
+      }),
+
     Registered("zipread", NoneType, RawType,
       "in=ZIPFILE[:entry=NAME]:out=STREAM", (ctx, m) => {
         // Reference TODO:48-50 (unimplemented there): read one zip file
@@ -773,7 +846,7 @@ object Pipeline {
     // id drop (wraps Dedup — banded equi-join candidates, exact verify,
     // never all-pairs).
     Registered("dedupnear", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:threshold=0.8:k=3:hash=xx|md5:transitive:out=STREAM",
+      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow:threshold=0.8:maxdist=3:k=3:hash=xx|md5:transitive:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",
@@ -782,15 +855,30 @@ object Pipeline {
           throw new BuildError("dedupnear: text= required"))
         val threshold = m.args.getOrElse("threshold", "0.8").toDouble
         val k = m.args.getOrElse("k", "3").toInt
-        // hash=md5 selects the portable family (every hash replayable in
-        // external SQL engines — see DedupPortable); xx(hash64) is the
-        // throughput default. Same banding, hub cut and exact verify.
-        val pairs = m.args.getOrElse("hash", "xx") match {
-          case "md5" => graft.operators.DedupPortable
+        val maxDist = m.args.getOrElse("maxdist", "3").toInt
+        // method picks the fingerprint family (MinHash-LSH on word
+        // shingles / SimHash hamming / winnowing substring
+        // fingerprints); hash=md5 selects the portable variants (every
+        // hash replayable in external SQL engines — see DedupPortable),
+        // xx(hash64) the throughput default. Same banding, hub cut and
+        // exact verification in all six combinations.
+        import graft.operators.{Dedup, DedupPortable}
+        val pairs = (m.args.getOrElse("method", "minhash"),
+            m.args.getOrElse("hash", "xx")) match {
+          case ("minhash", "xx") =>
+            Dedup.minhashDuplicatePairs(df, key, text, k = k, threshold = threshold)
+          case ("minhash", "md5") => DedupPortable
             .minhashDuplicatePairsPortable(df, key, text, k = k, threshold = threshold)
-          case "xx" => graft.operators.Dedup.minhashDuplicatePairs(
-            df, key, text, k = k, threshold = threshold)
-          case other => throw new BuildError(s"dedupnear: hash=$other (use xx or md5)")
+          case ("simhash", "xx") =>
+            Dedup.simhashDuplicatePairs(df, key, text, maxDist = maxDist)
+          case ("simhash", "md5") => DedupPortable
+            .simhashDuplicatePairsPortable(df, key, text, maxDist = maxDist)
+          case ("winnow", "xx") =>
+            Dedup.winnowDuplicatePairs(df, key, text, threshold = threshold)
+          case ("winnow", "md5") => DedupPortable
+            .winnowDuplicatePairsPortable(df, key, text, threshold = threshold)
+          case (meth, h) => throw new BuildError(
+            s"dedupnear: method=$meth hash=$h (methods: minhash, simhash, winnow; hashes: xx, md5)")
         }
         // transitive: connected-components clustering keeps ONE doc per
         // duplicate cluster (A~B, B~C drops both B and C even though

@@ -226,7 +226,7 @@ class PipelineSpec extends AnyFunSuite {
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
       "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
-      "xmlread", "zipread", "zipwrite")
+      "xmlread", "zipread", "zipwrite", "dbdumpread")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -467,6 +467,55 @@ class PipelineSpec extends AnyFunSuite {
       s"fileread:in=$d/in.csv", "csvread:infer=1:out=r4",
       "dedupnear:in=r4:key=id:text=body:hash=sha9",
       "csvwrite", s"filewrite:out=$d/x.csv")))
+
+    // other fingerprint families: identical docs collapse under
+    // simhash (hamming 0) and winnowing (identical fingerprint sets)
+    Seq("method=simhash", "method=winnow", "method=simhash:hash=md5",
+        "method=winnow:hash=md5").zipWithIndex.foreach { case (arg, i) =>
+      Pipeline.run(spark, Seq(
+        s"fileread:in=$d/in.csv", s"csvread:infer=1:out=m$i",
+        s"dedupnear:in=m$i:key=id:text=body:$arg",
+        s"select:exprs=id:out=mi$i",
+        s"csvwrite:in=mi$i", s"filewrite:out=$d/m$i.csv"))
+      assert(readOut(s"$d/m$i.csv").sorted == Seq("1", "3", "id"), arg)
+    }
+  }
+
+  test("dbdumpread reconstructs rows from a db_dump of a reference ndb file") {
+    val d = tmp("dbdump")
+    def hex(s: String) = s.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    // bytevalue dump: _col schema row + 2 JSON-array rows (the
+    // reference's storage layout, dbitool.pl:2669-2686)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/t.dump"),
+      Seq("VERSION=3", "format=bytevalue", "type=btree", "HEADER=END",
+        " " + hex("1"), " " + hex("""["1","alice","9"]"""),
+        " " + hex("2"), " " + hex("""["2","bob","7"]"""),
+        " " + hex("_col"), " " + hex("""["id","name","score"]"""),
+        "DATA=END").mkString("\n"))
+    Pipeline.run(spark, Seq(
+      s"dbdumpread:in=$d/t.dump", "sort:by=id",
+      "csvwrite", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv") ==
+      Seq("id,name,score", "1,alice,9", "2,bob,7"))
+
+    // print-format dump with escapes: \20 (hex space) in a value line,
+    // \\ (literal backslash) in a key line — both decode branches
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/p.dump"),
+      Seq("VERSION=3", "format=print", "type=btree", "HEADER=END",
+        """ k\\1""", """ ["p\20q","r"]""",
+        " _col", """ ["c1","c2"]""",
+        "DATA=END").mkString("\n"))
+    Pipeline.run(spark, Seq(
+      s"dbdumpread:in=$d/p.dump",
+      "csvwrite", s"filewrite:out=$d/pout.csv"))
+    assert(readOut(s"$d/pout.csv") == Seq("c1,c2", "p q,r"))
+
+    // a dump without _col is not a dbitool ndb — loud failure
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/bad.dump"),
+      Seq("VERSION=3", "format=bytevalue", "HEADER=END",
+        " " + hex("1"), " " + hex("""["1"]"""), "DATA=END").mkString("\n"))
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"dbdumpread:in=$d/bad.dump", "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
   test("orcread/orcwrite modules round-trip") {
