@@ -129,6 +129,70 @@ case class CosineSimilarity(left: Expression, right: Expression) extends ArrayPa
     copy(left = newLeft, right = newRight)
 }
 
+/** int8 quantize-then-dequantize in ONE pass: per-vector scale
+  * `max|v| / 127`, code `floor(v/scale + 0.5)`, output `code * scale`
+  * as array<double> — value-identical to
+  * `Similarity.dequantize(Similarity.quantizeInt8(emb))`, whose
+  * HOF formulation re-evaluates the array_max subtree per element
+  * under CollapseProject (O(d²) per row). Zero vectors pass through as
+  * all-zero.
+  */
+case class QuantizeDequantizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    ArrayMathKernels.quantizeDequantize(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ArrayMathKernels.quantizeDequantize($c, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArrayMathKernels {
+  def quantizeDequantize(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx > 0) {
+      val scale = mx / 127.0
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(v / scale + 0.5) * scale
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object ArrayMath {
   /** Column-API entry points (codegen'd). */
   def dotProduct(a: Column, b: Column): Column =
@@ -138,4 +202,7 @@ object ArrayMath {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantizeDequantize(a: Column): Column =
+    ColumnBridge.column(QuantizeDequantizeExpr(ColumnBridge.expression(a)))
 }

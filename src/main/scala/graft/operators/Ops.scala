@@ -341,10 +341,8 @@ object Ops {
   def groupSampleMd5(df: DataFrame, stratumCol: String, keyCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    topKPerGroup(df, Seq(stratumCol),
+      Seq(md5(col(keyCol).cast("string")).asc, col(keyCol).asc), k,
+      rankCol = "__sample_rk").drop("__sample_rk")
   }
 }

@@ -315,13 +315,19 @@ object Similarity {
     * cosine runs on dequantized codes — the fidelity/bandwidth
     * trade-off measured end to end, and exactly replayable in the
     * oracle because quantization is pure floor/multiply arithmetic.
+    * Dequantized codes come from the single-pass codegen kernel
+    * (`ArrayMath.quantizeDequantize`) — the HOF composition
+    * `dequantize(quantizeInt8(_))` re-evaluates the array_max subtree
+    * per element under CollapseProject (O(d²) per row) and exists only
+    * as the kernel's spec cross-check.
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
                     idCol: String, embCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      dequantize(quantizeInt8(col(embCol))).as("__qe"))
+      graft.functions.ArrayMath.quantizeDequantize(col(embCol)).as("__qe"))
     val scored = corpus
-      .select(col(idCol), dequantize(quantizeInt8(col(embCol))).as("__ce"))
+      .select(col(idCol),
+        graft.functions.ArrayMath.quantizeDequantize(col(embCol)).as("__ce"))
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),

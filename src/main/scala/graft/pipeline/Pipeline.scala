@@ -575,30 +575,39 @@ object Pipeline {
         }.getOrElse("bytevalue")
         def decode(l: String): String = {
           val s = if (l.startsWith(" ")) l.drop(1) else l
+          // both branches accumulate BYTES and UTF-8-decode once at the
+          // end — decoding print escapes char-by-char would mojibake
+          // multi-byte UTF-8 data (\c3\a9 is one "é", not "Ã©"); and
+          // every malformed escape/hex digit fails loudly as a
+          // BuildError with file context, never a bare
+          // NumberFormatException.
+          def badDump(why: String) =
+            throw new BuildError(s"dbdumpread: $why in $path (line: '$l')")
+          def hexByte(h: String): Byte =
+            try Integer.parseInt(h, 16).toByte
+            catch { case _: NumberFormatException => badDump(s"bad hex '$h'") }
+          val bos = new java.io.ByteArrayOutputStream(s.length)
           fmt match {
             case "bytevalue" =>
-              val bytes = new Array[Byte](s.length / 2)
+              if (s.length % 2 != 0) badDump("odd-length hex line")
               var i = 0
-              while (i < bytes.length) {
-                bytes(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
-                i += 1
+              while (i < s.length) {
+                bos.write(hexByte(s.substring(i, i + 2))); i += 2
               }
-              new String(bytes, "UTF-8")
             case "print" =>
-              val sb = new StringBuilder
               var i = 0
               while (i < s.length) {
                 if (s(i) == '\\' && i + 1 < s.length && s(i + 1) == '\\') {
-                  sb += '\\'; i += 2
-                } else if (s(i) == '\\' && i + 2 < s.length) {
-                  sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
-                  i += 3
-                } else { sb += s(i); i += 1 }
+                  bos.write('\\'.toInt); i += 2
+                } else if (s(i) == '\\') {
+                  if (i + 2 >= s.length) badDump("truncated \\xx escape")
+                  bos.write(hexByte(s.substring(i + 1, i + 3))); i += 3
+                } else { bos.write(s(i).toInt); i += 1 }
               }
-              sb.toString
             case other =>
               throw new BuildError(s"dbdumpread: unsupported format=$other")
           }
+          new String(bos.toByteArray, "UTF-8")
         }
         val data = all.drop(headerEnd + 1).takeWhile(_ != "DATA=END")
         if (data.length % 2 != 0)
@@ -611,7 +620,12 @@ object Pipeline {
             from_json(col("__v"), ArrayType(StringType)).as("__arr"))
         val names = parsed.filter(col("__k") === "_col")
           .select(col("__arr")).collect().headOption
-          .map(_.getSeq[String](0))
+          .map { r =>
+            if (r.isNullAt(0)) // from_json yields null on malformed JSON
+              throw new BuildError(
+                s"dbdumpread: _col row is not a JSON string array in $path")
+            r.getSeq[String](0)
+          }
           .getOrElse(throw new BuildError(
             s"dbdumpread: no _col schema row in $path (not a dbitool ndb dump?)"))
         val rows = parsed.filter(col("__k") =!= "_col")

@@ -57,9 +57,13 @@ object TextQueries {
       }.reduce(_ + _)
       val scored = base.crossJoin(broadcast(stats))
         .select($"doc_id", score.as("score"))
-      graft.operators.Ops.topKPerGroup(
-          scored.withColumn("__g", lit(1)), Seq("__g"),
-          Seq($"score".desc, $"doc_id".asc), 20)
+      // global top-k via orderBy().limit() — compiles to
+      // TakeOrderedAndProject (per-partition top-k, driver merge), not
+      // a single-task full sort; the rank window then runs on 20 rows.
+      val top = scored.orderBy($"score".desc, $"doc_id".asc).limit(20)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"score".desc, $"doc_id".asc)))
         .select($"doc_id", round($"score", 4).as("bm25"), $"rk")
         .orderBy($"rk")
     }),

@@ -222,6 +222,13 @@ class DedupSimSpec extends AnyFunSuite {
           s"err=${math.abs(orig.toDouble - rec)} scale=$s")
       }
     }
+    // the single-pass kernel is bit-identical to the HOF composition
+    val kdq = emb.select($"vec_id",
+        graft.functions.ArrayMath.quantizeDequantize($"embedding").as("k"),
+        Similarity.dequantize(Similarity.quantizeInt8($"embedding")).as("c"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    assert(kdq.forall { case (_, kk, cc) => kk == cc }, "kernel != HOF composition")
+
     // ranking fidelity: quantized top-5 overlaps float top-5 heavily
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
