@@ -112,6 +112,10 @@ object GraftExtensions {
         litInt(args(1), "graft_winnow_md5", "k"),
         litInt(args(2), "graft_winnow_md5", "w"))
     },
+    "graft_quantize_dequantize" -> { args =>
+      arity("graft_quantize_dequantize", args, 1)
+      QuantizeDequantizeExpr(args(0))
+    },
     // composed from built-in catalyst expressions (not a custom
     // Expression) — registry builders need resolved trees, so this is
     // assembled directly rather than via the Column API

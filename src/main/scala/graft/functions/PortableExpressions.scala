@@ -143,9 +143,9 @@ object PortableKernels {
     * transform(hs, h -> (h & M) * a_j + b_j & M))))`. One pass per
     * permutation over a primitive array; no explode, no aggregate.
     */
-  def minhashAffineSig(hashes: ArrayData, numPerm: Int): ArrayData = {
+  private def affineSigCore(hashes: ArrayData, numPerm: Int): Array[Long] = {
     val n = hashes.numElements()
-    if (n == 0) return EmptyLongs
+    if (n == 0) return null
     val cs = permConstantsFlat(numPerm)
     val masked = new Array[Long](n)
     var i = 0
@@ -164,6 +164,43 @@ object PortableKernels {
       }
       out(j) = m
       j += 1
+    }
+    out
+  }
+
+  def minhashAffineSig(hashes: ArrayData, numPerm: Int): ArrayData = {
+    val sig = affineSigCore(hashes, numPerm)
+    if (sig == null) EmptyLongs else UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Signature + LSH band keys fused in one pass: band b's key is the
+    * 60-bit md5 prefix of the ASCII string
+    * `"m_{b*r}|…|m_{b*r+r-1}"` (decimal-rendered slots) — value-
+    * identical to `md5Long(concat_ws("|", slots.cast(string)))` over
+    * the signature array, which the SQL oracle replays with
+    * `concat_ws('|', m…::VARCHAR)`. Fusing removes the intermediate
+    * signature materialization (and its CollapseProject persist
+    * barrier) from the pair path.
+    */
+  def minhashBandKeysMd5(hashes: ArrayData, numPerm: Int,
+                         bands: Int): ArrayData = {
+    val sig = affineSigCore(hashes, numPerm)
+    if (sig == null) return EmptyLongs
+    val r = numPerm / bands
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(r * 11)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = 0
+      while (i < r) {
+        if (i > 0) sb.append('|')
+        sb.append(sig(b * r + i))
+        i += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(b) = md5Long60(bytes, 0, bytes.length)
+      b += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
@@ -320,6 +357,35 @@ case class MinHashAffineSigExpr(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Fused MinHash signature + band keys over an array<long> of hashes. */
+case class MinHashBandKeysExpr(child: Expression, numPerm: Int, bands: Int)
+    extends UnaryExpression {
+  require(numPerm >= 1 && bands >= 1 && numPerm % bands == 0,
+    s"numPerm must divide into bands, got numPerm=$numPerm bands=$bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    PortableKernels.minhashBandKeysMd5(a.asInstanceOf[ArrayData], numPerm, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PortableKernels.minhashBandKeysMd5($c, $numPerm, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 60-bit md5-family SimHash of whitespace tokens. */
 case class SimHashMd5Expr(child: Expression)
     extends UnaryExpression with StringInputExpr {
@@ -363,6 +429,10 @@ object PortableExpr {
   def minhashAffineSig(hashes: Column, numPerm: Int): Column =
     ColumnBridge.column(
       MinHashAffineSigExpr(ColumnBridge.expression(hashes), numPerm))
+
+  def minhashBandKeys(hashes: Column, numPerm: Int, bands: Int): Column =
+    ColumnBridge.column(
+      MinHashBandKeysExpr(ColumnBridge.expression(hashes), numPerm, bands))
 
   def simhashMd5(text: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))

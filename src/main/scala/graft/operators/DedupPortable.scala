@@ -82,7 +82,6 @@ object DedupPortable {
                                     threshold: Double = 0.7,
                                     maxBucket: Int = 64): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
-    val rowsPerBand = numPerm / bands
 
     val hashed = df
       .select(col(idCol).as("id"),
@@ -90,19 +89,14 @@ object DedupPortable {
       .filter(size(col("hs")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // persist doubles as a CollapseProject barrier: the banding below
-    // reads numPerm slots via element_at, and without materialization
-    // Catalyst would inline the kernel into every slot use (same trap
-    // the hot path documents).
-    val sig = hashed.select(col("id"),
-        graft.functions.PortableExpr.minhashAffineSig(col("hs"), numPerm).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map { bnd =>
-        md5Long(concat_ws("|", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), bnd * rowsPerBand + r + 1).cast("string")): _*))
-      }: _*)).as(Seq("bandIdx", "bandHash")))
+    // signature + band keys fused in ONE kernel pass (used once, so no
+    // CollapseProject barrier is needed — the separate sig projection
+    // needed a persist to stop the kernel inlining into every
+    // element_at slot read)
+    val banded = hashed.select(col("id"),
+      posexplode(graft.functions.PortableExpr
+        .minhashBandKeys(col("hs"), numPerm, bands))
+        .as(Seq("bandIdx", "bandHash")))
 
     Dedup.bandCandidates(banded, "bandHash", maxBucket)
       .join(hashed.select(col("id").as("idA"), col("hs").as("shA")), "idA")

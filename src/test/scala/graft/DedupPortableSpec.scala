@@ -126,6 +126,19 @@ class DedupPortableSpec extends AnyFunSuite {
       .as[(Seq[Long], Seq[Long])].collect()
     assert(sig.nonEmpty && sig.forall { case (k, c) => k == c })
 
+    // fused band keys: kernel vs md5Long(concat_ws) over signature slots
+    val bandHof = array((0 until 4).map { bnd =>
+      DedupPortable.md5Long(concat_ws("|", (0 until 4).map(r =>
+        element_at($"sig", bnd * 4 + r + 1).cast("string")): _*))
+    }: _*)
+    val bk = docs.select(PortableExpr.md5Shingles($"text", 3).as("k"))
+      .filter(size($"k") > 0)
+      .select(PortableExpr.minhashAffineSig($"k", 16).as("sig"),
+        PortableExpr.minhashBandKeys($"k", 16, 4).as("kb"))
+      .select($"kb", bandHof.as("cb"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(bk.nonEmpty && bk.forall { case (k, c) => k == c })
+
     // simhash: kernel vs explode + 60-conditional-sum aggregate
     val fpK = DedupPortable.simhashPortableFingerprints(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -80,6 +80,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // md5-prefix formulation evaluated by Spark SQL itself
     assert(r.getSeq[Long](2) == Seq(r.getLong(4)))
     assert(r.getInt(3) > 0)
+    // int8 quantize-dequantize kernel from SQL
+    val qd = spark.sql(
+      "SELECT graft_quantize_dequantize(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS d")
+      .head().getSeq[Double](0)
+    assert(qd.head == 1.0 && math.abs(qd(1) + 0.5) < 1.0 / 127)
   }
 
   test("graft_normalize from SQL (composed-builtins builder)") {
