@@ -139,7 +139,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends ArrayPa
   */
 case class QuantizeDequantizeExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = child.nullable
 
   private lazy val isFloat = child.dataType match {
@@ -169,27 +169,54 @@ case class QuantizeDequantizeExpr(child: Expression)
 }
 
 object ArrayMathKernels {
+  /** Mirrors the HOF composition's corner semantics (spec- and
+    * oracle-parity on NaN-free data): Spark's array_max SKIPS null
+    * elements (they pass through as null in the output, as transform
+    * would emit) and treats NaN as the LARGEST value — so any NaN
+    * element poisons the scale and every non-null output is NaN
+    * (a Java `>` scan would silently skip it; the HOF form would
+    * instead die on ANSI NaN→long cast, so NaN-poisoning is the
+    * defined behavior here).
+    */
   def quantizeDequantize(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Double](n)
     var mx = 0.0
+    var hasNaN = false
+    var hasNull = false
     var i = 0
     while (i < n) {
-      val v = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
-      if (v > mx) mx = v
+      if (a.isNullAt(i)) hasNull = true
+      else {
+        val v = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        if (v.isNaN) hasNaN = true else if (v > mx) mx = v
+      }
       i += 1
     }
-    if (mx > 0) {
-      val scale = mx / 127.0
+    val scale =
+      if (hasNaN) Double.NaN
+      else if (mx > 0) mx / 127.0
+      else 0.0
+    def quant(v: Double): Double =
+      if (scale == 0.0) 0.0 else math.floor(v / scale + 0.5) * scale
+    if (!hasNull) {
+      val out = new Array[Double](n)
       i = 0
       while (i < n) {
-        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        out(i) = math.floor(v / scale + 0.5) * scale
+        out(i) = quant(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
         i += 1
       }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i))
+          out(i) = quant(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(out)
   }
 }
 

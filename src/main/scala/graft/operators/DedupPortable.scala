@@ -89,14 +89,16 @@ object DedupPortable {
       .filter(size(col("hs")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // signature + band keys fused in ONE kernel pass (used once, so no
-    // CollapseProject barrier is needed — the separate sig projection
-    // needed a persist to stop the kernel inlining into every
-    // element_at slot read)
+    // signature + band keys fused in ONE kernel pass; PERSISTED because
+    // bandCandidates references `banded` four times (bucket stats, both
+    // self-join sides, star edges) and Catalyst does not share common
+    // subtrees — without this the O(numPerm×|hs|) kernel would re-run
+    // per reference. Payload is 3 longs/row.
     val banded = hashed.select(col("id"),
       posexplode(graft.functions.PortableExpr
         .minhashBandKeys(col("hs"), numPerm, bands))
         .as(Seq("bandIdx", "bandHash")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     Dedup.bandCandidates(banded, "bandHash", maxBucket)
       .join(hashed.select(col("id").as("idA"), col("hs").as("shA")), "idA")

@@ -602,7 +602,18 @@ object Pipeline {
                 } else if (s(i) == '\\') {
                   if (i + 2 >= s.length) badDump("truncated \\xx escape")
                   bos.write(hexByte(s.substring(i + 1, i + 3))); i += 3
-                } else { bos.write(s(i).toInt); i += 1 }
+                } else if (s(i) < 0x80) {
+                  bos.write(s(i).toInt); i += 1
+                } else {
+                  // conformant db_dump escapes bytes >= 0x80, but a
+                  // hand-edited dump may carry raw non-ASCII — emit its
+                  // UTF-8 bytes (surrogate pairs taken together), never
+                  // a truncated low byte
+                  val cp = s.codePointAt(i)
+                  bos.writeBytes(new String(Character.toChars(cp))
+                    .getBytes("UTF-8"))
+                  i += Character.charCount(cp)
+                }
               }
             case other =>
               throw new BuildError(s"dbdumpread: unsupported format=$other")

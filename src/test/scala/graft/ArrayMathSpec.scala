@@ -51,4 +51,27 @@ class ArrayMathSpec extends AnyFunSuite {
     val gen = df.select(ArrayMath.dotProduct($"a", $"b")).head().getDouble(0)
     assert(gen == (4.0 + 10.0 + 18.0))
   }
+
+  test("quantizeDequantize corner semantics: nulls pass through, NaN poisons, zero vector") {
+    import graft.operators.Similarity
+    // null elements: kernel matches the HOF composition (array_max
+    // skips nulls; transform emits null elements)
+    val df = spark.range(1).select(
+      expr("array(CAST(2.54 AS DOUBLE), NULL, CAST(-1.27 AS DOUBLE))").as("a"))
+    val k = df.select(ArrayMath.quantizeDequantize($"a")).head().getSeq[Any](0)
+    val h = df.select(Similarity.dequantize(Similarity.quantizeInt8($"a")))
+      .head().getSeq[Any](0)
+    assert(k == h, s"kernel=$k hof=$h")
+    assert(k(1) == null && k(0) == 2.54)
+    // NaN element: every non-null output is NaN (poisoned scale)
+    val nan = spark.range(1)
+      .select(expr("array(CAST('NaN' AS DOUBLE), CAST(1.0 AS DOUBLE))").as("a"))
+      .select(ArrayMath.quantizeDequantize($"a")).head().getSeq[Double](0)
+    assert(nan.forall(_.isNaN))
+    // zero vector: all zeros out
+    val z = spark.range(1)
+      .select(expr("array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))").as("a"))
+      .select(ArrayMath.quantizeDequantize($"a")).head().getSeq[Double](0)
+    assert(z.forall(_ == 0.0))
+  }
 }

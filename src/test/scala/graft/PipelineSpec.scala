@@ -18,8 +18,10 @@ class PipelineSpec extends AnyFunSuite {
 
   private def readOut(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
+    // explicit UTF-8: Spark writes UTF-8; Source's default codec is the
+    // platform charset, which is ASCII in this container
     d.listFiles().filter(_.getName.startsWith("part-")).toSeq
-      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
   }
 
   test("word parsing: args, flags, bad words") {
@@ -499,16 +501,18 @@ class PipelineSpec extends AnyFunSuite {
       Seq("id,name,score", "1,alice,9", "2,bob,7"))
 
     // print-format dump with escapes: \20 (hex space) in a value line,
-    // \\ (literal backslash) in a key line — both decode branches
+    // \\ (literal backslash) in a key line — both decode branches; one
+    // RAW non-ASCII char (non-conformant but seen in hand-edited
+    // dumps) must survive as UTF-8, not a truncated low byte
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/p.dump"),
       Seq("VERSION=3", "format=print", "type=btree", "HEADER=END",
-        """ k\\1""", """ ["p\20q","r"]""",
+        """ k\\1""", """ ["p\20q","café"]""",
         " _col", """ ["c1","c2"]""",
         "DATA=END").mkString("\n"))
     Pipeline.run(spark, Seq(
       s"dbdumpread:in=$d/p.dump",
       "csvwrite", s"filewrite:out=$d/pout.csv"))
-    assert(readOut(s"$d/pout.csv") == Seq("c1,c2", "p q,r"))
+    assert(readOut(s"$d/pout.csv") == Seq("c1,c2", "p q,café"))
 
     // a dump without _col is not a dbitool ndb — loud failure
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/bad.dump"),
