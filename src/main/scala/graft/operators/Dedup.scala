@@ -143,6 +143,22 @@ object Dedup {
     smallPairs.unionByName(starPairs).dropDuplicates("idA", "idB")
   }
 
+  /** Shared verification tail: join each candidate pair's sorted
+    * fingerprint/shingle sets back (survivors only — the sets never
+    * ride the banded shuffle), exact jaccard, threshold, rounded
+    * output. `sets` must be (id, set) with set sorted-distinct.
+    */
+  private[operators] def verifiedJaccardPairs(candidates: DataFrame,
+                                              sets: DataFrame,
+                                              threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("id").as("idA"), col("set").as("__sA")), "idA")
+      .join(sets.select(col("id").as("idB"), col("set").as("__sB")), "idB")
+      .withColumn("jaccard",
+        graft.functions.TextExpr.jaccardSorted(col("__sA"), col("__sB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+
   /** MinHash-LSH candidate pairs, verified with EXACT shingle jaccard.
     * Output: (idA, idB, jaccard), idA < idB, jaccard >= threshold.
     */
@@ -187,13 +203,8 @@ object Dedup {
 
     // Exact verification joins hashed shingles back for surviving
     // pairs only.
-    candidates
-      .join(hashed.select(col("id").as("idA"), col("hs").as("shA")), "idA")
-      .join(hashed.select(col("id").as("idB"), col("hs").as("shB")), "idB")
-      .withColumn("jaccard",
-        graft.functions.TextExpr.jaccardSorted(col("shA"), col("shB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    verifiedJaccardPairs(candidates,
+      hashed.select(col("id"), col("hs").as("set")), threshold)
   }
 
   /** SimHash-64 from token hashes: bit b of the output is 1 iff tokens
@@ -314,13 +325,8 @@ object Dedup {
       .filter(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
 
-    candidates
-      .join(fps.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
-      .join(fps.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
-      .withColumn("jaccard",
-        graft.functions.TextExpr.jaccardSorted(col("fpA"), col("fpB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    verifiedJaccardPairs(candidates,
+      fps.select(col("id"), col("fp").as("set")), threshold)
   }
 
   /** Greedy keep-smallest-id dedup from a pair list: drop every doc

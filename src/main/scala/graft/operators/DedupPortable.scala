@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.{TextExpr, TextFunctions}
+import graft.functions.TextFunctions
 
 /** Oracle-mode (cross-engine portable) variants of the near-dup
   * operators in [[Dedup]].
@@ -100,12 +100,9 @@ object DedupPortable {
         .as(Seq("bandIdx", "bandHash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    Dedup.bandCandidates(banded, "bandHash", maxBucket)
-      .join(hashed.select(col("id").as("idA"), col("hs").as("shA")), "idA")
-      .join(hashed.select(col("id").as("idB"), col("hs").as("shB")), "idB")
-      .withColumn("jaccard", TextExpr.jaccardSorted(col("shA"), col("shB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    Dedup.verifiedJaccardPairs(
+      Dedup.bandCandidates(banded, "bandHash", maxBucket),
+      hashed.select(col("id"), col("hs").as("set")), threshold)
   }
 
   /** The 60-bit md5-family SimHash per row via the single-pass kernel:
@@ -210,12 +207,8 @@ object DedupPortable {
       .select(col("a.id").as("idA"), col("b.id").as("idB"))
       .dropDuplicates("idA", "idB")
 
-    candidates
-      .join(fps.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
-      .join(fps.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
-      .withColumn("jaccard", TextExpr.jaccardSorted(col("fpA"), col("fpB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    Dedup.verifiedJaccardPairs(candidates,
+      fps.select(col("id"), col("fp").as("set")), threshold)
   }
 
   /** Exploded + window-min formulation of the portable winnowing
