@@ -295,6 +295,51 @@ object Relational {
         .filter($"n_lines" >= 5)
         .select($"o_orderkey", $"revenue", $"n_lines")
         .orderBy($"o_orderkey")
+    }),
+
+    // TPC-H Q3 shape (shipping priority): selective dim filter
+    // broadcast against the fact-fact join, grouped revenue, top-10.
+    // Filters push to all three scans; only the orders⋈lineitem join
+    // shuffles.
+    "q67_tpch_q3_shape" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" > cutoff)
+        .join(t(s, dir, "orders").filter($"o_orderdate" < cutoff),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): 6-table star with the
+    // same-nation customer⋈supplier constraint, region-filtered,
+    // revenue per nation. nation/region broadcast; the big joins
+    // shuffle on their keys.
+    "q68_tpch_q5_shape" -> ((s, dir) => {
+      import s.implicits._
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1999-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(t(s, dir, "supplier"),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name".asc)
     })
   )
 
@@ -492,6 +537,34 @@ object Relational {
         |      FROM lineitem GROUP BY l_orderkey) li
         |  ON o_orderkey = l_orderkey
         |WHERE n_lines >= 5
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q67_tpch_q3_shape" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q68_tpch_q5_shape" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
   )
 }
