@@ -21,12 +21,13 @@ def load(path):
         d = json.load(f)
     if "queries" in d:
         return d
-    # driver artifact: the bench JSON line lives in the raw tail
+    # driver artifact: the bench JSON line lives in the raw tail; take
+    # the LAST match non-greedily (a tail can capture several runs)
     tail = (d.get("tail") or "").replace("[info] ", "")
-    m = re.search(r'\{"metric":.*"sf":"[^"]*"\}', tail, re.S)
-    if not m:
+    ms = re.findall(r'\{"metric":.*?"sf":"[^"]*"\}', tail, re.S)
+    if not ms:
         sys.exit(f"{path}: no bench JSON found (parsed={d.get('parsed')})")
-    return json.loads(re.sub(r"\s*\n\s*", "", m.group(0)))
+    return json.loads(re.sub(r"\s*\n\s*", "", ms[-1]))
 
 
 def main():
@@ -42,13 +43,16 @@ def main():
             rows.append((float("inf"), f"{name:<28} NEW {b:7.2f}s"))
         elif b is None:
             rows.append((0.0, f"{name:<28} {a:7.2f}s REMOVED"))
-        elif b > 0.3 and (b / a > thr or a / b > thr):
+        elif max(a, b) > 0.3 and (b / a > thr or a / b > thr):
+            # sub-0.3s-on-BOTH-sides queries are scheduling noise on
+            # this host; anything that ever exceeds 0.3s is reported
             rows.append((b / a, f"{name:<28} {a:7.2f}s -> {b:7.2f}s "
                                 f"({b / a:4.1f}x)"))
     for _, line in sorted(rows, key=lambda r: -r[0]):
         print(line)
     if not rows:
-        print(f"no per-query change beyond {thr}x")
+        print(f"no per-query change beyond {thr}x "
+              f"(queries under 0.3s on both sides ignored)")
 
 
 if __name__ == "__main__":
