@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   * reads, bilinear resampling and luminance-grid features. AUDIO IS
   * REAL for WAV — `WavCodec` (pure-JDK javax.sound.sampled): header-only
   * metadata, windowed RMS + zero-crossing features, segment sampling.
-  * Video remains a STUB (`StubCodec` parses a deterministic fake `GMM1`
-  * header) because the JDK ships no video decoder; `AutoCodec` sniffs
-  * magic bytes and dispatches per payload, so a real video codec slots
-  * in behind the same `MediaCodec` trait with no plumbing change.
+  * VIDEO IS REAL for MJPEG-in-AVI — `AviCodec` (RIFF walk + per-frame
+  * javax.imageio decode, Annex-K DHT splice for baseline MJPEG);
+  * inter-frame codecs the JDK cannot decode (H.264 …) report
+  * `valid=false` honestly. `AutoCodec` sniffs magic bytes and
+  * dispatches per payload; `StubCodec` remains only for the `GMM1`
+  * test format exercising the contract plumbing.
   *
   * Scale notes: binaryFile scans support pathGlobFilter/pruning;
   * payloads ride shuffles only when explicitly selected; partition
@@ -53,6 +55,7 @@ object Multimodal {
     private def pick(bytes: Array[Byte]): MediaCodec =
       if (ImageIoCodec.supports(bytes)) ImageIoCodec
       else if (WavCodec.supports(bytes)) WavCodec
+      else if (AviCodec.supports(bytes)) AviCodec
       else StubCodec
     def decode(bytes: Array[Byte]): MediaMeta = pick(bytes).decode(bytes)
     def features(bytes: Array[Byte], dim: Int): Array[Float] =
