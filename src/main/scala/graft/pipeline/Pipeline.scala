@@ -43,7 +43,7 @@ object Pipeline {
 
   final class BuildError(msg: String) extends RuntimeException(msg)
 
-  /** Keys that may legally FOLLOW `url=` in a module word: the URL
+  /** Keys that may legally FOLLOW `url=`/`cmd=` in a module word: the
     * swallow (below) stops at the first of these, so the printed usage
     * templates (`url=...:driver=...:table=...`) parse as documented.
     */
@@ -55,6 +55,8 @@ object Pipeline {
     * UNTIL a known `key=` argument appears — so both `...:url=jdbc:...`
     * last-position and the usage-template order `url=...:table=t` work.
     * Credentials belong in user=/pw= args, not inside the URL.
+    * `cmd=` (exec module) gets the same swallow — shell commands may
+    * contain colons too.
     */
   def parseWord(word: String): ModuleSpec = {
     val parts = word.split(":", -1)
@@ -62,7 +64,7 @@ object Pipeline {
     if (!name.matches("\\w+"))
       throw new BuildError(s"bad module word: '$word'")
     val pieces = {
-      val i = parts.indexWhere(_.startsWith("url="))
+      val i = parts.indexWhere(p => p.startsWith("url=") || p.startsWith("cmd="))
       if (i >= 1) {
         val rest = parts.drop(i)
         val j = rest.indexWhere(p => {
@@ -1093,8 +1095,93 @@ object Pipeline {
           throw new BuildError(s"mediaresize: w/h must be > 0, got ${w}x$h")
         ctx.writeStream(m, graft.multimodal.Multimodal.resize(
           df, w, h, m.args.getOrElse("col", "content")), RowType)
+      }),
+
+    Registered("exec", RawType, RawType,
+      "in=STREAM:cmd=COMMAND:out=STREAM", (ctx, m) => {
+        // Reference TODO:31-32: "a module to run external programs
+        // diverting stdin/stdout from the data flow streams". The
+        // Spark-native shape is RDD.pipe (the Hadoop-streaming model):
+        // ONE subprocess per partition, stream lines to its stdin,
+        // read transformed lines from its stdout — the external
+        // program runs distributed next to the data instead of forcing
+        // a driver-side funnel. A non-zero exit kills the task (and so
+        // the job) loudly. Scale: subprocess count = partition count,
+        // payload never collects.
+        val df = ctx.readStream(m, RawType)
+        val cmd = m.args.getOrElse("cmd",
+          throw new BuildError("exec: cmd= required"))
+        import ctx.spark.implicits._
+        val piped = df.select(col(df.columns.head).cast("string")).as[String]
+          .rdd.pipe(Seq("/bin/sh", "-c", cmd)).toDF("col1")
+        ctx.writeStream(m, piped, RawType)
+        ctx.log("exec", s"pipe partitions through: $cmd")
+      }),
+
+    // Reference TODO:58-59: "TCP network modules: client and server.
+    // Both could be used as input or output" — tcpread/tcpwrite each
+    // take client (host=+port=) or server (listen=) mode = all four
+    // combinations. A TCP endpoint is a single-point line stream, so
+    // like `stdin` the read happens driver-side at build time (and the
+    // write funnels through toLocalIterator — never a full collect);
+    // distribution begins one module downstream. One-shot accept:
+    // serve one peer, then close (the reference's pump model).
+    Registered("tcpread", NoneType, RawType,
+      "host=H:port=P|listen=PORT:out=STREAM", (ctx, m) => {
+        val sock = tcpConnect(ctx, m, "tcpread")
+        val lines =
+          try {
+            val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+              sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+            Iterator.continually(br.readLine()).takeWhile(_ != null).toVector
+          } finally sock.close()
+        import ctx.spark.implicits._
+        ctx.writeStream(m, lines.toDF("col1"), RawType)
+        ctx.log("tcpread", s"read ${lines.size} lines")
+      }),
+
+    Registered("tcpwrite", RawType, NoneType,
+      "in=STREAM:host=H:port=P|listen=PORT", (ctx, m) => {
+        val df = ctx.readStream(m, RawType)
+        ctx.addSink(m.raw, () => {
+          val sock = tcpConnect(ctx, m, "tcpwrite")
+          try {
+            val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+            var n = 0L
+            val it = df.select(col(df.columns.head).cast("string")).toLocalIterator()
+            while (it.hasNext) {
+              val s = it.next().getString(0)
+              w.write(if (s == null) "" else s); w.write("\n"); n += 1
+            }
+            w.flush()
+            n
+          } finally sock.close()
+        })
       })
   )
+
+  /** Client (host=+port=) or one-shot server (listen=) socket for the
+    * tcp modules. Server accept is bounded by a 60 s timeout so a
+    * never-arriving peer fails loudly instead of hanging the build.
+    */
+  private def tcpConnect(ctx: Context, m: ModuleSpec,
+                         mod: String): java.net.Socket =
+    m.args.get("listen") match {
+      case Some(p) =>
+        val srv = new java.net.ServerSocket(p.toInt)
+        try {
+          srv.setSoTimeout(60000)
+          ctx.log(mod, s"listening on ${srv.getLocalPort}")
+          srv.accept()
+        } finally srv.close()
+      case None =>
+        val host = m.args.getOrElse("host",
+          throw new BuildError(s"$mod: host=+port= or listen= required"))
+        val port = m.args.getOrElse("port",
+          throw new BuildError(s"$mod: port= required with host=")).toInt
+        new java.net.Socket(host, port)
+    }
 
   val registry: Map[String, Registered] = modules.map(r => r.name -> r).toMap
 
@@ -1208,7 +1295,9 @@ object Pipeline {
       }
       // Strict arg validation (reference setup() dies on unmatched
       // args, dbitool.pl:663-681): every key must appear in argHelp.
-      val allowed = reg.argHelp.split("[:\\[\\]]").toSeq
+      // split also on `|` so alternative-mode templates
+      // (`host=H:port=P|listen=PORT`) contribute every key
+      val allowed = reg.argHelp.split("[:\\[\\]|]").toSeq
         .flatMap(seg => "^\\w+".r.findFirstIn(seg)) .toSet ++ Set("in", "out")
       val unknown = spec.args.keySet -- allowed
       if (unknown.nonEmpty)

@@ -228,8 +228,89 @@ class PipelineSpec extends AnyFunSuite {
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
       "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
-      "xmlread", "zipread", "zipwrite", "dbdumpread")
+      "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
+      "tcpread", "tcpwrite")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("tcpread server-mode e2e: peer connects, sends lines, stream flows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val d = tmp("tcpread")
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    // the pipeline's tcpread listens; this test is the remote client
+    val run = Future(Pipeline.run(spark, Seq(
+      s"tcpread:listen=$port", "exec:cmd=tr a-z A-Z",
+      s"filewrite:out=$d/out.txt")))
+    val deadline = System.nanoTime() + 15000000000L
+    var sent = false
+    var lastErr: Throwable = null
+    while (!sent && System.nanoTime() < deadline) {
+      if (run.isCompleted) Await.result(run, 1.second) // surface build failure
+      try {
+        val c = new java.net.Socket("127.0.0.1", port)
+        try {
+          val w = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
+          w.write("hello\nworld\n"); w.flush()
+        } finally c.close()
+        sent = true
+      } catch {
+        case scala.util.control.NonFatal(e) => lastErr = e; Thread.sleep(50)
+      }
+    }
+    assert(sent, s"could not reach the listening tcpread module: $lastErr")
+    Await.result(run, 60.seconds)
+    assert(readOut(s"$d/out.txt").toSet == Set("HELLO", "WORLD"))
+  }
+
+  test("tcpwrite client-mode e2e: rows stream out as lines over a socket") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val d = tmp("tcpwrite")
+    writeCsv(s"$d/in.txt", "one", "two", "three")
+    val srv = new java.net.ServerSocket(0)
+    srv.setSoTimeout(30000)
+    // this test is the remote server; tcpwrite connects as a client
+    val received = Future {
+      val c = srv.accept()
+      try scala.io.Source.fromInputStream(c.getInputStream, "UTF-8")
+        .getLines().toVector
+      finally { c.close(); srv.close() }
+    }
+    val r = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.txt",
+      s"tcpwrite:host=127.0.0.1:port=${srv.getLocalPort}"))
+    assert(Await.result(received, 30.seconds).toSet == Set("one", "two", "three"))
+    assert(r.rowsWritten.values.sum == 3)
+    // arg validation fails at build, not with a hung socket
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.txt", "tcpwrite:port=99")))
+  }
+
+  test("exec module pipes rows through an external command per partition") {
+    val d = tmp("execmod")
+    writeCsv(s"$d/in.txt", "alpha", "beta", "gamma")
+    // tr runs once per partition, lines stream through stdin/stdout
+    // (reference TODO:31-32, Spark-native RDD.pipe shape)
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.txt", "exec:cmd=tr a-z A-Z",
+      s"filewrite:out=$d/out.txt"))
+    assert(readOut(s"$d/out.txt").toSet == Set("ALPHA", "BETA", "GAMMA"))
+    // cmd= swallows colons like url= (shell syntax uses them)
+    val m = Pipeline.parseWord("exec:cmd=awk -F: {print $1}:out=s")
+    assert(m.args("cmd") == "awk -F: {print $1}" && m.args("out") == "s")
+    // a failing command surfaces loudly, not as silent empty output
+    val err = intercept[Exception] {
+      Pipeline.run(spark, Seq(
+        s"fileread:in=$d/in.txt", "exec:cmd=exit 3",
+        s"filewrite:out=$d/boom.txt"))
+    }
+    assert(err.getMessage != null)
   }
 
   test("stdin module e2e: piped bytes flow stdin -> csvread -> filewrite") {
