@@ -66,6 +66,43 @@ object DedupSim {
       Dedup.duplicateClusters(pairs).orderBy($"id")
     }),
 
+    // Cluster survivorship — the curation step a near-dup pass feeds:
+    // per duplicate cluster keep the HIGHEST-QUALITY member (not the
+    // arbitrary min-id), report who survived and the family size.
+    // Composition showcase: exact-jaccard pair graph → connected
+    // components → quality-ranked pick. Singleton docs are their own
+    // cluster. Oracle: recursive-CTE reachability + the same quality
+    // formula + a window pick.
+    "q71_cluster_survivor" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .orderBy($"doc_id").limit(500)
+        .select($"doc_id", Dedup.hashedShingles($"text", 3).as("sh"),
+          graft.functions.TextFunctions.qualityScore($"text").as("quality"))
+        .persist()
+      val a = docs.select($"doc_id".as("idA"), $"sh".as("shA")).repartition(32)
+      val b = docs.select($"doc_id".as("idB"), $"sh".as("shB"))
+      val pairs = a.crossJoin(broadcast(b)).filter($"idA" < $"idB")
+        .withColumn("jac",
+          graft.functions.TextExpr.jaccardSorted($"shA", $"shB"))
+        .filter($"jac" >= 0.5)
+        .select($"idA", $"idB")
+      val clusters = Dedup.duplicateClusters(pairs) // (id, rep), reps incl.
+      val singles = docs.select($"doc_id")
+        .join(clusters.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+        .select($"doc_id".as("id"), $"doc_id".as("rep"))
+      val ranked = clusters.unionByName(singles)
+        .join(docs.select($"doc_id".as("id"), $"quality"), "id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"rep").orderBy($"quality".desc, $"id".asc)))
+      ranked.groupBy($"rep").agg(
+          max(when($"rk" === 1, $"id")).as("keep_id"),
+          max(when($"rk" === 1, $"quality")).as("kept_quality"),
+          count(lit(1)).as("family"))
+        .orderBy($"rep")
+    }),
+
     // MinHash-LSH near-dup pairs, exact-jaccard verified, in PORTABLE
     // (md5-family) mode: shingle hashes, affine-permutation signatures,
     // band keys, the hub cut and the verification all replay exactly in
@@ -286,6 +323,42 @@ object DedupSim {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY idA, idB""".stripMargin,
+
+    "q71_cluster_survivor" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500))),
+         |q AS (
+         |  SELECT doc_id, ${graft.queries.TextQueries.qualitySql()} AS quality
+         |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)),
+         |p AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |e AS (SELECT ida AS a, idb AS b FROM p
+         |      UNION SELECT idb, ida FROM p),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+         |  WHERE e2.b <> r.a),
+         |cl AS (SELECT a AS id, least(a, min(b)) AS rep
+         |       FROM reach GROUP BY a),
+         |asg AS (SELECT id, rep FROM cl
+         |        UNION ALL
+         |        SELECT doc_id, doc_id FROM q
+         |        WHERE doc_id NOT IN (SELECT id FROM cl)),
+         |rnk AS (
+         |  SELECT asg.rep, asg.id, q.quality,
+         |    row_number() OVER (PARTITION BY asg.rep
+         |      ORDER BY q.quality DESC, asg.id ASC) AS rk
+         |  FROM asg JOIN q ON asg.id = q.doc_id)
+         |SELECT rep, max(CASE WHEN rk = 1 THEN id END) AS keep_id,
+         |  max(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+         |  count(*) AS family
+         |FROM rnk GROUP BY rep ORDER BY rep""".stripMargin,
 
     "q48_dup_clusters" ->
       s"""WITH RECURSIVE d AS (

@@ -318,6 +318,30 @@ object Relational {
         .limit(10)
     }),
 
+    // TPC-H Q10 shape (returned-item reporting): who returned the most
+    // revenue in a quarter. lineitem filtered on returnflag joins
+    // date-filtered orders (both filters reach the scans), customer on
+    // the shuffle, nation broadcast; top-20 via TakeOrderedAndProject.
+    "q72_tpch_q10_shape" -> ((s, dir) => {
+      import s.implicits._
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .join(t(s, dir, "orders")
+            .filter($"o_orderdate" >= lo && $"o_orderdate" < hi),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+        .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("c_acctbal"),
+          $"n_name", $"revenue")
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    }),
+
     // TPC-H Q5 shape (local supplier volume): 6-table star with the
     // same-nation customer⋈supplier constraint, region-filtered,
     // revenue per nation. nation/region broadcast; the big joins
@@ -551,6 +575,20 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q72_tpch_q10_shape" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q68_tpch_q5_shape" ->
       """SELECT n_name,

@@ -29,6 +29,62 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-document keyword extraction: top-3 terms by tf-idf — the
+    // classic sparse topic signature a curation pipeline tags docs
+    // with. Shape: one explode, two hash-aggregates (tf by (doc,term),
+    // df by term), a broadcast 1-row N, one equi-join on term (AQE
+    // broadcasts the vocab side when it fits), and a per-doc window.
+    // Ranking uses the UNROUNDED score (ulp-safe: distinct terms
+    // rarely tie except exactly, where term ASC breaks it); output
+    // rounds to 4dp.
+    "q29_tfidf_keyterms" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+        .filter(!$"term".isin(EnStopwords: _*) && $"term" =!= "")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+      tf.join(dfT, "term").crossJoin(broadcast(n))
+        .withColumn("score", $"tf" * log($"n" / $"df"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"term", round($"score", 4).as("tfidf"), $"rk")
+        .orderBy($"doc_id", $"rk")
+    }),
+
+    // Bigram language-model scoring: avg log P(w2|w1) per document
+    // under an add-one-smoothed corpus bigram model — the standard
+    // fluency/perplexity gate of a training-data pipeline (a gibberish
+    // or shuffled-token doc scores far below natural text). Counts are
+    // integers, so the per-row ln casts to DECIMAL(30,12) before the
+    // sum: decimal addition is order-independent, which makes the avg
+    // reproducible across partitionings AND engines (a raw double sum
+    // would flake on the 4dp rounding boundary).
+    "q69_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bg = docs.select($"doc_id", explode(wordNgrams($"text", 2)).as("g"))
+      val cg = bg.groupBy($"g").agg(count(lit(1)).as("cg"))
+      val cpre = cg.groupBy(split($"g", " ").getItem(0).as("w1"))
+        .agg(sum($"cg").as("cp"))
+      val vocab = docs.select(explode(tokens($"text")).as("tok"))
+        .agg(countDistinct($"tok").cast("double").as("v"))
+      bg.join(cg, "g")
+        .withColumn("w1", split($"g", " ").getItem(0))
+        .join(cpre, "w1")
+        .crossJoin(broadcast(vocab))
+        .select($"doc_id",
+          log(($"cg" + lit(1.0)) / ($"cp" + $"v")).as("lp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum($"lp".cast("decimal(30,12)")).cast("double") /
+            count(lit(1)), 4).as("avg_logp"))
+        .orderBy($"doc_id")
+    }),
+
     // BM25 relevance top-20 for a fixed term set — the classic sparse
     // retrieval scorer a training-data pipeline uses for quality/topic
     // filtering. Per-doc term frequencies come from the codegen'd
@@ -190,6 +246,18 @@ object TextQueries {
     })
   )
 
+  /** Quality-score formula as DuckDB SQL over a text column — the 1:1
+    * mirror of TextFunctions.qualityScore, shared by the q41/q46
+    * oracles and DedupSim's survivorship oracle.
+    */
+  def qualitySql(t: String = "text"): String =
+    s"""round(
+       |      0.4 * least(4.0 * len(list_filter(string_split($t,' '),
+       |            w -> list_contains($stopSql, w))) / len(string_split($t,' ')), 1.0)
+       |      + 0.4 * least(len(string_split($t,' ')) / 64.0, 1.0)
+       |      + 0.2 * (1.0 - least(len(regexp_extract_all($t, '[\\.,;:!\\?]'))
+       |            / len(string_split($t,' ')), 1.0)), 4)""".stripMargin
+
   private val langCaseSql: String = {
     // Mirror of TextFunctions.langId: fold with strictly-greater wins.
     def score(markers: Seq[String]) =
@@ -204,6 +272,40 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q29_tfidf_keyterms" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE NOT list_contains($stopSql, term) AND term != ''
+         |  GROUP BY doc_id, term),
+         |d AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM f GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+         |SELECT doc_id, term, round(tf * ln(n / df), 4) AS tfidf, rk FROM (
+         |  SELECT f.doc_id, f.term, f.tf, d.df, n.n,
+         |    row_number() OVER (PARTITION BY f.doc_id
+         |      ORDER BY f.tf * ln(n.n / d.df) DESC, f.term ASC) AS rk
+         |  FROM f JOIN d ON f.term = d.term CROSS JOIN n)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q69_bigram_lm" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |cg AS (SELECT g, count(*) AS cg FROM bg GROUP BY g),
+        |cpre AS (SELECT string_split(g, ' ')[1] AS w1, sum(cg) AS cp
+        |         FROM cg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(ln((cg.cg + 1.0) / (cpre.cp + v.v))
+        |    AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4) AS avg_logp
+        |FROM bg JOIN cg ON bg.g = cg.g
+        |JOIN cpre ON string_split(bg.g, ' ')[1] = cpre.w1
+        |CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q64_bm25_topk" -> {
       val tfCols = Bm25Terms.map(tm =>
         s"""CAST(len(list_filter(string_split(text, ' '),
@@ -248,12 +350,7 @@ object TextQueries {
     "q41_quality_score" ->
       s"""SELECT doc_id, quality FROM (
          |  SELECT doc_id,
-         |    round(
-         |      0.4 * least(4.0 * len(list_filter(string_split(text,' '),
-         |            w -> list_contains($stopSql, w))) / len(string_split(text,' ')), 1.0)
-         |      + 0.4 * least(len(string_split(text,' ')) / 64.0, 1.0)
-         |      + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[\\.,;:!\\?]'))
-         |            / len(string_split(text,' ')), 1.0)), 4) AS quality
+         |    ${qualitySql()} AS quality
          |  FROM documents)
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
 
@@ -301,12 +398,7 @@ object TextQueries {
          |      ORDER BY quality DESC, doc_id ASC) AS cum
          |  FROM (
          |    SELECT doc_id, source,
-         |      round(
-         |        0.4 * least(4.0 * len(list_filter(string_split(text,' '),
-         |              w -> list_contains($stopSql, w))) / len(string_split(text,' ')), 1.0)
-         |        + 0.4 * least(len(string_split(text,' ')) / 64.0, 1.0)
-         |        + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[\\.,;:!\\?]'))
-         |              / len(string_split(text,' ')), 1.0)), 4) AS quality,
+         |      ${qualitySql()} AS quality,
          |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks
          |    FROM documents))
          |WHERE cum <= 1000 ORDER BY doc_id""".stripMargin,
