@@ -45,6 +45,24 @@ object EventQueries {
       import s.implicits._
       EventStreams.userSessions(t(s, dir, "events"))
         .orderBy($"user_id", $"session_start")
+    }),
+
+    // Click attribution: per click, how many same-user views preceded
+    // it within the hour — the batch twin of the watermarked
+    // stream-stream interval join (StreamingSpec runs the SAME
+    // EventStreams.intervalJoin under MemoryStreams and converges to
+    // this result).
+    "q73_click_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id".as("view_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"))
+      EventStreams.intervalJoin(views, clicks, "user_id", "1 hour")
+        .groupBy($"r_click_id".as("click_id"), $"user_id")
+        .agg(count(lit(1)).as("n_views"))
+        .orderBy($"click_id")
     })
   )
 
@@ -84,6 +102,16 @@ object EventQueries {
         |  user_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
         |FROM grouped GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q73_click_attribution" ->
+      """SELECT c.event_id AS click_id, c.user_id AS user_id,
+        |  count(*) AS n_views
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        |GROUP BY c.event_id, c.user_id
+        |ORDER BY click_id""".stripMargin
   )
 }

@@ -112,6 +112,51 @@ object EventStreams {
                          key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (the impressions⋈clicks attribution
+    * shape): rows of `right` join rows of `left` with the same `key`
+    * whose `ts` falls in [left.ts, left.ts + within]. Right-side
+    * columns come back `r_`-prefixed (minus the shared key).
+    *
+    * Batch/stream agnostic: in batch it is a plain range-condition
+    * equi-join (oracle-checkable — q73); under streaming, watermark
+    * BOTH sides before calling and Spark bounds each side's join state
+    * to watermark + interval (no unbounded buffering). The equi-key
+    * keeps it a hash join on key — the time bound is a post-filter,
+    * never a cross product.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String = "1 hour"): DataFrame = {
+    val r = right.toDF(right.columns.map(c =>
+      if (c == key) c else s"r_$c"): _*)
+    left.join(r,
+      left(key) === r(key) &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
+  /** Write one micro-batch to `outDir/batch_<id>`, skipping batches
+    * that already completed — with foreachBatch's at-least-once replay
+    * after failure this makes the parquet sink effectively
+    * exactly-once (the batch id is deterministic per epoch; a replay
+    * sees the _SUCCESS marker and becomes a no-op).
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+                           outDir: String): Unit = {
+    val dir = new java.io.File(outDir, s"batch_$batchId")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      batch.write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** foreachBatch parquet sink using the idempotent per-batch write. */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+                            checkpointDir: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => writeBatchIdempotent(batch, id, outDir))
+      .start()
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -35,6 +35,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatched == 0, s"$mismatched streamed windows disagree with batch")
   }
 
+  test("stream-stream interval join converges to the batch twin") {
+    def views(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    // both sides watermarked → join state is bounded by wm + interval
+    val q = EventStreams.intervalJoin(
+        views(EventStreams.readEventStream(spark, sf)).withWatermark("ts", "2 hours"),
+        clicks(EventStreams.readEventStream(spark, sf)).withWatermark("ts", "2 hours"),
+        "user_id", "1 hour")
+      .select(col("view_id"), col("r_click_id").as("click_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join")
+    val ev = Tables(spark, sf, "events")
+    val batch = EventStreams.intervalJoin(views(ev), clicks(ev),
+        "user_id", "1 hour")
+      .select(col("view_id"), col("r_click_id").as("click_id"))
+    // inner stream-stream joins emit on match (not on watermark), so
+    // after processAllAvailable the pair set must equal batch exactly
+    assert(streamed.count() == batch.count())
+    assert(streamed.join(batch, Seq("view_id", "click_id"), "left_anti")
+      .count() == 0)
+  }
+
+  test("foreachBatch idempotent sink: replayed batch ids are no-ops") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
+    val q = EventStreams.idempotentParquetSink(
+      EventStreams.readEventStream(spark, sf).select("event_id"), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.read.parquet(s"$out/batch_0").count()
+    assert(n == Tables(spark, sf, "events").count())
+    // a failure-replay of batch 0 (different content stands in for a
+    // partial rewrite) must be a no-op: _SUCCESS already present
+    EventStreams.writeBatchIdempotent(
+      Tables(spark, sf, "events").select("event_id").limit(5), 0, out)
+    assert(spark.read.parquet(s"$out/batch_0").count() == n)
+    // an unseen batch id writes normally
+    EventStreams.writeBatchIdempotent(
+      Tables(spark, sf, "events").select("event_id").limit(5), 99, out)
+    assert(spark.read.parquet(s"$out/batch_99").count() == 5)
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, sf)
