@@ -1158,8 +1158,54 @@ object Pipeline {
             n
           } finally sock.close()
         })
-      })
+      }),
+
+    chartModule
   )
+
+  // lazy: defined below the `modules` Seq that references it
+  private lazy val chartModule: Registered =
+    Registered("chartwrite", RowType, NoneType,
+      "in=STREAM:out=FILE.svg:type=bar|line:x=COL:y=COL:title=T:maxpoints=N",
+      (ctx, m) => {
+        // Reference TODO (final item): "a graph module to extract data
+        // and create a chart". SVG text out, zero dependencies. A
+        // chart is a bounded artifact, so the collect is capped HARD:
+        // aggregate/sample upstream in the distributed plan, render at
+        // most maxpoints (default 1000) here — one row over the cap
+        // aborts loudly instead of silently truncating the picture.
+        val df = ctx.readStream(m, RowType)
+        val path = m.args.getOrElse("out",
+          throw new BuildError("chartwrite: out= required"))
+        val kind = m.args.getOrElse("type", "bar")
+        if (kind != "bar" && kind != "line")
+          throw new BuildError(s"chartwrite: type must be bar|line, got $kind")
+        val xCol = m.args.getOrElse("x", df.columns.head)
+        val yCol = m.args.getOrElse("y",
+          df.columns.lift(1).getOrElse(throw new BuildError(
+            "chartwrite: y= required when the stream has one column")))
+        val cap = m.args.getOrElse("maxpoints", "1000").toInt
+        val title = m.args.getOrElse("title", s"$yCol by $xCol")
+        ctx.addSink(m.raw, () => {
+          val rows = df.select(col(xCol).cast("string"),
+              col(yCol).cast("double"))
+            .limit(cap + 1).collect()
+          if (rows.length > cap)
+            throw new BuildError(
+              s"chartwrite: stream exceeds maxpoints=$cap — aggregate or " +
+                "sample upstream (a chart with more points than pixels " +
+                "is not a chart)")
+          val pts = rows.toSeq.map(r =>
+            (Option(r.getString(0)).getOrElse(""),
+              if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+          val svg = if (kind == "line") graft.sinks.SvgChart.line(pts, title)
+                    else graft.sinks.SvgChart.bar(pts, title)
+          val f = new java.io.File(path)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          java.nio.file.Files.writeString(f.toPath, svg)
+          pts.size.toLong
+        })
+      })
 
   /** Client (host=+port=) or one-shot server (listen=) socket for the
     * tcp modules. Server accept is bounded by a 60 s timeout so a

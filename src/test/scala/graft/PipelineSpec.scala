@@ -229,8 +229,40 @@ class PipelineSpec extends AnyFunSuite {
       "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
-      "tcpread", "tcpwrite")
+      "tcpread", "tcpwrite", "chartwrite")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("chartwrite renders an SVG chart from an aggregated stream") {
+    val d = tmp("chart")
+    writeCsv(s"$d/in.csv", "k,v", "a,3", "b,-1", "c,7", "d,4")
+    val r = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1",
+      s"chartwrite:out=$d/bar.svg:type=bar:x=k:y=v:title=demo"))
+    assert(r.rowsWritten.values.sum == 4)
+    val svg = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/bar.svg"))
+    assert(svg.startsWith("<svg"))
+    assert(svg.contains(">demo</text>"))
+    // one bar per row (plus the background rect)
+    assert(svg.split("<rect ").length - 1 == 4 + 1)
+    // line type: one polyline with 4 points
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1",
+      s"chartwrite:out=$d/line.svg:type=line:x=k:y=v"))
+    val line = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/line.svg"))
+    assert(line.contains("<polyline"))
+    assert(line.split("<polyline")(1).split("\"")(1).trim.split(" ").length == 4)
+    // cap: more rows than maxpoints aborts loudly
+    val err = intercept[Exception](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1",
+      s"chartwrite:out=$d/x.svg:maxpoints=2:y=v")))
+    assert(err.getMessage.contains("maxpoints"))
+    // bad type rejected at build
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1",
+      s"chartwrite:out=$d/x.svg:type=pie:y=v")))
   }
 
   test("tcpread server-mode e2e: peer connects, sends lines, stream flows") {
