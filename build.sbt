@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON; sbt's trailing "[success] Total time: ..." line has broken
+// that parse every round ("parsed": null in BENCH_r1-r4). Suppressing
+// the success banner makes Bench's final JSON line genuinely last.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

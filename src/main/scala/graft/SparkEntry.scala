@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupSim.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.CurationQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupSim.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PortableExpr
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and tokenization: benchmark decontamination,
+  * domain/language mixture resampling, cross-document boilerplate
+  * detection, and rank fusion. The reference (rorabr/dbitool) has no
+  * analytics surface at all — these extend the engine per the project
+  * north star, same as Dedup/Similarity.
+  *
+  * Scale design, shared by every operator here:
+  *  - the "small" side (benchmark eval sets, rank pools, domain count
+  *    tables) is broadcast — the corpus scan never shuffles on it;
+  *  - per-document shingling uses the single-pass codegen kernels
+  *    (no explode of raw text, distinct-within-doc applied before the
+  *    corpus-wide explode);
+  *  - sampling decisions are pure per-row hash arithmetic (narrow, no
+  *    shuffle, reproducible on any engine — the md5 family replays
+  *    bit-identically in the DuckDB oracle).
+  */
+object Curation {
+
+  /** Benchmark decontamination (the GPT-2/GPT-3 training-data step):
+    * flag training documents that share >= `minShared` distinct word
+    * `k`-shingles with any document of the held-out eval set. Returns
+    * one row per train doc with ANY overlap: (id, n_shared distinct
+    * shingle hashes, n_eval_docs touched, contaminated flag).
+    *
+    * Shape: eval shingles are exploded and BROADCAST (eval benchmarks
+    * are tiny — MMLU-sized, a few MB of shingles — while train is the
+    * 100 TB side); train shingles explode from the codegen md5 kernel
+    * (distinct within doc by construction), one broadcast-hash join,
+    * one per-doc hash-aggregate. The train corpus is scanned once and
+    * never shuffles on text — only (id, hash) pairs that actually
+    * collide reach the aggregate.
+    *
+    * Hashing is the portable md5-prefix family so the DuckDB oracle
+    * replays the overlap counts exactly; at 100 TB swap in the
+    * xxhash64 kernel (Dedup.hashedShingles) — same plan, cheaper hash.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3,
+                    minShared: Long = 4L): DataFrame = {
+    def shingles(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(PortableExpr.md5Shingles(col(textCol), k)).as("h"))
+    val ev = shingles(eval, "eval_id")
+    shingles(train, idCol)
+      .join(broadcast(ev), "h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  /** Mixture/temperature resampling toward equal domain shares: keep
+    * each row with probability min(1, perDomainTarget / n_domain) by a
+    * deterministic md5 draw on its key — the multilingual-pipeline step
+    * that stops one dominant language (or crawl source) from drowning
+    * the mixture. Fractions are computed INSIDE the plan from a
+    * broadcast per-domain count table — no driver collect, so the
+    * count side can itself be huge-corpus derived.
+    *
+    * The draw is the first 8 md5 hex chars as an integer against
+    * fraction * 2^32: integers below 2^32 are exact doubles and the
+    * fraction arithmetic (one divide, one least) is IEEE-identical in
+    * Spark and DuckDB, so the oracle reproduces the EXACT sample.
+    * Weighted (temperature alpha != 0) mixtures reuse this with
+    * `fractions` from [[Ops.stratifiedSampleMd5]] once shares are
+    * chosen; the equal-share form keeps the whole computation in-plan.
+    */
+  def rebalanceSample(df: DataFrame, domainCol: String, keyCol: String,
+                      perDomainTarget: Long): DataFrame = {
+    require(perDomainTarget >= 0, s"target must be >= 0, got $perDomainTarget")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    df.join(broadcast(counts), domainCol)
+      .filter(u < least(lit(1.0),
+        lit(perDomainTarget.toDouble) / col("__n").cast("double"))
+        * lit(4294967296.0))
+      .select(df.columns.map(col): _*) // original column order, __n gone
+  }
+
+  /** Cross-document boilerplate gate (RefinedWeb/C4-style): the share
+    * of a document's distinct word `k`-shingles that occur in >=
+    * `minDf` documents corpus-wide. Near-duplicate and template pages
+    * score high; `keep` = share <= maxShare.
+    *
+    * Shape: shingle document-frequencies are one hash-aggregate over
+    * (hash) — map-side partial combine does most of the work because
+    * within-doc duplicates are already collapsed by the kernel; joining
+    * the df table back and re-aggregating per doc is a second
+    * hash-aggregate keyed on the id. Payload on every shuffle is
+    * (long, long) — text never moves.
+    */
+  def boilerplateShare(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, minDf: Long = 2L,
+                       maxShare: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(PortableExpr.md5Shingles(col(textCol), k)).as("h"))
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_share",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .withColumn("keep", col("boiler_share") <= maxShare)
+  }
+
+  /** Reciprocal-rank fusion over bounded candidate pools: each input is
+    * (id, rk) — a TOP-N ranking from one retrieval signal (BM25, dense
+    * cosine, quality, ...). Score = sum over pools of 1/(k0 + rk);
+    * absent-from-pool contributes 0 (the standard RRF convention).
+    *
+    * Scale: union-then-aggregate, never a multi-way outer join — P
+    * pools of N rows cost one hash-agg over P*N tiny (id, double)
+    * rows regardless of corpus size, because pools are already
+    * top-N-bounded by their producers.
+    */
+  def rrfFuse(pools: Seq[DataFrame], idCol: String,
+              k0: Int = 60): DataFrame = {
+    require(pools.nonEmpty, "rrfFuse needs at least one pool")
+    pools.map(p => p.select(col(idCol),
+        (lit(1.0) / (lit(k0.toDouble) + col("rk").cast("double"))).as("c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("rrf"))
+  }
+}

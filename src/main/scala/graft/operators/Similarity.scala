@@ -56,6 +56,29 @@ object Similarity {
       Seq(col("sim").desc, col(idCol).asc), k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor vector, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the anchor's — the near-misses that make the best
+    * negatives. Same scale shape as [[bruteForceTopK]] (anchors
+    * broadcast, one corpus scan, per-anchor window top-k); the label
+    * test rides the same codegen projection as the cosine. Self-pairs
+    * are excluded by the label filter itself. For corpora where even
+    * one scan per anchor batch is too much, feed the ANN candidate
+    * pairs ([[annTopK]]) through the same different-label filter.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(embCol).as("__ae"), col(labelCol).as("__al"))
+    val scored = corpus.select(col(idCol), col(embCol), col(labelCol))
+      .crossJoin(broadcast(a))
+      .filter(col(labelCol) =!= col("__al"))
+      .select(col("anchor_id"), col(idCol),
+        cosine(col(embCol), col("__ae")).as("sim"))
+    Ops.topKPerGroup(scored, Seq("anchor_id"),
+      Seq(col("sim").desc, col(idCol).asc), k)
+  }
+
   /** Deterministic random hyperplanes: nBits × dim doubles in [-1, 1)
     * from a splitmix-style hash of (bit, dim) — identical on every
     * executor without shipping state.

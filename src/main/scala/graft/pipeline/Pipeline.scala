@@ -919,6 +919,56 @@ object Pipeline {
         ctx.writeStream(m, deduped, RowType)
       }),
 
+    Registered("decontaminate", RowType, RowType,
+      "in=STREAM:eval=STREAM:key=COL:text=COL:k=3:minshared=4:mode=drop|flag:out=STREAM",
+      (ctx, m) => {
+        // Benchmark decontamination (Curation.decontaminate): drop (or
+        // flag) training rows whose word-k-shingle overlap with the
+        // eval stream crosses minshared. The eval stream is broadcast —
+        // it is the benchmark set, small by nature.
+        val train = ctx.readStream(m, RowType)
+        val ename = m.args.getOrElse("eval",
+          throw new BuildError("decontaminate: eval= required"))
+        val (eval, et) = ctx.streams.getOrElse(ename,
+          throw new BuildError(s"decontaminate: unknown stream '$ename'"))
+        if (et != RowType)
+          throw new BuildError(s"decontaminate: '$ename' is not a row stream")
+        ctx.readers(ename) += 1
+        val key = m.args.getOrElse("key",
+          throw new BuildError("decontaminate: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("decontaminate: text= required"))
+        val k = m.args.getOrElse("k", "3").toInt
+        val minShared = m.args.getOrElse("minshared", "4").toLong
+        val stats = graft.operators.Curation
+          .decontaminate(train, eval, key, text, k, minShared)
+        val out = m.args.getOrElse("mode", "drop") match {
+          case "flag" => stats
+          case "drop" => train.join(
+            broadcast(stats.filter(col("contaminated")).select(col(key))),
+            Seq(key), "left_anti")
+          case other => throw new BuildError(
+            s"decontaminate: mode must be drop|flag, got $other")
+        }
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("mixsample", RowType, RowType,
+      "in=STREAM:domain=COL:key=COL:target=N:out=STREAM", (ctx, m) => {
+        // Deterministic mixture rebalancing (Curation.rebalanceSample):
+        // keep ~target rows per domain value via an md5 draw on key.
+        val df = ctx.readStream(m, RowType)
+        val dom = m.args.getOrElse("domain",
+          throw new BuildError("mixsample: domain= required"))
+        val key = m.args.getOrElse("key",
+          throw new BuildError("mixsample: key= required"))
+        val target = m.args.getOrElse("target",
+          throw new BuildError("mixsample: target= required")).toLong
+        ctx.writeStream(m,
+          graft.operators.Curation.rebalanceSample(df, dom, key, target),
+          RowType)
+      }),
+
     Registered("spreadsheetread", NoneType, RowType,
       "fname=FILE:type=csv:sheet=NAME:x=1:y=1:header=1:out=STREAM", (ctx, m) => {
         // Reference spreadsheetread (dbitool.pl:2696-2784) reads an

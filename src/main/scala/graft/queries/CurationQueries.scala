@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Similarity}
+import graft.functions.TextFunctions
+
+/** Corpus-curation queries (graft.operators.Curation + hard-negative
+  * mining) — the between-ingest-and-tokenize steps of a training-data
+  * pipeline: benchmark decontamination, mixture rebalancing,
+  * cross-document boilerplate gating, contrastive hard negatives, and
+  * hybrid-retrieval rank fusion. Every query is hash-checked against a
+  * full DuckDB replay (md5 hash family — same portability rules as
+  * DedupPortableSql).
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** `CAST('0x' || substr(md5(x),1,n) AS BIGINT)` — DuckDB twin of
+    * DedupPortable.md5Long / the Md5ShinglesExpr kernel hash.
+    */
+  private def md5Long(x: String, hexChars: Int = 15): String =
+    s"CAST('0x' || substr(md5($x), 1, $hexChars) AS BIGINT)"
+
+  /** Distinct hashed word-k-shingles per doc — DuckDB twin of
+    * PortableExpr.md5Shingles (same shape as DedupPortableSql's d0).
+    */
+  private def shinglesCte(k: Int): String = {
+    val cat = (0 until k).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |    list_transform(range(1, len(ws) - ${k - 2}), i -> $cat),
+       |    g -> ${md5Long("g")}))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"""
+      .stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: docs whose 3-shingle overlap with the
+    // held-out split (doc_id % 50 == 0 — the stand-in benchmark set)
+    // crosses the threshold. Eval side broadcast; one per-doc agg.
+    "q77_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+          docs.filter($"doc_id" % 50 =!= 0),
+          docs.filter($"doc_id" % 50 === 0),
+          "doc_id", "text", k = 3, minShared = 4L)
+        .orderBy($"doc_id")
+    }),
+
+    // Language-mixture rebalancing: deterministic md5-threshold sample
+    // targeting ~40 docs per language (en is ~3x over-represented in
+    // this corpus). Fractions computed in-plan from the count table —
+    // narrow filter, no extra shuffle on the corpus side.
+    "q78_lang_rebalance" -> ((s, dir) => {
+      import s.implicits._
+      Curation.rebalanceSample(t(s, dir, "documents"), "lang", "doc_id",
+          perDomainTarget = 40L)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // Cross-document boilerplate share: fraction of a doc's distinct
+    // 5-shingles seen in >= 2 docs corpus-wide; keep if <= 0.5 (near
+    // duplicates and template pages fail). Two hash-aggs, (long,long)
+    // shuffle payloads.
+    "q74_boilerplate_share" -> ((s, dir) => {
+      import s.implicits._
+      Curation.boilerplateShare(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, minDf = 2L, maxShare = 0.5)
+        .select($"doc_id", $"n_shingles", $"n_boiler",
+          round($"boiler_share", 4).as("boiler_share"), $"keep")
+        .orderBy($"doc_id")
+    }),
+
+    // Hard-negative mining: per anchor (vec_id % 64 == 0), top-3 most
+    // cosine-similar vectors with a DIFFERENT label. Anchors broadcast,
+    // one corpus scan, per-anchor window top-k.
+    "q75_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter($"vec_id" % 64 === 0),
+          "vec_id", "embedding", "label", k = 3)
+        .select($"anchor_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"anchor_id", $"rk")
+    }),
+
+    // Reciprocal-rank fusion of two retrieval signals over bounded
+    // top-100 pools: BM25 (q64's scorer, shared code) and the quality
+    // score. Pools are TakeOrdered-bounded BEFORE the rank windows, so
+    // no full-corpus single-partition sort exists in the plan.
+    "q76_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      def pool(scored: DataFrame, sc: String): DataFrame = {
+        val top = scored.orderBy(col(sc).desc, $"doc_id".asc).limit(100)
+        top.withColumn("rk", row_number().over(
+            Window.orderBy(col(sc).desc, $"doc_id".asc)))
+          .select($"doc_id", $"rk")
+      }
+      val bm = pool(TextQueries.bm25Scored(s, dir), "score")
+      val ql = pool(t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.qualityScore($"text").as("q")), "q")
+      val fused = Curation.rrfFuse(Seq(bm, ql), "doc_id")
+      val top = fused.orderBy($"rrf".desc, $"doc_id".asc).limit(20)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy($"rrf".desc, $"doc_id".asc)))
+        .select($"doc_id", round($"rrf", 6).as("rrf"), $"rk")
+        .orderBy($"rk")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q77_decontaminate" ->
+      s"""WITH sh AS (
+         |  ${shinglesCte(3)})
+         |SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared,
+         |  count(DISTINCT ev.eval_id) AS n_eval_docs,
+         |  (count(DISTINCT tr.h) >= 4) AS contaminated
+         |FROM (SELECT * FROM sh WHERE doc_id % 50 != 0) tr
+         |JOIN (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 50 = 0) ev
+         |  ON tr.h = ev.h
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "q78_lang_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+        |SELECT doc_id, lang FROM documents JOIN c USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |  < least(1.0, 40.0 / CAST(n AS DOUBLE)) * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q74_boilerplate_share" ->
+      s"""WITH sh AS (
+         |  ${shinglesCte(5)}),
+         |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS boiler_share,
+         |  (CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) <= 0.5) AS keep
+         |FROM sh JOIN dfc USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q75_hard_negatives" ->
+      s"""SELECT anchor_id, vec_id, round(sim, 4) AS sim, rk FROM (
+         |  SELECT anchor_id, vec_id, sim, row_number() OVER (
+         |    PARTITION BY anchor_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM (
+         |    SELECT q.vec_id AS anchor_id, c.vec_id,
+         |      ${DedupSim.cosSql} AS sim
+         |    FROM (SELECT vec_id, embedding AS ea, label AS la
+         |          FROM embeddings) c,
+         |         (SELECT vec_id, embedding AS eb, label AS lb
+         |          FROM embeddings WHERE vec_id % 64 = 0) q
+         |    WHERE c.la != q.lb))
+         |WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin,
+
+    "q76_rrf_fusion" ->
+      s"""WITH ${TextQueries.bm25ScoredSql},
+         |b AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+         |      FROM scored),
+         |ql AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rk
+         |      FROM (SELECT doc_id, ${TextQueries.qualitySql()} AS q
+         |            FROM documents)),
+         |u AS (
+         |  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60.0 + CAST(rk AS DOUBLE)) AS c
+         |  FROM b WHERE rk <= 100
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60.0 + CAST(rk AS DOUBLE)) AS c
+         |  FROM ql WHERE rk <= 100),
+         |f AS (SELECT doc_id, sum(c) AS rrf FROM u GROUP BY doc_id)
+         |SELECT doc_id, round(rrf, 6) AS rrf, rk FROM (
+         |  SELECT doc_id, rrf,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rk
+         |  FROM f)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+  )
+}

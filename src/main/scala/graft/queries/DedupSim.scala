@@ -295,7 +295,7 @@ object DedupSim {
        |ORDER BY query_id, rk""".stripMargin
   }
 
-  private val cosSql =
+  private[queries] val cosSql =
     """list_sum(list_transform(range(1, len(ea) + 1),
       |      i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
       |  / (sqrt(list_sum(list_transform(range(1, len(ea) + 1),

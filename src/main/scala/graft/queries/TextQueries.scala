@@ -27,6 +27,66 @@ object TextQueries {
   private val Bm25OneMinusB = "0.25"
   private val Bm25B = "0.75"
 
+  /** (doc_id, score) for the fixed BM25 term set — unrounded, shared by
+    * q64 and the RRF fusion query (CurationQueries) so both engines and
+    * both queries rank from the SAME doubles.
+    */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select(
+      ($"doc_id" +: tokenCount($"text").cast("double").as("dl") +:
+        Bm25Terms.map(tm =>
+          graft.functions.TextExpr.tokenSetCount($"text", Seq(tm))
+            .cast("double").as(s"tf_$tm"))): _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      avg($"dl").as("avgdl") +:
+      Bm25Terms.map(tm =>
+        sum(when(col(s"tf_$tm") > 0, 1).otherwise(0)).cast("double")
+          .as(s"df_$tm"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val score = Bm25Terms.map { tm =>
+      val tf = col(s"tf_$tm"); val df = col(s"df_$tm")
+      log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+        (tf * expr(Bm25K1Plus1)) /
+        (tf + expr(Bm25K1) * (expr(Bm25OneMinusB) +
+          expr(Bm25B) * $"dl" / $"avgdl"))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select($"doc_id", score.as("score"))
+  }
+
+  /** DuckDB CTE chain `base/stats/scored` mirroring [[bm25Scored]] —
+    * append a consumer SELECT reading from `scored(doc_id, score)`.
+    */
+  private[queries] def bm25ScoredSql: String = {
+    val tfCols = Bm25Terms.map(tm =>
+      s"""CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = '$tm')) AS DOUBLE) AS tf_$tm""".stripMargin)
+      .mkString(",\n    ")
+    val dfCols = Bm25Terms.map(tm =>
+      s"CAST(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm")
+      .mkString(",\n    ")
+    val scoreTerms = Bm25Terms.map(tm =>
+      s"""ln(1.0 + (n - df_$tm + 0.5) / (df_$tm + 0.5))
+         |      * (tf_$tm * $Bm25K1Plus1)
+         |      / (tf_$tm + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))"""
+        .stripMargin)
+      .mkString("\n    + ")
+    s"""base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+       |    $dfCols
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $scoreTerms AS score
+       |  FROM base CROSS JOIN stats)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-document keyword extraction: top-3 terms by tf-idf — the
@@ -93,26 +153,7 @@ object TextQueries {
     // broadcast back. Oracle replays the identical formula.
     "q64_bm25_topk" -> ((s, dir) => {
       import s.implicits._
-      val base = t(s, dir, "documents").select(
-        ($"doc_id" +: tokenCount($"text").cast("double").as("dl") +:
-          Bm25Terms.map(tm =>
-            graft.functions.TextExpr.tokenSetCount($"text", Seq(tm))
-              .cast("double").as(s"tf_$tm"))): _*)
-      val statAggs = count(lit(1)).cast("double").as("n") +:
-        avg($"dl").as("avgdl") +:
-        Bm25Terms.map(tm =>
-          sum(when(col(s"tf_$tm") > 0, 1).otherwise(0)).cast("double")
-            .as(s"df_$tm"))
-      val stats = base.agg(statAggs.head, statAggs.tail: _*)
-      val score = Bm25Terms.map { tm =>
-        val tf = col(s"tf_$tm"); val df = col(s"df_$tm")
-        log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
-          (tf * expr(Bm25K1Plus1)) /
-          (tf + expr(Bm25K1) * (expr(Bm25OneMinusB) +
-            expr(Bm25B) * $"dl" / $"avgdl"))
-      }.reduce(_ + _)
-      val scored = base.crossJoin(broadcast(stats))
-        .select($"doc_id", score.as("score"))
+      val scored = bm25Scored(s, dir)
       // global top-k via orderBy().limit() — compiles to
       // TakeOrderedAndProject (per-partition top-k, driver merge), not
       // a single-task full sort; the rank window then runs on 20 rows.
@@ -306,39 +347,13 @@ object TextQueries {
         |CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q64_bm25_topk" -> {
-      val tfCols = Bm25Terms.map(tm =>
-        s"""CAST(len(list_filter(string_split(text, ' '),
-           |      x -> x = '$tm')) AS DOUBLE) AS tf_$tm""".stripMargin)
-        .mkString(",\n    ")
-      val dfCols = Bm25Terms.map(tm =>
-        s"CAST(sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$tm")
-        .mkString(",\n    ")
-      val scoreTerms = Bm25Terms.map(tm =>
-        s"""ln(1.0 + (n - df_$tm + 0.5) / (df_$tm + 0.5))
-           |      * (tf_$tm * $Bm25K1Plus1)
-           |      / (tf_$tm + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))"""
-          .stripMargin)
-        .mkString("\n    + ")
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
-         |    $tfCols
-         |  FROM documents),
-         |stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-         |    $dfCols
-         |  FROM base),
-         |scored AS (
-         |  SELECT doc_id,
-         |    $scoreTerms AS score
-         |  FROM base CROSS JOIN stats)
+    "q64_bm25_topk" ->
+      s"""WITH $bm25ScoredSql
          |SELECT doc_id, round(score, 4) AS bm25, rk FROM (
          |  SELECT doc_id, score,
          |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
          |  FROM scored) WHERE rk <= 20
-         |ORDER BY rk""".stripMargin
-    },
+         |ORDER BY rk""".stripMargin,
 
     "q40_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Similarity}
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("decontaminate flags exact train/eval duplicates and honors the threshold") {
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, evalDoc), // exact dup: shares all 6 3-shingles
+      (2L, "alpha beta gamma nothing else here at all"), // 1 shared shingle
+      (3L, "completely different words in this document body")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "doc_id", "text",
+      k = 3, minShared = 4L).orderBy("doc_id").collect()
+    // doc 3 has zero overlap -> absent; doc 1 contaminated; doc 2 not
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getLong(1) == 6L && out(0).getBoolean(3))
+    assert(out(1).getLong(1) == 1L && !out(1).getBoolean(3))
+    assert(out(0).getLong(2) == 1L) // one eval doc touched
+  }
+
+  test("decontaminate counts distinct eval docs touched") {
+    val eval = Seq((100L, evalDoc), (101L, evalDoc)).toDF("doc_id", "text")
+    val train = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "doc_id", "text", 3, 1L)
+      .collect()
+    assert(out.head.getLong(2) == 2L)
+  }
+
+  test("rebalanceSample is deterministic, bounded by fraction 1, and thins big domains") {
+    val df = (0L until 400L).map(i => (i, if (i < 320) "big" else "small"))
+      .toDF("id", "dom")
+    val a = Curation.rebalanceSample(df, "dom", "id", 40L)
+    val b = Curation.rebalanceSample(df, "dom", "id", 40L)
+    val ra = a.orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ra == b.orderBy("id").collect().map(_.getLong(0)).toSeq)
+    val byDom = a.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: 320 rows at fraction 40/320 = 0.125 -> expect ~40 (binomial);
+    // small: 80 rows at fraction 0.5 -> expect ~40
+    assert(byDom("big") > 15 && byDom("big") < 70)
+    assert(byDom("small") > 20 && byDom("small") < 60)
+    // target >= domain size keeps everything
+    val all = Curation.rebalanceSample(df, "dom", "id", 1000L)
+    assert(all.count() == 400L)
+  }
+
+  test("boilerplateShare marks duplicated docs as boilerplate, unique docs clean") {
+    val dup = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, dup), (2L, dup),
+      (3L, "eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateShare(df, "doc_id", "text", k = 5,
+      minDf = 2L, maxShare = 0.5).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // dup docs: every 5-shingle appears in 2 docs -> share 1.0, dropped
+    assert(out(0).getDouble(3) == 1.0 && !out(0).getBoolean(4))
+    assert(out(1).getDouble(3) == 1.0 && !out(1).getBoolean(4))
+    // unique doc: share 0.0, kept
+    assert(out(2).getDouble(3) == 0.0 && out(2).getBoolean(4))
+  }
+
+  test("rrfFuse sums 1/(k0+rk) across pools, zero for absent ids") {
+    val p1 = Seq((10L, 1), (20L, 2)).toDF("id", "rk")
+    val p2 = Seq((20L, 1), (30L, 2)).toDF("id", "rk")
+    val out = Curation.rrfFuse(Seq(p1, p2), "id").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(10L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(out(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(out(30L) - 1.0 / 62) < 1e-12)
+  }
+
+  test("hardNegatives returns only different-label neighbors, most similar first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // anchor, label 0
+      (1L, Array(0.99f, 0.1f), 0), // same label: excluded even though closest
+      (2L, Array(0.9f, 0.4f), 1), // hard negative (most similar, label 1)
+      (3L, Array(0.0f, 1.0f), 1), // easy negative
+      (4L, Array(-1.0f, 0.0f), 2) // opposite
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", k = 2).orderBy("rk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+}

@@ -229,8 +229,53 @@ class PipelineSpec extends AnyFunSuite {
       "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
-      "tcpread", "tcpwrite", "chartwrite")
+      "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("decontaminate module drops train rows overlapping the eval stream") {
+    val d = tmp("decon")
+    writeCsv(s"$d/train.csv", "id,body",
+      "1,alpha beta gamma delta epsilon zeta eta theta",
+      "2,some other words that overlap nothing from eval",
+      "3,alpha beta gamma delta epsilon zeta different tail")
+    writeCsv(s"$d/eval.csv", "id,body",
+      "900,alpha beta gamma delta epsilon zeta eta theta")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/eval.csv", "csvread:infer=1:out=ev",
+      s"fileread:in=$d/train.csv", "csvread:infer=1:out=tr",
+      "decontaminate:in=tr:eval=ev:key=id:text=body:minshared=4",
+      "select:exprs=id:out=ids",
+      "csvwrite:in=ids", s"filewrite:out=$d/out.csv"))
+    // doc 1 shares all 6 shingles (dropped); doc 3 shares 4 (dropped);
+    // doc 2 shares none (kept)
+    assert(readOut(s"$d/out.csv").sorted == Seq("2", "id"))
+
+    // mode=flag emits the overlap stats instead of filtering
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/eval.csv", "csvread:infer=1:out=ev2",
+      s"fileread:in=$d/train.csv", "csvread:infer=1:out=tr2",
+      "decontaminate:in=tr2:eval=ev2:key=id:text=body:minshared=4:mode=flag",
+      "select:exprs=id;contaminated:out=st",
+      "csvwrite:in=st", s"filewrite:out=$d/flag.csv"))
+    assert(readOut(s"$d/flag.csv").sorted ==
+      Seq("1,true", "3,true", "id,contaminated"))
+  }
+
+  test("mixsample module rebalances domains deterministically") {
+    val d = tmp("mix")
+    val rows = "id,dom" +: (0 until 60)
+      .map(i => s"$i,${if (i < 50) "big" else "small"}")
+    writeCsv(s"$d/in.csv", rows: _*)
+    def run(out: String) = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", s"csvread:infer=1:out=r_$out",
+      s"mixsample:in=r_$out:domain=dom:key=id:target=8",
+      s"select:exprs=id:out=ids_$out",
+      s"csvwrite:in=ids_$out", s"filewrite:out=$d/$out.csv"))
+    run("a"); run("b")
+    val a = readOut(s"$d/a.csv")
+    assert(a == readOut(s"$d/b.csv")) // same draw every run
+    assert(a.length > 1 && a.length < 61) // thinned, non-empty
   }
 
   test("chartwrite renders an SVG chart from an aggregated stream") {
