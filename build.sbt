@@ -12,10 +12,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // The driver parses the LAST stdout line of `sbt runMain graft.Bench`
-// as JSON; sbt's trailing "[success] Total time: ..." line has broken
-// that parse every round ("parsed": null in BENCH_r1-r4). Suppressing
-// the success banner makes Bench's final JSON line genuinely last.
+// as JSON; two pieces of sbt noise have broken that parse every round
+// ("parsed": null in BENCH_r1-r4): the trailing "[success] Total
+// time..." banner, and the "[info] " prefix the logger wraps around
+// every forked-process output line. Suppress the banner and send the
+// forked JVM's stdout through unwrapped.
 Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -113,6 +113,60 @@ object Curation {
       .withColumn("keep", col("boiler_share") <= maxShare)
   }
 
+  /** Context-window chunking (the pre-tokenization step that turns
+    * variable-length documents into overlapping training windows):
+    * split each doc's token stream into chunks of `size` tokens every
+    * `stride` tokens (stride < size -> overlap). Emits (id, chunk_idx,
+    * n_tok, chunk_fp) — the fingerprint stands in for the chunk text so
+    * downstream joins move longs, not strings.
+    *
+    * Shape: one narrow projection + one generator (posexplode of the
+    * start offsets) — no shuffle at all; chunk boundaries depend only
+    * on the row, so the operator is embarrassingly parallel at any
+    * scale. Chunk arithmetic is integer-exact and the fingerprint is
+    * the md5-prefix family, so the whole operator replays in the
+    * DuckDB oracle.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize/stride must be > 0, got $chunkSize/$stride")
+    val ws = split(col(textCol), " ")
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0), size(col("__ws")) - 1,
+          lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / lit(stride)).cast("long").as("chunk_idx"),
+        slice(col("__ws"), col("__start") + 1, lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tok"),
+        conv(substring(md5(array_join(col("__chunk"), " ")), 1, 15), 16, 10)
+          .cast("long").as("chunk_fp"))
+  }
+
+  /** Sequence packing: assign quality-ordered documents of each domain
+    * to consecutive fixed-token-budget bins (the training-batch
+    * assembly step — bin b of source s holds the docs whose running
+    * token total falls in [b*binTokens, (b+1)*binTokens)). Greedy
+    * contiguous fill, deterministic. One window shuffle on the domain
+    * key — same shape and skew caveats as any per-domain cumsum; at
+    * 100 TB, domains are crawl shards, so the window partitions are
+    * many and bounded.
+    */
+  def packSequences(df: DataFrame, domainCol: String,
+                    orderCols: Seq[org.apache.spark.sql.Column],
+                    tokCol: String, binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(orderCols: _*)
+    df.withColumn("__cum", sum(col(tokCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(tokCol)).cast("double") /
+          lit(binTokens.toDouble)).cast("long"))
+      .drop("__cum")
+  }
+
   /** Reciprocal-rank fusion over bounded candidate pools: each input is
     * (id, rk) — a TOP-N ranking from one retrieval signal (BM25, dense
     * cosine, quality, ...). Score = sum over pools of 1/(k0 + rk);

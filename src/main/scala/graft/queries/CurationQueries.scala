@@ -90,6 +90,29 @@ object CurationQueries {
         .orderBy($"anchor_id", $"rk")
     }),
 
+    // Context-window chunking: 32-token windows every 24 tokens per
+    // doc (8-token overlap) — narrow generator, zero shuffles; chunk
+    // text travels as an md5-prefix fingerprint.
+    "q79_doc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      Curation.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Sequence packing: per-source quality-ordered docs assigned to
+    // consecutive 2048-token training bins. One window shuffle.
+    "q80_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source",
+        TextFunctions.qualityScore($"text").as("quality"),
+        TextFunctions.bpeTokenEstimate($"text").cast("long").as("toks"))
+      Curation.packSequences(docs, "source",
+          Seq($"quality".desc, $"doc_id".asc), "toks", binTokens = 2048L)
+        .select($"doc_id", $"source", $"toks", $"bin")
+        .orderBy($"doc_id")
+    }),
+
     // Reciprocal-rank fusion of two retrieval signals over bounded
     // top-100 pools: BM25 (q64's scorer, shared code) and the quality
     // score. Pools are TakeOrdered-bounded BEFORE the rank windows, so
@@ -160,6 +183,30 @@ object CurationQueries {
          |          FROM embeddings WHERE vec_id % 64 = 0) q
          |    WHERE c.la != q.lb))
          |WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin,
+
+    "q79_doc_chunks" ->
+      s"""SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+         |  len(list_slice(ws, start + 1, start + 32)) AS n_tok,
+         |  ${md5Long("array_to_string(list_slice(ws, start + 1, start + 32), ' ')")}
+         |    AS chunk_fp
+         |FROM (
+         |  SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q80_seq_pack" ->
+      s"""SELECT doc_id, source, toks,
+         |  CAST(floor(CAST(cum - toks AS DOUBLE) / 2048.0) AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, source, toks,
+         |    sum(toks) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id ASC) AS cum
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      ${TextQueries.qualitySql()} AS quality,
+         |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin,
 
     "q76_rrf_fusion" ->
       s"""WITH ${TextQueries.bm25ScoredSql},

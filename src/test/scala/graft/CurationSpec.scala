@@ -77,6 +77,36 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(30L) - 1.0 / 62) < 1e-12)
   }
 
+  test("chunkDocs windows overlap correctly and the tail chunk is short") {
+    // 10 tokens, size 4, stride 3 -> starts 0,3,6,9 -> lens 4,4,4,1
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocs(df, "doc_id", "text", chunkSize = 4,
+      stride = 3).orderBy("chunk_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L))
+    // same token window -> same fingerprint; different -> different
+    assert(out.map(_.getLong(3)).distinct.length == 4)
+    val again = Curation.chunkDocs(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getLong(3)).toSeq == again.map(_.getLong(3)).toSeq)
+  }
+
+  test("packSequences fills bins contiguously in order within each domain") {
+    val df = Seq(
+      ("s", 1L, 10L, 600L), ("s", 2L, 9L, 600L), ("s", 3L, 8L, 600L),
+      ("s", 4L, 7L, 600L), ("t", 5L, 10L, 100L))
+      .toDF("dom", "id", "q", "toks")
+    val out = Curation.packSequences(df, "dom",
+        Seq(org.apache.spark.sql.functions.col("q").desc,
+          org.apache.spark.sql.functions.col("id").asc), "toks", 1000L)
+      .orderBy("id").collect()
+    // dom s by q desc: ids 1,2,3,4 with cum 600,1200,1800,2400
+    // bin = floor((cum-600)/1000) = 0,0,1,1
+    assert(out.map(r => (r.getLong(1), r.getLong(4))).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L)))
+  }
+
   test("hardNegatives returns only different-label neighbors, most similar first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), // anchor, label 0
