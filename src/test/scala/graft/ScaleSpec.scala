@@ -142,4 +142,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(unsupported.isEmpty,
       s"portable kernel fell out of codegen:\n$finalPlan")
   }
+
+  test("decontamination broadcasts the eval side; shingle join is hash, not sort-merge") {
+    // The eval set is the benchmark split (MBs); a sort-merge join here
+    // would shuffle the full train shingle stream at 100 TB.
+    val plan = executed(SparkEntry.queries("q77_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"eval side stopped broadcasting:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mixture rebalancing never shuffles the corpus side") {
+    // The count table is broadcast back; the only Exchange allowed is
+    // the one building that tiny per-domain aggregate.
+    val plan = executed(SparkEntry.queries("q78_lang_rebalance")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the final output sort is the query's ORDER BY; strip it and the
+    // count-agg exchange, then no other shuffle may remain
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 3, // count partial->final + output range sort
+      s"unexpected shuffles in rebalance plan:\n$plan")
+  }
+
+  test("doc chunking is a pure generator: no shuffle before the output sort") {
+    val df = graft.operators.Curation.chunkDocs(
+      Tables(spark, sf, "documents"), "doc_id", "text", 32, 24)
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"),
+      s"chunking should be narrow/zero-shuffle:\n$plan")
+    assert(plan.contains("Generate"), plan) // explode of start offsets
+  }
+
+  test("hard negatives broadcast the anchors, no cartesian on the corpus") {
+    val plan = executed(SparkEntry.queries("q75_hard_negatives")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the anchor set rides a broadcast (nested-loop IS the one-scan
+    // cross join against the broadcast anchors — bounded by k anchors)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("RRF pools bound before ranking: TakeOrdered feeds the rank windows") {
+    val plan = executed(SparkEntry.queries("q76_rrf_fusion")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"RRF pools must be top-N bounded before the global window:\n$plan")
+  }
 }
