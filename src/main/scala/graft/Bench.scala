@@ -49,8 +49,14 @@ object Bench {
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    // minsum = sum of per-query MINIMUM samples: this host shows bursty
+    // external load (identical code measures 10-25x intra-query sample
+    // spreads), and the min is the noise-robust code-quality signal —
+    // when value and minsum diverge widely, the run was burst-polluted
+    // and minsum is the number to compare across rounds.
+    val minSum = samples.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","minsum":$minSum,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val all = samples.map { case (k, s) =>
         s"\"" + k + "\":[" + s.mkString(",") + "]"
