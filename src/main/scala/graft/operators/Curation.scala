@@ -86,6 +86,41 @@ object Curation {
       .select(df.columns.map(col): _*) // original column order, __n gone
   }
 
+  /** Temperature-weighted mixture resampling (the alpha != 0
+    * generalization of [[rebalanceSample]]): domain d receives target
+    * share n_d^alpha / sum(n^alpha) of `totalTarget` rows — alpha = 1
+    * keeps natural proportions, alpha = 0 equalizes domains, alpha in
+    * between (0.3-0.7 is the common multilingual range) boosts the
+    * tail without flattening the head. The per-domain fraction is
+    * min(1, share * totalTarget / n_d), drawn per row with the same
+    * deterministic md5 threshold as rebalanceSample.
+    *
+    * The normalizer sums n^alpha over domains through a DECIMAL(38,15)
+    * cast, so the sum is independent of aggregation order (double
+    * addition is not associative; a partition-order-dependent sample
+    * would not be reproducible run to run). Everything stays in-plan —
+    * counts, powers, the normalizer (a one-row cross join) — no driver
+    * collect, so the operator composes into larger plans.
+    */
+  def temperatureRebalance(df: DataFrame, domainCol: String, keyCol: String,
+                           totalTarget: Long, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(totalTarget >= 0, s"target must be >= 0, got $totalTarget")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+    val z = counts.agg(
+      sum(col("__w").cast("decimal(38,15)")).cast("double").as("__z"))
+    val frac = least(lit(1.0),
+      (col("__w") / col("__z")) * lit(totalTarget.toDouble)
+        / col("__n").cast("double"))
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    df.join(broadcast(counts.crossJoin(z)), domainCol)
+      .filter(u < frac * lit(4294967296.0))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Cross-document boilerplate gate (RefinedWeb/C4-style): the share
     * of a document's distinct word `k`-shingles that occur in >=
     * `minDf` documents corpus-wide. Near-duplicate and template pages

@@ -954,9 +954,12 @@ object Pipeline {
       }),
 
     Registered("mixsample", RowType, RowType,
-      "in=STREAM:domain=COL:key=COL:target=N:out=STREAM", (ctx, m) => {
-        // Deterministic mixture rebalancing (Curation.rebalanceSample):
-        // keep ~target rows per domain value via an md5 draw on key.
+      "in=STREAM:domain=COL:key=COL:target=N:alpha=A:out=STREAM", (ctx, m) => {
+        // Deterministic mixture rebalancing: keep ~target rows per
+        // domain value via an md5 draw on key. With alpha=, target is
+        // the TOTAL row budget shared across domains by temperature-
+        // weighted shares n^alpha (Curation.temperatureRebalance);
+        // without it, target is per-domain (equal shares).
         val df = ctx.readStream(m, RowType)
         val dom = m.args.getOrElse("domain",
           throw new BuildError("mixsample: domain= required"))
@@ -964,9 +967,27 @@ object Pipeline {
           throw new BuildError("mixsample: key= required"))
         val target = m.args.getOrElse("target",
           throw new BuildError("mixsample: target= required")).toLong
-        ctx.writeStream(m,
-          graft.operators.Curation.rebalanceSample(df, dom, key, target),
-          RowType)
+        val out = m.args.get("alpha") match {
+          case Some(a) => graft.operators.Curation
+            .temperatureRebalance(df, dom, key, target, a.toDouble)
+          case None => graft.operators.Curation
+            .rebalanceSample(df, dom, key, target)
+        }
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("chunk", RowType, RowType,
+      "in=STREAM:key=COL:text=COL:size=32:stride=24:out=STREAM", (ctx, m) => {
+        // Context-window chunking (Curation.chunkDocs): overlapping
+        // token windows per document, zero-shuffle generator.
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("chunk: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("chunk: text= required"))
+        ctx.writeStream(m, graft.operators.Curation.chunkDocs(df, key, text,
+          m.args.getOrElse("size", "32").toInt,
+          m.args.getOrElse("stride", "24").toInt), RowType)
       }),
 
     Registered("spreadsheetread", NoneType, RowType,

@@ -77,6 +77,41 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(30L) - 1.0 / 62) < 1e-12)
   }
 
+  test("temperatureRebalance: alpha=0 equalizes, alpha=1 keeps proportions") {
+    val df = (0L until 500L).map(i => (i, if (i < 400) "big" else "small"))
+      .toDF("id", "dom")
+    def kept(alpha: Double) = Curation
+      .temperatureRebalance(df, "dom", "id", 200L, alpha)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val eq = kept(0.0) // equal shares: ~100 per domain
+    assert(eq("big") > 60 && eq("big") < 140, eq.toString)
+    assert(eq("small") == 100L, eq.toString) // fraction 1.0: all 100 kept
+    val prop = kept(1.0) // natural proportions: ~160 big / ~40 small
+    assert(prop("big") > 120 && prop("big") < 200, prop.toString)
+    assert(prop("small") > 15 && prop("small") < 65, prop.toString)
+    // alpha between: small domain's share strictly grows as alpha drops
+    val mid = kept(0.5)
+    assert(mid("small") >= prop("small") && mid("small") <= eq("small"),
+      s"mid=$mid prop=$prop eq=$eq")
+    // determinism
+    assert(kept(0.5) == mid)
+  }
+
+  test("chunkDocs with stride == size reassembles the token stream exactly") {
+    val texts = Seq.tabulate(20)(d =>
+      (d.toLong, (1 to (7 + d * 3)).map(i => s"t${d}_$i").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    val chunks = Curation.chunkDocs(df, "doc_id", "text",
+      chunkSize = 8, stride = 8).collect()
+    // non-overlapping windows partition the doc: token counts add up
+    val got = chunks.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val want = texts.map { case (d, t) => d -> t.split(" ").length.toLong }.toMap
+    assert(got == want)
+  }
+
   test("chunkDocs windows overlap correctly and the tail chunk is short") {
     // 10 tokens, size 4, stride 3 -> starts 0,3,6,9 -> lens 4,4,4,1
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))

@@ -229,7 +229,8 @@ class PipelineSpec extends AnyFunSuite {
       "log", "error",
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
-      "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample")
+      "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
+      "chunk")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -276,6 +277,32 @@ class PipelineSpec extends AnyFunSuite {
     val a = readOut(s"$d/a.csv")
     assert(a == readOut(s"$d/b.csv")) // same draw every run
     assert(a.length > 1 && a.length < 61) // thinned, non-empty
+  }
+
+  test("chunk module windows documents; alpha mixsample shares a total budget") {
+    val d = tmp("chunk")
+    writeCsv(s"$d/in.csv", "id,body",
+      "1," + (1 to 10).map(i => s"w$i").mkString(" "),
+      "2," + (1 to 3).map(i => s"v$i").mkString(" "))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1",
+      "chunk:key=id:text=body:size=4:stride=4",
+      "select:exprs=id;chunk_idx;n_tok:out=cs",
+      "csvwrite:in=cs", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted ==
+      Seq("1,0,4", "1,1,4", "1,2,2", "2,0,3", "id,chunk_idx,n_tok"))
+
+    // alpha= routes to temperatureRebalance (total budget semantics)
+    val rows = "id,dom" +: (0 until 80).map(i =>
+      s"$i,${if (i < 60) "big" else "small"}")
+    writeCsv(s"$d/mix.csv", rows: _*)
+    val r = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/mix.csv", "csvread:infer=1:out=m",
+      "mixsample:in=m:domain=dom:key=id:target=40:alpha=0.5",
+      "select:exprs=id:out=ids",
+      "csvwrite:in=ids", s"filewrite:out=$d/mo.csv"))
+    val kept = readOut(s"$d/mo.csv").length - 1
+    assert(kept > 10 && kept < 80, s"kept=$kept")
   }
 
   test("chartwrite renders an SVG chart from an aggregated stream") {
