@@ -1122,6 +1122,24 @@ object Pipeline {
       })
     }),
 
+    Registered("avroread", NoneType, RowType, "in=PATH:out=STREAM", (ctx, m) => {
+      // Avro object containers via the classpath's core Avro runtime
+      // (no spark-avro module needed) — formats.Avro, one task/file.
+      val path = m.args.getOrElse("in", throw new BuildError("avroread: in= required"))
+      ctx.writeStream(m.copy(args = m.args - "in"),
+        graft.formats.Avro.read(ctx.spark, path), RowType)
+    }),
+
+    Registered("avrowrite", RowType, NoneType, "in=STREAM:out=PATH", (ctx, m) => {
+      val df = ctx.readStream(m, RowType)
+      val path = m.args.getOrElse("out", throw new BuildError("avrowrite: out= required"))
+      ctx.addSink(m.raw, () => {
+        val n = graft.formats.Avro.write(df, path)
+        ctx.log("avrowrite", s"wrote $path")
+        n
+      })
+    }),
+
     // ---- multimodal modules (extension; no reference counterpart) ----
     // Media files as rows of (path, modificationTime, length, content):
     // the binary column stays opaque until a media* transform touches it.

@@ -75,6 +75,16 @@ object Formats {
         .orderBy(col("o_orderkey"))
     }),
 
+    // avrowrite → avroread (Avro object containers on the Generic API:
+    // long/string/double + timestamp-micros logical type round-trip).
+    "q81_roundtrip_avro" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val out = tmpDir("avro")
+      graft.formats.Avro.write(orders, out)
+      graft.formats.Avro.read(s, out, schema = Some(orders.schema))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // fixedwidthwrite → fixedwidthread (pad/truncate/trim + typed cast).
     "q22_roundtrip_fixedwidth" -> ((s, dir) => {
       val nat = Tables(s, dir, "nation")
@@ -146,6 +156,7 @@ object Formats {
     "q20_roundtrip_csv" -> selectAll("orders", "o_orderkey"),
     "q21_roundtrip_ndjson" -> selectAll("lineitem", "l_orderkey, l_linenumber"),
     "q28_roundtrip_ndjson_orders" -> selectAll("orders", "o_orderkey"),
+    "q81_roundtrip_avro" -> selectAll("orders", "o_orderkey"),
     "q22_roundtrip_fixedwidth" -> selectAll("nation", "n_nationkey"),
     "q23_roundtrip_xml" -> selectAll("supplier", "s_suppkey"),
     "q24_roundtrip_jsonarray" -> selectAll("region", "r_regionkey"),

@@ -230,7 +230,7 @@ class PipelineSpec extends AnyFunSuite {
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
-      "chunk")
+      "chunk", "avroread", "avrowrite")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
