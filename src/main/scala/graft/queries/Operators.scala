@@ -156,6 +156,59 @@ object Operators {
             $"exact_parts" * 0.05).as("approx_parts_ok"),
           (abs($"approx_orders" - $"exact_orders") <=
             $"exact_orders" * 0.05).as("approx_orders_ok"))
+    }),
+
+    // Count-Min-Sketch heavy hitters (completes the sketch family next
+    // to q34's HLL and q83's quantile sketch). The sketch is THE 100 TB
+    // pattern for frequency estimation: counters merge map-side
+    // (order-independent adds), the driver collects ~80 KB regardless
+    // of corpus size, and probes ride a broadcast. As with q34, raw
+    // estimates are sketch-internal, so the oracle-checked output is
+    // the exact top-10 plus a boolean asserting the CMS guarantee
+    // (exact <= estimate <= exact + ceil(eps*N)); the fixed seed makes
+    // the boolean deterministic and OpsSpec asserts the bound too.
+    "q82_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+        .filter($"tok" =!= "")
+      val total = toks.count()
+      val skBytes = toks
+        .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)")).head.getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val bc = s.sparkContext.broadcast(sk)
+      val est = udf((t: String) => bc.value.estimateCount(t))
+      val bound = math.ceil(total * 0.001).toLong
+      val top = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok".asc).limit(10)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"n".desc, $"tok".asc)))
+        .withColumn("est", est($"tok"))
+        .select($"tok", $"n", $"rk",
+          ($"est" >= $"n" && $"est" - $"n" <= bound).as("cms_ok"))
+        .orderBy($"rk")
+    }),
+
+    // Quantile sketch companion (GK / approx_percentile): per-group
+    // median from the mergeable summary vs the exact percentile. The
+    // GK invariant bounds rank error at N/accuracy REGARDLESS of
+    // partition merge order, so the tolerance boolean is stable even
+    // though the raw estimate is not — same reporting convention as
+    // q34/q82. Exact percentile (a per-group sort) is the verify-scale
+    // price; the sketch IS the 100 TB path.
+    "q83_percentile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("apx"))
+        .select($"l_returnflag",
+          round($"exact_p50", 4).as("exact_p50"),
+          (abs($"apx" - $"exact_p50") <= $"exact_p50" * 0.01).as("approx_ok"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -165,6 +218,20 @@ object Operators {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |  TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
         |FROM lineitem""".stripMargin,
+
+    "q82_cms_heavy_hitters" ->
+      """SELECT tok, n, rk, TRUE AS cms_ok FROM (
+        |  SELECT tok, count(*) AS n,
+        |    row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok != '' GROUP BY tok)
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "q83_percentile_sketch" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q30_dedup_lastwins" ->
       """SELECT user_id, event_id, event_type, value FROM (

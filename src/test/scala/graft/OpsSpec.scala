@@ -204,4 +204,27 @@ class OpsSpec extends AnyFunSuite {
       .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
     assert(s2 == s1)
   }
+
+  test("count-min sketch never undercounts; heavy hitters within eps*N") {
+    // numeric companion to q82's oracle boolean (same eps/seed)
+    val toks = Tables(spark, TestSpark.sf, "documents")
+      .select(explode(split($"text", " ")).as("tok")).filter($"tok" =!= "")
+    val total = toks.count()
+    val bytes = toks.agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.groupBy($"tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // CMS structurally never undercounts — assert over the WHOLE vocab
+    exact.foreach { case (t, n) =>
+      assert(sk.estimateCount(t) >= n, s"undercount for '$t'")
+    }
+    // the eps*N overcount bound on the heavy hitters (probabilistic per
+    // term at 0.99 confidence, deterministic for this fixed seed+data)
+    val bound = math.ceil(total * 0.001).toLong
+    exact.sortBy(-_._2).take(10).foreach { case (t, n) =>
+      assert(sk.estimateCount(t) - n <= bound, s"overcount for '$t'")
+    }
+  }
 }
