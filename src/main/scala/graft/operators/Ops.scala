@@ -345,4 +345,58 @@ object Ops {
       Seq(md5(col(keyCol).cast("string")).asc, col(keyCol).asc), k,
       rankCol = "__sample_rk").drop("__sample_rk")
   }
+
+  /** Spread the low 16 bits of `x` into the even bit positions of a
+    * 32-bit value (Morton encoding step) with the classic magic-mask
+    * cascade — 5 codegen'd bitwise ops, no loop, no UDF.
+    */
+  private def mortonSpread(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = (a.bitwiseOR(shiftleft(a, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val c = (b.bitwiseOR(shiftleft(b, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = (c.bitwiseOR(shiftleft(c, 2))).bitwiseAND(lit(0x33333333L))
+    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) value of two 16-bit coordinates: interleaves the
+    * bits so rows close in BOTH dimensions are close in the 1-D sort
+    * order. Pure long arithmetic — replays identically in any SQL
+    * engine (see zorderSql) and stays in whole-stage codegen.
+    */
+  def zorder2(x: Column, y: Column): Column =
+    mortonSpread(x).bitwiseOR(shiftleft(mortonSpread(y), 1))
+
+  /** The identical computation as ANSI-ish SQL text (DuckDB oracle
+    * twin of [[zorder2]]) — generated from the same mask constants so
+    * the two cannot drift apart silently.
+    */
+  def zorderSql(x: String, y: String): String = {
+    def spread(v: String): String = {
+      val a = s"($v & 65535)"
+      val b = s"(($a | ($a << 8)) & 16711935)"
+      val c = s"(($b | ($b << 4)) & 252645135)"
+      val d = s"(($c | ($c << 2)) & 858993459)"
+      s"(($d | ($d << 1)) & 1431655765)"
+    }
+    s"(${spread(x)} | (${spread(y)} << 1))"
+  }
+
+  /** Z-order-clustered write: range-partition on the Morton value of
+    * the two cluster columns, sort inside each partition, write
+    * parquet. Each output file then covers a small rectangle of the
+    * (x, y) space, so the parquet footer min/max of BOTH columns can
+    * prune file scans for 2-D predicates — the data-layout step that
+    * makes selective multi-dimensional queries cheap at 100 TB.
+    * repartitionByRange samples the z distribution, so skewed
+    * coordinates still yield balanced files.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+                  numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0, got $numFiles")
+    df.withColumn("__z", zorder2(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

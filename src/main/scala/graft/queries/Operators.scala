@@ -191,6 +191,19 @@ object Operators {
         .orderBy($"rk")
     }),
 
+    // Z-order (Morton) clustering curve: the data-layout key that makes
+    // 2-D min/max file pruning work (Ops.zorderWrite clusters on it).
+    // Pure codegen'd long arithmetic, bit-identical in the oracle via
+    // the generated SQL twin (Ops.zorderSql — same mask constants).
+    "q84_zorder_curve" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey",
+          graft.operators.Ops.zorder2($"c_custkey", $"c_nationkey").as("z"))
+        .orderBy($"z".asc, $"c_custkey".asc).limit(100)
+        .orderBy($"z".asc, $"c_custkey".asc)
+    }),
+
     // Quantile sketch companion (GK / approx_percentile): per-group
     // median from the mergeable summary vs the exact percentile. The
     // GK invariant bounds rank error at N/accuracy REGARDLESS of
@@ -226,6 +239,12 @@ object Operators {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |  WHERE tok != '' GROUP BY tok)
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "q84_zorder_curve" -> {
+      val z = graft.operators.Ops.zorderSql("c_custkey", "c_nationkey")
+      s"""SELECT c_custkey, c_nationkey, $z AS z
+         |FROM customer ORDER BY z ASC, c_custkey ASC LIMIT 100""".stripMargin
+    },
 
     "q83_percentile_sketch" ->
       """SELECT l_returnflag,
