@@ -272,6 +272,39 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // TPC-H Q18 shape (large-volume orders): HAVING on an aggregate,
+    // then the qualifying keys join back to orders + customer — the
+    // group-filter-then-rejoin pattern. The aggregate runs FIRST and
+    // shrinks 60k lineitems to the qualifying handful, so the join
+    // back is against a small relation (AQE broadcasts it); quantity
+    // sums ride exact decimals for cross-engine hash parity.
+    "q85_tpch_q18_shape" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("decimal(30,4)")).as("sum_qty"))
+        .filter($"sum_qty" > 200)
+      t(s, dir, "orders")
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_orderdate", $"c_custkey",
+          round($"sum_qty", 2).cast("double").as("sum_qty"))
+        .orderBy($"sum_qty".desc, $"o_orderkey".asc)
+        .limit(100)
+    }),
+
+    // Correlated scalar subqueries (parts priced above their brand's
+    // mean): Catalyst decorrelates both correlated aggregates into
+    // joined group-bys — the rewrite this query exists to exercise.
+    // The mean test is expressed as price*count > sum over EXACT
+    // decimals (multiply, don't divide), so the comparison is
+    // order-independent and bit-identical in the oracle, which runs
+    // this very text (q15 convention).
+    "q86_above_brand_avg" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(AboveBrandAvgText)
+    }),
+
     // SQL entry point (SURVEY §3.2): temp views + spark.sql — the same
     // ANSI text runs on our engine and the oracle verbatim.
     "q15_sql_entry" -> ((s, dir) => {
@@ -394,8 +427,33 @@ object Relational {
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
       |  o_orderpriority NULLS FIRST""".stripMargin
 
+  val AboveBrandAvgText: String =
+    """SELECT p_brand, count(*) AS n_above, max(p_retailprice) AS max_above
+      |FROM part p
+      |WHERE CAST(p_retailprice AS DECIMAL(18,6)) *
+      |      (SELECT CAST(count(*) AS DECIMAL(10,0)) FROM part p2
+      |       WHERE p2.p_brand = p.p_brand)
+      |    > (SELECT sum(CAST(p_retailprice AS DECIMAL(18,6))) FROM part p2
+      |       WHERE p2.p_brand = p.p_brand)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q15_sql_entry" -> SqlEntryText,
+    "q86_above_brand_avg" -> AboveBrandAvgText,
+
+    "q85_tpch_q18_shape" ->
+      """SELECT o_orderkey, o_orderdate, c_custkey,
+        |  CAST(round(sum_qty, 2) AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(30,4))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(30,4))) > 200) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
 
     "q16_percentiles" ->
       """SELECT l_returnflag,
