@@ -64,7 +64,8 @@ object Pipeline {
     if (!name.matches("\\w+"))
       throw new BuildError(s"bad module word: '$word'")
     val pieces = {
-      val i = parts.indexWhere(p => p.startsWith("url=") || p.startsWith("cmd="))
+      val i = parts.indexWhere(p => p.startsWith("url=") || p.startsWith("cmd=")
+        || p.startsWith("query="))
       if (i >= 1) {
         val rest = parts.drop(i)
         val j = rest.indexWhere(p => {
@@ -974,6 +975,34 @@ object Pipeline {
             .rebalanceSample(df, dom, key, target)
         }
         ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("sql", RowType, RowType,
+      "in=STREAM:views=s1,s2:out=STREAM:query=SELECT ... FROM __in  (query= MUST be last)",
+      (ctx, m) => {
+        // Arbitrary SQL mid-pipeline: the in-stream is view __in; other
+        // named row streams join in via views= (each counts as a
+        // reader, so stream validation stays honest). query= must be
+        // the LAST argument — everything after it is taken verbatim,
+        // so SQL containing ':' (timestamp literals) or '=' parses
+        // fine. The reference delegates SQL to external DBs
+        // (dbitool.pl:1387-1459); here the engine IS the SQL engine.
+        val qIdx = m.raw.indexOf(":query=")
+        if (qIdx < 0)
+          throw new BuildError("sql: query= required (must be the last argument)")
+        val q = m.raw.substring(qIdx + ":query=".length)
+        val clean = parseWord(m.raw.take(qIdx)) // in/out/views, sans query text
+        val df = ctx.readStream(clean, RowType)
+        df.createOrReplaceTempView("__in")
+        clean.args.get("views").foreach(_.split(",").filter(_.nonEmpty).foreach { vn =>
+          val (vdf, vt) = ctx.streams.getOrElse(vn,
+            throw new BuildError(s"sql: unknown stream '$vn'"))
+          if (vt != RowType)
+            throw new BuildError(s"sql: '$vn' is not a row stream")
+          ctx.readers(vn) += 1
+          vdf.createOrReplaceTempView(vn)
+        })
+        ctx.writeStream(clean, ctx.spark.sql(q), RowType)
       }),
 
     Registered("chunk", RowType, RowType,

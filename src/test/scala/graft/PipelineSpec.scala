@@ -230,7 +230,7 @@ class PipelineSpec extends AnyFunSuite {
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
-      "chunk", "avroread", "avrowrite")
+      "chunk", "avroread", "avrowrite", "sql")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -277,6 +277,26 @@ class PipelineSpec extends AnyFunSuite {
     val a = readOut(s"$d/a.csv")
     assert(a == readOut(s"$d/b.csv")) // same draw every run
     assert(a.length > 1 && a.length < 61) // thinned, non-empty
+  }
+
+  test("sql module runs arbitrary SQL over __in and views=, colons included") {
+    val d = tmp("sqlmod")
+    writeCsv(s"$d/fact.csv", "k,v", "a,1", "a,2", "b,5")
+    writeCsv(s"$d/dim.csv", "k,name", "a,alpha", "b,beta")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/dim.csv", "csvread:infer=1:out=dim",
+      s"fileread:in=$d/fact.csv", "csvread:infer=1:out=fact",
+      // query= last; contains ':' (cast syntax) and '=' (join predicate)
+      "sql:in=fact:views=dim:out=agg:query=SELECT name, sum(v) AS sv, " +
+        "timestamp'2024-01-01 10:30:00' AS t " +
+        "FROM __in JOIN dim ON __in.k = dim.k GROUP BY name",
+      "select:exprs=name;sv:in=agg:out=res",
+      "csvwrite:in=res", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted == Seq("alpha,3", "beta,5", "name,sv"))
+    // missing query= fails loudly
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/fact.csv", "csvread:infer=1:out=f2",
+      "sql:in=f2", "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
   test("chunk module windows documents; alpha mixsample shares a total budget") {
