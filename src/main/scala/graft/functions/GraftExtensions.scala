@@ -125,6 +125,24 @@ object GraftExtensions {
       StringTrim(RegExpReplace(
         RegExpReplace(Lower(args(0)), Literal("[^a-z0-9 ]"), Literal("")),
         Literal(" +"), Literal(" ")))
+    },
+    // Z-order (Morton) curve of two 16-bit coordinates — the layout key
+    // Ops.zorderWrite clusters on, exposed to pure-SQL users. Composed
+    // builtin bitwise expressions (same magic-mask cascade as
+    // Ops.zorder2 — GraftExtensionsSpec pins the two to equal output),
+    // so it rides whole-stage codegen.
+    "graft_zorder" -> { args =>
+      arity("graft_zorder", args, 2)
+      import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Expression, ShiftLeft}
+      import org.apache.spark.sql.types.LongType
+      def spread(e: Expression): Expression = {
+        val a = BitwiseAnd(Cast(e, LongType), Literal(0xFFFFL))
+        val b = BitwiseAnd(BitwiseOr(a, ShiftLeft(a, Literal(8))), Literal(0x00FF00FFL))
+        val c = BitwiseAnd(BitwiseOr(b, ShiftLeft(b, Literal(4))), Literal(0x0F0F0F0FL))
+        val d = BitwiseAnd(BitwiseOr(c, ShiftLeft(c, Literal(2))), Literal(0x33333333L))
+        BitwiseAnd(BitwiseOr(d, ShiftLeft(d, Literal(1))), Literal(0x55555555L))
+      }
+      BitwiseOr(spread(args(0)), ShiftLeft(spread(args(1)), Literal(1)))
     })
 
   /** Install on an EXISTING session as temp functions. */

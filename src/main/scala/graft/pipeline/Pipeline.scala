@@ -1151,6 +1151,24 @@ object Pipeline {
       })
     }),
 
+    Registered("zorderwrite", RowType, NoneType,
+      "in=STREAM:x=COL:y=COL:files=N:out=PATH", (ctx, m) => {
+        // Z-order-clustered parquet write (Ops.zorderWrite): each
+        // output file covers a sub-rectangle of the (x, y) key space,
+        // so 2-D predicates prune at the footer min/max level.
+        val df = ctx.readStream(m, RowType)
+        val x = m.args.getOrElse("x", throw new BuildError("zorderwrite: x= required"))
+        val y = m.args.getOrElse("y", throw new BuildError("zorderwrite: y= required"))
+        val path = m.args.getOrElse("out",
+          throw new BuildError("zorderwrite: out= required"))
+        val files = m.args.getOrElse("files", "32").toInt
+        ctx.addSink(m.raw, () => {
+          graft.operators.Ops.zorderWrite(df, x, y, path, files)
+          ctx.log("zorderwrite", s"wrote $path")
+          0L
+        })
+      }),
+
     Registered("avroread", NoneType, RowType, "in=PATH:out=STREAM", (ctx, m) => {
       // Avro object containers via the classpath's core Avro runtime
       // (no spark-avro module needed) — formats.Avro, one task/file.

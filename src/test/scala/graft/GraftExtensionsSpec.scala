@@ -93,6 +93,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "hello world 42")
   }
 
+  test("graft_zorder from SQL matches the Column API and the bit spec") {
+    val r = spark.sql(
+      "SELECT graft_zorder(3L, 2L) AS z, graft_zorder(65539L, 2L) AS zm")
+      .head()
+    // interleave(x=0b11, y=0b10) = y1 x1 y0 x0 = 1 1 0 1 = 13
+    assert(r.getLong(0) == 13L)
+    assert(r.getLong(1) == 13L) // masks see only the low 16 bits
+    import spark.implicits._
+    val api = Seq((3L, 2L)).toDF("x", "y")
+      .select(graft.operators.Ops.zorder2($"x", $"y")).head.getLong(0)
+    assert(api == 13L)
+  }
+
   test("SQL results match the Column API on the corpus") {
     import spark.implicits._
     Tables(spark, sf, "documents").createOrReplaceTempView("docs_ext")

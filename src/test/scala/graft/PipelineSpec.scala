@@ -230,7 +230,7 @@ class PipelineSpec extends AnyFunSuite {
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
-      "chunk", "avroread", "avrowrite", "sql")
+      "chunk", "avroread", "avrowrite", "sql", "zorderwrite")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
