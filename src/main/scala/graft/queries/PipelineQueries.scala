@@ -44,10 +44,45 @@ object PipelineQueries {
         StructField("total", DoubleType)))
       graft.sources.Sources.csv(s, s"$work/out", schema = Some(schema))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Curation pipeline e2e through the NEW modules: ndjson-staged
+    // documents → [fileread ndjsonread chunk sql csvwrite filewrite] →
+    // csv → DataFrame. The sql module aggregates the chunk stream
+    // in-engine; the oracle replays chunking + aggregation in DuckDB.
+    "q87_pipeline_curate" -> ((s, dir) => {
+      val work = tmpDir("curate")
+      graft.sinks.Sinks.ndjson(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        s"$work/in")
+      Pipeline.run(s, Seq(
+        s"fileread:in=$work/in",
+        "ndjsonread",
+        "chunk:key=doc_id:text=text:size=32:stride=24",
+        "sql:query=SELECT doc_id, count(*) AS n_chunks, " +
+          "cast(sum(n_tok) as bigint) AS toks FROM __in GROUP BY doc_id",
+        "sort:by=doc_id",
+        "csvwrite",
+        s"filewrite:out=$work/out"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_chunks", LongType),
+        StructField("toks", LongType)))
+      graft.sources.Sources.csv(s, s"$work/out", schema = Some(schema))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q87_pipeline_curate" ->
+      """SELECT doc_id, count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS toks
+        |FROM (
+        |  SELECT doc_id, len(list_slice(ws, start + 1, start + 32)) AS n_tok
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents)))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q70_pipeline_e2e" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
