@@ -163,21 +163,26 @@ object Curation {
     * DuckDB oracle.
     */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
-                chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+                chunkSize: Int = 32, stride: Int = 24,
+                withText: Boolean = false): DataFrame = {
     require(chunkSize > 0 && stride > 0,
       s"chunkSize/stride must be > 0, got $chunkSize/$stride")
     val ws = split(col(textCol), " ")
-    df.select(col(idCol), ws.as("__ws"))
+    val base = df.select(col(idCol), ws.as("__ws"))
       .select(col(idCol), col("__ws"),
         explode(sequence(lit(0), size(col("__ws")) - 1,
           lit(stride))).as("__start"))
       .select(col(idCol),
         (col("__start") / lit(stride)).cast("long").as("chunk_idx"),
         slice(col("__ws"), col("__start") + 1, lit(chunkSize)).as("__chunk"))
-      .select(col(idCol), col("chunk_idx"),
-        size(col("__chunk")).cast("long").as("n_tok"),
-        conv(substring(md5(array_join(col("__chunk"), " ")), 1, 15), 16, 10)
-          .cast("long").as("chunk_fp"))
+    val out = base.select(col(idCol), col("chunk_idx"),
+      size(col("__chunk")).cast("long").as("n_tok"),
+      conv(substring(md5(array_join(col("__chunk"), " ")), 1, 15), 16, 10)
+        .cast("long").as("chunk_fp"),
+      array_join(col("__chunk"), " ").as("chunk_text"))
+    // fingerprint-only by default: downstream joins/dedup move longs.
+    // withText re-materializes the window (chunk → dedupnear chains).
+    if (withText) out else out.drop("chunk_text")
   }
 
   /** Sequence packing: assign quality-ordered documents of each domain

@@ -1006,9 +1006,11 @@ object Pipeline {
       }),
 
     Registered("chunk", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:size=32:stride=24:out=STREAM", (ctx, m) => {
+      "in=STREAM:key=COL:text=COL:size=32:stride=24:keeptext:out=STREAM", (ctx, m) => {
         // Context-window chunking (Curation.chunkDocs): overlapping
         // token windows per document, zero-shuffle generator.
+        // keeptext emits chunk_text too (chunk → dedupnear chains);
+        // default is fingerprints only.
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",
           throw new BuildError("chunk: key= required"))
@@ -1016,7 +1018,8 @@ object Pipeline {
           throw new BuildError("chunk: text= required"))
         ctx.writeStream(m, graft.operators.Curation.chunkDocs(df, key, text,
           m.args.getOrElse("size", "32").toInt,
-          m.args.getOrElse("stride", "24").toInt), RowType)
+          m.args.getOrElse("stride", "24").toInt,
+          withText = m.args.contains("keeptext")), RowType)
       }),
 
     Registered("spreadsheetread", NoneType, RowType,

@@ -112,6 +112,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("chunkDocs withText emits the exact token window") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(df, "doc_id", "text", chunkSize = 3,
+      stride = 2, withText = true).orderBy("chunk_idx").collect()
+    assert(out.map(_.getString(4)).toSeq == Seq("a b c", "c d e", "e"))
+    // default stays narrow (no text column)
+    assert(!Curation.chunkDocs(df, "doc_id", "text", 3, 2)
+      .columns.contains("chunk_text"))
+  }
+
   test("chunkDocs windows overlap correctly and the tail chunk is short") {
     // 10 tokens, size 4, stride 3 -> starts 0,3,6,9 -> lens 4,4,4,1
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
