@@ -346,6 +346,41 @@ object Ops {
       rankCol = "__sample_rk").drop("__sample_rk")
   }
 
+  /** Bloom-filter semi-join reduction — the runtime-filter pattern for
+    * 100 TB fact⋈selective-dim joins, applied EXPLICITLY: build a
+    * bloom filter over the dim keys (one tiny aggregate; the filter is
+    * a few MB regardless of fact size), broadcast it, and drop fact
+    * rows that cannot possibly join BEFORE they reach the shuffle.
+    * Result is EXACTLY the plain join's input set minus guaranteed
+    * non-matches: blooms have no false negatives, and the join itself
+    * removes the false positives — so downstream results are
+    * bit-identical to the unfiltered plan (OpsSpec asserts it; q88
+    * hash-checks it against a plain-join oracle).
+    *
+    * Uses Spark's own BloomFilterAggregate / BloomFilterMightContain
+    * catalyst expressions (what AQE's runtime row-level filtering
+    * injects), so the probe stays inside codegen.
+    */
+  def bloomPreFilter(fact: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String,
+                     expectedItems: Long = 1000000L,
+                     numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    val bloomAgg = column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new XxHash64(Seq(expression(col(dimKey)))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // might_contain requires the filter as a constant or scalar
+    // subquery (the shape InjectRuntimeFilter itself builds) — wrap
+    // the one-row aggregate plan, don't join it in.
+    val bfPlan = dim.agg(bloomAgg.as("__bf")).queryExecution.analyzed
+    val probe = column(new BloomFilterMightContain(
+      ScalarSubquery(bfPlan),
+      new XxHash64(Seq(expression(col(factKey))))))
+    fact.filter(probe)
+  }
+
   /** Spread the low 16 bits of `x` into the even bit positions of a
     * 32-bit value (Morton encoding step) with the classic magic-mask
     * cascade — 5 codegen'd bitwise ops, no loop, no UDF.

@@ -191,6 +191,29 @@ object Operators {
         .orderBy($"rk")
     }),
 
+    // Bloom-filter semi-join reduction: fact rows that cannot join the
+    // selective dim side are dropped BEFORE the shuffle (broadcast
+    // bloom probe, codegen'd) — the explicit form of AQE's runtime
+    // row-level filtering. Bloom false positives are removed by the
+    // join itself, so the result is BIT-IDENTICAL to the plain join:
+    // the oracle runs the plain join.
+    "q88_bloom_prejoin" -> ((s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "part").filter($"p_size" === 1)
+      val reduced = graft.operators.Ops.bloomPreFilter(
+        t(s, dir, "lineitem")
+          .select($"l_partkey", $"l_extendedprice"),
+        "l_partkey", dim.select($"p_partkey"), "p_partkey",
+        expectedItems = 4096L, numBits = 65536L)
+      reduced.join(dim, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_extendedprice".cast("decimal(30,4)")).as("__s"))
+        .select($"p_brand", $"n",
+          round($"__s", 2).cast("double").as("total_price"))
+        .orderBy($"p_brand")
+    }),
+
     // Z-order (Morton) clustering curve: the data-layout key that makes
     // 2-D min/max file pruning work (Ops.zorderWrite clusters on it).
     // Pure codegen'd long arithmetic, bit-identical in the oracle via
@@ -239,6 +262,13 @@ object Operators {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |  WHERE tok != '' GROUP BY tok)
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "q88_bloom_prejoin" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q84_zorder_curve" -> {
       val z = graft.operators.Ops.zorderSql("c_custkey", "c_nationkey")

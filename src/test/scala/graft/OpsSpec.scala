@@ -205,6 +205,25 @@ class OpsSpec extends AnyFunSuite {
     assert(s2 == s1)
   }
 
+  test("bloomPreFilter: no false negatives — join result identical to plain join") {
+    val fact = Tables(spark, TestSpark.sf, "lineitem")
+      .select($"l_partkey", $"l_quantity")
+    val dim = Tables(spark, TestSpark.sf, "part")
+      .filter($"p_size" === 1).select($"p_partkey")
+    val plain = fact.join(dim, $"l_partkey" === $"p_partkey")
+      .orderBy($"l_partkey", $"l_quantity").collect()
+    val bloomed = Ops.bloomPreFilter(fact, "l_partkey", dim, "p_partkey",
+        expectedItems = 1024L, numBits = 16384L)
+      .join(dim, $"l_partkey" === $"p_partkey")
+      .orderBy($"l_partkey", $"l_quantity").collect()
+    assert(plain.toSeq == bloomed.toSeq)
+    assert(plain.nonEmpty) // non-vacuous
+    // and it actually REDUCES: the pre-filtered fact is much smaller
+    val reduced = Ops.bloomPreFilter(fact, "l_partkey", dim, "p_partkey",
+      1024L, 16384L).count()
+    assert(reduced < fact.count() / 2, s"bloom removed too little: $reduced")
+  }
+
   test("count-min sketch never undercounts; heavy hitters within eps*N") {
     // numeric companion to q82's oracle boolean (same eps/seed)
     val toks = Tables(spark, TestSpark.sf, "documents")
