@@ -1,13 +1,106 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
-  /** Verified at sf0.01 by Verify but not timed here: q21 round-trips
-    * ALL of lineitem through JSON text — at bench scale that measures
-    * single-machine disk, not plan quality (17-38% of round-3 totals).
-    * Its bench stand-in is q28_roundtrip_ndjson_orders (same code
-    * path, mid-size table). Recorded in BASELINE.md.
+  /** q21 round-trips ALL of lineitem through NDJSON text — at bench
+    * scale that measures single-machine disk throughput, not plan
+    * quality (17-38% of round-3 totals). Under the round-robin/min
+    * protocol it is measured and reported per-query (tagged "io") but
+    * excluded from the headline total/minsum so one disk-bound row
+    * can't dominate the cross-round comparison. See BASELINE.md.
     */
-  val SkipInBench: Set[String] = Set("q21_roundtrip_ndjson")
+  val IoTagged: Set[String] = Set("q21_roundtrip_ndjson")
+
+  final case class QueryResult(
+      samples: Vector[Double],
+      errors: Vector[String]) {
+    def min: Option[Double] = if (samples.isEmpty) None else Some(samples.min)
+    def median: Option[Double] =
+      if (samples.isEmpty) None
+      else Some(samples.sorted.apply((samples.size - 1) / 2))
+  }
+
+  final case class BenchResult(results: Vector[(String, QueryResult)], sfDir: String) {
+    private def headline = results.filterNot(r => IoTagged(r._1))
+    def total: Double = headline.flatMap(_._2.median).sum
+    def minSum: Double = headline.flatMap(_._2.min).sum
+    def anyError: Boolean = results.exists(_._2.errors.nonEmpty)
+    def rc: Int = if (anyError) 1 else 0
+
+    private def numMap(f: QueryResult => Option[Double]): String =
+      results.flatMap { case (n, r) => f(r).map(v => s"\"" + n + "\":" + v) }
+        .mkString("{", ",", "}")
+
+    /** One-line JSON contract with the driver: metric/value/unit/queries/sf,
+      * plus minsum, per-query mins, errors (only when present), and the
+      * I/O-tagged exclusion list.
+      */
+    def json: String = {
+      val errs =
+        if (!anyError) ""
+        else {
+          val m = results.filter(_._2.errors.nonEmpty).map { case (n, r) =>
+            s"\"" + n + "\":\"" + r.errors.head.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          }.mkString("{", ",", "}")
+          s""","errors":$m,"rc":1"""
+        }
+      val io = IoTagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","minsum":$minSum,""" +
+        s""""queries":${numMap(_.median)},"mins":${numMap(_.min)}$errs,""" +
+        s""""io_tagged":$io,"sf":"$sfDir"}"""
+    }
+
+    def samplesJson: String = {
+      val all = results.map { case (k, r) =>
+        s"\"" + k + "\":[" + r.samples.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","samples":$all}"""
+    }
+  }
+
+  /** Round-robin measurement: pass 1 visits EVERY query once, then pass
+    * 2, then pass 3. This host shows minutes-long external CPU-steal
+    * bursts (BASELINE.md): with back-to-back sampling a burst poisons
+    * all 3 samples of a few queries (unrecoverable by min); interleaved,
+    * it pollutes at most one sample of many queries, which per-query min
+    * rejects. A sample that throws is recorded as an error, never as a
+    * near-zero time (VERDICT r5 #2).
+    */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      passes: Int = 3): BenchResult = {
+    def timeOnce(name: String): Either[String, Double] = {
+      // Some operators persist internal relations (LSH signatures etc.)
+      // scoped to one invocation; clearing between samples keeps them
+      // independent and bounds cache growth across 80+ queries.
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        // noop-format write, not count(): count() lets Catalyst elide
+        // sorts and prune every column, under-measuring ORDER BY and
+        // wide-projection cost. The noop sink executes the full plan.
+        queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+          Left(s"${e.getClass.getSimpleName}: $msg")
+      }
+    }
+    val names = queries.keys.toVector.sorted
+    val acc = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> QueryResult(Vector.empty, Vector.empty)): _*)
+    for (_ <- 1 to passes; n <- names) {
+      val r = acc(n)
+      timeOnce(n) match {
+        case Right(s) => acc(n) = r.copy(samples = r.samples :+ s)
+        case Left(e)  => acc(n) = r.copy(errors = r.errors :+ e)
+      }
+    }
+    BenchResult(acc.toVector, sfDir)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,58 +115,23 @@ object Bench {
     // query doesn't absorb session init.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // noop-format write, not count(): count() lets Catalyst elide
-    // sorts and prune every column, under-measuring ORDER BY and
-    // wide-projection cost. The noop sink executes the full plan and
-    // consumes every row.
-    def time(name: String): Double = {
-      // Some operators persist internal relations (LSH signatures etc.)
-      // scoped to one invocation; clearing between runs keeps the 3
-      // samples independent and bounds cache growth across 60+ queries.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
-    // This host shows heavy run-to-run CPU-steal noise (identical code
-    // measures 3-25x spreads). Median of 3 runs per query makes rounds
-    // comparable query-by-query; all samples are persisted alongside so
-    // a regression can be distinguished from a noise spike.
-    val samples = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(kv => SkipInBench(kv._1))
-      .map { case (name, _) => name -> Seq.fill(3)(time(name)) }
-    val medians = samples.map { case (n, s) => n -> s.sorted.apply(1) }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    // minsum = sum of per-query MINIMUM samples: this host shows bursty
-    // external load (identical code measures 10-25x intra-query sample
-    // spreads), and the min is the noise-robust code-quality signal —
-    // when value and minsum diverge widely, the run was burst-polluted
-    // and minsum is the number to compare across rounds.
-    val minSum = samples.map(_._2.min).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","minsum":$minSum,"queries":$qs,"sf":"$sfDir"}"""
+
+    val res = run(spark, sfDir, SparkEntry.queries)
     try {
-      val all = samples.map { case (k, s) =>
-        s"\"" + k + "\":[" + s.mkString(",") + "]"
-      }.mkString("{", ",", "}")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_samples.json"),
-        s"""{"sf":"$sfDir","samples":$all}""" + "\n")
-      // Machine-readable copy of the final medians: the driver's stdout
-      // parse has failed every round ("parsed": null in BENCH_r1-r3) —
-      // give it (and BASELINE.md) a file to read instead (VERDICT r3 #2).
+        java.nio.file.Paths.get("target/bench_samples.json"), res.samplesJson + "\n")
+      // Machine-readable copy of the result: the driver's stdout parse
+      // has failed repeatedly ("parsed": null) — give it (and
+      // BASELINE.md) a file to read instead (VERDICT r3 #2).
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench.json"), json + "\n")
+        java.nio.file.Paths.get("target/bench.json"), res.json + "\n")
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the result line so shutdown logging can't
     // interleave: the JSON is the very last thing on stdout.
     spark.stop()
-    println(json)
+    println(res.json)
+    // A crashing query must fail the artifact loudly (VERDICT r5 #2).
+    if (res.rc != 0) sys.exit(res.rc)
   }
 }

@@ -61,12 +61,12 @@ object Formats {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // ndjson round trip on the mid-size table: q21's BENCH stand-in.
+    // ndjson round trip on the mid-size table: q21's plan-quality twin.
     // q21 (whole lineitem) is the right losslessness test at verify
     // scale but at bench scale it mostly measures single-machine disk
-    // (17-38% of the round-3 totals) — so the bench times THIS query
-    // and skips q21 (Bench.SkipInBench), while Verify still checks
-    // both (VERDICT r3 #3).
+    // (17-38% of the round-3 totals) — the bench now reports q21 as an
+    // I/O-tagged row excluded from the headline total (Bench.IoTagged)
+    // while THIS query carries the code path in the total (VERDICT r5 #8).
     "q28_roundtrip_ndjson_orders" -> ((s, dir) => {
       val orders = Tables(s, dir, "orders")
       val out = tmpDir("ndjson_orders")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates on the bench harness itself (VERDICT r5 #1/#2): a crashing
+  * query must surface a visible per-query error and a non-zero rc —
+  * never a near-zero "passing" time — and the round-robin protocol
+  * must report both per-query min and median.
+  */
+class BenchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val good: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(10).toDF("id")
+  private val bad: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(1).selectExpr("assert_true(id > 0, 'boom') as a")
+
+  test("broken query records an error and rc=1, never a near-zero time") {
+    val res = Bench.run(spark, "unused",
+      Map("z_ok" -> good, "a_broken" -> bad), passes = 2)
+    val broken = res.results.toMap.apply("a_broken")
+    assert(broken.samples.isEmpty, "failed sample must not be timed")
+    assert(broken.errors.size == 2 && broken.errors.head.contains("boom"))
+    assert(res.rc == 1)
+    assert(res.json.contains(""""errors":{"a_broken":"""))
+    assert(res.json.contains(""""rc":1"""))
+  }
+
+  test("all-green run has rc=0, min<=median per query, no errors field") {
+    val res = Bench.run(spark, "unused", Map("q_a" -> good, "q_b" -> good), passes = 3)
+    assert(res.rc == 0 && !res.json.contains("\"errors\""))
+    res.results.foreach { case (_, r) =>
+      assert(r.samples.size == 3)
+      assert(r.min.get <= r.median.get)
+    }
+    assert(res.json.contains("\"mins\":{") && res.json.contains("\"queries\":{"))
+    assert(res.json.contains("\"minsum\":"))
+  }
+
+  test("io-tagged queries are reported but excluded from total/minsum") {
+    val res = Bench.run(spark, "unused",
+      Map("q_a" -> good, "q21_roundtrip_ndjson" -> good), passes = 1)
+    val only = res.results.toMap.apply("q_a")
+    assert(math.abs(res.total - only.median.get) < 1e-12)
+    assert(math.abs(res.minSum - only.min.get) < 1e-12)
+    assert(res.json.contains("\"q21_roundtrip_ndjson\":"))
+    assert(res.json.contains(""""io_tagged":["q21_roundtrip_ndjson"]"""))
+  }
+}
