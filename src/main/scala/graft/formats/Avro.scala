@@ -132,6 +132,18 @@ object Avro {
 
   /** Distributed write: one Avro container per partition under `path`.
     * Returns the row count (via the same single pass that writes).
+    *
+    * Filesystem contract: `path` is a java.io.File path, so this module
+    * requires local mode or a POSIX filesystem mounted identically on
+    * driver and every executor (NFS and friends) — unlike the other
+    * format modules, which go through Spark/Hadoop path resolution. On
+    * a cluster with only object storage, stage to a shared mount or
+    * extend this to Hadoop FileSystem streams.
+    *
+    * Each task writes to an attempt-unique temp name and atomically
+    * renames on success, so a speculative or retried attempt can never
+    * interleave bytes with the winner — last completed rename wins and
+    * both attempts wrote identical content from the same partition.
     */
   def write(df: DataFrame, path: String): Long = {
     val schemaJson = avroSchema(df.schema).toString
@@ -139,26 +151,41 @@ object Avro {
     new File(path).mkdirs()
     val counter = df.sparkSession.sparkContext.longAccumulator("avro_rows")
     df.rdd.foreachPartition { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val schema = new Schema.Parser().parse(schemaJson)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, new File(path, f"part-$pid%05d.avro"))
-      try it.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < types.length) {
-          rec.put(i, toAvro(if (row.isNullAt(i)) null else row.get(i), types(i)))
-          i += 1
+      val finalFile = new File(path, f"part-$pid%05d.avro")
+      val tmpFile = new File(path, f".part-$pid%05d.avro.attempt-${tc.taskAttemptId()}")
+      w.create(schema, tmpFile)
+      var ok = false
+      try {
+        it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < types.length) {
+            rec.put(i, toAvro(if (row.isNullAt(i)) null else row.get(i), types(i)))
+            i += 1
+          }
+          w.append(rec); counter.add(1L)
         }
-        w.append(rec); counter.add(1L)
-      } finally w.close()
+        ok = true
+      } finally {
+        w.close()
+        if (ok) {
+          java.nio.file.Files.move(tmpFile.toPath, finalFile.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } else tmpFile.delete()
+      }
     }
     counter.value
   }
 
   /** Distributed read: one task per container file; schema from the
-    * first container's header (or caller-supplied).
+    * first container's header (or caller-supplied). Same filesystem
+    * contract as `write`: local mode or a shared POSIX mount.
     */
   def read(spark: SparkSession, path: String,
            schema: Option[StructType] = None): DataFrame = {

@@ -23,6 +23,20 @@ import graft.functions.PortableExpr
   */
 object Curation {
 
+  /** The rebalance operators join on `domainCol` and add internal
+    * __n/__w/__z working columns; a pre-existing column of those names
+    * would make the internal references ambiguous and fail (or worse,
+    * resolve wrongly) deep inside the plan — reject it up front.
+    */
+  private def requireCleanInput(df: DataFrame, domainCol: String,
+                                keyCol: String, op: String): Unit = {
+    val reserved = Seq("__n", "__w", "__z").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"$op: input already has internal working column(s) ${reserved.mkString(", ")} — rename them first")
+    require(df.columns.contains(domainCol), s"$op: no column $domainCol")
+    require(df.columns.contains(keyCol), s"$op: no column $keyCol")
+  }
+
   /** Benchmark decontamination (the GPT-2/GPT-3 training-data step):
     * flag training documents that share >= `minShared` distinct word
     * `k`-shingles with any document of the held-out eval set. Returns
@@ -71,10 +85,20 @@ object Curation {
     * Weighted (temperature alpha != 0) mixtures reuse this with
     * `fractions` from [[Ops.stratifiedSampleMd5]] once shares are
     * chosen; the equal-share form keeps the whole computation in-plan.
+    *
+    * NULL semantics (also for [[temperatureRebalance]]): rows with a
+    * NULL domain never match the inner count-join, and a NULL key draws
+    * md5(NULL) = NULL which fails the threshold comparison — both are
+    * EXCLUDED from the sample rather than erroring. That matches the
+    * DuckDB oracle and is usually what a curation pipeline wants
+    * (un-attributable rows don't belong in a per-domain budget), but it
+    * is silent row loss: pre-filter `col.isNull` yourself if those rows
+    * must be kept or counted.
     */
   def rebalanceSample(df: DataFrame, domainCol: String, keyCol: String,
                       perDomainTarget: Long): DataFrame = {
     require(perDomainTarget >= 0, s"target must be >= 0, got $perDomainTarget")
+    requireCleanInput(df, domainCol, keyCol, "rebalanceSample")
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n"))
     val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
@@ -106,6 +130,7 @@ object Curation {
                            totalTarget: Long, alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(totalTarget >= 0, s"target must be >= 0, got $totalTarget")
+    requireCleanInput(df, domainCol, keyCol, "temperatureRebalance")
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))

@@ -367,6 +367,16 @@ object Ops {
                      numBits: Long = 8388608L): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    // XxHash64 hashes by physical width (int: 4 bytes, long: 8), so an
+    // int-vs-long key pair would bloom-hash differently and silently
+    // DROP matching fact rows — false negatives, wrong results, no
+    // error. Spark's own InjectRuntimeFilter requires equal types for
+    // exactly this reason; enforce the same precondition here.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloomPreFilter keys must have identical types (XxHash64 is " +
+        s"width-sensitive): $factKey is $ft, $dimKey is $dt — cast one side first")
     val bloomAgg = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         new XxHash64(Seq(expression(col(dimKey)))),

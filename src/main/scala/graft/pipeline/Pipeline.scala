@@ -3,6 +3,7 @@ package graft.pipeline
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** dbitool-compatible pipeline specs, compiled to DataFrame plans.
   *
@@ -993,16 +994,25 @@ object Pipeline {
         val q = m.raw.substring(qIdx + ":query=".length)
         val clean = parseWord(m.raw.take(qIdx)) // in/out/views, sans query text
         val df = ctx.readStream(clean, RowType)
-        df.createOrReplaceTempView("__in")
+        // Views live in an ISOLATED child session (own temp-view
+        // catalog, shared SparkContext + cache): registering __in or a
+        // stream name can't clobber a user's same-named view on the
+        // shared session, and nothing leaks after the pipeline — two
+        // pipelines on one session compose safely.
+        val sqlSession = ctx.spark.newSession()
+        graft.functions.GraftExtensions.register(sqlSession)
+        ColumnBridge.rebind(sqlSession, df).createOrReplaceTempView("__in")
         clean.args.get("views").foreach(_.split(",").filter(_.nonEmpty).foreach { vn =>
           val (vdf, vt) = ctx.streams.getOrElse(vn,
             throw new BuildError(s"sql: unknown stream '$vn'"))
           if (vt != RowType)
             throw new BuildError(s"sql: '$vn' is not a row stream")
           ctx.readers(vn) += 1
-          vdf.createOrReplaceTempView(vn)
+          ColumnBridge.rebind(sqlSession, vdf).createOrReplaceTempView(vn)
         })
-        ctx.writeStream(clean, ctx.spark.sql(q), RowType)
+        // Rebind the result BACK to the pipeline session so downstream
+        // modules keep operating on ctx.spark.
+        ctx.writeStream(clean, ColumnBridge.rebind(ctx.spark, sqlSession.sql(q)), RowType)
       }),
 
     Registered("chunk", RowType, RowType,

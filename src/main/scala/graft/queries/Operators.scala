@@ -164,9 +164,13 @@ object Operators {
     // (order-independent adds), the driver collects ~80 KB regardless
     // of corpus size, and probes ride a broadcast. As with q34, raw
     // estimates are sketch-internal, so the oracle-checked output is
-    // the exact top-10 plus a boolean asserting the CMS guarantee
-    // (exact <= estimate <= exact + ceil(eps*N)); the fixed seed makes
-    // the boolean deterministic and OpsSpec asserts the bound too.
+    // the exact top-10 plus a boolean asserting the CMS guarantee.
+    // The 1-sided eps*N overcount bound only holds at confidence 0.99
+    // PER QUERY, so the oracle gate uses 2x the bound: deterministic
+    // for the fixed seed 42 AND robust to testdata regeneration or
+    // tokenizer changes flipping one low-probability miss (ADVICE r5).
+    // OpsSpec asserts the tight 1x bound numerically on the current
+    // corpus, so real precision regressions still surface.
     "q82_cms_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val toks = t(s, dir, "documents")
@@ -179,7 +183,7 @@ object Operators {
         .readFrom(new java.io.ByteArrayInputStream(skBytes))
       val bc = s.sparkContext.broadcast(sk)
       val est = udf((t: String) => bc.value.estimateCount(t))
-      val bound = math.ceil(total * 0.001).toLong
+      val bound = 2L * math.ceil(total * 0.001).toLong
       val top = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"tok".asc).limit(10)
       top.withColumn("rk", row_number().over(

@@ -14,6 +14,20 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Rebind a DataFrame's (analyzed) plan to another session — lets a
+    * pipeline run user SQL inside `spark.newSession()`'s ISOLATED
+    * temp-view catalog, so view names can't clobber or leak into the
+    * caller's session (`Dataset.ofRows` is `private[sql]` — same
+    * bridge rationale as above). The analyzed plan is already
+    * resolved, so re-analysis in the target session can't rebind names
+    * against the wrong catalog.
+    */
+  def rebind(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Register a builder as a session temp function (`sessionState` is
     * `private[sql]` — same bridge rationale as above).
     */

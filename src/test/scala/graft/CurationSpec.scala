@@ -52,6 +52,31 @@ class CurationSpec extends AnyFunSuite {
     assert(all.count() == 400L)
   }
 
+  test("rebalance operators reject reserved __n/__w/__z column collisions") {
+    // a pre-existing __n would make the internal count-join ambiguous —
+    // refuse up front rather than resolve wrongly deep in the plan
+    val df = Seq((1L, "a", 9L)).toDF("id", "dom", "__n")
+    val e = intercept[IllegalArgumentException] {
+      Curation.rebalanceSample(df, "dom", "id", 10L)
+    }
+    assert(e.getMessage.contains("__n"))
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.temperatureRebalance(
+        Seq((1L, "a", 1.0)).toDF("id", "dom", "__z"), "dom", "id", 10L, 0.5)
+    }
+    assert(e2.getMessage.contains("__z"))
+  }
+
+  test("rebalance NULL semantics: null domain/key rows are excluded, not errors") {
+    // documented contract (Curation scaladoc): un-attributable rows
+    // fall out of the sample silently — pin it so it can't drift
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("a")))
+      .toDF("id", "dom")
+    val out = Curation.rebalanceSample(df, "dom", "id", 100L).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("boilerplateShare marks duplicated docs as boilerplate, unique docs clean") {
     val dup = "one two three four five six seven eight nine ten"
     val df = Seq((1L, dup), (2L, dup),

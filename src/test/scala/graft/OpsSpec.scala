@@ -224,6 +224,17 @@ class OpsSpec extends AnyFunSuite {
     assert(reduced < fact.count() / 2, s"bloom removed too little: $reduced")
   }
 
+  test("bloomPreFilter rejects mismatched key types (XxHash64 width trap)") {
+    // int-vs-long keys hash differently (4 vs 8 bytes) → bloom false
+    // negatives → silently dropped matches. The API must refuse.
+    val fact = Seq((1, "a")).toDF("k", "v") // k: int
+    val dim = Seq((1L, "d")).toDF("k", "v") // k: long
+    val e = intercept[IllegalArgumentException] {
+      Ops.bloomPreFilter(fact, "k", dim, "k")
+    }
+    assert(e.getMessage.contains("identical types"))
+  }
+
   test("count-min sketch never undercounts; heavy hitters within eps*N") {
     // numeric companion to q82's oracle boolean (same eps/seed)
     val toks = Tables(spark, TestSpark.sf, "documents")

@@ -299,6 +299,33 @@ class PipelineSpec extends AnyFunSuite {
       "sql:in=f2", "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
+  test("sql module view names neither clobber nor leak on the shared session") {
+    // ADVICE r5: views run in an isolated child session — a user's own
+    // temp view named __in (or a stream name) must survive the
+    // pipeline, and the pipeline's views must not remain afterwards.
+    val d = tmp("sqliso")
+    writeCsv(s"$d/fact.csv", "k,v", "a,1", "b,2")
+    import spark.implicits._
+    Seq(("mine", 42)).toDF("tag", "n").createOrReplaceTempView("__in")
+    Seq(("user", 7)).toDF("tag", "n").createOrReplaceTempView("dimv")
+    try {
+      Pipeline.run(spark, Seq(
+        s"fileread:in=$d/fact.csv", "csvread:infer=1:out=fact",
+        s"fileread:in=$d/fact.csv", "csvread:infer=1:out=dimv",
+        "sql:in=fact:views=dimv:out=agg:query=SELECT sum(__in.v) AS sv FROM __in " +
+          "JOIN dimv ON __in.k = dimv.k GROUP BY __in.k",
+        "csvwrite:in=agg", s"filewrite:out=$d/out.csv"))
+      // pipeline used ITS streams (fact/dimv csv), not the user views
+      assert(readOut(s"$d/out.csv").sorted == Seq("1", "2", "sv"))
+      // and the user's same-named views are untouched
+      assert(spark.table("__in").collect().head.getString(0) == "mine")
+      assert(spark.table("dimv").collect().head.getString(0) == "user")
+    } finally {
+      spark.catalog.dropTempView("__in")
+      spark.catalog.dropTempView("dimv")
+    }
+  }
+
   test("chunk module windows documents; alpha mixsample shares a total budget") {
     val d = tmp("chunk")
     writeCsv(s"$d/in.csv", "id,body",
