@@ -166,6 +166,19 @@ object Pipeline {
 
   // ----- module implementations -----------------------------------------
 
+  /** Drain a raw stream to a line printer via toLocalIterator: one
+    * partition resident in driver memory at a time, so a huge stream
+    * piped to stdout/stderr can't OOM the driver the way a collect()
+    * would (VERDICT r5 #7). Semantics unchanged — partition order is
+    * the same order collect() returns.
+    */
+  private def streamToPrint(df: DataFrame, out: String => Unit): Long = {
+    val it = df.toLocalIterator()
+    var n = 0L
+    while (it.hasNext) { out(it.next().getString(0)); n += 1L }
+    n
+  }
+
   private def rawDf(spark: SparkSession, path: String): DataFrame =
     graft.sources.Sources.text(spark, path)
 
@@ -224,20 +237,12 @@ object Pipeline {
 
     Registered("stdout", RawType, NoneType, "in=STREAM", (ctx, m) => {
       val df = ctx.readStream(m, RawType)
-      ctx.addSink(m.raw, () => {
-        val rows = df.collect()
-        rows.foreach(r => println(r.getString(0)))
-        rows.length.toLong
-      })
+      ctx.addSink(m.raw, () => streamToPrint(df, println))
     }),
 
     Registered("stderr", RawType, NoneType, "in=STREAM", (ctx, m) => {
       val df = ctx.readStream(m, RawType)
-      ctx.addSink(m.raw, () => {
-        val rows = df.collect()
-        rows.foreach(r => System.err.println(r.getString(0)))
-        rows.length.toLong
-      })
+      ctx.addSink(m.raw, () => streamToPrint(df, System.err.println(_: String)))
     }),
 
     Registered("csvread", RawType, RowType,
@@ -331,9 +336,20 @@ object Pipeline {
     Registered("jsonwrite", RowType, RawType, "in=STREAM:out=STREAM", (ctx, m) => {
       val df = ctx.readStream(m, RowType)
       import ctx.spark.implicits._
-      // Single-document accumulation (reference dbitool.pl:2307-2311).
-      val arr = df.toJSON.collect().mkString("[", ",", "]")
-      ctx.writeStream(m, Seq(arr).toDF("col1"), RawType)
+      // Single-document accumulation (reference dbitool.pl:2307-2311):
+      // the output IS one string, so driver memory ~doc size is
+      // inherent — but stream the rows in (one partition resident at a
+      // time) instead of collect(), so the peak is the document alone,
+      // not rows + document (VERDICT r5 #7).
+      val sb = new java.lang.StringBuilder("[")
+      val it = df.toJSON.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) sb.append(',')
+        sb.append(it.next()); first = false
+      }
+      sb.append(']')
+      ctx.writeStream(m, Seq(sb.toString).toDF("col1"), RawType)
     }),
 
     Registered("fixedwidthread", RawType, RowType,
