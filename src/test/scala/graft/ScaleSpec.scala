@@ -143,6 +143,18 @@ class ScaleSpec extends AnyFunSuite {
       s"portable kernel fell out of codegen:\n$finalPlan")
   }
 
+  test("Q21-shape decorrelates to semi+anti equi-joins, never nested loops") {
+    // Catalyst must rewrite the correlated EXISTS into a left-semi and
+    // the NOT EXISTS into a left-anti hash join on l_orderkey; a
+    // decorrelation regression would surface as a nested-loop or
+    // cartesian over lineitem — the 100 TB killer.
+    val plan = executed(SparkEntry.queries("q89_tpch_q21_shape")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), s"EXISTS did not decorrelate:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not decorrelate:\n$plan")
+  }
+
   test("hot kernels sit inside WholeStageCodegen spans in the AQE final plan") {
     // VERDICT r5 #3: gate the kernels on the REAL final plan (walking
     // WholeStageCodegenExec subtrees, stopping at InputAdapter), not on
