@@ -1031,6 +1031,95 @@ object Pipeline {
         ctx.writeStream(clean, ColumnBridge.rebind(ctx.spark, sqlSession.sql(q)), RowType)
       }),
 
+    // ----- Structured Streaming surface (north-star; the reference has
+    // no streaming — SURVEY §2.5). A streaming DataFrame rides the same
+    // named-stream registry: sources mark streams unbounded
+    // (df.isStreaming), transforms stay lazy, and the streamwrite sink
+    // runs the query. Batch row streams flow through the same modules
+    // (batch twin), so a chain is oracle-checkable offline and
+    // unbounded online.
+
+    Registered("eventread", NoneType, RowType,
+      "dir=SFDIR|rate=N:out=STREAM", (ctx, m) => {
+        // dir= file-streams the events table (new files appear → new
+        // micro-batches); rate= is the built-in rate source mapped to
+        // the events schema for self-contained demos/tests.
+        val df = (m.args.get("dir"), m.args.get("rate")) match {
+          case (Some(dir), None) =>
+            graft.streaming.EventStreams.readEventStream(ctx.spark, dir)
+          case (None, Some(n)) =>
+            ctx.spark.readStream.format("rate")
+              .option("rowsPerSecond", n.toInt).load()
+              .select(col("value").as("event_id"),
+                col("timestamp").as("ts"),
+                (col("value") % 100).as("user_id"),
+                expr("CASE CAST(value % 4 AS INT) WHEN 0 THEN 'view' WHEN 1 THEN 'click' " +
+                  "WHEN 2 THEN 'purchase' ELSE 'refund' END").as("event_type"),
+                (col("value") % 10).cast("double").as("value"),
+                to_json(struct((col("value") % 5).cast("int").as("k"))).as("props"))
+          case _ => throw new BuildError("eventread: exactly one of dir= or rate= required")
+        }
+        ctx.writeStream(m, df, RowType)
+      }),
+
+    Registered("eventwindow", RowType, RowType,
+      "in=STREAM:watermark=2 hours:width=1 hour:out=STREAM", (ctx, m) => {
+        // Watermarked tumbling event-time aggregate; on a bounded row
+        // stream it is the exact batch twin (q61's oracle-checked
+        // shape), so the same chain verifies offline.
+        val df = ctx.readStream(m, RowType)
+        val width = m.args.getOrElse("width", "1 hour")
+        val out =
+          if (df.isStreaming)
+            graft.streaming.EventStreams.streamingTumbling(df,
+              m.args.getOrElse("watermark", "2 hours"), width)
+          else graft.streaming.EventStreams.tumblingCounts(df, width)
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("streamdedup", RowType, RowType,
+      "in=STREAM:key=event_id:ts=ts:watermark=2 hours:out=STREAM", (ctx, m) => {
+        // Exact keyed dedup with watermark-evicted state (unbounded
+        // twin of dedup exact); batch input takes the plain distinct.
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key", "event_id")
+        val out =
+          if (df.isStreaming)
+            df.withWatermark(m.args.getOrElse("ts", "ts"),
+                m.args.getOrElse("watermark", "2 hours"))
+              .dropDuplicatesWithinWatermark(key)
+          else df.dropDuplicates(key)
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("streamwrite", RowType, NoneType,
+      "in=STREAM:path=DIR:checkpoint=DIR", (ctx, m) => {
+        // Terminal sink: for unbounded input, start the query on the
+        // idempotent per-batch parquet sink (exactly-once landing dirs,
+        // batch_<id>/_SUCCESS markers), drain everything available,
+        // stop, and report rows landed. Bounded input writes one
+        // batch_0 dir with the same layout. Spark triggers no-data
+        // micro-batches as the watermark advances, so windows closed by
+        // the final wave emit before stop().
+        val df = ctx.readStream(m, RowType)
+        val path = m.args.getOrElse("path",
+          throw new BuildError("streamwrite: path= required"))
+        val ckpt = m.args.getOrElse("checkpoint", s"$path/_checkpoint")
+        ctx.addSink(m.raw, () => {
+          if (df.isStreaming) {
+            val q = graft.streaming.EventStreams.idempotentParquetSink(df, path, ckpt)
+            try q.processAllAvailable() finally q.stop()
+          } else
+            graft.streaming.EventStreams.writeBatchIdempotent(df, 0L, path)
+          val batchDirs = Option(new java.io.File(path).listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+            .map(_.getAbsolutePath)
+          if (batchDirs.isEmpty) 0L
+          else ctx.spark.read.parquet(batchDirs.toIndexedSeq: _*).count()
+        })
+      }),
+
     Registered("chunk", RowType, RowType,
       "in=STREAM:key=COL:text=COL:size=32:stride=24:keeptext:out=STREAM", (ctx, m) => {
         // Context-window chunking (Curation.chunkDocs): overlapping
@@ -1441,8 +1530,9 @@ object Pipeline {
         sample.take(3).mkString(" | "))
 
   def run(spark: SparkSession, words: Seq[String],
-          stats: Boolean = false, errorSize: Int = 3): RunResult = {
-    val ctx = build(spark, words)
+          stats: Boolean = false, errorSize: Int = 3,
+          inputs: Map[String, DataFrame] = Map.empty): RunResult = {
+    val ctx = build(spark, words, inputs)
     val written = ctx.sinks.map { case (name, action) => name -> action() }.toMap
 
     // Error budget (reference default 3, dbitool.pl:39). Errors also
@@ -1474,7 +1564,10 @@ object Pipeline {
       }
 
     val stat =
-      if (stats) ctx.streams.map { case (n, (df, _)) => n -> df.count() }.toMap
+      if (stats) ctx.streams.collect {
+        // unbounded streams have no count(); stats covers bounded only
+        case (n, (df, _)) if !df.isStreaming => n -> df.count()
+      }.toMap
       else Map.empty[String, Long]
     RunResult(written ++ logWritten, logDf, stat)
   }
@@ -1486,8 +1579,16 @@ object Pipeline {
     * marking, dbitool.pl:187-196) — they are built in `run` after the
     * data sinks finish.
     */
-  def build(spark: SparkSession, words0: Seq[String]): Context = {
+  def build(spark: SparkSession, words0: Seq[String],
+            inputs: Map[String, DataFrame] = Map.empty): Context = {
     val ctx = new Context(spark)
+    // Externally-provided row streams (a MemoryStream in tests, any
+    // DataFrame from library code): seeded with a writer so a module
+    // can't shadow them, and subject to the same no-reader validation.
+    inputs.foreach { case (n, df) =>
+      ctx.streams(n) = (df, RowType)
+      ctx.writers(n) += 1
+    }
     val words = expandAtFiles(words0)
     ctx.log("dbitool", s"pipeline: ${words.mkString(" ")}")
     val logOuts = mutable.Set("log")

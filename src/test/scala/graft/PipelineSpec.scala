@@ -230,7 +230,8 @@ class PipelineSpec extends AnyFunSuite {
       "bsonread", "bsonwrite", "spreadsheetread", "spreadsheetwrite",
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
-      "chunk", "avroread", "avrowrite", "sql", "zorderwrite")
+      "chunk", "avroread", "avrowrite", "sql", "zorderwrite",
+      "eventread", "eventwindow", "streamdedup", "streamwrite")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -324,6 +325,82 @@ class PipelineSpec extends AnyFunSuite {
       spark.catalog.dropTempView("__in")
       spark.catalog.dropTempView("dimv")
     }
+  }
+
+  test("streaming DSL: watermarked windowed aggregate end-to-end over a MemoryStream") {
+    // VERDICT r5 #4: a DSL chain (eventwindow → streamwrite) running a
+    // REAL unbounded query. The MemoryStream enters as an external
+    // input stream; the sentinel event pushes the watermark past the
+    // data windows so append mode emits them (Spark's no-data batch),
+    // and the idempotent sink lands them as batch_<id>/ parquet.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.Ev
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = tmp("sdsl")
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1L, ts(0, 5), 10L, "view", 1.0),
+      Ev(2L, ts(0, 25), 11L, "view", 2.0),
+      Ev(3L, ts(0, 45), 12L, "view", 3.0),
+      Ev(4L, ts(1, 10), 10L, "click", 5.0),
+      Ev(5L, ts(1, 50), 13L, "click", 5.0),
+      Ev(99L, ts(10), 9L, "view", 0.0)) // sentinel: watermark → 08:00
+    val r = Pipeline.run(spark, Seq(
+      "eventwindow:in=ev:watermark=2 hours:width=1 hour:out=agg",
+      s"streamwrite:in=agg:path=$d/out:checkpoint=$d/ckpt"),
+      inputs = Map("ev" -> mem.toDF()))
+    assert(r.rowsWritten.values.sum == 2L) // the two closed windows
+    val got = spark.read.parquet(
+      new java.io.File(s"$d/out").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+        .map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("ws", "event_type", "n", "total")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (ts(0), "view", 3L, 6.0),
+      (ts(1), "click", 2L, 10.0)))
+  }
+
+  test("streaming DSL batch twins: same chain verifies on bounded input") {
+    // The exact words that ran unbounded above run bounded here —
+    // eventwindow takes the tumblingCounts twin, streamdedup the plain
+    // distinct, streamwrite a batch_0 landing dir.
+    import graft.streaming.EventStreams.Ev
+    import spark.implicits._
+    val d = tmp("sdslb")
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val batch = Seq(
+      Ev(1L, ts(0, 5), 10L, "view", 1.0),
+      Ev(1L, ts(0, 5), 10L, "view", 1.0), // dup to drop
+      Ev(2L, ts(1, 10), 11L, "click", 4.0)).toDF()
+    val r = Pipeline.run(spark, Seq(
+      "streamdedup:in=ev:key=event_id:out=ded",
+      "eventwindow:in=ded:width=1 hour:out=agg",
+      s"streamwrite:in=agg:path=$d/out"),
+      inputs = Map("ev" -> batch))
+    assert(r.rowsWritten.values.sum == 2L)
+    val got = spark.read.parquet(s"$d/out/batch_0")
+      .select("ws", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((ts(0), "view", 1L), (ts(1), "click", 1L)))
+  }
+
+  test("eventread builds an unbounded stream; exactly one of dir=/rate= enforced") {
+    val ctx = Pipeline.build(spark, Seq(
+      "eventread:rate=1:out=ev",
+      "streamdedup:in=ev:out=ded",
+      s"streamwrite:in=ded:path=${tmp("sdslr")}/out"))
+    assert(ctx.streams("ev")._1.isStreaming)
+    assert(ctx.streams("ded")._1.isStreaming)
+    intercept[BuildError](Pipeline.build(spark,
+      Seq("eventread:out=x", "streamwrite:in=x:path=/tmp/nope")))
+    intercept[BuildError](Pipeline.build(spark,
+      Seq("eventread:rate=1:dir=/tmp:out=x", "streamwrite:in=x:path=/tmp/nope")))
   }
 
   test("chunk module windows documents; alpha mixsample shares a total budget") {
