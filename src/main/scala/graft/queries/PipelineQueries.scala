@@ -70,6 +70,25 @@ object PipelineQueries {
         StructField("toks", LongType)))
       graft.sources.Sources.csv(s, s"$work/out", schema = Some(schema))
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming-DSL batch twins under the oracle (r6): the exact words
+    // that run unbounded (streamdedup → eventwindow → streamwrite) run
+    // here on bounded input. The input is unioned with itself so the
+    // dedup leg is LOAD-BEARING — drop it and every count doubles; the
+    // idempotent sink's batch_0 landing dir is read back as the result.
+    "q92_pipeline_stream_twin" -> ((s, dir) => {
+      val work = tmpDir("streamtwin")
+      Tables(s, dir, "events").write.mode("overwrite").parquet(s"$work/in")
+      Pipeline.run(s, Seq(
+        s"parquetread:in=$work/in:out=a",
+        s"parquetread:in=$work/in:out=b",
+        "union:in=a:with=b:out=u",
+        "streamdedup:in=u:key=event_id:out=d",
+        "eventwindow:in=d:width=1 hour:out=w",
+        s"streamwrite:in=w:path=$work/out"))
+      s.read.parquet(s"$work/out/batch_0")
+        .orderBy(col("ws"), col("event_type"))
     })
   )
 
@@ -89,6 +108,13 @@ object PipelineQueries {
         |FROM orders
         |WHERE o_totalprice >= 150000.0
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // q92: the self-union dedups back to the plain events table, so the
+    // oracle is q61's tumbling-window aggregate over events directly.
+    "q92_pipeline_stream_twin" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
   )
 }
