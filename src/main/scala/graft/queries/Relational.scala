@@ -338,6 +338,114 @@ object Relational {
       s.sql(Q22ShapeText)
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join with a predicate on the RIGHT side riding the join condition
+    // (not a WHERE — that would turn the outer join inner), then two
+    // stacked aggregations. Zero-order customers survive as c_count=0,
+    // the shape's whole point. Both group-bys are partial-agg friendly;
+    // the second one runs on ≤ |distinct counts| rows.
+    "q93_tpch_q13_shape" -> ((s, dir) => {
+      import s.implicits._
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter($"o_orderpriority" =!= "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+      perCust.groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // TPC-H Q15 shape (top supplier by windowed revenue): a CTE
+    // aggregate consumed TWICE — once joined to supplier, once reduced
+    // to its max inside a scalar subquery — with equality against that
+    // max. Exact decimals make the equality portable; Spark plans the
+    // subquery as a one-row ScalarSubquery over a reused aggregate.
+    "q94_tpch_q15_shape" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(Q15ShapeText)
+    }),
+
+    // TPC-H Q20 shape (nested semi-join chain): IN (… GROUP BY …
+    // HAVING …) whose inner query itself has an IN against part — two
+    // decorrelation levels with an aggregate in the middle. Catalyst
+    // rewrites both INs to left-semi equi-joins; the part filter
+    // pushes into the innermost scan.
+    "q95_tpch_q20_shape" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "part", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q20ShapeText)
+    }),
+
+    // TPC-H Q19 shape (disjunctive OR-of-ANDs join residual): one
+    // equi-key (partkey) carries the join; the three brand/size/qty
+    // conjunct groups ride as a residual predicate. The planner must
+    // still extract the equi-key from under the OR — no cartesian —
+    // and push the infer-able p_size/l_quantity bounds to the scans.
+    "q96_tpch_q19_shape" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val pt = t(s, dir, "part")
+      li.join(broadcast(pt), $"l_partkey" === $"p_partkey" && (
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(1, 20)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+            $"l_quantity".between(10, 30)) ||
+          ($"p_brand" === "Brand#34" && $"p_size".between(1, 35) &&
+            $"l_quantity".between(20, 40))))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q9 shape (profit by nation and order year): 5-table star
+    // with an expression aggregate and a date-part group key. part is
+    // LIKE-filtered and broadcast with supplier+nation; lineitem
+    // shuffles once on l_orderkey for the orders join, then aggregates
+    // on (nation, year) — the year() lands in the scan-side projection.
+    "q97_tpch_q9_shape" -> ((s, dir) => {
+      import s.implicits._
+      val greenParts = t(s, dir, "part")
+        .filter($"p_name".like("% gear")).select($"p_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(greenParts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("sum_profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    // TPC-H Q7 shape (volume shipping between nation pairs): the SAME
+    // dimension joined twice under different aliases (supplier's nation
+    // vs customer's nation) with a disjunctive pair predicate, grouped
+    // by both names + ship year. Both nation copies broadcast; the
+    // pair disjunction is a residual on the broadcast joins, so the
+    // fact still flows through equi-joins only.
+    "q98_tpch_q7_shape" -> ((s, dir) => {
+      import s.implicits._
+      val n1 = t(s, dir, "nation")
+        .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+        .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").as("l_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
     // SQL entry point (SURVEY §3.2): temp views + spark.sql — the same
     // ANSI text runs on our engine and the oracle verbatim.
     "q15_sql_entry" -> ((s, dir) => {
@@ -525,12 +633,102 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY segment""".stripMargin
 
+  /** TPC-H Q15 shape: the revenue CTE feeds both the supplier join and
+    * the max() scalar subquery; exact decimal revenue makes the
+    * equality-with-max test engine-portable (double revenue would make
+    * "= max" an ulp lottery).
+    */
+  val Q15ShapeText: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q20 shape: no partsupp table, so "available quantity"
+    * becomes shipped quantity per supplier over the name-matched parts
+    * — the nesting (IN over an aggregated IN) is the same.
+    */
+  val Q20ShapeText: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'red %')
+      |    GROUP BY l_suppkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(30,4))) > 400)
+      |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_name LIKE 'NATION_1%')
+      |ORDER BY s_suppkey""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q15_sql_entry" -> SqlEntryText,
     "q86_above_brand_avg" -> AboveBrandAvgText,
     "q89_tpch_q21_shape" -> Q21ShapeText,
     "q90_tpch_q11_shape" -> PartValueHavingText,
     "q91_tpch_q22_shape" -> Q22ShapeText,
+    "q94_tpch_q15_shape" -> Q15ShapeText,
+    "q95_tpch_q20_shape" -> Q20ShapeText,
+
+    "q93_tpch_q13_shape" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q96_tpch_q19_shape" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+
+    "q97_tpch_q9_shape" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '% gear'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q98_tpch_q7_shape" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(round(sum(CAST(volume AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q85_tpch_q18_shape" ->
       """SELECT o_orderkey, o_orderdate, c_custkey,
