@@ -358,4 +358,69 @@ object Similarity {
     Ops.topKPerGroup(scored, Seq("query_id"),
       Seq(col("sim").desc, col(idCol).asc), k)
   }
+
+  /** SemDeDup-style semantic dedup (the cluster-then-prune pattern of
+    * Abbas et al., "SemDeDup", arXiv:2303.09540): assign every vector
+    * to its nearest anchor, then drop near-duplicates WITHIN each
+    * cluster only — O(N·k) assignment + Σ|cluster|² local compares
+    * instead of an O(N²) corpus self-join.
+    *
+    * Anchors are a deterministic corpus sample (k lowest portable
+    * md5-of-id, the q56 convention) so the DuckDB oracle replays the
+    * whole pipeline; at scale swap in [[kmeansCentroids]] — the plan
+    * shape is identical. Assignment is one scan against broadcast
+    * anchor literals (the [[ivfTopK]] argmax kernel); the only corpus
+    * shuffle is the intra-cluster equi-join on cluster id.
+    *
+    * Survivor rule, per the paper: within a duplicate pair the row
+    * FARTHEST from its anchor is kept (keeps the diverse example).
+    * "Dropped" is dominance-based and parallel-deterministic: a row
+    * goes when ANY rank-better row (lower anchor_sim, ties by id) sits
+    * within `tau` cosine — no sequential greedy chain, so the result
+    * is order-independent and exactly replayable in SQL.
+    *
+    * Returns the kept rows: (id, cluster, anchor_sim). Cluster sizes
+    * concentrate around N/k; for adversarial skew put a deterministic
+    * thinning on the pair side like the LSH hub-bucket cut
+    * (Dedup.scala) — not wired here because anchors are data-derived
+    * and clusters stay near-uniform on real embedding corpora.
+    */
+  def semDedup(emb: DataFrame, idCol: String, embCol: String,
+               k: Int, tau: Double): DataFrame = {
+    val anchors: Array[(Int, Seq[Float])] = emb
+      .select(col(idCol), col(embCol))
+      .withColumn("__h", substring(md5(col(idCol).cast("string")), 1, 16))
+      .orderBy(col("__h"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1))
+      .zipWithIndex.map { case (c, i) => (i, c) }
+
+    // One scored array per row; array_max picks (best sim, then highest
+    // anchor index) — the oracle mirrors the index tie-break.
+    val scored = array(anchors.map { case (i, c) =>
+      struct(cosine(col(embCol), array(c.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }: _*)
+    val assigned = emb
+      .select(col(idCol), col(embCol), array_max(scored).as("__best"))
+      .select(col(idCol), col(embCol),
+        col("__best").getField("i").as("cluster"),
+        col("__best").getField("s").as("anchor_sim"))
+      .persist() // both sides of the pair join read it; score k cosines once
+
+    val challengers = assigned.select(
+      col("cluster").as("__cb"), col(idCol).as("__idB"),
+      col(embCol).as("__eb"), col("anchor_sim").as("__sb"))
+    val dropped = assigned
+      .join(challengers, col("cluster") === col("__cb") &&
+        (col("__sb") < col("anchor_sim") ||
+          (col("__sb") === col("anchor_sim") && col("__idB") < col(idCol))))
+      .filter(cosine(col(embCol), col("__eb")) >= tau)
+      .select(col(idCol)).distinct()
+
+    assigned
+      .join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"), col("anchor_sim"))
+  }
 }

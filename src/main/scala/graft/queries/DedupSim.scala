@@ -234,6 +234,20 @@ object DedupSim {
           "vec_id", "embedding", k = 5)
         .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // SemDeDup-style semantic dedup (cluster-then-prune, Similarity
+    // .semDedup): 16 md5-anchored clusters, intra-cluster dominance
+    // drop at cosine 0.3. Oracle-checked END-TO-END — anchor choice,
+    // argmax assignment, the pair dominance test and the anti join all
+    // replay exactly in DuckDB.
+    "q99_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.semDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 16, tau = 0.3)
+        .select($"vec_id", $"cluster",
+          round($"anchor_sim", 4).as("anchor_sim"))
+        .orderBy($"vec_id")
     })
   )
 
@@ -465,6 +479,41 @@ object DedupSim {
          |      ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM sims) WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin,
+
+    // SemDeDup replay: anchors/assignment share the q56 conventions
+    // (md5-ordered seeds, argmax tie-break toward the HIGHER anchor
+    // index — Spark's array_max over struct(s, i)); the dominance drop
+    // is a cluster-equi self-join with the rank test in the join
+    // predicate, the survivors an anti join.
+    "q99_semdedup" ->
+      s"""WITH anchors AS (
+         |  SELECT row_number() OVER (
+         |      ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16)) - 1 AS i,
+         |    embedding AS ce
+         |  FROM embeddings
+         |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) LIMIT 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, a.i,
+         |    ${cosOf("e.embedding", "a.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN anchors a),
+         |assigned AS (
+         |  SELECT vec_id, embedding, CAST(i AS INTEGER) AS cluster,
+         |    cs AS anchor_sim
+         |  FROM (
+         |    SELECT vec_id, embedding, i, cs,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cs DESC, i DESC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster
+         |    AND (b.anchor_sim < a.anchor_sim
+         |      OR (b.anchor_sim = a.anchor_sim AND b.vec_id < a.vec_id))
+         |  WHERE ${cosOf("a.embedding", "b.embedding")} >= 0.3)
+         |SELECT vec_id, cluster, round(anchor_sim, 4) AS anchor_sim
+         |FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
 
     // int8 quantization replay: same floor/multiply arithmetic, then
     // the q53 cosine/top-k shape over dequantized lists.

@@ -260,4 +260,34 @@ class DedupSimSpec extends AnyFunSuite {
     val overlap = (quant & exact).size.toDouble / exact.size
     assert(overlap >= 0.8, s"overlap=$overlap")
   }
+
+  test("semDedup: survivors pairwise below tau within cluster, dominance sound") {
+    val tau = 0.3
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding", k = 16, tau = tau)
+    val keptRows = kept.select($"vec_id", $"cluster").as[(Long, Int)].collect()
+    val n = emb.count()
+    assert(keptRows.nonEmpty && keptRows.length < n,
+      s"expected a strict subset, got ${keptRows.length}/$n")
+    // every input id appears exactly once in kept ∪ dropped
+    assert(keptRows.map(_._1).distinct.length == keptRows.length)
+
+    // The dominance rule's fixed point: two same-cluster survivors can
+    // never sit within tau of each other (the rank-better one would
+    // have dropped the other). Verify by exact pairwise check over the
+    // survivors joined back to their vectors.
+    val keptVec = kept.join(emb, "vec_id")
+      .select($"cluster", $"vec_id", $"embedding")
+    val a = keptVec.select($"cluster", $"vec_id".as("idA"), $"embedding".as("ea"))
+    val b = keptVec.select($"cluster".as("cB"), $"vec_id".as("idB"), $"embedding".as("eb"))
+    val offenders = a.join(b, $"cluster" === $"cB" && $"idA" < $"idB")
+      .withColumn("sim", Similarity.cosine($"ea", $"eb"))
+      .filter($"sim" >= tau)
+      .count()
+    assert(offenders == 0, s"$offenders same-cluster survivor pairs >= tau")
+
+    // deterministic: a second run returns the identical kept set
+    val again = Similarity.semDedup(emb, "vec_id", "embedding", k = 16, tau = tau)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect()
+    assert(again.sortBy(_._1).sameElements(keptRows.sortBy(_._1)))
+  }
 }
