@@ -444,4 +444,71 @@ object Ops {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Contiguous 0-based global row ids in the total order of
+    * `orderCols` — the distributed replacement for
+    * `row_number() OVER (ORDER BY …)`, whose empty partition clause
+    * funnels the ENTIRE dataset through one task (the single worst
+    * scale trap in SQL-style enumeration). Here: range-repartition on
+    * the order columns, sort within partitions, then
+    * `rdd.zipWithIndex` — Spark's own two-pass count-then-offset
+    * enumeration (one count job over bounded per-partition longs, one
+    * map job adding offsets). The RDD hop is deliberate: zipWithIndex
+    * pins counts and offsets to ONE materialized partitioning, whereas
+    * re-deriving offsets in a second DataFrame action could see a
+    * re-planned (AQE-coalesced) shuffle and mis-number rows.
+    *
+    * `orderCols` must be a total order (unique key) for the ids to be
+    * deterministic — same contract as the SQL form.
+    */
+  def assignIds(df: DataFrame, orderCols: Seq[Column],
+                idName: String = "row_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(withId,
+      sorted.schema.add(idName, LongType, nullable = false))
+  }
+
+  /** Deterministic train/validation/test split: the row's draw is the
+    * first 8 hex chars of md5(key ++ salt) read as a uniform in [0,1),
+    * assigned to the first split whose cumulative weight covers it.
+    * Same engine-portable convention as [[stratifiedSampleMd5]] — any
+    * engine reproduces the identical assignment, so splits are stable
+    * across reruns, cluster sizes, and engines (the property that
+    * keeps eval contamination out when pipelines are re-run months
+    * apart). Narrow projection: no shuffle, no sampling pass.
+    *
+    * `weights` must sum to 1 (±1e-9); the LAST split absorbs the
+    * rounding tail so every row lands somewhere. Salt rotates the
+    * assignment without touching the key column.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                weights: Seq[(String, Double)], salt: String = "",
+                splitName: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (k, w) =>
+      require(w >= 0.0 && w <= 1.0, s"weight for '$k' must be in [0,1], got $w")
+    }
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    // NB: functions.concat — Ops.concat is the DataFrame fan-in
+    val u = substring(md5(org.apache.spark.sql.functions
+      .concat(col(keyCol).cast("string"), lit(salt))), 1, 8)
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // thresholds as hex literals; the last bucket catches everything
+    val expr = weights.init.zip(cum.init).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), c), acc) =>
+      // c >= 1 must catch ALL rows ("zzzzzzzz" sorts above every hex u
+      // — the stratifiedSampleMd5 guard; a 9-char "100000000" would
+      // compare lexicographically and fail)
+      val hex = if (c >= 1.0) "zzzzzzzz" else f"${(c * 4294967296L).toLong}%08x"
+      when(u < lit(hex), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitName, expr)
+  }
 }

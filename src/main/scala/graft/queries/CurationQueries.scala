@@ -134,6 +134,36 @@ object CurationQueries {
           Window.orderBy($"rrf".desc, $"doc_id".asc)))
         .select($"doc_id", round($"rrf", 6).as("rrf"), $"rk")
         .orderBy($"rk")
+    }),
+
+    // Global row enumeration (Ops.assignIds): contiguous 0-based ids
+    // in doc_id order WITHOUT the single-task row_number() OVER
+    // (ORDER BY) trap — range partition + zipWithIndex. The oracle is
+    // the SQL form it replaces.
+    "q100_assign_ids" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Ops.assignIds(
+          t(s, dir, "documents").select($"doc_id", $"lang"),
+          Seq($"doc_id"))
+        .select($"row_id", $"doc_id", $"lang")
+        .orderBy($"row_id")
+    }),
+
+    // Deterministic train/val/test split (Ops.hashSplit, portable md5
+    // threshold convention): per-split counts + per-split lang spread
+    // prove assignment and stability; the split column itself is
+    // hash-exact against the DuckDB replay.
+    "q101_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Ops.hashSplit(
+          t(s, dir, "documents").select($"doc_id", $"lang"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "v1")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"lang").as("n_langs"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"split")
     })
   )
 
@@ -228,6 +258,30 @@ object CurationQueries {
          |  SELECT doc_id, rrf,
          |    row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rk
          |  FROM f)
-         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // assignIds oracle: the very SQL shape the operator replaces.
+    "q100_assign_ids" ->
+      """SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id,
+        |  doc_id, lang
+        |FROM documents
+        |ORDER BY row_id""".stripMargin,
+
+    // hashSplit oracle: cumulative md5-hex thresholds — cccccccc is
+    // floor(0.8 * 2^32) in hex, e6666666 is floor(0.9 * 2^32); the
+    // last split absorbs the tail (Ops.hashSplit convention).
+    "q101_hash_split" ->
+      """SELECT split, count(*) AS n, count(DISTINCT lang) AS n_langs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)
+        |           < 'cccccccc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)
+        |           < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split
+        |ORDER BY split""".stripMargin
   )
 }

@@ -257,4 +257,43 @@ class OpsSpec extends AnyFunSuite {
       assert(sk.estimateCount(t) - n <= bound, s"overcount for '$t'")
     }
   }
+
+  test("assignIds: contiguous 0-based ids matching the total order") {
+    val df = spark.range(0, 1000).select(
+      (col("id") * 7919 % 1000).as("k"), col("id").as("payload"))
+      .repartition(13) // scrambled input partitioning
+    val out = Ops.assignIds(df, Seq(col("k")))
+      .select("row_id", "k").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 1000L))
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq, "ids follow k order")
+    // deterministic across runs
+    val again = Ops.assignIds(df, Seq(col("k")))
+      .select("row_id", "k").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.sameElements(out))
+  }
+
+  test("hashSplit: total cover, no overlap, weights honored, salt rotates") {
+    val df = spark.range(0, 5000).toDF("id")
+    val split = Ops.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000, "every row lands in exactly one split")
+    assert(math.abs(counts("train") - 4000.0) < 200, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 500.0) < 120, s"val=${counts("val")}")
+    // stable: same salt → identical assignment; new salt → different
+    val a1 = split.filter($"split" === "val").select("id").as[Long].collect().toSet
+    val a2 = Ops.hashSplit(df, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+      .filter($"split" === "val").select("id").as[Long].collect().toSet
+    assert(a1 == a2)
+    val b = Ops.hashSplit(df, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s2")
+      .filter($"split" === "val").select("id").as[Long].collect().toSet
+    assert(a1 != b, "salt should rotate the assignment")
+    // degenerate weight-1 head split must catch everything
+    val all = Ops.hashSplit(df, "id", Seq("a" -> 1.0, "b" -> 0.0))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("a" -> 5000L))
+  }
 }
