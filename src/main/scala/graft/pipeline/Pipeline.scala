@@ -994,6 +994,42 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    Registered("hashsplit", RowType, RowType,
+      "in=STREAM:key=COL:weights=train=0.8,val=0.1,test=0.1[:salt=S][:col=split]:out=STREAM",
+      (ctx, m) => {
+        // Deterministic split assignment (Ops.hashSplit): adds a split
+        // column from portable md5 cumulative thresholds.
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("hashsplit: key= required"))
+        val weights = m.args.getOrElse("weights",
+            throw new BuildError("hashsplit: weights= required"))
+          .split(",").toSeq.map { kv =>
+            kv.split("=") match {
+              case Array(n, w) => n -> w.toDouble
+              case _ => throw new BuildError(
+                s"hashsplit: bad weights entry '$kv' (want name=frac)")
+            }
+          }
+        val out = graft.operators.Ops.hashSplit(df, key, weights,
+          salt = m.args.getOrElse("salt", ""),
+          splitName = m.args.getOrElse("col", "split"))
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("assignids", RowType, RowType,
+      "in=STREAM:order=COL[,COL...][:col=row_id]:out=STREAM", (ctx, m) => {
+        // Contiguous global ids in the given total order (Ops.assignIds
+        // — range partition + zipWithIndex, never a single-task window).
+        val df = ctx.readStream(m, RowType)
+        val order = m.args.getOrElse("order",
+            throw new BuildError("assignids: order= required"))
+          .split(",").toSeq.map(c => col(c.trim))
+        val out = graft.operators.Ops.assignIds(df, order,
+          idName = m.args.getOrElse("col", "row_id"))
+        ctx.writeStream(m, out, RowType)
+      }),
+
     Registered("sql", RowType, RowType,
       "in=STREAM:views=s1,s2:out=STREAM:query=SELECT ... FROM __in  (query= MUST be last)",
       (ctx, m) => {

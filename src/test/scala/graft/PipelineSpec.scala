@@ -63,6 +63,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(readOut(out) == Seq("b", "x", "y"))
   }
 
+  test("hashsplit + assignids curation modules") {
+    val d = tmp("splitids")
+    writeCsv(d + "/in.csv", "id,v" +: (1 to 50).map(i => f"$i%03d,x$i"): _*)
+    val out = d + "/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread",
+      "hashsplit:key=id:weights=train=0.6,val=0.2,test=0.2:salt=v1",
+      "assignids:order=id",
+      "csvwrite", s"filewrite:out=$out"))
+    val lines = readOut(out)
+    assert(lines.head == "id,v,split,row_id")
+    val rows = lines.tail.map(_.split(","))
+    assert(rows.length == 50)
+    // ids are contiguous 0..49 following the id order
+    assert(rows.sortBy(_(0)).map(_(3).toLong).toSeq == (0L until 50L))
+    // every row got a split; all three names can appear, none invalid
+    val splits = rows.map(_(2)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+  }
+
   test("filter/agg/sort extension modules") {
     val in = tmp("agg") + "/in.csv"
     writeCsv(in, "k,v", "a,1", "b,2", "a,3", "b,4", "a,5")

@@ -225,4 +225,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"RRF pools must be top-N bounded before the global window:\n$plan")
   }
+
+  test("Q19-shape keeps the equi-key under the disjunction: one broadcast hash join") {
+    // The OR-of-ANDs must NOT degrade to a cartesian/nested-loop: the
+    // planner extracts l_partkey = p_partkey as the join key and keeps
+    // the brand/size/qty disjunction as a residual filter.
+    val plan = executed(SparkEntry.queries("q96_tpch_q19_shape")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$plan")
+  }
+
+  test("Q15-shape scalar subquery: no nested loop, aggregate feeds both consumers") {
+    val plan = executed(SparkEntry.queries("q94_tpch_q15_shape")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Subquery") || plan.contains("ReusedExchange"), plan)
+  }
+
+  test("Q20-shape nested INs decorrelate to semi joins, never nested loops") {
+    val plan = executed(SparkEntry.queries("q95_tpch_q20_shape")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), s"IN chain did not decorrelate:\n$plan")
+  }
+
+  test("semDedup: cluster equi-join only — no all-pairs corpus compare") {
+    val kept = graft.operators.Similarity.semDedup(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding", k = 16, tau = 0.3)
+    val plan = executed(kept)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
