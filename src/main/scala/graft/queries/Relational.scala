@@ -446,6 +446,117 @@ object Relational {
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     }),
 
+    // TPC-H Q2 shape (min-cost supplier): correlated scalar MIN
+    // subquery whose correlation key is the OUTER join's part key.
+    // Catalyst decorrelates to a grouped min re-joined on the key;
+    // equality against the min is exact (same stored doubles).
+    "q102_tpch_q2_shape" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q2ShapeText)
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS whose inner
+    // predicate compares a lineitem column against the OUTER row's
+    // o_orderdate — a correlated inequality residual on the semi join.
+    "q103_tpch_q4_shape" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(Q4ShapeText)
+    }),
+
+    // TPC-H Q6 shape (forecasting revenue change): the pure scan-agg —
+    // every predicate MUST reach the parquet scan (ScaleSpec gates the
+    // PushedFilters), one partial-agg pass, no shuffle but the 1-row
+    // final.
+    "q104_tpch_q6_shape" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q8 shape (national market share): CASE-inside-aggregate
+    // ratio — one nation's share of region revenue per year. Exact
+    // decimal numerator/denominator, double division, round(6): the
+    // division is deterministic because both operands are exact.
+    "q105_tpch_q8_shape" -> ((s, dir) => {
+      import s.implicits._
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+              $"n_regionkey" === $"r_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey")
+      val suppNation = t(s, dir, "nation")
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+      val dec = (c: Column) => c.cast("decimal(30,4)")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+        .select(year($"o_orderdate").as("o_year"),
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"),
+          $"supp_nation")
+        .groupBy($"o_year")
+        .agg(round(
+          sum(dec(when($"supp_nation" === "NATION_3", $"volume")
+            .otherwise(lit(0.0)))).cast("double") /
+            sum(dec($"volume")).cast("double"), 6).as("mkt_share"))
+        .orderBy($"o_year")
+    }),
+
+    // TPC-H Q12 shape (shipping-mode priority counts): conditional
+    // counting via sum(CASE) pairs after a fact-fact join with a
+    // correlated date predicate riding the join output.
+    "q106_tpch_q12_shape" -> ((s, dir) => {
+      import s.implicits._
+      val high = Seq("1-URGENT", "2-HIGH")
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .filter($"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin(high: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!$"o_orderpriority".isin(high: _*), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): LIKE-free variant using
+    // the p_type='PROMO' class — 100 × conditional revenue / total
+    // revenue in a month window, part side broadcast.
+    "q107_tpch_q14_shape" -> ((s, dir) => {
+      import s.implicits._
+      val dec = (c: Column) => c.cast("decimal(30,4)")
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .select((($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev"),
+          $"p_type")
+        .agg(round(lit(100.0) *
+          sum(dec(when($"p_type" === "PROMO", $"rev").otherwise(lit(0.0))))
+            .cast("double") /
+          sum(dec($"rev")).cast("double"), 6).as("promo_revenue"))
+    }),
+
+    // TPC-H Q16 shape (supplier relationship counting): NOT IN against
+    // a filtered dim (null-aware anti join) + count(DISTINCT) per
+    // part-attribute group.
+    "q108_tpch_q16_shape" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q16ShapeText)
+    }),
+
     // SQL entry point (SURVEY §3.2): temp views + spark.sql — the same
     // ANSI text runs on our engine and the oracle verbatim.
     "q15_sql_entry" -> ((s, dir) => {
@@ -670,8 +781,111 @@ object Relational {
       |                      WHERE n_name LIKE 'NATION_1%')
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q2 shape: no partsupp, so supplier↔part linkage rides
+    * lineitem; the correlated MIN subquery structure is unchanged.
+    * DISTINCT collapses the multiple lineitems per (part, supplier).
+    */
+  val Q2ShapeText: String =
+    """SELECT DISTINCT p_partkey, s_suppkey, round(s_acctbal, 2) AS s_acctbal
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE p_size = 15
+      |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+      |                   FROM supplier s2 JOIN lineitem l2
+      |                     ON s2.s_suppkey = l2.l_suppkey
+      |                   WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  /** TPC-H Q4 shape: the commitdate-vs-receiptdate lateness test
+    * becomes shipped-after-order-date — same correlated-inequality
+    * EXISTS structure.
+    */
+  val Q4ShapeText: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q16 shape: suppliers with complaints become suppliers in
+    * deficit (s_acctbal < 0) — the NOT IN null-aware anti join and the
+    * per-attribute count(DISTINCT) structure are unchanged.
+    */
+  val Q16ShapeText: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_type <> 'SMALL'
+      |  AND p_size IN (1, 5, 10, 15, 20)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q15_sql_entry" -> SqlEntryText,
+    "q102_tpch_q2_shape" -> Q2ShapeText,
+    "q103_tpch_q4_shape" -> Q4ShapeText,
+    "q108_tpch_q16_shape" -> Q16ShapeText,
+
+    "q104_tpch_q6_shape" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q105_tpch_q8_shape" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(
+        |    CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(30,4))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,4))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+
+    "q106_tpch_q12_shape" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q107_tpch_q14_shape" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(30,4))) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(30,4))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
     "q86_above_brand_avg" -> AboveBrandAvgText,
     "q89_tpch_q21_shape" -> Q21ShapeText,
     "q90_tpch_q11_shape" -> PartValueHavingText,

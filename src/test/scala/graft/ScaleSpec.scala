@@ -250,6 +250,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"IN chain did not decorrelate:\n$plan")
   }
 
+  test("Q2/Q4/Q16 shapes: correlated subqueries decorrelate, no nested loops") {
+    val q2 = executed(SparkEntry.queries("q102_tpch_q2_shape")(spark, sf))
+    assert(!q2.contains("CartesianProduct") && !q2.contains("BroadcastNestedLoopJoin"), q2)
+    val q4 = executed(SparkEntry.queries("q103_tpch_q4_shape")(spark, sf))
+    assert(q4.contains("LeftSemi"), s"correlated EXISTS did not decorrelate:\n$q4")
+    val q16 = executed(SparkEntry.queries("q108_tpch_q16_shape")(spark, sf))
+    assert(q16.contains("LeftAnti"), s"NOT IN did not plan as anti join:\n$q16")
+  }
+
+  test("Q6 shape: every predicate reaches the parquet scan") {
+    // The one-line plan truncates long PushedFilters lists; formatted
+    // explain prints the scan detail in full.
+    val df = SparkEntry.queries("q104_tpch_q6_shape")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    // the discount/quantity range bounds must appear among pushed filters
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"), plan)
+    assert(plan.contains("LessThan(l_quantity,24.0)"), plan)
+  }
+
   test("semDedup: cluster equi-join only — no all-pairs corpus compare") {
     val kept = graft.operators.Similarity.semDedup(
       Tables(spark, sf, "embeddings"), "vec_id", "embedding", k = 16, tau = 0.3)
