@@ -251,4 +251,45 @@ object Curation {
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("rrf"))
   }
+
+  /** PII categories redacted by [[redactPii]], in application order.
+    * Patterns are deliberately restricted to the regex subset that
+    * Java (Spark codegen), RE2, and PCRE all interpret identically —
+    * character classes, bounded repetition, `\b` word boundaries; no
+    * lookaround, no backreferences — so the same pattern strings run
+    * on any engine (and the DuckDB oracle replays them verbatim).
+    * Email first: an email's domain would otherwise feed the
+    * hostname-ish tail of nothing here, but ordering is fixed so the
+    * output is deterministic regardless of future pattern overlap.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"))
+
+  /** PII scrubbing (the pre-release redaction pass every public
+    * training corpus runs — C4 and The Pile both ship scrubbed text):
+    * replace emails, IPv4 addresses, SSNs and US-style phone numbers
+    * with typed placeholder tokens, and report per-category match
+    * counts so downstream filters can drop PII-dense documents.
+    *
+    * Scale shape: pure per-row expression work — `regexp_replace` /
+    * `regexp_count` are codegen'd Catalyst expressions, so the pass is
+    * narrow (zero shuffle), pipelines inside the scan's codegen stage,
+    * and parallelizes embarrassingly at 100 TB. Counts are computed on
+    * the ORIGINAL text (before any replacement) so categories never
+    * steal each other's matches.
+    */
+  def redactPii(df: DataFrame, textCol: String,
+                patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+    require(df.columns.contains(textCol), s"redactPii: no column $textCol")
+    val counted = patterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("bigint"))
+    }
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, lit(pat), lit(token))
+    }
+    counted.withColumn(textCol, redacted)
+  }
 }

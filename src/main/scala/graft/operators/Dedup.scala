@@ -413,4 +413,105 @@ object Dedup {
                                clusters: DataFrame): DataFrame =
     df.join(clusters.filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+
+  /** Incremental (delta-vs-corpus) near-dup core, shared by the
+    * xxhash64 hot path ([[incrementalMinhash]]) and the portable md5
+    * twin (DedupPortable.incrementalMinhashPortable). The daily-crawl
+    * shape: a small delta batch is checked against an already-deduped
+    * corpus WITHOUT re-pairing corpus×corpus.
+    *
+    * Scale design — the corpus side never shuffles:
+    *  - the delta's distinct (band, key) set is BROADCAST as a
+    *    left-semi prune on the corpus bands (a day's delta is MBs of
+    *    keys against a 100 TB corpus), so corpus band rows that no
+    *    delta doc touches never leave the scan;
+    *  - surviving buckets are COMPLETE (the semi join keeps or drops
+    *    whole keys), so bucket sizes computed on survivors equal
+    *    full-corpus sizes and the hub cut stays exact: buckets within
+    *    `maxBucket` join all members, oversized boilerplate buckets
+    *    contribute only their min-id representative (the same linear
+    *    star convention as [[bandCandidates]]);
+    *  - delta-within-delta candidates reuse [[bandCandidates]] on the
+    *    delta bands alone (first-occurrence-wins: the smaller delta id
+    *    stays `new`, the larger is flagged — the standard within-batch
+    *    approximation, deterministic and oracle-replayable);
+    *  - verification joins shingle sets back for CANDIDATES only.
+    *
+    * Verdict per delta doc: `status` = dup_corpus (any verified corpus
+    * match — corpus always wins) | dup_delta (a verified smaller-id
+    * delta match) | new; `dup_of` = min matching id with corpus
+    * matches preferred; match counts and best (max) jaccard alongside.
+    * Ids must be disjoint across corpus and delta (caller's split).
+    */
+  private[operators] def incrementalVerdicts(
+      corpusHashed: DataFrame, corpusBanded: DataFrame,
+      deltaHashed: DataFrame, deltaBanded: DataFrame,
+      deltaIds: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
+    val deltaKeys = deltaBanded.select(col("bandIdx"), col("bandHash")).distinct()
+    val touched = corpusBanded
+      .join(broadcast(deltaKeys), Seq("bandIdx", "bandHash"), "left_semi")
+    val stats = touched.groupBy(col("bandIdx"), col("bandHash"))
+      .agg(count(lit(1)).as("__bsz"), min(col("id")).as("__rep"))
+    val thinned = touched.join(stats, Seq("bandIdx", "bandHash"))
+      .filter(col("__bsz") <= maxBucket || col("id") === col("__rep"))
+    val xCand = thinned.select(col("bandIdx"), col("bandHash"), col("id"))
+      .join(deltaBanded.select(col("bandIdx"), col("bandHash"),
+        col("id").as("__did")), Seq("bandIdx", "bandHash"))
+      .select(col("id").as("idA"), col("__did").as("idB"))
+      .dropDuplicates("idA", "idB")
+    val allSets = corpusHashed.select(col("id"), col("hs").as("set"))
+      .unionByName(deltaHashed.select(col("id"), col("hs").as("set")))
+    val corpusPairs = verifiedJaccardPairs(xCand, allSets, threshold)
+    val deltaPairs = verifiedJaccardPairs(
+      bandCandidates(deltaBanded, "bandHash", maxBucket),
+      deltaHashed.select(col("id"), col("hs").as("set")), threshold)
+    val matches = corpusPairs.withColumn("__src", lit("corpus"))
+      .unionByName(deltaPairs.withColumn("__src", lit("delta")))
+    val agg = matches.groupBy(col("idB"))
+      .agg(
+        sum(when(col("__src") === "corpus", 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__src") === "delta", 1L).otherwise(0L)).as("__nd"),
+        min(when(col("__src") === "corpus", col("idA"))).as("__dupc"),
+        min(when(col("__src") === "delta", col("idA"))).as("__dupd"),
+        max(col("jaccard")).as("best_jaccard"))
+      .withColumnRenamed("idB", "id")
+    deltaIds.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("__nc"), lit(0L)) > 0, "dup_corpus")
+          .when(coalesce(col("__nd"), lit(0L)) > 0, "dup_delta")
+          .otherwise("new").as("status"),
+        coalesce(col("__dupc"), col("__dupd")).as("dup_of"),
+        coalesce(col("__nc"), lit(0L)).as("n_corpus"),
+        coalesce(col("__nd"), lit(0L)).as("n_delta"),
+        col("best_jaccard"))
+  }
+
+  /** Incremental MinHash near-dup, xxhash64 hot path: flag delta docs
+    * that near-dup against the corpus or an earlier delta doc. See
+    * [[incrementalVerdicts]] for the verdict semantics and scale shape.
+    * Here the corpus shingles/bands are computed inline and persisted
+    * (test-scale convenience); at 100 TB the corpus side reads a STORED
+    * signature table (id, hs, sig) written once at ingest — the per-run
+    * cost is then one delta shingling pass plus delta-sized joins.
+    */
+  def incrementalMinhash(corpus: DataFrame, delta: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7,
+                         maxBucket: Int = 64): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    def hashedOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandedOf(hashed: DataFrame) = hashed.select(col("id"),
+      posexplode(bandKeys(
+        graft.functions.TextExpr.minhashSig(col("hs"), numPerm),
+        bands, numPerm / bands)).as(Seq("bandIdx", "bandHash")))
+    val ch = hashedOf(corpus)
+    val dh = hashedOf(delta)
+    val db = bandedOf(dh).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalVerdicts(ch, bandedOf(ch), dh, db,
+      delta.select(col(idCol).as("id")), threshold, maxBucket)
+  }
 }

@@ -240,4 +240,33 @@ object DedupPortable {
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("f"))).as("fp"))
   }
+
+  /** Portable twin of [[Dedup.incrementalMinhash]] — md5 shingle/
+    * signature family, same broadcast-pruned corpus join, same hub
+    * conventions, so the whole incremental pass replays verbatim in
+    * DuckDB (DedupPortableSql.incrementalOracleSql). Verdict semantics
+    * and the 100 TB shape are documented on
+    * [[Dedup.incrementalVerdicts]].
+    */
+  def incrementalMinhashPortable(corpus: DataFrame, delta: DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                                 threshold: Double = 0.7,
+                                 maxBucket: Int = 64): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    def hashedOf(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        graft.functions.PortableExpr.md5Shingles(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def bandedOf(hashed: DataFrame) = hashed.select(col("id"),
+      posexplode(graft.functions.PortableExpr
+        .minhashBandKeys(col("hs"), numPerm, bands))
+        .as(Seq("bandIdx", "bandHash")))
+    val ch = hashedOf(corpus)
+    val dh = hashedOf(delta)
+    val db = bandedOf(dh).persist(StorageLevel.MEMORY_AND_DISK)
+    Dedup.incrementalVerdicts(ch, bandedOf(ch), dh, db,
+      delta.select(col(idCol).as("id")), threshold, maxBucket)
+  }
 }

@@ -164,6 +164,27 @@ object CurationQueries {
           countDistinct($"lang").as("n_langs"),
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
         .orderBy($"split")
+    }),
+
+    // PII scrubbing (Curation.redactPii): the synthetic corpus carries
+    // no PII, so the query plants a deterministic email / IPv4 / SSN /
+    // phone quartet derived from doc_id (identical expression on both
+    // engines), scrubs it, and emits redacted text + per-category
+    // counts. Entirely narrow codegen'd regexp work — zero shuffles.
+    "q109_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val withPii = t(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          lit(" contact user"), id, lit("@example.com from 10."),
+          ($"doc_id" % 256).cast("string"), lit(".0.1 ssn "),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(($"doc_id" % 100).cast("string"), 2, "0"), lit("-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" call 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("text"))
+      Curation.redactPii(withPii, "text")
+        .select($"doc_id", $"text", $"n_email", $"n_ipv4", $"n_ssn", $"n_phone")
     })
   )
 
@@ -282,6 +303,40 @@ object CurationQueries {
         |         ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY split
-        |ORDER BY split""".stripMargin
+        |ORDER BY split""".stripMargin,
+
+    // DuckDB replay of redactPii: same pattern strings verbatim (the
+    // shared Java/RE2 regex subset), counts on the raw text, 'g'-flag
+    // global replace in the same category order. The CTE keeps the
+    // pre-redaction text under a distinct name so the count exprs
+    // can't accidentally bind to the redacted alias.
+    "q109_pii_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.1 ssn '
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' call 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS rawtext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(rawtext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS text,
+        |  CAST(len(regexp_extract_all(rawtext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(rawtext,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(rawtext,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(rawtext,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone
+        |FROM withpii""".stripMargin
   )
 }

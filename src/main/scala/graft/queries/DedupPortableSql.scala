@@ -20,47 +20,62 @@ object DedupPortableSql {
     s"CAST('0x' || substr(md5($x), 1, $hexChars) AS BIGINT)"
 
   /** The shared hub-cut candidate CTEs (twin of Dedup.bandCandidates):
-    * expects a prior CTE `banded(doc_id, b, key)`; defines `cand(idA,
+    * expects a prior CTE `src(doc_id, b, key)`; defines `${p}cand(idA,
     * idB)`. Buckets <= maxBucket take the bounded all-pairs self-join;
-    * oversized buckets emit linear member -> min-id star edges.
+    * oversized buckets emit linear member -> min-id star edges. The
+    * `p` prefix keeps two instantiations (e.g. the incremental
+    * oracle's delta-delta pass) from colliding in one WITH clause.
     */
-  private def hubCutCtes(maxBucket: Int): String =
-    s"""stats AS (
+  private def hubCutCtes(maxBucket: Int, src: String = "banded",
+                         p: String = ""): String =
+    s"""${p}stats AS (
        |  SELECT b, key, count(*) AS bsz, min(doc_id) AS rep
-       |  FROM banded GROUP BY b, key),
-       |sized AS (
-       |  SELECT banded.doc_id, banded.b, banded.key, stats.bsz, stats.rep
-       |  FROM banded JOIN stats ON banded.b = stats.b AND banded.key = stats.key),
-       |smallp AS (
+       |  FROM $src GROUP BY b, key),
+       |${p}sized AS (
+       |  SELECT $src.doc_id, $src.b, $src.key, ${p}stats.bsz, ${p}stats.rep
+       |  FROM $src JOIN ${p}stats ON $src.b = ${p}stats.b AND $src.key = ${p}stats.key),
+       |${p}smallp AS (
        |  SELECT a.doc_id AS idA, c.doc_id AS idB
-       |  FROM sized a JOIN sized c
+       |  FROM ${p}sized a JOIN ${p}sized c
        |    ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
        |  WHERE a.bsz <= $maxBucket),
-       |starp AS (
-       |  SELECT rep AS idA, doc_id AS idB FROM sized
+       |${p}starp AS (
+       |  SELECT rep AS idA, doc_id AS idB FROM ${p}sized
        |  WHERE bsz > $maxBucket AND doc_id <> rep),
-       |cand AS (
+       |${p}cand AS (
        |  SELECT DISTINCT idA, idB FROM
-       |    (SELECT * FROM smallp UNION ALL SELECT * FROM starp))""".stripMargin
+       |    (SELECT * FROM ${p}smallp UNION ALL SELECT * FROM ${p}starp))""".stripMargin
 
   /** Exact jaccard between two distinct-element lists. */
   private def jaccardSql(a: String, b: String): String =
     s"""CAST(len(list_intersect($a, $b)) AS DOUBLE)
        |      / len(list_distinct(list_concat($a, $b)))""".stripMargin
 
-  /** q51 oracle: full MinHash-LSH replay (k=3 word shingles). */
-  def minhashOracleSql(numPerm: Int, bands: Int, threshold: Double,
-                       maxBucket: Int): String = {
-    val rowsPerBand = numPerm / bands
-    val pcs = DedupPortable.permConstants(numPerm)
-    val sigCols = pcs.zipWithIndex.map { case ((a, b), j) =>
+  /** MinHash signature columns (m0..m{numPerm-1}) over exploded shingle
+    * hashes — twin of PortableExpr.minhashSig's affine family.
+    */
+  private def sigColsSql(numPerm: Int): String =
+    DedupPortable.permConstants(numPerm).zipWithIndex.map { case ((a, b), j) =>
       s"min((((h & 2147483647) * $a + $b) & 2147483647)) AS m$j"
     }.mkString(",\n    ")
-    val bandArms = (0 until bands).map { bnd =>
+
+  /** CASE arms mapping band index -> md5Long band key over that band's
+    * signature slots — twin of PortableExpr.minhashBandKeys.
+    */
+  private def bandArmsSql(numPerm: Int, bands: Int): String = {
+    val rowsPerBand = numPerm / bands
+    (0 until bands).map { bnd =>
       val slots = (0 until rowsPerBand)
         .map(r => s"m${bnd * rowsPerBand + r}::VARCHAR").mkString(", ")
       s"WHEN $bnd THEN ${md5Long(s"concat_ws('|', $slots)")}"
     }.mkString("\n      ")
+  }
+
+  /** q51 oracle: full MinHash-LSH replay (k=3 word shingles). */
+  def minhashOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                       maxBucket: Int): String = {
+    val sigCols = sigColsSql(numPerm)
+    val bandArms = bandArmsSql(numPerm, bands)
     s"""WITH d0 AS (
        |  SELECT doc_id, list_sort(list_distinct(list_transform(
        |    list_transform(range(1, len(ws) - 1),
@@ -88,6 +103,80 @@ object DedupPortableSql {
        |SELECT idA, idB, round(jaccard, 4) AS jaccard
        |FROM ver WHERE jaccard >= $threshold
        |ORDER BY idA, idB""".stripMargin
+  }
+
+  /** q110 oracle: full replay of the incremental delta-vs-corpus pass
+    * (DedupPortable.incrementalMinhashPortable). `deltaPred` is a SQL
+    * predicate over `doc_id` selecting the delta batch; everything
+    * else is corpus. Mirrors the Spark side exactly: corpus hub
+    * thinning (oversized buckets -> min-id rep only), delta-delta via
+    * the shared hub-cut CTEs, raw-jaccard threshold then round, and
+    * corpus-first verdict with min-id dup_of.
+    */
+  def incrementalOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                           maxBucket: Int, deltaPred: String): String = {
+    val sigCols = sigColsSql(numPerm)
+    val bandArms = bandArmsSql(numPerm, bands)
+    s"""WITH d0 AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |    g -> ${md5Long("g")}))) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |d AS (SELECT * FROM d0 WHERE len(hs) > 0),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM d),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |allb AS (
+       |  SELECT doc_id, b,
+       |    CASE b
+       |      $bandArms
+       |    END AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
+       |deltab AS (SELECT * FROM allb WHERE $deltaPred),
+       |corpb AS (SELECT * FROM allb WHERE NOT ($deltaPred)),
+       |cstats AS (
+       |  SELECT b, key, count(*) AS bsz, min(doc_id) AS rep
+       |  FROM corpb GROUP BY b, key),
+       |cthin AS (
+       |  SELECT corpb.doc_id, corpb.b, corpb.key
+       |  FROM corpb JOIN cstats ON corpb.b = cstats.b AND corpb.key = cstats.key
+       |  WHERE cstats.bsz <= $maxBucket OR corpb.doc_id = cstats.rep),
+       |xcand AS (
+       |  SELECT DISTINCT cthin.doc_id AS idA, deltab.doc_id AS idB
+       |  FROM cthin JOIN deltab
+       |    ON cthin.b = deltab.b AND cthin.key = deltab.key),
+       |${hubCutCtes(maxBucket, "deltab", "dd")},
+       |allcand AS (
+       |  SELECT idA, idB, 'corpus' AS src FROM xcand
+       |  UNION ALL
+       |  SELECT idA, idB, 'delta' AS src FROM ddcand),
+       |ver AS (
+       |  SELECT allcand.idA, allcand.idB, allcand.src,
+       |    ${jaccardSql("x.hs", "y.hs")} AS jaccard
+       |  FROM allcand JOIN d x ON x.doc_id = allcand.idA
+       |               JOIN d y ON y.doc_id = allcand.idB),
+       |m AS (
+       |  SELECT idB AS id,
+       |    CAST(count(CASE WHEN src = 'corpus' THEN 1 END) AS BIGINT) AS nc,
+       |    CAST(count(CASE WHEN src = 'delta' THEN 1 END) AS BIGINT) AS nd,
+       |    coalesce(min(CASE WHEN src = 'corpus' THEN idA END),
+       |             min(CASE WHEN src = 'delta' THEN idA END)) AS dup_of,
+       |    max(round(jaccard, 4)) AS best_jaccard
+       |  FROM ver WHERE jaccard >= $threshold GROUP BY idB)
+       |SELECT base.doc_id AS id,
+       |  CASE WHEN coalesce(m.nc, 0) > 0 THEN 'dup_corpus'
+       |       WHEN coalesce(m.nd, 0) > 0 THEN 'dup_delta'
+       |       ELSE 'new' END AS status,
+       |  m.dup_of,
+       |  CAST(coalesce(m.nc, 0) AS BIGINT) AS n_corpus,
+       |  CAST(coalesce(m.nd, 0) AS BIGINT) AS n_delta,
+       |  m.best_jaccard
+       |FROM (SELECT doc_id FROM documents WHERE $deltaPred) base
+       |LEFT JOIN m ON base.doc_id = m.id
+       |ORDER BY id""".stripMargin
   }
 
   /** q52 oracle: full 60-bit SimHash replay. */

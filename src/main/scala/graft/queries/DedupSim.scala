@@ -117,6 +117,21 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // Incremental delta-vs-corpus dedup (the daily-crawl pass): docs
+    // with doc_id % 10 == 0 play the new batch, the rest the standing
+    // corpus. Corpus bands are pruned by a BROADCAST of the delta's
+    // band keys (the corpus never shuffles), oversized corpus buckets
+    // contribute only their min-id rep, delta-within-delta takes the
+    // shared hub-cut join. Portable md5 family -> full DuckDB replay.
+    "q110_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      DedupPortable.incrementalMinhashPortable(
+          docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+          "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+        .orderBy($"id")
+    }),
+
     // SimHash near-dup pairs (hamming ≤ 3), portable mode: 60-bit
     // md5-derived fingerprints, 4×15-bit bands — full DuckDB replay.
     "q52_simhash_neardup" -> ((s, dir) => {
@@ -425,6 +440,9 @@ object DedupSim {
     // family — see DedupPortable / DedupPortableSql).
     "q51_minhash_lsh" -> DedupPortableSql.minhashOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
+    "q110_incremental_dedup" -> DedupPortableSql.incrementalOracleSql(
+      numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64,
+      deltaPred = "doc_id % 10 = 0"),
     "q52_simhash_neardup" -> DedupPortableSql.simhashOracleSql(
       maxDist = 3, maxBucket = 256),
     "q57_winnow_neardup" -> DedupPortableSql.winnowOracleSql(

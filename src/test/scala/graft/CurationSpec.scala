@@ -191,4 +191,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
     assert(out(0).getDouble(2) > out(1).getDouble(2))
   }
+
+  test("redactPii scrubs all four categories and counts on the raw text") {
+    val df = Seq(
+      ("write bob.smith+x@corp.example.org from 192.168.1.77, " +
+        "ssn 123-45-6789, call 415-555-0199 or 415.555.0200", 1L),
+      ("no pii here at all", 2L)).toDF("text", "id")
+    val out = Curation.redactPii(df, "text").orderBy("id")
+      .select($"text", $"n_email", $"n_ipv4", $"n_ssn", $"n_phone")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out(0)._1 ==
+      "write <EMAIL> from <IP>, ssn <SSN>, call <PHONE> or <PHONE>")
+    assert((out(0)._2, out(0)._3, out(0)._4, out(0)._5) == ((1L, 1L, 1L, 2L)))
+    assert(out(1) == (("no pii here at all", 0L, 0L, 0L, 0L)))
+    // version-like dotted quads inside words stay intact (\b guards)
+    val v = Curation.redactPii(Seq(("v1.2.3.4beta", 3L)).toDF("text", "id"), "text")
+      .select($"text").as[String].head()
+    assert(v == "v1.2.3.4beta")
+  }
 }

@@ -193,4 +193,51 @@ class DedupPortableSpec extends AnyFunSuite {
         docs, "doc_id", "text").as[(Long, Long, Int)].collect().toSet
     assert(run() == run())
   }
+
+  test("incremental dedup: re-keyed corpus copies all flag dup_corpus at j=1") {
+    // delta = the corpus re-keyed (+1 000 000): every delta doc with a
+    // non-empty shingle set has an EXACT twin in the corpus, so the
+    // incremental pass must flag it dup_corpus with best_jaccard 1.0
+    // (the twin shares every band — no hub cut or band luck involved).
+    // Exercises both hash families end-to-end.
+    val corpus = docs.select($"doc_id", $"text")
+    val delta = corpus.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    for (v <- Seq(
+        DedupPortable.incrementalMinhashPortable(corpus, delta, "doc_id", "text"),
+        Dedup.incrementalMinhash(corpus, delta, "doc_id", "text"))) {
+      val rows = v.select($"id", $"status", $"dup_of", $"best_jaccard")
+        .as[(Long, String, Option[Long], Option[Double])].collect()
+      assert(rows.length == delta.count())
+      // docs whose text yields no 3-shingle stay 'new'; all others dup
+      val dup = rows.filter(_._2 == "dup_corpus")
+      assert(dup.length > rows.length / 2, s"only ${dup.length} flagged")
+      dup.foreach { case (id, _, dupOf, bj) =>
+        assert(bj.contains(1.0), s"$id best_jaccard $bj")
+        assert(dupOf.exists(_ <= id - 1000000L), s"$id dup_of $dupOf")
+      }
+      rows.filter(_._2 == "new").foreach { case (id, _, dupOf, _) =>
+        assert(dupOf.isEmpty, s"new doc $id has dup_of $dupOf")
+      }
+    }
+  }
+
+  test("incremental dedup: empty corpus reduces to first-occurrence within-batch") {
+    // With no corpus, dup_delta victims must be EXACTLY the idB side of
+    // the batch pair operator (same candidates, same verification).
+    val delta = docs.select($"doc_id", $"text")
+    val corpus = delta.filter(lit(false))
+    val verdicts = DedupPortable.incrementalMinhashPortable(
+      corpus, delta, "doc_id", "text")
+    val flagged = verdicts.filter($"status" === "dup_delta")
+      .select($"id").as[Long].collect().toSet
+    val pairVictims = DedupPortable.minhashDuplicatePairsPortable(
+        delta, "doc_id", "text")
+      .select($"idB").as[Long].collect().toSet
+    assert(flagged == pairVictims)
+    assert(verdicts.filter($"status" === "dup_corpus").isEmpty)
+    // first-occurrence-wins: every flagged doc blames a smaller id
+    verdicts.filter($"status" === "dup_delta")
+      .select($"id", $"dup_of").as[(Long, Long)].collect()
+      .foreach { case (id, d) => assert(d < id) }
+  }
 }
