@@ -271,6 +271,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(l_quantity,24.0)"), plan)
   }
 
+  test("incremental dedup: corpus prune is a BROADCAST semi join") {
+    // The whole point of the incremental pass at 100 TB: the corpus
+    // bands are filtered by a broadcast of the delta's band keys, never
+    // shuffled on them. The plan must show the semi join as broadcast
+    // (and no cartesian anywhere).
+    val docs = Tables(spark, sf, "documents")
+    val v = graft.operators.DedupPortable.incrementalMinhashPortable(
+      docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text")
+    val plan = executed(v)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus prune not a broadcast semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("semDedup: cluster equi-join only — no all-pairs corpus compare") {
     val kept = graft.operators.Similarity.semDedup(
       Tables(spark, sf, "embeddings"), "vec_id", "embedding", k = 16, tau = 0.3)
