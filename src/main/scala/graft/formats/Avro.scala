@@ -172,12 +172,21 @@ object Avro {
         }
         ok = true
       } finally {
-        w.close()
-        if (ok) {
-          java.nio.file.Files.move(tmpFile.toPath, finalFile.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } else tmpFile.delete()
+        // The tmp file must not outlive this block on ANY failure path
+        // — including w.close() throwing after ok=true (a leaked
+        // .attempt file is litter the .avro read filter skips, but
+        // litter accumulates across retries). After a successful move
+        // the tmp path no longer exists and the delete is a no-op.
+        try {
+          w.close()
+          if (ok) {
+            java.nio.file.Files.move(tmpFile.toPath, finalFile.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally {
+          if (tmpFile.exists()) tmpFile.delete()
+        }
       }
     }
     counter.value

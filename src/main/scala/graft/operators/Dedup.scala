@@ -493,6 +493,15 @@ object Dedup {
     * (test-scale convenience); at 100 TB the corpus side reads a STORED
     * signature table (id, hs, sig) written once at ingest — the per-run
     * cost is then one delta shingling pass plus delta-sized joins.
+    *
+    * CONTRACT: corpus and delta ids must be DISJOINT (the caller owns
+    * the id space — e.g. crawl-date-prefixed ids). Violations are NOT
+    * detected: the unioned shingle-set relation then carries duplicate
+    * ids, match counts inflate, and verdicts silently corrupt. No
+    * guard is run here because proving disjointness costs a full join
+    * of exactly the kind this operator exists to avoid; the portable
+    * twin (DedupPortable.incrementalMinhashPortable) is the test-scale
+    * path where callers can afford an upstream assert.
     */
   def incrementalMinhash(corpus: DataFrame, delta: DataFrame,
                          idCol: String, textCol: String,

@@ -246,7 +246,10 @@ object DedupPortable {
     * conventions, so the whole incremental pass replays verbatim in
     * DuckDB (DedupPortableSql.incrementalOracleSql). Verdict semantics
     * and the 100 TB shape are documented on
-    * [[Dedup.incrementalVerdicts]].
+    * [[Dedup.incrementalVerdicts]]. Corpus/delta ids must be disjoint
+    * (violations corrupt verdicts silently, not loudly — see the
+    * contract note on [[Dedup.incrementalMinhash]]); this test-scale
+    * twin asserts it cheaply via an id-intersection count.
     */
   def incrementalMinhashPortable(corpus: DataFrame, delta: DataFrame,
                                  idCol: String, textCol: String,
@@ -263,6 +266,14 @@ object DedupPortable {
       posexplode(graft.functions.PortableExpr
         .minhashBandKeys(col("hs"), numPerm, bands))
         .as(Seq("bandIdx", "bandHash")))
+    // Test-scale disjointness guard (the hot path skips this — proving
+    // it costs the corpus-wide join the operator exists to avoid).
+    val overlap = corpus.select(col(idCol).as("id"))
+      .join(delta.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"incrementalMinhashPortable: corpus and delta share ids on '$idCol' — " +
+        "verdicts would silently corrupt (see Dedup.incrementalMinhash contract)")
     val ch = hashedOf(corpus)
     val dh = hashedOf(delta)
     val db = bandedOf(dh).persist(StorageLevel.MEMORY_AND_DISK)

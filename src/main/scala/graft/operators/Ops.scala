@@ -486,6 +486,14 @@ object Ops {
     * `weights` must sum to 1 (±1e-9); the LAST split absorbs the
     * rounding tail so every row lands somewhere. Salt rotates the
     * assignment without touching the key column.
+    *
+    * NULL keys: md5(NULL) is NULL, every threshold comparison is NULL,
+    * and the row lands in the LAST split. That is the same answer any
+    * SQL engine gives for the cumulative-threshold CASE form (portable
+    * by construction), but it means un-keyed rows concentrate in one
+    * split — for train/val/test weights, the test split. The branch
+    * below makes that routing explicit in the plan; callers who want
+    * NULLs excluded or errored should filter/validate the key upstream.
     */
   def hashSplit(df: DataFrame, keyCol: String,
                 weights: Seq[(String, Double)], salt: String = "",
@@ -509,6 +517,9 @@ object Ops {
       val hex = if (c >= 1.0) "zzzzzzzz" else f"${(c * 4294967296L).toLong}%08x"
       when(u < lit(hex), lit(name)).otherwise(acc)
     }
-    df.withColumn(splitName, expr)
+    // Explicit NULL-key routing (see scaladoc): identical to the
+    // fall-through answer, but visible in the plan and pinned by spec.
+    df.withColumn(splitName,
+      when(col(keyCol).isNull, lit(weights.last._1)).otherwise(expr))
   }
 }

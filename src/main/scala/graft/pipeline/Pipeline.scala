@@ -1129,7 +1129,7 @@ object Pipeline {
       }),
 
     Registered("streamwrite", RowType, NoneType,
-      "in=STREAM:path=DIR:checkpoint=DIR", (ctx, m) => {
+      "in=STREAM:path=DIR:checkpoint=DIR (rows reported = batches landed by THIS run; deleting the checkpoint but not the output dir re-lands data)", (ctx, m) => {
         // Terminal sink: for unbounded input, start the query on the
         // idempotent per-batch parquet sink (exactly-once landing dirs,
         // batch_<id>/_SUCCESS markers), drain everything available,
@@ -1142,17 +1142,24 @@ object Pipeline {
           throw new BuildError("streamwrite: path= required"))
         val ckpt = m.args.getOrElse("checkpoint", s"$path/_checkpoint")
         ctx.addSink(m.raw, () => {
+          // Rows reported = batches landed by THIS invocation only: a
+          // pre-run listing delta excludes batch_* dirs left by earlier
+          // runs (a checkpoint-resumed rerun that lands nothing new
+          // reports 0, not the historical total).
+          def listBatches(): Set[String] =
+            Option(new java.io.File(path).listFiles())
+              .getOrElse(Array.empty)
+              .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+              .map(_.getAbsolutePath).toSet
+          val pre = listBatches()
           if (df.isStreaming) {
             val q = graft.streaming.EventStreams.idempotentParquetSink(df, path, ckpt)
             try q.processAllAvailable() finally q.stop()
           } else
             graft.streaming.EventStreams.writeBatchIdempotent(df, 0L, path)
-          val batchDirs = Option(new java.io.File(path).listFiles())
-            .getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
-            .map(_.getAbsolutePath)
+          val batchDirs = (listBatches() -- pre).toIndexedSeq.sorted
           if (batchDirs.isEmpty) 0L
-          else ctx.spark.read.parquet(batchDirs.toIndexedSeq: _*).count()
+          else ctx.spark.read.parquet(batchDirs: _*).count()
         })
       }),
 

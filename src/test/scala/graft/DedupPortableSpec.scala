@@ -221,6 +221,18 @@ class DedupPortableSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: overlapping corpus/delta ids are rejected (portable path)") {
+    // The id-disjointness contract (Dedup.incrementalMinhash scaladoc):
+    // the hot path cannot afford to prove it, the portable/test path
+    // asserts it so oracle runs never silently corrupt.
+    val corpus = docs.select($"doc_id", $"text")
+    val delta = corpus.limit(5) // same ids — contract violation
+    val e = intercept[IllegalArgumentException] {
+      DedupPortable.incrementalMinhashPortable(corpus, delta, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("share ids"))
+  }
+
   test("incremental dedup: empty corpus reduces to first-occurrence within-batch") {
     // With no corpus, dup_delta victims must be EXACTLY the idB side of
     // the batch pair operator (same candidates, same verification).

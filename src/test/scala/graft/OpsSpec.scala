@@ -296,4 +296,20 @@ class OpsSpec extends AnyFunSuite {
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(all == Map("a" -> 5000L))
   }
+
+  test("hashSplit: NULL keys route to the LAST split, explicitly") {
+    // Pinned contract (ADVICE r6): md5(NULL) falls through every
+    // threshold to the last split in ANY engine; hashSplit makes that
+    // routing an explicit plan branch. Un-keyed rows therefore
+    // concentrate in the last (test) split — documented, not silent.
+    val df = spark.range(0, 100).toDF("id")
+      .select(when($"id" < 10, lit(null).cast("string"))
+        .otherwise($"id".cast("string")).as("k"))
+    val split = Ops.hashSplit(df, "k",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val nullSplits = split.filter($"k".isNull)
+      .select("split").as[String].collect().toSet
+    assert(nullSplits == Set("test"), s"NULL keys went to $nullSplits")
+    assert(split.count() == 100, "NULL rows are not dropped")
+  }
 }

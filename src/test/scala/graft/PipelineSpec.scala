@@ -410,6 +410,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((ts(0), "view", 1L), (ts(1), "click", 1L)))
   }
 
+  test("streamwrite reruns report only batches landed THIS run") {
+    // ADVICE r6: counting every batch_* dir under path attributed
+    // stale batches from earlier runs to the current one. The listing
+    // delta pins the fix: a second bounded run into the same dir lands
+    // nothing (batch_0/_SUCCESS exists → idempotent skip) and must
+    // report 0 rows, not the historical total.
+    import graft.streaming.EventStreams.Ev
+    import spark.implicits._
+    val d = tmp("swrerun")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val batch = Seq(
+      Ev(1L, ts(0), 10L, "view", 1.0),
+      Ev(2L, ts(1), 11L, "click", 4.0)).toDF()
+    def run() = Pipeline.run(spark,
+      Seq(s"streamwrite:in=ev:path=$d/out"),
+      inputs = Map("ev" -> batch))
+    assert(run().rowsWritten.values.sum == 2L, "first run lands batch_0")
+    assert(run().rowsWritten.values.sum == 0L,
+      "rerun must not attribute the pre-existing batch to itself")
+  }
+
   test("eventread builds an unbounded stream; exactly one of dir=/rate= enforced") {
     val ctx = Pipeline.build(spark, Seq(
       "eventread:rate=1:out=ev",
