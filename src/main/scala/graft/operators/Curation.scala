@@ -173,6 +173,48 @@ object Curation {
       .withColumn("keep", col("boiler_share") <= maxShare)
   }
 
+  /** Exact segment-level dedup — the EXACTSUBSTR step of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) at fixed-window granularity: split each doc
+    * into consecutive `segTokens`-token segments, keep only the
+    * globally FIRST occurrence of each distinct segment (first = min
+    * (id, segment index) — a deterministic total order any engine
+    * reproduces), and rebuild the per-doc retained text. Catches the
+    * within-corpus repeated passages (licenses, navboxes, quoted
+    * chain-letters) that whole-doc MinHash misses because the host
+    * documents differ. Returns (id, n_segs, n_kept, retained).
+    *
+    * Shape: one narrow segmentation pass (split/slice/posexplode, no
+    * UDF), ONE window shuffle partitioned on md5(segment) — dedup is
+    * hash-partition + first-rank, never an all-pairs compare, and
+    * partitioning on the hash spreads boilerplate segments like any
+    * other key — then one per-doc aggregate to reassemble. The same
+    * two-shuffle budget as exact whole-doc dedup. md5 keeps the DuckDB
+    * oracle replay exact; at 100 TB substitute xxhash64(segment) (same
+    * plan, cheaper hash) and drop `retained` when only the keep-mask
+    * is needed — the exchange then carries (hash, id, idx) only.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 20): DataFrame = {
+    require(segTokens > 0, s"segTokens must be > 0, got $segTokens")
+    val toks = split(col(textCol), " ")
+    val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
+    val segArr = transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val segs = df.select(col(idCol).as("id"),
+      posexplode(segArr).as(Seq("seg_idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("seg"))).orderBy(col("id"), col("seg_idx"))
+    segs.withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(filter(
+            array_sort(collect_list(struct(col("seg_idx"), col("keep"), col("seg")))),
+            x => x.getField("keep")), x => x.getField("seg")), " ")
+          .as("retained"))
+  }
+
   /** Context-window chunking (the pre-tokenization step that turns
     * variable-length documents into overlapping training windows):
     * split each doc's token stream into chunks of `size` tokens every

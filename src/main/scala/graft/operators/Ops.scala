@@ -327,6 +327,39 @@ object Ops {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Skew-safe EXACT top-k per group, two phases: (1) rank within
+    * (group, salt) — the salt splits a hub group across `saltParts`
+    * tasks, so no single task ever sorts a whole giant group — and
+    * keep k per salt bucket; (2) exact rank within group over the
+    * survivors, now bounded at saltParts*k rows per group. Exactness:
+    * every row of the true global top-k is top-k within its own salt
+    * bucket (ranks only shrink when rows are removed), so phase 1
+    * never discards a winner and phase 2's answer is bit-identical to
+    * [[topKPerGroup]] — OpsSpec pins the equivalence.
+    *
+    * `order` must be a total order (unique tiebreak) for determinism;
+    * `saltCol` just needs per-row spread (any roughly-uniform column —
+    * the result does not depend on which bucket a row lands in).
+    * Cost: two window shuffles instead of one, but the second touches
+    * <= saltParts*k rows per group — at 100 TB with a hub domain
+    * holding 10% of the crawl, this is the difference between one
+    * straggler task sorting 10 TB and 16 tasks sorting 600 GB each.
+    */
+  def saltedTopKPerGroup(df: DataFrame, part: Seq[String], order: Seq[Column],
+                         k: Int, saltCol: Column, saltParts: Int = 16,
+                         rankCol: String = "rk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(saltParts >= 1, s"saltParts must be >= 1, got $saltParts")
+    val salted = df.withColumn("__salt", pmod(hash(saltCol), lit(saltParts)))
+    val w1 = Window.partitionBy((part.map(col) :+ col("__salt")): _*)
+      .orderBy(order: _*)
+    val pruned = salted.withColumn("__prk", row_number().over(w1))
+      .filter(col("__prk") <= k).drop("__prk")
+    val w2 = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
+    pruned.withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= k).drop("__salt")
+  }
+
   /** Deterministic EXACT-k per-stratum sample: rank rows inside each
     * stratum by md5 of their key (a uniform, engine-portable shuffle
     * order — any engine reproduces the identical sample) and keep the

@@ -185,6 +185,34 @@ object CurationQueries {
           lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("text"))
       Curation.redactPii(withPii, "text")
         .select($"doc_id", $"text", $"n_email", $"n_ipv4", $"n_ssn", $"n_phone")
+    }),
+
+    // Exact segment dedup (Lee et al. EXACTSUBSTR at 20-token windows):
+    // first global occurrence of each distinct segment survives, docs
+    // are rebuilt from their retained segments. One md5-partitioned
+    // window shuffle + one per-doc agg; hash-exact replay incl. the
+    // reassembled text.
+    "q111_segment_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Curation.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+          segTokens = 20)
+        .select($"id".as("doc_id"), $"n_segs", $"n_kept", $"retained")
+        .orderBy($"doc_id")
+    }),
+
+    // Per-domain quota (crawl curation: no source contributes more
+    // than 15 docs, best-quality-first) via the skew-safe two-phase
+    // exact top-k — bit-identical to a plain per-domain rank, which is
+    // exactly what the oracle computes.
+    "q112_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Ops.saltedTopKPerGroup(
+          t(s, dir, "documents").select($"doc_id", $"source", $"n_chars"),
+          part = Seq("source"),
+          order = Seq($"n_chars".desc, $"doc_id".asc),
+          k = 15, saltCol = $"doc_id", saltParts = 8)
+        .select($"source", $"doc_id", $"n_chars", $"rk")
+        .orderBy($"source", $"rk")
     })
   )
 
@@ -337,6 +365,38 @@ object CurationQueries {
         |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
         |  CAST(len(regexp_extract_all(rawtext,
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone
-        |FROM withpii""".stripMargin
+        |FROM withpii""".stripMargin,
+
+    // Segment dedup: same 20-token windows, same md5 partition key,
+    // same (doc_id, seg_idx) first-occurrence order, same reassembly.
+    "q111_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS seg_idx,
+        |    array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' ') AS seg
+        |  FROM toks, LATERAL unnest(
+        |    range(1, greatest(CAST(ceil(len(t)/20.0) AS BIGINT), 1) + 1)) AS u(i)),
+        |flag AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    (row_number() OVER (PARTITION BY md5(seg)
+        |       ORDER BY doc_id, seg_idx) = 1) AS keep
+        |  FROM segs)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(
+        |    list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '') AS retained
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Domain cap: the salted two-phase top-k is bit-identical to the
+    // plain per-domain rank (exactness argument in Ops.scaladoc), so
+    // the oracle is the direct window form.
+    "q112_domain_cap" ->
+      """SELECT source, doc_id, n_chars, rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
   )
 }

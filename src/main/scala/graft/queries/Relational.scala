@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -649,6 +650,60 @@ object Relational {
         .groupBy($"n_name")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"n_name".asc)
+    }),
+
+    // TPC-DS Q51 shape (channel cumulative crossover): two channel
+    // aggregates sliced from one events scan, per-segment running
+    // totals (windows PARTITIONED by segment — never a global
+    // single-partition sort), FULL OUTER on (seg, d), then a residual
+    // filter over coalesced columns from BOTH sides — Catalyst must
+    // keep it above the join. Cumulative sums run in decimal so the
+    // running totals are order-exact on any engine.
+    "q113_tpcds_q51_shape" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(($"user_id" % 10).as("seg"), to_date($"ts").as("d"),
+          $"event_type", $"value")
+      def channel(typ: String, rev: String) = ev
+        .filter($"event_type" === typ)
+        .groupBy($"seg", $"d")
+        .agg(dsum($"value").as(rev))
+      val w = Window.partitionBy($"seg").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def cum(c: Column) =
+        round(sum(c.cast("decimal(30,4)")).over(w), 4).cast("double")
+      val web = channel("click", "wrev")
+        .select($"seg", $"d", cum($"wrev").as("web_cum"))
+      val store = channel("view", "srev")
+        .select($"seg", $"d", cum($"srev").as("store_cum"))
+      web.join(store, Seq("seg", "d"), "full_outer")
+        .filter(coalesce($"web_cum", lit(0.0)) >
+          coalesce($"store_cum", lit(0.0)))
+        .orderBy($"seg", $"d")
+    }),
+
+    // TPC-DS Q47 shape (category monthly deviation): one (pri, month)
+    // aggregate, then TWO window families over the SAME partition key
+    // — whole-partition avg and lag/lead neighbors — sharing one
+    // exchange; residual filter keeps months deviating > 10% from the
+    // category mean. Mean = decimal sum / count, so both engines round
+    // the identical value.
+    "q114_tpcds_q47_shape" -> ((s, dir) => {
+      import s.implicits._
+      val monthly = t(s, dir, "orders")
+        .groupBy($"o_orderpriority".as("pri"),
+          date_format($"o_orderdate", "yyyy-MM").as("m"))
+        .agg(dsum($"o_totalprice").as("rev"))
+      val wAll = Window.partitionBy($"pri")
+      val wSeq = Window.partitionBy($"pri").orderBy($"m")
+      monthly
+        .withColumn("avg_rev",
+          round(sum($"rev".cast("decimal(30,4)")).over(wAll).cast("double")
+            / count(lit(1)).over(wAll), 4))
+        .withColumn("prev_rev", lag($"rev", 1).over(wSeq))
+        .withColumn("next_rev", lead($"rev", 1).over(wSeq))
+        .filter(abs($"rev" - $"avg_rev") / $"avg_rev" > lit(0.1))
+        .orderBy($"pri", $"m")
     })
   )
 
@@ -1163,6 +1218,49 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q113_tpcds_q51_shape" ->
+      """WITH ev AS (
+        |  SELECT user_id % 10 AS seg, CAST(ts AS DATE) AS d,
+        |    event_type, value FROM events),
+        |web AS (
+        |  SELECT seg, d,
+        |    CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS wrev
+        |  FROM ev WHERE event_type = 'click' GROUP BY seg, d),
+        |store AS (
+        |  SELECT seg, d,
+        |    CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS srev
+        |  FROM ev WHERE event_type = 'view' GROUP BY seg, d),
+        |webc AS (
+        |  SELECT seg, d, CAST(round(sum(CAST(wrev AS DECIMAL(30,4))) OVER (
+        |    PARTITION BY seg ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+        |    AS web_cum FROM web),
+        |storec AS (
+        |  SELECT seg, d, CAST(round(sum(CAST(srev AS DECIMAL(30,4))) OVER (
+        |    PARTITION BY seg ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+        |    AS store_cum FROM store)
+        |SELECT seg, d, web_cum, store_cum
+        |FROM webc FULL OUTER JOIN storec USING (seg, d)
+        |WHERE coalesce(web_cum, 0.0) > coalesce(store_cum, 0.0)
+        |ORDER BY seg, d""".stripMargin,
+
+    "q114_tpcds_q47_shape" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m') AS m,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |win AS (
+        |  SELECT pri, m, rev,
+        |    round(CAST(sum(CAST(rev AS DECIMAL(30,4))) OVER (PARTITION BY pri) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY pri), 4) AS avg_rev,
+        |    lag(rev) OVER (PARTITION BY pri ORDER BY m) AS prev_rev,
+        |    lead(rev) OVER (PARTITION BY pri ORDER BY m) AS next_rev
+        |  FROM monthly)
+        |SELECT pri, m, rev, avg_rev, prev_rev, next_rev
+        |FROM win WHERE abs(rev - avg_rev) / avg_rev > 0.1
+        |ORDER BY pri, m""".stripMargin
   )
 }

@@ -209,4 +209,37 @@ class CurationSpec extends AnyFunSuite {
       .select($"text").as[String].head()
     assert(v == "v1.2.3.4beta")
   }
+
+  test("segmentDedup: first global occurrence survives, docs rebuild in order") {
+    // 4-token segments; doc 1 repeats its own first segment, doc 2
+    // copies doc 1's opener and adds fresh text, doc 3 is untouched.
+    val a = "a b c d"        // the shared segment
+    val x = "x y z w"
+    val fresh = "p q r s"
+    val docs = Seq(
+      (1L, s"$a $x $a"),     // segs: [a b c d][x y z w][a b c d] -> 3rd drops
+      (2L, s"$a $fresh"),    // opener already seen in doc 1 -> drops
+      (3L, "m n o p")).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, "doc_id", "text", segTokens = 4)
+      .orderBy("id")
+      .select($"id", $"n_segs", $"n_kept", $"retained")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 3L, 2L, s"$a $x")))
+    assert(out(1) == ((2L, 2L, 1L, fresh)))
+    assert(out(2) == ((3L, 1L, 1L, "m n o p")))
+  }
+
+  test("segmentDedup: short tails dedup too; all-dup doc retains empty text") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // segs [a b c d][e]
+      (2L, "e"),          // tail seg of doc 1 -> drops
+      (3L, "a b c d")).toDF("doc_id", "text") // full first seg -> drops
+    val out = Curation.segmentDedup(docs, "doc_id", "text", segTokens = 4)
+      .orderBy("id")
+      .select($"id", $"n_segs", $"n_kept", $"retained")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 2L, "a b c d e")))
+    assert(out(1) == ((2L, 1L, 0L, "")))
+    assert(out(2) == ((3L, 1L, 0L, "")))
+  }
 }

@@ -297,6 +297,27 @@ class OpsSpec extends AnyFunSuite {
     assert(all == Map("a" -> 5000L))
   }
 
+  test("saltedTopKPerGroup is bit-identical to the plain window rank") {
+    // Exactness argument (Ops.scaladoc): every true top-k row is top-k
+    // within its own salt bucket, so phase 1 never drops a winner.
+    // Skewed data on purpose: one hub group with 10x the rows.
+    val df = spark.range(0, 11000).toDF("id")
+      .select($"id", when($"id" < 10000, lit("hub")).otherwise(concat(lit("g"), $"id" % 7)).as("grp"),
+        (($"id" * 2654435761L) % 100000).as("score"))
+    val plain = graft.operators.Ops.topKPerGroup(
+        df, Seq("grp"), Seq($"score".desc, $"id".asc), 25)
+      .select("grp", "id", "score", "rk")
+      .as[(String, Long, Long, Int)].collect().toSet
+    for (parts <- Seq(1, 4, 16)) {
+      val salted = graft.operators.Ops.saltedTopKPerGroup(
+          df, Seq("grp"), Seq($"score".desc, $"id".asc), 25,
+          saltCol = $"id", saltParts = parts)
+        .select("grp", "id", "score", "rk")
+        .as[(String, Long, Long, Int)].collect().toSet
+      assert(salted == plain, s"saltParts=$parts diverged from plain rank")
+    }
+  }
+
   test("hashSplit: NULL keys route to the LAST split, explicitly") {
     // Pinned contract (ADVICE r6): md5(NULL) falls through every
     // threshold to the last split in ANY engine; hashSplit makes that

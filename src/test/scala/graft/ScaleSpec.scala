@@ -293,4 +293,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("segmentDedup: hash-partition + rank, never a join") {
+    // Duplicate detection is one window shuffle on md5(segment) plus
+    // the per-doc rebuild aggregate — the exact-dedup budget. Any join
+    // appearing here means someone rewrote it as a self-compare.
+    val plan = executed(graft.operators.Curation.segmentDedup(
+      Tables(spark, sf, "documents"), "doc_id", "text"))
+    assert(!plan.contains("Join"), s"segment dedup must be join-free:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 3, // window hash + agg partial->final
+      s"segment dedup grew extra shuffles:\n$plan")
+  }
+
+  test("saltedTopKPerGroup: both phases shuffle, no join, bounded plan") {
+    val df = Tables(spark, sf, "documents").select($"doc_id", $"source", $"n_chars")
+    val plan = executed(graft.operators.Ops.saltedTopKPerGroup(
+      df, Seq("source"), Seq($"n_chars".desc, $"doc_id".asc), 15,
+      saltCol = $"doc_id", saltParts = 8))
+    assert(!plan.contains("Join"), plan)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 2, // (group,salt) window + group window
+      s"salted top-k grew extra shuffles:\n$plan")
+  }
+
+  test("DS Q51 shape: windows stay partitioned; crossover filter sits above the full outer") {
+    val df = SparkEntry.queries("q113_tpcds_q51_shape")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("FullOuter"), s"full outer join lost:\n$plan")
+    // the coalesce() filter references both sides: pushing it below the
+    // join would change results — it must survive as a post-join Filter
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("coalesce")),
+      s"crossover filter not above the join:\n$plan")
+  }
+
+  test("DS Q47 shape: one exchange serves both window families") {
+    val df = SparkEntry.queries("q114_tpcds_q47_shape")(spark, sf)
+    val plan = executed(df)
+    // (pri,m) agg + pri windows + output range sort — nothing else
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 3,
+      s"Q47-shape windows stopped sharing their exchange:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
 }
