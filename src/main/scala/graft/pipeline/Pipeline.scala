@@ -1030,6 +1030,53 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    Registered("segdedup", RowType, RowType,
+      "in=STREAM:key=COL:text=COL[:tokens=20]:out=STREAM", (ctx, m) => {
+        // Exact segment-level dedup (Curation.segmentDedup): first
+        // global occurrence of each fixed-window token segment wins;
+        // emits (id, n_segs, n_kept, retained).
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("segdedup: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("segdedup: text= required"))
+        val out = graft.operators.Curation.segmentDedup(df, key, text,
+          segTokens = m.args.get("tokens").map(_.toInt).getOrElse(20))
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    Registered("domaincap", RowType, RowType,
+      "in=STREAM:domain=COL:order=COL[,COL...]:cap=N[:salt=COL][:parts=16][:col=rk]:out=STREAM",
+      (ctx, m) => {
+        // Per-domain quota (Ops.saltedTopKPerGroup): keep the top cap
+        // rows per domain in the given order, skew-safe for hub
+        // domains. order entries take an optional :desc suffix; the
+        // default salt is the first order column.
+        val df = ctx.readStream(m, RowType)
+        val domain = m.args.getOrElse("domain",
+          throw new BuildError("domaincap: domain= required"))
+        val order = m.args.getOrElse("order",
+            throw new BuildError("domaincap: order= required"))
+          .split(",").toSeq.map { c =>
+            c.trim.split("\\.") match {
+              case Array(n, "desc") => col(n).desc
+              case Array(n, "asc") => col(n).asc
+              case Array(n) => col(n).asc
+              case _ => throw new BuildError(
+                s"domaincap: bad order entry '$c' (want col[.asc|.desc])")
+            }
+          }
+        val cap = m.args.getOrElse("cap",
+          throw new BuildError("domaincap: cap= required")).toInt
+        val saltName = m.args.getOrElse("salt",
+          m.args("order").split(",").head.trim.split("\\.").head)
+        val out = graft.operators.Ops.saltedTopKPerGroup(df, Seq(domain),
+          order, cap, saltCol = col(saltName),
+          saltParts = m.args.get("parts").map(_.toInt).getOrElse(16),
+          rankCol = m.args.getOrElse("col", "rk"))
+        ctx.writeStream(m, out, RowType)
+      }),
+
     Registered("sql", RowType, RowType,
       "in=STREAM:views=s1,s2:out=STREAM:query=SELECT ... FROM __in  (query= MUST be last)",
       (ctx, m) => {

@@ -83,6 +83,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
   }
 
+  test("segdedup + domaincap curation modules") {
+    val d = tmp("segdom")
+    writeCsv(d + "/in.csv", "id,src,txt",
+      "1,a,w x y z p q r s",   // segs [w x y z][p q r s]
+      "2,a,w x y z",           // dup of doc 1's opener -> drops
+      "3,b,m n o p")
+    val out = d + "/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread",
+      "segdedup:key=id:text=txt:tokens=4",
+      "sort:by=id", "csvwrite", s"filewrite:out=$out"))
+    val lines = readOut(out)
+    assert(lines.head == "id,n_segs,n_kept,retained")
+    assert(lines.tail == Seq(
+      "1,2,2,w x y z p q r s", "2,1,0,\"\"", "3,1,1,m n o p"))
+    val out2 = d + "/out2.csv"
+    writeCsv(d + "/docs.csv", "id,dom,score" +:
+      (1 to 30).map(i => s"$i,${if (i <= 20) "hub" else "tiny"},${i * 7 % 30}"): _*)
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/docs.csv", "csvread:infer=1",
+      "domaincap:domain=dom:order=score.desc,id.asc:cap=3:parts=4",
+      "sort:by=dom,rk", "csvwrite", s"filewrite:out=$out2"))
+    val rows = readOut(out2).tail.map(_.split(","))
+    assert(rows.length == 6, "3 per domain, 2 domains")
+    assert(rows.count(_(1) == "hub") == 3)
+    // exactness vs the plain rank: the hub winners are the 3 highest
+    // (score, -id) among ids 1..20
+    val expect = (1 to 20).map(i => (i * 7 % 30, -i)).sorted.reverse.take(3)
+      .map { case (s, negId) => (-negId).toString }.toSet
+    assert(rows.filter(_(1) == "hub").map(_(0)).toSet == expect)
+  }
+
   test("filter/agg/sort extension modules") {
     val in = tmp("agg") + "/in.csv"
     writeCsv(in, "k,v", "a,1", "b,2", "a,3", "b,4", "a,5")
