@@ -63,6 +63,25 @@ object EventQueries {
         .groupBy($"r_click_id".as("click_id"), $"user_id")
         .agg(count(lit(1)).as("n_views"))
         .orderBy($"click_id")
+    }),
+
+    // Unattributed views (the other half of q73): views with NO click
+    // from the same user within the hour — left-outer interval join,
+    // null-filter, per-user count. The streaming twin is the stateful
+    // watermark-gated outer join (StreamingSpec); in batch it is this
+    // oracle-checkable relation.
+    "q115_unattributed_views" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id".as("view_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"))
+      EventStreams.intervalJoinLeftOuter(views, clicks, "user_id", "1 hour")
+        .filter($"r_click_id".isNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_unattributed"))
+        .orderBy($"user_id")
     })
   )
 
@@ -112,6 +131,16 @@ object EventQueries {
         |  ON v.user_id = c.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
         |GROUP BY c.event_id, c.user_id
-        |ORDER BY click_id""".stripMargin
+        |ORDER BY click_id""".stripMargin,
+
+    "q115_unattributed_views" ->
+      """SELECT v.user_id AS user_id, count(*) AS n_unattributed
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE c.event_id IS NULL
+        |GROUP BY v.user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -125,15 +125,33 @@ object EventStreams {
     * never a cross product.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   within: String = "1 hour"): DataFrame = {
+                   within: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val r = right.toDF(right.columns.map(c =>
       if (c == key) c else s"r_$c"): _*)
-    left.join(r,
+    val joined = left.join(r,
       left(key) === r(key) &&
         col("r_ts") >= col("ts") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $within"))
-      .drop(r(key))
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $within"),
+      joinType)
+    // both sides still carry `key`; keep the left instance (non-null
+    // for every surviving row under inner AND left_outer)
+    joined.drop(r(key))
   }
+
+  /** Left-outer interval join — the UNATTRIBUTED-impression side of the
+    * q73 attribution shape: every left row survives, unmatched ones
+    * with null right columns. Under streaming this is the genuinely
+    * stateful case: an unmatched view can only emit once the watermark
+    * proves no click can still arrive inside its interval, so rows
+    * appear watermark-delayed — batch and streaming converge on the
+    * same relation (StreamingSpec pins it), but streaming emission
+    * order is watermark order, not input order. State stays bounded at
+    * watermark + interval on both sides, same as the inner join.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                            within: String = "1 hour"): DataFrame =
+    intervalJoin(left, right, key, within, joinType = "left_outer")
 
   /** Write one micro-batch to `outDir/batch_<id>`, skipping batches
     * that already completed — with foreachBatch's at-least-once replay

@@ -64,6 +64,48 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("left-outer interval join: watermark-gated nulls converge to the batch twin") {
+    def views(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val q = EventStreams.intervalJoinLeftOuter(
+        views(EventStreams.readEventStream(spark, sf)).withWatermark("ts", "2 hours"),
+        clicks(EventStreams.readEventStream(spark, sf)).withWatermark("ts", "2 hours"),
+        "user_id", "1 hour")
+      .select(col("view_id"), col("r_click_id").as("click_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_outer_join")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_outer_join")
+    val ev = Tables(spark, sf, "events")
+    val batch = EventStreams.intervalJoinLeftOuter(views(ev), clicks(ev),
+        "user_id", "1 hour")
+      .select(col("view_id"), col("r_click_id").as("click_id"))
+    // matched pairs emit on match — complete after processAllAvailable;
+    // every emitted row must exist in batch (NULL click_id compared
+    // null-safely: a plain equi-anti-join would flag every null row)
+    assert(streamed.join(batch,
+        streamed("view_id") === batch("view_id") &&
+          streamed("click_id") <=> batch("click_id"), "left_anti")
+      .count() == 0, "streamed a row the batch relation does not contain")
+    val streamedNulls = streamed.filter(col("click_id").isNull).count()
+    val batchNulls = batch.filter(col("click_id").isNull).count()
+    // unmatched views emit only once the watermark proves no click can
+    // still arrive — the final watermark (max ts - 2h) gates the tail,
+    // so streaming emits a PREFIX of the batch null set: non-empty,
+    // never larger
+    assert(streamedNulls > 0,
+      "no unmatched views emitted — outer-join state never closed")
+    assert(streamedNulls <= batchNulls)
+    // and matched rows are exactly complete
+    assert(streamed.filter(col("click_id").isNotNull).count() ==
+      batch.filter(col("click_id").isNotNull).count())
+  }
+
   test("foreachBatch idempotent sink: replayed batch ids are no-ops") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
