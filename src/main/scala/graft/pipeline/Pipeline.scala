@@ -827,6 +827,32 @@ object Pipeline {
           df.unionByName(right, allowMissingColumns = true), RowType)
       }),
 
+    Registered("intervaljoin", RowType, RowType,
+      "in=STREAM:with=STREAM:key=COL:within=1 hour[:type=inner|left_outer]:out=STREAM",
+      (ctx, m) => {
+        // Interval join (EventStreams.intervalJoin): right rows whose
+        // ts falls in [left.ts, left.ts + within] attach r_-prefixed;
+        // left_outer keeps unmatched left rows (watermark-gated under
+        // streaming).
+        val df = ctx.readStream(m, RowType)
+        val wname = m.args.getOrElse("with",
+          throw new BuildError("intervaljoin: with= required"))
+        val (right, rt) = ctx.streams.getOrElse(wname,
+          throw new BuildError(s"intervaljoin: unknown stream '$wname'"))
+        if (rt != RowType)
+          throw new BuildError(s"intervaljoin: '$wname' is not a row stream")
+        ctx.readers(wname) += 1
+        val key = m.args.getOrElse("key",
+          throw new BuildError("intervaljoin: key= required"))
+        val joinType = m.args.getOrElse("type", "inner")
+        if (joinType != "inner" && joinType != "left_outer")
+          throw new BuildError(
+            s"intervaljoin: type must be inner or left_outer, got '$joinType'")
+        ctx.writeStream(m, graft.streaming.EventStreams.intervalJoin(
+          df, right, key, m.args.getOrElse("within", "1 hour"), joinType),
+          RowType)
+      }),
+
     Registered("dedup", RowType, RowType, "in=STREAM:key=k1,k2:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)

@@ -442,6 +442,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((ts(0), "view", 1L), (ts(1), "click", 1L)))
   }
 
+  test("intervaljoin module: inner attaches r_ columns, left_outer keeps unmatched") {
+    import spark.implicits._
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val views = Seq(
+      (10L, ts(0), 100L), (10L, ts(5), 101L), (11L, ts(2), 102L))
+      .toDF("user_id", "ts", "view_id")
+    val clicks = Seq(
+      (10L, ts(0, 30), 900L), // inside view 100's hour
+      (11L, ts(9), 901L))     // 7h after view 102 -> no match
+      .toDF("user_id", "ts", "click_id")
+    val d = tmp("ijmod")
+    Pipeline.run(spark, Seq(
+      "intervaljoin:in=v:with=c:key=user_id:within=1 hour:type=left_outer",
+      s"streamwrite:path=$d/out"),
+      inputs = Map("v" -> views, "c" -> clicks))
+    val got = spark.read.parquet(s"$d/out/batch_0")
+      .select("view_id", "r_click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set((100L, 900L), (101L, -1L), (102L, -1L)))
+    // inner drops the unmatched rows, same join otherwise
+    val d2 = tmp("ijmod2")
+    Pipeline.run(spark, Seq(
+      "intervaljoin:in=v:with=c:key=user_id:within=1 hour",
+      s"streamwrite:path=$d2/out"),
+      inputs = Map("v" -> views, "c" -> clicks))
+    assert(spark.read.parquet(s"$d2/out/batch_0")
+      .select("view_id").as[Long].collect().toSeq == Seq(100L))
+  }
+
   test("streamwrite reruns report only batches landed THIS run") {
     // ADVICE r6: counting every batch_* dir under path attributed
     // stale batches from earlier runs to the current one. The listing
