@@ -704,6 +704,31 @@ object Relational {
         .withColumn("next_rev", lead($"rev", 1).over(wSeq))
         .filter(abs($"rev" - $"avg_rev") / $"avg_rev" > lit(0.1))
         .orderBy($"pri", $"m")
+    }),
+
+    // TPC-DS Q36 shape (rank within rollup hierarchy): ROLLUP totals
+    // with grouping() bits feeding BOTH the window partition key and a
+    // CASE inside it — ranks compete only against siblings under the
+    // same parent. Exercises Catalyst's grouping-attribute handling
+    // inside window specs, which no other query touches.
+    "q116_tpcds_q36_shape" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "orders")
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(dsum($"o_totalprice").as("rev"), count(lit(1)).as("n"),
+          grouping($"o_orderpriority").cast("int").as("g_pri"),
+          grouping($"o_orderstatus").cast("int").as("g_status"))
+        .select($"o_orderpriority".as("pri"), $"o_orderstatus".as("status"),
+          $"rev", $"n", $"g_pri", $"g_status")
+      val w = Window
+        .partitionBy($"g_pri" + $"g_status",
+          when($"g_status" === 0, $"pri"))
+        .orderBy($"rev".desc)
+      agg.select($"pri", $"status", $"rev", $"n",
+          ($"g_pri" + $"g_status").as("lochierarchy"),
+          rank().over(w).cast("int").as("rank_within_parent"))
+        .orderBy($"lochierarchy".desc, $"pri".asc_nulls_first,
+          $"rank_within_parent")
     })
   )
 
@@ -1261,6 +1286,24 @@ object Relational {
         |  FROM monthly)
         |SELECT pri, m, rev, avg_rev, prev_rev, next_rev
         |FROM win WHERE abs(rev - avg_rev) / avg_rev > 0.1
-        |ORDER BY pri, m""".stripMargin
+        |ORDER BY pri, m""".stripMargin,
+
+    "q116_tpcds_q36_shape" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS status,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS rev,
+        |    count(*) AS n,
+        |    CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+        |    CAST(grouping(o_orderstatus) AS INT) AS g_status
+        |  FROM orders
+        |  GROUP BY ROLLUP (o_orderpriority, o_orderstatus))
+        |SELECT pri, status, rev, n,
+        |  (g_pri + g_status) AS lochierarchy,
+        |  CAST(rank() OVER (
+        |    PARTITION BY (g_pri + g_status),
+        |      CASE WHEN g_status = 0 THEN pri END
+        |    ORDER BY rev DESC) AS INT) AS rank_within_parent
+        |FROM agg
+        |ORDER BY lochierarchy DESC, pri NULLS FIRST, rank_within_parent""".stripMargin
   )
 }
