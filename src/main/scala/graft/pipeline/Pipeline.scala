@@ -1356,13 +1356,25 @@ object Pipeline {
         ctx.spark.read.parquet(path), RowType)
     }),
 
-    Registered("parquetwrite", RowType, NoneType, "in=STREAM:out=PATH", (ctx, m) => {
+    Registered("parquetwrite", RowType, NoneType,
+      "in=STREAM:out=PATH[:files=N]", (ctx, m) => {
       val df = ctx.readStream(m, RowType)
       val path = m.args.getOrElse("out", throw new BuildError("parquetwrite: out= required"))
+      // files=N is the compaction path (the small-files answer at
+      // 100 TB: parquetread:in=shattered | parquetwrite:files=N): one
+      // round-robin repartition to exactly N output files. Without it
+      // the input partitioning passes through untouched.
+      val files = m.args.get("files").map(_.toInt)
+      files.foreach(n => if (n < 1)
+        throw new BuildError(s"parquetwrite: files= must be >= 1, got $n"))
       ctx.addSink(m.raw, () => {
-        df.write.mode("overwrite").parquet(path)
-        ctx.log("parquetwrite", s"wrote $path")
-        0L
+        val obs = org.apache.spark.sql.Observation()
+        val out = files.fold(df)(df.repartition)
+          .observe(obs, count(lit(1)).as("rows"))
+        out.write.mode("overwrite").parquet(path)
+        val rows = obs.get("rows").asInstanceOf[Long]
+        ctx.log("parquetwrite", s"wrote $rows rows to $path")
+        rows
       })
     }),
 

@@ -659,6 +659,11 @@ object Relational {
     // filter over coalesced columns from BOTH sides — Catalyst must
     // keep it above the join. Cumulative sums run in decimal so the
     // running totals are order-exact on any engine.
+    // NB the shape is the point: with both channels in ONE table this
+    // rewrites to a single conditional aggregate + one window (3
+    // shuffles instead of 7), but Q51's channels are separate fact
+    // tables at 100 TB, where the windowed-full-outer IS the plan —
+    // the rewrite doesn't exist there, so the query keeps the join.
     "q113_tpcds_q51_shape" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")

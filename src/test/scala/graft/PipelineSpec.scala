@@ -115,6 +115,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.filter(_(1) == "hub").map(_(0)).toSet == expect)
   }
 
+  test("parquetwrite files= compacts a shattered directory, rows intact") {
+    import spark.implicits._
+    val d = tmp("compact")
+    (1 to 1000).toDF("v").repartition(16).write.parquet(s"$d/shattered")
+    assert(new java.io.File(s"$d/shattered").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 16)
+    val r = Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/shattered",
+      s"parquetwrite:out=$d/compacted:files=2"))
+    assert(r.rowsWritten.values.sum == 1000L, "row count reported")
+    assert(new java.io.File(s"$d/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2, "exactly files=N outputs")
+    assert(spark.read.parquet(s"$d/compacted").as[Int].collect().sorted
+      .sameElements(1 to 1000))
+  }
+
   test("filter/agg/sort extension modules") {
     val in = tmp("agg") + "/in.csv"
     writeCsv(in, "k,v", "a,1", "b,2", "a,3", "b,4", "a,5")
