@@ -1357,7 +1357,7 @@ object Pipeline {
     }),
 
     Registered("parquetwrite", RowType, NoneType,
-      "in=STREAM:out=PATH[:files=N]", (ctx, m) => {
+      "in=STREAM:out=PATH[:files=N][:partitionby=c1,c2]", (ctx, m) => {
       val df = ctx.readStream(m, RowType)
       val path = m.args.getOrElse("out", throw new BuildError("parquetwrite: out= required"))
       // files=N is the compaction path (the small-files answer at
@@ -1367,11 +1367,23 @@ object Pipeline {
       val files = m.args.get("files").map(_.toInt)
       files.foreach(n => if (n < 1)
         throw new BuildError(s"parquetwrite: files= must be >= 1, got $n"))
+      // partitionby=c1,c2 writes the hive-style dir layout (c1=v/...)
+      // Spark's readers partition-prune on — the standard 100 TB
+      // date/tenant layout. Combined with files=N the repartition goes
+      // on the partition columns so each dir gets coherent files, not
+      // one shard of every task.
+      val partCols = m.args.get("partitionby")
+        .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
       ctx.addSink(m.raw, () => {
         val obs = org.apache.spark.sql.Observation()
-        val out = files.fold(df)(df.repartition)
-          .observe(obs, count(lit(1)).as("rows"))
-        out.write.mode("overwrite").parquet(path)
+        val shaped =
+          if (partCols.nonEmpty && files.nonEmpty)
+            df.repartition(files.get, partCols.map(col): _*)
+          else files.fold(df)(df.repartition)
+        val out = shaped.observe(obs, count(lit(1)).as("rows"))
+        val w = out.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(path)
         val rows = obs.get("rows").asInstanceOf[Long]
         ctx.log("parquetwrite", s"wrote $rows rows to $path")
         rows
@@ -1412,6 +1424,35 @@ object Pipeline {
           graft.operators.Ops.zorderWrite(df, x, y, path, files)
           ctx.log("zorderwrite", s"wrote $path")
           0L
+        })
+      }),
+
+    Registered("sortwrite", RowType, NoneType,
+      "in=STREAM:by=COL[,COL...]:files=N:out=PATH", (ctx, m) => {
+        // Range-clustered sorted parquet write — the 1-D sibling of
+        // zorderwrite and the terasort shape: repartitionByRange gives
+        // each file a DISJOINT slice of the key range (sampled range
+        // boundaries, skew-resistant), sortWithinPartitions orders
+        // inside, so footer min/max prunes any range predicate on the
+        // leading column to the few files that overlap it.
+        val df = ctx.readStream(m, RowType)
+        val by = m.args.getOrElse("by",
+            throw new BuildError("sortwrite: by= required"))
+          .split(",").toSeq.map(c => col(c.trim))
+        val path = m.args.getOrElse("out",
+          throw new BuildError("sortwrite: out= required"))
+        val files = m.args.getOrElse("files", "32").toInt
+        if (files < 1)
+          throw new BuildError(s"sortwrite: files= must be >= 1, got $files")
+        ctx.addSink(m.raw, () => {
+          val obs = org.apache.spark.sql.Observation()
+          df.repartitionByRange(files, by: _*)
+            .sortWithinPartitions(by: _*)
+            .observe(obs, count(lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(path)
+          val rows = obs.get("rows").asInstanceOf[Long]
+          ctx.log("sortwrite", s"wrote $rows rows to $path")
+          rows
         })
       }),
 

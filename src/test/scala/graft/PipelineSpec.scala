@@ -131,6 +131,52 @@ class PipelineSpec extends AnyFunSuite {
       .sameElements(1 to 1000))
   }
 
+  test("parquetwrite partitionby= writes the hive layout Spark partition-prunes") {
+    import spark.implicits._
+    val d = tmp("hivepart")
+    val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
+      .toDF("id", "grp", "v")
+    val r = Pipeline.run(spark, Seq(
+      s"parquetwrite:in=x:out=$d/out:partitionby=grp:files=1"),
+      inputs = Map("x" -> df))
+    assert(r.rowsWritten.values.sum == 3L)
+    val dirs = new java.io.File(s"$d/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("grp=a", "grp=b"), s"hive layout missing: $dirs")
+    // partition pruning: a grp filter must read only that directory
+    val plan = spark.read.parquet(s"$d/out").filter($"grp" === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(grp"),
+      s"grp not a partition filter:\n$plan")
+    assert(spark.read.parquet(s"$d/out").filter($"grp" === "a")
+      .select($"id").as[Int].collect().sorted.sameElements(Seq(1, 3)))
+  }
+
+  test("sortwrite: disjoint per-file key ranges, globally sorted read-back") {
+    import spark.implicits._
+    val d = tmp("sortw")
+    val df = (1 to 2000).map(i => (i * 37 % 2000, i)).toDF("k", "id")
+    val r = Pipeline.run(spark, Seq(
+      s"sortwrite:in=x:by=k:files=4:out=$d/out"),
+      inputs = Map("x" -> df))
+    assert(r.rowsWritten.values.sum == 2000L)
+    val files = new java.io.File(s"$d/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length == 4)
+    // each file covers a DISJOINT slice of k — that is what lets
+    // footer min/max prune a range predicate to ~1 file
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Int].collect()
+      assert(ks.sorted.sameElements(ks), s"not sorted within $f")
+      (ks.min, ks.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: $hi >= $lo")
+      case _ =>
+    }
+  }
+
   test("filter/agg/sort extension modules") {
     val in = tmp("agg") + "/in.csv"
     writeCsv(in, "k,v", "a,1", "b,2", "a,3", "b,4", "a,5")
