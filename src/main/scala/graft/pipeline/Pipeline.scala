@@ -1186,6 +1186,22 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    Registered("watermark", RowType, RowType,
+      "in=STREAM:col=ts:delay=2 hours:out=STREAM", (ctx, m) => {
+        // Event-time watermark as a composable primitive: the stateful
+        // modules (intervaljoin under streaming, custom sql windows)
+        // need BOTH inputs watermarked, which per-module watermark=
+        // args can't express. No-op on bounded input, so the same
+        // chain verifies offline.
+        val df = ctx.readStream(m, RowType)
+        val out =
+          if (df.isStreaming)
+            df.withWatermark(m.args.getOrElse("col", "ts"),
+              m.args.getOrElse("delay", "2 hours"))
+          else df
+        ctx.writeStream(m, out, RowType)
+      }),
+
     Registered("streamdedup", RowType, RowType,
       "in=STREAM:key=event_id:ts=ts:watermark=2 hours:out=STREAM", (ctx, m) => {
         // Exact keyed dedup with watermark-evicted state (unbounded

@@ -534,6 +534,40 @@ class PipelineSpec extends AnyFunSuite {
       .select("view_id").as[Long].collect().toSeq == Seq(100L))
   }
 
+  test("streaming DSL: watermark + intervaljoin join two unbounded streams") {
+    // The watermark module is what makes stateful two-input modules
+    // reachable from the DSL: stream-stream joins need BOTH sides
+    // watermarked, which per-module args can't express.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.Ev
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = tmp("swij")
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val vm = MemoryStream[Ev]
+    val cm = MemoryStream[Ev]
+    vm.addData(
+      Ev(100L, ts(0), 10L, "view", 1.0),
+      Ev(101L, ts(5), 10L, "view", 1.0))
+    cm.addData(
+      Ev(900L, ts(0, 30), 10L, "click", 2.0), // inside view 100's hour
+      Ev(901L, ts(9), 11L, "click", 2.0))     // different user
+    val r = Pipeline.run(spark, Seq(
+      "watermark:in=v:col=ts:delay=2 hours:out=vw",
+      "watermark:in=c:col=ts:delay=2 hours:out=cw",
+      "intervaljoin:in=vw:with=cw:key=user_id:within=1 hour:out=j",
+      s"streamwrite:in=j:path=$d/out:checkpoint=$d/ckpt"),
+      inputs = Map("v" -> vm.toDF(), "c" -> cm.toDF()))
+    assert(r.rowsWritten.values.sum == 1L)
+    val dirs = new java.io.File(s"$d/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.getAbsolutePath).toIndexedSeq
+    val got = spark.read.parquet(dirs: _*)
+      .select($"event_id", $"r_event_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 900L)))
+  }
+
   test("streamwrite reruns report only batches landed THIS run") {
     // ADVICE r6: counting every batch_* dir under path attributed
     // stale batches from earlier runs to the current one. The listing
