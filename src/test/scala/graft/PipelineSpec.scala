@@ -534,6 +534,29 @@ class PipelineSpec extends AnyFunSuite {
       .select("view_id").as[Long].collect().toSeq == Seq(100L))
   }
 
+  test("new modules reject bad arguments loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "t")).toDF("id", "text")
+    def bad(msg: String, chain: String*) = {
+      val e = intercept[BuildError](
+        Pipeline.run(spark, chain, inputs = Map("x" -> df, "y" -> df)))
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+    }
+    bad("type must be inner or left_outer",
+      "intervaljoin:in=x:with=y:key=id:type=full_outer",
+      "stdout:in=intervaljoin")
+    bad("with= required", "intervaljoin:in=x:key=id",
+      "stdout:in=intervaljoin")
+    bad("order= required", "domaincap:in=x:domain=id:cap=3",
+      "stdout:in=domaincap")
+    bad("bad order entry",
+      "domaincap:in=x:domain=id:order=id.sideways:cap=3",
+      "stdout:in=domaincap")
+    bad("text= required", "segdedup:in=x:key=id", "stdout:in=segdedup")
+    bad("files= must be >= 1", "sortwrite:in=x:by=id:files=0:out=/tmp/nope")
+    bad("files= must be >= 1", "parquetwrite:in=x:out=/tmp/nope:files=0")
+  }
+
   test("streaming DSL: watermark + intervaljoin join two unbounded streams") {
     // The watermark module is what makes stateful two-input modules
     // reachable from the DSL: stream-stream joins need BOTH sides
