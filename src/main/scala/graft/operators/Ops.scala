@@ -555,4 +555,110 @@ object Ops {
     df.withColumn(splitName,
       when(col(keyCol).isNull, lit(weights.last._1)).otherwise(expr))
   }
+
+  /** Engine-portable unit hash for KMV sketches: first 8 hex chars of
+    * md5(key) read as an integer, scaled to [0,1). Same md5 family as
+    * [[stratifiedSampleMd5]]/[[hashSplit]] — any engine reproduces the
+    * identical doubles, so sketch contents (and thus every estimate
+    * derived from them) replay exactly in the DuckDB oracle.
+    */
+  def kmvUnitHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Sampling threshold θ of a KMV sketch column (sorted ascending
+    * array from [[graft.functions.Aggregators.KmvSketch]]): the kth
+    * smallest value when the sketch is full, else 1.0 (the sketch IS
+    * the whole set). All estimates count values strictly below θ.
+    */
+  def kmvTheta(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(1.0)).otherwise(element_at(sk, k))
+
+  /** Distinct-count estimate: |{u < θ}| / θ — exactly m when the
+    * sketch holds fewer than k values, (k-1)/u_k when full (the
+    * classic unbiased KMV estimator, RSE ≈ 1/√(k-2)).
+    */
+  def kmvDistinctEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit(k - 1.0) / element_at(sk, k))
+
+  /** Intersection-cardinality estimate from two KMV sketches over the
+    * SAME hash function: both sketches are uniform samples of their
+    * sets below θ = min(θ_a, θ_b), so the shared hashes below θ are a
+    * uniform sample of the intersection — |A∩B| ≈ |{u ∈ a∩b : u<θ}|/θ.
+    * This is the query HLL structurally cannot answer (union-only);
+    * exact when both sets are smaller than k.
+    */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val tau = least(kmvTheta(a, k), kmvTheta(b, k))
+    size(filter(array_intersect(a, b), u => u < tau)).cast("double") / tau
+  }
+
+  /** Union-cardinality estimate: distinct hashes from either sketch
+    * below the combined θ, scaled by 1/θ. */
+  def kmvUnionEstimate(a: Column, b: Column, k: Int): Column = {
+    val tau = least(kmvTheta(a, k), kmvTheta(b, k))
+    // NB org.apache.spark.sql.functions.concat — Ops.concat is the
+    // DataFrame fan-in (same shadowing note as hashSplit).
+    size(filter(array_distinct(
+        org.apache.spark.sql.functions.concat(a, b)), u => u < tau))
+      .cast("double") / tau
+  }
+
+  /** SCD Type-2 merge: apply a change batch to a slowly-changing
+    * dimension, producing versioned rows with `[validFrom, validTo)`
+    * effective ranges and an is-current flag — the CDC upsert every
+    * warehouse dimension load runs (the reference's ndb store keeps
+    * only last-write-wins state, dbitool.pl:2680-2681; SCD2 is the
+    * history-preserving generalization).
+    *
+    * `current` carries (key, attrs..., validFrom, validTo, isCurrent);
+    * `changes` carries (key, attrs..., ts). Semantics: for every key
+    * touched by the batch, the key's OPEN row and its change rows are
+    * re-versioned together on the (ts ++ tieBreak) order — each
+    * version closes at the next version's start; the last stays open.
+    * Closed history rows and open rows of untouched keys pass through
+    * byte-identical.
+    *
+    * Scale shape — the whole point of the split plan: the window
+    * (the only per-key serialization) runs ONLY over affected keys
+    * (open ∩ changes ∪ changes), so a daily batch touching 0.1% of a
+    * 10-billion-row dimension shuffles ~0.1% of it; the untouched 99.9%
+    * streams through a broadcast/shuffle anti semi pair with no sort.
+    * With `changes` small, Catalyst broadcasts the semi/anti probes.
+    *
+    * (ts ++ tieBreak) must totally order each key's versions for the
+    * output to be deterministic — same contract as [[dedupLastWins]].
+    */
+  def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
+                attrCols: Seq[String], ts: String = "ts",
+                tieBreak: Seq[String] = Nil,
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to",
+                isCurrent: String = "is_current"): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val outCols = (Seq(key) ++ attrCols ++
+      Seq(validFrom, validTo, isCurrent)).map(col)
+    val keys = changes.select(col(key)).distinct()
+    val open = current.filter(col(isCurrent))
+    val closed = current.filter(!col(isCurrent))
+    val untouchedOpen = open.join(keys, Seq(key), "left_anti")
+    // Versions to (re-)order: the affected keys' open rows, re-read as
+    // events at their validFrom, plus the whole change batch.
+    val openEvents = open.join(keys, Seq(key), "left_semi")
+      .select((Seq(col(key)) ++ attrCols.map(col) :+
+        col(validFrom).as("__ts")): _*)
+    val changeEvents = changes
+      .select((Seq(col(key)) ++ attrCols.map(col) :+ col(ts).as("__ts")): _*)
+    val ordCols = col("__ts") +: tieBreak.map(col)
+    val w = Window.partitionBy(col(key)).orderBy(ordCols.map(_.asc): _*)
+    val versioned = openEvents.unionByName(changeEvents)
+      .withColumn(validFrom, col("__ts"))
+      .withColumn(validTo, lead(col("__ts"), 1).over(w))
+      .withColumn(isCurrent, col(validTo).isNull)
+      .select(outCols: _*)
+    closed.select(outCols: _*)
+      .unionByName(untouchedOpen.select(outCols: _*))
+      .unionByName(versioned)
+  }
 }

@@ -249,6 +249,82 @@ object Operators {
           round($"exact_p50", 4).as("exact_p50"),
           (abs($"apx" - $"exact_p50") <= $"exact_p50" * 0.01).as("approx_ok"))
         .orderBy($"l_returnflag")
+    }),
+
+    // SCD Type-2 merge (CDC upsert): current dimension = latest + one
+    // historical purchase per user before the cutoff; change batch =
+    // purchases after it. Only keys touched by the batch pass through
+    // the re-versioning window — closed history and untouched open
+    // rows stream by join-pruned (the 100 TB dimension-load shape).
+    "q118_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+      val p = t(s, dir, "events").filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", round($"value", 2).as("spend"), $"ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val ranked = p.filter($"ts" < cutoff)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("next_ts", lag($"ts", 1).over(w))
+      val current = ranked.filter($"rn" <= 2).select(
+        $"user_id", $"event_id", $"spend",
+        $"ts".as("valid_from"),
+        when($"rn" === 1, lit(null).cast("timestamp"))
+          .otherwise($"next_ts").as("valid_to"),
+        ($"rn" === 1).as("is_current"))
+      val changes = p.filter($"ts" >= cutoff)
+      Ops.scd2Apply(current, changes, key = "user_id",
+          attrCols = Seq("event_id", "spend"), ts = "ts",
+          tieBreak = Seq("event_id"))
+        .orderBy($"user_id", $"valid_from", $"event_id")
+        .select($"user_id", $"event_id", $"spend",
+          date_format($"valid_from", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format($"valid_to", "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          $"is_current")
+    }),
+
+    // KMV (theta) sketch algebra over daily-activity keys: per-channel
+    // distinct estimates PLUS the intersection/union estimates HLL
+    // (q34) structurally cannot produce. The sketch is a bounded
+    // mergeable typed Aggregator (map-side partial agg — only
+    // 128-value vectors cross the shuffle); every estimate replays
+    // bit-exactly in the oracle from the same md5 unit hashes.
+    "q119_kmv_theta" -> ((s, dir) => {
+      import s.implicits._
+      val k = 128
+      val kmv = udaf(new graft.functions.Aggregators.KmvSketch(k),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val ev = t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type",
+          concat_ws(":", $"user_id", to_date($"ts")).as("akey"))
+      val sk = ev
+        .withColumn("u", Ops.kmvUnitHash($"akey"))
+        .groupBy($"event_type")
+        .agg(kmv($"u").as("sk"), countDistinct($"akey").as("exact"))
+      val per = sk.select($"event_type".as("scope"),
+        round(Ops.kmvDistinctEstimate($"sk", k), 4).as("est_distinct"),
+        $"exact".as("exact_distinct"))
+      val both = sk.filter($"event_type" === "click").select($"sk".as("ska"))
+        .crossJoin(sk.filter($"event_type" === "purchase")
+          .select($"sk".as("skb")))
+      val exact = ev.groupBy($"akey").agg(
+          max(when($"event_type" === "click", 1).otherwise(0)).as("hc"),
+          max(when($"event_type" === "purchase", 1).otherwise(0)).as("hp"))
+        .agg(
+          sum(when($"hc" === 1 && $"hp" === 1, 1).otherwise(0))
+            .cast("long").as("x_and"),
+          count(lit(1)).as("x_or"))
+      val inter = both.crossJoin(exact).select(
+        lit("click_and_purchase").as("scope"),
+        round(Ops.kmvIntersectEstimate($"ska", $"skb", k), 4)
+          .as("est_distinct"),
+        $"x_and".as("exact_distinct"))
+      val uni = both.crossJoin(exact).select(
+        lit("click_or_purchase").as("scope"),
+        round(Ops.kmvUnionEstimate($"ska", $"skb", k), 4).as("est_distinct"),
+        $"x_or".as("exact_distinct"))
+      per.unionByName(inter).unionByName(uni).orderBy($"scope")
     })
   )
 
@@ -364,6 +440,101 @@ object Operators {
         |                  value AS purchase_value
         |                FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q118_scd2_merge" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, round(value, 2) AS spend, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |pre AS (
+        |  SELECT user_id, event_id, spend, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS next_ts
+        |  FROM p WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |cur AS (
+        |  SELECT user_id, event_id, spend, ts AS valid_from,
+        |    CASE WHEN rn = 1 THEN NULL ELSE next_ts END AS valid_to,
+        |    (rn = 1) AS is_current
+        |  FROM pre WHERE rn <= 2),
+        |chg AS (SELECT user_id, event_id, spend, ts FROM p
+        |        WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'),
+        |keys AS (SELECT DISTINCT user_id FROM chg),
+        |ev AS (
+        |  SELECT user_id, event_id, spend, valid_from AS ts FROM cur
+        |  WHERE is_current AND user_id IN (SELECT user_id FROM keys)
+        |  UNION ALL
+        |  SELECT user_id, event_id, spend, ts FROM chg),
+        |ver AS (
+        |  SELECT user_id, event_id, spend, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM ev),
+        |merged AS (
+        |  SELECT user_id, event_id, spend, valid_from, valid_to FROM cur
+        |  WHERE (NOT is_current) OR user_id NOT IN (SELECT user_id FROM keys)
+        |  UNION ALL
+        |  SELECT user_id, event_id, spend, valid_from, valid_to FROM ver)
+        |SELECT user_id, event_id, spend,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM merged
+        |ORDER BY user_id, merged.valid_from, event_id""".stripMargin,
+
+    "q119_kmv_theta" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) || ':'
+        |      || CAST(CAST(ts AS DATE) AS VARCHAR) AS akey
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |h AS (
+        |  SELECT event_type, akey,
+        |    CAST(CAST('0x' || substr(md5(akey), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM ev),
+        |d AS (SELECT DISTINCT event_type, u FROM h),
+        |r AS (SELECT event_type, u,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+        |      FROM d),
+        |sk AS (SELECT event_type, u, rk FROM r WHERE rk <= 128),
+        |st AS (SELECT event_type, count(*) AS m,
+        |         max(CASE WHEN rk = 128 THEN u END) AS uk,
+        |         CASE WHEN count(*) < 128 THEN 1.0
+        |              ELSE max(CASE WHEN rk = 128 THEN u END) END AS theta
+        |       FROM sk GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT akey) AS exact
+        |       FROM ev GROUP BY 1),
+        |per AS (
+        |  SELECT st.event_type AS scope,
+        |    round(CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+        |               ELSE 127.0 / uk END, 4) AS est_distinct,
+        |    ex.exact AS exact_distinct
+        |  FROM st JOIN ex ON st.event_type = ex.event_type),
+        |tau AS (SELECT min(theta) AS t FROM st),
+        |flags AS (SELECT akey,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        |  FROM ev GROUP BY akey),
+        |exb AS (SELECT CAST(sum(CASE WHEN hc = 1 AND hp = 1
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS x_and,
+        |               count(*) AS x_or FROM flags),
+        |common AS (SELECT count(*) AS c FROM sk a
+        |  JOIN sk b ON a.u = b.u AND a.event_type = 'click'
+        |    AND b.event_type = 'purchase'
+        |  CROSS JOIN tau WHERE a.u < tau.t),
+        |uvals AS (SELECT count(DISTINCT u) AS c
+        |  FROM sk CROSS JOIN tau WHERE u < tau.t)
+        |SELECT scope, est_distinct, exact_distinct FROM (
+        |  SELECT * FROM per
+        |  UNION ALL
+        |  SELECT 'click_and_purchase',
+        |    round(CAST(common.c AS DOUBLE) / tau.t, 4), exb.x_and
+        |  FROM common CROSS JOIN tau CROSS JOIN exb
+        |  UNION ALL
+        |  SELECT 'click_or_purchase',
+        |    round(CAST(uvals.c AS DOUBLE) / tau.t, 4), exb.x_or
+        |  FROM uvals CROSS JOIN tau CROSS JOIN exb)
+        |ORDER BY scope""".stripMargin
   )
 }

@@ -333,4 +333,109 @@ class OpsSpec extends AnyFunSuite {
     assert(nullSplits == Set("test"), s"NULL keys went to $nullSplits")
     assert(split.count() == 100, "NULL rows are not dropped")
   }
+
+  // --- SCD2 merge ---
+
+  private def scd2Fixture = {
+    // current: u1 has history (closed + open), u2 open-only, u3 open-only
+    val current = Seq(
+      ("u1", "a", 10L, Some(20L), false),
+      ("u1", "b", 20L, None, true),
+      ("u2", "c", 15L, None, true),
+      ("u3", "d", 5L, None, true)).toDF("k", "attr", "vf", "vt", "cur")
+      .select($"k", $"attr", timestamp_micros($"vf").as("valid_from"),
+        timestamp_micros(coalesce($"vt", lit(null).cast("long")))
+          .as("valid_to"), $"cur".as("is_current"))
+    // changes touch u1 (twice) and u4 (new key); u2/u3 untouched
+    val changes = Seq(("u1", "e", 30L), ("u1", "f", 40L), ("u4", "g", 25L))
+      .toDF("k", "attr", "t").select($"k", $"attr",
+        timestamp_micros($"t").as("ts"))
+    (current, changes)
+  }
+
+  test("scd2Apply versions touched keys and passes the rest through") {
+    val (current, changes) = scd2Fixture
+    val out = Ops.scd2Apply(current, changes, "k", Seq("attr"))
+      .withColumn("vf", unix_micros($"valid_from"))
+      .withColumn("vt", unix_micros($"valid_to"))
+      .orderBy($"k", $"vf")
+      .select($"k", $"attr", $"vf", $"vt", $"is_current")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("u1", "a", 10L, Some(20L), false),  // closed history untouched
+      ("u1", "b", 20L, Some(30L), false),  // open row closed by batch
+      ("u1", "e", 30L, Some(40L), false),  // first change closed by second
+      ("u1", "f", 40L, None, true),        // last change stays open
+      ("u2", "c", 15L, None, true),        // untouched open rows
+      ("u3", "d", 5L, None, true),
+      ("u4", "g", 25L, None, true)))       // brand-new key
+  }
+
+  test("scd2Apply is idempotent on an empty batch") {
+    val (current, changes) = scd2Fixture
+    val out = Ops.scd2Apply(current, changes.limit(0), "k", Seq("attr"))
+    assert(out.count() == 4)
+    assert(out.filter($"is_current").count() == 3)
+  }
+
+  // --- KMV sketch ---
+
+  private def kmvOf(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val kmv = udaf(new graft.functions.Aggregators.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    df.agg(kmv($"u").as("sk")).select($"sk").as[Seq[Double]].head()
+  }
+
+  test("KmvSketch keeps exactly the k smallest distinct hashes") {
+    val df = spark.range(2000).select(
+      Ops.kmvUnitHash(($"id" % 500).cast("string")).as("u"))
+    val sk = kmvOf(df, 64)
+    val expected = df.distinct().orderBy($"u").limit(64)
+      .as[Double].collect().toSeq
+    assert(sk == expected)
+  }
+
+  test("KmvSketch is partition-merge invariant") {
+    val base = spark.range(3000)
+      .select(Ops.kmvUnitHash($"id".cast("string")).as("u"))
+    val one = kmvOf(base.repartition(1), 32)
+    val many = kmvOf(base.repartition(13), 32)
+    assert(one == many)
+  }
+
+  test("KmvSketch below capacity is the exact distinct set") {
+    val df = spark.range(40).select(
+      Ops.kmvUnitHash(($"id" % 10).cast("string")).as("u"))
+    val sk = kmvOf(df, 64)
+    assert(sk.length == 10)
+    val est = spark.range(1).select(
+      Ops.kmvDistinctEstimate(typedLit(sk), 64)).as[Double].head()
+    assert(est == 10.0)
+  }
+
+  test("KMV distinct estimate lands within the theoretical error band") {
+    val n = 5000
+    val k = 256
+    val df = spark.range(n.toLong)
+      .select(Ops.kmvUnitHash($"id".cast("string")).as("u"))
+    val sk = kmvOf(df, k)
+    val est = spark.range(1).select(
+      Ops.kmvDistinctEstimate(typedLit(sk), k)).as[Double].head()
+    // RSE ~ 1/sqrt(k-2) ≈ 6.3%; 4 sigma ≈ 25%
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est vs exact $n")
+  }
+
+  test("KMV intersection estimate is exact when both sets fit in k") {
+    val a = spark.range(0, 30)
+      .select(Ops.kmvUnitHash($"id".cast("string")).as("u"))
+    val b = spark.range(20, 60)
+      .select(Ops.kmvUnitHash($"id".cast("string")).as("u"))
+    val (ska, skb) = (kmvOf(a, 128), kmvOf(b, 128))
+    val row = spark.range(1).select(
+      Ops.kmvIntersectEstimate(typedLit(ska), typedLit(skb), 128).as("i"),
+      Ops.kmvUnionEstimate(typedLit(ska), typedLit(skb), 128).as("un"))
+      .as[(Double, Double)].head()
+    assert(row == ((10.0, 60.0)))
+  }
 }
