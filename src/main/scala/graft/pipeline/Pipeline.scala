@@ -893,6 +893,35 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // SCD Type-2 merge from the DSL (wraps Ops.scd2Apply): in= is the
+    // current dimension (key, attrs, valid_from/valid_to/is_current),
+    // with= the change batch (key, attrs, ts). Only batch-touched keys
+    // pass the re-versioning window; the rest join-prune through.
+    Registered("scd2", RowType, RowType,
+      "in=STREAM:with=STREAM:key=COL:attrs=a1,a2:ts=COL[:tie=c1,c2]:out=STREAM",
+      (ctx, m) => {
+        val current = ctx.readStream(m, RowType)
+        val wname = m.args.getOrElse("with",
+          throw new BuildError("scd2: with= required"))
+        val (changes, rt) = ctx.streams.getOrElse(wname,
+          throw new BuildError(s"scd2: unknown stream '$wname'"))
+        if (rt != RowType)
+          throw new BuildError(s"scd2: '$wname' is not a row stream")
+        ctx.readers(wname) += 1
+        val key = m.args.getOrElse("key",
+          throw new BuildError("scd2: key= required"))
+        val attrs = m.args.getOrElse("attrs",
+          throw new BuildError("scd2: attrs= required"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (attrs.isEmpty) throw new BuildError("scd2: attrs= is empty")
+        val ts = m.args.getOrElse("ts", "ts")
+        val tie = m.args.get("tie")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        ctx.writeStream(m, graft.operators.Ops.scd2Apply(
+          current, changes, key, attrs, ts, tie), RowType)
+      }),
+
     // Range (point-in-interval) join from the DSL (wraps Ops.rangeJoin
     // — bucketed equi-join, never points × intervals).
     Registered("rangejoin", RowType, RowType,

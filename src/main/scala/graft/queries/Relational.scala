@@ -734,6 +734,63 @@ object Relational {
           rank().over(w).cast("int").as("rank_within_parent"))
         .orderBy($"lochierarchy".desc, $"pri".asc_nulls_first,
           $"rank_within_parent")
+    }),
+
+    // TPC-DS Q88 shape (multi-band counts): the reference text is 8
+    // independent scalar subqueries over the same fact CROSS JOINed
+    // into one row — 8 full scans. The Spark side IS the rewrite that
+    // matters at 100 TB: ONE scan, one conditional aggregate (8
+    // count(CASE)s), zero joins — the oracle runs the literal
+    // 8-subquery form to prove the rewrite is value-identical.
+    "q120_tpcds_q88_shape" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .filter($"event_type".isin("click", "view") && $"value" > 1.0)
+        .select(hour($"ts").as("h"))
+      ev.agg(
+        count(when($"h" === 8, 1)).as("h8"),
+        count(when($"h" === 9, 1)).as("h9"),
+        count(when($"h" === 10, 1)).as("h10"),
+        count(when($"h" === 11, 1)).as("h11"),
+        count(when($"h" === 12, 1)).as("h12"),
+        count(when($"h" === 13, 1)).as("h13"),
+        count(when($"h" === 14, 1)).as("h14"),
+        count(when($"h" === 15, 1)).as("h15"))
+    }),
+
+    // TPC-DS Q11/Q4 shape (year-over-year cross-channel growth):
+    // aggregate ONCE per (customer, channel, year), pivot the 4 cells
+    // with conditional sums (no self-joins — the reference text joins
+    // 4 aliases of the CTE; at 100 TB the conditional-agg pivot is 1
+    // shuffle instead of 4 scans + 3 joins), then keep customers whose
+    // web growth beats store growth. The ratio comparison
+    // cross-multiplies (w2/w1 > s2/s1 ⇔ w2·s1 > s2·w1 for positive
+    // denominators) on doubles cast from the SAME exact decimals, so
+    // the keep set is engine-identical — no division, no epsilon.
+    "q121_tpcds_q11_shape" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .filter(year($"o_orderdate").isin(1996, 1997))
+        .select($"o_custkey",
+          when($"o_orderkey" % 2 === 0, "store").otherwise("web").as("ch"),
+          year($"o_orderdate").as("y"),
+          $"o_totalprice".cast("decimal(30,4)").as("tp"))
+      val piv = o.groupBy($"o_custkey", $"ch", $"y")
+        .agg(sum($"tp").as("tot"))
+        .groupBy($"o_custkey").agg(
+          sum(when($"ch" === "store" && $"y" === 1996, $"tot")).as("s1"),
+          sum(when($"ch" === "store" && $"y" === 1997, $"tot")).as("s2"),
+          sum(when($"ch" === "web" && $"y" === 1996, $"tot")).as("w1"),
+          sum(when($"ch" === "web" && $"y" === 1997, $"tot")).as("w2"))
+      piv.filter($"s1" > 0 && $"w1" > 0 &&
+          coalesce($"w2".cast("double"), lit(0.0)) * $"s1".cast("double") >
+          coalesce($"s2".cast("double"), lit(0.0)) * $"w1".cast("double"))
+        .select($"o_custkey",
+          round($"s1", 2).cast("double").as("store_y1"),
+          round($"s2", 2).cast("double").as("store_y2"),
+          round($"w1", 2).cast("double").as("web_y1"),
+          round($"w2", 2).cast("double").as("web_y2"))
+        .orderBy($"o_custkey")
     })
   )
 
@@ -1309,6 +1366,46 @@ object Relational {
         |      CASE WHEN g_status = 0 THEN pri END
         |    ORDER BY rev DESC) AS INT) AS rank_within_parent
         |FROM agg
-        |ORDER BY lochierarchy DESC, pri NULLS FIRST, rank_within_parent""".stripMargin
+        |ORDER BY lochierarchy DESC, pri NULLS FIRST, rank_within_parent""".stripMargin,
+
+    // The literal Q88 text shape: 8 independent scalar subqueries
+    // cross-joined — value-identical to the Spark single-scan
+    // conditional aggregate.
+    "q120_tpcds_q88_shape" -> {
+      def sub(h: Int) =
+        s"""(SELECT count(*) AS h$h FROM events
+           | WHERE event_type IN ('click', 'view') AND value > 1.0
+           |   AND date_part('hour', ts) = $h) s$h""".stripMargin
+      s"""SELECT h8, h9, h10, h11, h12, h13, h14, h15
+         |FROM ${(8 to 15).map(sub).mkString(",\n")}""".stripMargin
+    },
+
+    "q121_tpcds_q11_shape" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'store' ELSE 'web' END AS ch,
+        |    date_part('year', o_orderdate) AS y,
+        |    CAST(o_totalprice AS DECIMAL(30,4)) AS tp
+        |  FROM orders
+        |  WHERE date_part('year', o_orderdate) IN (1996, 1997)),
+        |agg AS (SELECT o_custkey, ch, y, sum(tp) AS tot
+        |        FROM o GROUP BY 1, 2, 3),
+        |piv AS (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN ch = 'store' AND y = 1996 THEN tot END) AS s1,
+        |    sum(CASE WHEN ch = 'store' AND y = 1997 THEN tot END) AS s2,
+        |    sum(CASE WHEN ch = 'web' AND y = 1996 THEN tot END) AS w1,
+        |    sum(CASE WHEN ch = 'web' AND y = 1997 THEN tot END) AS w2
+        |  FROM agg GROUP BY 1)
+        |SELECT o_custkey,
+        |  CAST(round(s1, 2) AS DOUBLE) AS store_y1,
+        |  CAST(round(s2, 2) AS DOUBLE) AS store_y2,
+        |  CAST(round(w1, 2) AS DOUBLE) AS web_y1,
+        |  CAST(round(w2, 2) AS DOUBLE) AS web_y2
+        |FROM piv
+        |WHERE s1 > 0 AND w1 > 0
+        |  AND coalesce(CAST(w2 AS DOUBLE), 0.0) * CAST(s1 AS DOUBLE)
+        |    > coalesce(CAST(s2 AS DOUBLE), 0.0) * CAST(w1 AS DOUBLE)
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -284,6 +284,43 @@ object TextQueries {
           sum(bpeTokenEstimate($"text")).as("est_bpe_tokens"),
           sum(tokenCount($"text")).as("ws_tokens"))
         .orderBy($"source")
+    }),
+
+    // CCNet-style perplexity filter: train the add-one-smoothed bigram
+    // LM on the 90% reference split, score EVERY doc by average
+    // negative log-likelihood, keep the fluent ones. Unlike q69 (inner
+    // joins on the model's own corpus), held-out docs here carry
+    // bigrams/prefixes the LM never saw — the LEFT joins + coalesce(0)
+    // implement the unseen-event smoothing path. Scale shape: the LM
+    // (bigram counts) is itself distributed — docs join the model on
+    // the bigram key, so a 100 TB corpus scores against a model that
+    // never sits on one node; the keep decision compares the decimal
+    // exact average, so the flag is engine- and partitioning-stable.
+    "q117_perplexity_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val train = docs.filter($"doc_id" % 10 =!= 0)
+      val bgAll = docs.select($"doc_id", explode(wordNgrams($"text", 2)).as("g"))
+      val cg = train.select(explode(wordNgrams($"text", 2)).as("g"))
+        .groupBy($"g").agg(count(lit(1)).as("cg"))
+      val cpre = cg.groupBy(split($"g", " ").getItem(0).as("w1"))
+        .agg(sum($"cg").as("cp"))
+      val vocab = train.select(explode(tokens($"text")).as("tok"))
+        .agg(countDistinct($"tok").cast("double").as("v"))
+      val avgNll = sum($"nll".cast("decimal(30,12)")).cast("double") /
+        count(lit(1))
+      bgAll.join(cg, Seq("g"), "left")
+        .withColumn("w1", split($"g", " ").getItem(0))
+        .join(cpre, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select($"doc_id",
+          (-log((coalesce($"cg", lit(0L)) + lit(1.0)) /
+            (coalesce($"cp", lit(0L)) + $"v"))).as("nll"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avgNll, 4).as("avg_nll"),
+          (avgNll <= lit(3.40)).as("keep"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -429,6 +466,32 @@ object TextQueries {
       """SELECT source,
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))) AS BIGINT) AS est_bpe_tokens,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q117_perplexity_filter" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |cg AS (SELECT g, count(*) AS cg FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM tr)) GROUP BY g),
+        |cpre AS (SELECT string_split(g, ' ')[1] AS w1, sum(cg) AS cp
+        |         FROM cg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS tok FROM tr))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(-ln((coalesce(cg.cg, 0) + 1.0)
+        |      / (coalesce(cpre.cp, 0) + v.v)) AS DECIMAL(30,12)))
+        |    AS DOUBLE) / count(*), 4) AS avg_nll,
+        |  (CAST(sum(CAST(-ln((coalesce(cg.cg, 0) + 1.0)
+        |      / (coalesce(cpre.cp, 0) + v.v)) AS DECIMAL(30,12)))
+        |    AS DOUBLE) / count(*) <= 3.40) AS keep
+        |FROM bg LEFT JOIN cg ON bg.g = cg.g
+        |LEFT JOIN cpre ON string_split(bg.g, ' ')[1] = cpre.w1
+        |CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

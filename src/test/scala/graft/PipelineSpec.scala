@@ -345,8 +345,31 @@ class PipelineSpec extends AnyFunSuite {
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
       "chunk", "avroread", "avrowrite", "sql", "zorderwrite",
-      "eventread", "eventwindow", "streamdedup", "streamwrite")
+      "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("scd2 module: change batch re-versions touched keys only") {
+    val d = tmp("scd2")
+    writeCsv(s"$d/current.csv", "k,attr,valid_from,valid_to,is_current",
+      "u1,a,2024-01-01T00:00:00,2024-01-02T00:00:00,false",
+      "u1,b,2024-01-02T00:00:00,,true",
+      "u2,c,2024-01-01T12:00:00,,true")
+    writeCsv(s"$d/changes.csv", "k,attr,ts",
+      "u1,d,2024-01-03T00:00:00")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/current.csv", "csvread:infer=1:out=cur",
+      s"fileread:in=$d/changes.csv", "csvread:infer=1:out=chg",
+      "scd2:in=cur:with=chg:key=k:attrs=attr:out=dim",
+      "select:in=dim:exprs=k;attr;is_current:out=p",
+      "csvwrite:in=p", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted == Seq(
+      "k,attr,is_current",
+      "u1,a,false",  // closed history untouched
+      "u1,b,false",  // open row closed by the batch
+      "u1,d,true",   // change becomes the open version
+      "u2,c,true"    // untouched key passes through open
+    ).sorted)
   }
 
   test("decontaminate module drops train rows overlapping the eval stream") {

@@ -339,4 +339,64 @@ class ScaleSpec extends AnyFunSuite {
       s"Q47-shape windows stopped sharing their exchange:\n$plan")
     assert(!plan.contains("Join"), plan)
   }
+
+  test("DS Q88 shape: ONE scan + conditional aggregate, zero joins") {
+    // The oracle runs the literal 8-subquery cross-join text (8 scans);
+    // the engine must compile the rewrite: a single fact scan feeding
+    // one aggregate. 8x scan reduction at 100 TB.
+    val df = SparkEntry.queries("q120_tpcds_q88_shape")(spark, sf)
+    val plan = executed(df)
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected 1 fact scan, found $scans:\n$plan")
+    assert(!plan.contains("Join"), s"multi-band counts must not join:\n$plan")
+  }
+
+  test("DS Q11 shape: conditional-agg pivot — no self-joins of the CTE") {
+    val df = SparkEntry.queries("q121_tpcds_q11_shape")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("Join"),
+      s"YoY pivot reintroduced self-joins:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected 1 orders scan, found $scans:\n$plan")
+  }
+
+  test("SCD2 merge: window runs ONLY over batch-touched keys") {
+    // The untouched-open branch must reach the output without a Window
+    // above it; the semi/anti key probes are broadcastable.
+    val current = Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("k"), $"value".as("attr"),
+        $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+    val changes = Tables(spark, sf, "events")
+      .filter($"event_type" === "click").limit(10)
+      .select($"user_id".as("k"), $"value".as("attr"), $"ts")
+    val out = graft.operators.Ops.scd2Apply(current, changes, "k",
+      Seq("attr"))
+    val plan = executed(out)
+    assert(plan.contains("Window"), plan)
+    // both key probes hash-join (semi + anti), never nested-loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"key pruning joins missing:\n$plan")
+  }
+
+  test("KMV sketch aggregates map-side: partial_kmvsketch below the exchange") {
+    val k = 16
+    val kmv = udaf(new graft.functions.Aggregators.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val df = Tables(spark, sf, "events")
+      .select($"event_type", graft.operators.Ops.kmvUnitHash($"user_id").as("u"))
+      .groupBy($"event_type").agg(kmv($"u").as("sk"))
+    val plan = executed(df)
+    // partial aggregation before the shuffle: only k-vectors cross it
+    val lines = plan.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("partial"))
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"no map-side partial aggregate below the exchange:\n$plan")
+  }
 }
