@@ -594,6 +594,15 @@ object Ops {
     size(filter(array_intersect(a, b), u => u < tau)).cast("double") / tau
   }
 
+  /** Difference-cardinality estimate |A \ B|: hashes in a's sketch,
+    * absent from b's, below the combined θ — the "new keys today"
+    * question (e.g. first-seen users) answered from two bounded
+    * sketches without re-scanning either side. */
+  def kmvDifferenceEstimate(a: Column, b: Column, k: Int): Column = {
+    val tau = least(kmvTheta(a, k), kmvTheta(b, k))
+    size(filter(array_except(a, b), u => u < tau)).cast("double") / tau
+  }
+
   /** Union-cardinality estimate: distinct hashes from either sketch
     * below the combined θ, scaled by 1/θ. */
   def kmvUnionEstimate(a: Column, b: Column, k: Int): Column = {

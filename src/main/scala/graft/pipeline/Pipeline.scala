@@ -828,7 +828,7 @@ object Pipeline {
       }),
 
     Registered("intervaljoin", RowType, RowType,
-      "in=STREAM:with=STREAM:key=COL:within=1 hour[:type=inner|left_outer]:out=STREAM",
+      "in=STREAM:with=STREAM:key=COL:within=1 hour[:type=inner|left_outer|full_outer]:out=STREAM",
       (ctx, m) => {
         // Interval join (EventStreams.intervalJoin): right rows whose
         // ts falls in [left.ts, left.ts + within] attach r_-prefixed;
@@ -845,12 +845,18 @@ object Pipeline {
         val key = m.args.getOrElse("key",
           throw new BuildError("intervaljoin: key= required"))
         val joinType = m.args.getOrElse("type", "inner")
-        if (joinType != "inner" && joinType != "left_outer")
-          throw new BuildError(
-            s"intervaljoin: type must be inner or left_outer, got '$joinType'")
-        ctx.writeStream(m, graft.streaming.EventStreams.intervalJoin(
-          df, right, key, m.args.getOrElse("within", "1 hour"), joinType),
-          RowType)
+        val within = m.args.getOrElse("within", "1 hour")
+        val out = joinType match {
+          case "inner" | "left_outer" =>
+            graft.streaming.EventStreams.intervalJoin(
+              df, right, key, within, joinType)
+          case "full_outer" =>
+            graft.streaming.EventStreams.intervalJoinFullOuter(
+              df, right, key, within)
+          case other => throw new BuildError(
+            s"intervaljoin: type must be inner, left_outer or full_outer, got '$other'")
+        }
+        ctx.writeStream(m, out, RowType)
       }),
 
     Registered("dedup", RowType, RowType, "in=STREAM:key=k1,k2:out=STREAM",
@@ -920,6 +926,33 @@ object Pipeline {
           .getOrElse(Nil)
         ctx.writeStream(m, graft.operators.Ops.scd2Apply(
           current, changes, key, attrs, ts, tie), RowType)
+      }),
+
+    // KMV distinct sketch from the DSL: per-group (by=) distinct-count
+    // estimate of key= via the bounded mergeable bottom-k aggregator.
+    // Exact below k values; only k-vectors cross the shuffle.
+    Registered("kmvsketch", RowType, RowType,
+      "in=STREAM:key=COL[:by=g1,g2][:k=256]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("kmvsketch: key= required"))
+        val k = m.args.get("k").map(_.toInt).getOrElse(256)
+        if (k < 2) throw new BuildError(s"kmvsketch: k must be >= 2, got $k")
+        val by = m.args.get("by")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val kmv = org.apache.spark.sql.functions.udaf(
+          new graft.functions.Aggregators.KmvSketch(k),
+          org.apache.spark.sql.Encoders.scalaDouble)
+        val hashed = df.withColumn("__u",
+          graft.operators.Ops.kmvUnitHash(col(key)))
+        val grouped =
+          if (by.isEmpty) hashed.agg(kmv(col("__u")).as("__sk"))
+          else hashed.groupBy(by.map(col): _*).agg(kmv(col("__u")).as("__sk"))
+        ctx.writeStream(m, grouped.select((by.map(col) :+
+          round(graft.operators.Ops.kmvDistinctEstimate(col("__sk"), k), 4)
+            .as("est_distinct")): _*), RowType)
       }),
 
     // Range (point-in-interval) join from the DSL (wraps Ops.rangeJoin

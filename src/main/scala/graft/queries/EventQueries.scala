@@ -82,6 +82,30 @@ object EventQueries {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_unattributed"))
         .orderBy($"user_id")
+    }),
+
+    // Full reconciliation (completes the q73/q115 attribution family):
+    // matched pairs, never-converted views, AND orphan clicks in ONE
+    // full-outer interval join — per-user counts of all three. Under
+    // streaming both unmatched sides are watermark-gated
+    // (StreamingSpec convergence); in batch it is this relation.
+    "q123_interval_reconcile" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id".as("view_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"))
+      EventStreams.intervalJoinFullOuter(views, clicks, "user_id", "1 hour")
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"view_id".isNotNull && $"r_click_id".isNotNull, 1)
+            .otherwise(0)).cast("long").as("n_matched"),
+          sum(when($"r_click_id".isNull, 1).otherwise(0))
+            .cast("long").as("n_view_only"),
+          sum(when($"view_id".isNull, 1).otherwise(0))
+            .cast("long").as("n_click_only"))
+        .orderBy($"user_id")
     })
   )
 
@@ -141,6 +165,22 @@ object EventQueries {
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
         |WHERE c.event_id IS NULL
         |GROUP BY v.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q123_interval_reconcile" ->
+      """SELECT coalesce(v.user_id, c.user_id) AS user_id,
+        |  CAST(sum(CASE WHEN v.event_id IS NOT NULL
+        |    AND c.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view_only,
+        |  CAST(sum(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click_only
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        |GROUP BY coalesce(v.user_id, c.user_id)
         |ORDER BY user_id""".stripMargin
   )
 }

@@ -791,6 +791,30 @@ object Relational {
           round($"w1", 2).cast("double").as("web_y1"),
           round($"w2", 2).cast("double").as("web_y2"))
         .orderBy($"o_custkey")
+    }),
+
+    // Equi-depth histogram (profiling / layout statistics): decile
+    // boundaries in ONE aggregate, broadcast back, every row binned by
+    // a counting HOF over the boundary array — two passes total, no
+    // global sort of the data. Exact `percentile` matches DuckDB's
+    // quantile_cont bit-for-bit (q16 parity), so bin assignment at
+    // boundary collisions is engine-identical. At 100 TB the same plan
+    // runs with approx_percentile boundaries (GK sketch, one pass,
+    // mergeable) — the binning side is unchanged.
+    "q122_equidepth_hist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qs = docs.agg(expr(
+        "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("qs"))
+      docs.crossJoin(broadcast(qs))
+        .select($"n_chars",
+          (lit(1) + size(filter($"qs",
+            q => $"n_chars".cast("double") >= q))).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+        .orderBy($"bin")
     })
   )
 
@@ -1406,6 +1430,19 @@ object Relational {
         |WHERE s1 > 0 AND w1 > 0
         |  AND coalesce(CAST(w2 AS DOUBLE), 0.0) * CAST(s1 AS DOUBLE)
         |    > coalesce(CAST(s2 AS DOUBLE), 0.0) * CAST(w1 AS DOUBLE)
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q122_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM documents),
+        |a AS (
+        |  SELECT n_chars,
+        |    1 + len(list_filter(b.qs,
+        |      q -> CAST(n_chars AS DOUBLE) >= q)) AS bin
+        |  FROM documents CROSS JOIN b)
+        |SELECT bin, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM a GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

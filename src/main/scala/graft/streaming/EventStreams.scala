@@ -153,6 +153,27 @@ object EventStreams {
                             within: String = "1 hour"): DataFrame =
     intervalJoin(left, right, key, within, joinType = "left_outer")
 
+  /** Full-outer interval join — BOTH unmatched sides survive: the
+    * reconciliation shape (views that never converted AND clicks with
+    * no qualifying view) in one relation. The key column must be
+    * coalesced across sides (either may be null), so the right key is
+    * kept under its r_ prefix until after the join. Under streaming,
+    * unmatched rows on each side emit once that side's watermark
+    * passes the end of their join interval; state stays bounded at
+    * watermark + interval, same as inner/left_outer.
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame, key: String,
+                            within: String = "1 hour"): DataFrame = {
+    val r = right.toDF(right.columns.map(c => s"r_$c"): _*)
+    left.join(r,
+        col(key) === col(s"r_$key") &&
+          col("r_ts") >= col("ts") &&
+          col("r_ts") <= col("ts") + expr(s"INTERVAL $within"),
+        "full_outer")
+      .withColumn(key, coalesce(col(key), col(s"r_$key")))
+      .drop(s"r_$key")
+  }
+
   /** Write one micro-batch to `outDir/batch_<id>`, skipping batches
     * that already completed — with foreachBatch's at-least-once replay
     * after failure this makes the parquet sink effectively

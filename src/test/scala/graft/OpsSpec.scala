@@ -434,8 +434,31 @@ class OpsSpec extends AnyFunSuite {
     val (ska, skb) = (kmvOf(a, 128), kmvOf(b, 128))
     val row = spark.range(1).select(
       Ops.kmvIntersectEstimate(typedLit(ska), typedLit(skb), 128).as("i"),
-      Ops.kmvUnionEstimate(typedLit(ska), typedLit(skb), 128).as("un"))
-      .as[(Double, Double)].head()
-    assert(row == ((10.0, 60.0)))
+      Ops.kmvUnionEstimate(typedLit(ska), typedLit(skb), 128).as("un"),
+      Ops.kmvDifferenceEstimate(typedLit(ska), typedLit(skb), 128).as("d"))
+      .as[(Double, Double, Double)].head()
+    assert(row == ((10.0, 60.0, 20.0)))
+  }
+
+  test("KMV set-algebra identity: |A| ≈ |A∩B| + |A\\B| exactly per sample") {
+    // Within one τ the three counts come from the same sample, so the
+    // identity holds EXACTLY (not just in expectation).
+    val a = spark.range(0, 4000)
+      .select(Ops.kmvUnitHash($"id".cast("string")).as("u"))
+    val b = spark.range(3000, 9000)
+      .select(Ops.kmvUnitHash($"id".cast("string")).as("u"))
+    val (ska, skb) = (kmvOf(a, 256), kmvOf(b, 256))
+    val (i, d, tot) = spark.range(1).select(
+      Ops.kmvIntersectEstimate(typedLit(ska), typedLit(skb), 256).as("i"),
+      Ops.kmvDifferenceEstimate(typedLit(ska), typedLit(skb), 256).as("d"),
+      {
+        // |{u ∈ A : u < τ}| / τ — A's own sample at the combined τ
+        val tau = least(Ops.kmvTheta(typedLit(ska), 256),
+          Ops.kmvTheta(typedLit(skb), 256))
+        (size(filter(typedLit(ska), u => u < tau)).cast("double") / tau)
+          .as("t")
+      }).as[(Double, Double, Double)].head()
+    assert(math.abs(i + d - tot) < 1e-9, s"$i + $d != $tot")
+    assert(math.abs(i - 1000) / 1000 < 0.5, s"intersect est $i vs 1000")
   }
 }

@@ -345,8 +345,21 @@ class PipelineSpec extends AnyFunSuite {
       "xmlread", "zipread", "zipwrite", "dbdumpread", "exec",
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
       "chunk", "avroread", "avrowrite", "sql", "zorderwrite",
-      "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2")
+      "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2",
+      "kmvsketch")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("kmvsketch module: per-group distinct estimate, exact below k") {
+    val d = tmp("kmv")
+    writeCsv(s"$d/in.csv", "g,k",
+      "a,x", "a,y", "a,x", "a,z", "b,x", "b,x")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=rows",
+      "kmvsketch:in=rows:key=k:by=g:k=16:out=est",
+      "csvwrite:in=est", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted ==
+      Seq("a,3.0", "b,1.0", "g,est_distinct").sorted)
   }
 
   test("scd2 module: change batch re-versions touched keys only") {
@@ -565,8 +578,8 @@ class PipelineSpec extends AnyFunSuite {
         Pipeline.run(spark, chain, inputs = Map("x" -> df, "y" -> df)))
       assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
     }
-    bad("type must be inner or left_outer",
-      "intervaljoin:in=x:with=y:key=id:type=full_outer",
+    bad("type must be inner, left_outer or full_outer",
+      "intervaljoin:in=x:with=y:key=id:type=cross",
       "stdout:in=intervaljoin")
     bad("with= required", "intervaljoin:in=x:key=id",
       "stdout:in=intervaljoin")

@@ -106,6 +106,50 @@ class StreamingSpec extends AnyFunSuite {
       batch.filter(col("click_id").isNotNull).count())
   }
 
+  test("full-outer interval join: both unmatched sides converge to the batch twin") {
+    def views(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val q = EventStreams.intervalJoinFullOuter(
+        views(EventStreams.readEventStream(spark, sf)).withWatermark("ts", "2 hours"),
+        clicks(EventStreams.readEventStream(spark, sf)).withWatermark("ts", "2 hours"),
+        "user_id", "1 hour")
+      .select(col("view_id"), col("r_click_id").as("click_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_full_outer_join")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_full_outer_join")
+    val ev = Tables(spark, sf, "events")
+    val batch = EventStreams.intervalJoinFullOuter(views(ev), clicks(ev),
+        "user_id", "1 hour")
+      .select(col("view_id"), col("r_click_id").as("click_id"))
+    // soundness: every streamed row exists in the batch relation
+    // (null-safe on BOTH sides — either may be the unmatched one)
+    assert(streamed.join(batch,
+        streamed("view_id") <=> batch("view_id") &&
+          streamed("click_id") <=> batch("click_id"), "left_anti")
+      .count() == 0, "streamed a row the batch relation does not contain")
+    // matched pairs are exactly complete
+    assert(streamed.filter(col("view_id").isNotNull &&
+        col("click_id").isNotNull).count() ==
+      batch.filter(col("view_id").isNotNull &&
+        col("click_id").isNotNull).count())
+    // each unmatched side emits a watermark-bounded, non-trivial prefix
+    val sViewOnly = streamed.filter(col("click_id").isNull).count()
+    val bViewOnly = batch.filter(col("click_id").isNull).count()
+    val sClickOnly = streamed.filter(col("view_id").isNull).count()
+    val bClickOnly = batch.filter(col("view_id").isNull).count()
+    assert(sViewOnly <= bViewOnly && sClickOnly <= bClickOnly)
+    assert(sViewOnly > 0,
+      "no unmatched views emitted — full-outer state never closed")
+    if (bClickOnly > 0) assert(sClickOnly > 0,
+      "batch has orphan clicks but streaming emitted none before the final watermark")
+  }
+
   test("foreachBatch idempotent sink: replayed batch ids are no-ops") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
