@@ -793,6 +793,19 @@ object Relational {
         .orderBy($"o_custkey")
     }),
 
+    // Rolling event-time window frame (RANGE BETWEEN INTERVAL): each
+    // order with its customer's trailing-7-day spend — the window
+    // grammar's calendar-frame corner, untouched by the ROWS frames
+    // elsewhere (q113). RANGE frames include ALL ORDER BY peers, so
+    // same-date ties aggregate identically in any engine — no
+    // tie-break needed for the frame itself. Identical ANSI text runs
+    // on both engines (q15/q86 convention). Scale: partitioned by
+    // customer — one hash shuffle, per-key frames, no global sort.
+    "q124_rolling_window" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(RollingWindowText)
+    }),
+
     // Equi-depth histogram (profiling / layout statistics): decile
     // boundaries in ONE aggregate, broadcast back, every row binned by
     // a counting HOF over the boundary array — two passes total, no
@@ -834,6 +847,21 @@ object Relational {
       |HAVING count(*) >= 3
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 50""".stripMargin
+
+  /** RANGE-interval rolling frame — ANSI subset that parses identically
+    * in Spark SQL and DuckDB (q15 convention), so both engines run the
+    * very same text. RANGE includes ORDER BY peers: same-date ties
+    * aggregate identically with no tie-break column.
+    */
+  val RollingWindowText: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+      |    AS DOUBLE) AS rolling_7d
+      |FROM orders
+      |WHERE o_custkey <= 300
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   val GroupingSetsText: String =
     """SELECT o_orderstatus, o_orderpriority,
@@ -1431,6 +1459,8 @@ object Relational {
         |  AND coalesce(CAST(w2 AS DOUBLE), 0.0) * CAST(s1 AS DOUBLE)
         |    > coalesce(CAST(s2 AS DOUBLE), 0.0) * CAST(w1 AS DOUBLE)
         |ORDER BY o_custkey""".stripMargin,
+
+    "q124_rolling_window" -> RollingWindowText,
 
     "q122_equidepth_hist" ->
       """WITH b AS (

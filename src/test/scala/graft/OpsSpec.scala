@@ -372,6 +372,21 @@ class OpsSpec extends AnyFunSuite {
       ("u4", "g", 25L, None, true)))       // brand-new key
   }
 
+  test("scd2Apply incremental batches equal the one-shot merge") {
+    // The streaming-dimension-maintenance contract: applying change
+    // batches one at a time (in event-time order) lands on the same
+    // dimension as applying them all at once.
+    val (current, changes) = scd2Fixture
+    val Array(b1, b2) = Array(
+      changes.filter(col("ts") <= timestamp_micros(lit(30L))),
+      changes.filter(col("ts") > timestamp_micros(lit(30L))))
+    val incremental = Ops.scd2Apply(
+      Ops.scd2Apply(current, b1, "k", Seq("attr")), b2, "k", Seq("attr"))
+    val oneShot = Ops.scd2Apply(current, changes, "k", Seq("attr"))
+    assert(incremental.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(incremental).count() == 0)
+  }
+
   test("scd2Apply is idempotent on an empty batch") {
     val (current, changes) = scd2Fixture
     val out = Ops.scd2Apply(current, changes.limit(0), "k", Seq("attr"))

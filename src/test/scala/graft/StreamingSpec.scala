@@ -150,6 +150,49 @@ class StreamingSpec extends AnyFunSuite {
       "batch has orphan clicks but streaming emitted none before the final watermark")
   }
 
+  test("foreachBatch SCD2: streamed change batches maintain the dimension") {
+    // Streaming dimension maintenance: each micro-batch of changes is
+    // merged with Ops.scd2Apply; the final dimension must equal the
+    // one-shot merge of all changes. localCheckpoint materializes the
+    // running dimension — a foreachBatch DataFrame is only valid inside
+    // its own invocation, so lineage must not escape the callback.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.Ev
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val dim0 = Seq((10L, 1.0, ts(0)), (20L, 2.0, ts(0)))
+      .toDF("user_id", "value", "valid_from")
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    var dim = dim0
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val chg = batch.select(col("user_id"), col("value"), col("ts"))
+          dim = graft.operators.Ops.scd2Apply(dim, chg,
+            "user_id", Seq("value")).localCheckpoint()
+      }.start()
+    val b1 = Seq(Ev(1L, ts(5), 10L, "chg", 1.5), Ev(2L, ts(6), 30L, "chg", 3.0))
+    val b2 = Seq(Ev(3L, ts(7), 10L, "chg", 1.7), Ev(4L, ts(8), 20L, "chg", 2.5))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val allChanges = (b1 ++ b2).toDF()
+      .select(col("user_id"), col("value"), col("ts"))
+    val oneShot = graft.operators.Ops.scd2Apply(dim0, allChanges,
+      "user_id", Seq("value"))
+    assert(dim.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(dim).count() == 0,
+      "incrementally-maintained dimension diverged from the one-shot merge")
+    // sanity: u10 has 3 versions, exactly one open
+    assert(dim.filter(col("user_id") === 10L).count() == 3)
+    assert(dim.filter(col("is_current")).count() == 3)
+  }
+
   test("foreachBatch idempotent sink: replayed batch ids are no-ops") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
