@@ -106,6 +106,51 @@ object EventQueries {
           sum(when($"view_id".isNull, 1).otherwise(0))
             .cast("long").as("n_click_only"))
         .orderBy($"user_id")
+    }),
+
+    // Ordered funnel (view → click → purchase, each stage strictly
+    // after the previous): per-stage reach counts + conversion rates.
+    // Each stage is min-aggregate + equi-join — stage N's table is one
+    // row per surviving user, so the chain is N broadcastable joins,
+    // never a per-user sequence scan.
+    "q125_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select($"n_view", $"n_click", $"n_purchase",
+          round($"n_click".cast("double") / $"n_view".cast("double"), 4)
+            .as("view_to_click"),
+          round($"n_purchase".cast("double") / $"n_click".cast("double"), 4)
+            .as("click_to_purchase"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // counted in each subsequent active week. Two aggregates + one
+    // equi-join; both engines truncate weeks to ISO Monday, and the
+    // offset divides an exact day difference, so the cohort grid is
+    // engine-identical.
+    "q126_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val f = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cw"))
+      val a = ev.select($"user_id", date_trunc("week", $"ts").as("w"))
+        .distinct()
+      a.join(f, "user_id")
+        .groupBy($"cw".cast("date").as("cohort_week"),
+          floor(datediff($"w", $"cw") / 7).cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy($"cohort_week", $"week_offset")
     })
   )
 
@@ -181,6 +226,35 @@ object EventQueries {
         |  ON c.user_id = v.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
         |GROUP BY coalesce(v.user_id, c.user_id)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q125_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase,
+        |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM v) AS DOUBLE), 4) AS view_to_click,
+        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM c) AS DOUBLE), 4) AS click_to_purchase""".stripMargin,
+
+    "q126_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |      FROM events)
+        |SELECT CAST(f.cw AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', f.cw, a.w) // 7 AS INT) AS week_offset,
+        |  count(*) AS n_active
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

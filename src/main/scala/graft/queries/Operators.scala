@@ -314,7 +314,9 @@ object Operators {
         .agg(
           sum(when($"hc" === 1 && $"hp" === 1, 1).otherwise(0))
             .cast("long").as("x_and"),
-          count(lit(1)).as("x_or"))
+          count(lit(1)).as("x_or"),
+          sum(when($"hc" === 1 && $"hp" === 0, 1).otherwise(0))
+            .cast("long").as("x_diff"))
       val inter = both.crossJoin(exact).select(
         lit("click_and_purchase").as("scope"),
         round(Ops.kmvIntersectEstimate($"ska", $"skb", k), 4)
@@ -324,7 +326,13 @@ object Operators {
         lit("click_or_purchase").as("scope"),
         round(Ops.kmvUnionEstimate($"ska", $"skb", k), 4).as("est_distinct"),
         $"x_or".as("exact_distinct"))
-      per.unionByName(inter).unionByName(uni).orderBy($"scope")
+      val diff = both.crossJoin(exact).select(
+        lit("click_minus_purchase").as("scope"),
+        round(Ops.kmvDifferenceEstimate($"ska", $"skb", k), 4)
+          .as("est_distinct"),
+        $"x_diff".as("exact_distinct"))
+      per.unionByName(inter).unionByName(uni).unionByName(diff)
+        .orderBy($"scope")
     })
   )
 
@@ -518,13 +526,20 @@ object Operators {
         |  FROM ev GROUP BY akey),
         |exb AS (SELECT CAST(sum(CASE WHEN hc = 1 AND hp = 1
         |                 THEN 1 ELSE 0 END) AS BIGINT) AS x_and,
-        |               count(*) AS x_or FROM flags),
+        |               count(*) AS x_or,
+        |               CAST(sum(CASE WHEN hc = 1 AND hp = 0
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS x_diff
+        |        FROM flags),
         |common AS (SELECT count(*) AS c FROM sk a
         |  JOIN sk b ON a.u = b.u AND a.event_type = 'click'
         |    AND b.event_type = 'purchase'
         |  CROSS JOIN tau WHERE a.u < tau.t),
         |uvals AS (SELECT count(DISTINCT u) AS c
-        |  FROM sk CROSS JOIN tau WHERE u < tau.t)
+        |  FROM sk CROSS JOIN tau WHERE u < tau.t),
+        |diffc AS (SELECT count(*) AS c FROM sk a CROSS JOIN tau
+        |  WHERE a.event_type = 'click' AND a.u < tau.t
+        |    AND NOT EXISTS (SELECT 1 FROM sk b
+        |      WHERE b.event_type = 'purchase' AND b.u = a.u))
         |SELECT scope, est_distinct, exact_distinct FROM (
         |  SELECT * FROM per
         |  UNION ALL
@@ -534,7 +549,11 @@ object Operators {
         |  UNION ALL
         |  SELECT 'click_or_purchase',
         |    round(CAST(uvals.c AS DOUBLE) / tau.t, 4), exb.x_or
-        |  FROM uvals CROSS JOIN tau CROSS JOIN exb)
+        |  FROM uvals CROSS JOIN tau CROSS JOIN exb
+        |  UNION ALL
+        |  SELECT 'click_minus_purchase',
+        |    round(CAST(diffc.c AS DOUBLE) / tau.t, 4), exb.x_diff
+        |  FROM diffc CROSS JOIN tau CROSS JOIN exb)
         |ORDER BY scope""".stripMargin
   )
 }
