@@ -955,6 +955,38 @@ object Pipeline {
             .as("est_distinct")): _*), RowType)
       }),
 
+    // Data-quality profile (Deequ-style) from the DSL: null count,
+    // exact distinct count, min, max per column — ONE scan (multi
+    // count-distinct compiles to a single Expand pass), unpivoted to
+    // one report row per column.
+    Registered("profile", RowType, RowType,
+      "in=STREAM[:cols=c1,c2]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val cols = m.args.get("cols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(df.columns.toSeq)
+        if (cols.isEmpty) throw new BuildError("profile: cols= is empty")
+        val missing = cols.filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          throw new BuildError(s"profile: unknown columns ${missing.mkString(",")}")
+        val bad = cols.filterNot(_.matches("[A-Za-z0-9_]+"))
+        if (bad.nonEmpty)
+          throw new BuildError(s"profile: bad column names ${bad.mkString(",")}")
+        def metrics(c: String) = Seq(
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+        val ms = cols.flatMap(metrics)
+        val out = df.agg(ms.head, ms.tail: _*).selectExpr(
+          s"stack(${cols.size}, " + cols.map(c =>
+            s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ") +
+            ") as (col_name, n_null, n_distinct, min_val, max_val)")
+          .orderBy(col("col_name"))
+        ctx.writeStream(m, out, RowType)
+      }),
+
     // Range (point-in-interval) join from the DSL (wraps Ops.rangeJoin
     // — bucketed equi-join, never points × intervals).
     Registered("rangejoin", RowType, RowType,

@@ -333,6 +333,54 @@ object Operators {
         $"x_diff".as("exact_distinct"))
       per.unionByName(inter).unionByName(uni).unionByName(diff)
         .orderBy($"scope")
+    }),
+
+    // Data-quality profiling (Deequ-style): null count, exact distinct
+    // count, min and max for EVERY column of documents — in ONE scan.
+    // Multiple count(DISTINCT) in one aggregate compiles to a single
+    // Expand pass (k-way row multiplication, one shuffle), not k
+    // scans; stack() unpivots the 1-row summary into the per-column
+    // report. UTF-8 binary string ordering matches codepoint order, so
+    // min/max on text replay identically.
+    "q127_profile" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      def m(c: String) = Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val metrics = cols.flatMap(m)
+      val agg1 = docs.agg(metrics.head, metrics.tail: _*)
+      agg1.selectExpr(
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ") +
+          ") as (col_name, n_null, n_distinct, min_val, max_val)")
+        .orderBy($"col_name")
+    }),
+
+    // Referential-integrity / uniqueness gate (the pre-training data
+    // audit): orphan foreign keys via LEFT ANTI equi-joins (broadcast
+    // the key side at scale — never a full outer), duplicate-key and
+    // domain violations via aggregates; one summary row.
+    "q128_integrity" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val orphanLi = li.join(o.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      val orphanOrd = o.join(c.select($"c_custkey"),
+          $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      val dupKeys = o.groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).agg(count(lit(1)).as("dup_orderkeys"))
+      val badDomain = li.filter($"l_quantity" <= 0 ||
+          $"l_discount" < 0 || $"l_discount" > 1)
+        .agg(count(lit(1)).as("bad_lineitem_domain"))
+      orphanLi.crossJoin(orphanOrd).crossJoin(dupKeys).crossJoin(badDomain)
     })
   )
 
@@ -554,6 +602,34 @@ object Operators {
         |  SELECT 'click_minus_purchase',
         |    round(CAST(diffc.c AS DOUBLE) / tau.t, 4), exb.x_diff
         |  FROM diffc CROSS JOIN tau CROSS JOIN exb)
-        |ORDER BY scope""".stripMargin
+        |ORDER BY scope""".stripMargin,
+
+    "q127_profile" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q128_integrity" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem l
+        |   LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |   WHERE o.o_orderkey IS NULL) AS orphan_lineitems,
+        |  (SELECT count(*) FROM orders o
+        |   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |   WHERE c.c_custkey IS NULL) AS orphan_orders,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_orderkey FROM orders
+        |     GROUP BY 1 HAVING count(*) > 1)) AS dup_orderkeys,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
+        |    AS bad_lineitem_domain""".stripMargin
   )
 }

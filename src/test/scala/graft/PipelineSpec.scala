@@ -350,6 +350,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
+  test("profile module: one-scan per-column quality report") {
+    val d = tmp("profile")
+    writeCsv(s"$d/in.csv", "id,name",
+      "1,alpha", "2,", "2,beta")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=rows",
+      "profile:in=rows:out=rep",
+      "csvwrite:in=rep", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted == Seq(
+      "col_name,n_null,n_distinct,min_val,max_val",
+      "id,0,2,1,2",
+      "name,1,2,alpha,beta").sorted)
+  }
+
   test("kmvsketch module: per-group distinct estimate, exact below k") {
     val d = tmp("kmv")
     writeCsv(s"$d/in.csv", "g,k",

@@ -383,6 +383,16 @@ class ScaleSpec extends AnyFunSuite {
       s"key pruning joins missing:\n$plan")
   }
 
+  test("column profile is ONE scan: multi-distinct compiles to Expand") {
+    val df = SparkEntry.queries("q127_profile")(spark, sf)
+    val plan = executed(df)
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"profile must scan once, found $scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi count-distinct lost its Expand rewrite:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("KMV sketch aggregates map-side: partial_kmvsketch below the exchange") {
     val k = 16
     val kmv = udaf(new graft.functions.Aggregators.KmvSketch(k),
