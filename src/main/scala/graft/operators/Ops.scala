@@ -614,6 +614,37 @@ object Ops {
       .cast("double") / tau
   }
 
+  /** Snapshot diff — the CDC PRODUCER (inverse of [[scd2Apply]]):
+    * compare two keyed snapshots and emit one row per changed key with
+    * change_type insert/update/delete and old_/new_ attribute values.
+    * One full-outer equi-join on the key + a null-safe attr compare;
+    * unchanged keys are filtered before anything downstream sees them.
+    * At 100 TB both snapshots shuffle once on the key (or co-locate
+    * free via bucketed/sorted layout — `sortwrite`); there is no
+    * window and no sort.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                   attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val o = oldDf.select((key +: attrCols).map(col): _*)
+      .toDF(("__k_old" +: attrCols.map("old_" + _)): _*)
+    val n = newDf.select((key +: attrCols).map(col): _*)
+      .toDF(("__k_new" +: attrCols.map("new_" + _)): _*)
+    val anyDiff = attrCols
+      .map(a => !(col(s"old_$a") <=> col(s"new_$a")))
+      .reduce(_ || _)
+    o.join(n, col("__k_old") === col("__k_new"), "full_outer")
+      .withColumn("change_type",
+        when(col("__k_old").isNull, lit("insert"))
+          .when(col("__k_new").isNull, lit("delete"))
+          .when(anyDiff, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .withColumn(key, coalesce(col("__k_old"), col("__k_new")))
+      .drop("__k_old", "__k_new")
+      .select((Seq(key, "change_type") ++
+        attrCols.flatMap(a => Seq(s"old_$a", s"new_$a"))).map(col): _*)
+  }
+
   /** SCD Type-2 merge: apply a change batch to a slowly-changing
     * dimension, producing versioned rows with `[validFrom, validTo)`
     * effective ranges and an is-current flag — the CDC upsert every

@@ -381,6 +381,43 @@ object Operators {
           $"l_discount" < 0 || $"l_discount" > 1)
         .agg(count(lit(1)).as("bad_lineitem_domain"))
       orphanLi.crossJoin(orphanOrd).crossJoin(dupKeys).crossJoin(badDomain)
+    }),
+
+    // Snapshot diff — the CDC producer (inverse of q118's consumer):
+    // per-user latest purchase BEFORE the cutoff vs over ALL time;
+    // emits insert (new user after cutoff) / update (spend changed) /
+    // delete rows with old_/new_ values. Unchanged keys never leave
+    // the join.
+    "q129_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+      val p = t(s, dir, "events").filter($"event_type" === "purchase")
+        .select($"user_id", round($"value", 2).as("spend"), $"ts", $"event_id")
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        Ops.dedupLastWins(df, Seq("user_id"), Seq($"ts", $"event_id"))
+          .select($"user_id", $"spend")
+      Ops.snapshotDiff(latest(p.filter($"ts" < cutoff)), latest(p),
+          "user_id", Seq("spend"))
+        .orderBy($"user_id")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis via
+    // exponential keys): top-5 docs per source with probability ∝
+    // n_chars, deterministic from the md5 unit hash — the
+    // quality-weighted corpus subsample. Ranked by the skew-safe
+    // two-phase top-k (bit-identical to the oracle's plain window).
+    "q130_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+        .withColumn("u", Ops.kmvUnitHash($"doc_id"))
+        .withColumn("es_key", -log($"u") / $"n_chars")
+      Ops.saltedTopKPerGroup(d, part = Seq("source"),
+          order = Seq($"es_key".asc, $"doc_id".asc), k = 5,
+          saltCol = $"doc_id", saltParts = 8)
+        .select($"source", $"doc_id", $"n_chars",
+          round($"es_key" * 1000, 6).as("es_key_k"), $"rk")
+        .orderBy($"source", $"rk")
     })
   )
 
@@ -630,6 +667,50 @@ object Operators {
         |     GROUP BY 1 HAVING count(*) > 1)) AS dup_orderkeys,
         |  (SELECT count(*) FROM lineitem
         |   WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
-        |    AS bad_lineitem_domain""".stripMargin
+        |    AS bad_lineitem_domain""".stripMargin,
+
+    "q129_snapshot_diff" ->
+      """WITH p AS (
+        |  SELECT user_id, round(value, 2) AS spend, ts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |oldsnap AS (
+        |  SELECT user_id, spend FROM (
+        |    SELECT user_id, spend, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM p WHERE ts < TIMESTAMP '2024-01-21 00:00:00')
+        |  WHERE rn = 1),
+        |newsnap AS (
+        |  SELECT user_id, spend FROM (
+        |    SELECT user_id, spend, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM p)
+        |  WHERE rn = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'insert'
+        |       WHEN n.user_id IS NULL THEN 'delete'
+        |       WHEN o.spend IS DISTINCT FROM n.spend THEN 'update'
+        |  END AS change_type,
+        |  o.spend AS old_spend, n.spend AS new_spend
+        |FROM oldsnap o FULL JOIN newsnap n ON o.user_id = n.user_id
+        |WHERE CASE WHEN o.user_id IS NULL THEN 'insert'
+        |           WHEN n.user_id IS NULL THEN 'delete'
+        |           WHEN o.spend IS DISTINCT FROM n.spend THEN 'update'
+        |      END IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
+
+    "q130_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, -ln(u) / n_chars AS es_key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY -ln(u) / n_chars ASC, doc_id ASC) AS rk
+        |  FROM d)
+        |SELECT source, doc_id, n_chars,
+        |  round(es_key * 1000, 6) AS es_key_k, rk
+        |FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin
   )
 }

@@ -394,6 +394,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter($"is_current").count() == 3)
   }
 
+  test("snapshotDiff emits insert/update/delete and drops unchanged keys") {
+    val oldDf = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val newDf = Seq(("b", 2), ("c", 9), ("d", 4)).toDF("k", "v")
+    val out = Ops.snapshotDiff(oldDf, newDf, "k", Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(out == Seq(
+      ("a", "delete", Some(1), None),
+      ("c", "update", Some(3), Some(9)),
+      ("d", "insert", None, Some(4))))
+  }
+
+  test("snapshotDiff treats null attributes null-safely") {
+    val oldDf = Seq[(String, Option[Int])](("a", Some(1)), ("b", None))
+      .toDF("k", "v")
+    val newDf = Seq[(String, Option[Int])](("a", None), ("b", None))
+      .toDF("k", "v")
+    val out = Ops.snapshotDiff(oldDf, newDf, "k", Seq("v")).collect()
+    // b: null -> null is unchanged; a: 1 -> null is an update
+    assert(out.map(_.getString(0)).toSeq == Seq("a"))
+    assert(out.head.getString(1) == "update")
+  }
+
   // --- KMV sketch ---
 
   private def kmvOf(df: org.apache.spark.sql.DataFrame, k: Int) = {
