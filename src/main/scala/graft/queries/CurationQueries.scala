@@ -213,6 +213,32 @@ object CurationQueries {
           k = 15, saltCol = $"doc_id", saltParts = 8)
         .select($"source", $"doc_id", $"n_chars", $"rk")
         .orderBy($"source", $"rk")
+    }),
+
+    // Mixture-drift monitoring: KL(source-language-mix || corpus-mix)
+    // per source — the drift alarm a continuously-ingesting training
+    // pipeline runs on every crawl batch. Two tiny aggregates joined
+    // back; per-term products go through decimal accumulation so the
+    // divergence (and the alarm boolean) is partition- and
+    // engine-stable. Sources whose subset mixes diverge past 0.10 nats
+    // get flagged.
+    "q132_mixture_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val c = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      val sl = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("ns"))
+      val st = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val kl = sum($"t".cast("decimal(30,12)")).cast("double")
+      sl.join(st, "source").join(broadcast(c), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("t", ($"ns".cast("double") / $"n_src") *
+          log(($"ns".cast("double") / $"n_src") /
+            ($"nc".cast("double") / $"n_tot")))
+        .groupBy($"source")
+        .agg(max($"n_src").as("n_docs"), round(kl, 6).as("kl"),
+          (kl > lit(0.10)).as("drifted"))
+        .orderBy($"source")
     })
   )
 
@@ -397,6 +423,29 @@ object CurationQueries {
         |    CAST(row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
         |  FROM documents)
-        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
+        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    "q132_mixture_drift" ->
+      """WITH c AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot FROM documents),
+        |sl AS (SELECT source, lang, count(*) AS ns
+        |       FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1)
+        |SELECT sl.source, max(st.n_src) AS n_docs,
+        |  round(CAST(sum(CAST(
+        |    (CAST(sl.ns AS DOUBLE) / st.n_src) *
+        |    ln((CAST(sl.ns AS DOUBLE) / st.n_src)
+        |       / (CAST(c.nc AS DOUBLE) / tot.n_tot))
+        |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS kl,
+        |  (CAST(sum(CAST(
+        |    (CAST(sl.ns AS DOUBLE) / st.n_src) *
+        |    ln((CAST(sl.ns AS DOUBLE) / st.n_src)
+        |       / (CAST(c.nc AS DOUBLE) / tot.n_tot))
+        |    AS DECIMAL(30,12))) AS DOUBLE) > 0.10) AS drifted
+        |FROM sl JOIN st ON sl.source = st.source
+        |JOIN c ON sl.lang = c.lang
+        |CROSS JOIN tot
+        |GROUP BY sl.source
+        |ORDER BY sl.source""".stripMargin
   )
 }

@@ -263,6 +263,52 @@ object DedupSim {
         .select($"vec_id", $"cluster",
           round($"anchor_sim", 4).as("anchor_sim"))
         .orderBy($"vec_id")
+    }),
+
+    // Distributed k-means (2 Lloyd iterations, k=8): md5-anchored
+    // deterministic init (q99's convention), then the fully RELATIONAL
+    // iteration — points and centroids exploded to (id, pos, value),
+    // distances as decimal-exact sums over an equi-join on pos, argmin
+    // via min(struct(d2, cluster)) (no window), centroid update a
+    // decimal mean. Every arithmetic step is order-independent, so two
+    // full iterations replay hash-exact in the oracle. At 100 TB:
+    // centroids are k×dim rows (broadcast), points shuffle once per
+    // iteration on vec_id — the standard MLlib plan re-expressed
+    // declaratively.
+    "q131_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val k = 8
+      val emb = t(s, dir, "embeddings")
+      val pts = emb
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "af")))
+        .select($"vec_id", $"pos", $"af".cast("double").as("a"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"h") // 8 rows post-limit — not a data-scale sort
+      val anchors = emb
+        .withColumn("h", substring(md5($"vec_id".cast("string")), 1, 16))
+        .orderBy($"h").limit(k)
+        .withColumn("cluster", (row_number().over(w) - 1).cast("int"))
+      val cent0 = anchors
+        .select($"cluster", posexplode($"embedding").as(Seq("pos", "cf")))
+        .select($"cluster", $"pos", $"cf".cast("double").as("c"))
+      def assign(cent: org.apache.spark.sql.DataFrame) = pts.join(cent, "pos")
+        .withColumn("t", ($"a" - $"c") * ($"a" - $"c"))
+        .groupBy($"vec_id", $"cluster")
+        .agg(sum($"t".cast("decimal(30,12)")).as("d2"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2", $"cluster")).as("m"))
+        .select($"vec_id", $"m.cluster".as("cluster"))
+      def update(a: org.apache.spark.sql.DataFrame) = pts.join(a, "vec_id")
+        .groupBy($"cluster", $"pos")
+        .agg((sum($"a".cast("decimal(30,12)")).cast("double") /
+          count(lit(1))).as("c"))
+      val c1 = update(assign(cent0))
+      val a2 = assign(c1)
+      val c2 = update(a2)
+      val sizes = a2.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      c2.join(sizes, "cluster")
+        .select($"cluster", $"n", $"pos", round($"c", 4).as("v"))
+        .orderBy($"cluster", $"pos")
     })
   )
 
@@ -532,6 +578,50 @@ object DedupSim {
          |FROM assigned
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY vec_id""".stripMargin,
+
+    "q131_kmeans" -> {
+      def distCte(name: String, cent: String) =
+        s"""$name AS (
+           |  SELECT p.vec_id, c.cluster,
+           |    sum(CAST((p.a - c.c) * (p.a - c.c) AS DECIMAL(30,12))) AS d2
+           |  FROM pts p JOIN $cent c ON p.pos = c.pos GROUP BY 1, 2)""".stripMargin
+      def assignCte(name: String, dist: String) =
+        s"""$name AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d2 ASC, cluster ASC) AS rk FROM $dist) WHERE rk = 1)""".stripMargin
+      def updateCte(name: String, asg: String) =
+        s"""$name AS (
+           |  SELECT g.cluster, p.pos,
+           |    CAST(sum(CAST(p.a AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+           |  FROM pts p JOIN $asg g ON p.vec_id = g.vec_id GROUP BY 1, 2)""".stripMargin
+      s"""WITH pts AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS a
+         |  FROM embeddings),
+         |anchors AS (
+         |  SELECT row_number() OVER (
+         |      ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16)) - 1
+         |      AS cluster,
+         |    embedding
+         |  FROM embeddings
+         |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) LIMIT 8),
+         |cent0 AS (
+         |  SELECT CAST(cluster AS INT) AS cluster,
+         |    generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS c
+         |  FROM anchors),
+         |${distCte("da", "cent0")},
+         |${assignCte("a1", "da")},
+         |${updateCte("c1", "a1")},
+         |${distCte("db", "c1")},
+         |${assignCte("a2", "db")},
+         |${updateCte("c2", "a2")},
+         |sizes AS (SELECT cluster, count(*) AS n FROM a2 GROUP BY 1)
+         |SELECT c2.cluster, sizes.n, c2.pos, round(c2.c, 4) AS v
+         |FROM c2 JOIN sizes ON c2.cluster = sizes.cluster
+         |ORDER BY c2.cluster, c2.pos""".stripMargin
+    },
 
     // int8 quantization replay: same floor/multiply arithmetic, then
     // the q53 cosine/top-k shape over dequantized lists.
