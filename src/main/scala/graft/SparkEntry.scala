@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.DedupSim.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.LinkageQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.DedupSim.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.LinkageQueries.oracleSql
 }

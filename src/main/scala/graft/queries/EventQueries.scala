@@ -151,6 +151,27 @@ object EventQueries {
           floor(datediff($"w", $"cw") / 7).cast("int").as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy($"cohort_week", $"week_offset")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: lag() within (user_id ORDER BY ts, event_id) pairs
+    // each event with its predecessor; counts then normalize per
+    // source state. One window pass + one aggregate; the probability
+    // divides two exact longs, so the double is engine-identical
+    // before rounding.
+    "q135_event_transitions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val c = t(s, dir, "events")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = Window.partitionBy($"prev_type")
+      c.select($"prev_type", $"next_type", $"n_trans",
+        round($"n_trans".cast("double") /
+          sum($"n_trans").over(tot).cast("double"), 4).as("p_trans"))
     })
   )
 
@@ -255,6 +276,20 @@ object EventQueries {
         |  count(*) AS n_active
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY 1, 2
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q135_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type,
+        |    count(*) AS n_trans
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans,
+        |  round(CAST(n_trans AS DOUBLE)
+        |    / CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE),
+        |    4) AS p_trans
+        |FROM c""".stripMargin
   )
 }

@@ -409,4 +409,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
       s"no map-side partial aggregate below the exchange:\n$plan")
   }
+
+  test("record linkage: block guard broadcasts, pair join is equi-keyed") {
+    // The block-size relation is tiny (<= one row per distinct blocking
+    // key) — it must broadcast into a semi join, never shuffle the
+    // relation for the guard. The pair join itself must be equi-keyed
+    // on the block columns: a cartesian or nested-loop here is the
+    // O(n^2) failure blocking exists to prevent.
+    val plan = executed(SparkEntry.queries("q133_record_linkage")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), s"block guard not broadcast-semi:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // The similarity kernel runs post-join inside codegen, so the
+    // score+threshold never leaves the generated stage (final AQE plan).
+    val fp = Explain.finalPlan(
+      SparkEntry.queries("q133_record_linkage")(spark, sf))
+    assert(Explain.inCodegen(fp, "jarowinkler"),
+      s"kernel not in the generated stage:\n$fp")
+  }
+
+  test("edit-distance histogram aggregates map-side above the pair join") {
+    val plan = executed(SparkEntry.queries("q134_edit_histogram")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val lines = plan.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("partial"))
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"histogram must combine map-side before the 12-row shuffle:\n$plan")
+  }
 }
