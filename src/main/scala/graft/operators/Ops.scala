@@ -507,6 +507,32 @@ object Ops {
       sorted.schema.add(idName, LongType, nullable = false))
   }
 
+  /** Distributed NTILE(b): the SQL window form forces EVERY row into
+    * one partition (empty OVER clause), which is the single worst plan
+    * at 100 TB. This computes the identical bucket assignment from a
+    * global enumeration instead — [[assignIds]]'s range-partition +
+    * zipWithIndex, fully distributed — plus the closed-form ntile rule
+    * (the first `n mod b` buckets take one extra row). The 1-row count
+    * joins back broadcast; `orderCols` must be a total order, same
+    * contract as the SQL window (and as [[assignIds]]).
+    */
+  def ntileGlobal(df: DataFrame, orderCols: Seq[Column], buckets: Int,
+                  outCol: String): DataFrame = {
+    require(buckets >= 1, s"ntileGlobal: buckets must be >= 1, got $buckets")
+    val withId = assignIds(df, orderCols, "_ntile_id")
+    val n = broadcast(withId.agg(count(lit(1)).as("_ntile_n")))
+    withId.crossJoin(n)
+      .withColumn("_nt_small", expr(s"_ntile_n div $buckets"))
+      .withColumn("_nt_extra", expr(s"_ntile_n % $buckets"))
+      .withColumn(outCol,
+        when(col("_ntile_id") < (col("_nt_small") + 1) * col("_nt_extra"),
+          expr("_ntile_id div (_nt_small + 1)") + 1)
+          .otherwise(col("_nt_extra") +
+            expr("(_ntile_id - (_nt_small + 1) * _nt_extra) div _nt_small") + 1)
+          .cast("int"))
+      .drop("_ntile_id", "_ntile_n", "_nt_small", "_nt_extra")
+  }
+
   /** Deterministic train/validation/test split: the row's draw is the
     * first 8 hex chars of md5(key ++ salt) read as a uniform in [0,1),
     * assigned to the first split whose cumulative weight covers it.

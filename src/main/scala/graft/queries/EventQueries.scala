@@ -172,6 +172,50 @@ object EventQueries {
       c.select($"prev_type", $"next_type", $"n_trans",
         round($"n_trans".cast("double") /
           sum($"n_trans").over(tot).cast("double"), 4).as("p_trans"))
+    }),
+
+    // Rolling 7-day distinct actives (weekly-active purchasers per
+    // calendar day). Join-free at scale: each (day, user) contributes
+    // itself to the 7 days it covers via a generated explode — no
+    // range join, no count-distinct-over-window (which Spark and most
+    // engines reject). The calendar inner join only trims generated
+    // days past the observed range; it is broadcast-size (one row per
+    // day).
+    "q138_rolling_actives" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+        .distinct()
+      val cal = d.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("day"))
+      val contrib = d.select(
+        explode(sequence(lit(0), lit(6))).as("i"), $"day", $"user_id")
+        .select(date_add($"day", $"i").as("day"), $"user_id")
+      contrib.join(broadcast(cal), "day")
+        .groupBy($"day")
+        .agg(countDistinct($"user_id").as("wau"))
+    }),
+
+    // Z-score outlier flagging per event type: mean/std from ONE
+    // grouped pass with exact-decimal sum and sum-of-squares (the
+    // dsum convention), broadcast back; the z computation is pure
+    // double IEEE arithmetic in the same expression shape as the
+    // oracle, so flags and rounded scores are engine-identical.
+    "q139_zscore_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val dv = $"value".cast("decimal(30,4)")
+      val stats = t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dv).as("sv"), sum(dv * dv).as("svv"))
+      val z = ($"value" - $"sv".cast("double") / $"n") /
+        sqrt(($"svv".cast("double") -
+          $"sv".cast("double") * $"sv".cast("double") / $"n") / ($"n" - 1))
+      t(s, dir, "events")
+        .join(broadcast(stats), "event_type")
+        .filter(abs(z) > 2)
+        .select($"event_id", $"event_type", round(z, 4).as("z"))
     })
   )
 
@@ -290,6 +334,33 @@ object EventQueries {
         |  round(CAST(n_trans AS DOUBLE)
         |    / CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE),
         |    4) AS p_trans
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q138_rolling_actives" ->
+      """WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+        |    AS day, user_id FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |cal AS (SELECT CAST(unnest(generate_series(
+        |    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |x AS (SELECT CAST(d.day + i AS DATE) AS day, d.user_id
+        |  FROM d CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6]) AS t(i))
+        |SELECT cal.day, count(DISTINCT x.user_id) AS wau
+        |FROM cal JOIN x ON x.day = cal.day GROUP BY 1""".stripMargin,
+
+    "q139_zscore_outliers" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(30,4))) AS sv,
+        |    sum(CAST(value AS DECIMAL(30,4))
+        |      * CAST(value AS DECIMAL(30,4))) AS svv
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - CAST(sv AS DOUBLE)/n) /
+        |    sqrt((CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)/(n-1)), 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((e.value - CAST(sv AS DOUBLE)/n) /
+        |    sqrt((CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)/(n-1))) > 2""".stripMargin
   )
 }

@@ -828,6 +828,29 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           min($"n_chars").as("lo"), max($"n_chars").as("hi"))
         .orderBy($"bin")
+    }),
+
+    // RFM customer segmentation: recency/frequency/monetary quartiles
+    // per customer. The oracle uses three NTILE(4) windows; our side
+    // computes the IDENTICAL assignment with Ops.ntileGlobal — global
+    // enumeration via range partition + zipWithIndex plus the
+    // closed-form ntile rule — because an empty-OVER window would
+    // single-partition the relation at scale. Custkey tiebreaks make
+    // each ordering total, so buckets are engine-deterministic.
+    "q137_rfm_segments" -> ((s, dir) => {
+      import s.implicits._
+      val m = t(s, dir, "orders")
+        .groupBy($"o_custkey".as("custkey"))
+        .agg(max($"o_orderdate").as("last_order"),
+          count(lit(1)).as("freq"),
+          sum($"o_totalprice".cast("decimal(30,4)")).as("mon"))
+      val r = graft.operators.Ops.ntileGlobal(
+        m, Seq($"last_order", $"custkey"), 4, "r_quartile")
+      val f = graft.operators.Ops.ntileGlobal(
+        r, Seq($"freq", $"custkey"), 4, "f_quartile")
+      graft.operators.Ops.ntileGlobal(
+          f, Seq($"mon", $"custkey"), 4, "m_quartile")
+        .select($"custkey", $"r_quartile", $"f_quartile", $"m_quartile")
     })
   )
 
@@ -1473,6 +1496,17 @@ object Relational {
         |      q -> CAST(n_chars AS DOUBLE) >= q)) AS bin
         |  FROM documents CROSS JOIN b)
         |SELECT bin, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
-        |FROM a GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM a GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q137_rfm_segments" ->
+      """WITH m AS (SELECT o_custkey AS custkey,
+        |    max(o_orderdate) AS last_order, count(*) AS freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,4))) AS mon
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey,
+        |  ntile(4) OVER (ORDER BY last_order, custkey) AS r_quartile,
+        |  ntile(4) OVER (ORDER BY freq, custkey) AS f_quartile,
+        |  ntile(4) OVER (ORDER BY mon, custkey) AS m_quartile
+        |FROM m""".stripMargin
   )
 }

@@ -500,4 +500,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(i + d - tot) < 1e-9, s"$i + $d != $tot")
     assert(math.abs(i - 1000) / 1000 < 0.5, s"intersect est $i vs 1000")
   }
+
+  test("ntileGlobal matches the SQL window NTILE bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // 103 rows / 4 buckets: non-divisible, so the first 103%4=3 buckets
+    // take one extra row — the exact rule the closed form must encode.
+    val df = spark.range(0, 103)
+      .select((($"id" * 37) % 103).as("k")) // permuted unique keys
+    val viaWindow = df.select($"k",
+      ntile(4).over(Window.orderBy($"k")).as("b"))
+    val viaGlobal = Ops.ntileGlobal(df, Seq(col("k")), 4, "b")
+    assert(viaGlobal.orderBy($"k").collect().toSeq
+      == viaWindow.orderBy($"k").collect().toSeq)
+    // n < buckets: every row its own bucket, numbered from 1.
+    val tiny = Ops.ntileGlobal(
+      spark.range(0, 3).toDF("k"), Seq(col("k")), 7, "b")
+    assert(tiny.orderBy($"k").select($"b").as[Int].collect().toSeq
+      == Seq(1, 2, 3))
+  }
 }
