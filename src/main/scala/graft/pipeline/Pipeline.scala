@@ -987,6 +987,49 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // Record linkage from the DSL (wraps Linkage.jaroWinklerLinks):
+    // block → pair-once → codegen Jaro-Winkler score → threshold;
+    // oversized blocks dropped by the broadcast-semi guard.
+    Registered("linkage", RowType, RowType,
+      "in=STREAM:id=COL:text=COL:block=b1,b2[:threshold=0.85][:maxblock=65536]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val id = m.args.getOrElse("id",
+          throw new BuildError("linkage: id= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("linkage: text= required"))
+        val block = m.args.getOrElse("block",
+          throw new BuildError("linkage: block= required"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (block.isEmpty) throw new BuildError("linkage: block= is empty")
+        val th = m.args.get("threshold").map(_.toDouble).getOrElse(0.85)
+        if (th < 0.0 || th > 1.0)
+          throw new BuildError(s"linkage: threshold must be in [0,1], got $th")
+        val mb = m.args.get("maxblock").map(_.toInt).getOrElse(1 << 16)
+        if (mb < 2)
+          throw new BuildError(s"linkage: maxblock must be >= 2, got $mb")
+        val missing = (Seq(id, text) ++ block).filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          throw new BuildError(
+            s"linkage: unknown columns ${missing.mkString(",")}")
+        ctx.writeStream(m, graft.operators.Linkage.jaroWinklerLinks(
+          df, id, text, block, th, mb), RowType)
+      }),
+
+    // Unicode NFC canonicalization in place (normalize-before-hash for
+    // dedup); no-allocation fast path on already-normalized values.
+    Registered("nfcnormalize", RowType, RowType,
+      "in=STREAM:col=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val c = m.args.getOrElse("col",
+          throw new BuildError("nfcnormalize: col= required"))
+        if (!df.columns.contains(c))
+          throw new BuildError(s"nfcnormalize: unknown column '$c'")
+        ctx.writeStream(m, df.withColumn(c,
+          graft.functions.StringSimilarity.nfcNormalize(col(c))), RowType)
+      }),
+
     // Range (point-in-interval) join from the DSL (wraps Ops.rangeJoin
     // — bucketed equi-join, never points × intervals).
     Registered("rangejoin", RowType, RowType,

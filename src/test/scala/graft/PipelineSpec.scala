@@ -346,7 +346,7 @@ class PipelineSpec extends AnyFunSuite {
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
       "chunk", "avroread", "avrowrite", "sql", "zorderwrite",
       "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2",
-      "kmvsketch")
+      "kmvsketch", "linkage", "nfcnormalize")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -362,6 +362,45 @@ class PipelineSpec extends AnyFunSuite {
       "col_name,n_null,n_distinct,min_val,max_val",
       "id,0,2,1,2",
       "name,1,2,alpha,beta").sorted)
+  }
+
+  test("linkage module: blocked jaro-winkler pairs above threshold") {
+    val d = tmp("linkage")
+    writeCsv(s"$d/in.csv", "id,name,blk",
+      "1,martha,b1", "2,marhta,b1", "3,zzzzzz,b1", "4,martha,b2")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=rows",
+      "linkage:in=rows:id=id:text=name:block=blk:threshold=0.9:out=links",
+      "csvwrite:in=links", s"filewrite:out=$d/out.csv"))
+    // only the in-block near-identical pair links; b2 has one row
+    assert(readOut(s"$d/out.csv").sorted == Seq(
+      "id1,id2,score", "1,2,0.9611111111111111").sorted)
+  }
+
+  test("linkage module: loud errors on bad args") {
+    val d = tmp("linkbad")
+    writeCsv(s"$d/in.csv", "id,name,blk", "1,x,b")
+    def err(spec: String) =
+      intercept[BuildError](Pipeline.run(spark, Seq(
+        s"fileread:in=$d/in.csv", "csvread:infer=1:out=rows",
+        spec, "csvwrite:in=links", s"filewrite:out=$d/out.csv"))).getMessage
+    assert(err("linkage:in=rows:text=name:block=blk:out=links")
+      .contains("id= required"))
+    assert(err("linkage:in=rows:id=id:text=name:block=blk:threshold=1.5:out=links")
+      .contains("threshold"))
+    assert(err("linkage:in=rows:id=id:text=nope:block=blk:out=links")
+      .contains("unknown columns"))
+  }
+
+  test("nfcnormalize module: combining marks compose in place") {
+    val d = tmp("nfc")
+    writeCsv(s"$d/in.csv", "id,t", "1,café", "2,plain")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=rows",
+      "nfcnormalize:in=rows:col=t:out=norm",
+      "csvwrite:in=norm", s"filewrite:out=$d/out.csv"))
+    assert(readOut(s"$d/out.csv").sorted ==
+      Seq("id,t", "1,caf\u00e9", "2,plain").sorted)
   }
 
   test("kmvsketch module: per-group distinct estimate, exact below k") {
