@@ -216,6 +216,46 @@ object EventQueries {
         .join(broadcast(stats), "event_type")
         .filter(abs(z) > 2)
         .select($"event_id", $"event_type", round(z, 4).as("z"))
+    }),
+
+    // q138's sketch-based scale path: rolling 7-day distinct via KMV
+    // MERGE. One bounded sketch per day (only k-vectors cross any
+    // shuffle, whatever the corpus size); each day's sketch
+    // contributes to the 7 windows it covers and the union re-sketch
+    // IS the window's sketch (bottom-k of a union of bottom-ks).
+    // The md5 unit hash makes every estimate deterministic, so the
+    // oracle replays the whole sketch relationally (q119 convention)
+    // and the exact count rides along for error inspection.
+    "q140_rolling_kmv" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      val k = 64
+      val kmv = udaf(new graft.functions.Aggregators.KmvSketch(k),
+        Encoders.scalaDouble)
+      val Ops = graft.operators.Ops
+      val d = t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+        .distinct()
+      val cal = d.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("day"))
+      val daily = d
+        .select($"day", Ops.kmvUnitHash($"user_id").as("u"))
+        .groupBy($"day").agg(kmv($"u").as("sk"))
+      val rolled = daily
+        .select(explode(sequence(lit(0), lit(6))).as("i"), $"day", $"sk")
+        .select(date_add($"day", $"i").as("day"), explode($"sk").as("u"))
+        .join(broadcast(cal), "day")
+        .groupBy($"day").agg(kmv($"u").as("sk"))
+      val exact = d
+        .select(explode(sequence(lit(0), lit(6))).as("i"), $"day", $"user_id")
+        .select(date_add($"day", $"i").as("day"), $"user_id")
+        .join(broadcast(cal), "day")
+        .groupBy($"day").agg(countDistinct($"user_id").as("exact_wau"))
+      rolled
+        .select($"day",
+          round(Ops.kmvDistinctEstimate($"sk", k), 4).as("est_wau"))
+        .join(exact, "day")
     })
   )
 
@@ -361,6 +401,32 @@ object EventQueries {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs((e.value - CAST(sv AS DOUBLE)/n) /
         |    sqrt((CAST(svv AS DOUBLE)
-        |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)/(n-1))) > 2""".stripMargin
+        |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)/(n-1))) > 2""".stripMargin,
+
+    "q140_rolling_kmv" ->
+      """WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+        |    AS day, user_id FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+        |cal AS (SELECT CAST(unnest(generate_series(
+        |    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |x AS (SELECT CAST(d.day + i AS DATE) AS day, d.user_id
+        |  FROM d CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6]) AS t(i)),
+        |w AS (SELECT cal.day, x.user_id
+        |  FROM cal JOIN x ON x.day = cal.day GROUP BY 1, 2),
+        |h AS (SELECT DISTINCT day,
+        |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM w),
+        |r AS (SELECT day, u,
+        |    row_number() OVER (PARTITION BY day ORDER BY u) AS rk FROM h),
+        |st AS (SELECT day, count(*) AS m,
+        |    max(CASE WHEN rk = 64 THEN u END) AS uk
+        |  FROM r WHERE rk <= 64 GROUP BY day),
+        |ex AS (SELECT day, count(DISTINCT user_id) AS exact_wau
+        |  FROM w GROUP BY 1)
+        |SELECT st.day, round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |    ELSE 63.0 / uk END, 4) AS est_wau, ex.exact_wau
+        |FROM st JOIN ex ON st.day = ex.day""".stripMargin
   )
 }
