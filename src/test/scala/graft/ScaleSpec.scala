@@ -429,6 +429,36 @@ class ScaleSpec extends AnyFunSuite {
       s"kernel not in the generated stage:\n$fp")
   }
 
+  test("rolling windows are contribution explodes: no range join anywhere") {
+    // q138/q140 cover a 7-day window by EXPLODING each day's
+    // contribution, not by range-joining days to a grid — a
+    // BroadcastNestedLoopJoin here would scan the fact once per
+    // calendar day at 100 TB.
+    for (q <- Seq("q138_rolling_actives", "q140_rolling_kmv")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(plan.contains("Generate"), s"$q lost the explode:\n$plan")
+    }
+  }
+
+  test("ntileGlobal never single-partitions: no window, no SinglePartition exchange") {
+    // The sort lives in assignIds' range-partitioned RDD lineage (a
+    // prior job); the final plan must not contain a Window operator —
+    // an empty-OVER ntile would move EVERY data row through one
+    // partition. (A SinglePartition exchange is still present and
+    // fine: it is the 1-row global count, fed by a map-side partial
+    // aggregate and broadcast back.)
+    val plan = executed(SparkEntry.queries("q137_rfm_segments")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"ntileGlobal fell back to a window:\n$plan")
+    val lines = plan.linesIterator.toSeq
+    val spIdx = lines.indexWhere(_.contains("SinglePartition"))
+    assert(spIdx >= 0 && lines.drop(spIdx + 1)
+        .exists(l => l.contains("partial_count")),
+      s"the only SinglePartition exchange must be the partial-agg'd count:\n$plan")
+  }
+
   test("edit-distance histogram aggregates map-side above the pair join") {
     val plan = executed(SparkEntry.queries("q134_edit_histogram")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
