@@ -256,6 +256,28 @@ object EventQueries {
         .select($"day",
           round(Ops.kmvDistinctEstimate($"sk", k), 4).as("est_wau"))
         .join(exact, "day")
+    }),
+
+    // Batch sessionization (gaps-and-islands): a session breaks after
+    // 30 minutes of inactivity. The break flag compares timestamps
+    // with INTERVAL arithmetic (exact micros, no unit truncation), the
+    // running sum of flags numbers sessions, then one aggregate per
+    // (user, session). The batch twin of the streaming session_window
+    // family — same relation, derivable by any SQL engine.
+    "q141_session_islands" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val prev = lag($"ts", 1).over(w)
+      val flag = when(prev.isNull ||
+        $"ts" > prev + expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("brk", flag)
+        .withColumn("sid", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid".as("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"), max($"ts").as("session_end"))
     })
   )
 
@@ -427,6 +449,22 @@ object EventQueries {
         |  FROM w GROUP BY 1)
         |SELECT st.day, round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
         |    ELSE 63.0 / uk END, 4) AS est_wau, ex.exact_wau
-        |FROM st JOIN ex ON st.day = ex.day""".stripMargin
+        |FROM st JOIN ex ON st.day = ex.day""".stripMargin,
+
+    "q141_session_islands" ->
+      """WITH f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR ts > lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin
   )
 }
