@@ -143,6 +143,17 @@ object GraftExtensions {
         BitwiseAnd(BitwiseOr(d, ShiftLeft(d, Literal(1))), Literal(0x55555555L))
       }
       BitwiseOr(spread(args(0)), ShiftLeft(spread(args(1)), Literal(1)))
+    },
+    // Record-linkage kernels (r7): scan-speed Jaro-Winkler (bit-pinned
+    // to the classic definition, = DuckDB's jaro_winkler_similarity)
+    // and UAX #15 NFC canonicalization, for pure-SQL users.
+    "graft_jaro_winkler" -> { args =>
+      arity("graft_jaro_winkler", args, 2)
+      JaroWinklerExpr(args(0), args(1))
+    },
+    "graft_nfc" -> { args =>
+      arity("graft_nfc", args, 1)
+      NfcNormalizeExpr(args(0))
     })
 
   /** Install on an EXISTING session as temp functions. */

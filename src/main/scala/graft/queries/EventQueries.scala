@@ -278,6 +278,30 @@ object EventQueries {
         .groupBy($"user_id", $"sid".as("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min($"ts").as("session_start"), max($"ts").as("session_end"))
+    }),
+
+    // Calendar resample + forward fill: per-user daily totals on a
+    // dense (user × day) grid, gaps carried forward with
+    // last(ignoreNulls) — the time-series densification step most
+    // engines make users hand-roll. The calendar is broadcast-size;
+    // the fill is one window pass ordered by day; days before a
+    // user's first activity stay null in both engines.
+    "q142_forward_fill" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy($"user_id",
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(round(sum($"value".cast("decimal(30,4)")), 2)
+          .cast("double").as("daily_total"))
+      val cal = daily.agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("day"))
+      val grid = ev.select($"user_id").distinct().crossJoin(broadcast(cal))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          last($"daily_total", ignoreNulls = true).over(w).as("filled"))
     })
   )
 
@@ -465,6 +489,25 @@ object EventQueries {
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q142_forward_fill" ->
+      """WITH daily AS (SELECT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE)
+        |      AS daily_total
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |cal AS (SELECT CAST(unnest(generate_series(
+        |    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT u.user_id, cal.day FROM u CROSS JOIN cal)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.daily_total IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
   )
 }

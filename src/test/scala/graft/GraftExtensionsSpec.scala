@@ -106,6 +106,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(api == 13L)
   }
 
+  test("graft_jaro_winkler and graft_nfc from SQL") {
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS j, " +
+        "length(graft_nfc(concat('cafe', '\u0301'))) AS n").head()
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.getInt(1) == 4) // combining mark composed into é
+  }
+
   test("SQL results match the Column API on the corpus") {
     import spark.implicits._
     Tables(spark, sf, "documents").createOrReplaceTempView("docs_ext")
