@@ -263,6 +263,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("gaps-and-islands sessions (q141) match session_window sessions") {
+    // Three formulations of the same 30-minute-gap relation: the
+    // islands window query, the session_window aggregate, and (via the
+    // existing test below) the stateful streaming sessionizer. Islands
+    // break strictly AFTER prev+gap and session_window's half-open
+    // window would break AT prev+gap — the fixtures' ns-precision
+    // timestamps never land on the exact boundary, so the relations
+    // coincide and this pin holds on the fixed seed.
+    import org.apache.spark.sql.functions._
+    val islands = SparkEntry.queries("q141_session_islands")(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    val windows = EventStreams.userSessions(Tables(spark, sf, "events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    assert(islands.count() == windows.count())
+    assert(islands.join(windows,
+      Seq("user_id", "session_start", "n_events"), "left_anti").count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session windows") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.readEventStream(spark, sf)
