@@ -302,6 +302,44 @@ object EventQueries {
       grid.join(daily, Seq("user_id", "day"), "left")
         .select($"user_id", $"day",
           last($"daily_total", ignoreNulls = true).over(w).as("filled"))
+    }),
+
+    // Winsorization (robust stats, the clip-don't-drop counterpart of
+    // q139's z-score flags): per-type P5/P95 from ONE exact-percentile
+    // aggregate (bit-parity with quantile_cont, q16 convention),
+    // broadcast back; values clip to the fences and the clipped sum
+    // goes through the exact-decimal path.
+    "q143_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val b = ev.groupBy($"event_type").agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(b), "event_type")
+        .groupBy($"event_type").agg(
+          sum(when($"value" < $"lo", 1).otherwise(0)).cast("long").as("n_lo"),
+          sum(when($"value" > $"hi", 1).otherwise(0)).cast("long").as("n_hi"),
+          round(sum(when($"value" < $"lo", $"lo")
+            .when($"value" > $"hi", $"hi")
+            .otherwise($"value").cast("decimal(30,4)")), 2)
+            .cast("double").as("winsor_sum"))
+    }),
+
+    // Longest consecutive-day purchase streak per user: the date
+    // variant of gaps-and-islands — day minus its per-user rank is
+    // constant exactly while days are consecutive, so one window pass
+    // + two aggregates find every streak with no self-join.
+    "q144_active_streaks" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      d.withColumn("grp", date_sub($"day", row_number().over(w)))
+        .groupBy($"user_id", $"grp").agg(count(lit(1)).as("streak"))
+        .groupBy($"user_id").agg(max($"streak").as("max_streak"))
     })
   )
 
@@ -508,6 +546,34 @@ object EventQueries {
         |    PARTITION BY g.user_id ORDER BY g.day
         |    ROWS UNBOUNDED PRECEDING) AS filled
         |FROM grid g LEFT JOIN daily d
-        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+
+    "q143_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  CAST(round(sum(CAST(CASE WHEN e.value < lo THEN lo
+        |      WHEN e.value > hi THEN hi ELSE e.value END
+        |    AS DECIMAL(30,4))), 2) AS DOUBLE) AS winsor_sum
+        |FROM events e JOIN b USING (event_type) GROUP BY 1""".stripMargin,
+
+    "q144_active_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INT) AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, count(*) AS streak
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, max(streak) AS max_streak
+        |FROM s GROUP BY 1""".stripMargin
   )
 }
