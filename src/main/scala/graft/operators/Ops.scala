@@ -533,6 +533,35 @@ object Ops {
       .drop("_ntile_id", "_ntile_n", "_nt_small", "_nt_extra")
   }
 
+  /** Distributed running total (prefix sum) over a global ordering —
+    * the empty-OVER `sum() OVER (ORDER BY …)` window forces every row
+    * into one partition; this computes the identical column in three
+    * distributed steps: (1) [[ntileGlobal]] buckets the global order
+    * into `buckets` near-equal ranges, (2) per-bucket totals prefix-sum
+    * into starting offsets on a BUCKETS-row relation (the only
+    * single-partition window left is over that metadata-size table),
+    * (3) a within-bucket window (partitioned by bucket — distributed)
+    * adds each row's in-bucket running sum to its bucket offset.
+    * `orderCols` must be a total order, same contract as the window
+    * form. Size `buckets` ≈ the shuffle parallelism.
+    */
+  def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                   buckets: Int = 64,
+                   outCol: String = "running_total"): DataFrame = {
+    val b = ntileGlobal(df, orderCols, buckets, "_rt_bucket")
+    val totals = b.groupBy(col("_rt_bucket"))
+      .agg(sum(col(valueCol)).as("_rt_sum"))
+    val offs = totals.select(col("_rt_bucket"),
+      (sum(col("_rt_sum")).over(Window.orderBy(col("_rt_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("_rt_sum")).as("_rt_off"))
+    val w = Window.partitionBy(col("_rt_bucket")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offs), "_rt_bucket")
+      .withColumn(outCol, sum(col(valueCol)).over(w) + col("_rt_off"))
+      .drop("_rt_bucket", "_rt_off")
+  }
+
   /** Deterministic train/validation/test split: the row's draw is the
     * first 8 hex chars of md5(key ++ salt) read as a uniform in [0,1),
     * assigned to the first split whose cumulative weight covers it.

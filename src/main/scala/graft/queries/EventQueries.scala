@@ -340,6 +340,25 @@ object EventQueries {
       d.withColumn("grp", date_sub($"day", row_number().over(w)))
         .groupBy($"user_id", $"grp").agg(count(lit(1)).as("streak"))
         .groupBy($"user_id").agg(max($"streak").as("max_streak"))
+    }),
+
+    // Time-to-convert percentiles: first view → first subsequent
+    // purchase per user, latency kept in exact integer MICROS (no
+    // boundary-counting date_diff ambiguity), median/p90 from the
+    // exact percentile (quantile_cont parity, q16 convention).
+    "q145_funnel_latency" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val p = ev.filter($"event_type" === "purchase").join(v, "user_id")
+        .filter($"ts" > $"t1")
+        .groupBy($"user_id", $"t1").agg(min($"ts").as("t2"))
+      p.select((unix_micros($"t2".cast("timestamp")) -
+          unix_micros($"t1".cast("timestamp"))).as("lat_us"))
+        .agg(count(lit(1)).as("n_converters"),
+          expr("percentile(lat_us, 0.5)").as("median_lat_us"),
+          expr("percentile(lat_us, 0.9)").as("p90_lat_us"))
     })
   )
 
@@ -574,6 +593,19 @@ object EventQueries {
         |s AS (SELECT user_id, count(*) AS streak
         |  FROM g GROUP BY user_id, grp)
         |SELECT user_id, max(streak) AS max_streak
-        |FROM s GROUP BY 1""".stripMargin
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q145_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, v.t1, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t1
+        |  GROUP BY 1, 2),
+        |l AS (SELECT epoch_us(t2) - epoch_us(t1) AS lat_us FROM p)
+        |SELECT count(*) AS n_converters,
+        |  quantile_cont(lat_us, 0.5) AS median_lat_us,
+        |  quantile_cont(lat_us, 0.9) AS p90_lat_us
+        |FROM l""".stripMargin
   )
 }

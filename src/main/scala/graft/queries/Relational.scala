@@ -851,6 +851,29 @@ object Relational {
       graft.operators.Ops.ntileGlobal(
           f, Seq($"mon", $"custkey"), 4, "m_quartile")
         .select($"custkey", $"r_quartile", $"f_quartile", $"m_quartile")
+    }),
+
+    // Pareto concentration (the 80/20 readout): customers ranked by
+    // exact-decimal spend, running total compared to 0.8× the grand
+    // total in identical double expressions — how many customers carry
+    // 80% of revenue. Output is two counts; the comparison inputs are
+    // decimal-exact, so the double cast and compare are
+    // engine-identical.
+    "q146_pareto" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(30,4)")).as("spend"))
+      val r = graft.operators.Ops.runningTotal(
+          c, Seq($"spend".desc, $"o_custkey"), "spend",
+          buckets = 32, outCol = "cum")
+        .select($"spend", $"cum")
+      val tot = c.agg(sum($"spend").as("total"), count(lit(1)).as("n_customers"))
+      r.crossJoin(broadcast(tot))
+        .agg((sum(when($"cum".cast("double") < $"total".cast("double") * 0.8, 1)
+            .otherwise(0)) + 1).cast("long").as("n_for_80pct"),
+          min($"n_customers").as("n_customers"))
     })
   )
 
@@ -1507,6 +1530,19 @@ object Relational {
         |  ntile(4) OVER (ORDER BY last_order, custkey) AS r_quartile,
         |  ntile(4) OVER (ORDER BY freq, custkey) AS f_quartile,
         |  ntile(4) OVER (ORDER BY mon, custkey) AS m_quartile
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q146_pareto" ->
+      """WITH c AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,4))) AS spend
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT spend, sum(spend) OVER (ORDER BY spend DESC,
+        |    o_custkey ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        |t AS (SELECT sum(spend) AS total, count(*) AS n_customers FROM c)
+        |SELECT CAST(sum(CASE WHEN CAST(cum AS DOUBLE)
+        |      < CAST(total AS DOUBLE) * 0.8 THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS n_for_80pct,
+        |  min(n_customers) AS n_customers
+        |FROM r CROSS JOIN t""".stripMargin
   )
 }

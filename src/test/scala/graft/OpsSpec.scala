@@ -518,4 +518,31 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny.orderBy($"k").select($"b").as[Int].collect().toSeq
       == Seq(1, 2, 3))
   }
+
+  test("runningTotal matches the single-partition window cumsum bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // 101 rows over 8 buckets: every bucket boundary exercises the
+    // offset handoff; values permuted so order != insertion order.
+    val df = spark.range(0, 101)
+      .select((($"id" * 53) % 101).as("k"),
+        (($"id" % 7) + 1).cast("decimal(20,2)").as("v"))
+    val viaWindow = df.select($"k",
+      sum($"v").over(Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_total"))
+    val viaDist = Ops.runningTotal(df, Seq(col("k")), "v", buckets = 8)
+      .select($"k", $"running_total")
+    assert(viaDist.orderBy($"k").collect().toSeq
+      == viaWindow.orderBy($"k").collect().toSeq)
+    // descending order with a tiebreak, n not divisible by buckets
+    val desc = Ops.runningTotal(df, Seq($"v".desc, $"k"), "v", buckets = 4)
+      .orderBy($"v".desc, $"k").select($"running_total")
+      .as[java.math.BigDecimal].collect()
+    val expd = df.select($"v", $"k",
+        sum($"v").over(Window.orderBy($"v".desc, $"k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rt"))
+      .orderBy($"v".desc, $"k").select($"rt")
+      .as[java.math.BigDecimal].collect()
+    assert(desc.toSeq == expd.toSeq)
+  }
 }
