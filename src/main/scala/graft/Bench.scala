@@ -50,6 +50,23 @@ object Bench {
         s""""io_tagged":$io,"sf":"$sfDir"}"""
     }
 
+    /** Compact final-stdout-line summary. The full per-query map
+      * (`json`) outgrew the driver's 2 kB stdout tail at 146 queries
+      * ("parsed": null in BENCH_r07/r08) — so the LAST line printed is
+      * this bounded summary (total/minsum/counts), and the per-query
+      * detail lives in target/bench.json. Kept well under 500 chars
+      * regardless of query count; BenchSpec enforces that.
+      */
+    def compactJson: String = {
+      def fmt(d: Double): String =
+        java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      val nErr = results.count(_._2.errors.nonEmpty)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""minsum":${fmt(minSum)},"n":${results.size},"rc":$rc,""" +
+        s""""errors":$nErr,"io_tagged":${IoTagged.size},""" +
+        s""""detail":"target/bench.json","sf":"$sfDir"}"""
+    }
+
     def samplesJson: String = {
       val all = results.map { case (k, r) =>
         s"\"" + k + "\":[" + r.samples.mkString(",") + "]"
@@ -128,9 +145,12 @@ object Bench {
         java.nio.file.Paths.get("target/bench.json"), res.json + "\n")
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the result line so shutdown logging can't
-    // interleave: the JSON is the very last thing on stdout.
+    // interleave: the JSON is the very last thing on stdout. The full
+    // per-query line precedes the compact one; only the LAST line must
+    // fit the driver's tail window (VERDICT r8 #1).
     spark.stop()
     println(res.json)
+    println(res.compactJson)
     // A crashing query must fail the artifact loudly (VERDICT r5 #2).
     if (res.rc != 0) sys.exit(res.rc)
   }

@@ -22,6 +22,14 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Naive (isAdjustedToUTC=false) µs TIMESTAMP columns must load as
+    // session-tz instants, not TIMESTAMP_NTZ: the operator library works
+    // in instant arithmetic (unix_micros, watermarks), the session tz is
+    // pinned UTC, and the DuckDB oracle is timezone-naive — so the wall
+    // values agree either way, but NTZ would fail unix_micros outright.
+    // (The driver's generated data switched ns -> µs encoding between
+    // rounds; the LongType branch keeps the ns form loading too.)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // NB: integer `div`, not `/` — epoch-nanos overflow double's 53-bit
     // mantissa, so float division silently loses microseconds.

@@ -85,11 +85,12 @@ object ImageIoCodec extends MediaCodec {
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case NonFatal(_) => None }
 
-  def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-    if (dim <= 0) return Array.empty
-    val out = new Array[Float](dim)
-    readImage(bytes).foreach { img =>
-      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+  /** g×g grid of mean luminances (0..255 scale, `NaN` for cells no
+    * pixel maps into — only when w or h < g). The shared pixel pass
+    * behind `features` and `averageHash64`; None = undecodable.
+    */
+  def gridLuminance(bytes: Array[Byte], g: Int): Option[Array[Double]] =
+    readImage(bytes).map { img =>
       val sums = new Array[Double](g * g)
       val counts = new Array[Long](g * g)
       val w = img.getWidth
@@ -111,16 +112,49 @@ object ImageIoCodec extends MediaCodec {
         }
         y += 1
       }
+      Array.tabulate(g * g)(c =>
+        if (counts(c) == 0) Double.NaN else sums(c) / counts(c))
+    }
+
+  def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (dim <= 0) return Array.empty
+    val out = new Array[Float](dim)
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+    gridLuminance(bytes, g).foreach { means =>
       var i = 0
       while (i < dim) {
         val c = i % (g * g)
-        out(i) = if (counts(c) == 0) 0f
-          else ((sums(c) / counts(c)) / 255.0 - 0.5).toFloat
+        out(i) = if (means(c).isNaN) 0f
+          else (means(c) / 255.0 - 0.5).toFloat
         i += 1
       }
     }
     out
   }
+
+  /** 60-bit average-hash perceptual fingerprint: 8×8 mean-luminance
+    * grid, each cell rounded to an int, bit_i (i < 60) set iff
+    * 64·cell_i > Σcells — i.e. the cell is brighter than the grid
+    * mean, in EXACT integer arithmetic (no float threshold, so a SQL
+    * oracle replays it bit-for-bit from known cell values). 60 bits so
+    * the fingerprint rides the existing SimHash band machinery
+    * (4 × 15-bit bands) unchanged. Undecodable payload → 0L (the
+    * throw-free codec contract).
+    */
+  def averageHash64(bytes: Array[Byte]): Long =
+    gridLuminance(bytes, 8) match {
+      case None => 0L
+      case Some(means) =>
+        val cells = means.map(m => if (m.isNaN) 0L else math.round(m))
+        val s = cells.sum
+        var fp = 0L
+        var i = 0
+        while (i < 60) {
+          if (cells(i) * 64 > s) fp |= (1L << i)
+          i += 1
+        }
+        fp
+    }
 
   private def toPng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

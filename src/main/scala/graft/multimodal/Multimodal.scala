@@ -176,4 +176,39 @@ object Multimodal {
       if (bytes == null) null else AutoCodec.sampleFrames(bytes, n))
     df.withColumn("frames", f(col(binCol)))
   }
+
+  /** Render 64 gray levels (0..255, row-major) as a REAL 8×8 PNG —
+    * the deterministic image synthesizer behind q149's perceptual-hash
+    * dedup: numeric columns become genuine codec-decodable payloads, so
+    * the downstream pipeline (decode → grid luminance → average-hash)
+    * exercises the true image path, while a SQL oracle can still derive
+    * the expected hash from the input ints (PNG is lossless, and with
+    * one pixel per grid cell the decoded cell means are exactly the
+    * inputs). Out-of-range / short input is clamped / zero-padded —
+    * throw-free like the codecs.
+    */
+  def renderGray8x8(levels: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v0 = if (levels != null && i < levels.length) levels(i) else 0
+      val v = math.max(0, math.min(255, v0))
+      img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual hashing: adds `phash long` (see
+    * [[ImageIoCodec.averageHash64]]) — feeds
+    * [[graft.operators.Dedup.fingerprintDuplicatePairs]].
+    */
+  def perceptualHash(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) 0L else ImageIoCodec.averageHash64(bytes))
+    df.withColumn("phash", f(col(binCol)))
+  }
 }

@@ -272,18 +272,36 @@ object Dedup {
     // (no explode/aggregate shuffle). (id, fp) is two longs per row;
     // persisted because it feeds the banding AND both sides of the
     // verify join below.
-    val base = df.select(col(idCol).as("id"),
-        graft.functions.TextExpr.simhash64(col(textCol)).as("fp"))
+    fingerprintDuplicatePairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.TextExpr.simhash64(col(textCol)).as("fp")),
+      maxDist, maxBucket, bands = 4, bandBits = 16)
+  }
+
+  /** Banded hamming near-dup over PRECOMPUTED bitwise fingerprints —
+    * the SimHash band machinery opened up to any fingerprint source
+    * (image perceptual hashes, audio signatures, …). Input is
+    * `(id, fp)`; fp uses the low `bands × bandBits` bits. Same scale
+    * shape as the text paths: band equi-join with the hub-bucket cut,
+    * exact hamming verify on survivors; the band guarantee ("hamming ≤
+    * bands-1 ⇒ ≥ 1 shared band") is conditional on bucket size exactly
+    * as in [[simhashDuplicatePairs]].
+    */
+  def fingerprintDuplicatePairs(fps: DataFrame, maxDist: Int = 3,
+                                maxBucket: Int = 256, bands: Int = 4,
+                                bandBits: Int = 15): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val base = fps.select(col("id"), col("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("bandIdx", "bandHash")))
     bandCandidates(banded, "bandHash", maxBucket)
       .join(base.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
       .join(base.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
       .select(col("idA"), col("idB"),
-        hamming(col("fpA"), col("fpB")).as("dist"))
+        hamming(col("fpA"), col("fpB")).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

@@ -142,22 +142,10 @@ object DedupPortable {
     */
   def simhashDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
                                     maxDist: Int = 3,
-                                    maxBucket: Int = 256): DataFrame = {
-    val base = simhashPortableFingerprints(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val banded = base.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
-        .as(Seq("bandIdx", "bandHash")))
-
-    Dedup.bandCandidates(banded, "bandHash", maxBucket)
-      .join(base.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
-      .join(base.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
-      .select(col("idA"), col("idB"),
-        Dedup.hamming(col("fpA"), col("fpB")).cast("int").as("dist"))
-      .filter(col("dist") <= maxDist)
-  }
+                                    maxBucket: Int = 256): DataFrame =
+    Dedup.fingerprintDuplicatePairs(
+      simhashPortableFingerprints(df, idCol, textCol),
+      maxDist, maxBucket, bands = 4, bandBits = 15)
 
   /** Portable twin of [[Dedup.winnowDuplicatePairs]], reformulated so
     * a SQL engine replays it with window functions:

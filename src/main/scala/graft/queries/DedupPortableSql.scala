@@ -71,12 +71,17 @@ object DedupPortableSql {
     }.mkString("\n      ")
   }
 
-  /** q51 oracle: full MinHash-LSH replay (k=3 word shingles). */
-  def minhashOracleSql(numPerm: Int, bands: Int, threshold: Double,
-                       maxBucket: Int): String = {
+  /** The whole q51 pipeline as a reusable CTE-list prefix ending in
+    * `pairs(idA, idB, jaccard)` (raw, unrounded jaccard; threshold
+    * already applied) — shared by the pair oracle (q51) and the
+    * cluster/survivorship oracles (q147/q148) so all three replay the
+    * IDENTICAL pair source.
+    */
+  private def minhashPairsCtes(numPerm: Int, bands: Int, threshold: Double,
+                               maxBucket: Int): String = {
     val sigCols = sigColsSql(numPerm)
     val bandArms = bandArmsSql(numPerm, bands)
-    s"""WITH d0 AS (
+    s"""d0 AS (
        |  SELECT doc_id, list_sort(list_distinct(list_transform(
        |    list_transform(range(1, len(ws) - 1),
        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
@@ -99,11 +104,67 @@ object DedupPortableSql {
        |  SELECT cand.idA, cand.idB,
        |    ${jaccardSql("x.hs", "y.hs")} AS jaccard
        |  FROM cand JOIN d x ON x.doc_id = cand.idA
-       |            JOIN d y ON y.doc_id = cand.idB)
-       |SELECT idA, idB, round(jaccard, 4) AS jaccard
-       |FROM ver WHERE jaccard >= $threshold
-       |ORDER BY idA, idB""".stripMargin
+       |            JOIN d y ON y.doc_id = cand.idB),
+       |pairs AS (
+       |  SELECT idA, idB, jaccard FROM ver WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  /** q51 oracle: full MinHash-LSH replay (k=3 word shingles). */
+  def minhashOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                       maxBucket: Int): String =
+    s"""WITH ${minhashPairsCtes(numPerm, bands, threshold, maxBucket)}
+       |SELECT idA, idB, round(jaccard, 4) AS jaccard
+       |FROM pairs
+       |ORDER BY idA, idB""".stripMargin
+
+  /** Recursive-CTE reachability over `pairs` -> `cl(id, rep)` with
+    * rep = component minimum — the oracle twin of
+    * [[graft.operators.Dedup.duplicateClusters]] (same shape as the
+    * q48 oracle, but fed by the LSH pair source instead of capped
+    * all-pairs).
+    */
+  private val reachabilityCtes: String =
+    s"""e AS (SELECT idA AS a, idB AS b FROM pairs
+       |      UNION SELECT idB, idA FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+       |  WHERE e2.b <> r.a),
+       |cl AS (SELECT a AS id, least(a, min(b)) AS rep
+       |       FROM reach GROUP BY a)""".stripMargin
+
+  /** q147 oracle: LSH pairs -> transitive-closure clusters. */
+  def minhashClustersOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                               maxBucket: Int): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(numPerm, bands, threshold, maxBucket)},
+       |$reachabilityCtes
+       |SELECT id, rep FROM cl ORDER BY id""".stripMargin
+
+  /** q148 oracle: LSH pairs -> clusters -> quality survivorship over
+    * the FULL corpus (singletons are their own cluster), same pick as
+    * the q71 oracle.
+    */
+  def minhashSurvivorOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                               maxBucket: Int): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(numPerm, bands, threshold, maxBucket)},
+       |$reachabilityCtes,
+       |q AS (
+       |  SELECT doc_id, ${TextQueries.qualitySql()} AS quality
+       |  FROM documents),
+       |asg AS (SELECT id, rep FROM cl
+       |        UNION ALL
+       |        SELECT doc_id, doc_id FROM q
+       |        WHERE doc_id NOT IN (SELECT id FROM cl)),
+       |rnk AS (
+       |  SELECT asg.rep, asg.id, q.quality,
+       |    row_number() OVER (PARTITION BY asg.rep
+       |      ORDER BY q.quality DESC, asg.id ASC) AS rk
+       |  FROM asg JOIN q ON asg.id = q.doc_id)
+       |SELECT rep, max(CASE WHEN rk = 1 THEN id END) AS keep_id,
+       |  max(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+       |  count(*) AS family
+       |FROM rnk GROUP BY rep ORDER BY rep""".stripMargin
 
   /** q110 oracle: full replay of the incremental delta-vs-corpus pass
     * (DedupPortable.incrementalMinhashPortable). `deltaPred` is a SQL
@@ -198,6 +259,50 @@ object DedupPortableSql {
        |  SELECT doc_id,
        |    ($fpTerms) AS fp
        |  FROM cnt),
+       |banded AS (
+       |  SELECT doc_id, b, (fp >> (b * 15)) & 32767 AS key
+       |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |${hubCutCtes(maxBucket)},
+       |ver AS (
+       |  SELECT cand.idA, cand.idB,
+       |    CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS dist
+       |  FROM cand JOIN fps x ON x.doc_id = cand.idA
+       |            JOIN fps y ON y.doc_id = cand.idB)
+       |SELECT idA, idB, dist FROM ver WHERE dist <= $maxDist
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  /** q149 oracle: image perceptual-hash dedup replay — RELATIONAL, no
+    * image codec needed. The Spark side renders each quantized pixel
+    * list as a real 8×8 PNG and average-hashes it through the ImageIo
+    * codec; with one pixel per grid cell that round-trip is exact by
+    * construction (PNG is lossless; luminance of gray (v,v,v) rounds
+    * back to v — asserted in MultimodalSpec), so the oracle derives the
+    * SAME 60-bit hash from the pixel ints directly, then replays the
+    * 4×15-bit banding + hub cut + hamming verify.
+    */
+  def imagePhashOracleSql(maxDist: Int, maxBucket: Int): String = {
+    val fpTerms = (0 until 60).map { b =>
+      s"(CASE WHEN px[${b + 1}] * 64 > s THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, e ->
+       |    CAST(least(greatest(floor((CAST(e AS DOUBLE) + 1.0) * 127.5),
+       |      0), 255) AS BIGINT)) AS px
+       |  FROM embeddings),
+       |imgs AS (
+       |  SELECT vec_id * 2 AS doc_id, px FROM base
+       |  UNION ALL
+       |  SELECT vec_id * 2 + 1,
+       |    list_transform(range(1, 65), i ->
+       |      CASE WHEN i - 1 = vec_id % 64 THEN least(px[i] + 8, 255)
+       |           ELSE px[i] END)
+       |  FROM base),
+       |summed AS (SELECT doc_id, px, list_sum(px) AS s FROM imgs),
+       |fps AS (
+       |  SELECT doc_id,
+       |    ($fpTerms) AS fp
+       |  FROM summed),
        |banded AS (
        |  SELECT doc_id, b, (fp >> (b * 15)) & 32767 AS key
        |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),

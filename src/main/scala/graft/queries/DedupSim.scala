@@ -103,6 +103,83 @@ object DedupSim {
         .orderBy($"rep")
     }),
 
+    // Scale-true dedup clustering (VERDICT r8 #2): the banded LSH pair
+    // source — full corpus, NO cap — feeds connected components. This
+    // is the 100 TB composition q48 only demos on a bounded all-pairs
+    // sample: every stage is equi-join/hash-agg shaped (band join with
+    // hub cut, alternating-star rounds), so nothing here is quadratic
+    // in the corpus. Oracle: the same md5-family pair replay as q51
+    // extended with recursive-CTE reachability.
+    "q147_lsh_dup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = DedupPortable.minhashDuplicatePairsPortable(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      Dedup.duplicateClusters(pairs).orderBy($"id")
+    }),
+
+    // ...and the full curation tail on top of it: LSH pairs -> clusters
+    // -> keep the highest-quality member per cluster, over the ENTIRE
+    // corpus (singletons survive as their own cluster). The rank window
+    // partitions by cluster rep — at 100 TB that's millions of tiny
+    // partitions, never a global sort. Replaces q71's capped pair demo
+    // with the scale path end-to-end.
+    "q148_lsh_survivorship" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select($"doc_id",
+        graft.functions.TextFunctions.qualityScore($"text").as("quality"))
+      val pairs = DedupPortable.minhashDuplicatePairsPortable(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      val clusters = Dedup.duplicateClusters(pairs) // (id, rep)
+      val singles = docs.select($"doc_id")
+        .join(clusters.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+        .select($"doc_id".as("id"), $"doc_id".as("rep"))
+      val ranked = clusters.unionByName(singles)
+        .join(docs.select($"doc_id".as("id"), $"quality"), "id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"rep").orderBy($"quality".desc, $"id".asc)))
+      ranked.groupBy($"rep").agg(
+          max(when($"rk" === 1, $"id")).as("keep_id"),
+          max(when($"rk" === 1, $"quality")).as("kept_quality"),
+          count(lit(1)).as("family"))
+        .orderBy($"rep")
+    }),
+
+    // Image perceptual-hash near-dup (VERDICT r8 #3) — multimodal as a
+    // CONSUMER of the dedup family, not just codecs. Embedding vectors
+    // are rendered as REAL 8×8 grayscale PNGs (plus one planted
+    // single-pixel-edited variant per image: the re-encoded/retouched
+    // duplicate case), decoded back through the ImageIo codec into a
+    // 60-bit average-hash, then fed to the SAME banded-hamming dedup
+    // machinery as SimHash text near-dup (4×15-bit bands, hub cut,
+    // exact hamming verify). One pixel per grid cell makes the
+    // PNG→decode→hash round-trip exact in integers, so the DuckDB
+    // oracle replays the hash relationally from the quantized pixel
+    // ints without any image codec. At 100 TB the codec UDFs see only
+    // (id, 64-int array)-narrow rows and the join is banded — never
+    // all-pairs on images.
+    "q149_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val px = t(s, dir, "embeddings").select($"vec_id",
+        expr("transform(embedding, e -> cast(least(greatest(" +
+          "floor((cast(e as double) + 1.0d) * 127.5d), 0d), 255d) as int))")
+          .as("px"))
+      val edited = px.select(($"vec_id" * 2 + 1).as("img_id"),
+        expr("transform(px, (v, i) -> if(i = cast(vec_id % 64 as int), " +
+          "least(v + 8, 255), v))").as("px"))
+      val imgs = px.select(($"vec_id" * 2).as("img_id"), $"px")
+        .unionByName(edited)
+      val render = udf((p: Seq[Int]) =>
+        graft.multimodal.Multimodal.renderGray8x8(p))
+      val fps = graft.multimodal.Multimodal
+        .perceptualHash(imgs.withColumn("content", render($"px")))
+        .select($"img_id".as("id"), $"phash".as("fp"))
+      Dedup.fingerprintDuplicatePairs(fps, maxDist = 3, maxBucket = 256)
+        .orderBy($"idA", $"idB")
+    }),
+
     // MinHash-LSH near-dup pairs, exact-jaccard verified, in PORTABLE
     // (md5-family) mode: shingle hashes, affine-permutation signatures,
     // band keys, the hub cut and the verification all replay exactly in
@@ -486,6 +563,12 @@ object DedupSim {
     // family — see DedupPortable / DedupPortableSql).
     "q51_minhash_lsh" -> DedupPortableSql.minhashOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
+    "q147_lsh_dup_clusters" -> DedupPortableSql.minhashClustersOracleSql(
+      numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
+    "q148_lsh_survivorship" -> DedupPortableSql.minhashSurvivorOracleSql(
+      numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
+    "q149_image_phash_dedup" -> DedupPortableSql.imagePhashOracleSql(
+      maxDist = 3, maxBucket = 256),
     "q110_incremental_dedup" -> DedupPortableSql.incrementalOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64,
       deltaPred = "doc_id % 10 = 0"),

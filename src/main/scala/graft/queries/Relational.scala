@@ -793,6 +793,38 @@ object Relational {
         .orderBy($"o_custkey")
     }),
 
+    // TPC-DS Q67 shape (rank over a deep rollup): a 4-level ROLLUP
+    // whose TOP dimension is also the rank window's partition key —
+    // the Expand output flows straight into the window without
+    // regrouping, and NULL subtotal rows rank in their own partition.
+    // q116 partitions on grouping() bits; this is the other planner
+    // corner: partitioning directly on a rolled-up (nullable) column.
+    // rk <= 10 bounds output per partition like Q67's rk <= 100.
+    "q150_tpcds_q67_shape" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "lineitem")
+        .withColumn("yr", year($"l_shipdate"))
+        .withColumn("mon", month($"l_shipdate"))
+        .rollup($"l_returnflag", $"l_linestatus", $"yr", $"mon")
+        .agg(dsum($"l_extendedprice").as("rev"), count(lit(1)).as("n"))
+        .select($"l_returnflag".as("flag"), $"l_linestatus".as("status"),
+          $"yr", $"mon", $"rev", $"n")
+      val w = Window.partitionBy($"flag").orderBy($"rev".desc)
+      agg.select($"flag", $"status", $"yr", $"mon", $"rev", $"n",
+          rank().over(w).cast("int").as("rk"))
+        .filter($"rk" <= 10)
+        .orderBy($"flag".asc_nulls_first, $"rk", $"status".asc_nulls_first,
+          $"yr".asc_nulls_first, $"mon".asc_nulls_first)
+    }),
+
+    // TPC-DS Q14 shape: INTERSECT-heavy cross-channel item selection
+    // (see Q14ShapeText — shared verbatim with the oracle, like the
+    // Q15/Q20 shapes).
+    "q151_tpcds_q14_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(Q14ShapeText)
+    }),
+
     // Rolling event-time window frame (RANGE BETWEEN INTERVAL): each
     // order with its customer's trailing-7-day spend — the window
     // grammar's calendar-frame corner, untouched by the ROWS frames
@@ -1003,6 +1035,44 @@ object Relational {
       |JOIN revenue ON s_suppkey = supplier_no
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-DS Q14 shape (cross-channel INTERSECT + scalar threshold +
+    * rollup): items sold in ALL channels via a two-level INTERSECT
+    * (Catalyst plans INTERSECT DISTINCT as left-semi joins over
+    * aggregated children — never a cartesian), filtered by an
+    * average-sales scalar subquery, rolled up per channel. The
+    * threshold compare is ONE double division over exact decimal
+    * inputs (`CAST(sum AS DOUBLE)/count`) then a double compare — the
+    * identical two IEEE ops in any engine, so the keep set is
+    * engine-stable, unlike a native double avg whose summation order
+    * varies.
+    */
+  val Q14ShapeText: String =
+    """WITH sales AS (
+      |  SELECT l_partkey AS pk, l_orderkey % 3 AS ch,
+      |    CAST(l_extendedprice AS DECIMAL(30,4)) AS price
+      |  FROM lineitem),
+      |cross_items AS (
+      |  SELECT pk FROM sales WHERE ch = 0
+      |  INTERSECT
+      |  SELECT pk FROM sales WHERE ch = 1
+      |  INTERSECT
+      |  SELECT pk FROM sales WHERE ch = 2),
+      |per AS (
+      |  SELECT ch, pk, sum(price) AS sales, count(*) AS n
+      |  FROM sales
+      |  WHERE pk IN (SELECT pk FROM cross_items)
+      |  GROUP BY ch, pk),
+      |stats AS (
+      |  SELECT CAST(sum(sales) AS DOUBLE) / count(*) AS avg_sales FROM per),
+      |filtered AS (
+      |  SELECT ch, pk, sales, n FROM per
+      |  WHERE CAST(sales AS DOUBLE) > (SELECT avg_sales FROM stats))
+      |SELECT ch, CAST(round(sum(sales), 2) AS DOUBLE) AS total_sales,
+      |  CAST(sum(n) AS BIGINT) AS total_rows, count(*) AS n_items
+      |FROM filtered
+      |GROUP BY ROLLUP (ch)
+      |ORDER BY ch NULLS FIRST""".stripMargin
 
   /** TPC-H Q20 shape: no partsupp table, so "available quantity"
     * becomes shipped quantity per supplier over the name-matched parts
@@ -1447,6 +1517,26 @@ object Relational {
         |SELECT pri, m, rev, avg_rev, prev_rev, next_rev
         |FROM win WHERE abs(rev - avg_rev) / avg_rev > 0.1
         |ORDER BY pri, m""".stripMargin,
+
+    "q150_tpcds_q67_shape" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |    date_part('year', l_shipdate) AS yr,
+        |    date_part('month', l_shipdate) AS mon,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS rev,
+        |    count(*) AS n
+        |  FROM lineitem
+        |  GROUP BY ROLLUP (l_returnflag, l_linestatus,
+        |    date_part('year', l_shipdate), date_part('month', l_shipdate)))
+        |SELECT flag, status, yr, mon, rev, n, rk FROM (
+        |  SELECT flag, status, yr, mon, rev, n,
+        |    CAST(rank() OVER (PARTITION BY flag ORDER BY rev DESC) AS INT) AS rk
+        |  FROM agg)
+        |WHERE rk <= 10
+        |ORDER BY flag NULLS FIRST, rk, status NULLS FIRST,
+        |  yr NULLS FIRST, mon NULLS FIRST""".stripMargin,
+
+    "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q116_tpcds_q36_shape" ->
       """WITH agg AS (

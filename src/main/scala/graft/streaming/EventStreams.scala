@@ -54,15 +54,22 @@ object EventStreams {
     * take a directory; the glob keeps it to the events table).
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A stream source needs a declared schema; peek the footer via the
+    // batch reader (Tables applies the same confs) so BOTH testdata
+    // encodings load: ns-as-long (old) converts explicitly, µs TIMESTAMP
+    // (regenerated data) arrives as a session-tz instant already.
+    val tsType = graft.Tables(spark, sfDir, "events").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", if (tsType == LongType) LongType else tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Streaming tumbling aggregate with late-data watermark — the

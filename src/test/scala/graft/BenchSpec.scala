@@ -38,6 +38,39 @@ class BenchSpec extends AnyFunSuite {
     assert(res.json.contains("\"minsum\":"))
   }
 
+  test("compactJson (the final stdout line) stays parseable and bounded") {
+    // The driver reads only a ~2 kB stdout tail; the full per-query
+    // line outgrew it at 146 queries (BENCH_r07/r08 "parsed": null).
+    // The LAST printed line is compactJson — it must stay small and
+    // valid JSON no matter how many queries SparkEntry registers.
+    // Synthesize a result twice today's query count: the bound must
+    // hold as the suite keeps growing, not just at the current size.
+    val n = SparkEntry.queries.size * 2
+    val results = (1 to n).map { i =>
+      s"q${i}_some_long_query_name_$i" ->
+        Bench.QueryResult(Vector(1.234567, 2.345678, 0.987654), Vector.empty)
+    }.toVector
+    val res = Bench.BenchResult(results, "/some/sf/dir")
+    val line = res.compactJson
+    assert(line.length < 500, s"compact line grew to ${line.length} chars")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("value").isNumber && node.get("minsum").isNumber)
+    assert(node.get("n").asInt() == n)
+    assert(node.get("rc").asInt() == 0 && node.get("errors").asInt() == 0)
+    assert(node.get("sf").asText() == "/some/sf/dir")
+  }
+
+  test("compactJson reflects errors without growing with error detail") {
+    val res = Bench.run(spark, "unused",
+      Map("z_ok" -> good, "a_broken" -> bad), passes = 2)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(res.compactJson)
+    assert(node.get("rc").asInt() == 1 && node.get("errors").asInt() == 1)
+    assert(res.compactJson.length < 500)
+  }
+
   test("io-tagged queries are reported but excluded from total/minsum") {
     val res = Bench.run(spark, "unused",
       Map("q_a" -> good, "q21_roundtrip_ndjson" -> good), passes = 1)

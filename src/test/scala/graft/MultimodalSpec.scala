@@ -257,6 +257,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(WavCodec.sampleFrames(junk, 2).isEmpty)
   }
 
+  test("renderGray8x8 -> averageHash64 round-trip is exact integer arithmetic") {
+    // The q149 oracle derives the hash relationally from the pixel
+    // ints; this is the by-construction exactness it relies on: for ANY
+    // 64 gray levels, PNG-encode + codec decode + average-hash equals
+    // the direct integer-arithmetic hash.
+    import graft.multimodal.ImageIoCodec
+    def directHash(px: Seq[Int]): Long = {
+      val s = px.map(_.toLong).sum
+      (0 until 60).foldLeft(0L)((h, i) =>
+        if (px(i).toLong * 64 > s) h | (1L << i) else h)
+    }
+    val rng = new scala.util.Random(42)
+    val cases = Seq(
+      Seq.fill(64)(0), Seq.fill(64)(255), (0 until 64).toSeq,
+      Seq.tabulate(64)(i => if (i % 2 == 0) 10 else 240)) ++
+      Seq.fill(20)(Seq.fill(64)(rng.nextInt(256)))
+    cases.foreach { px =>
+      val bytes = Multimodal.renderGray8x8(px)
+      assert(ImageIoCodec.sniff(bytes).contains("png"))
+      assert(ImageIoCodec.averageHash64(bytes) == directHash(px),
+        s"round-trip hash mismatch for $px")
+    }
+    // throw-free contract on nonsense inputs
+    assert(ImageIoCodec.averageHash64(Array[Byte](1, 2, 3)) == 0L)
+    val clamped = Multimodal.renderGray8x8(Seq(-5, 900)) // clamp + pad
+    assert(ImageIoCodec.averageHash64(clamped) ==
+      directHash(Seq(0, 255) ++ Seq.fill(62)(0)))
+  }
+
   test("partitionByBytes sizes tasks by payload bytes") {
     val df = Multimodal.readBinary(spark, mediaDir, "*.bin")
     val p = Multimodal.partitionByBytes(df, "length", targetBytes = 2000)

@@ -80,8 +80,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("LSH->clusters->survivorship composition: no cartesian, no NLJ anywhere") {
+    // q147/q148 replace the bounded all-pairs demo (q48/q71) with the
+    // scale path: the pair source is the banded LSH join (gated by the
+    // q51 test — same operator, same params); here we gate the
+    // composition ABOVE the pair source. duplicateClusters checkpoints
+    // eagerly, so the executed plan covers the singles anti-join, the
+    // quality join and the rank window — none may degrade to a
+    // cartesian or nested loop.
+    val plan = executed(SparkEntry.queries("q148_lsh_survivorship")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val clusterPlan = executed(SparkEntry.queries("q147_lsh_dup_clusters")(spark, sf))
+    assert(!clusterPlan.contains("CartesianProduct"), clusterPlan)
+    assert(!clusterPlan.contains("BroadcastNestedLoopJoin"), clusterPlan)
+  }
+
   test("simhash band join is equi-join shaped: no cartesian, no NLJ") {
     val plan = executed(SparkEntry.queries("q52_simhash_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("image phash dedup is banded: no cartesian, no NLJ on image pairs") {
+    val plan = executed(SparkEntry.queries("q149_image_phash_dedup")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
@@ -315,6 +337,25 @@ class ScaleSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchanges.size <= 2, // (group,salt) window + group window
       s"salted top-k grew extra shuffles:\n$plan")
+  }
+
+  test("DS Q67 shape: rollup Expand feeds a PARTITIONED rank window") {
+    val df = SparkEntry.queries("q150_tpcds_q67_shape")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("Expand"), s"rollup lost its Expand:\n$plan")
+    // the rank window must partition on the rolled-up dim — a global
+    // (unpartitioned) window would single-partition 100 TB of subtotals
+    val windowLines = plan.linesIterator.filter(_.contains("rank(")).toSeq
+    assert(windowLines.exists(_.contains("flag")),
+      s"rank window lost its partition key:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("DS Q14 shape: INTERSECTs become semi joins, scalar threshold is a subquery") {
+    val plan = executed(SparkEntry.queries("q151_tpcds_q14_shape")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), s"INTERSECT did not decorrelate:\n$plan")
   }
 
   test("DS Q51 shape: windows stay partitioned; crossover filter sits above the full outer") {
