@@ -133,7 +133,15 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val res = run(spark, sfDir, SparkEntry.queries)
+    // Dev loop parity with Verify: SPARK_GRAFT_ONLY=q1_,q57_ restricts
+    // the run to matching name prefixes (floor spot-checks on a busy
+    // host). Unset = full run (the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val qs = SparkEntry.queries
+      .filter(kv => only.forall(_.exists(kv._1.startsWith)))
+    val res = run(spark, sfDir, qs)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
