@@ -1659,6 +1659,16 @@ object Pipeline {
           df, m.args.getOrElse("col", "content"), dim), RowType)
       }),
 
+    // Perceptual hash (60-bit integer average-hash) from media bytes —
+    // feeds the banded-hamming near-dup path
+    // (Dedup.fingerprintDuplicatePairs), like q149.
+    Registered("mediaphash", RowType, RowType,
+      "in=STREAM:col=content:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        ctx.writeStream(m, graft.multimodal.Multimodal.perceptualHash(
+          df, m.args.getOrElse("col", "content")), RowType)
+      }),
+
     // Resample still images (bilinear, re-encoded PNG).
     Registered("mediaresize", RowType, RowType,
       "in=STREAM:w=W:h=H:col=content:out=STREAM", (ctx, m) => {

@@ -1040,6 +1040,15 @@ class PipelineSpec extends AnyFunSuite {
       "select:in=f:exprs=size(embedding) as d:out=p2",
       "csvwrite:in=p2", s"filewrite:out=$d/feat.csv"))
     assert(readOut(s"$d/feat.csv").sorted == Seq("8", "d").sorted)
+
+    // perceptual hash lands as a long column; the all-black 8x6 PNG
+    // has a uniform grid -> no cell beats the mean -> phash 0
+    Pipeline.run(spark, Seq(
+      s"binaryread:in=$d:glob=*.png:out=m3",
+      "mediaphash:in=m3:out=ph",
+      "select:in=ph:exprs=phash:out=p3",
+      "csvwrite:in=p3", s"filewrite:out=$d/ph.csv"))
+    assert(readOut(s"$d/ph.csv").sorted == Seq("0", "phash").sorted)
   }
 
   test("rangejoin module: points land in their intervals") {
