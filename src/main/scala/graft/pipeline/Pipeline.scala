@@ -1510,16 +1510,28 @@ object Pipeline {
     }),
 
     Registered("parquetwrite", RowType, NoneType,
-      "in=STREAM:out=PATH[:files=N][:partitionby=c1,c2]", (ctx, m) => {
+      "in=STREAM:out=PATH[:files=N][:targetbytes=B][:partitionby=c1,c2]", (ctx, m) => {
       val df = ctx.readStream(m, RowType)
       val path = m.args.getOrElse("out", throw new BuildError("parquetwrite: out= required"))
       // files=N is the compaction path (the small-files answer at
       // 100 TB: parquetread:in=shattered | parquetwrite:files=N): one
       // round-robin repartition to exactly N output files. Without it
       // the input partitioning passes through untouched.
-      val files = m.args.get("files").map(_.toInt)
-      files.foreach(n => if (n < 1)
+      val explicitFiles = m.args.get("files").map(_.toInt)
+      explicitFiles.foreach(n => if (n < 1)
         throw new BuildError(s"parquetwrite: files= must be >= 1, got $n"))
+      // targetbytes=B auto-sizes the fan-out from Catalyst's plan-stat
+      // byte estimate (see Sinks.compactParquet) — compaction without
+      // hand-picking N.
+      val targetBytes = m.args.get("targetbytes").map(_.toLong)
+      targetBytes.foreach(t => if (t < 1)
+        throw new BuildError(s"parquetwrite: targetbytes= must be >= 1, got $t"))
+      if (explicitFiles.nonEmpty && targetBytes.nonEmpty)
+        throw new BuildError("parquetwrite: files= and targetbytes= are exclusive")
+      val files = explicitFiles.orElse(targetBytes.map { t =>
+        (df.queryExecution.optimizedPlan.stats.sizeInBytes / t)
+          .min(BigInt(100000)).max(BigInt(0)).toInt + 1
+      })
       // partitionby=c1,c2 writes the hive-style dir layout (c1=v/...)
       // Spark's readers partition-prune on — the standard 100 TB
       // date/tenant layout. Combined with files=N the repartition goes

@@ -116,6 +116,26 @@ object Sinks {
     df.write.mode(mode).jdbc(url, table, p)
   }
 
+  /** Size-targeted parquet write — the small-files compaction pass.
+    * At 100 TB the failure mode is thousands of KB-sized files per
+    * partition (NameNode pressure, per-file open cost, tiny row
+    * groups); the fix is sizing the write to ~targetBytes output
+    * files. The byte estimate is Catalyst's plan statistic
+    * (`optimizedPlan.stats.sizeInBytes` — for file sources, the sum of
+    * compressed input sizes, i.e. the right order of magnitude for a
+    * rewrite of the same data), so no extra pass over the data is
+    * spent counting. Returns the partition count used.
+    */
+  def compactParquet(df: DataFrame, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be > 0")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = bytes
+      ./(targetBytes).min(BigInt(100000)).max(BigInt(0)).toInt + 1
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
+    parts
+  }
+
   /** Keyed parquet persistence for the ndb semantics (SURVEY §1.4):
     * last-write-wins dedup by key, then partition-bucketed storage so
     * later lookups co-locate.

@@ -149,4 +149,20 @@ class FormatsSpec extends AnyFunSuite {
       .flatMap(f => scala.io.Source.fromFile(f).getLines())
     assert(lines == Seq("k    v    "))
   }
+
+  test("compactParquet sizes the write to the byte target") {
+    def partFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val li = Tables(spark, sf, "lineitem")
+    // huge target -> exactly one output file regardless of input splits
+    val one = tmp("compact1")
+    assert(Sinks.compactParquet(li, one, targetBytes = 1L << 40) == 1)
+    assert(partFiles(one).length == 1)
+    // small target -> plan-stat-proportional fan-out, all rows intact
+    val many = tmp("compactN")
+    val n = Sinks.compactParquet(li, many, targetBytes = 16 * 1024)
+    assert(n > 1, s"expected multiple partitions, got $n")
+    assert(partFiles(many).length == n)
+    assert(spark.read.parquet(many).count() == li.count())
+  }
 }

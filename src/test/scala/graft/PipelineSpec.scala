@@ -131,6 +131,30 @@ class PipelineSpec extends AnyFunSuite {
       .sameElements(1 to 1000))
   }
 
+  test("parquetwrite targetbytes= auto-sizes compaction from plan stats") {
+    import spark.implicits._
+    val d = tmp("compactauto")
+    (1 to 1000).toDF("v").repartition(16).write.parquet(s"$d/shattered")
+    // huge target -> single file; tiny target -> multiple, rows intact
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/shattered",
+      s"parquetwrite:out=$d/one:targetbytes=${1L << 40}"))
+    assert(new java.io.File(s"$d/one").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/shattered",
+      s"parquetwrite:out=$d/many:targetbytes=2048"))
+    val nMany = new java.io.File(s"$d/many").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nMany > 1, s"expected fan-out, got $nMany")
+    assert(spark.read.parquet(s"$d/many").as[Int].collect().sorted
+      .sameElements(1 to 1000))
+    // both knobs together is a user error
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/shattered",
+      s"parquetwrite:out=$d/x:files=2:targetbytes=100")))
+  }
+
   test("parquetwrite partitionby= writes the hive layout Spark partition-prunes") {
     import spark.implicits._
     val d = tmp("hivepart")
