@@ -356,9 +356,13 @@ object DedupSim {
       import s.implicits._
       val k = 8
       val emb = t(s, dir, "embeddings")
+      // referenced by BOTH assign() calls and BOTH update() calls —
+      // persist or the scan+explode re-runs four times per query
+      // (Catalyst shares no common subtrees across actions)
       val pts = emb
         .select($"vec_id", posexplode($"embedding").as(Seq("pos", "af")))
         .select($"vec_id", $"pos", $"af".cast("double").as("a"))
+        .persist()
       val w = org.apache.spark.sql.expressions.Window
         .orderBy($"h") // 8 rows post-limit — not a data-scale sort
       val anchors = emb
@@ -380,7 +384,9 @@ object DedupSim {
         .agg((sum($"a".cast("decimal(30,12)")).cast("double") /
           count(lit(1))).as("c"))
       val c1 = update(assign(cent0))
-      val a2 = assign(c1)
+      // a2 feeds the final centroids AND the size count — persist or
+      // the entire two-iteration chain executes twice
+      val a2 = assign(c1).persist()
       val c2 = update(a2)
       val sizes = a2.groupBy($"cluster").agg(count(lit(1)).as("n"))
       c2.join(sizes, "cluster")
