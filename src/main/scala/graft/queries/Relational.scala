@@ -825,6 +825,33 @@ object Relational {
       s.sql(Q14ShapeText)
     }),
 
+    // TPC-DS Q87 shape: EXCEPT-chain set difference (see Q87ShapeText,
+    // shared verbatim with the oracle).
+    "q152_tpcds_q87_shape" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(Q87ShapeText)
+    }),
+
+    // Outer-generator corner: explode_outer must PRESERVE rows whose
+    // array is empty (emitting one null element) — the row-count
+    // semantics that separate a LEFT LATERAL from an inner one, which
+    // no other query's generators (posexplode/from_json) exercise. A
+    // per-doc aggregate over the exploded rows must therefore count
+    // every doc, with 0 long words for docs that have none. The oracle
+    // replays the LEFT-join-lateral semantics directly with a
+    // null-safe list count.
+    "q153_explode_outer" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          explode_outer(expr(
+            "filter(split(text, ' '), w -> length(w) > 9)")).as("w"))
+        .groupBy($"doc_id")
+        .agg(count($"w").as("n_long"),
+          min($"w").as("first_long"))
+        .orderBy($"doc_id")
+    }),
+
     // Rolling event-time window frame (RANGE BETWEEN INTERVAL): each
     // order with its customer's trailing-7-day spend — the window
     // grammar's calendar-frame corner, untouched by the ROWS frames
@@ -1073,6 +1100,25 @@ object Relational {
       |FROM filtered
       |GROUP BY ROLLUP (ch)
       |ORDER BY ch NULLS FIRST""".stripMargin
+
+  /** TPC-DS Q87 shape (EXCEPT chain): customers in channel 0 but in
+    * neither other channel — the set-difference twin of Q14's
+    * INTERSECT (q151). Catalyst plans EXCEPT DISTINCT as left-anti
+    * equi-joins over aggregated children; the corner is the CHAIN
+    * (two stacked anti joins over the same aliased source).
+    */
+  val Q87ShapeText: String =
+    """WITH sales AS (
+      |  SELECT o_custkey AS ck, o_orderkey % 3 AS ch FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-03-01')
+      |SELECT ck FROM (
+      |  SELECT ck FROM sales WHERE ch = 0
+      |  EXCEPT
+      |  SELECT ck FROM sales WHERE ch = 1
+      |  EXCEPT
+      |  SELECT ck FROM sales WHERE ch = 2) t
+      |ORDER BY ck""".stripMargin
 
   /** TPC-H Q20 shape: no partsupp table, so "available quantity"
     * becomes shipped quantity per supplier over the name-matched parts
@@ -1537,6 +1583,17 @@ object Relational {
         |  yr NULLS FIRST, mon NULLS FIRST""".stripMargin,
 
     "q151_tpcds_q14_shape" -> Q14ShapeText,
+
+    "q152_tpcds_q87_shape" -> Q87ShapeText,
+
+    "q153_explode_outer" ->
+      """SELECT doc_id,
+        |  coalesce(len(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 9)), 0) AS n_long,
+        |  list_min(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 9)) AS first_long
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q116_tpcds_q36_shape" ->
       """WITH agg AS (

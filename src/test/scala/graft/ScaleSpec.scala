@@ -358,6 +358,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"INTERSECT did not decorrelate:\n$plan")
   }
 
+  test("DS Q87 shape: EXCEPT chain becomes stacked anti joins, no NLJ") {
+    val plan = executed(SparkEntry.queries("q152_tpcds_q87_shape")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("LeftAnti".r.findAllIn(plan).length >= 2,
+      s"EXCEPT chain did not become stacked anti joins:\n$plan")
+  }
+
+  test("explode_outer preserves empty-array rows (one output row per doc)") {
+    val df = SparkEntry.queries("q153_explode_outer")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("Generate"), s"generator missing:\n$plan")
+    // the semantics the outer generator exists for: no doc disappears
+    assert(df.count() == Tables(spark, sf, "documents").count())
+  }
+
   test("DS Q51 shape: windows stay partitioned; crossover filter sits above the full outer") {
     val df = SparkEntry.queries("q113_tpcds_q51_shape")(spark, sf)
     val plan = executed(df)
