@@ -852,6 +852,32 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // Ranking-function battery: dense_rank / percent_rank / cume_dist /
+    // nth_value / first_value / last_value-with-explicit-frame — the
+    // ANSI window functions no other query touches. The ORDER BY is
+    // total (rev desc, custkey asc), so every rank family value is
+    // engine-deterministic; percent_rank's (rank-1)/(n-1) divides the
+    // same exact ints in both engines. last_value uses the explicit
+    // full frame (the default RANGE..CURRENT frame is the classic
+    // last_value trap — both engines would return the current row).
+    "q154_window_battery" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "orders")
+        .groupBy($"o_orderpriority".as("pri"), $"o_custkey".as("ck"))
+        .agg(dsum($"o_totalprice").as("rev"))
+      val w = Window.partitionBy($"pri").orderBy($"rev".desc, $"ck".asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rev.select($"pri", $"ck", $"rev",
+          dense_rank().over(w).cast("int").as("drk"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value($"ck", 2).over(w).as("second_ck"),
+          first_value($"ck").over(w).as("top_ck"),
+          last_value($"ck").over(wf).as("bottom_ck"))
+        .filter($"drk" <= 25)
+        .orderBy($"pri", $"drk", $"ck")
+    }),
+
     // Rolling event-time window frame (RANGE BETWEEN INTERVAL): each
     // order with its customer's trailing-7-day spend — the window
     // grammar's calendar-frame corner, untouched by the ROWS frames
@@ -1585,6 +1611,26 @@ object Relational {
     "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q152_tpcds_q87_shape" -> Q87ShapeText,
+
+    "q154_window_battery" ->
+      """WITH rev AS (
+        |  SELECT o_orderpriority AS pri, o_custkey AS ck,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT pri, ck, rev, drk, prk, cd, second_ck, top_ck, bottom_ck
+        |FROM (
+        |  SELECT pri, ck, rev,
+        |    CAST(dense_rank() OVER w AS INT) AS drk,
+        |    round(percent_rank() OVER w, 6) AS prk,
+        |    round(cume_dist() OVER w, 6) AS cd,
+        |    nth_value(ck, 2) OVER w AS second_ck,
+        |    first_value(ck) OVER w AS top_ck,
+        |    last_value(ck) OVER (PARTITION BY pri ORDER BY rev DESC, ck ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_ck
+        |  FROM rev
+        |  WINDOW w AS (PARTITION BY pri ORDER BY rev DESC, ck ASC)) x
+        |WHERE drk <= 25
+        |ORDER BY pri, drk, ck""".stripMargin,
 
     "q153_explode_outer" ->
       """SELECT doc_id,
