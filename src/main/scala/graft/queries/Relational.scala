@@ -852,6 +852,32 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // Higher-order-function battery: lambda machinery (aggregate-fold,
+    // zip_with, exists, forall, filter, sort_array/element_at) over
+    // real array columns — Catalyst's LambdaFunction/NamedLambdaVariable
+    // planning, untouched by the scalar battery (q14). Sums fold
+    // µ-quantized integers (floor(x·10⁶) — exact in ANY fold order and
+    // any engine), not floats, so the oracle hash-matches bit-for-bit.
+    "q155_hof_battery" -> ((s, dir) => {
+      import s.implicits._
+      val d = (x: Column) => x.cast("double")
+      val emb = t(s, dir, "embeddings")
+      emb.select($"vec_id",
+          size(filter($"embedding", x => d(x) > 0.0)).as("n_pos"),
+          exists($"embedding", x => d(x) > 0.5).as("has_big"),
+          forall($"embedding", x => d(x) >= -1.0 && d(x) <= 1.0).as("in_unit"),
+          aggregate($"embedding", lit(0L),
+            (acc, x) => acc + floor(d(x) * 1e6).cast("long")).as("sum_micros"),
+          aggregate(
+            zip_with($"embedding", reverse($"embedding"),
+              (a, b) => floor(d(a) * d(b) * 1e6).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("dotrev_micros"),
+          round(d(array_max($"embedding")), 4).as("vmax"),
+          round(d(element_at(sort_array($"embedding", asc = false), 2)), 4)
+            .as("v2nd"))
+        .orderBy($"vec_id")
+    }),
+
     // Ranking-function battery: dense_rank / percent_rank / cume_dist /
     // nth_value / first_value / last_value-with-explicit-frame — the
     // ANSI window functions no other query touches. The ORDER BY is
@@ -1611,6 +1637,23 @@ object Relational {
     "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q152_tpcds_q87_shape" -> Q87ShapeText,
+
+    "q155_hof_battery" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS INT) AS n_pos,
+        |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) > 0 AS has_big,
+        |  len(list_filter(embedding,
+        |    x -> CAST(x AS DOUBLE) < -1.0 OR CAST(x AS DOUBLE) > 1.0)) = 0 AS in_unit,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS sum_micros,
+        |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+        |         * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
+        |         * 1000000) AS BIGINT))) AS BIGINT) AS dotrev_micros,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+        |  round(CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE), 4) AS v2nd
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
 
     "q154_window_battery" ->
       """WITH rev AS (
