@@ -852,6 +852,33 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // MapType battery: construction (map_from_arrays), lookup
+    // (element_at), introspection (size/map_keys) and MAP lambdas
+    // (map_filter, transform_values — Catalyst's MapFilter/
+    // TransformValues nodes, distinct from the array lambda path).
+    // The maps are built in-plan from row values, so the oracle
+    // replays every output from the underlying columns without
+    // needing a MAP type of its own.
+    "q156_map_battery" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").filter($"event_id" < 2000)
+        .select($"event_id",
+          map_from_arrays(
+            array(lit("type"), lit("day")),
+            array($"event_type", date_format($"ts", "yyyy-MM-dd"))).as("m"),
+          map_from_arrays(array(lit("v1"), lit("v2")),
+            array(floor($"value".cast("double") * 100).cast("long"),
+              floor($"value".cast("double") * 200).cast("long"))).as("nm"))
+        .select($"event_id",
+          element_at($"m", "type").as("etype"),
+          element_at($"m", "day").as("day"),
+          size($"m").cast("int").as("msize"),
+          concat_ws(",", sort_array(map_keys($"m"))).as("mkeys"),
+          size(map_filter($"nm", (_, v) => v > lit(100L))).cast("int").as("n_gt"),
+          element_at(transform_values($"nm", (_, v) => v * 10), "v2").as("v2x10"))
+        .orderBy($"event_id")
+    }),
+
     // Higher-order-function battery: lambda machinery (aggregate-fold,
     // zip_with, exists, forall, filter, sort_array/element_at) over
     // real array columns — Catalyst's LambdaFunction/NamedLambdaVariable
@@ -1637,6 +1664,19 @@ object Relational {
     "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q152_tpcds_q87_shape" -> Q87ShapeText,
+
+    "q156_map_battery" ->
+      """SELECT event_id,
+        |  event_type AS etype,
+        |  strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(2 AS INT) AS msize,
+        |  'day,type' AS mkeys,
+        |  CAST((CASE WHEN floor(CAST(value AS DOUBLE) * 100) > 100 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN floor(CAST(value AS DOUBLE) * 200) > 100 THEN 1 ELSE 0 END)
+        |    AS INT) AS n_gt,
+        |  CAST(floor(CAST(value AS DOUBLE) * 200) AS BIGINT) * 10 AS v2x10
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin,
 
     "q155_hof_battery" ->
       """SELECT vec_id,
