@@ -14,7 +14,10 @@ import org.apache.spark.sql.types._
   * function below only uses unbounded-safe operations (windowed
   * aggregations over event time).
   */
-object EventStreams {
+// Serializable: closures passed to flatMapGroupsWithState reference the
+// shared toMicros/fromMicros helpers, which makes the lambda capture
+// this module object.
+object EventStreams extends Serializable {
 
   val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
 
@@ -209,6 +212,18 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Long, total: Double)
 
+  /** Epoch-MICROS round-trips for Timestamp state (getTime is ms and
+    * would truncate event times — the same precision family of bug as
+    * the ns→µs loader fix). Shared by both arbitrary-state APIs.
+    */
+  private[streaming] def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private[streaming] def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user gap
     * sessionization with event-time timeout — the arbitrary-state API
     * for semantics `session_window` can't express (e.g. emitting
@@ -221,16 +236,6 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
 
-    // State tracks epoch-MICROS: Timestamp.getTime is ms and would
-    // truncate event times (the same 53-bit/precision family of bug as
-    // the ns→µs loader fix).
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
     val gapUs = gapMs * 1000L
 
     def fn(userId: Long, it: Iterator[Ev],
@@ -266,6 +271,80 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
+  /** The same gap sessionization on Spark 4's `transformWithState` —
+    * the successor arbitrary-state API (typed per-key state variables
+    * + explicit event-time timers, RocksDB-backed state store
+    * required). Semantics identical to [[statefulSessions]]: one row
+    * per CLOSED session; a session closes when a later event arrives
+    * past the gap, or when its gap timer fires after the watermark
+    * passes. Each state update registers a fresh timer; stale timers
+    * (from earlier updates of a still-growing session) are detected in
+    * `handleExpiredTimer` by comparing the fired expiry with the
+    * CURRENT session's deadline, and ignored.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var sess: ValueState[SessionState] = _
+    private val gapUs = gapMs * 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var st = if (sess.exists()) Some(sess.get()) else None
+      rows.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+        val t = toMicros(e.ts)
+        st match {
+          case Some(s) if t - s.last <= gapUs =>
+            st = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(key, fromMicros(s.start), s.n, s.total)
+            st = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            st = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      st.foreach { s =>
+        sess.update(s)
+        getHandle.registerTimer(s.last / 1000L + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (!sess.exists()) Iterator.empty
+      else {
+        val s = sess.get()
+        // only the timer registered by the LATEST update closes the
+        // session; earlier (stale) timers fire before its deadline
+        if (expired.getExpiryTimeInMs >= s.last / 1000L + gapMs) {
+          sess.clear()
+          Iterator.single(SessionOut(key, fromMicros(s.start), s.n, s.total))
+        } else Iterator.empty
+      }
+  }
+
+  def statefulSessionsTws(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                          watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 }

@@ -306,6 +306,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted >= batch.count() - 20) // tail sessions may stay open
   }
 
+  test("transformWithState sessionization matches batch session windows") {
+    import org.apache.spark.sql.functions._
+    // Spark 4's arbitrary-state successor API requires the RocksDB
+    // state store provider; set it for this query only and restore.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEventStream(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStreams.statefulSessionsTws(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_sessions")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("tws_sessions")
+        .select(col("user_id"), col("session_start"), col("n_events"))
+      val batch = EventStreams.userSessions(Tables(spark, sf, "events"))
+        .select(col("user_id"), col("session_start"), col("n_events"))
+      val emitted = got.count()
+      assert(emitted > 0)
+      val mismatched = got.join(batch,
+        Seq("user_id", "session_start", "n_events"), "left_anti").count()
+      assert(mismatched == 0, s"$mismatched tws sessions disagree with batch")
+      assert(emitted >= batch.count() - 20) // tail sessions may stay open
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static enrichment joins every event to its dimension row") {
     import spark.implicits._
     val dim = (0L until 500L).map(u => (u, s"user_$u", u % 7)).toSeq
