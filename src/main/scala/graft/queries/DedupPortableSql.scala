@@ -78,7 +78,8 @@ object DedupPortableSql {
     * IDENTICAL pair source.
     */
   private def minhashPairsCtes(numPerm: Int, bands: Int, threshold: Double,
-                               maxBucket: Int): String = {
+                               maxBucket: Int,
+                               docsRel: String = "documents"): String = {
     val sigCols = sigColsSql(numPerm)
     val bandArms = bandArmsSql(numPerm, bands)
     s"""d0 AS (
@@ -86,7 +87,7 @@ object DedupPortableSql {
        |    list_transform(range(1, len(ws) - 1),
        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
        |    g -> ${md5Long("g")}))) AS hs
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $docsRel)),
        |d AS (SELECT * FROM d0 WHERE len(hs) > 0),
        |ex AS (SELECT doc_id, unnest(hs) AS h FROM d),
        |sig AS (
@@ -271,6 +272,38 @@ object DedupPortableSql {
        |SELECT idA, idB, dist FROM ver WHERE dist <= $maxDist
        |ORDER BY idA, idB""".stripMargin
   }
+
+  /** q157 oracle: the end-to-end corpus-curation recipe — language +
+    * quality gate, the LSH near-dup pipeline over only the SURVIVING
+    * docs, per-cluster best-quality keep (singletons keep themselves),
+    * then a per-source corpus summary (docs, whitespace tokens,
+    * decimal-exact average quality). Every stage reuses the generators
+    * above, so the recipe replays the identical arithmetic end to end.
+    */
+  def corpusRecipeOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                            maxBucket: Int, lang: String,
+                            minQuality: Double): String =
+    s"""WITH RECURSIVE docs_f AS (
+       |  SELECT doc_id, text, source, ${TextQueries.qualitySql()} AS q
+       |  FROM documents
+       |  WHERE lang = '$lang' AND ${TextQueries.qualitySql()} >= $minQuality),
+       |${minhashPairsCtes(numPerm, bands, threshold, maxBucket, "docs_f")},
+       |$reachabilityCtes,
+       |asg AS (SELECT id, rep FROM cl
+       |        UNION ALL
+       |        SELECT doc_id, doc_id FROM docs_f
+       |        WHERE doc_id NOT IN (SELECT id FROM cl)),
+       |rnk AS (
+       |  SELECT asg.rep, asg.id, d.q, d.source, d.text,
+       |    row_number() OVER (PARTITION BY asg.rep
+       |      ORDER BY d.q DESC, asg.id ASC) AS rk
+       |  FROM asg JOIN docs_f d ON asg.id = d.doc_id),
+       |keep AS (SELECT id, q, source, text FROM rnk WHERE rk = 1)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(round(q * 10000) AS BIGINT)) // count(*) AS BIGINT)
+       |    AS avg_quality_e4
+       |FROM keep GROUP BY source ORDER BY source""".stripMargin
 
   /** q149 oracle: image perceptual-hash dedup replay — RELATIONAL, no
     * image codec needed. The Spark side renders each quantized pixel

@@ -147,6 +147,47 @@ object DedupSim {
         .orderBy($"rep")
     }),
 
+    // The end-to-end corpus-curation RECIPE — the "make a training
+    // corpus" flow as ONE query: language + quality gate → LSH
+    // near-dup clustering over the survivors → per-cluster
+    // best-quality keep → per-source corpus summary (docs, tokens,
+    // decimal-exact average quality). Every stage is the scale path
+    // demonstrated piecewise elsewhere (q41 quality, q147 clusters,
+    // q148 survivorship) — this query proves they COMPOSE, and the
+    // oracle replays the whole chain in one recursive-CTE SQL.
+    "q157_corpus_recipe" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docsF = t(s, dir, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore($"text"))
+        .filter($"lang" === "en" && $"q" >= 0.3)
+        .select($"doc_id", $"text", $"source", $"q")
+        .persist()
+      val pairs = DedupPortable.minhashDuplicatePairsPortable(
+        docsF.select($"doc_id", $"text"), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      val clusters = Dedup.duplicateClusters(pairs)
+      val singles = docsF.select($"doc_id")
+        .join(clusters.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+        .select($"doc_id".as("id"), $"doc_id".as("rep"))
+      val ranked = clusters.unionByName(singles)
+        .join(docsF.select($"doc_id".as("id"), $"q", $"source", $"text"), "id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"rep").orderBy($"q".desc, $"id".asc)))
+      // avg quality in EXACT 1e-4 units: quality scores are 4-decimal
+      // values, so a double average rounds at a structural .00005 tie
+      // (sum=…X.5/n) where engines' round() tie-breaks differ — the
+      // integer floor-average has no tie to break.
+      ranked.filter($"rk" === 1)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+          sum(round($"q" * 10000).cast("long")).as("sq"))
+        .select($"source", $"n_docs", $"n_tokens",
+          expr("sq div n_docs").as("avg_quality_e4"))
+        .orderBy($"source")
+    }),
+
     // Image perceptual-hash near-dup (VERDICT r8 #3) — multimodal as a
     // CONSUMER of the dedup family, not just codecs. Embedding vectors
     // are rendered as REAL 8×8 grayscale PNGs (plus one planted
@@ -575,6 +616,9 @@ object DedupSim {
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
     "q149_image_phash_dedup" -> DedupPortableSql.imagePhashOracleSql(
       maxDist = 3, maxBucket = 256),
+    "q157_corpus_recipe" -> DedupPortableSql.corpusRecipeOracleSql(
+      numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64,
+      lang = "en", minQuality = 0.3),
     "q110_incremental_dedup" -> DedupPortableSql.incrementalOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64,
       deltaPred = "doc_id % 10 = 0"),
