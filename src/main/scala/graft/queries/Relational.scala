@@ -852,6 +852,29 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // VARIANT battery (Spark 4's semi-structured type): parse_json →
+    // binary variant, typed path extraction (variant_get), soft
+    // missing-path access (try_variant_get → null), schema inference
+    // (schema_of_variant), and extraction from an in-plan NESTED
+    // document (object → array → index path). The oracle recomputes
+    // every output from the underlying JSON text — variant is an
+    // encoding, not a semantics change.
+    "q158_variant_battery" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").filter($"event_id" < 2000)
+        .withColumn("v", parse_json($"props"))
+        .withColumn("k", variant_get($"v", "$.k", "long"))
+      ev.select($"event_id", $"k",
+          schema_of_variant($"v").as("vschema"),
+          try_variant_get($"v", "$.missing", "long").as("missing"),
+          is_variant_null($"v").as("vnull"),
+          variant_get(
+            parse_json(concat(lit("{\"a\":{\"b\":[1,2,"), $"k".cast("string"),
+              lit("]},\"s\":\"x\"}"))),
+            "$.a.b[2]", "long").as("third"))
+        .orderBy($"event_id")
+    }),
+
     // MapType battery: construction (map_from_arrays), lookup
     // (element_at), introspection (size/map_keys) and MAP lambdas
     // (map_filter, transform_values — Catalyst's MapFilter/
@@ -1664,6 +1687,16 @@ object Relational {
     "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q152_tpcds_q87_shape" -> Q87ShapeText,
+
+    "q158_variant_battery" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  'OBJECT<k: BIGINT>' AS vschema,
+        |  CAST(NULL AS BIGINT) AS missing,
+        |  false AS vnull,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS third
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin,
 
     "q156_map_battery" ->
       """SELECT event_id,
