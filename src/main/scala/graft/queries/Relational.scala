@@ -852,6 +852,34 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // XML expression battery: from_xml over in-plan documents (the
+    // Catalyst StaxXmlParser expression path — distinct from the
+    // xmlread SOURCE, which uses graft's own streaming-safe parser)
+    // plus ANSI-safe try_divide/try_add arithmetic (null, not error,
+    // on division by zero / overflow). Oracle recomputes from the
+    // underlying columns; try_divide(x, 0) is replayed as NULL.
+    "q159_xml_try_battery" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").filter($"event_id" < 2000)
+        .withColumn("k",
+          get_json_object($"props", "$.k").cast("long"))
+        .withColumn("xml",
+          concat(lit("<r><k>"), $"k", lit("</k><t>"), $"event_type",
+            lit("</t></r>")))
+      ev.select($"event_id",
+          from_xml($"xml", org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("t",
+              org.apache.spark.sql.types.StringType)))).as("x"))
+        .select($"event_id",
+          $"x.k".as("k"), $"x.t".as("etype"),
+          try_divide($"x.k", $"x.k" - $"x.k").as("div0"),
+          try_divide($"x.k".cast("double"), lit(4.0)).as("kq"),
+          try_add($"x.k", lit(Long.MaxValue)).as("ovf"))
+        .orderBy($"event_id")
+    }),
+
     // VARIANT battery (Spark 4's semi-structured type): parse_json →
     // binary variant, typed path extraction (variant_get), soft
     // missing-path access (try_variant_get → null), schema inference
@@ -1687,6 +1715,17 @@ object Relational {
     "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q152_tpcds_q87_shape" -> Q87ShapeText,
+
+    "q159_xml_try_battery" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  event_type AS etype,
+        |  CAST(NULL AS DOUBLE) AS div0,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) / 4.0 AS kq,
+        |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) = 0
+        |       THEN 9223372036854775807 ELSE CAST(NULL AS BIGINT) END AS ovf
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin,
 
     "q158_variant_battery" ->
       """SELECT event_id,
