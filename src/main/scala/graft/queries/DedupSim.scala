@@ -413,13 +413,40 @@ object DedupSim {
       val cent0 = anchors
         .select($"cluster", posexplode($"embedding").as(Seq("pos", "cf")))
         .select($"cluster", $"pos", $"cf".cast("double").as("c"))
-      def assign(cent: org.apache.spark.sql.DataFrame) = pts.join(cent, "pos")
-        .withColumn("t", ($"a" - $"c") * ($"a" - $"c"))
-        .groupBy($"vec_id", $"cluster")
-        .agg(sum($"t".cast("decimal(30,12)")).as("d2"))
-        .groupBy($"vec_id")
-        .agg(min(struct($"d2", $"cluster")).as("m"))
-        .select($"vec_id", $"m.cluster".as("cluster"))
+      // Assignment is a NARROW pass: centroids are k×dim values (a
+      // bounded algorithm constant at ANY corpus size), so they ride
+      // to the driver and back as literals, and the argmin is
+      // least(struct(d2_j, j)) per row — no explode, no join, no
+      // shuffle. The per-term arithmetic is IDENTICAL to the exploded
+      // formulation the oracle replays: double (a-c)² cast to
+      // decimal(30,12), summed exactly (decimal addition is
+      // order-independent), so cluster picks match bit-for-bit.
+      def assign(cent: org.apache.spark.sql.DataFrame) = {
+        val byCluster = cent.collect()
+          .groupBy(r => r.getAs[Number]("cluster").intValue())
+          .view.mapValues(rs =>
+            rs.map(r => (r.getAs[Number]("pos").intValue(),
+              r.getAs[Double]("c"))).sortBy(_._1).map(_._2))
+          .toSeq.sortBy(_._1)
+        val structs = byCluster.map { case (j, cs) =>
+          val centLit = array(cs.map(v => lit(v)): _*)
+          struct(
+            aggregate(
+              zip_with($"embedding", centLit, (a, c) => {
+                val d = a.cast("double") - c
+                (d * d).cast("decimal(30,12)")
+              }),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(20,12)"),
+              // (20,12)+(30,12) promotes to (31,12) — scale PRESERVED
+              // (a 38,12 accumulator would promote to (38,11), silently
+              // rounding the 12th decimal each step); the cast back to
+              // (20,12) is lossless for d2 ≤ 4·64
+              (acc, x) => (acc + x).cast("decimal(20,12)")).as("d2"),
+            lit(j).as("cluster"))
+        }
+        emb.select($"vec_id", least(structs: _*).getField("cluster")
+          .cast("int").as("cluster"))
+      }
       def update(a: org.apache.spark.sql.DataFrame) = pts.join(a, "vec_id")
         .groupBy($"cluster", $"pos")
         .agg((sum($"a".cast("decimal(30,12)")).cast("double") /
