@@ -375,7 +375,8 @@ object Dedup {
     * (count + XOR of pair hashes), one tiny aggregate per round.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "idA",
-                        idB: String = "idB", maxIter: Int = 25): DataFrame = {
+                        idB: String = "idB", maxIter: Int = 25,
+                        smallGraph: Int = 100000): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val d = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = d.groupBy("u").agg(min("v").as("mv"))
@@ -408,6 +409,43 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var prev = checksum(edges)
+
+    // Adaptive strategy (the AQE move): a duplicate-pair graph that
+    // fits comfortably on the driver (3 longs/edge → MBs at the
+    // threshold) doesn't need O(log n) distributed rounds of stage
+    // latency — union-find with path compression finishes in
+    // milliseconds and returns the IDENTICAL (id, rep=component-min)
+    // result, pinned against the distributed path in OpsSpec. Long-id
+    // graphs only; anything else (or anything big) takes the
+    // unbounded alternating-star path below.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && prev._1 <= smallGraph) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(if (ru < rv) rv else ru) = math.min(ru, rv)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val repOf = nodes.groupBy(find).map { case (root, ms) =>
+        root -> ms.min
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.map(n => (n, repOf(find(n)))).toSeq
+        .toDF("id", "rep")
+    }
+
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

@@ -119,6 +119,12 @@ class DedupSimSpec extends AnyFunSuite {
     assert(cc(300L) == 300L && cc(301L) == 300L)
     assert(cc.size == 107)
 
+    // the adaptive driver union-find (default for small graphs) and
+    // the FORCED distributed alternating-star path must agree exactly
+    val dist = Dedup.duplicateClusters(pairs, smallGraph = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == cc, "driver and distributed clustering disagree")
+
     // transitive-closure dedup: exactly one survivor per component
     val docs = (0L to 350L).toDF("doc_id")
     val kept = Dedup.dropDuplicatesByClusters(docs, "doc_id",
