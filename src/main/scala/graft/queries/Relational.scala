@@ -852,6 +852,29 @@ object Relational {
         .orderBy($"doc_id")
     }),
 
+    // Struct-surgery battery: Column.withField / dropFields — the
+    // UpdateFields Catalyst path (nested-schema evolution without
+    // rebuilding the struct), plus nested-field extraction through two
+    // levels. Oracle recomputes the flattened outputs directly.
+    "q160_struct_battery" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").filter($"o_orderkey" < 2000)
+        .select($"o_orderkey",
+          struct($"o_custkey".as("ck"), $"o_totalprice".as("tp"),
+            struct($"o_orderstatus".as("st")).as("inner")).as("o"))
+        .withColumn("o", $"o"
+          .withField("tp_cents",
+            floor($"o.tp".cast("double") * 100).cast("long"))
+          .withField("inner.flag", $"o.inner.st" === "F")
+          .dropFields("tp"))
+        .select($"o_orderkey",
+          $"o.ck".as("ck"),
+          $"o.tp_cents".as("tp_cents"),
+          $"o.inner.st".as("st"),
+          $"o.inner.flag".as("flag"))
+        .orderBy($"o_orderkey")
+    }),
+
     // XML expression battery: from_xml over in-plan documents (the
     // Catalyst StaxXmlParser expression path — distinct from the
     // xmlread SOURCE, which uses graft's own streaming-safe parser)
@@ -1715,6 +1738,15 @@ object Relational {
     "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q152_tpcds_q87_shape" -> Q87ShapeText,
+
+    "q160_struct_battery" ->
+      """SELECT o_orderkey,
+        |  o_custkey AS ck,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS tp_cents,
+        |  o_orderstatus AS st,
+        |  o_orderstatus = 'F' AS flag
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q159_xml_try_battery" ->
       """SELECT event_id,
