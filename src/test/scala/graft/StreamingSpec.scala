@@ -35,6 +35,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatched == 0, s"$mismatched streamed windows disagree with batch")
   }
 
+  test("Trigger.AvailableNow backfill run terminates on its own and matches batch") {
+    // The production backfill pattern: process everything currently
+    // available, then STOP — no processAllAvailable() babysitting, the
+    // query terminates itself. Results must match the continuously-run
+    // twin above.
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.streamingTumbling(stream)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("tumbling_backfill")
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val streamed = spark.table("tumbling_backfill")
+      .select("ws", "event_type", "n", "total")
+    val batch = EventStreams.tumblingCounts(Tables(spark, sf, "events"))
+    assert(streamed.count() >= batch.count() - 50)
+    assert(streamed.join(batch,
+      Seq("ws", "event_type", "n", "total"), "left_anti").count() == 0)
+  }
+
   test("stream-stream interval join converges to the batch twin") {
     def views(df: org.apache.spark.sql.DataFrame) =
       df.filter(col("event_type") === "view")
