@@ -20,6 +20,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Footer schema as the reader sees it BEFORE the ts conversion in
+    * [[apply]] — ns-encoded events report ts as LongType here (the
+    * nanosAsLong escape hatch), µs-encoded as TimestampType. Stream
+    * sources need this raw type to declare their schema: peeking the
+    * converted [[apply]] schema would always see TimestampType and
+    * mis-declare the ns form (ADVICE r9).
+    */
+  def rawSchema(spark: SparkSession, dir: String, name: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$dir/$name.parquet").schema
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Naive (isAdjustedToUTC=false) µs TIMESTAMP columns must load as

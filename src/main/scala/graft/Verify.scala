@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Several queries persist() intermediates that must live through
+      // the write above; without this, 160 queries' worth of cached
+      // plans accumulate in one session (Bench does the same between
+      // samples — ADVICE r9).
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -307,6 +307,37 @@ object AviCodec extends MediaCodec {
     bos.toByteArray
   }
 
+  /** One MJPEG frame as an 8×8 grid of constant-gray blocks (`block`
+    * pixels square, so a 64×64 frame at the default) — the
+    * deterministic frame synthesizer behind q162's video dedup, twin
+    * of [[Multimodal.renderGray8x8]]. JPEG is lossy, so unlike the PNG
+    * path exactness is by MARGIN, not by bit: averageHash64 area-means
+    * each block back into one grid cell, which averages the codec's
+    * ringing to a few luminance levels, while the synthesized patterns
+    * keep every decision ≥ 3×255 away from the mean threshold
+    * (cells are 0/255 with 4 forced-high + 4 forced-low cells, so the
+    * high count stays in [4, 60]) — MultimodalSpec verifies the
+    * round-trip over the full verify-scale corpus.
+    */
+  def renderBlockFrame(cells: Seq[Int], block: Int = 8): Array[Byte] = {
+    val g = 8
+    val side = g * block
+    val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val c = (y / block) * g + (x / block)
+        val v0 = if (cells != null && c < cells.length) cells(c) else 0
+        val v = math.max(0, math.min(255, v0))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    toJpeg(img)
+  }
+
   /** Minimal spec-complete MJPEG AVI writer: RIFF(hdrl(avih,
     * strl(strh,strf)), movi(00dc…), idx1). Used by `resize` (real
     * transcode out) and by specs to fabricate inputs byte-up.

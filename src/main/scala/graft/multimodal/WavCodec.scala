@@ -153,6 +153,65 @@ object WavCodec extends MediaCodec {
     out
   }
 
+  /** Mono 16-bit signed little-endian PCM WAV from integer samples
+    * (clamped to short range) — the deterministic audio synthesizer
+    * behind q161's fingerprint dedup, twin of
+    * [[Multimodal.renderGray8x8]] on the image side. Uses the JDK's
+    * own RIFF writer so the bytes exercise the same parse path real
+    * files take.
+    */
+  def encodePcm16(samples: Seq[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val f = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, 1, 2, sampleRate, false)
+    val n = if (samples == null) 0 else samples.length
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = math.max(-32768, math.min(32767, samples(i)))
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), f, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 60-bit audio fingerprint THROUGH the codec's feature path (twin of
+    * [[ImageIoCodec.averageHash64]]): decode → 60 windowed-RMS features
+    * → bit b = (energy_b × 60 > Σ energies), i.e. each window compared
+    * to the clip's mean energy. Built so the whole WAV→decode→feature→
+    * hash round-trip is EXACT in integers for synthesized clips whose
+    * windows are constant-valued 16-bit samples: window RMS is then
+    * |sv|/32768 exactly (a ≤15-bit dyadic — exact through the float
+    * feature slot), so `round((f+0.5)·32768)` reconstructs |sv| and the
+    * DuckDB oracle replays the hash relationally from the quantized
+    * sample ints without any audio codec (the q149 PNG construction,
+    * transposed to audio). Gain-robustness: a uniform gain scales every
+    * window AND the mean equally, so mean-relative bits are invariant —
+    * a re-mastered (volume-changed) clip hashes identically except
+    * where it was actually edited.
+    */
+  def audioFingerprint60(bytes: Array[Byte]): Long = {
+    val f = features(bytes, 128)
+    if (f.length < 60) return 0L
+    val a = new Array[Long](60)
+    var i = 0
+    while (i < 60) {
+      a(i) = math.round((f(i) + 0.5f).toDouble * 32768.0)
+      i += 1
+    }
+    val s = a.sum
+    var fp = 0L
+    i = 0
+    while (i < 60) {
+      if (a(i) * 60 > s) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
   /** No audio meaning — pass-through per the throw-free contract. */
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = bytes
 

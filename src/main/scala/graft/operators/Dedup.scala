@@ -305,6 +305,32 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Video (frame-sequence) near-dup over PRECOMPUTED per-frame
+    * fingerprints: input `(id, fhs array<long>)`, one hash per sampled
+    * frame. Each POSITION acts as one band (an edited copy keeps its
+    * frame order, so a near-dup must agree at ≥ minShared positions and
+    * therefore shares at least one (position, hash) band whenever fewer
+    * than `len - minShared + 1` frames changed); candidates come from
+    * the (position, hash) equi-join with the standard hub-bucket cut,
+    * verified by the exact count of positions whose hashes match. Same
+    * scale shape as [[fingerprintDuplicatePairs]]: banded equi-join,
+    * never all-pairs on clips.
+    */
+  def frameHashDuplicatePairs(fhs: DataFrame, minShared: Int = 3,
+                              maxBucket: Int = 256): DataFrame = {
+    val base = fhs.select(col("id"), col("fhs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
+      posexplode(col("fhs")).as(Seq("bandIdx", "fh")))
+    bandCandidates(banded, "fh", maxBucket)
+      .join(base.select(col("id").as("idA"), col("fhs").as("fA")), "idA")
+      .join(base.select(col("id").as("idB"), col("fhs").as("fB")), "idB")
+      .select(col("idA"), col("idB"),
+        expr("cast(aggregate(zip_with(fA, fB, (x, y) -> if(x = y, 1, 0))," +
+          " 0, (a, v) -> a + v) as int)").as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Winnowing fingerprint (rolling-hash, MOSS scheme — see
     * functions.TextKernels.winnowFingerprint): sorted-distinct selected
     * hashes per document.

@@ -349,6 +349,94 @@ object DedupPortableSql {
        |ORDER BY idA, idB""".stripMargin
   }
 
+  /** q161 oracle: audio fingerprint dedup replay — RELATIONAL, no
+    * audio codec. The Spark side synthesizes each clip from quantized
+    * sample ints (sv = 4·floor(e·4096), each held for 4 frames),
+    * encodes real WAV bytes and hashes THROUGH WavCodec's windowed-RMS
+    * feature path; constant-valued windows make that round-trip
+    * reconstruct |sv| exactly (WavCodec.audioFingerprint60), so the
+    * oracle derives the SAME 60-bit mean-energy hash from the ints
+    * directly, then replays the 4×15-bit banding + hub cut + hamming
+    * verify. Integer division is exact by construction (sv ≡ 0 mod 4),
+    * so DuckDB's floor-`//` and Spark's truncating-`div` agree.
+    */
+  def audioFpOracleSql(maxDist: Int, maxBucket: Int): String = {
+    val fpTerms = (0 until 60).map { b =>
+      s"(CASE WHEN a[${b + 1}] * 60 > s THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, e ->
+       |    4 * CAST(floor(CAST(e AS DOUBLE) * 4096.0) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |clips AS (
+       |  SELECT vec_id * 2 AS doc_id, sv FROM base
+       |  UNION ALL
+       |  SELECT vec_id * 2 + 1,
+       |    list_transform(range(1, 65), i ->
+       |      CASE WHEN i - 1 = vec_id % 60 THEN sv[i] // 4 ELSE sv[i] // 2 END)
+       |  FROM base),
+       |absed AS (
+       |  SELECT doc_id, list_transform(sv, v -> abs(v)) AS a FROM clips),
+       |summed AS (SELECT doc_id, a, list_sum(a[1:60]) AS s FROM absed),
+       |fps AS (
+       |  SELECT doc_id,
+       |    ($fpTerms) AS fp
+       |  FROM summed),
+       |banded AS (
+       |  SELECT doc_id, b, (fp >> (b * 15)) & 32767 AS key
+       |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |${hubCutCtes(maxBucket)},
+       |ver AS (
+       |  SELECT cand.idA, cand.idB,
+       |    CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS dist
+       |  FROM cand JOIN fps x ON x.doc_id = cand.idA
+       |            JOIN fps y ON y.doc_id = cand.idB)
+       |SELECT idA, idB, dist FROM ver WHERE dist <= $maxDist
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  /** q162 oracle: video frame-hash dedup replay — RELATIONAL, no video
+    * codec. The Spark side renders each frame's 0/255 block grid from
+    * embedding SIGNS (forced margin cells keep every averageHash64
+    * decision far from the mean threshold, so the lossy MJPEG
+    * round-trip provably lands on the planted bits — MultimodalSpec
+    * verifies over the verify corpus), so the oracle derives each
+    * 60-bit frame hash directly from the signs: bits 0-3 forced high,
+    * 4-7 forced low, bit j (8..59) = sign(embedding[(j+16f) mod 64]).
+    * Then the (position, hash) banding + hub cut + shared-position
+    * verify replay exactly.
+    */
+  def videoFrameOracleSql(minShared: Int, maxBucket: Int): String = {
+    val signTerms = (8 until 60).map { j =>
+      s"(CASE WHEN CAST(embedding[(($j + 16 * f) % 64) + 1] AS DOUBLE) > 0" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH frames AS (
+       |  SELECT vec_id, f,
+       |    (15 + $signTerms) AS fh
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS f)),
+       |banded AS (
+       |  SELECT vec_id * 2 AS doc_id, f AS b, fh AS key FROM frames
+       |  UNION ALL
+       |  SELECT vec_id * 2 + 1, f,
+       |    CASE WHEN f = vec_id % 4
+       |         THEN xor(fh, (CAST(1 AS BIGINT)
+       |                       << CAST(8 + vec_id % 52 AS INTEGER)))
+       |         ELSE fh END
+       |  FROM frames),
+       |${hubCutCtes(maxBucket)},
+       |arrays AS (
+       |  SELECT doc_id, list(key ORDER BY b) AS fhs FROM banded GROUP BY doc_id),
+       |ver AS (
+       |  SELECT cand.idA, cand.idB,
+       |    CAST(len(list_filter(range(1, 5), i -> x.fhs[i] = y.fhs[i]))
+       |      AS INTEGER) AS shared
+       |  FROM cand JOIN arrays x ON x.doc_id = cand.idA
+       |            JOIN arrays y ON y.doc_id = cand.idB)
+       |SELECT idA, idB, shared FROM ver WHERE shared >= $minShared
+       |ORDER BY idA, idB""".stripMargin
+  }
+
   /** q57 oracle: window-function winnowing replay. The position packing
     * `(h40 << 20) + max(0, 2^20-1-i)` makes `min(key)` the rightmost-min
     * selection; `key >> 20` recovers the hash.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, DedupPortable, Similarity}
+import graft.operators.{Dedup, DedupPortable, Ops, Similarity}
 
 /** Near-dedup + similarity-search queries (north-star extensions).
   *
@@ -126,7 +126,6 @@ object DedupSim {
     // with the scale path end-to-end.
     "q148_lsh_survivorship" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").select($"doc_id",
         graft.functions.TextFunctions.qualityScore($"text").as("quality"))
       val pairs = DedupPortable.minhashDuplicatePairsPortable(
@@ -136,14 +135,23 @@ object DedupSim {
       val singles = docs.select($"doc_id")
         .join(clusters.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
         .select($"doc_id".as("id"), $"doc_id".as("rep"))
-      val ranked = clusters.unionByName(singles)
+      val members = clusters.unionByName(singles)
         .join(docs.select($"doc_id".as("id"), $"quality"), "id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"rep").orderBy($"quality".desc, $"id".asc)))
-      ranked.groupBy($"rep").agg(
-          max(when($"rk" === 1, $"id")).as("keep_id"),
-          max(when($"rk" === 1, $"quality")).as("kept_quality"),
-          count(lit(1)).as("family"))
+      // Keeper pick is SALTED top-1: the hub-bucket cut deliberately
+      // emits giant star clusters for boilerplate-heavy corpora, so a
+      // plain row_number().over(partitionBy(rep)) would serialize the
+      // biggest cluster into one straggler task at 100 TB.
+      // saltedTopKPerGroup pre-ranks within (rep, salt) — a 16-way
+      // split of any hub — then re-ranks only the <=16 survivors per
+      // rep; OpsSpec pins bit-equality with the plain window. Family
+      // counts come from the map-side-combining hash-agg (skew-safe by
+      // construction), joined back on rep.
+      val keeper = Ops.saltedTopKPerGroup(members, Seq("rep"),
+          Seq($"quality".desc, $"id".asc), k = 1, saltCol = $"id")
+        .select($"rep", $"id".as("keep_id"), $"quality".as("kept_quality"))
+      val family = members.groupBy($"rep").agg(count(lit(1)).as("family"))
+      keeper.join(family, "rep")
+        .select($"rep", $"keep_id", $"kept_quality", $"family")
         .orderBy($"rep")
     }),
 
@@ -157,7 +165,6 @@ object DedupSim {
     // oracle replays the whole chain in one recursive-CTE SQL.
     "q157_corpus_recipe" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val docsF = t(s, dir, "documents")
         .withColumn("q", graft.functions.TextFunctions.qualityScore($"text"))
         .filter($"lang" === "en" && $"q" >= 0.3)
@@ -170,15 +177,17 @@ object DedupSim {
       val singles = docsF.select($"doc_id")
         .join(clusters.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
         .select($"doc_id".as("id"), $"doc_id".as("rep"))
-      val ranked = clusters.unionByName(singles)
+      val members = clusters.unionByName(singles)
         .join(docsF.select($"doc_id".as("id"), $"q", $"source", $"text"), "id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"rep").orderBy($"q".desc, $"id".asc)))
+      // Salted keeper pick — same rationale and machinery as q148: no
+      // per-rep window ever sees a whole hub cluster in one task.
+      val keepers = Ops.saltedTopKPerGroup(members, Seq("rep"),
+        Seq($"q".desc, $"id".asc), k = 1, saltCol = $"id")
       // avg quality in EXACT 1e-4 units: quality scores are 4-decimal
       // values, so a double average rounds at a structural .00005 tie
       // (sum=…X.5/n) where engines' round() tie-breaks differ — the
       // integer floor-average has no tie to break.
-      ranked.filter($"rk" === 1)
+      keepers
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
@@ -218,6 +227,82 @@ object DedupSim {
         .perceptualHash(imgs.withColumn("content", render($"px")))
         .select($"img_id".as("id"), $"phash".as("fp"))
       Dedup.fingerprintDuplicatePairs(fps, maxDist = 3, maxBucket = 256)
+        .orderBy($"idA", $"idB")
+    }),
+
+    // Audio fingerprint near-dup (VERDICT r9 #2) — the WAV codec as a
+    // dedup CONSUMER, completing the image(q149)/audio pair. Embedding
+    // vectors are quantized to 16-bit sample ints (sv = 4·floor(e·4096),
+    // each held for 4 frames), encoded as REAL RIFF/WAVE bytes (plus
+    // one planted half-gain re-master per clip with a single further-
+    // attenuated segment: the "volume-normalized edited copy" case),
+    // decoded back through WavCodec's windowed-RMS feature path into a
+    // 60-bit mean-energy fingerprint, then fed to the SAME banded-
+    // hamming machinery as SimHash/q149 (4×15-bit bands, hub cut,
+    // exact hamming verify). Constant-valued windows make the
+    // WAV→decode→feature→hash round-trip exact in integers
+    // (WavCodec.audioFingerprint60), so the DuckDB oracle replays the
+    // hash relationally from the quantized ints with no audio codec.
+    // The mean-relative bits are gain-invariant by construction, so the
+    // re-master differs only where it was actually edited. At 100 TB
+    // the codec UDFs see (id, 64-int array)-narrow rows and the join
+    // is banded — never all-pairs on audio.
+    "q161_audio_fp_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings").select($"vec_id",
+        expr("transform(embedding, e -> cast(4 * floor(cast(e as double)" +
+          " * 4096.0d) as int))").as("sv"))
+      val edited = base.select(($"vec_id" * 2 + 1).as("clip_id"),
+        expr("transform(sv, (v, i) -> cast(if(i = cast(vec_id % 60 as int)," +
+          " v div 4, v div 2) as int))").as("sv"))
+      val clips = base.select(($"vec_id" * 2).as("clip_id"), $"sv")
+        .unionByName(edited)
+      val enc = udf((p: Seq[Int]) =>
+        graft.multimodal.WavCodec.encodePcm16(p.flatMap(v => Seq.fill(4)(v))))
+      val fpU = udf((b: Array[Byte]) =>
+        graft.multimodal.WavCodec.audioFingerprint60(b))
+      val fps = clips.select($"clip_id".as("id"), fpU(enc($"sv")).as("fp"))
+      Dedup.fingerprintDuplicatePairs(fps, maxDist = 3, maxBucket = 256)
+        .orderBy($"idA", $"idB")
+    }),
+
+    // Video near-dup (VERDICT r9 #3) — closes the multimodal trio
+    // (image q149, audio q161, video here). Each embedding becomes a
+    // 4-frame MJPEG/AVI clip: frame f is an 8×8 grid of 0/255 blocks
+    // encoding the SIGNS of a rotated view of the vector (4 forced-high
+    // + 4 forced-low margin cells keep every averageHash64 decision far
+    // from the mean threshold — see AviCodec.renderBlockFrame), plus
+    // one planted re-encode per clip with a single block toggled in a
+    // single frame (the "edited scene" case). The REAL pipeline runs
+    // container-build → RIFF parse → frame extract → Annex-K DHT
+    // splice → JPEG decode → per-frame averageHash64; doc-level dedup
+    // bands on (frame position, frame hash) with the hub cut and
+    // verifies by exact shared-position count ≥ 3 of 4
+    // (Dedup.frameHashDuplicatePairs). The oracle replays the frame
+    // hashes relationally from the embedding signs — no video codec.
+    // At 100 TB: codec UDFs are narrow per-clip work, the join is
+    // banded on frame hashes — never all-pairs on clips.
+    "q162_video_frame_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val cells = t(s, dir, "embeddings").select($"vec_id",
+        expr("transform(sequence(0, 3), f -> transform(sequence(0, 63)," +
+          " j -> case when j < 4 then 255 when j < 8 then 0" +
+          " when cast(element_at(embedding," +
+          " cast((j + 16 * f) % 64 as int) + 1) as double) > 0d" +
+          " then 255 else 0 end))").as("cells"))
+      val edited = cells.select(($"vec_id" * 2 + 1).as("clip_id"),
+        expr("transform(cells, (fr, f) -> if(f = cast(vec_id % 4 as int)," +
+          " transform(fr, (v, j) -> if(j = cast(8 + vec_id % 52 as int)," +
+          " 255 - v, v)), fr))").as("cells"))
+      val clips = cells.select(($"vec_id" * 2).as("clip_id"), $"cells")
+        .unionByName(edited)
+      val mk = udf((cs: Seq[Seq[Int]]) => graft.multimodal.AviCodec.buildAvi(
+        cs.map(c => graft.multimodal.AviCodec.renderBlockFrame(c)), 64, 64))
+      val fh = udf((b: Array[Byte]) => graft.multimodal.AviCodec
+        .sampleFrames(b, 4)
+        .map(fr => graft.multimodal.ImageIoCodec.averageHash64(fr)))
+      val fhs = clips.select($"clip_id".as("id"), fh(mk($"cells")).as("fhs"))
+      Dedup.frameHashDuplicatePairs(fhs, minShared = 3, maxBucket = 256)
         .orderBy($"idA", $"idB")
     }),
 
@@ -643,6 +728,10 @@ object DedupSim {
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
     "q149_image_phash_dedup" -> DedupPortableSql.imagePhashOracleSql(
       maxDist = 3, maxBucket = 256),
+    "q161_audio_fp_dedup" -> DedupPortableSql.audioFpOracleSql(
+      maxDist = 3, maxBucket = 256),
+    "q162_video_frame_dedup" -> DedupPortableSql.videoFrameOracleSql(
+      minShared = 3, maxBucket = 256),
     "q157_corpus_recipe" -> DedupPortableSql.corpusRecipeOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64,
       lang = "en", minQuality = 0.3),

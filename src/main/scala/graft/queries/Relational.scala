@@ -1754,8 +1754,10 @@ object Relational {
         |  event_type AS etype,
         |  CAST(NULL AS DOUBLE) AS div0,
         |  CAST(json_extract(props, '$.k') AS BIGINT) / 4.0 AS kq,
-        |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) = 0
-        |       THEN 9223372036854775807 ELSE CAST(NULL AS BIGINT) END AS ovf
+        |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 0
+        |       THEN CAST(NULL AS BIGINT)
+        |       ELSE CAST(json_extract(props, '$.k') AS BIGINT)
+        |            + 9223372036854775807 END AS ovf
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin,
 

@@ -57,11 +57,12 @@ object EventStreams extends Serializable {
     * take a directory; the glob keeps it to the events table).
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // A stream source needs a declared schema; peek the footer via the
-    // batch reader (Tables applies the same confs) so BOTH testdata
-    // encodings load: ns-as-long (old) converts explicitly, µs TIMESTAMP
-    // (regenerated data) arrives as a session-tz instant already.
-    val tsType = graft.Tables(spark, sfDir, "events").schema("ts").dataType
+    // A stream source needs a declared schema; peek the RAW footer type
+    // (before Tables' ts conversion — ADVICE r9: the converted schema
+    // is always TimestampType, which would mis-declare ns-encoded data)
+    // so BOTH testdata encodings load: ns-as-long (old) converts
+    // explicitly below, µs TIMESTAMP arrives as a session-tz instant.
+    val tsType = graft.Tables.rawSchema(spark, sfDir, "events")("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", if (tsType == LongType) LongType else tsType),
@@ -302,6 +303,11 @@ object EventStreams extends Serializable {
                                  timerValues: TimerValues): Iterator[SessionOut] = {
       val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
       var st = if (sess.exists()) Some(sess.get()) else None
+      // The previously registered deadline is derivable from prior
+      // state (last/1000 + gap); capture it now so the stale timer can
+      // be DELETED below instead of accumulating one dead timer per
+      // microbatch per active key in the state store (ADVICE r9).
+      val prevTimer = st.map(_.last / 1000L + gapMs)
       rows.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
         val t = toMicros(e.ts)
         st match {
@@ -316,7 +322,12 @@ object EventStreams extends Serializable {
       }
       st.foreach { s =>
         sess.update(s)
-        getHandle.registerTimer(s.last / 1000L + gapMs)
+        val deadline = s.last / 1000L + gapMs
+        // replace, don't accumulate: drop the superseded timer first
+        // (mirrors setTimeoutTimestamp's implicit replacement in the
+        // flatMapGroupsWithState twin)
+        prevTimer.filter(_ != deadline).foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(deadline)
       }
       out.iterator
     }

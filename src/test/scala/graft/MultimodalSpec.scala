@@ -286,6 +286,82 @@ class MultimodalSpec extends AnyFunSuite {
       directHash(Seq(0, 255) ++ Seq.fill(62)(0)))
   }
 
+  test("encodePcm16 -> audioFingerprint60 round-trip is exact integer arithmetic") {
+    // The q161 oracle derives the hash relationally from the quantized
+    // sample ints; this is the by-construction exactness it relies on:
+    // for ANY 64 sample values (each held 4 frames, so every feature
+    // window is constant), WAV-encode + codec decode + windowed-RMS
+    // fingerprint equals the direct integer-arithmetic hash.
+    import graft.multimodal.WavCodec
+    def directHash(sv: Seq[Int]): Long = {
+      val a = sv.take(60).map(v => math.abs(v).toLong)
+      val s = a.sum
+      (0 until 60).foldLeft(0L)((h, i) =>
+        if (a(i) * 60 > s) h | (1L << i) else h)
+    }
+    def clip(sv: Seq[Int]): Array[Byte] =
+      WavCodec.encodePcm16(sv.flatMap(v => Seq.fill(4)(v)))
+    val rng = new scala.util.Random(161)
+    val cases = Seq(
+      Seq.fill(64)(0), Seq.fill(64)(16384), Seq.tabulate(64)(i => i * 256 - 8192),
+      Seq.tabulate(64)(i => if (i % 2 == 0) -12000 else 300)) ++
+      Seq.fill(20)(Seq.fill(64)((rng.nextInt(8193) - 4096) * 4))
+    cases.foreach { sv =>
+      val bytes = clip(sv)
+      assert(WavCodec.supports(bytes))
+      assert(WavCodec.audioFingerprint60(bytes) == directHash(sv),
+        s"round-trip hash mismatch for $sv")
+    }
+    // gain invariance: a uniform re-master scales every window AND the
+    // mean equally, so the mean-relative bits cannot move (this is what
+    // makes the hash a RE-MASTER-robust dedup key, and why q161's
+    // planted variants differ only at their edited segment)
+    val sv = Seq.fill(20)(Seq.fill(64)((rng.nextInt(8193) - 4096) * 4))
+    sv.foreach { v =>
+      assert(WavCodec.audioFingerprint60(clip(v.map(_ / 2))) ==
+        WavCodec.audioFingerprint60(clip(v)), "half-gain changed the hash")
+    }
+    // throw-free contract on nonsense input
+    assert(WavCodec.audioFingerprint60(Array[Byte](1, 2, 3)) == 0L)
+  }
+
+  test("renderBlockFrame MJPEG round-trip lands on planted sign bits (verify corpus)") {
+    // q162's exactness is by MARGIN (JPEG is lossy): block-constant
+    // 0/255 frames with 4 forced-high + 4 forced-low cells keep every
+    // averageHash64 decision ≥ 3×255 from the mean threshold, so the
+    // build→parse→DHT-splice→decode→hash chain must reproduce the
+    // planted sign bits EXACTLY. Pinned over the full verify-scale
+    // corpus — the same rows the driver's DuckDB oracle replays.
+    import graft.multimodal.{AviCodec, ImageIoCodec}
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    assert(embs.nonEmpty)
+    def cellsOf(e: Seq[Float], f: Int): Seq[Int] =
+      (0 until 64).map { j =>
+        if (j < 4) 255
+        else if (j < 8) 0
+        else if (e((j + 16 * f) % 64).toDouble > 0) 255 else 0
+      }
+    def hashOf(cells: Seq[Int]): Long =
+      (0 until 60).foldLeft(0L)((h, j) =>
+        if (cells(j) == 255) h | (1L << j) else h)
+    def roundTrip(frames: Seq[Seq[Int]]): Seq[Long] = {
+      val avi = AviCodec.buildAvi(
+        frames.map(c => AviCodec.renderBlockFrame(c)), 64, 64)
+      AviCodec.sampleFrames(avi, 4).map(ImageIoCodec.averageHash64)
+    }
+    embs.foreach { case (v, e) =>
+      val frames = (0 until 4).map(f => cellsOf(e, f))
+      assert(roundTrip(frames) == frames.map(hashOf), s"vec $v base clip")
+      if (v % 10 == 0) { // planted edit: one block toggled in one frame
+        val (fd, d) = ((v % 4).toInt, (8 + v % 52).toInt)
+        val ed = frames.updated(fd,
+          frames(fd).updated(d, 255 - frames(fd)(d)))
+        assert(roundTrip(ed) == ed.map(hashOf), s"vec $v edited clip")
+      }
+    }
+  }
+
   test("partitionByBytes sizes tasks by payload bytes") {
     val df = Multimodal.readBinary(spark, mediaDir, "*.bin")
     val p = Multimodal.partitionByBytes(df, "length", targetBytes = 2000)

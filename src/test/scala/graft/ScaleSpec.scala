@@ -91,9 +91,30 @@ class ScaleSpec extends AnyFunSuite {
     val plan = executed(SparkEntry.queries("q148_lsh_survivorship")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // The keeper pick must be the SALTED two-phase top-1 (VERDICT r9
+    // #1): phase 1 windows on (rep, __salt) so no hub cluster ever
+    // sorts in one task; the only rep-only window is phase 2 over the
+    // <=saltParts survivors per rep. A plain partitionBy(rep) keeper
+    // window would drop the __salt key from every window line.
+    val keeperWindows = plan.linesIterator
+      .filter(l => l.contains("row_number"))
+      .toSeq
+    assert(keeperWindows.exists(_.contains("__salt")),
+      s"keeper pick lost the salt phase (unsalted rep window):\n$plan")
     val clusterPlan = executed(SparkEntry.queries("q147_lsh_dup_clusters")(spark, sf))
     assert(!clusterPlan.contains("CartesianProduct"), clusterPlan)
     assert(!clusterPlan.contains("BroadcastNestedLoopJoin"), clusterPlan)
+  }
+
+  test("corpus recipe keeper pick is salted: no unsalted rep window") {
+    // q157 composes gate -> LSH -> survivorship -> summary; the
+    // survivorship stage must use the same salted top-1 as q148.
+    val plan = executed(SparkEntry.queries("q157_corpus_recipe")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.linesIterator.filter(_.contains("row_number"))
+      .exists(_.contains("__salt")),
+      s"q157 keeper pick lost the salt phase:\n$plan")
   }
 
   test("simhash band join is equi-join shaped: no cartesian, no NLJ") {
