@@ -832,6 +832,25 @@ object Relational {
       s.sql(Q87ShapeText)
     }),
 
+    // TPC-DS Q72 shape: fact-to-fact join with date-range/quantity
+    // residual + broadcast dim chain (see Q72ShapeText, shared
+    // verbatim with the oracle).
+    "q163_tpcds_q72_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(Q72ShapeText)
+    }),
+
+    // TPC-DS Q23 shape: repeated-CTE frequent-buyer restriction set
+    // (see Q23ShapeText, shared verbatim with the oracle).
+    "q164_tpcds_q23_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(Q23ShapeText)
+    }),
+
     // Outer-generator corner: explode_outer must PRESERVE rows whose
     // array is empty (emitting one null element) — the row-count
     // semantics that separate a LEFT LATERAL from an inner one, which
@@ -1260,6 +1279,69 @@ object Relational {
     * equi-joins over aggregated children; the corner is the CHAIN
     * (two stacked anti joins over the same aliased source).
     */
+  /** TPC-DS Q72 shape (fact-to-fact join with range residual): the
+    * "sales vs inventory in the following days" join — a BIG×BIG
+    * equi-join on the item key whose non-equi conditions (date window,
+    * quantity shortfall) ride as the join RESIDUAL, never a cartesian
+    * — followed by a chain of small dimension joins (part → supplier →
+    * nation) that must all broadcast. This is the join-order /
+    * residual-placement planner corner none of q150-q152 touch: at
+    * 100 TB the only shuffle is the pk co-partition of the two fact
+    * legs; putting the date residual anywhere but inside the pk join
+    * (or joining dims before facts) would explode the intermediate.
+    * ~30 rows/key keeps the pre-residual fanout bounded (18M at
+    * sf0.1), the residual cuts it to ~18k.
+    */
+  val Q72ShapeText: String =
+    """WITH sales AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk,
+      |    l_quantity AS qty, l_shipdate AS sd
+      |  FROM lineitem),
+      |inv AS (
+      |  SELECT l_partkey AS pk, l_shipdate AS rd, l_quantity AS onhand
+      |  FROM lineitem)
+      |SELECT p.p_brand AS brand, n.n_name AS nation,
+      |  count(*) AS n_shortages
+      |FROM sales s
+      |JOIN inv i ON i.pk = s.pk AND i.rd > s.sd
+      |  AND i.rd <= s.sd + INTERVAL 5 DAY AND i.onhand < s.qty
+      |JOIN part p ON p.p_partkey = s.pk
+      |JOIN supplier su ON su.s_suppkey = s.sk
+      |JOIN nation n ON n.n_nationkey = su.s_nationkey
+      |GROUP BY p.p_brand, n.n_name
+      |ORDER BY n_shortages DESC, brand, nation
+      |LIMIT 100""".stripMargin
+
+  /** TPC-DS Q23 shape (multi-CTE repeated-subquery "frequent buyer"
+    * set): one CTE (per-customer totals) consumed TWICE — once under a
+    * MAX scalar subquery that derives the admission threshold, once as
+    * the semi-join restriction set — plus a second independent
+    * restriction set (frequent items); the fact scan is then gated by
+    * BOTH IN-subqueries at once. Catalyst corners: CTE reuse without
+    * re-aggregation, a scalar subquery feeding a filter on the same
+    * CTE, and two stacked left-semi joins on different keys of the
+    * same fact.
+    */
+  val Q23ShapeText: String =
+    """WITH frequent_items AS (
+      |  SELECT l_partkey AS pk FROM lineitem
+      |  GROUP BY l_partkey HAVING count(*) > 30),
+      |cust_sales AS (
+      |  SELECT o_custkey AS ck,
+      |    sum(CAST(o_totalprice AS DECIMAL(30,4))) AS total
+      |  FROM orders GROUP BY o_custkey),
+      |best_customers AS (
+      |  SELECT ck FROM cust_sales
+      |  WHERE CAST(total AS DOUBLE) >
+      |    0.5 * (SELECT CAST(max(total) AS DOUBLE) FROM cust_sales))
+      |SELECT
+      |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(30,4))), 2)
+      |    AS DOUBLE) AS sales,
+      |  count(*) AS n
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_partkey IN (SELECT pk FROM frequent_items)
+      |  AND o.o_custkey IN (SELECT ck FROM best_customers)""".stripMargin
+
   val Q87ShapeText: String =
     """WITH sales AS (
       |  SELECT o_custkey AS ck, o_orderkey % 3 AS ch FROM orders
@@ -1738,6 +1820,8 @@ object Relational {
     "q151_tpcds_q14_shape" -> Q14ShapeText,
 
     "q152_tpcds_q87_shape" -> Q87ShapeText,
+    "q163_tpcds_q72_shape" -> Q72ShapeText,
+    "q164_tpcds_q23_shape" -> Q23ShapeText,
 
     "q160_struct_battery" ->
       """SELECT o_orderkey,

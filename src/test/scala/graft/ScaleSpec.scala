@@ -387,6 +387,28 @@ class ScaleSpec extends AnyFunSuite {
       s"EXCEPT chain did not become stacked anti joins:\n$plan")
   }
 
+  test("DS Q72 shape: fact-fact join is pk-equi with residual, dims broadcast") {
+    val plan = executed(SparkEntry.queries("q163_tpcds_q72_shape")(spark, sf))
+    // the date-window + shortfall conditions must ride as the pk
+    // join's RESIDUAL — a cartesian or nested loop here is the 100 TB
+    // killer (the pre-residual fanout is already 18M at sf0.1)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // part/supplier/nation dim chain must broadcast, not shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"dim chain lost its broadcasts:\n$plan")
+  }
+
+  test("DS Q23 shape: both restriction sets are semi joins, threshold a subquery") {
+    val plan = executed(SparkEntry.queries("q164_tpcds_q23_shape")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("LeftSemi".r.findAllIn(plan).length >= 2,
+      s"IN restrictions did not become semi joins:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"max-sales threshold is not a scalar subquery:\n$plan")
+  }
+
   test("explode_outer preserves empty-array rows (one output row per doc)") {
     val df = SparkEntry.queries("q153_explode_outer")(spark, sf)
     val plan = executed(df)
