@@ -496,6 +496,46 @@ object Dedup {
     df.join(clusters.filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol)), Seq(idCol), "left_anti")
 
+  /** Full-corpus cluster assignment `(id, rep)`: every doc mapped to
+    * its duplicate-cluster representative, singletons (docs in no
+    * pair) to themselves via an anti-join — the q147/q148 composition
+    * as a reusable operator (and the `dedupcluster` DSL module).
+    */
+  def clusterAssignments(df: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val singles = df.select(col(idCol).as("id"))
+      .join(clusters.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("rep"))
+    clusters.unionByName(singles)
+  }
+
+  /** Skew-safe survivorship: keep the best-`quality` member of each
+    * cluster (ties to the smallest id), annotated with its `rep` and
+    * the cluster size `family`. The keeper pick is the SALTED
+    * two-phase top-1 (Ops.saltedTopKPerGroup) — the hub-bucket cut
+    * deliberately emits giant star clusters, so a plain per-rep rank
+    * window would serialize the biggest cluster into one straggler
+    * task at 100 TB; family counts come from the map-side-combining
+    * hash-agg, joined back on rep. Returns the surviving docs with all
+    * their original columns plus `rep` and `family`.
+    */
+  def survivors(docs: DataFrame, idCol: String, quality: Column,
+                clusters: DataFrame): DataFrame = {
+    val members = docs
+      .join(clusters.select(col("id").as(idCol), col("rep").as("__rep")),
+        Seq(idCol))
+      .withColumn("__q", quality)
+    val family = members.groupBy(col("__rep"))
+      .agg(count(lit(1)).as("family"))
+    Ops.saltedTopKPerGroup(members, Seq("__rep"),
+        Seq(col("__q").desc, col(idCol).asc), k = 1, saltCol = col(idCol),
+        rankCol = "__rk")
+      .drop("__rk", "__q")
+      .join(family, "__rep")
+      .withColumnRenamed("__rep", "rep")
+  }
+
   /** Incremental (delta-vs-corpus) near-dup core, shared by the
     * xxhash64 hot path ([[incrementalMinhash]]) and the portable md5
     * twin (DedupPortable.incrementalMinhashPortable). The daily-crawl

@@ -202,6 +202,36 @@ object Pipeline {
     }
   }
 
+  /** Shared near-dup pair source for the dedupnear / dedupcluster /
+    * survivor family: the six method×hash fingerprint combinations
+    * (all banded equi-joins with hub cut + exact verify, never
+    * all-pairs).
+    */
+  private def nearDupPairSource(df: DataFrame, key: String, text: String,
+                                m: ModuleSpec): DataFrame = {
+    import graft.operators.{Dedup, DedupPortable}
+    val threshold = m.args.getOrElse("threshold", "0.8").toDouble
+    val k = m.args.getOrElse("k", "3").toInt
+    val maxDist = m.args.getOrElse("maxdist", "3").toInt
+    (m.args.getOrElse("method", "minhash"),
+        m.args.getOrElse("hash", "xx")) match {
+      case ("minhash", "xx") =>
+        Dedup.minhashDuplicatePairs(df, key, text, k = k, threshold = threshold)
+      case ("minhash", "md5") => DedupPortable
+        .minhashDuplicatePairsPortable(df, key, text, k = k, threshold = threshold)
+      case ("simhash", "xx") =>
+        Dedup.simhashDuplicatePairs(df, key, text, maxDist = maxDist)
+      case ("simhash", "md5") => DedupPortable
+        .simhashDuplicatePairsPortable(df, key, text, maxDist = maxDist)
+      case ("winnow", "xx") =>
+        Dedup.winnowDuplicatePairs(df, key, text, threshold = threshold)
+      case ("winnow", "md5") => DedupPortable
+        .winnowDuplicatePairsPortable(df, key, text, threshold = threshold)
+      case (meth, h) => throw new BuildError(
+        s"${m.name}: method=$meth hash=$h (methods: minhash, simhash, winnow; hashes: xx, md5)")
+    }
+  }
+
   private val modules: Seq[Registered] = Seq(
     Registered("fileread", NoneType, RawType, "in=FILE:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("fileread: in= required"))
@@ -1052,7 +1082,13 @@ object Pipeline {
 
     // Fuzzy near-dedup from the DSL: MinHash-LSH pairs + keep-smallest-
     // id drop (wraps Dedup — banded equi-join candidates, exact verify,
-    // never all-pairs).
+    // never all-pairs). method picks the fingerprint family (MinHash-
+    // LSH on word shingles / SimHash hamming / winnowing substring
+    // fingerprints); hash=md5 selects the portable variants (every
+    // hash replayable in external SQL engines — see DedupPortable),
+    // xx(hash64) the throughput default. Same banding, hub cut and
+    // exact verification in all six combinations (shared with
+    // dedupcluster via nearDupPairSource).
     Registered("dedupnear", RowType, RowType,
       "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow:threshold=0.8:maxdist=3:k=3:hash=xx|md5:transitive:out=STREAM",
       (ctx, m) => {
@@ -1061,33 +1097,7 @@ object Pipeline {
           throw new BuildError("dedupnear: key= required"))
         val text = m.args.getOrElse("text",
           throw new BuildError("dedupnear: text= required"))
-        val threshold = m.args.getOrElse("threshold", "0.8").toDouble
-        val k = m.args.getOrElse("k", "3").toInt
-        val maxDist = m.args.getOrElse("maxdist", "3").toInt
-        // method picks the fingerprint family (MinHash-LSH on word
-        // shingles / SimHash hamming / winnowing substring
-        // fingerprints); hash=md5 selects the portable variants (every
-        // hash replayable in external SQL engines — see DedupPortable),
-        // xx(hash64) the throughput default. Same banding, hub cut and
-        // exact verification in all six combinations.
-        import graft.operators.{Dedup, DedupPortable}
-        val pairs = (m.args.getOrElse("method", "minhash"),
-            m.args.getOrElse("hash", "xx")) match {
-          case ("minhash", "xx") =>
-            Dedup.minhashDuplicatePairs(df, key, text, k = k, threshold = threshold)
-          case ("minhash", "md5") => DedupPortable
-            .minhashDuplicatePairsPortable(df, key, text, k = k, threshold = threshold)
-          case ("simhash", "xx") =>
-            Dedup.simhashDuplicatePairs(df, key, text, maxDist = maxDist)
-          case ("simhash", "md5") => DedupPortable
-            .simhashDuplicatePairsPortable(df, key, text, maxDist = maxDist)
-          case ("winnow", "xx") =>
-            Dedup.winnowDuplicatePairs(df, key, text, threshold = threshold)
-          case ("winnow", "md5") => DedupPortable
-            .winnowDuplicatePairsPortable(df, key, text, threshold = threshold)
-          case (meth, h) => throw new BuildError(
-            s"dedupnear: method=$meth hash=$h (methods: minhash, simhash, winnow; hashes: xx, md5)")
-        }
+        val pairs = nearDupPairSource(df, key, text, m)
         // transitive: connected-components clustering keeps ONE doc per
         // duplicate cluster (A~B, B~C drops both B and C even though
         // the pair (A,C) was never emitted); default is the greedy
@@ -1098,6 +1108,53 @@ object Pipeline {
               graft.operators.Dedup.duplicateClusters(pairs))
           else graft.operators.Dedup.dropDuplicatesByPairs(df, key, pairs)
         ctx.writeStream(m, deduped, RowType)
+      }),
+
+    // Full clustering from the DSL (VERDICT r9 #5 — the DSL used to
+    // stop at dedupnear's drop policy): emits the (id, rep) cluster
+    // assignment for EVERY input row, singletons as their own rep —
+    // the q147 composition (banded pair source → alternating-star
+    // connected components → singleton anti-join) as a module, for
+    // chains that need the clusters themselves (survivor, reporting).
+    Registered("dedupcluster", RowType, RowType,
+      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow:threshold=0.8:maxdist=3:k=3:hash=xx|md5:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("dedupcluster: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("dedupcluster: text= required"))
+        ctx.writeStream(m, graft.operators.Dedup.clusterAssignments(
+          df, key, nearDupPairSource(df, key, text, m)), RowType)
+      }),
+
+    // Cluster survivorship from the DSL: keep the best-quality member
+    // per cluster (ties to smallest key), annotated with rep + family
+    // size. clusters= takes a dedupcluster output stream; quality= a
+    // numeric column, or omit it to score text= with the built-in
+    // quality heuristic. The keeper pick is the salted skew-safe top-1
+    // (Dedup.survivors) — q148's scale path as a module.
+    Registered("survivor", RowType, RowType,
+      "in=STREAM:clusters=STREAM:key=COL:quality=COL|text=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val cname = m.args.getOrElse("clusters",
+          throw new BuildError("survivor: clusters= required"))
+        val (clusters, ct) = ctx.streams.getOrElse(cname,
+          throw new BuildError(s"survivor: unknown stream '$cname'"))
+        if (ct != RowType)
+          throw new BuildError(s"survivor: '$cname' is not a row stream")
+        ctx.readers(cname) += 1
+        val key = m.args.getOrElse("key",
+          throw new BuildError("survivor: key= required"))
+        val quality = m.args.get("quality").map(col).getOrElse {
+          val text = m.args.getOrElse("text", throw new BuildError(
+            "survivor: quality= or text= required"))
+          graft.functions.TextFunctions.qualityScore(col(text))
+        }
+        ctx.writeStream(m,
+          graft.operators.Dedup.survivors(df, key, quality, clusters),
+          RowType)
       }),
 
     Registered("decontaminate", RowType, RowType,

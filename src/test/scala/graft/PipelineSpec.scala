@@ -360,7 +360,7 @@ class PipelineSpec extends AnyFunSuite {
       "jsonwrite", "fixedwidthread", "fixedwidthwrite", "xmlwrite",
       "gzip", "gunzip", "column", "ndb",
       "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
-      "asofjoin", "rangejoin", "dedupnear",
+      "asofjoin", "rangejoin", "dedupnear", "dedupcluster", "survivor",
       "parquetread", "parquetwrite", "orcread", "orcwrite",
       "jdbcselect", "jdbcinsert",
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
@@ -372,6 +372,52 @@ class PipelineSpec extends AnyFunSuite {
       "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2",
       "kmvsketch", "linkage", "nfcnormalize")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("dedupcluster + survivor modules: DSL clustering chain end-to-end") {
+    val d = tmp("clus")
+    // docs 1 and 2 are identical (one near-dup cluster), 3 stands alone
+    writeCsv(s"$d/in.ndjson",
+      """{"id": 1, "body": "the quick brown fox jumps over the lazy dog today"}""",
+      """{"id": 2, "body": "the quick brown fox jumps over the lazy dog today"}""",
+      """{"id": 3, "body": "a completely different document about spark pipelines here"}""")
+    // VERDICT r9 #5 chain: ndjsonread -> dedupcluster -> csvwrite
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.ndjson", "ndjsonread:out=docs",
+      "dedupcluster:in=docs:key=id:text=body:threshold=0.9:out=clus",
+      "sort:in=clus:by=id:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/clusters.csv"))
+    assert(readOut(s"$d/clusters.csv") ==
+      Seq("id,rep", "1,1", "2,1", "3,3"))
+
+    // ...and survivorship on top: equal-quality duplicates tie-break to
+    // the smallest id; family carries the cluster size
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.ndjson", "ndjsonread:out=docs2",
+      "dedupcluster:in=docs2:key=id:text=body:threshold=0.9:out=clus2",
+      "survivor:in=docs2:clusters=clus2:key=id:text=body:out=surv",
+      "select:in=surv:exprs=id;rep;family:out=sel",
+      "sort:in=sel:by=id:out=sorted2",
+      "csvwrite:in=sorted2", s"filewrite:out=$d/surv.csv"))
+    assert(readOut(s"$d/surv.csv") ==
+      Seq("id,rep,family", "1,1,2", "3,3,1"))
+
+    // survivor honors an explicit numeric quality= column
+    writeCsv(s"$d/q.ndjson",
+      """{"id": 1, "body": "same text here", "score": 0.2}""",
+      """{"id": 2, "body": "same text here", "score": 0.9}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/q.ndjson", "ndjsonread:out=docs3",
+      "dedupcluster:in=docs3:key=id:text=body:threshold=0.9:out=clus3",
+      "survivor:in=docs3:clusters=clus3:key=id:quality=score:out=surv3",
+      "select:in=surv3:exprs=id;rep;family:out=sel3",
+      "csvwrite:in=sel3", s"filewrite:out=$d/surv3.csv"))
+    assert(readOut(s"$d/surv3.csv") == Seq("id,rep,family", "2,1,2"))
+
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.ndjson", "ndjsonread:out=dx",
+      "survivor:in=dx:clusters=nosuch:key=id:text=body",
+      "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
   test("profile module: one-scan per-column quality report") {
