@@ -207,6 +207,51 @@ object EventStreams extends Serializable {
                      id: Long) => writeBatchIdempotent(batch, id, outDir))
       .start()
 
+  /** Streaming incremental near-dedup — the daily-crawl loop (q110)
+    * under Structured Streaming: each micro-batch of `(id, text)` docs
+    * is a delta checked against the standing corpus with
+    * [[graft.operators.Dedup.incrementalMinhash]] (the corpus never
+    * re-pairs; delta band keys broadcast-prune the corpus side), and
+    * only `status = "new"` docs (near-dup of nothing already kept —
+    * within-batch chains resolve first-occurrence-wins) are appended.
+    * The running corpus is `localCheckpoint`ed each batch: foreachBatch
+    * DataFrames are only valid inside their own invocation, and the
+    * checkpoint also caps lineage growth across the unbounded batch
+    * sequence. At-least-once replays are no-ops (already-present ids
+    * are anti-joined away before the verdict). At 100 TB the corpus
+    * variable is a parquet/Delta table and the append a partition
+    * write; the per-batch dataflow is IDENTICAL.
+    *
+    * Returns the started query and an accessor for the current
+    * deduped corpus.
+    */
+  def incrementalDedupStream(docs: DataFrame, corpus0: DataFrame,
+                             idCol: String, textCol: String, k: Int = 3,
+                             numPerm: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.7, maxBucket: Int = 64)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    @volatile var corpus = corpus0.select(col(idCol), col(textCol))
+      .localCheckpoint()
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val delta = batch.select(col(idCol), col(textCol)).localCheckpoint()
+          val fresh = delta
+            .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
+          val keep = graft.operators.Dedup.incrementalMinhash(
+              corpus, fresh, idCol, textCol, k, numPerm, bands, threshold,
+              maxBucket)
+            .filter(col("status") === "new")
+            .select(col("id").as(idCol))
+          corpus = corpus
+            .unionByName(fresh.join(keep, Seq(idCol)))
+            .localCheckpoint()
+      }
+      .start()
+    (q, () => corpus)
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -184,6 +184,20 @@ class DedupSimSpec extends AnyFunSuite {
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
     val ivfRecall = (ivf & exact).size.toDouble / exact.size
     assert(ivfRecall >= 0.6, s"ivfTopK(nProbe=8) recall@10=$ivfRecall < 0.6")
+    // Trained coarse quantizer (VERDICT r9 #6): 2 Lloyd rounds over the
+    // hash-sampled seeds must not LOSE recall at equal nProbe — better
+    // centroids tighten the inverted lists, so probing the same number
+    // of lists covers at least as much true-neighbor mass. All inputs
+    // are deterministic (fixed corpus, md5 seeds, order-independent
+    // decimal Lloyd arithmetic), so this pins an exact measurement,
+    // not a statistical hope (SCALE.md r10 row records both numbers).
+    val ivfT = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nProbe = 8, kmeansIters = 2)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivfTRecall = (ivfT & exact).size.toDouble / exact.size
+    info(s"ivf sampled=$ivfRecall trained=$ivfTRecall")
+    assert(ivfTRecall >= ivfRecall,
+      s"trained IVF recall@10=$ivfTRecall dropped below sampled=$ivfRecall")
   }
 
   test("kmeans refinement: deterministic, never worsens quantizer fit") {

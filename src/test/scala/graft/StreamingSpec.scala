@@ -213,6 +213,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(dim.filter(col("is_current")).count() == 3)
   }
 
+  test("streaming incremental dedup converges to the sequential batch relation") {
+    // The daily-crawl loop (q110's operator) under Structured
+    // Streaming: three "days" of docs arrive as micro-batches; the
+    // maintained corpus must equal running the SAME batch operator
+    // day-by-day (near-dup chains are order-dependent by design —
+    // first occurrence wins — so the sequential batch apply IS the
+    // reference relation, like scd2Apply is for the SCD2 test).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog in the park today"
+    val corpus0 = Seq((1L, base)).toDF("doc_id", "text")
+    val other = "completely different content about spark structured streaming pipelines"
+    val d1 = Seq(
+      (10L, base + " extra"),                       // near-dup of corpus doc 1
+      (11L, other),
+      (12L, other + " indeed")                      // 12 in-batch dup of 11
+    )
+    val d2 = Seq(
+      (20L, other + " truly"),                      // 20 dup of kept 11
+      (21L, "another entirely unrelated document mentioning parquet files only")
+    )
+    val d3 = Seq((30L, base + " extra"))            // dup of corpus doc 1 again
+    val ms = MemoryStream[(Long, String)]
+    val (q, current) = EventStreams.incrementalDedupStream(
+      ms.toDF().toDF("doc_id", "text"), corpus0, "doc_id", "text")
+    try {
+      Seq(d1, d2, d3).foreach { d => ms.addData(d); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = current().as[(Long, String)].collect().toSet
+    var ref = corpus0
+    Seq(d1, d2, d3).foreach { d =>
+      val delta = d.toDF("doc_id", "text")
+      val keep = graft.operators.Dedup.incrementalMinhash(
+          ref, delta, "doc_id", "text")
+        .filter($"status" === "new").select($"id".as("doc_id"))
+      ref = ref.unionByName(delta.join(keep, Seq("doc_id"))).localCheckpoint()
+    }
+    assert(streamed == ref.as[(Long, String)].collect().toSet)
+    // the loop actually dropped the cross-batch and in-batch dups
+    assert(streamed.map(_._1) == Set(1L, 11L, 21L))
+  }
+
   test("foreachBatch idempotent sink: replayed batch ids are no-ops") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
