@@ -211,4 +211,57 @@ object Multimodal {
       if (bytes == null) 0L else ImageIoCodec.averageHash64(bytes))
     df.withColumn("phash", f(col(binCol)))
   }
+
+  /** Type-dispatched media fingerprints: sniffs each payload and adds
+    * `kind` (image/audio/video/unknown), `fp` (60-bit perceptual /
+    * mean-energy hash for stills and WAV) and `fhs` (per-frame hash
+    * array for MJPEG/AVI). One narrow UDF pass over the binary column
+    * only — throw-free, unknown payloads tagged rather than killed.
+    */
+  def mediaFingerprints(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) ("unknown", 0L, Seq.empty[Long])
+      else if (WavCodec.supports(bytes))
+        ("audio", WavCodec.audioFingerprint60(bytes), Seq.empty[Long])
+      else if (AviCodec.supports(bytes))
+        ("video", 0L,
+          AviCodec.sampleFrames(bytes, 4).map(ImageIoCodec.averageHash64))
+      else if (ImageIoCodec.sniff(bytes).isDefined)
+        ("image", ImageIoCodec.averageHash64(bytes), Seq.empty[Long])
+      else ("unknown", 0L, Seq.empty[Long]))
+    df.withColumn("__mfp", f(col(binCol)))
+      .withColumn("kind", col("__mfp._1"))
+      .withColumn("fp", col("__mfp._2"))
+      .withColumn("fhs", col("__mfp._3"))
+      .drop("__mfp")
+  }
+
+  /** Mixed-corpus media near-dup: each modality goes to ITS dedup
+    * family — stills and audio to the banded-hamming fingerprint join
+    * (hamming distance on the 60-bit hash ≤ maxDist), video to the
+    * positional frame-hash band join (dist = frames that differ,
+    * ≤ 4 - minShared) — and the three pair sets union with a `kind`
+    * tag. Modalities can never cross-match (separate joins), every
+    * join is banded with the hub cut — never all-pairs on media, and
+    * the codec UDFs see only (id, binary) narrow rows.
+    */
+  def mediaDuplicatePairs(df: DataFrame, idCol: String,
+                          binCol: String = "content", maxDist: Int = 3,
+                          minShared: Int = 3,
+                          maxBucket: Int = 256): DataFrame = {
+    import graft.operators.Dedup
+    val fps = mediaFingerprints(df.select(col(idCol), col(binCol)), binCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairsOf(kind: String) = Dedup.fingerprintDuplicatePairs(
+        fps.filter(col("kind") === kind)
+          .select(col(idCol).as("id"), col("fp")), maxDist, maxBucket)
+      .withColumn("kind", lit(kind))
+    val video = Dedup.frameHashDuplicatePairs(
+        fps.filter(col("kind") === "video")
+          .select(col(idCol).as("id"), col("fhs")), minShared, maxBucket)
+      .select(col("idA"), col("idB"),
+        (lit(4) - col("shared")).cast("int").as("dist"))
+      .withColumn("kind", lit("video"))
+    pairsOf("image").unionByName(pairsOf("audio")).unionByName(video)
+  }
 }

@@ -1738,6 +1738,24 @@ object Pipeline {
           df, m.args.getOrElse("col", "content")), RowType)
       }),
 
+    // Mixed-corpus media near-dup pairs from the DSL: sniff each
+    // payload, dispatch stills/WAV to the banded-hamming fingerprint
+    // join and MJPEG/AVI to the positional frame-hash join, union the
+    // pair sets with a kind tag (Multimodal.mediaDuplicatePairs —
+    // never all-pairs on media; modalities cannot cross-match).
+    Registered("mediadedup", RowType, RowType,
+      "in=STREAM:key=COL:col=content:maxdist=3:minshared=3:maxbucket=256:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("mediadedup: key= required"))
+        ctx.writeStream(m, graft.multimodal.Multimodal.mediaDuplicatePairs(
+          df, key, m.args.getOrElse("col", "content"),
+          maxDist = m.args.getOrElse("maxdist", "3").toInt,
+          minShared = m.args.getOrElse("minshared", "3").toInt,
+          maxBucket = m.args.getOrElse("maxbucket", "256").toInt), RowType)
+      }),
+
     // Resample still images (bilinear, re-encoded PNG).
     Registered("mediaresize", RowType, RowType,
       "in=STREAM:w=W:h=H:col=content:out=STREAM", (ctx, m) => {

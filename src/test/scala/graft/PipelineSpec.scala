@@ -420,6 +420,47 @@ class PipelineSpec extends AnyFunSuite {
       "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
+  test("mediadedup module: mixed image/audio/video corpus pairs per modality") {
+    import graft.multimodal.{AviCodec, WavCodec, Multimodal}
+    val d = tmp("mediadedup")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/$name"), bytes)
+    // images: a1/a2 one-pixel edit near-dups, z one far-off pattern
+    val px = Seq.tabulate(64)(i => if (i % 3 == 0) 230 else 20)
+    put("img_a1.png", Multimodal.renderGray8x8(px))
+    put("img_a2.png", Multimodal.renderGray8x8(px.updated(9, 235)))
+    put("img_z.png", Multimodal.renderGray8x8(px.map(255 - _)))
+    // audio: b1/b2 half-gain re-master (hash-equal), z different shape
+    val sv = Seq.tabulate(64)(i => (if (i % 2 == 0) 3000 else 12000) * 1)
+      .map(_ / 4 * 4)
+    def clip(s: Seq[Int]) = WavCodec.encodePcm16(s.flatMap(v => Seq.fill(4)(v)))
+    put("aud_b1.wav", clip(sv))
+    put("aud_b2.wav", clip(sv.map(_ / 2)))
+    put("aud_z.wav", clip(sv.map(v => if (v > 4000) 100 else 15000)))
+    // video: c1/c2 one-block edit in one frame, z inverted everywhere
+    val cells = (0 until 4).map(f => Seq.tabulate(64)(j =>
+      if (j < 4) 255 else if (j < 8) 0
+      else if ((j + f) % 2 == 0) 255 else 0))
+    def avi(fs: Seq[Seq[Int]]) =
+      AviCodec.buildAvi(fs.map(c => AviCodec.renderBlockFrame(c)), 64, 64)
+    put("vid_c1.avi", avi(cells))
+    put("vid_c2.avi", avi(cells.updated(2, cells(2).updated(10, 255 - cells(2)(10)))))
+    put("vid_z.avi", avi(cells.map(fr => fr.take(8) ++ fr.drop(8).map(255 - _))))
+    put("junk.bin", Array[Byte](9, 9, 9))
+    Pipeline.run(spark, Seq(
+      s"binaryread:in=$d:glob=*:out=media",
+      "mediadedup:in=media:key=path:out=pairs",
+      "select:in=pairs:exprs=idA;idB;kind:out=sel",
+      "csvwrite:in=sel", s"filewrite:out=$d/out.csv"))
+    def base(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    val got = readOut(s"$d/out.csv").filterNot(_ == "idA,idB,kind")
+      .map(_.split(",")).map(a => (base(a(0)), base(a(1)), a(2))).toSet
+    assert(got == Set(
+      ("img_a1.png", "img_a2.png", "image"),
+      ("aud_b1.wav", "aud_b2.wav", "audio"),
+      ("vid_c1.avi", "vid_c2.avi", "video")), got.toString)
+  }
+
   test("profile module: one-scan per-column quality report") {
     val d = tmp("profile")
     writeCsv(s"$d/in.csv", "id,name",
