@@ -213,8 +213,10 @@ object AviCodec extends MediaCodec {
     ensureDecodable(java.util.Arrays.copyOfRange(bytes, span._1, span._1 + span._2))
 
   private def decodeFrame(bytes: Array[Byte], span: (Int, Int)): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(frameBytes(bytes, span))))
-    catch { case NonFatal(_) => None }
+    // via the thread-local cached JPEG reader (ImageIoCodec.readImage):
+    // ImageIO.read's per-call registry scan serializes 32-thread frame
+    // decoding on the registry lock
+    ImageIoCodec.readImage(frameBytes(bytes, span))
 
   // ------------------------------------------------------------- codec
 
@@ -295,6 +297,14 @@ object AviCodec extends MediaCodec {
     dst
   }
 
+  // One JPEG writer per thread — ImageIO.write's per-call registry
+  // scan serializes 32-thread frame encoding on the registry lock
+  // (same issue as the read side, see ImageIoCodec.readImage).
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+  }
+
   /** JPEG-encode one frame (JDK writer always embeds its DHT, so our
     * own output never needs the Annex-K splice).
     */
@@ -303,7 +313,13 @@ object AviCodec extends MediaCodec {
       if (img.getType == BufferedImage.TYPE_INT_RGB) img
       else scaleTo(img, img.getWidth, img.getHeight)
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(rgb, "jpeg", bos)
+    val ios = ImageIO.createImageOutputStream(bos)
+    val w = jpegWriter.get()
+    try { w.setOutput(ios); w.write(rgb) }
+    catch { case NonFatal(e) =>
+      // a writer that threw has suspect state: drop it for this thread
+      jpegWriter.remove(); w.dispose(); throw e
+    } finally ios.close()
     bos.toByteArray
   }
 

@@ -81,9 +81,33 @@ object ImageIoCodec extends MediaCodec {
       } catch { case NonFatal(_) => MediaMeta(fmt, 0, 0, 0L, valid = false) }
   }
 
-  private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case NonFatal(_) => None }
+  // ImageIO.read scans the (synchronized) global plugin registry on
+  // EVERY call — with 32 executor threads decoding thousands of small
+  // frames (q149/q162) the registry lock serializes the codec work.
+  // Cache one reader per format per thread; a reader that throws is
+  // dropped (its internal state is suspect) and recreated next call.
+  private val readerCache =
+    new ThreadLocal[scala.collection.mutable.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = scala.collection.mutable.HashMap.empty
+    }
+
+  private[multimodal] def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    sniff(bytes) match {
+      case Some(fmt) =>
+        try {
+          val r = readerCache.get().getOrElseUpdate(fmt,
+            ImageIO.getImageReadersByFormatName(fmt).next())
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          try { r.setInput(iis, true, true); Option(r.read(0)) }
+          finally iis.close()
+        } catch { case NonFatal(_) =>
+          readerCache.get().remove(fmt).foreach(_.dispose())
+          None
+        }
+      case None =>
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case NonFatal(_) => None }
+    }
 
   /** g×g grid of mean luminances (0..255 scale, `NaN` for cells no
     * pixel maps into — only when w or h < g). The shared pixel pass

@@ -360,6 +360,71 @@ object Ops {
       .filter(col(rankCol) <= k).drop("__salt")
   }
 
+  /** Deterministic shuffle-shard assignment for training-data export:
+    * shard = md5(key‖seed) mod nShards, pos = rank of the same hash
+    * within the shard — a reproducible global shuffle (any engine
+    * replays it; changing `seed` reshuffles) that never does a global
+    * sort: rows move once on the shard key, order exists only WITHIN
+    * each shard. That is exactly the training-export contract (files
+    * are read sequentially per shard; cross-shard order is
+    * meaningless), so the 100 TB plan is repartition-by-shard +
+    * per-shard external sort — parallelism scales with nShards, and
+    * each shard's sort is the spillable within-partition kind, never a
+    * driver or single-stage global order. The md5 family keeps the
+    * draw portable (DuckDB replays bit-for-bit, q166).
+    */
+  def shuffleShardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                         seed: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = graft.operators.DedupPortable.md5Long(
+      org.apache.spark.sql.functions.concat(
+        col(keyCol).cast("string"), lit(seed)))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__h"), col(keyCol))) - 1).cast("int"))
+      .drop("__h")
+  }
+
+  /** Bucketed-table layout: write `df` hash-bucketed (and sorted)
+    * on `bucketCol` into the session catalog. Two tables bucketed on
+    * their join keys with the same bucket count join with ZERO
+    * exchange on either side — the scan itself reports the hash
+    * distribution Catalyst needs (ScaleSpec gates it on q165). This is
+    * the pay-once-shuffle-never-again layout for 100 TB fact-to-fact
+    * joins: the bucketed write costs one shuffle at ingest, then every
+    * subsequent co-located join (daily incremental loads joining the
+    * same keys) skips both exchanges. (The per-bucket sortBy order is
+    * written but NOT propagated to the SMJ by default on Spark ≥3 —
+    * its within-partition sorts remain, cheap over pre-sorted runs;
+    * the shuffle elision is the scale win.)
+    */
+  def bucketedWrite(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    // idempotent across SESSIONS, not just within one: the default
+    // in-memory catalog forgets managed tables on restart but their
+    // warehouse directories survive, and saveAsTable then refuses the
+    // "new" name (LOCATION_ALREADY_EXISTS). Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // repartition on the SAME hash Spark's bucketing uses, so each
+    // write task holds exactly one bucket → one file per bucket. That
+    // is what lets downstream joins trust the per-bucket sortBy order
+    // (Spark only elides SMJ sorts for single-file buckets) and is the
+    // small-files fix at scale (otherwise every write task emits a
+    // file per bucket: tasks × buckets files).
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** Deterministic EXACT-k per-stratum sample: rank rows inside each
     * stratum by md5 of their key (a uniform, engine-portable shuffle
     * order — any engine reproduces the identical sample) and keep the

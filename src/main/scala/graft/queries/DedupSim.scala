@@ -221,6 +221,10 @@ object DedupSim {
           "least(v + 8, 255), v))").as("px"))
       val imgs = px.select(($"vec_id" * 2).as("img_id"), $"px")
         .unionByName(edited)
+      // no codec repartition here: the PNG round-trip is ~0.5 ms/image,
+      // so at bench scale the few-task layout beats the extra
+      // shuffle+task overhead a 32-way spread costs (measured; q162's
+      // 4 ms/clip JPEG chain is the opposite case)
       val render = udf((p: Seq[Int]) =>
         graft.multimodal.Multimodal.renderGray8x8(p))
       val fps = graft.multimodal.Multimodal
@@ -294,8 +298,15 @@ object DedupSim {
         expr("transform(cells, (fr, f) -> if(f = cast(vec_id % 4 as int)," +
           " transform(fr, (v, j) -> if(j = cast(8 + vec_id % 52 as int)," +
           " 255 - v, v)), fr))").as("cells"))
+      // spread the codec work: the embeddings parquet is 1-2 files, so
+      // without this the ~4 ms/clip JPEG encode+decode chain runs on
+      // 1-2 tasks while 30 cores idle (measured: 10.4 s -> 2.5 s; 16
+      // partitions ties 32 with less per-stage task overhead). At
+      // 100 TB this repartition is sized by bytes/core, not a constant
+      // — Multimodal.partitionByBytes is that knob.
       val clips = cells.select(($"vec_id" * 2).as("clip_id"), $"cells")
         .unionByName(edited)
+        .repartition(16, $"clip_id")
       val mk = udf((cs: Seq[Seq[Int]]) => graft.multimodal.AviCodec.buildAvi(
         cs.map(c => graft.multimodal.AviCodec.renderBlockFrame(c)), 64, 64))
       val fh = udf((b: Array[Byte]) => graft.multimodal.AviCodec

@@ -222,6 +222,47 @@ object Operators {
     // 2-D min/max file pruning work (Ops.zorderWrite clusters on it).
     // Pure codegen'd long arithmetic, bit-identical in the oracle via
     // the generated SQL twin (Ops.zorderSql — same mask constants).
+    // Bucketed co-located join (the pay-once-shuffle-never-again
+    // layout): both sides written hash-bucketed+sorted on their join
+    // keys (Ops.bucketedWrite), then the join runs with ZERO exchange
+    // and ZERO sort on either side — the bucketed scans carry the
+    // distribution and order Catalyst needs (ScaleSpec gates it). At
+    // 100 TB this is how fact-to-fact joins on a stable key (daily
+    // loads joining the same orderkey) amortize their shuffle to
+    // ingest time. Oracle replays the join/agg relationally from the
+    // raw parquet — the layout must not change the answer.
+    "q165_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+          "l_shipdate < TIMESTAMP '1996-03-01'"))
+        .select($"l_orderkey", $"l_extendedprice")
+      val ord = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+      Ops.bucketedWrite(li, "graft_bkt_lineitem", "l_orderkey", 8)
+      Ops.bucketedWrite(ord, "graft_bkt_orders", "o_orderkey", 8)
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(round(sum($"l_extendedprice".cast("decimal(30,4)")), 2)
+            .cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Deterministic shuffle-shard export assignment (the training-data
+    // "global shuffle" that never globally sorts): md5(key‖seed) picks
+    // the shard AND the within-shard order; rows move once on the
+    // shard key, order exists only within shards — exactly the
+    // contract sharded training files need. Portable md5 family: the
+    // oracle replays shard and position bit-for-bit.
+    "q166_shuffle_shards" -> ((s, dir) => {
+      import s.implicits._
+      Ops.shuffleShardAssign(t(s, dir, "documents").select($"doc_id"),
+          "doc_id", nShards = 8, seed = "r10")
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"doc_id")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -422,6 +463,32 @@ object Operators {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // layout must not change the answer: replay the join/agg from the
+    // raw parquet tables
+    "q165_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,4))), 2)
+        |    AS DOUBLE) AS rev,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-03-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // the md5 draw replayed: same hash prefix, same mod, same
+    // within-shard rank
+    "q166_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r10'),
+        |      1, 15) AS BIGINT) AS hh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(hh % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+        |    - 1 AS INTEGER) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q34_approx_distinct" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,

@@ -545,4 +545,26 @@ class OpsSpec extends AnyFunSuite {
       .as[java.math.BigDecimal].collect()
     assert(desc.toSeq == expd.toSeq)
   }
+
+  test("shuffleShardAssign: deterministic, complete, contiguous per-shard order") {
+    val df = spark.range(1000).toDF("k")
+    val a = Ops.shuffleShardAssign(df, "k", nShards = 8, seed = "s1")
+      .select($"k", $"shard", $"pos").as[(Long, Int, Int)].collect()
+    // every row assigned, shards within range, all 8 used at n=1000
+    assert(a.length == 1000)
+    assert(a.map(_._2).toSet == (0 until 8).toSet)
+    // per-shard positions are exactly 0..n_i-1 (an export writer can
+    // trust pos as the record offset in its shard file)
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length),
+        s"shard $s positions not contiguous")
+    }
+    // deterministic replay; different seed = different permutation
+    val b = Ops.shuffleShardAssign(df, "k", 8, "s1")
+      .select($"k", $"shard", $"pos").as[(Long, Int, Int)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    val c = Ops.shuffleShardAssign(df, "k", 8, "s2")
+      .select($"k", $"shard", $"pos").as[(Long, Int, Int)].collect()
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
 }

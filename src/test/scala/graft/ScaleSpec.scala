@@ -409,6 +409,38 @@ class ScaleSpec extends AnyFunSuite {
       s"max-sales threshold is not a scalar subquery:\n$plan")
   }
 
+  test("bucketed join: the layout carries the distribution — no exchange on join keys") {
+    // force the SMJ path (at verify scale the small side would
+    // broadcast, which also skips exchanges but proves nothing about
+    // the bucketed layout)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(SparkEntry.queries("q165_bucketed_join")(spark, sf))
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the only exchanges allowed are the agg/orderBy above the join;
+      // a join-key exchange means the bucketed layout was ignored.
+      // (The SMJ's within-partition Sorts remain: Spark ≥3 does not
+      // propagate bucket sortBy order without the legacy
+      // bucketedTableScan.outputOrdering flag — the shuffle elision is
+      // the scale win; sorting already-sorted partitions is the cheap
+      // linear-merge case.)
+      assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+        .findFirstIn(plan).isEmpty,
+        s"bucketed join still shuffles a join key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("shuffle-shard assignment partitions by shard, never single-partitions") {
+    // the within-shard rank must window on shard (rows move once, on
+    // the shard key) — an unpartitioned window here would be the
+    // global sort this operator exists to avoid
+    val plan = executed(SparkEntry.queries("q166_shuffle_shards")(spark, sf))
+    val rn = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("shard")),
+      s"shard window lost its partition key:\n$plan")
+  }
+
   test("explode_outer preserves empty-array rows (one output row per doc)") {
     val df = SparkEntry.queries("q153_explode_outer")(spark, sf)
     val plan = executed(df)
