@@ -832,6 +832,25 @@ object Relational {
       s.sql(Q87ShapeText)
     }),
 
+    // Pivot + unpivot battery: RelationalGroupedDataset.pivot with
+    // EXPLICIT values (the two-pass distinct-discovery variant is the
+    // anti-pattern at 100 TB — declared values keep it one pass) into
+    // a stack() melt straight back to long form, round-tripping both
+    // reshape directions in one plan; absent (priority, status) cells
+    // surface as the NULLs unpivot must preserve. Oracle replays pivot
+    // as conditional aggregation and unpivot as a cross-joined CASE.
+    "q167_pivot_battery" -> ((s, dir) => {
+      import s.implicits._
+      val pv = t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum($"o_totalprice".cast("decimal(30,4)")), 2)
+          .cast("double"))
+      pv.select($"o_orderpriority", expr(
+          "stack(3, 'F', F, 'O', O, 'P', P) as (status, rev)"))
+        .orderBy($"o_orderpriority", $"status")
+    }),
+
     // TPC-DS Q72 shape: fact-to-fact join with date-range/quantity
     // residual + broadcast dim chain (see Q72ShapeText, shared
     // verbatim with the oracle).
@@ -1822,6 +1841,25 @@ object Relational {
     "q152_tpcds_q87_shape" -> Q87ShapeText,
     "q163_tpcds_q72_shape" -> Q72ShapeText,
     "q164_tpcds_q23_shape" -> Q23ShapeText,
+
+    "q167_pivot_battery" ->
+      """WITH pv AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,4)) END), 2)
+        |      AS DOUBLE) AS vf,
+        |    CAST(round(sum(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,4)) END), 2)
+        |      AS DOUBLE) AS vo,
+        |    CAST(round(sum(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(o_totalprice AS DECIMAL(30,4)) END), 2)
+        |      AS DOUBLE) AS vp
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, s.status,
+        |  CASE s.status WHEN 'F' THEN vf WHEN 'O' THEN vo ELSE vp END AS rev
+        |FROM pv CROSS JOIN
+        |  (SELECT unnest(['F', 'O', 'P']) AS status) s
+        |ORDER BY o_orderpriority, status""".stripMargin,
 
     "q160_struct_battery" ->
       """SELECT o_orderkey,
