@@ -387,6 +387,50 @@ object Ops {
       .drop("__h")
   }
 
+  /** Relational PageRank — iterative graph centrality as pure
+    * joins/aggregates, no graph library: each round every node's rank
+    * flows to its out-neighbors as r/deg, summed at the receiver, then
+    * damped (r' = (1-d)/n + d·Σ). Scale shape per round: ONE
+    * co-partitioned join of edges⋈ranks on src (both shuffle on the
+    * node key — at scale pre-bucket both on node id and even that
+    * shuffle disappears, see [[bucketedWrite]]) and one hash-agg on
+    * dst; rank state is 2 longs+1 double per node, never adjacency
+    * lists, so hub nodes cost nothing special. Determinism for the
+    * oracle: contributions are cast to decimal(30,15) BEFORE the sum
+    * (decimal addition is order-independent; a double sum would vary
+    * with partitioning), and the per-row double arithmetic
+    * ((1-d)/n + d·x, r/deg) is identical IEEE in any engine. A double
+    * can never land exactly on a scale-15 decimal tie (ties have
+    * factor 5^15 denominators — not dyadic), so the double→decimal
+    * rounding is also engine-independent. Caller guarantees every
+    * node has ≥1 out-edge (symmetric edge sets do) — dangling-mass
+    * redistribution is deliberately out of scope.
+    *
+    * `edges` = (src long, dst long), deduplicated. Returns (id, r).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = e.select(col("src")).distinct().count()
+    var ranks = e.select(col("src").as("id")).distinct()
+      .withColumn("r", lit(1.0) / lit(n))
+    for (_ <- 1 to iters) {
+      ranks = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg((lit(1.0 - damping) / lit(n) + lit(damping) *
+          sum((col("r") / col("d")).cast("decimal(30,15)")).cast("double"))
+          .as("r"))
+        .select(col("id"), col("r"))
+    }
+    ranks
+  }
+
   /** Bucketed-table layout: write `df` hash-bucketed (and sorted)
     * on `bucketCol` into the session catalog. Two tables bucketed on
     * their join keys with the same bucket count join with ZERO

@@ -222,6 +222,31 @@ object Operators {
     // 2-D min/max file pruning work (Ops.zorderWrite clusters on it).
     // Pure codegen'd long arithmetic, bit-identical in the oracle via
     // the generated SQL twin (Ops.zorderSql — same mask constants).
+    // Relational PageRank (3 damped iterations) over the bipartite
+    // customer↔supplier trade graph (node ids parity-disambiguated:
+    // cust*2, supp*2+1; symmetric edges so no dangling mass). Each
+    // round is ONE edges⋈ranks join + one hash-agg — no graph library,
+    // no adjacency lists, hubs cost nothing special. Contributions sum
+    // as decimal(30,15) (order-independent) and the per-row double
+    // arithmetic is identical IEEE in any engine, so 3 unrolled rounds
+    // replay hash-exact in the oracle; output is floor(r·1e10) — floor
+    // has no rounding convention to diverge on.
+    "q168_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+        .distinct()
+        .persist() // both union branches read it; unpersisted by the
+                   // harness cache clear (Verify per-query, Bench per-sample)
+      val edges = pairs.select($"c".as("src"), $"p".as("dst"))
+        .unionByName(pairs.select($"p".as("src"), $"c".as("dst")))
+      Ops.pageRank(edges, iters = 3)
+        .select($"id", expr("cast(floor(r * 1e10) as bigint)").as("r_e10"))
+        .orderBy($"r_e10".desc, $"id").limit(100)
+        .orderBy($"r_e10".desc, $"id")
+    }),
+
     // Bucketed co-located join (the pay-once-shuffle-never-again
     // layout): both sides written hash-bucketed+sorted on their join
     // keys (Ops.bucketedWrite), then the join runs with ZERO exchange
@@ -462,7 +487,41 @@ object Operators {
     })
   )
 
+  /** q168 oracle: the 3 PageRank rounds unrolled as CTEs — same
+    * decimal-exact contribution sums, same IEEE double damping
+    * arithmetic, same floor output (see Ops.pageRank's determinism
+    * notes).
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt
+         |      + CAST(0.85 AS DOUBLE) *
+         |        CAST(sum(CAST(rr.r / deg.d AS DECIMAL(30,15))) AS DOUBLE)
+         |      AS r
+         |  FROM edges e JOIN r${i - 1} rr ON rr.id = e.src
+         |  JOIN deg ON deg.src = e.src CROSS JOIN nn
+         |  GROUP BY e.dst, cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p, c FROM pairs),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |nn AS (SELECT count(DISTINCT src) AS cnt FROM edges),
+       |r0 AS (
+       |  SELECT DISTINCT src AS id, CAST(1 AS DOUBLE) / cnt AS r
+       |  FROM edges CROSS JOIN nn),
+       |$rounds
+       |SELECT id, CAST(floor(r * 1e10) AS BIGINT) AS r_e10
+       |FROM r$iters ORDER BY r_e10 DESC, id LIMIT 100""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q168_pagerank" -> pageRankOracleSql(3),
     // layout must not change the answer: replay the join/agg from the
     // raw parquet tables
     "q165_bucketed_join" ->

@@ -431,6 +431,18 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pagerank rounds are equi-join + hash-agg: no cartesian, no NLJ, no windows") {
+    // each damped round must be the edges⋈ranks co-partitioned join
+    // plus a dst hash-agg — a cartesian, nested loop, or rank window
+    // anywhere would break the O(E) per-round contract
+    val plan = executed(SparkEntry.queries("q168_pagerank")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), s"pagerank grew a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 did not compile to TakeOrdered:\n$plan")
+  }
+
   test("shuffle-shard assignment partitions by shard, never single-partitions") {
     // the within-shard rank must window on shard (rows move once, on
     // the shard key) — an unpartitioned window here would be the
