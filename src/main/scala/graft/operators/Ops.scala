@@ -387,6 +387,35 @@ object Ops {
       .drop("__h")
   }
 
+  /** The physical half of [[shuffleShardAssign]]: actually WRITE the
+    * shuffled shards — one parquet directory per shard, rows inside
+    * each file in the md5 draw order. repartition on the shard value
+    * puts exactly one shard per write task (same hash both sides), so
+    * `partitionBy` emits one file per shard and the
+    * within-partition sort IS the file order (the projection that
+    * drops the hash column is narrow — order survives). This is the
+    * training-export endgame: reproducible global shuffle, nShards-way
+    * parallel, no global sort, no driver involvement.
+    */
+  def shuffledShardedWrite(df: DataFrame, keyCol: String, nShards: Int,
+                           outDir: String, seed: String = ""): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = graft.operators.DedupPortable.md5Long(
+      org.apache.spark.sql.functions.concat(
+        col(keyCol).cast("string"), lit(seed)))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      // shard FIRST: the partitionBy write path requires ordering by
+      // the partition columns and inserts its own (unstable) sort when
+      // the child's ordering doesn't start with them — which would
+      // silently discard the draw order. With shard leading, our
+      // ordering satisfies the writer's requirement and survives.
+      .sortWithinPartitions(col("shard"), col("__h"), col(keyCol))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Relational PageRank — iterative graph centrality as pure
     * joins/aggregates, no graph library: each round every node's rank
     * flows to its out-neighbors as r/deg, summed at the receiver, then

@@ -1738,6 +1738,37 @@ object Pipeline {
           df, m.args.getOrElse("col", "content")), RowType)
       }),
 
+    // Deterministic shuffle-shard assignment from the DSL: adds
+    // shard + pos (md5(key‖seed) draw — Ops.shuffleShardAssign), the
+    // reproducible training-export shuffle. Use sink modules (or
+    // Ops.shuffledShardedWrite) to materialize the shard files.
+    Registered("shuffleshard", RowType, RowType,
+      "in=STREAM:key=COL:shards=N:seed=S:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("shuffleshard: key= required"))
+        val n = m.args.getOrElse("shards", "8").toInt
+        if (n < 1) throw new BuildError(s"shuffleshard: shards must be >= 1, got $n")
+        ctx.writeStream(m, graft.operators.Ops.shuffleShardAssign(
+          df, key, n, m.args.getOrElse("seed", "")), RowType)
+      }),
+
+    // Relational PageRank from the DSL: in= is an edge stream with
+    // src=/dst= columns; emits (id, r). Symmetric/complete out-degree
+    // is the caller's contract (Ops.pageRank scaladoc).
+    Registered("pagerank", RowType, RowType,
+      "in=STREAM:src=COL:dst=COL:iters=3:damping=0.85:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val iters = m.args.getOrElse("iters", "3").toInt
+        if (iters < 0) throw new BuildError(s"pagerank: iters must be >= 0, got $iters")
+        val edges = df.select(
+          col(m.args.getOrElse("src", "src")).as("src"),
+          col(m.args.getOrElse("dst", "dst")).as("dst"))
+        ctx.writeStream(m, graft.operators.Ops.pageRank(edges, iters,
+          m.args.getOrElse("damping", "0.85").toDouble), RowType)
+      }),
+
     // Mixed-corpus media near-dup pairs from the DSL: sniff each
     // payload, dispatch stills/WAV to the banded-hamming fingerprint
     // join and MJPEG/AVI to the positional frame-hash join, union the

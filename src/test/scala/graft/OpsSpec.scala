@@ -567,4 +567,23 @@ class OpsSpec extends AnyFunSuite {
       .select($"k", $"shard", $"pos").as[(Long, Int, Int)].collect()
     assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
   }
+
+  test("shuffledShardedWrite: file order IS the assignment order, one file per shard") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = spark.range(500).toDF("k").withColumn("payload", $"k" * 7)
+    Ops.shuffledShardedWrite(df, "k", nShards = 4, out, seed = "s1")
+    val want = Ops.shuffleShardAssign(df, "k", 4, "s1")
+      .select($"shard", $"pos", $"k").as[(Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0 until 4).foreach { s =>
+      val dir = new java.io.File(s"$out/shard=$s")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+      // parquet preserves in-file row order: reading the single file
+      // back must reproduce the md5 draw order exactly
+      val got = spark.read.parquet(files.head.toString)
+        .select($"k").as[Long].collect().toSeq
+      assert(got == want(s), s"shard $s order mismatch")
+    }
+  }
 }

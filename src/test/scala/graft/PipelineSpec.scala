@@ -361,6 +361,7 @@ class PipelineSpec extends AnyFunSuite {
       "gzip", "gunzip", "column", "ndb",
       "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
       "asofjoin", "rangejoin", "dedupnear", "dedupcluster", "survivor",
+      "shuffleshard", "pagerank", "mediadedup",
       "parquetread", "parquetwrite", "orcread", "orcwrite",
       "jdbcselect", "jdbcinsert",
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
@@ -418,6 +419,42 @@ class PipelineSpec extends AnyFunSuite {
       s"fileread:in=$d/in.ndjson", "ndjsonread:out=dx",
       "survivor:in=dx:clusters=nosuch:key=id:text=body",
       "csvwrite", s"filewrite:out=$d/x.csv")))
+  }
+
+  test("shuffleshard + pagerank modules: export draw and centrality from the DSL") {
+    val d = tmp("shardpr")
+    writeCsv(s"$d/in.csv", ("id,v" +: (1 to 20).map(i => s"$i,x$i")): _*)
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=rows",
+      "shuffleshard:in=rows:key=id:shards=4:seed=t:out=sharded",
+      "select:in=sharded:exprs=id;shard;pos:out=sel",
+      "sort:in=sel:by=id:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/out.csv"))
+    val rows = readOut(s"$d/out.csv").filterNot(_ == "id,shard,pos")
+      .map(_.split(",")).map(a => (a(0).toInt, a(1).toInt, a(2).toInt))
+    assert(rows.length == 20 && rows.map(_._2).forall(s => s >= 0 && s < 4))
+    // matches the operator's draw exactly
+    import spark.implicits._
+    val want = graft.operators.Ops.shuffleShardAssign(
+        (1 to 20).map(_.toLong).toDF("id"), "id", 4, "t")
+      .select($"id", $"shard", $"pos").as[(Long, Int, Int)].collect()
+      .map(t => (t._1.toInt, t._2, t._3)).sortBy(_._1).toSeq
+    assert(rows.sortBy(_._1) == want)
+
+    // pagerank over a 3-node symmetric path a-b-c: b is the center and
+    // must rank strictly highest; ranks sum to ~1
+    writeCsv(s"$d/edges.csv", "src,dst",
+      "1,2", "2,1", "2,3", "3,2")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e",
+      "pagerank:in=e:iters=5:out=pr",
+      "sort:in=pr:by=id:out=sorted2",
+      "csvwrite:in=sorted2", s"filewrite:out=$d/pr.csv"))
+    val pr = readOut(s"$d/pr.csv").filterNot(_ == "id,r")
+      .map(_.split(",")).map(a => (a(0).toInt, a(1).toDouble)).toMap
+    assert(pr.keySet == Set(1, 2, 3))
+    assert(pr(2) > pr(1) && pr(2) > pr(3), pr.toString)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.toString)
   }
 
   test("mediadedup module: mixed image/audio/video corpus pairs per modality") {
