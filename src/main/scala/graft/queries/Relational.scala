@@ -832,6 +832,30 @@ object Relational {
       s.sql(Q87ShapeText)
     }),
 
+    // Datetime battery: the calendar arithmetic q14's basics skip —
+    // quarter/ISO week/day-of-week numbering, month arithmetic with
+    // end-of-month clamping (add_months/last_day), day arithmetic,
+    // epoch extraction, day differences. Each engine's convention
+    // divergence is reconciled IN THE ORACLE (DuckDB dayofweek is
+    // 0=Sunday vs Spark's 1=Sunday, etc.) so the values pin Spark's
+    // documented semantics.
+    "q169_datetime_battery" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").filter($"o_orderkey" < 2000)
+        .select($"o_orderkey",
+          to_date($"o_orderdate").as("d"),
+          quarter($"o_orderdate").cast("int").as("qtr"),
+          weekofyear($"o_orderdate").cast("int").as("isowk"),
+          dayofweek($"o_orderdate").cast("int").as("dow"),
+          add_months(to_date($"o_orderdate"), 2).as("plus2m"),
+          last_day(to_date($"o_orderdate")).as("eom"),
+          date_add(to_date($"o_orderdate"), 45).as("plus45d"),
+          unix_timestamp($"o_orderdate").as("epoch_s"),
+          datediff(to_date(lit("1998-01-01")), to_date($"o_orderdate"))
+            .cast("int").as("days_to_98"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Pivot + unpivot battery: RelationalGroupedDataset.pivot with
     // EXPLICIT values (the two-pass distinct-discovery variant is the
     // anti-pattern at 100 TB — declared values keep it one pass) into
@@ -1841,6 +1865,22 @@ object Relational {
     "q152_tpcds_q87_shape" -> Q87ShapeText,
     "q163_tpcds_q72_shape" -> Q72ShapeText,
     "q164_tpcds_q23_shape" -> Q23ShapeText,
+
+    "q169_datetime_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS isowk,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+        |    AS plus2m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(o_orderdate AS DATE) + 45 AS plus45d,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    DATE '1998-01-01') AS INTEGER) AS days_to_98
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q167_pivot_battery" ->
       """WITH pv AS (
