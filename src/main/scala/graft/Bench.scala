@@ -126,6 +126,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // absolute: managed tables (q165 bucketed layout) must land
+      // inside the repo regardless of the launcher's cwd
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/file-listing paths so the first measured

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // absolute: managed tables (q165 bucketed layout) must land
+      // inside the repo regardless of the launcher's cwd
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
