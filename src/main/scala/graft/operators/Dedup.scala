@@ -645,4 +645,83 @@ object Dedup {
     incrementalVerdicts(ch, bandedOf(ch), dh, db,
       delta.select(col(idCol).as("id")), threshold, maxBucket)
   }
+
+  /** EXACT all-pairs Jaccard similarity self-join via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08). The exact complement to the probabilistic-recall LSH
+    * family above: the output is EVERY unordered pair with word-set
+    * Jaccard >= threshold — zero false negatives by construction —
+    * yet no stage of the plan is quadratic in the corpus.
+    *
+    * Why it is exact: order all tokens by a global total order
+    * (document frequency asc, token asc — rare first). For a doc with
+    * n distinct tokens the prefix is its first n - ceil(t*n) + 1
+    * tokens. For any pair with jaccard >= t the intersection size i
+    * satisfies i >= ceil(t * max(na, nb)); the MINIMAL common token w
+    * must sit inside BOTH prefixes — if w were in A's suffix (its
+    * largest ceil(t*na) - 1 tokens), every common token (all >= w in
+    * the order) would also be, but the suffix has fewer slots than i.
+    * So a prefix-token equi-join finds every qualifying pair.
+    *
+    * Scale shape (each stage an equi-join or hash-agg):
+    *  1. one hash-agg computes global df per token (rare-first order);
+    *  2. one shuffle by id rebuilds each doc's tokens sorted
+    *     rare-first (sort_array over (df, tok) structs);
+    *  3. candidates = self equi-join of exploded PREFIX tokens — the
+    *     rarest tokens carry the join, so hot common words never
+    *     enter the shuffle; the symmetric length filter
+    *     t*max(na,nb) <= min(na,nb) prunes before verify (loosened by
+    *     1e-9 so double rounding can never drop a boundary pair);
+    *  4. exact verify joins the full token arrays back for surviving
+    *     candidate ids only (arrays never ride the candidate shuffle)
+    *     and computes |A∩B| / |A∪B| with array_intersect.
+    * At 100 TB the refinement knob is the positional filter (PPJoin's
+    * per-token position bound), not the plan shape.
+    *
+    * Returns (idA, idB, jac) with idA < idB and raw double jac.
+    * The reference has no fuzzy join at all (dbitool.pl's only dedup
+    * is last-write-wins by key, dbitool.pl:2680-2681) — north-star
+    * extension work.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        array_distinct(filter(split(col(textCol), " "), t => t =!= ""))
+          .as("toks"))
+      .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+    // 1-2: global rare-first order, then per-doc rare-first arrays.
+    val dfreq = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = toks.select(col("id"), col("n"), explode(col("toks")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy(col("id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"), col("n"),
+        transform(col("st"), s => s("tok")).as("sorted"))
+      .withColumn("p",
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3: prefix-prefix candidate equi-join.
+    val pre = ordered.select(col("id"), col("n"),
+      explode(slice(col("sorted"), lit(1), col("p"))).as("tok"))
+    val cand = pre.select(col("tok"), col("id").as("idA"), col("n").as("nA"))
+      .join(pre.select(col("tok"), col("id").as("idB"), col("n").as("nB")), "tok")
+      .filter(col("idA") < col("idB"))
+      .filter(least(col("nA"), col("nB")).cast("double") >=
+        lit(threshold) * greatest(col("nA"), col("nB")) - lit(1e-9))
+      .select(col("idA"), col("idB")).distinct()
+    // 4: exact verify on full arrays, candidates only.
+    cand
+      .join(ordered.select(col("id").as("idA"), col("sorted").as("ta"),
+        col("n").as("na")), "idA")
+      .join(ordered.select(col("id").as("idB"), col("sorted").as("tb"),
+        col("n").as("nb")), "idB")
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= threshold)
+      .select(col("idA"), col("idB"), col("jac"))
+  }
 }

@@ -556,6 +556,22 @@ object DedupSim {
       c2.join(sizes, "cluster")
         .select($"cluster", $"n", $"pos", round($"c", 4).as("v"))
         .orderBy($"cluster", $"pos")
+    }),
+
+    // EXACT Jaccard similarity self-join via prefix filtering
+    // (AllPairs/PPJoin family): every pair with word-set jaccard
+    // >= 0.9, zero false negatives, no quadratic stage — the exact
+    // complement to q51's probabilistic LSH. The rarest tokens carry
+    // the candidate equi-join; hot common words never enter the
+    // shuffle. Oracle: the definitionally-exact shared-token
+    // all-pairs replay (bounded at sf0.01; the Spark plan is the one
+    // that survives 100 TB).
+    "q170_prefix_jaccard_join" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.9)
+        .select($"idA", $"idB", round($"jac", 4).as("jac"))
+        .orderBy($"idA", $"idB")
     })
   )
 
@@ -626,6 +642,27 @@ object DedupSim {
       |      i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Definitionally-exact replay of q170: ALL pairs sharing >= 1
+    // token, exact |A∩B|/|A∪B|. Quadratic in shared-token df — fine
+    // at sf0.01, which is the point of the prefix-filter plan.
+    "q170_prefix_jaccard_join" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+        |  FROM tok2 a JOIN tok2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT idA, idB, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        |  FROM inter
+        |  JOIN sz sa ON sa.doc_id = inter.idA
+        |  JOIN sz sb ON sb.doc_id = inter.idB)
+        |SELECT idA, idB, round(jac, 4) AS jac
+        |FROM j WHERE jac >= 0.9 ORDER BY idA, idB""".stripMargin,
+
     "q59_embed_centroid" ->
       """SELECT label, i - 1 AS pos, round(avg(CAST(e AS DOUBLE)), 4) AS v
         |FROM (SELECT label, unnest(embedding) AS e,

@@ -35,6 +35,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(lsh.forall { case (a, b) => a < b })
   }
 
+  test("prefix-filter jaccard join is EXACT: equals brute force, pairs and values") {
+    // ground truth: all-pairs word-token jaccard (bounded test corpus)
+    val d = docs.select($"doc_id",
+      array_distinct(filter(split($"text", " "), t => t =!= "")).as("tk"))
+      .filter(size($"tk") > 0)
+    val brute = d.select($"doc_id".as("idA"), $"tk".as("ta"))
+      .crossJoin(d.select($"doc_id".as("idB"), $"tk".as("tb")))
+      .filter($"idA" < $"idB")
+      .withColumn("i", size(array_intersect($"ta", $"tb")))
+      .withColumn("jac",
+        $"i".cast("double") / (size($"ta") + size($"tb") - $"i"))
+      .filter($"jac" >= 0.7)
+      .select($"idA", $"idB", $"jac")
+      .as[(Long, Long, Double)].collect().toSet
+    val pf = Dedup.prefixJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "test corpus should contain similar pairs")
+    assert(pf === brute, // exact: same pairs, bit-equal jaccard doubles
+      s"missing=${(brute -- pf).take(5)} extra=${(pf -- brute).take(5)}")
+  }
+
   test("simhash finds the high-jaccard families") {
     val sim = Dedup.simhashDuplicatePairs(docs, "doc_id", "text", maxDist = 3)
     val found = sim.select($"idA", $"idB").as[(Long, Long)].collect().toSet

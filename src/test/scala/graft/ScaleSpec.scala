@@ -74,6 +74,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("prefix-filter jaccard join: equi-join shaped end to end") {
+    // q170 is EXACT all-pairs similarity — the gate proves the plan
+    // still never goes quadratic: candidates ride a prefix-token
+    // equi-join, verify is an id equi-join, nothing cartesian.
+    val plan = executed(
+      SparkEntry.queries("q170_prefix_jaccard_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhash LSH is equi-join shaped: no cartesian, no nested loop") {
     val plan = executed(SparkEntry.queries("q51_minhash_lsh")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
