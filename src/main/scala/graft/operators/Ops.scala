@@ -894,4 +894,49 @@ object Ops {
       .unionByName(untouchedOpen.select(outCols: _*))
       .unionByName(versioned)
   }
+
+  /** Signed contribution rows from a `snapshotDiff`-shaped CDC stream
+    * for a `groupBy(group).agg(count, sum(measure))` materialized
+    * view: insert → (+1, +new), delete → (-1, -old), update → BOTH
+    * (-1, -old) on the old group and (+1, +new) on the new group, so
+    * updates that MOVE a row between groups regroup correctly.
+    * Measures are cast per-row to decimal(30,4) — distributive-agg
+    * maintenance is only exact under exact arithmetic (double sums
+    * would drift from the recompute by accumulation order).
+    * Output: (group, dn: long, dsum: decimal).
+    */
+  def cdcAggContributions(cdc: DataFrame, group: String,
+                          measure: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(30,4)")
+    val neg = cdc.filter(col("change_type").isin("delete", "update"))
+      .select(col(s"old_$group").as("group"), lit(-1L).as("dn"),
+        (-dec(col(s"old_$measure"))).as("dsum"))
+    val pos = cdc.filter(col("change_type").isin("insert", "update"))
+      .select(col(s"new_$group").as("group"), lit(1L).as("dn"),
+        dec(col(s"new_$measure")).as("dsum"))
+    neg.unionByName(pos).withColumnRenamed("group", group)
+  }
+
+  /** Incremental maintenance of a keyed count/sum aggregate — the
+    * 100 TB story: the BASE FACT is never rescanned; the merge reads
+    * only the (small) base AGGREGATE plus the day's CDC
+    * contributions, one hash-agg over their union, and groups whose
+    * count reaches zero drop out of the view. Because count and
+    * decimal sum are commutative-associative and exact, the merged
+    * view is BIT-EQUAL to a full recompute over the new snapshot
+    * (q171's oracle proves it against DuckDB's direct recompute).
+    * `baseAgg` columns: (group, cnt, sum) named by the params;
+    * `contribs` is `cdcAggContributions` output.
+    */
+  def incrementalAggMerge(baseAgg: DataFrame, contribs: DataFrame,
+                          group: String, cntCol: String,
+                          sumCol: String): DataFrame = {
+    baseAgg.select(col(group), col(cntCol).as("dn"),
+        col(sumCol).cast("decimal(30,4)").as("dsum"))
+      .unionByName(contribs.select(col(group), col("dn"), col("dsum")))
+      .groupBy(col(group))
+      .agg(sum(col("dn")).as(cntCol),
+        sum(col("dsum")).cast("decimal(30,4)").as(sumCol))
+      .filter(col(cntCol) > 0)
+  }
 }

@@ -288,6 +288,38 @@ object Operators {
         .orderBy($"doc_id")
     }),
 
+    // Incremental materialized-view maintenance: the per-customer
+    // order count/revenue view is advanced from yesterday's snapshot
+    // to today's by MERGING the base AGGREGATE with the day's CDC
+    // deltas — the base fact is never rescanned (the avoid-rescanning-
+    // 100-TB path). Snapshots are carved deterministically from
+    // orders: s1 drops keys %10=0 (→ inserts today), s2 drops keys
+    // %13=0 (→ deletes) and reprices keys %7=0 (+100 → updates). The
+    // oracle recomputes the view DIRECTLY from the s2 definition —
+    // equality proves the delta algebra, including groups that drop
+    // to zero and updates that change the measure.
+    "q171_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val s1 = o.filter($"o_orderkey" % 10 =!= 0)
+      val s2 = o.filter($"o_orderkey" % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" + 100.0)
+            .otherwise($"o_totalprice"))
+      val baseAgg = s1.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(30,4)")).as("rev"))
+      val cdc = Ops.snapshotDiff(s1, s2, "o_orderkey",
+        Seq("o_custkey", "o_totalprice"))
+      val contribs = Ops.cdcAggContributions(cdc, "o_custkey", "o_totalprice")
+      Ops.incrementalAggMerge(baseAgg, contribs,
+          "o_custkey", "n_orders", "rev")
+        .select($"o_custkey", $"n_orders",
+          round($"rev", 2).cast("double").as("rev"))
+        .orderBy($"o_custkey")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -522,6 +554,19 @@ object Operators {
 
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
+
+    // direct recompute of today's snapshot — the incremental merge
+    // must land on the identical view
+    "q171_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS DECIMAL(30,4))), 2)
+        |    AS DOUBLE) AS rev
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     // layout must not change the answer: replay the join/agg from the
     // raw parquet tables
     "q165_bucketed_join" ->

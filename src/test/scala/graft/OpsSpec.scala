@@ -418,6 +418,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head.getString(1) == "update")
   }
 
+  test("incremental agg merge == direct recompute: moves, reprices, group drop") {
+    // snapshots keyed by id; group g, measure m. Between s1 and s2:
+    //   id 1 repriced in place; id 2 MOVES group a→b; id 3 deleted
+    //   (dropping group c to zero rows); id 5 inserted into new group d
+    val s1 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "c", 5.0),
+      (4L, "b", 7.0)).toDF("id", "g", "m")
+    val s2 = Seq((1L, "a", 11.5), (2L, "b", 20.0), (4L, "b", 7.0),
+      (5L, "d", 3.25)).toDF("id", "g", "m")
+    val base = s1.groupBy($"g").agg(count(lit(1)).as("n"),
+      sum($"m".cast("decimal(30,4)")).as("s"))
+    val cdc = Ops.snapshotDiff(s1, s2, "id", Seq("g", "m"))
+    val merged = Ops.incrementalAggMerge(base,
+        Ops.cdcAggContributions(cdc, "g", "m"), "g", "n", "s")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    val direct = s2.groupBy($"g").agg(count(lit(1)).as("n"),
+        sum($"m".cast("decimal(30,4)")).as("s"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    assert(merged == direct)
+    assert(!merged.exists(_._1 == "c"), "emptied group must drop from the view")
+  }
+
   // --- KMV sketch ---
 
   private def kmvOf(df: org.apache.spark.sql.DataFrame, k: Int) = {
