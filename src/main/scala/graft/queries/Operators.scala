@@ -320,6 +320,22 @@ object Operators {
         .orderBy($"o_custkey")
     }),
 
+    // Per-node triangle counts over the supplier co-occurrence graph
+    // (edge = two suppliers serving the same order): degree-ordered
+    // orientation keeps wedge generation near O(m^1.5) — hubs receive
+    // edges instead of fanning out deg² wedges. Oracle: the
+    // definitional a<b<c triple self-join, which the orientation plan
+    // must reproduce exactly.
+    "q172_triangle_count" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val edges = li.select($"l_orderkey", $"l_suppkey".as("u"))
+        .join(li.select($"l_orderkey", $"l_suppkey".as("v")), "l_orderkey")
+        .filter($"u" < $"v").select($"u", $"v").distinct()
+      Ops.triangleCounts(edges).orderBy($"node")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -554,6 +570,21 @@ object Operators {
 
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
+
+    // definitional triangle enumeration: a<b<c triple join over the
+    // undirected edge set
+    "q172_triangle_count" ->
+      """WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |      FROM s a JOIN s b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     // direct recompute of today's snapshot — the incremental merge
     // must land on the identical view

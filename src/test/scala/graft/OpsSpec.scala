@@ -443,6 +443,18 @@ class OpsSpec extends AnyFunSuite {
     assert(!merged.exists(_._1 == "c"), "emptied group must drop from the view")
   }
 
+  test("triangleCounts: K4, pendant, star — each triangle once, hubs included") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3), pendant 4-5
+    // (no triangle), star 10-{11,12,13} (no triangle among leaves)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("u", "v")
+    val got = Ops.triangleCounts(edges).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   // --- KMV sketch ---
 
   private def kmvOf(df: org.apache.spark.sql.DataFrame, k: Int) = {
