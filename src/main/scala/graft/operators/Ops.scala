@@ -895,6 +895,38 @@ object Ops {
       .unionByName(versioned)
   }
 
+  /** Flatten a parent-pointer hierarchy to (id, root, depth) by
+    * POINTER DOUBLING: each round a row's known ancestor jumps to
+    * that ancestor's known ancestor, so k equi-join rounds resolve
+    * chains up to 2^k deep — the 100 TB replacement for the
+    * depth-many self-joins a naive walk (or a recursive CTE, which
+    * Spark lacks) would cost. Each round is ONE shuffle on the
+    * ancestor key.
+    *
+    * `nodes`: (id: long, parent: long, parent NULL = root).
+    * CONTRACT: every non-null parent must itself appear as an id
+    * (broken chains would surface as null-extended join rows); rounds
+    * must satisfy 2^rounds >= max depth — unresolved rows keep
+    * done=false and report their deepest reached ancestor, which the
+    * oracle equality would catch.
+    */
+  def flattenHierarchy(nodes: DataFrame, rounds: Int): DataFrame = {
+    var st = nodes.select(col("id"),
+      coalesce(col("parent"), col("id")).as("anc"),
+      when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("d"),
+      col("parent").isNull.as("done"))
+    for (_ <- 1 to rounds) {
+      val other = st.select(col("id").as("anc"), col("anc").as("anc2"),
+        col("d").as("d2"), col("done").as("done2"))
+      st = st.join(other, Seq("anc"))
+        .select(col("id"),
+          when(col("done"), col("anc")).otherwise(col("anc2")).as("anc"),
+          when(col("done"), col("d")).otherwise(col("d") + col("d2")).as("d"),
+          (col("done") || col("done2")).as("done"))
+    }
+    st.select(col("id"), col("anc").as("root"), col("d").as("depth"))
+  }
+
   /** Per-node triangle counts over an undirected simple graph, via
     * degree-ordered orientation — the classic bound that keeps
     * triangle enumeration near O(m^1.5) instead of Σ deg² (Chiba–

@@ -336,6 +336,19 @@ object Operators {
       Ops.triangleCounts(edges).orderBy($"node")
     }),
 
+    // Hierarchy flattening by pointer doubling: the deterministic
+    // decimal-digit forest over custkeys (parent = key/10, keys < 10
+    // are roots) resolved to (root, depth) in log-depth join rounds —
+    // 4 rounds cover chains 16 deep, where a recursive walk would
+    // cost one join PER LEVEL. Oracle: DuckDB recursive CTE.
+    "q173_hierarchy_flatten" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = t(s, dir, "customer").select($"c_custkey".as("id"),
+        when($"c_custkey" >= 10, floor($"c_custkey" / 10)).as("parent"))
+      Ops.flattenHierarchy(nodes, rounds = 4)
+        .select($"id", $"root", $"depth").orderBy($"id")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -570,6 +583,16 @@ object Operators {
 
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
+
+    // the recursive walk the pointer-doubling plan replaces
+    "q173_hierarchy_flatten" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS cur, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT id, cur // 10 AS cur, depth + 1 AS depth
+        |  FROM walk WHERE cur >= 10)
+        |SELECT id, cur AS root, CAST(depth AS BIGINT) AS depth
+        |FROM walk WHERE cur < 10 ORDER BY id""".stripMargin,
 
     // definitional triangle enumeration: a<b<c triple join over the
     // undirected edge set

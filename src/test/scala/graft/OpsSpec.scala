@@ -443,6 +443,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!merged.exists(_._1 == "c"), "emptied group must drop from the view")
   }
 
+  test("flattenHierarchy: forest roots/depths exact; 2^rounds depth boundary") {
+    // chain 1<-2<-3<-4<-5 (depths 0..4) and a second root 10<-11
+    val nodes = Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)),
+        (4L, Some(3L)), (5L, Some(4L)), (10L, None), (11L, Some(10L)))
+      .toDF("id", "parent")
+    val got = Ops.flattenHierarchy(nodes, rounds = 2) // 2^2 = 4 >= depth 4
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (4L, 1L, 3L), (5L, 1L, 4L), (10L, 10L, 0L), (11L, 10L, 1L)))
+    // extra rounds are no-ops once resolved
+    val more = Ops.flattenHierarchy(nodes, rounds = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(more == got)
+  }
+
   test("triangleCounts: K4, pendant, star — each triangle once, hubs included") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3), pendant 4-5
     // (no triangle), star 10-{11,12,13} (no triangle among leaves)
