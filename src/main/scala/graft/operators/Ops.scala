@@ -895,6 +895,38 @@ object Ops {
       .unionByName(versioned)
   }
 
+  /** Distributed per-group row_number: rank within `group` by
+    * `orderCols` WITHOUT a per-group window — the 100 TB problem with
+    * `row_number().over(partitionBy(group))` is that one giant
+    * stratum serializes into a single task. Same offset trick as
+    * [[runningTotal]], per group: `bucketCol` must be a MONOTONE
+    * coarsening of the order (equal order prefix → equal bucket,
+    * bucket increases with the order — e.g. floor(u * B) for an
+    * order led by uniform u ∈ [0,1)); per-(group, bucket) counts
+    * prefix-sum into offsets on a metadata-size relation (the only
+    * window over it is partitioned by group, ≤ buckets rows each),
+    * and the data-size window is partitioned by (group, bucket) —
+    * parallelism = groups × buckets regardless of stratum skew.
+    */
+  def rankPerGroupDistributed(df: DataFrame, group: Seq[String],
+                              bucketCol: Column, orderCols: Seq[Column],
+                              outCol: String = "rk"): DataFrame = {
+    val gc = group.map(col)
+    val b = df.withColumn("_rg_bucket", bucketCol)
+    val offs = b.groupBy((gc :+ col("_rg_bucket")): _*)
+      .agg(count(lit(1)).as("_rg_n"))
+      .select((gc :+ col("_rg_bucket") :+
+        (sum(col("_rg_n")).over(Window.partitionBy(gc: _*)
+          .orderBy(col("_rg_bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("_rg_n")).as("_rg_off")): _*)
+    val w = Window.partitionBy((gc :+ col("_rg_bucket")): _*)
+      .orderBy(orderCols: _*)
+    b.join(offs, group :+ "_rg_bucket")
+      .withColumn(outCol, row_number().over(w) + col("_rg_off"))
+      .drop("_rg_bucket", "_rg_off")
+  }
+
   /** Flatten a parent-pointer hierarchy to (id, root, depth) by
     * POINTER DOUBLING: each round a row's known ancestor jumps to
     * that ancestor's known ancestor, so k equi-join rounds resolve

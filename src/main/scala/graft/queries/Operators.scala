@@ -349,6 +349,44 @@ object Operators {
         .select($"id", $"root", $"depth").orderBy($"id")
     }),
 
+    // Stratified train/val/test split with EXACT largest-remainder
+    // allocation per stratum (800/100/100 permille): per-lang counts
+    // give integer base shares, the remainder goes to the largest
+    // fractional parts (tie-broken by split order), and rows fill the
+    // splits in deterministic md5 order. Ranking is the DISTRIBUTED
+    // per-group rank (bucketed by the uniform hash itself) — no
+    // whole-stratum window task. Oracle replays hash, rank, and the
+    // integer-exact allocation arithmetic.
+    "q174_stratified_split" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select($"doc_id", $"lang")
+        .withColumn("u", Ops.kmvUnitHash($"doc_id"))
+      val ranked = Ops.rankPerGroupDistributed(d, Seq("lang"),
+        floor($"u" * 16).cast("int"), Seq($"u".asc, $"doc_id".asc), "rk")
+      val n = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+      val alloc = n.crossJoin(
+          Seq(("train", 0, 800L), ("val", 1, 100L), ("test", 2, 100L))
+            .toDF("split", "idx", "w"))
+        .withColumn("base", expr("(n * w) div 1000"))
+        .withColumn("fp", ($"n" * $"w") % 1000)
+      val give = alloc
+        .withColumn("pr", row_number().over(
+          Window.partitionBy($"lang").orderBy($"fp".desc, $"idx".asc)))
+        .withColumn("rem", $"n" - sum($"base").over(Window.partitionBy($"lang")))
+        .withColumn("cnt", $"base" + when($"pr" <= $"rem", 1L).otherwise(0L))
+      val bounds = give.withColumn("hi", sum($"cnt").over(
+        Window.partitionBy($"lang").orderBy($"idx")))
+      val p = bounds.groupBy($"lang").agg(
+        max(when($"idx" === 0, $"hi")).as("h0"),
+        max(when($"idx" === 1, $"hi")).as("h1"))
+      ranked.join(p, "lang")
+        .select($"doc_id", $"lang",
+          when($"rk" <= $"h0", "train")
+            .when($"rk" <= $"h1", "val").otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -583,6 +621,44 @@ object Operators {
 
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
+
+    // same md5 order, same integer largest-remainder arithmetic
+    "q174_stratified_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+        |  FROM d),
+        |n AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+        |alloc AS (
+        |  SELECT lang, idx, (n * w) // 1000 AS base, (n * w) % 1000 AS fp, n
+        |  FROM n CROSS JOIN (VALUES ('train', 0, 800), ('val', 1, 100),
+        |    ('test', 2, 100)) AS s(split, idx, w)),
+        |give AS (
+        |  SELECT lang, idx, base, n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY fp DESC, idx ASC) AS pr,
+        |    n - sum(base) OVER (PARTITION BY lang) AS rem
+        |  FROM alloc),
+        |bounds AS (
+        |  SELECT lang, idx,
+        |    sum(base + CASE WHEN pr <= rem THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY lang ORDER BY idx) AS hi
+        |  FROM give),
+        |p AS (
+        |  SELECT lang,
+        |    max(CASE WHEN idx = 0 THEN hi END) AS h0,
+        |    max(CASE WHEN idx = 1 THEN hi END) AS h1
+        |  FROM bounds GROUP BY lang)
+        |SELECT r.doc_id, r.lang,
+        |  CASE WHEN rk <= h0 THEN 'train'
+        |       WHEN rk <= h1 THEN 'val' ELSE 'test' END AS split
+        |FROM r JOIN p ON p.lang = r.lang
+        |ORDER BY r.doc_id""".stripMargin,
 
     // the recursive walk the pointer-doubling plan replaces
     "q173_hierarchy_flatten" ->

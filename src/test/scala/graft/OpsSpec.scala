@@ -443,6 +443,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!merged.exists(_._1 == "c"), "emptied group must drop from the view")
   }
 
+  test("rankPerGroupDistributed == plain per-group window rank, skewed groups") {
+    // group a: 200 rows (the 'hub stratum'), b: 3, c: 1
+    val rows = (1 to 200).map(i => ("a", i.toLong)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L), ("c", 9L))
+    val df = rows.toDF("g", "id")
+      .withColumn("u", Ops.kmvUnitHash($"id" + when($"g" === "b", 1000L)
+        .when($"g" === "c", 2000L).otherwise(0L)))
+    val dist = Ops.rankPerGroupDistributed(df, Seq("g"),
+        floor($"u" * 8).cast("int"), Seq($"u".asc, $"id".asc), "rk")
+      .select($"g", $"id", $"rk".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"u".asc, $"id".asc)
+    val plain = df.withColumn("rk", row_number().over(w))
+      .select($"g", $"id", $"rk".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == plain)
+  }
+
   test("flattenHierarchy: forest roots/depths exact; 2^rounds depth boundary") {
     // chain 1<-2<-3<-4<-5 (depths 0..4) and a second root 10<-11
     val nodes = Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)),

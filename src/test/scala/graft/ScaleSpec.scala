@@ -84,6 +84,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("stratified split: doc-level rank windows carry the bucket key") {
+    // q174's rank must come from the bucketed distributed rank — a
+    // whole-stratum window (partitioned by lang alone, ordered by the
+    // doc-level (u, doc_id) key) would serialize the biggest lang
+    // into one task at 100 TB. The tiny allocation windows (ordered
+    // by fp/idx over the per-lang counts) are exempt: they never see
+    // doc-level rows.
+    val plan = executed(
+      SparkEntry.queries("q174_stratified_split")(spark, sf))
+    val docLevelWindows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("doc_id#")).toSeq
+    assert(docLevelWindows.nonEmpty, plan)
+    docLevelWindows.foreach(l =>
+      assert(l.contains("_rg_bucket"), s"unbucketed doc-level window: $l"))
+  }
+
   test("minhash LSH is equi-join shaped: no cartesian, no nested loop") {
     val plan = executed(SparkEntry.queries("q51_minhash_lsh")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
