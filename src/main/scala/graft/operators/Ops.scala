@@ -927,6 +927,53 @@ object Ops {
       .drop("_rg_bucket", "_rg_off")
   }
 
+  /** Exact stratified split with largest-remainder allocation: every
+    * stratum is divided into `names` splits in EXACTLY the integer
+    * proportions `weights` (out of their sum) — base share =
+    * n*w div total per split, the remainder rows go to the largest
+    * fractional parts (ties to the earlier split) — and rows fill the
+    * splits in deterministic md5-hash order of `key`. All arithmetic
+    * is integer (no float fraction can mis-round an allocation);
+    * ranking is [[rankPerGroupDistributed]] so a giant stratum never
+    * serializes into one window task. Appends a `split` column.
+    */
+  def stratifiedSplit(df: DataFrame, key: String, stratum: String,
+                      weights: Seq[Long], names: Seq[String],
+                      buckets: Int = 16): DataFrame = {
+    require(weights.nonEmpty && weights.length == names.length,
+      "weights and names must align")
+    require(weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val d = df.withColumn("_ss_u", kmvUnitHash(col(key)))
+    val ranked = rankPerGroupDistributed(d, Seq(stratum),
+      floor(col("_ss_u") * buckets).cast("int"),
+      Seq(col("_ss_u").asc, col(key).asc), "_ss_rk")
+    val n = df.groupBy(col(stratum)).agg(count(lit(1)).as("_ss_n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val splits = names.zip(weights).zipWithIndex
+      .map { case ((nm, w), i) => (nm, i, w) }
+      .toDF("_ss_split", "_ss_idx", "_ss_w")
+    val give = n.crossJoin(splits)
+      .withColumn("_ss_base", expr(s"(_ss_n * _ss_w) div $total"))
+      .withColumn("_ss_fp", (col("_ss_n") * col("_ss_w")) % total)
+      .withColumn("_ss_pr", row_number().over(Window.partitionBy(col(stratum))
+        .orderBy(col("_ss_fp").desc, col("_ss_idx").asc)))
+      .withColumn("_ss_rem",
+        col("_ss_n") - sum(col("_ss_base")).over(Window.partitionBy(col(stratum))))
+      .withColumn("_ss_cnt", col("_ss_base") +
+        when(col("_ss_pr") <= col("_ss_rem"), 1L).otherwise(0L))
+    val bounds = give
+      .withColumn("_ss_hi", sum(col("_ss_cnt")).over(
+        Window.partitionBy(col(stratum)).orderBy(col("_ss_idx"))))
+      .withColumn("_ss_lo", col("_ss_hi") - col("_ss_cnt"))
+      .select(col(stratum), col("_ss_split"), col("_ss_lo"), col("_ss_hi"))
+    ranked.join(bounds, Seq(stratum))
+      .filter(col("_ss_rk") > col("_ss_lo") && col("_ss_rk") <= col("_ss_hi"))
+      .withColumnRenamed("_ss_split", "split")
+      .drop("_ss_u", "_ss_rk", "_ss_lo", "_ss_hi")
+  }
+
   /** Flatten a parent-pointer hierarchy to (id, root, depth) by
     * POINTER DOUBLING: each round a row's known ancestor jumps to
     * that ancestor's known ancestor, so k equi-join rounds resolve

@@ -1769,6 +1769,101 @@ object Pipeline {
           m.args.getOrElse("damping", "0.85").toDouble), RowType)
       }),
 
+    // EXACT Jaccard similarity self-join from the DSL (q170's
+    // prefix-filter plan): every pair with word-set jaccard >=
+    // threshold, zero false negatives, never quadratic.
+    Registered("jaccardjoin", RowType, RowType,
+      "in=STREAM:key=COL:text=COL:threshold=0.9:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("jaccardjoin: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("jaccardjoin: text= required"))
+        val thr = m.args.getOrElse("threshold", "0.9").toDouble
+        if (thr <= 0.0 || thr > 1.0)
+          throw new BuildError(s"jaccardjoin: threshold in (0,1], got $thr")
+        ctx.writeStream(m, graft.operators.Dedup.prefixJaccardPairs(
+          df, key, text, thr), RowType)
+      }),
+
+    // Per-node triangle counts from the DSL: in= is an edge stream;
+    // edges are canonicalized (undirected, self-loops dropped,
+    // deduplicated) before the degree-ordered count (q172).
+    Registered("trianglecount", RowType, RowType,
+      "in=STREAM:src=COL:dst=COL:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val s = col(m.args.getOrElse("src", "src"))
+        val d = col(m.args.getOrElse("dst", "dst"))
+        val edges = df.select(least(s, d).as("u"), greatest(s, d).as("v"))
+          .filter(col("u") < col("v")).distinct()
+        ctx.writeStream(m, graft.operators.Ops.triangleCounts(edges), RowType)
+      }),
+
+    // Parent-pointer hierarchy flattening from the DSL: emits
+    // (id, root, depth) via pointer doubling (q173) — 2^rounds max
+    // depth in `rounds` join rounds.
+    Registered("hierflatten", RowType, RowType,
+      "in=STREAM:key=COL:parent=COL:rounds=4:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("hierflatten: key= required"))
+        val parent = m.args.getOrElse("parent",
+          throw new BuildError("hierflatten: parent= required"))
+        val rounds = m.args.getOrElse("rounds", "4").toInt
+        if (rounds < 1 || rounds > 20)
+          throw new BuildError(s"hierflatten: rounds in [1,20], got $rounds")
+        ctx.writeStream(m, graft.operators.Ops.flattenHierarchy(
+          df.select(col(key).as("id"), col(parent).as("parent")), rounds),
+          RowType)
+      }),
+
+    // Exact largest-remainder stratified split from the DSL (q174):
+    // appends `split`, integer-proportional per stratum, rows in
+    // deterministic md5 order of key.
+    Registered("stratsplit", RowType, RowType,
+      "in=STREAM:key=COL:stratum=COL:weights=800,100,100:names=train,val,test:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("stratsplit: key= required"))
+        val stratum = m.args.getOrElse("stratum",
+          throw new BuildError("stratsplit: stratum= required"))
+        val weights = m.args.getOrElse("weights", "800,100,100")
+          .split(",").toSeq.map(_.trim.toLong)
+        val names = m.args.getOrElse("names", "train,val,test")
+          .split(",").toSeq.map(_.trim)
+        if (weights.length != names.length)
+          throw new BuildError("stratsplit: weights/names must align")
+        ctx.writeStream(m, graft.operators.Ops.stratifiedSplit(
+          df, key, stratum, weights, names), RowType)
+      }),
+
+    // Incremental aggregate maintenance from the DSL (q171): in= is a
+    // snapshotDiff-shaped CDC stream, base= the previous aggregate
+    // (group, cnt, sum); emits the advanced aggregate without
+    // rescanning the base fact.
+    Registered("incragg", RowType, RowType,
+      "in=STREAM:base=STREAM:group=COL:measure=COL:cnt=COL:sum=COL:out=STREAM",
+      (ctx, m) => {
+        val cdc = ctx.readStream(m, RowType)
+        val bname = m.args.getOrElse("base",
+          throw new BuildError("incragg: base= required"))
+        val (base, bt) = ctx.streams.getOrElse(bname,
+          throw new BuildError(s"incragg: unknown stream '$bname'"))
+        if (bt != RowType)
+          throw new BuildError(s"incragg: '$bname' is not a row stream")
+        ctx.readers(bname) += 1
+        val group = m.args.getOrElse("group",
+          throw new BuildError("incragg: group= required"))
+        val measure = m.args.getOrElse("measure",
+          throw new BuildError("incragg: measure= required"))
+        val cntCol = m.args.getOrElse("cnt", "cnt")
+        val sumCol = m.args.getOrElse("sum", "sum")
+        ctx.writeStream(m, graft.operators.Ops.incrementalAggMerge(
+          base, graft.operators.Ops.cdcAggContributions(cdc, group, measure),
+          group, cntCol, sumCol), RowType)
+      }),
+
     // Mixed-corpus media near-dup pairs from the DSL: sniff each
     // payload, dispatch stills/WAV to the banded-hamming fingerprint
     // join and MJPEG/AVI to the positional frame-hash join, union the

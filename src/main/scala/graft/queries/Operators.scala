@@ -359,31 +359,11 @@ object Operators {
     // integer-exact allocation arithmetic.
     "q174_stratified_split" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val d = t(s, dir, "documents").select($"doc_id", $"lang")
-        .withColumn("u", Ops.kmvUnitHash($"doc_id"))
-      val ranked = Ops.rankPerGroupDistributed(d, Seq("lang"),
-        floor($"u" * 16).cast("int"), Seq($"u".asc, $"doc_id".asc), "rk")
-      val n = d.groupBy($"lang").agg(count(lit(1)).as("n"))
-      val alloc = n.crossJoin(
-          Seq(("train", 0, 800L), ("val", 1, 100L), ("test", 2, 100L))
-            .toDF("split", "idx", "w"))
-        .withColumn("base", expr("(n * w) div 1000"))
-        .withColumn("fp", ($"n" * $"w") % 1000)
-      val give = alloc
-        .withColumn("pr", row_number().over(
-          Window.partitionBy($"lang").orderBy($"fp".desc, $"idx".asc)))
-        .withColumn("rem", $"n" - sum($"base").over(Window.partitionBy($"lang")))
-        .withColumn("cnt", $"base" + when($"pr" <= $"rem", 1L).otherwise(0L))
-      val bounds = give.withColumn("hi", sum($"cnt").over(
-        Window.partitionBy($"lang").orderBy($"idx")))
-      val p = bounds.groupBy($"lang").agg(
-        max(when($"idx" === 0, $"hi")).as("h0"),
-        max(when($"idx" === 1, $"hi")).as("h1"))
-      ranked.join(p, "lang")
-        .select($"doc_id", $"lang",
-          when($"rk" <= $"h0", "train")
-            .when($"rk" <= $"h1", "val").otherwise("test").as("split"))
+      Ops.stratifiedSplit(t(s, dir, "documents").select($"doc_id", $"lang"),
+          key = "doc_id", stratum = "lang",
+          weights = Seq(800L, 100L, 100L),
+          names = Seq("train", "val", "test"))
+        .select($"doc_id", $"lang", $"split")
         .orderBy($"doc_id")
     }),
 

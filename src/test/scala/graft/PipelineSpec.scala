@@ -362,6 +362,7 @@ class PipelineSpec extends AnyFunSuite {
       "filter", "select", "join", "agg", "sort", "limit", "union", "dedup",
       "asofjoin", "rangejoin", "dedupnear", "dedupcluster", "survivor",
       "shuffleshard", "pagerank", "mediadedup",
+      "jaccardjoin", "trianglecount", "hierflatten", "stratsplit", "incragg",
       "parquetread", "parquetwrite", "orcread", "orcwrite",
       "jdbcselect", "jdbcinsert",
       "mysqlselect", "sqliteselect", "sqliteinsert", "cassandraselect",
@@ -455,6 +456,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(pr.keySet == Set(1, 2, 3))
     assert(pr(2) > pr(1) && pr(2) > pr(3), pr.toString)
     assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.toString)
+  }
+
+  test("jaccardjoin + trianglecount + hierflatten modules end-to-end") {
+    val d = tmp("graphjac")
+    // jaccardjoin: 1/2 are word-identical, 3 is disjoint
+    writeCsv(s"$d/docs.ndjson",
+      """{"id": 1, "body": "alpha beta gamma delta epsilon"}""",
+      """{"id": 2, "body": "alpha beta gamma delta epsilon"}""",
+      """{"id": 3, "body": "zeta eta theta iota kappa"}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/docs.ndjson", "ndjsonread:out=docs",
+      "jaccardjoin:in=docs:key=id:text=body:threshold=0.8:out=pairs",
+      "select:in=pairs:exprs=idA;idB;round(jac, 4) as jac:out=sel",
+      "sort:in=sel:by=idA:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/pairs.csv"))
+    assert(readOut(s"$d/pairs.csv") == Seq("idA,idB,jac", "1,2,1.0"))
+
+    // trianglecount: triangle 1-2-3 (listed once per direction +
+    // duplicates, canonicalized by the module) plus pendant 3-4
+    writeCsv(s"$d/edges.csv", "src,dst",
+      "1,2", "2,3", "3,1", "2,1", "3,4")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e",
+      "trianglecount:in=e:out=tc",
+      "sort:in=tc:by=node:out=sorted2",
+      "csvwrite:in=sorted2", s"filewrite:out=$d/tc.csv"))
+    assert(readOut(s"$d/tc.csv") ==
+      Seq("node,triangles", "1,1", "2,1", "3,1"))
+
+    // hierflatten: 1 <- 2 <- 3 chain, parent blank = root
+    writeCsv(s"$d/h.ndjson",
+      """{"k": 1}""",
+      """{"k": 2, "par": 1}""",
+      """{"k": 3, "par": 2}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/h.ndjson", "ndjsonread:out=h",
+      "hierflatten:in=h:key=k:parent=par:rounds=2:out=f",
+      "sort:in=f:by=id:out=sorted3",
+      "csvwrite:in=sorted3", s"filewrite:out=$d/f.csv"))
+    assert(readOut(s"$d/f.csv") ==
+      Seq("id,root,depth", "1,1,0", "2,1,1", "3,1,2"))
+  }
+
+  test("stratsplit + incragg modules end-to-end") {
+    val d = tmp("stratincr")
+    // stratsplit: strata a (4 rows) and b (2 rows), 50/50 split —
+    // exact allocation: a gets 2+2, b gets 1+1
+    writeCsv(s"$d/rows.csv",
+      ("id,g" +: ((1 to 4).map(i => s"$i,a") ++ (5 to 6).map(i => s"$i,b"))): _*)
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/rows.csv", "csvread:infer=1:out=rows",
+      "stratsplit:in=rows:key=id:stratum=g:weights=500,500:names=l,r:out=sp",
+      "select:in=sp:exprs=g;split:out=sel",
+      "agg:in=sel:by=g,split:exprs=count(1) as n:out=cnt",
+      "sort:in=cnt:by=g,split:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/sp.csv"))
+    assert(readOut(s"$d/sp.csv") ==
+      Seq("g,split,n", "a,l,2", "a,r,2", "b,l,1", "b,r,1"))
+
+    // incragg: base agg + CDC deltas → merged view (worked example
+    // from OpsSpec: repricing, a group move, a delete, an insert)
+    writeCsv(s"$d/base.csv", "g,cnt,s", "a,2,30.0", "b,1,7.0")
+    writeCsv(s"$d/cdc.ndjson",
+      """{"change_type": "update", "old_g": "a", "new_g": "a", "old_m": 10.0, "new_m": 11.5}""",
+      """{"change_type": "update", "old_g": "a", "new_g": "b", "old_m": 20.0, "new_m": 20.0}""",
+      """{"change_type": "delete", "old_g": "b", "old_m": 7.0}""",
+      """{"change_type": "insert", "new_g": "b", "new_m": 3.0}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/base.csv", "csvread:infer=1:out=base",
+      s"fileread:in=$d/cdc.ndjson", "ndjsonread:out=cdc",
+      "incragg:in=cdc:base=base:group=g:measure=m:cnt=cnt:sum=s:out=m2",
+      "select:in=m2:exprs=g;cnt;cast(s as double) as s:out=sel2",
+      "sort:in=sel2:by=g:out=sorted2",
+      "csvwrite:in=sorted2", s"filewrite:out=$d/m.csv"))
+    assert(readOut(s"$d/m.csv") ==
+      Seq("g,cnt,s", "a,1,11.5", "b,2,23.0"))
   }
 
   test("mediadedup module: mixed image/audio/video corpus pairs per modality") {
