@@ -84,6 +84,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("runtime bloom filter: selective dim reaches the fact scan as might_contain") {
+    // The 100 TB semi-join reduction: when a dim carries a selective
+    // filter and the fact side is a shuffle join, Catalyst's
+    // InjectRuntimeFilter builds a bloom filter from the dim keys and
+    // pushes might_contain() into the fact scan — fact rows that
+    // can't join die at the scan, before the shuffle. Local testdata
+    // sits under the default 10MB/10GB size thresholds, so the gate
+    // pins the behavior with them lowered; at production scale the
+    // defaults fire on their own. Broadcast is disabled to force the
+    // shuffle-join shape this rewrite targets.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val li = Tables(spark, sf, "lineitem")
+      val p = Tables(spark, sf, "part").filter($"p_size" === 1)
+      val j = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy($"p_brand").agg(count(lit(1)).as("n"))
+      val plan = executed(j)
+      assert(plan.contains("bloom_filter_agg"), plan)
+      assert(plan.contains("might_contain"), plan)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("stratified split: doc-level rank windows carry the bucket key") {
     // q174's rank must come from the bucketed distributed rank — a
     // whole-stratum window (partitioned by lang alone, ordered by the
