@@ -288,6 +288,73 @@ object Similarity {
       Seq(col("sim").desc, col(idCol).asc), k)
   }
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC — Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). The memory-side compression story the IVF
+    * path lacks: each corpus vector is stored as m small codes (one
+    * byte each at kCodes ≤ 256) instead of dim floats — at 100 TB the
+    * encoded corpus is 64× smaller than float32 and the scan reads
+    * codes, never embeddings.
+    *
+    *  - Codebooks: per-subspace codewords sliced from the SAME
+    *    portable md5-ordered corpus sample as [[ivfTopK]]'s seeds, so
+    *    the DuckDB oracle reproduces them exactly.
+    *  - Encode: ONE narrow pass; per subspace the argmin of kCodes
+    *    decimal-exact squared L2 distances (decimal fold, q131's
+    *    arithmetic — order-independent, so the oracle's relational
+    *    sum replays it bit-for-bit).
+    *  - Search: each query precomputes its m×kCodes distance TABLE
+    *    once; scoring a corpus row is m array lookups + a decimal
+    *    add — no per-pair vector arithmetic. Queries broadcast; the
+    *    corpus never shuffles.
+    *
+    * Returns (query_id, idCol, adc, rk): top-k by ADC distance asc,
+    * ties to the smaller id. ADC is an APPROXIMATION of true L2 —
+    * recall floors live in DedupSimSpec, exactness of the arithmetic
+    * in the q175 oracle.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, m: Int = 4,
+             kCodes: Int = 16): DataFrame = {
+    val seeds: Array[Seq[Float]] = corpus
+      .select(col(idCol), col(embCol))
+      .withColumn("__h", substring(md5(col(idCol).cast("string")), 1, 16))
+      .orderBy(col("__h")).limit(kCodes).collect().map(_.getSeq[Float](1))
+    require(seeds.length == kCodes, s"corpus smaller than kCodes=$kCodes")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def d2(e: Column, s: Int, j: Int): Column = {
+      val centLit = array(
+        seeds(j).slice(s * sub, (s + 1) * sub).map(v => lit(v.toDouble)): _*)
+      aggregate(
+        zip_with(slice(e, s * sub + 1, sub), centLit, (a, c) => {
+          val dd = a.cast("double") - c
+          (dd * dd).cast("decimal(30,12)")
+        }),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(20,12)"),
+        // (20,12)+(30,12) → (31,12): scale preserved (q131's note)
+        (acc, x) => (acc + x).cast("decimal(20,12)"))
+    }
+    def codeCol(e: Column, s: Int): Column =
+      least((0 until kCodes).map(j =>
+        struct(d2(e, s, j).as("d"), lit(j).as("j"))): _*).getField("j")
+    val encoded = corpus.select(col(idCol) +:
+      (0 until m).map(s => codeCol(col(embCol), s).as(s"__c$s")): _*)
+    val qTabs = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map(s =>
+        array((0 until kCodes).map(j => d2(col(embCol), s, j)): _*)
+          .as(s"__q$s")): _*)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__q$s"), col(s"__c$s") + 1))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(qTabs))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), adc.as("adc"))
+    Ops.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("adc").asc, col(idCol).asc), k)
+  }
+
   /** Exact near-duplicate pairs above a cosine threshold inside a
     * blocking key (e.g. a label / cluster / LSH bucket): the block key
     * bounds the pair explosion; use `lshSignature` bands as the block

@@ -558,6 +558,21 @@ object DedupSim {
         .orderBy($"cluster", $"pos")
     }),
 
+    // Product-quantization ANN (ADC): corpus stored as 4 codes per
+    // vector (64× smaller than float32 at scale), queries score rows
+    // by m table lookups + a decimal add — no per-pair vector math.
+    // Codebooks are the portable md5-ordered sample (q56's seeds), so
+    // the oracle replays encode AND search decimal-exactly.
+    "q175_pq_adc_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"vec_id",
+          round($"adc".cast("double"), 6).as("adc"), $"rk")
+        .orderBy($"query_id", $"rk")
+    }),
+
     // EXACT Jaccard similarity self-join via prefix filtering
     // (AllPairs/PPJoin family): every pair with word-set jaccard
     // >= 0.9, zero false negatives, no quadratic stage — the exact
@@ -642,6 +657,51 @@ object DedupSim {
       |      i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q175: full PQ replay — same md5-ordered codebook sample, same
+    // decimal squared-L2 per subspace (pos//16), same argmin
+    // tie-breaks, same ADC table-lookup sum.
+    "q175_pq_adc_topk" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS a
+        |  FROM embeddings),
+        |anchors AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16)) - 1 AS j,
+        |    embedding
+        |  FROM embeddings
+        |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) LIMIT 16),
+        |cw AS (
+        |  SELECT CAST(j AS INT) AS j,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS c
+        |  FROM anchors),
+        |dists AS (
+        |  SELECT p.vec_id, w.j, p.pos // 16 AS s,
+        |    sum(CAST((p.a - w.c) * (p.a - w.c) AS DECIMAL(30,12))) AS d2
+        |  FROM pts p JOIN cw w ON p.pos = w.pos
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d2 ASC, j ASC) AS rk
+        |    FROM dists) WHERE rk = 1),
+        |adc AS (
+        |  SELECT qd.vec_id AS query_id, x.vec_id AS vec_id,
+        |    sum(qd.d2) AS adc
+        |  FROM codes x
+        |  JOIN dists qd ON qd.s = x.s AND qd.j = x.code
+        |  WHERE qd.vec_id < 10 AND x.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc ASC, vec_id ASC) AS rk
+        |  FROM adc)
+        |SELECT query_id, vec_id, round(CAST(adc AS DOUBLE), 6) AS adc, rk
+        |FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+
     // Definitionally-exact replay of q170: ALL pairs sharing >= 1
     // token, exact |A∩B|/|A∪B|. Quadratic in shared-token df — fine
     // at sf0.01, which is the point of the prefix-filter plan.
