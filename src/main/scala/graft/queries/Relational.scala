@@ -894,6 +894,15 @@ object Relational {
       s.sql(Q23ShapeText)
     }),
 
+    // TPC-DS Q95 shape: correlated EXISTS (multi-supplier orders) +
+    // NOT EXISTS (no returns) — see Q95ShapeText, shared verbatim
+    // with the oracle.
+    "q176_tpcds_q95_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(Q95ShapeText)
+    }),
+
     // Outer-generator corner: explode_outer must PRESERVE rows whose
     // array is empty (emitting one null element) — the row-count
     // semantics that separate a LEFT LATERAL from an inner one, which
@@ -1385,6 +1394,31 @@ object Relational {
       |WHERE l.l_partkey IN (SELECT pk FROM frequent_items)
       |  AND o.o_custkey IN (SELECT ck FROM best_customers)""".stripMargin
 
+  /** TPC-DS Q95 shape on TPC-H tables: "orders shipped by more than
+    * one supplier and never returned" — the correlated EXISTS
+    * (same-order, DIFFERENT supplier: an equi-key semi join with an
+    * inequality residual) plus correlated NOT EXISTS (anti join on the
+    * returns set) that none of the other DS corners exercise
+    * together. Both engines run this text verbatim; Spark must
+    * decorrelate both subqueries to hash semi/anti joins (ScaleSpec).
+    */
+  val Q95ShapeText: String =
+    """SELECT count(DISTINCT l1.l_orderkey) AS order_count,
+      |  CAST(round(sum(CAST(l1.l_extendedprice AS DECIMAL(30,4))), 2)
+      |    AS DOUBLE) AS total_price
+      |FROM lineitem l1
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-03-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_returnflag = 'R')""".stripMargin
+
   val Q87ShapeText: String =
     """WITH sales AS (
       |  SELECT o_custkey AS ck, o_orderkey % 3 AS ch FROM orders
@@ -1865,6 +1899,7 @@ object Relational {
     "q152_tpcds_q87_shape" -> Q87ShapeText,
     "q163_tpcds_q72_shape" -> Q72ShapeText,
     "q164_tpcds_q23_shape" -> Q23ShapeText,
+    "q176_tpcds_q95_shape" -> Q95ShapeText,
 
     "q169_datetime_battery" ->
       """SELECT o_orderkey,

@@ -456,6 +456,15 @@ class ScaleSpec extends AnyFunSuite {
       s"dim chain lost its broadcasts:\n$plan")
   }
 
+  test("DS Q95 shape: EXISTS/NOT EXISTS decorrelate to hash semi/anti joins") {
+    val plan = executed(
+      SparkEntry.queries("q176_tpcds_q95_shape")(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("DS Q23 shape: both restriction sets are semi joins, threshold a subquery") {
     val plan = executed(SparkEntry.queries("q164_tpcds_q23_shape")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
