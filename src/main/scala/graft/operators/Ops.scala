@@ -895,6 +895,54 @@ object Ops {
       .unionByName(versioned)
   }
 
+  /** Market-basket association rules (apriori-pruned frequent pairs):
+    * directed rules ant→cons with support / confidence / lift over a
+    * (basket, item) relation.
+    *
+    * Scale shape: baskets dedup once (hash-agg); items below
+    * minSupport are pruned BEFORE the pair join (apriori monotonicity
+    * — an infrequent item cannot appear in a frequent pair), so the
+    * per-basket self equi-join fans out only over frequent items;
+    * pair counts are a hash-agg, the total-baskets scalar rides a
+    * broadcast. No stage is quadratic in the item vocabulary — the
+    * pair space is bounded per basket, the classic a-priori cut.
+    * All three metrics are exact integer ratios evaluated in double
+    * (numerators < 2^53), so they replay bit-for-bit in the oracle.
+    */
+  def associationRules(baskets: DataFrame, basket: String, item: String,
+                       minSupport: Long,
+                       minConfidence: Double): DataFrame = {
+    val b = baskets.select(col(basket).as("__ck"), col(item).as("__it"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTotal = b.select(countDistinct(col("__ck")).as("__n_total"))
+    val items = b.groupBy(col("__it")).agg(count(lit(1)).as("n_item"))
+    val freq = items.filter(col("n_item") >= minSupport)
+    val fb = b.join(freq.select(col("__it")), "__it")
+    val pairs = fb.select(col("__ck"), col("__it").as("__ia"))
+      .join(fb.select(col("__ck"), col("__it").as("__ib")), "__ck")
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    val directed = pairs
+      .select(col("__ia").as("ant"), col("__ib").as("cons"), col("n_both"))
+      .unionByName(pairs
+        .select(col("__ib").as("ant"), col("__ia").as("cons"), col("n_both")))
+    directed
+      .join(items.select(col("__it").as("ant"), col("n_item").as("n_ant")),
+        "ant")
+      .join(items.select(col("__it").as("cons"), col("n_item").as("n_cons")),
+        "cons")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("support", col("n_both").cast("double") / col("__n_total"))
+      .withColumn("confidence", col("n_both").cast("double") / col("n_ant"))
+      .withColumn("lift", (col("n_both").cast("double") * col("__n_total"))
+        / (col("n_ant") * col("n_cons")))
+      .filter(col("confidence") >= minConfidence)
+      .select(col("ant"), col("cons"), col("n_both"), col("n_ant"),
+        col("n_cons"), col("support"), col("confidence"), col("lift"))
+  }
+
   /** Distributed per-group row_number: rank within `group` by
     * `orderCols` WITHOUT a per-group window — the 100 TB problem with
     * `row_number().over(partitionBy(group))` is that one giant

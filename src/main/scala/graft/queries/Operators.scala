@@ -367,6 +367,27 @@ object Operators {
         .orderBy($"doc_id")
     }),
 
+    // Market-basket association rules over customer×brand baskets:
+    // apriori-pruned frequent pairs, directed rules with exact
+    // support/confidence/lift (integer ratios in double — bit-
+    // replayable). The pair join fans out only over items that
+    // survive the support cut.
+    "q177_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(t(s, dir, "part"), $"p_partkey" === $"l_partkey")
+        .select($"o_custkey".as("ck"), $"p_brand".as("brand"))
+      Ops.associationRules(baskets, "ck", "brand",
+          minSupport = 800L, minConfidence = 0.7)
+        .select($"ant", $"cons", $"n_both", $"n_ant", $"n_cons",
+          round($"support", 6).as("support"),
+          round($"confidence", 6).as("confidence"),
+          round($"lift", 6).as("lift"))
+        .orderBy($"ant", $"cons")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -601,6 +622,42 @@ object Operators {
 
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
+
+    // same apriori replay: dedup baskets, item counts, pair counts,
+    // identical double ratio arithmetic
+    "q177_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT o_custkey AS ck, p_brand AS b
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey),
+        |nt AS (SELECT count(DISTINCT ck) AS n_total FROM baskets),
+        |items AS (SELECT b, count(*) AS n_item FROM baskets GROUP BY b),
+        |pairs AS (
+        |  SELECT a.b AS ba, c.b AS bb, count(*) AS n_both
+        |  FROM baskets a JOIN baskets c ON a.ck = c.ck AND a.b < c.b
+        |  WHERE a.b IN (SELECT b FROM items WHERE n_item >= 800)
+        |    AND c.b IN (SELECT b FROM items WHERE n_item >= 800)
+        |  GROUP BY 1, 2 HAVING count(*) >= 800),
+        |directed AS (
+        |  SELECT ba AS ant, bb AS cons, n_both FROM pairs
+        |  UNION ALL
+        |  SELECT bb AS ant, ba AS cons, n_both FROM pairs),
+        |m AS (
+        |  SELECT d.ant, d.cons, d.n_both, ia.n_item AS n_ant,
+        |    ic.n_item AS n_cons, nt.n_total
+        |  FROM directed d
+        |  JOIN items ia ON ia.b = d.ant
+        |  JOIN items ic ON ic.b = d.cons
+        |  CROSS JOIN nt)
+        |SELECT ant, cons, n_both, n_ant, n_cons,
+        |  round(CAST(n_both AS DOUBLE) / n_total, 6) AS support,
+        |  round(CAST(n_both AS DOUBLE) / n_ant, 6) AS confidence,
+        |  round((CAST(n_both AS DOUBLE) * n_total) / (n_ant * n_cons), 6)
+        |    AS lift
+        |FROM m
+        |WHERE CAST(n_both AS DOUBLE) / n_ant >= 0.7
+        |ORDER BY ant, cons""".stripMargin,
 
     // same md5 order, same integer largest-remainder arithmetic
     "q174_stratified_split" ->

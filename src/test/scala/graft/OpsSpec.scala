@@ -443,6 +443,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!merged.exists(_._1 == "c"), "emptied group must drop from the view")
   }
 
+  test("associationRules: hand-computed support/confidence/lift, apriori prune") {
+    // 4 baskets: {A,B}, {A,B}, {A,C}, {B}; duplicate (1,A) row must
+    // dedup. minSupport=2: C (1 basket) is pruned before pairing.
+    // A:3 B:3 AB:2 → supp 0.5, conf(A→B)=2/3, lift=2*4/(3*3)=8/9.
+    val baskets = Seq((1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"),
+      (3, "A"), (3, "C"), (4, "B")).toDF("ck", "it")
+    val rules = Ops.associationRules(baskets, "ck", "it",
+        minSupport = 2L, minConfidence = 0.0)
+      .orderBy("ant").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq
+    assert(rules == Seq(
+      ("A", "B", 2L, 3L, 3L, 0.5, 2.0 / 3, 2.0 * 4 / 9),
+      ("B", "A", 2L, 3L, 3L, 0.5, 2.0 / 3, 2.0 * 4 / 9)))
+    // confidence filter: 0.7 kills both (conf = 0.667)
+    assert(Ops.associationRules(baskets, "ck", "it", 2L, 0.7).count() == 0)
+  }
+
   test("rankPerGroupDistributed == plain per-group window rank, skewed groups") {
     // group a: 200 rows (the 'hub stratum'), b: 3, c: 1
     val rows = (1 to 200).map(i => ("a", i.toLong)) ++
