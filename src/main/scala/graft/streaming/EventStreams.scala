@@ -252,6 +252,35 @@ object EventStreams extends Serializable {
     (q, () => corpus)
   }
 
+  /** Streaming materialized-view maintenance — the continuous twin of
+    * q171's batch merge: each microbatch of snapshotDiff-shaped CDC
+    * rows advances a keyed count/sum view via
+    * `Ops.incrementalAggMerge`. The VIEW is the only state carried
+    * between batches (localCheckpoint truncates its lineage); the
+    * base fact is never rescanned. Decimal-exact contributions make
+    * the maintained view bit-equal to a recompute over the final
+    * snapshot regardless of how the deltas were batched —
+    * StreamingSpec pins that convergence.
+    */
+  def incrementalAggStream(cdc: DataFrame, view0: DataFrame, group: String,
+                           measure: String, cntCol: String = "n",
+                           sumCol: String = "s")
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    @volatile var view = view0.localCheckpoint()
+    val q = cdc.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val contribs = graft.operators.Ops.cdcAggContributions(
+            batch.toDF(), group, measure)
+          view = graft.operators.Ops.incrementalAggMerge(
+              view, contribs, group, cntCol, sumCol)
+            .localCheckpoint()
+      }
+      .start()
+    (q, () => view)
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -256,6 +256,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 11L, 21L))
   }
 
+  test("streaming incremental agg view equals the final-snapshot recompute") {
+    // q171's merge under Structured Streaming: CDC batches arrive in
+    // two microbatches; because count/decimal-sum contributions are
+    // commutative-associative-exact, the maintained view must equal a
+    // direct recompute of the final snapshot no matter the batching.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // s0 = {(a,10),(a,20),(b,7)}
+    val view0 = Seq(("a", 2L, BigDecimal("30.0")), ("b", 1L, BigDecimal("7.0")))
+      .toDF("g", "n", "s")
+      .select($"g", $"n", $"s".cast("decimal(30,4)").as("s"))
+    val b1 = Seq( // insert (c,5); reprice a 10→12
+      ("insert", None, Some("c"), None, Some(5.0)),
+      ("update", Some("a"), Some("a"), Some(10.0), Some(12.0)))
+    val b2 = Seq( // delete (b,7); move (a,20) → c
+      ("delete", Some("b"), None, Some(7.0), None),
+      ("update", Some("a"), Some("c"), Some(20.0), Some(20.0)))
+    val ms = MemoryStream[(String, Option[String], Option[String],
+      Option[Double], Option[Double])]
+    val (q, current) = EventStreams.incrementalAggStream(
+      ms.toDF().toDF("change_type", "old_g", "new_g", "old_m", "new_m"),
+      view0, "g", "m")
+    try {
+      Seq(b1, b2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = current()
+      .select($"g", $"n", $"s".cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    // final snapshot: a={12}, c={5,20}; b emptied and dropped
+    assert(got == Set(("a", 1L, 12.0), ("c", 2L, 25.0)))
+  }
+
   test("foreachBatch idempotent sink: replayed batch ids are no-ops") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
