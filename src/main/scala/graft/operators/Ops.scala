@@ -1143,4 +1143,87 @@ object Ops {
         sum(col("dsum")).cast("decimal(30,4)").as(sumCol))
       .filter(col(cntCol) > 0)
   }
+
+  /** Exact grouped ordinary-least-squares fit `y ~ intercept + slope·x`
+    * plus Pearson r², from INTEGER-valued x/y columns. The sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are decimal sums — exact,
+    * commutative-associative, so map-side partial aggregation applies
+    * and the result is independent of partition merge order (a
+    * double-accumulating `corr`/`regr_slope` is not: its value shifts
+    * with the shuffle layout, which is why this avoids the built-ins).
+    * ONE hash-agg over the fact — the 100 TB shape is a full scan with
+    * partial aggregation, nothing else. Final ratios are computed in
+    * double from the exact decimals with a fixed expression order, so
+    * any engine replaying the same arithmetic lands on the same bits.
+    * Output: group cols + (n, slope, intercept, r2); degenerate groups
+    * (zero x-variance) yield null slope/intercept/r2.
+    */
+  def groupedLinearFit(df: DataFrame, group: Seq[String],
+                       x: Column, y: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val d = df.select(group.map(col) ++
+      Seq(dec(x).as("__x"), dec(y).as("__y")): _*)
+    val agg = d.groupBy(group.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"))
+    val nD = col("n").cast("decimal(38,0)")
+    // exact integer numerators/denominators, THEN one double division
+    val covN = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = when(varXN =!= 0.0, covN / varXN)
+    agg.select(group.map(col) ++ Seq(
+      col("n"),
+      slope.as("slope"),
+      when(varXN =!= 0.0,
+        (col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+      when(varXN =!= 0.0 && varYN =!= 0.0,
+        (covN * covN) / (varXN * varYN)).as("r2")): _*)
+  }
+
+  /** Bounded-hop single-source(-set) shortest paths over integer
+    * edge weights: frontier-based distributed Bellman-Ford. Round i
+    * relaxes only the nodes whose distance improved in round i-1, so
+    * settled regions stop generating join traffic — but the result
+    * after round i is provably identical to i rounds of FULL
+    * relaxation (shortest distance using ≤ i edges), which is what
+    * the oracle replays as iterated SQL CTE rounds. Each round is one
+    * equi-join frontier×edges + one hash-agg min — no path
+    * enumeration (a recursive-CTE walk is exponential in path count
+    * on dense graphs; this is O(rounds·|E|)). Early-stops when a round
+    * improves nothing. `localCheckpoint` caps lineage growth across
+    * rounds. Integer distances → exact, no float drift.
+    * edges: (src, dst, w≥0); sources: (id). Output: (id, dist) for
+    * every node reachable within `maxHops` edges.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+    var dist = sources.select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    var hop = 0
+    var active = true
+    while (hop < maxHops && active) {
+      val relaxed = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"), (frontier("dist") + e("w")).as("dist"))
+      val merged = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(eager = true)
+      val improved = merged.join(
+          dist.withColumnRenamed("dist", "__old"), Seq("id"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("id"), col("dist"))
+        .localCheckpoint(eager = true)
+      active = !improved.isEmpty
+      dist = merged
+      frontier = improved
+      hop += 1
+    }
+    dist
+  }
 }

@@ -388,6 +388,46 @@ object Operators {
         .orderBy($"ant", $"cons")
     }),
 
+    // Grouped OLS + r² (value-cents ~ hour-of-day per event type) on
+    // EXACT integer sufficient statistics — one hash-agg with map-side
+    // partials; the built-in corr/regr_* double accumulators would
+    // shift with partition merge order, these decimal sums cannot.
+    // Final ratios are fixed-order double arithmetic the oracle
+    // replays bit-for-bit.
+    "q178_regression" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", hour($"ts").as("x"),
+          floor($"value" * 100).cast("long").as("y"))
+      Ops.groupedLinearFit(ev, Seq("event_type"), $"x", $"y")
+        .select($"event_type", $"n",
+          round($"slope", 6).as("slope"),
+          round($"intercept", 6).as("intercept"),
+          round($"r2", 6).as("r2"))
+        .orderBy($"event_type")
+    }),
+
+    // Bounded-hop shortest paths over the part↔supplier bipartite
+    // graph (weight 1+(p+s)%7, seeds = suppliers 0-2): frontier
+    // Bellman-Ford — O(rounds·|E|) equi-joins, NO path enumeration
+    // (a recursive walk is exponential on dense graphs). The oracle
+    // replays six FULL relaxation rounds as iterated CTEs; frontier
+    // pruning provably lands on the same fixpoint prefix.
+    "q179_sssp" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val pairs = li.select(($"l_partkey" * 2).as("a"),
+        ($"l_suppkey" * 2 + 1).as("b"),
+        (lit(1) + ($"l_partkey" + $"l_suppkey") % 7).as("w"))
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"), $"w")
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst"), $"w"))
+      val seeds = t(s, dir, "supplier").filter($"s_suppkey" < 3)
+        .select(($"s_suppkey" * 2 + 1).as("id"))
+      Ops.shortestPaths(edges, seeds, maxHops = 6)
+        .select($"id", $"dist").orderBy($"id")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -592,6 +632,33 @@ object Operators {
     * arithmetic, same floor output (see Ops.pageRank's determinism
     * notes).
     */
+  /** k full Bellman-Ford relaxation rounds as iterated CTEs — the
+    * relation the frontier-pruned distributed plan must reproduce.
+    */
+  private def ssspOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.dist + e.w AS dist
+         |    FROM d${i - 1} d JOIN e ON e.src = d.id)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+       |    1 + (l_partkey + l_suppkey) % 7 AS w
+       |  FROM lineitem),
+       |e AS (
+       |  SELECT a AS src, b AS dst, w FROM pairs
+       |  UNION ALL SELECT b, a, w FROM pairs),
+       |d0 AS (
+       |  SELECT s_suppkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier WHERE s_suppkey < 3),
+       |$steps
+       |SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
@@ -622,6 +689,35 @@ object Operators {
 
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
+    "q179_sssp" -> ssspOracleSql(6),
+
+    // identical sufficient statistics, identical fixed-order double
+    // ratio arithmetic
+    "q178_regression" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS HUGEINT) AS x,
+        |    CAST(floor(value * 100) AS HUGEINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM d GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+        |  FROM a)
+        |SELECT event_type, n,
+        |  round(CASE WHEN varxn <> 0 THEN covn / varxn END, 6) AS slope,
+        |  round(CASE WHEN varxn <> 0 THEN
+        |    (CAST(sy AS DOUBLE) - (covn / varxn) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END, 6) AS intercept,
+        |  round(CASE WHEN varxn <> 0 AND varyn <> 0 THEN
+        |    (covn * covn) / (varxn * varyn) END, 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // same apriori replay: dedup baskets, item counts, pair counts,
     // identical double ratio arithmetic

@@ -678,4 +678,57 @@ class OpsSpec extends AnyFunSuite {
       assert(got == want(s), s"shard $s order mismatch")
     }
   }
+
+  test("groupedLinearFit recovers an exact line and flags degenerate groups") {
+    // g=a: y = 3x + 2 exactly -> slope 3, intercept 2, r2 1
+    // g=b: zero x-variance -> nulls
+    val df = Seq(
+      ("a", 0L, 2L), ("a", 1L, 5L), ("a", 2L, 8L), ("a", 5L, 17L),
+      ("b", 4L, 1L), ("b", 4L, 9L)).toDF("g", "x", "y")
+    val out = Ops.groupedLinearFit(df, Seq("g"), $"x", $"y")
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 4L)
+    assert(a.getDouble(2) == 3.0 && a.getDouble(3) == 2.0 &&
+      a.getDouble(4) == 1.0)
+    val b = out(1)
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4))
+  }
+
+  test("groupedLinearFit is partition-layout invariant") {
+    val rows = (0 until 400).map(i => ("g", (i % 23).toLong,
+      (i * 37 % 101).toLong))
+    val one = Ops.groupedLinearFit(
+      spark.createDataFrame(rows).toDF("g", "x", "y").coalesce(1),
+      Seq("g"), $"x", $"y").collect().head
+    val many = Ops.groupedLinearFit(
+      spark.createDataFrame(rows).toDF("g", "x", "y").repartition(13),
+      Seq("g"), $"x", $"y").collect().head
+    assert(one.getDouble(2) == many.getDouble(2) &&
+      one.getDouble(3) == many.getDouble(3) &&
+      one.getDouble(4) == many.getDouble(4))
+  }
+
+  test("shortestPaths relaxes past the greedy route and early-stops") {
+    // 1 -> 2 direct costs 10; 1 -> 3 -> 4 -> 2 costs 3. Node 5 dangles
+    // at distance 10+? unreachable from seed within cap -> reachable
+    // set only. maxHops generous: loop must early-stop, not run dry.
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L),
+      (6L, 5L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = Ops.shortestPaths(edges, seeds, maxHops = 16)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 3L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("shortestPaths hop bound truncates like k-round Bellman-Ford") {
+    // chain 1->2->3->4 with unit weights; 2 hops reach only node 3
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Ops.shortestPaths(edges, Seq(1L).toDF("id"), maxHops = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
 }
