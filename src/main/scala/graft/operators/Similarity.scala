@@ -79,6 +79,28 @@ object Similarity {
       Seq(col("sim").desc, col(idCol).asc), k)
   }
 
+  /** k-NN majority-vote classification of held-out vectors against a
+    * labeled corpus: neighbors from [[bruteForceTopK]] (broadcast
+    * queries, ONE corpus scan, codegen cosine), then one tiny hash-agg
+    * of label votes over k·|queries| rows and a deterministic winner
+    * pick (votes desc, smaller label first — fully SQL-replayable, no
+    * float tie ambiguity beyond the neighbor ranks themselves, which
+    * tie-break by id). At 100 TB the corpus scan is the cost; swap the
+    * neighbor stage for [[annTopK]]/[[ivfTopK]] candidates — the vote
+    * stage is unchanged. Output: (query id, predicted label).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  embCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, embCol, k)
+    val votes = nn
+      .join(corpus.select(col(idCol), col(labelCol)), idCol)
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    Ops.topKPerGroup(votes, Seq("query_id"),
+        Seq(col("votes").desc, col(labelCol).asc), 1)
+      .select(col("query_id"), col(labelCol).as("predicted"))
+  }
+
   /** Deterministic random hyperplanes: nBits × dim doubles in [-1, 1)
     * from a splitmix-style hash of (bit, dim) — identical on every
     * executor without shipping state.

@@ -587,6 +587,25 @@ object DedupSim {
           "doc_id", "text", threshold = 0.9)
         .select($"idA", $"idB", round($"jac", 4).as("jac"))
         .orderBy($"idA", $"idB")
+    }),
+
+    // k-NN majority-vote classification on a 10% id-hash holdout:
+    // broadcast queries, ONE labeled-corpus scan (codegen cosine),
+    // label votes in a tiny hash-agg, deterministic winner. The vote
+    // stage is neighbor-source-agnostic — at 100 TB the corpus scan
+    // swaps for ANN candidates, nothing else changes.
+    "q180_knn_classify" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val test = emb.filter($"vec_id" % 10 === 0)
+      val train = emb.filter($"vec_id" % 10 =!= 0)
+      Similarity.knnClassify(train, test, "vec_id", "embedding",
+          "label", k = 5)
+        .join(test.select($"vec_id".as("query_id"),
+          $"label".as("actual")), "query_id")
+        .select($"query_id", $"predicted", $"actual",
+          ($"predicted" === $"actual").as("correct"))
+        .orderBy($"query_id")
     })
   )
 
@@ -798,6 +817,36 @@ object DedupSim {
          |  WHERE e2.b <> r.a)
          |SELECT a AS id, least(a, min(b)) AS rep
          |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    // same neighbor ranks (sim desc, id asc), same vote count, same
+    // (votes desc, label asc) winner pick
+    "q180_knn_classify" ->
+      s"""WITH c AS (SELECT vec_id, embedding AS ea, label
+         |           FROM embeddings WHERE vec_id % 10 <> 0),
+         |q AS (SELECT vec_id, embedding AS eb, label
+         |      FROM embeddings WHERE vec_id % 10 = 0),
+         |nn AS (
+         |  SELECT query_id, lab FROM (
+         |    SELECT query_id, lab, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, nid ASC) AS rk
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+         |        c.label AS lab, $cosSql AS sim
+         |      FROM c, q))
+         |  WHERE rk <= 5),
+         |votes AS (
+         |  SELECT query_id, lab, count(*) AS votes
+         |  FROM nn GROUP BY query_id, lab),
+         |win AS (
+         |  SELECT query_id, lab AS predicted FROM (
+         |    SELECT query_id, lab, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY votes DESC, lab ASC) AS r
+         |    FROM votes)
+         |  WHERE r = 1)
+         |SELECT w.query_id, w.predicted, q.label AS actual,
+         |  (w.predicted = q.label) AS correct
+         |FROM win w JOIN q ON q.vec_id = w.query_id
+         |ORDER BY w.query_id""".stripMargin,
 
     "q53_cosine_topk" ->
       s"""SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (

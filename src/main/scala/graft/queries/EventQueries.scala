@@ -359,10 +359,48 @@ object EventQueries {
         .agg(count(lit(1)).as("n_converters"),
           expr("percentile(lat_us, 0.5)").as("median_lat_us"),
           expr("percentile(lat_us, 0.9)").as("p90_lat_us"))
+    }),
+
+    // Time-decayed engagement score with EXACT integer arithmetic:
+    // half-life = one week, decay = right-shift of whole cents by
+    // weeks-ago (value halves each week, no float pow drift — the
+    // decayed sum is partition-order invariant because every addend
+    // is an exact integer). Anchor = max event day, a broadcast
+    // 1-row aggregate, so the score is a pure function of the data.
+    // Top-100 spenders-by-decayed-score, the "what's hot now"
+    // leaderboard shape.
+    "q182_decay_score" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val anchor = ev.agg(max(to_date(date_trunc("day", $"ts"))).as("d_max"))
+      ev.crossJoin(broadcast(anchor))
+        .select($"user_id",
+          expr("shiftright(cast(floor(value * 100) as bigint), " +
+            "cast(least(floor(datediff(d_max, to_date(ts)) / 7), 62) as int))")
+            .as("dec_cents"))
+        .groupBy($"user_id")
+        .agg(sum($"dec_cents").as("score"), count(lit(1)).as("n_events"))
+        .orderBy($"score".desc, $"user_id".asc)
+        .limit(100)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical integer shift-decay: cents >> min(weeks_ago, 62)
+    "q182_decay_score" ->
+      """WITH a AS (
+        |  SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS d_max
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT) >>
+        |    CAST(least((d_max - CAST(date_trunc('day', ts) AS DATE)) // 7,
+        |      62) AS INTEGER)) AS BIGINT) AS score,
+        |  count(*) AS n_events
+        |FROM events CROSS JOIN a
+        |GROUP BY user_id
+        |ORDER BY score DESC, user_id ASC
+        |LIMIT 100""".stripMargin,
+
     "q60_from_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -903,6 +903,41 @@ object Relational {
       s.sql(Q95ShapeText)
     }),
 
+    // Null-aware anti-join corner: `key NOT IN (nullable subquery)`.
+    // Catalyst can't hash a null-aware anti join — naive NOT IN over a
+    // column it can't prove non-null plans a BroadcastNestedLoopJoin
+    // (per-row O(|set|) — dead at 100 TB; ScaleSpec proves the naive
+    // plan really does degrade AND gates this one). The production
+    // rewrite: filter nulls EXPLICITLY, then LEFT ANTI — a plain
+    // broadcast/hash anti join. Business semantics ("not among the
+    // known urgent buyers") are the null-filtered set's; the oracle
+    // states exactly that with an IS NOT NULL guard inside NOT IN.
+    "q181_null_safe_not_in" -> ((s, dir) => {
+      import s.implicits._
+      val urgent = t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select(when($"o_custkey" % 1000 =!= 7, $"o_custkey").as("k"))
+      t(s, dir, "customer")
+        .join(urgent.filter($"k".isNotNull),
+          $"c_custkey" === $"k", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum($"c_acctbal").as("acctbal"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // TPC-DS Q1 shape: the correlated threshold rides an AGGREGATED
+    // CTE consumed twice — outer relation AND subquery domain (q86's
+    // corner is the same comparison over a raw table; this one makes
+    // Catalyst decorrelate over a grouped intermediate and reuse the
+    // CTE). Two correlated scalar aggregates (count + sum) keep the
+    // 1.2×-average threshold in EXACT integer/decimal arithmetic.
+    "q183_tpcds_q1_shape" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(Q1ShapeText)
+    }),
+
     // Outer-generator corner: explode_outer must PRESERVE rows whose
     // array is empty (emitting one null element) — the row-count
     // semantics that separate a LEFT LATERAL from an inner one, which
@@ -1419,6 +1454,26 @@ object Relational {
       |    WHERE l3.l_orderkey = l1.l_orderkey
       |      AND l3.l_returnflag = 'R')""".stripMargin
 
+  /** TPC-DS Q1 shape: totals CTE consumed as outer AND correlated
+    * subquery domain; 1.2×-average threshold kept exact as
+    * 10·total·n > 12·sum(total) over decimals.
+    */
+  val Q1ShapeText: String =
+    """WITH totals AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    sum(CAST(o_totalprice AS DECIMAL(30,4))) AS total
+      |  FROM orders GROUP BY o_custkey, o_orderpriority)
+      |SELECT t.o_custkey AS c_custkey, c.c_name, t.o_orderpriority,
+      |  CAST(round(t.total, 2) AS DOUBLE) AS total
+      |FROM totals t JOIN customer c ON c.c_custkey = t.o_custkey
+      |WHERE CAST(t.total * 10000 AS BIGINT) * 10 *
+      |    (SELECT count(*) FROM totals t2
+      |     WHERE t2.o_orderpriority = t.o_orderpriority)
+      |  > (SELECT sum(CAST(t3.total * 10000 AS BIGINT)) FROM totals t3
+      |     WHERE t3.o_orderpriority = t.o_orderpriority) * 12
+      |ORDER BY total DESC, c_custkey ASC, t.o_orderpriority ASC
+      |LIMIT 100""".stripMargin
+
   val Q87ShapeText: String =
     """WITH sales AS (
       |  SELECT o_custkey AS ck, o_orderkey % 3 AS ch FROM orders
@@ -1900,6 +1955,22 @@ object Relational {
     "q163_tpcds_q72_shape" -> Q72ShapeText,
     "q164_tpcds_q23_shape" -> Q23ShapeText,
     "q176_tpcds_q95_shape" -> Q95ShapeText,
+    "q183_tpcds_q1_shape" -> Q1ShapeText,
+
+    // the declarative statement of the null-filtered NOT IN the
+    // left-anti rewrite implements
+    "q181_null_safe_not_in" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,4))), 2)
+        |    AS DOUBLE) AS acctbal
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT k FROM (
+        |    SELECT CASE WHEN o_custkey % 1000 <> 7 THEN o_custkey END AS k
+        |    FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  WHERE k IS NOT NULL)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q169_datetime_battery" ->
       """SELECT o_orderkey,

@@ -369,4 +369,36 @@ class DedupSimSpec extends AnyFunSuite {
       .select($"vec_id", $"cluster").as[(Long, Int)].collect()
     assert(again.sortBy(_._1).sameElements(keptRows.sortBy(_._1)))
   }
+
+  test("knnClassify: planted orthogonal clusters classify perfectly") {
+    // 3 labels on orthogonal axes with small deterministic jitter:
+    // every held-out vector's 5 nearest live on its own axis.
+    def vec(axis: Int, i: Int): Seq[Float] = {
+      val v = Array.fill(6)(0.01f * ((i * 7 + axis) % 5))
+      v(axis) = 1f + 0.001f * i
+      v.toSeq
+    }
+    val rows = for (axis <- 0 until 3; i <- 0 until 8)
+      yield (axis * 100L + i, vec(axis, i), axis)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queries = df.filter($"vec_id" % 4 === 0)
+    val train = df.filter($"vec_id" % 4 =!= 0)
+    val out = Similarity.knnClassify(train, queries, "vec_id",
+        "embedding", "label", k = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(out.size == queries.count())
+    out.foreach { case (qid, pred) => assert(pred == (qid / 100).toInt,
+      s"query $qid predicted $pred") }
+  }
+
+  test("knnClassify vote tie-break is deterministic (smaller label wins)") {
+    // two labels, k=2, one neighbor each at equal similarity -> the
+    // vote is 1-1 and label 0 must win.
+    val train = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val q = Seq((10L, Seq(1f, 1f), 9)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(train, q, "vec_id", "embedding",
+      "label", k = 2).as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((10L, 0)))
+  }
 }

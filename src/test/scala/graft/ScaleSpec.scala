@@ -679,4 +679,51 @@ class ScaleSpec extends AnyFunSuite {
     assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
       s"histogram must combine map-side before the 12-row shuffle:\n$plan")
   }
+
+  test("NOT IN corner: null-aware anti join is broadcast-ONLY; the q181 rewrite shuffles") {
+    // A NOT IN whose subquery column Catalyst cannot prove non-null
+    // needs a null-aware anti join, and Spark supports NAAJ ONLY as a
+    // broadcast build (single-column BroadcastHashJoin isNullAware, or
+    // BroadcastNestedLoopJoin) — when the exclusion set outgrows the
+    // broadcast threshold there is NO shuffle fallback: the set is
+    // broadcast regardless. Simulate "set too big to broadcast" with
+    // threshold -1 and pin both halves of the story.
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders")
+    Tables(spark, sf, "customer").createOrReplaceTempView("customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val naive = executed(spark.sql(
+        """SELECT c_custkey FROM customer WHERE c_custkey NOT IN (
+          |  SELECT CASE WHEN o_custkey % 1000 <> 7 THEN o_custkey END
+          |  FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin))
+      // NAAJ ignores the threshold: a broadcast build survives even
+      // when broadcasting is "off" — the 100 TB failure mode.
+      assert(naive.contains("BroadcastNestedLoopJoin") ||
+        naive.contains("BroadcastHashJoin"), naive)
+      // The q181 rewrite (explicit null filter + LEFT ANTI) respects
+      // it: a shuffle-family anti join, no forced broadcast.
+      val rewritten = executed(
+        graft.queries.Relational.queries("q181_null_safe_not_in")(spark, sf))
+      assert(!rewritten.contains("BroadcastNestedLoopJoin") &&
+        !rewritten.contains("BroadcastHashJoin"), rewritten)
+      assert(rewritten.contains("LeftAnti"), rewritten)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SSSP rounds are equi-joins: no cartesian, lineage capped per round") {
+    // Each Bellman-Ford round must relax through a keyed join; a
+    // cartesian/nested-loop product would make a round O(V·E).
+    import graft.operators.Ops
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val out = Ops.shortestPaths(edges, Seq(1L).toDF("id"), maxHops = 3)
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // localCheckpoint truncates lineage: the returned plan must scan
+    // checkpointed partitions, not replay every round's joins.
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      plan)
+  }
 }
