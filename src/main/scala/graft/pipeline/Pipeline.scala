@@ -1864,6 +1864,76 @@ object Pipeline {
           group, cntCol, sumCol), RowType)
       }),
 
+    // Exact grouped OLS from the DSL (q178): per-group slope/
+    // intercept/r² from decimal sufficient statistics — one hash-agg,
+    // partition-order invariant. x=/y= must be integer-valued.
+    Registered("linfit", RowType, RowType,
+      "in=STREAM:group=COL[,COL]:x=COL:y=COL:out=STREAM", (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val group = m.args.getOrElse("group",
+          throw new BuildError("linfit: group= required"))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val x = m.args.getOrElse("x",
+          throw new BuildError("linfit: x= required"))
+        val y = m.args.getOrElse("y",
+          throw new BuildError("linfit: y= required"))
+        ctx.writeStream(m, graft.operators.Ops.groupedLinearFit(
+          df, group, col(x), col(y)), RowType)
+      }),
+
+    // Bounded-hop shortest paths from the DSL (q179): in= is a
+    // weighted edge stream (src=/dst=/w=), seeds= the source stream
+    // with an id column; emits (id, dist) for nodes reachable within
+    // maxhops edges. Frontier Bellman-Ford — O(rounds·|E|) equi-joins.
+    Registered("sssp", RowType, RowType,
+      "in=STREAM:seeds=STREAM:src=COL:dst=COL:w=COL:maxhops=6:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val sname = m.args.getOrElse("seeds",
+          throw new BuildError("sssp: seeds= required"))
+        val (seedDf, st) = ctx.streams.getOrElse(sname,
+          throw new BuildError(s"sssp: unknown stream '$sname'"))
+        if (st != RowType)
+          throw new BuildError(s"sssp: '$sname' is not a row stream")
+        ctx.readers(sname) += 1
+        val maxHops = m.args.getOrElse("maxhops", "6").toInt
+        if (maxHops < 1 || maxHops > 64)
+          throw new BuildError(s"sssp: maxhops in [1,64], got $maxHops")
+        val edges = df.select(
+          col(m.args.getOrElse("src", "src")).as("src"),
+          col(m.args.getOrElse("dst", "dst")).as("dst"),
+          col(m.args.getOrElse("w", "w")).as("w"))
+        val seeds = seedDf.select(col(m.args.getOrElse("id", "id")).as("id"))
+        ctx.writeStream(m, graft.operators.Ops.shortestPaths(
+          edges, seeds, maxHops), RowType)
+      }),
+
+    // k-NN majority-vote classification from the DSL (q180): in= the
+    // labeled corpus, queries= the stream to classify; emits
+    // (query_id, predicted).
+    Registered("knnclassify", RowType, RowType,
+      "in=STREAM:queries=STREAM:key=COL:emb=COL:label=COL:k=5:out=STREAM",
+      (ctx, m) => {
+        val corpus = ctx.readStream(m, RowType)
+        val qname = m.args.getOrElse("queries",
+          throw new BuildError("knnclassify: queries= required"))
+        val (qDf, qt) = ctx.streams.getOrElse(qname,
+          throw new BuildError(s"knnclassify: unknown stream '$qname'"))
+        if (qt != RowType)
+          throw new BuildError(s"knnclassify: '$qname' is not a row stream")
+        ctx.readers(qname) += 1
+        val k = m.args.getOrElse("k", "5").toInt
+        if (k < 1) throw new BuildError(s"knnclassify: k must be >= 1, got $k")
+        ctx.writeStream(m, graft.operators.Similarity.knnClassify(
+          corpus, qDf,
+          m.args.getOrElse("key",
+            throw new BuildError("knnclassify: key= required")),
+          m.args.getOrElse("emb",
+            throw new BuildError("knnclassify: emb= required")),
+          m.args.getOrElse("label",
+            throw new BuildError("knnclassify: label= required")), k), RowType)
+      }),
+
     // Mixed-corpus media near-dup pairs from the DSL: sniff each
     // payload, dispatch stills/WAV to the banded-hamming fingerprint
     // join and MJPEG/AVI to the positional frame-hash join, union the

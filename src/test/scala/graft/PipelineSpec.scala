@@ -372,8 +372,52 @@ class PipelineSpec extends AnyFunSuite {
       "tcpread", "tcpwrite", "chartwrite", "decontaminate", "mixsample",
       "chunk", "avroread", "avrowrite", "sql", "zorderwrite",
       "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2",
-      "kmvsketch", "linkage", "nfcnormalize")
+      "kmvsketch", "linkage", "nfcnormalize",
+      "linfit", "sssp", "knnclassify")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("linfit + sssp + knnclassify modules end-to-end") {
+    val d = tmp("fitpath")
+    // linfit: exact line y = 2x + 1 -> slope 2, intercept 1, r2 1
+    writeCsv(s"$d/xy.csv",
+      ("g,x,y" +: (0 to 3).map(x => s"a,$x,${2 * x + 1}")): _*)
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/xy.csv", "csvread:infer=1:out=xy",
+      "linfit:in=xy:group=g:x=x:y=y:out=fit",
+      "csvwrite:in=fit", s"filewrite:out=$d/fit.csv"))
+    assert(readOut(s"$d/fit.csv") ==
+      Seq("g,n,slope,intercept,r2", "a,4,2.0,1.0,1.0"))
+
+    // sssp: direct 1->2 costs 10, detour 1->3->2 costs 2
+    writeCsv(s"$d/edges.csv", "src,dst,w", "1,2,10", "1,3,1", "3,2,1")
+    writeCsv(s"$d/seeds.csv", "id", "1")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/seeds.csv", "csvread:infer=1:out=seeds",
+      s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e",
+      "sssp:in=e:seeds=seeds:maxhops=4:out=dist",
+      "sort:in=dist:by=id:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/dist.csv"))
+    assert(readOut(s"$d/dist.csv") ==
+      Seq("id,dist", "1,0", "2,2", "3,1"))
+
+    // knnclassify: axis-aligned corpus, query on the x axis -> label 0
+    writeCsv(s"$d/corpus.ndjson",
+      """{"id": 1, "emb": [1.0, 0.0], "lab": 0}""",
+      """{"id": 2, "emb": [0.9, 0.1], "lab": 0}""",
+      """{"id": 3, "emb": [0.0, 1.0], "lab": 1}""")
+    writeCsv(s"$d/q.ndjson", """{"id": 10, "emb": [0.95, 0.05], "lab": 9}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/q.ndjson", "ndjsonread:out=q",
+      s"fileread:in=$d/corpus.ndjson", "ndjsonread:out=corpus",
+      "knnclassify:in=corpus:queries=q:key=id:emb=emb:label=lab:k=3:out=pred",
+      "csvwrite:in=pred", s"filewrite:out=$d/pred.csv"))
+    assert(readOut(s"$d/pred.csv") ==
+      Seq("query_id,predicted", "10,0"))
+
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e2",
+      "sssp:in=e2:seeds=nosuch", "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
   test("dedupcluster + survivor modules: DSL clustering chain end-to-end") {
