@@ -1144,6 +1144,53 @@ object Ops {
       .filter(col(cntCol) > 0)
   }
 
+  /** EXACT weighted (lower) median per group — the smallest value v
+    * with cumweight(≤v)·2 ≥ totalweight — without ever sorting a whole
+    * group in one task. Two bounded passes over hash-aggregates:
+    * (1) per-(group, coarse-bucket) weight sums (bucket = value >>
+    * `coarseShift`) + a metadata-size cumulative window over the
+    * bucket rows (≤ value-range/2^shift rows per group, NOT data
+    * rows) locates the single bucket that straddles the half-weight
+    * point; (2) only rows in that bucket (a broadcast semi join on
+    * the tiny per-group target table) are re-aggregated per distinct
+    * value — ≤ 2^shift distinct values per group — and the straddle
+    * rule picks the median with the carried-in cumulative offset.
+    * A naive `sum(w) over (partition by group order by value)` puts
+    * every group in ONE window task — the q148-class skew hazard this
+    * avoids. Values and weights must be integer-valued (exact).
+    * Output: group cols + (median, total_weight).
+    */
+  def weightedMedian(df: DataFrame, group: Seq[String], value: Column,
+                     weight: Column, coarseShift: Int = 10): DataFrame = {
+    val g = group.map(col)
+    val base = df.select(g :+ value.cast("long").as("__v") :+
+      weight.cast("long").as("__w"): _*)
+    val tot = base.groupBy(g: _*).agg(sum(col("__w")).as("__tw"))
+    val coarse = base
+      .withColumn("__b", shiftright(col("__v"), coarseShift))
+      .groupBy(g :+ col("__b"): _*).agg(sum(col("__w")).as("__bw"))
+    val wb = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val target = coarse
+      .withColumn("__cum", sum(col("__bw")).over(wb))
+      .join(tot, group)
+      .withColumn("__prev", col("__cum") - col("__bw"))
+      .filter(col("__cum") * 2 >= col("__tw") && col("__prev") * 2 < col("__tw"))
+      .select(g :+ col("__b") :+ col("__prev") :+ col("__tw"): _*)
+    val inBucket = base
+      .withColumn("__b", shiftright(col("__v"), coarseShift))
+      .join(broadcast(target), group :+ "__b")
+    val fine = inBucket.groupBy(g :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__vw"),
+        first(col("__prev")).as("__prev"), first(col("__tw")).as("__tw"))
+    val wv = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fine.withColumn("__cum", col("__prev") + sum(col("__vw")).over(wv))
+      .filter(col("__cum") * 2 >= col("__tw"))
+      .groupBy(g: _*)
+      .agg(min(col("__v")).as("median"), first(col("__tw")).as("total_weight"))
+  }
+
   /** Exact grouped ordinary-least-squares fit `y ~ intercept + slope·x`
     * plus Pearson r², from INTEGER-valued x/y columns. The sufficient
     * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are decimal sums — exact,

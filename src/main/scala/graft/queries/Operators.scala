@@ -428,6 +428,23 @@ object Operators {
         .select($"id", $"dist").orderBy($"id")
     }),
 
+    // Exact quantity-weighted median price per returnflag: the
+    // two-phase coarse-bucket plan — no whole-group sort/window task
+    // ever exists (the naive cumulative window is the q148-class skew
+    // hazard). Values as whole cents, weights as integer quantities:
+    // every comparison is exact. Oracle replays the definitional
+    // cumulative-weight straddle directly.
+    "q184_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      Ops.weightedMedian(li, Seq("l_returnflag"),
+          floor($"l_extendedprice" * 100), $"l_quantity")
+        .select($"l_returnflag",
+          ($"median".cast("double") / 100).as("median_price"),
+          $"total_weight")
+        .orderBy($"l_returnflag")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -690,6 +707,26 @@ object Operators {
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
     "q179_sssp" -> ssspOracleSql(6),
+
+    // definitional weighted lower median: first value whose cumulative
+    // weight reaches half the total
+    "q184_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |f AS (SELECT g, v, sum(w) AS vw FROM b GROUP BY g, v),
+        |c AS (
+        |  SELECT g, v,
+        |    sum(vw) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(vw) OVER (PARTITION BY g) AS tw
+        |  FROM f)
+        |SELECT g AS l_returnflag,
+        |  CAST(min(v) AS DOUBLE) / 100 AS median_price,
+        |  CAST(min(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tw
+        |GROUP BY g ORDER BY g""".stripMargin,
 
     // identical sufficient statistics, identical fixed-order double
     // ratio arithmetic

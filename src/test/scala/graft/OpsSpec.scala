@@ -709,6 +709,40 @@ class OpsSpec extends AnyFunSuite {
       one.getDouble(4) == many.getDouble(4))
   }
 
+  test("weightedMedian matches the naive cumulative-window definition bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial mix: duplicate values, weight spikes, values that
+    // share / straddle coarse buckets (shift 4 -> bucket width 16)
+    val rows = (0 until 500).map { i =>
+      val g = s"g${i % 3}"
+      val v = ((i * 131) % 97) * 3 + (if (i % 7 == 0) 1000 else 0)
+      val w = 1L + (i * 17) % 9 + (if (i % 50 == 0) 200 else 0)
+      (g, v.toLong, w)
+    }
+    val df = rows.toDF("g", "v", "w").repartition(7)
+    val got = Ops.weightedMedian(df, Seq("g"), $"v", $"w", coarseShift = 4)
+      .select($"g", $"median", $"total_weight")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val naive = {
+      val f = df.groupBy($"g", $"v").agg(sum($"w").as("vw"))
+      val cum = f.withColumn("cum", sum($"vw").over(
+          Window.partitionBy($"g").orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum($"vw").over(Window.partitionBy($"g")))
+      cum.filter($"cum" * 2 >= $"tw")
+        .groupBy($"g").agg(min($"v").as("median"), min($"tw").as("tw"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(got == naive)
+  }
+
+  test("weightedMedian straddle edge: exact half-weight picks the lower value") {
+    // weights 1,1 at values 10,20: cum(10)*2 == tw -> median 10
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 1L)).toDF("g", "v", "w")
+    val out = Ops.weightedMedian(df, Seq("g"), $"v", $"w").collect().head
+    assert(out.getLong(1) == 10L && out.getLong(2) == 2L)
+  }
+
   test("shortestPaths relaxes past the greedy route and early-stops") {
     // 1 -> 2 direct costs 10; 1 -> 3 -> 4 -> 2 costs 3. Node 5 dangles
     // at distance 10+? unreachable from seed within cap -> reachable
