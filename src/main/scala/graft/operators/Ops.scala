@@ -1161,7 +1161,22 @@ object Ops {
     * Output: group cols + (median, total_weight).
     */
   def weightedMedian(df: DataFrame, group: Seq[String], value: Column,
-                     weight: Column, coarseShift: Int = 10): DataFrame = {
+                     weight: Column, coarseShift: Int = 10): DataFrame =
+    weightedQuantiles(df, group, value, weight, Seq(500), coarseShift)
+      .withColumnRenamed("value", "median").drop("permille")
+
+  /** EXACT weighted quantiles (lower: smallest v with cumweight(≤v)
+    * ·1000 ≥ p·totalweight) for SEVERAL permille points in the same
+    * two bounded passes as [[weightedMedian]] — the per-group target
+    * table just carries one row per requested permille (targets for
+    * different p may share a bucket; each keeps its own cumulative
+    * offset). Output: group cols + (permille, value, total_weight).
+    */
+  def weightedQuantiles(df: DataFrame, group: Seq[String], value: Column,
+                        weight: Column, permilles: Seq[Int],
+                        coarseShift: Int = 10): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
+      s"permilles must be in (0,1000], got $permilles")
     val g = group.map(col)
     val base = df.select(g :+ value.cast("long").as("__v") :+
       weight.cast("long").as("__w"): _*)
@@ -1171,24 +1186,30 @@ object Ops {
       .groupBy(g :+ col("__b"): _*).agg(sum(col("__w")).as("__bw"))
     val wb = Window.partitionBy(g: _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = permilles.distinct.sorted.map(_.toLong).toDF("permille")
     val target = coarse
       .withColumn("__cum", sum(col("__bw")).over(wb))
       .join(tot, group)
       .withColumn("__prev", col("__cum") - col("__bw"))
-      .filter(col("__cum") * 2 >= col("__tw") && col("__prev") * 2 < col("__tw"))
-      .select(g :+ col("__b") :+ col("__prev") :+ col("__tw"): _*)
+      .crossJoin(broadcast(ps))
+      .filter(col("__cum") * 1000 >= col("permille") * col("__tw") &&
+        col("__prev") * 1000 < col("permille") * col("__tw"))
+      .select(g :+ col("permille") :+ col("__b") :+ col("__prev") :+
+        col("__tw"): _*)
     val inBucket = base
       .withColumn("__b", shiftright(col("__v"), coarseShift))
       .join(broadcast(target), group :+ "__b")
-    val fine = inBucket.groupBy(g :+ col("__v"): _*)
+    val fine = inBucket.groupBy(g :+ col("permille") :+ col("__v"): _*)
       .agg(sum(col("__w")).as("__vw"),
         first(col("__prev")).as("__prev"), first(col("__tw")).as("__tw"))
-    val wv = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val wv = Window.partitionBy(g :+ col("permille"): _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fine.withColumn("__cum", col("__prev") + sum(col("__vw")).over(wv))
-      .filter(col("__cum") * 2 >= col("__tw"))
-      .groupBy(g: _*)
-      .agg(min(col("__v")).as("median"), first(col("__tw")).as("total_weight"))
+      .filter(col("__cum") * 1000 >= col("permille") * col("__tw"))
+      .groupBy(g :+ col("permille"): _*)
+      .agg(min(col("__v")).as("value"), first(col("__tw")).as("total_weight"))
   }
 
   /** Exact grouped ordinary-least-squares fit `y ~ intercept + slope·x`

@@ -445,6 +445,21 @@ object Operators {
         .orderBy($"l_returnflag")
     }),
 
+    // Exact weighted quartiles in the SAME two bucket passes as the
+    // median — the per-group target table carries one row per
+    // requested permille. Skew-safe multi-quantile without
+    // approx_percentile's error bars or a whole-group sort.
+    "q185_exact_quartiles" -> ((s, dir) => {
+      import s.implicits._
+      Ops.weightedQuantiles(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          floor($"l_extendedprice" * 100), $"l_quantity",
+          permilles = Seq(250, 500, 750))
+        .select($"l_returnflag", $"permille",
+          ($"value".cast("double") / 100).as("price"),
+          $"total_weight")
+        .orderBy($"l_returnflag", $"permille")
+    }),
+
     "q84_zorder_curve" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
@@ -727,6 +742,28 @@ object Operators {
         |  CAST(min(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tw
         |GROUP BY g ORDER BY g""".stripMargin,
+
+    // same straddle rule per permille point
+    "q185_exact_quartiles" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |f AS (SELECT g, v, sum(w) AS vw FROM b GROUP BY g, v),
+        |c AS (
+        |  SELECT g, v,
+        |    sum(vw) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(vw) OVER (PARTITION BY g) AS tw
+        |  FROM f),
+        |p AS (SELECT unnest([250, 500, 750]) AS permille)
+        |SELECT g AS l_returnflag, CAST(permille AS BIGINT) AS permille,
+        |  CAST(min(v) AS DOUBLE) / 100 AS price,
+        |  CAST(min(tw) AS BIGINT) AS total_weight
+        |FROM c CROSS JOIN p
+        |WHERE cum * 1000 >= permille * tw
+        |GROUP BY g, permille
+        |ORDER BY g, permille""".stripMargin,
 
     // identical sufficient statistics, identical fixed-order double
     // ratio arithmetic

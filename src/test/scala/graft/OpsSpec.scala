@@ -736,6 +736,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("weightedQuantiles: every permille matches its naive window answer") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 300).map { i =>
+      (s"g${i % 2}", ((i * 53) % 211).toLong, 1L + (i * 13) % 5) }
+    val df = rows.toDF("g", "v", "w").repartition(5)
+    val ps = Seq(100, 250, 500, 750, 900, 1000)
+    val got = Ops.weightedQuantiles(df, Seq("g"), $"v", $"w", ps,
+        coarseShift = 3)
+      .select($"g", $"permille", $"value")
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val f = df.groupBy($"g", $"v").agg(sum($"w").as("vw"))
+      .withColumn("cum", sum($"vw").over(Window.partitionBy($"g").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum($"vw").over(Window.partitionBy($"g")))
+    val naive = ps.flatMap { p =>
+      f.filter($"cum" * 1000 >= lit(p) * $"tw")
+        .groupBy($"g").agg(min($"v").as("q"))
+        .as[(String, Long)].collect().map { case (g, q) => (g, p.toLong, q) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == naive)
+  }
+
   test("weightedMedian straddle edge: exact half-weight picks the lower value") {
     // weights 1,1 at values 10,20: cum(10)*2 == tw -> median 10
     val df = Seq(("a", 10L, 1L), ("a", 20L, 1L)).toDF("g", "v", "w")
