@@ -239,6 +239,32 @@ object CurationQueries {
         .agg(max($"n_src").as("n_docs"), round(kl, 6).as("kl"),
           (kl > lit(0.10)).as("drifted"))
         .orderBy($"source")
+    }),
+
+    // Chi-square contingency (source × lang): q132's KL sibling for
+    // the drift family — per-cell (observed·N − rowN·colN)²/(N·rowN·
+    // colN) contributions, integer-exact numerators, per-cell doubles
+    // quantized to decimal before the sum (partition-order invariant,
+    // the q132 convention). Per-source partial χ² localizes WHICH
+    // source shifted the mix; all inputs are tiny hash-aggs of one
+    // documents scan, dims broadcast.
+    "q186_chisq_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sl = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("nsl"))
+      val st = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+      val lt = docs.groupBy($"lang").agg(count(lit(1)).as("nl"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      val num = ($"nsl" * $"n_tot" - $"ns" * $"nl").cast("double")
+      val cellT = ((num * num) /
+        ($"n_tot".cast("double") * $"ns" * $"nl")).cast("decimal(30,12)")
+      val chi2 = sum(cellT).cast("double")
+      sl.join(st, "source").join(broadcast(lt), "lang")
+        .crossJoin(broadcast(tot))
+        .groupBy($"source")
+        .agg(max($"ns").as("n_docs"), round(chi2, 6).as("chi2"),
+          count(lit(1)).as("n_cells"))
+        .orderBy($"source")
     })
   )
 
@@ -444,6 +470,27 @@ object CurationQueries {
         |    AS DECIMAL(30,12))) AS DOUBLE) > 0.10) AS drifted
         |FROM sl JOIN st ON sl.source = st.source
         |JOIN c ON sl.lang = c.lang
+        |CROSS JOIN tot
+        |GROUP BY sl.source
+        |ORDER BY sl.source""".stripMargin,
+
+    // identical per-cell arithmetic: integer-exact numerator, double
+    // ratio, decimal-quantized sum
+    "q186_chisq_drift" ->
+      """WITH sl AS (SELECT source, lang, count(*) AS nsl
+        |            FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |lt AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot FROM documents)
+        |SELECT sl.source, max(st.ns) AS n_docs,
+        |  round(CAST(sum(CAST(
+        |    (CAST(sl.nsl * tot.n_tot - st.ns * lt.nl AS DOUBLE) *
+        |     CAST(sl.nsl * tot.n_tot - st.ns * lt.nl AS DOUBLE)) /
+        |    (CAST(tot.n_tot AS DOUBLE) * st.ns * lt.nl)
+        |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS chi2,
+        |  count(*) AS n_cells
+        |FROM sl JOIN st ON sl.source = st.source
+        |JOIN lt ON sl.lang = lt.lang
         |CROSS JOIN tot
         |GROUP BY sl.source
         |ORDER BY sl.source""".stripMargin

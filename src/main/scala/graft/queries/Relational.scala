@@ -903,6 +903,18 @@ object Relational {
       s.sql(Q95ShapeText)
     }),
 
+    // TPC-DS Q39 shape: per-(priority, month) daily-revenue stats, a
+    // coefficient-of-variation (>3/4) filter on BOTH of two
+    // consecutive months, self-joined — the two-period volatility
+    // scan. The variance test is EXACT integer algebra (16·n·(n·Σx²−
+    // (Σx)²) > 9·(n−1)·(Σx)² ⟺ stdev > 3/4·mean) — no float at the
+    // filter; cov itself is reported as fixed-order double from the
+    // exact sums. One fact scan feeds a tiny stats CTE consumed twice.
+    "q187_tpcds_q39_shape" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(Q39ShapeText)
+    }),
+
     // Null-aware anti-join corner: `key NOT IN (nullable subquery)`.
     // Catalyst can't hash a null-aware anti join — naive NOT IN over a
     // column it can't prove non-null plans a BroadcastNestedLoopJoin
@@ -1474,6 +1486,34 @@ object Relational {
       |ORDER BY total DESC, c_custkey ASC, t.o_orderpriority ASC
       |LIMIT 100""".stripMargin
 
+  /** TPC-DS Q39 shape: exact-integer variance filter, portable month
+    * key (year·12+month), consecutive months self-joined.
+    */
+  val Q39ShapeText: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pri,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+      |    CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(floor(o_totalprice / 10) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT pri, ym, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+      |  FROM daily GROUP BY pri, ym),
+      |flagged AS (
+      |  SELECT pri, ym, n, s1, s2 FROM stats
+      |  WHERE n > 1 AND s1 > 0
+      |    AND 16 * (n * (n * s2 - s1 * s1)) > 9 * ((n - 1) * s1 * s1))
+      |SELECT f1.pri AS o_orderpriority, CAST(f1.ym AS BIGINT) AS ym,
+      |  round(sqrt(CAST(f1.n * f1.s2 - f1.s1 * f1.s1 AS DOUBLE)
+      |      / (CAST(f1.n AS DOUBLE) * (f1.n - 1)))
+      |    / (CAST(f1.s1 AS DOUBLE) / f1.n), 6) AS cov1,
+      |  round(sqrt(CAST(f2.n * f2.s2 - f2.s1 * f2.s1 AS DOUBLE)
+      |      / (CAST(f2.n AS DOUBLE) * (f2.n - 1)))
+      |    / (CAST(f2.s1 AS DOUBLE) / f2.n), 6) AS cov2
+      |FROM flagged f1 JOIN flagged f2
+      |  ON f1.pri = f2.pri AND f2.ym = f1.ym + 1
+      |ORDER BY o_orderpriority, ym""".stripMargin
+
   val Q87ShapeText: String =
     """WITH sales AS (
       |  SELECT o_custkey AS ck, o_orderkey % 3 AS ch FROM orders
@@ -1956,6 +1996,7 @@ object Relational {
     "q164_tpcds_q23_shape" -> Q23ShapeText,
     "q176_tpcds_q95_shape" -> Q95ShapeText,
     "q183_tpcds_q1_shape" -> Q1ShapeText,
+    "q187_tpcds_q39_shape" -> Q39ShapeText,
 
     // the declarative statement of the null-filtered NOT IN the
     // left-anti rewrite implements
