@@ -321,6 +321,39 @@ object TextQueries {
           round(avgNll, 4).as("avg_nll"),
           (avgNll <= lit(3.40)).as("keep"))
         .orderBy($"doc_id")
+    }),
+
+    // PMI collocations: the strongest word pairings by pointwise
+    // mutual information ln((n12/NB)/((n1/NU)(n2/NU))) — the classic
+    // phrase-detection statistic (word2vec-style phrase merging).
+    // Corpus totals are 1-row broadcasts; unigram counts hash-join the
+    // bigram table on each side (no broadcast assumption on the
+    // vocabulary — it grows with the corpus). All counts exact, one
+    // fixed-order double expression, min-support cut first so the
+    // join fans out only over surviving bigrams.
+    "q188_pmi_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val ws = docs.select(split($"text", " ").as("ws"))
+      val uni = ws.select(explode($"ws").as("w"))
+      val ucnt = uni.groupBy($"w").agg(count(lit(1)).as("n1"))
+      val nu = uni.agg(count(lit(1)).as("nu"))
+      val bi = docs.select(explode(wordNgrams($"text", 2)).as("bg"))
+      val bcnt = bi.groupBy($"bg").agg(count(lit(1)).as("n12"))
+        .filter($"n12" >= 20)
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      bcnt
+        .join(ucnt.select($"w".as("w1a"), $"n1".as("na")),
+          split_part($"bg", lit(" "), lit(1)) === $"w1a")
+        .join(ucnt.select($"w".as("w2a"), $"n1".as("nc")),
+          split_part($"bg", lit(" "), lit(2)) === $"w2a")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select($"bg", $"n12",
+          round(log(($"n12".cast("double") / $"nb") /
+            (($"na".cast("double") / $"nu") *
+             ($"nc".cast("double") / $"nu"))), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"bg".asc)
+        .limit(30)
     })
   )
 
@@ -467,6 +500,27 @@ object TextQueries {
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))) AS BIGINT) AS est_bpe_tokens,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical counts, identical fixed-order PMI arithmetic
+    "q188_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM w),
+        |ucnt AS (SELECT w, count(*) AS n1 FROM uni GROUP BY w),
+        |nu AS (SELECT count(*) AS nu FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w),
+        |bcnt AS (SELECT bg, count(*) AS n12 FROM bi
+        |         GROUP BY bg HAVING count(*) >= 20),
+        |nb AS (SELECT count(*) AS nb FROM bi)
+        |SELECT bg, n12,
+        |  round(ln((CAST(n12 AS DOUBLE) / nb.nb) /
+        |    ((CAST(a.n1 AS DOUBLE) / nu.nu) *
+        |     (CAST(b.n1 AS DOUBLE) / nu.nu))), 6) AS pmi
+        |FROM bcnt
+        |JOIN ucnt a ON a.w = split_part(bg, ' ', 1)
+        |JOIN ucnt b ON b.w = split_part(bg, ' ', 2)
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi DESC, bg ASC LIMIT 30""".stripMargin,
 
     "q117_perplexity_filter" ->
       """WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
