@@ -323,16 +323,22 @@ object Operators {
     // Per-node triangle counts over the supplier co-occurrence graph
     // (edge = two suppliers serving the same order): degree-ordered
     // orientation keeps wedge generation near O(m^1.5) — hubs receive
-    // edges instead of fanning out deg² wedges. Oracle: the
-    // definitional a<b<c triple self-join, which the orientation plan
-    // must reproduce exactly.
+    // edges instead of fanning out deg² wedges. The raw co-occurrence
+    // graph densifies toward a CLIQUE as sf grows (every supplier
+    // pair eventually shares an order: K1000 at sf0.1 ≈ 1.7e8
+    // triangles — quadratic-in-disguise input, 85 s in-suite), so the
+    // edge set is thinned by a deterministic hash to ~1/17 — the
+    // production move for co-occurrence graphs, stated in the query,
+    // replayed by the oracle. Oracle: the definitional a<b<c triple
+    // self-join, which the orientation plan must reproduce exactly.
     "q172_triangle_count" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_suppkey").distinct()
       val edges = li.select($"l_orderkey", $"l_suppkey".as("u"))
         .join(li.select($"l_orderkey", $"l_suppkey".as("v")), "l_orderkey")
-        .filter($"u" < $"v").select($"u", $"v").distinct()
+        .filter($"u" < $"v" && ($"u" * 1009 + $"v") % 17 === 0)
+        .select($"u", $"v").distinct()
       Ops.triangleCounts(edges).orderBy($"node")
     }),
 
@@ -883,7 +889,8 @@ object Operators {
       """WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
         |      FROM s a JOIN s b
-        |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      WHERE (a.l_suppkey * 1009 + b.l_suppkey) % 17 = 0),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |        FROM e e1
         |        JOIN e e2 ON e2.u = e1.v

@@ -680,6 +680,38 @@ class ScaleSpec extends AnyFunSuite {
       s"histogram must combine map-side before the 12-row shuffle:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skewed shuffle read)") {
+    // The 100 TB skew story: a hot key's shuffle partition is split by
+    // AQE into several reads joined against the replicated other side
+    // — no salting rewrite needed when the skew is discovered at
+    // runtime. Local data is tiny, so the thresholds are lowered to
+    // make the hot partition "big"; at production scale the defaults
+    // (256MB) fire on their own. 60% of a 200k-row fact lands on one
+    // key; the final adaptive plan must read that partition as a
+    // skewed (split) shuffle read.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 200000).selectExpr(
+        "CASE WHEN id % 5 < 3 THEN 0 ELSE id % 1000 END AS k",
+        "id AS payload")
+      val dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS d")
+      val j = fact.join(dim, "k").selectExpr("sum(payload + d) AS s")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), s"join not marked skew=true in:\n$plan")
+      assert(plan.contains("skewed"), s"no skewed AQEShuffleRead in:\n$plan")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("NOT IN corner: null-aware anti join is broadcast-ONLY; the q181 rewrite shuffles") {
     // A NOT IN whose subquery column Catalyst cannot prove non-null
     // needs a null-aware anti join, and Spark supports NAAJ ONLY as a
