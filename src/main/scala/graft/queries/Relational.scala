@@ -915,6 +915,18 @@ object Relational {
       s.sql(Q39ShapeText)
     }),
 
+    // TPC-DS Q64 shape: the SAME star aggregate built over two
+    // disjoint periods and self-joined on a compound (customer,
+    // brand) key with a cross-period growth residual — the
+    // repeat-buyer/two-channel pattern. Two filtered scans feed two
+    // hash-aggs; the final join is equi-keyed on the pair. The growth
+    // predicate compares exact decimals.
+    "q189_tpcds_q64_shape" -> ((s, dir) => {
+      Seq("lineitem", "orders", "part")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q64ShapeText)
+    }),
+
     // Null-aware anti-join corner: `key NOT IN (nullable subquery)`.
     // Catalyst can't hash a null-aware anti join — naive NOT IN over a
     // column it can't prove non-null plans a BroadcastNestedLoopJoin
@@ -1514,6 +1526,31 @@ object Relational {
       |  ON f1.pri = f2.pri AND f2.ym = f1.ym + 1
       |ORDER BY o_orderpriority, ym""".stripMargin
 
+  /** TPC-DS Q64 shape: one star aggregate over two periods, self-
+    * joined on (customer, brand) with an exact-decimal growth filter.
+    */
+  val Q64ShapeText: String = {
+    def yr(alias: String, lo: String, hi: String) =
+      s"""$alias AS (
+         |  SELECT o_custkey AS ck, p_brand AS brand,
+         |    sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS rev,
+         |    count(*) AS n
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN part ON p_partkey = l_partkey
+         |  WHERE o_orderdate >= TIMESTAMP '$lo'
+         |    AND o_orderdate < TIMESTAMP '$hi'
+         |  GROUP BY o_custkey, p_brand)""".stripMargin
+    s"""WITH ${yr("y1", "1996-01-01", "1997-01-01")},
+       |${yr("y2", "1997-01-01", "1998-01-01")}
+       |SELECT y1.ck AS o_custkey, y1.brand, y1.n AS n1, y2.n AS n2,
+       |  CAST(round(y1.rev, 2) AS DOUBLE) AS rev1,
+       |  CAST(round(y2.rev, 2) AS DOUBLE) AS rev2
+       |FROM y1 JOIN y2 ON y1.ck = y2.ck AND y1.brand = y2.brand
+       |WHERE y2.rev > y1.rev
+       |ORDER BY o_custkey, y1.brand""".stripMargin
+  }
+
   val Q87ShapeText: String =
     """WITH sales AS (
       |  SELECT o_custkey AS ck, o_orderkey % 3 AS ch FROM orders
@@ -1997,6 +2034,7 @@ object Relational {
     "q176_tpcds_q95_shape" -> Q95ShapeText,
     "q183_tpcds_q1_shape" -> Q1ShapeText,
     "q187_tpcds_q39_shape" -> Q39ShapeText,
+    "q189_tpcds_q64_shape" -> Q64ShapeText,
 
     // the declarative statement of the null-filtered NOT IN the
     // left-anti rewrite implements
