@@ -441,20 +441,34 @@ object Ops {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = edges.sparkSession
+    // Persist the edge relation ALREADY hash-partitioned on src: the
+    // cached scan reports that partitioning, so the per-iteration
+    // rank join (and the degree aggregate) reuse it instead of
+    // re-shuffling |E| rows every round — only the small node-level
+    // side moves.
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val n = e.select(col("src")).distinct().count()
     var ranks = e.select(col("src").as("id")).distinct()
       .withColumn("r", lit(1.0) / lit(n))
     for (_ <- 1 to iters) {
-      ranks = e
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      // Pre-divide rank by out-degree at the NODE level (|V| rows)
+      // before fanning out over edges (|E| rows): one small join +
+      // one big join per iteration instead of two big ones. The
+      // per-src contribution is the identical decimal, and the
+      // decimal sum is order-free, so the result is bit-equal to the
+      // join-then-divide form.
+      val contrib = ranks.withColumnRenamed("id", "src")
         .join(deg, "src")
+        .select(col("src"), (col("r") / col("d"))
+          .cast("decimal(30,15)").as("c"))
+      ranks = e
+        .join(contrib, "src")
         .groupBy(col("dst").as("id"))
         .agg((lit(1.0 - damping) / lit(n) + lit(damping) *
-          sum((col("r") / col("d")).cast("decimal(30,15)")).cast("double"))
-          .as("r"))
+          sum(col("c")).cast("double")).as("r"))
         .select(col("id"), col("r"))
     }
     ranks
