@@ -1290,6 +1290,8 @@ object Ops {
     // lineitem graph). Unpersisted after the loop: the returned dist
     // is checkpoint-materialized, so nothing re-reads it.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .repartition(col("src")) // cached scan keeps this partitioning:
+      // every round's frontier join shuffles only the (small) frontier
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var dist = sources.select(col("id"), lit(0L).as("dist"))
