@@ -1158,6 +1158,30 @@ object Ops {
       .filter(col(cntCol) > 0)
   }
 
+  /** Feature-hashing linear inference (the "hashing trick"): score a
+    * text as bias + Σ_token weights[h(token) mod |weights|] with an
+    * engine-portable md5 bucket hash — the shape of every cheap
+    * learned quality/spam filter applied at corpus scale. The weight
+    * table rides the plan as an ARRAY LITERAL (element_at projection
+    * — no join, no broadcast, stays in whole-stage codegen); integer
+    * weights make the score an exact, partition-order-invariant sum.
+    * One explode + one hash-agg per document. Output: id, score,
+    * n_feats.
+    */
+  def hashedFeatureScore(df: DataFrame, idCol: String, textCol: String,
+                         weights: Seq[Int], bias: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val wArr = array(weights.map(w => lit(w.toLong)): _*)
+    val bucket = conv(substring(md5(col("tok")), 1, 4), 16, 10)
+      .cast("int") % weights.length
+    df.select(col(idCol),
+        explode(filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
+      .select(col(idCol), element_at(wArr, bucket + 1).as("w"))
+      .groupBy(col(idCol))
+      .agg((sum(col("w")) + lit(bias)).as("score"),
+        count(lit(1)).as("n_feats"))
+  }
+
   /** EXACT weighted (lower) median per group — the smallest value v
     * with cumweight(≤v)·2 ≥ totalweight — without ever sorting a whole
     * group in one task. Two bounded passes over hash-aggregates:

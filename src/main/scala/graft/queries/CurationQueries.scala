@@ -265,8 +265,28 @@ object CurationQueries {
         .agg(max($"ns").as("n_docs"), round(chi2, 6).as("chi2"),
           count(lit(1)).as("n_cells"))
         .orderBy($"source")
+    }),
+
+    // Feature-hashing linear inference (the production shape of a
+    // cheap learned quality filter): token -> md5 bucket -> literal
+    // weight table via element_at (no join, codegen projection),
+    // exact integer score per doc. Oracle replays the identical hash
+    // arithmetic and weight list.
+    "q190_hashed_inference" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Ops.hashedFeatureScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          HashWeights, bias = 2L)
+        .select($"doc_id", $"score", $"n_feats",
+          ($"score" > 0).as("keep"))
+        .orderBy($"doc_id")
     })
   )
+
+  /** Deterministic 64-bucket weight table shared verbatim by q190's
+    * Spark plan and its DuckDB oracle.
+    */
+  private val HashWeights: Seq[Int] = (0 until 64).map(i => (i * 37) % 13 - 6)
 
   val oracleSql: Map[String, String] = Map(
 
@@ -493,6 +513,25 @@ object CurationQueries {
         |JOIN lt ON sl.lang = lt.lang
         |CROSS JOIN tot
         |GROUP BY sl.source
-        |ORDER BY sl.source""".stripMargin
+        |ORDER BY sl.source""".stripMargin,
+
+    // identical md5 bucket, identical literal weight list, bias 2
+    "q190_hashed_inference" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), t -> t != ''))
+         |      AS tok
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(sum((${HashWeights.mkString("[", ",", "]")})[
+         |    (CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 64) + 1])
+         |    + 2 AS BIGINT) AS score,
+         |  count(*) AS n_feats,
+         |  (CAST(sum((${HashWeights.mkString("[", ",", "]")})[
+         |    (CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 64) + 1])
+         |    + 2 AS BIGINT) > 0) AS keep
+         |FROM tok
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }

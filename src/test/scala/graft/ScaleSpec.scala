@@ -680,6 +680,21 @@ class ScaleSpec extends AnyFunSuite {
       s"histogram must combine map-side before the 12-row shuffle:\n$plan")
   }
 
+  test("hashed-feature inference is join-free: the weight table is an array literal") {
+    // The weight lookup must ride the projection (element_at on a
+    // literal) — a join or broadcast against a weight table would add
+    // a build/exchange for 64 constants.
+    import graft.operators.Ops
+    val df = Ops.hashedFeatureScore(Tables(spark, sf, "documents"),
+      "doc_id", "text", (0 until 64).map(i => i % 7 - 3), 1L)
+    val plan = executed(df)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("element_at("), plan)
+    // exactly ONE exchange — the per-doc aggregate; the lookup itself
+    // moves nothing
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan)
+  }
+
   test("AQE splits a skewed join partition at runtime (skewed shuffle read)") {
     // The 100 TB skew story: a hot key's shuffle partition is split by
     // AQE into several reads joined against the replicated other side
