@@ -1908,6 +1908,52 @@ object Pipeline {
           edges, seeds, maxHops), RowType)
       }),
 
+    // Exact weighted quantiles from the DSL (q184/q185): two-phase
+    // coarse-bucket plan, no whole-group window task; permilles=
+    // comma-separated points (500 = median). value=/weight= must be
+    // integer-valued.
+    Registered("wquantile", RowType, RowType,
+      "in=STREAM:group=COL[,COL]:value=COL:weight=COL:permilles=500:shift=10:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val group = m.args.getOrElse("group",
+          throw new BuildError("wquantile: group= required"))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val value = m.args.getOrElse("value",
+          throw new BuildError("wquantile: value= required"))
+        val weight = m.args.getOrElse("weight",
+          throw new BuildError("wquantile: weight= required"))
+        val permilles = m.args.getOrElse("permilles", "500")
+          .split(",").toSeq.map(_.trim.toInt)
+        if (permilles.exists(p => p <= 0 || p > 1000))
+          throw new BuildError(
+            s"wquantile: permilles in (0,1000], got $permilles")
+        val shift = m.args.getOrElse("shift", "10").toInt
+        if (shift < 0 || shift > 40)
+          throw new BuildError(s"wquantile: shift in [0,40], got $shift")
+        ctx.writeStream(m, graft.operators.Ops.weightedQuantiles(
+          df, group, col(value), col(weight), permilles, shift), RowType)
+      }),
+
+    // Feature-hashing linear inference from the DSL (q190): appends
+    // (score, n_feats) per key from an inline integer weight list —
+    // the weight table is an array literal in the plan, no join.
+    Registered("hashscore", RowType, RowType,
+      "in=STREAM:key=COL:text=COL:weights=INT[,INT]:bias=0:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("hashscore: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("hashscore: text= required"))
+        val weights = m.args.getOrElse("weights",
+          throw new BuildError("hashscore: weights= required"))
+          .split(",").toSeq.map(_.trim.toInt)
+        val bias = m.args.getOrElse("bias", "0").toLong
+        ctx.writeStream(m, graft.operators.Ops.hashedFeatureScore(
+          df, key, text, weights, bias), RowType)
+      }),
+
     // k-NN majority-vote classification from the DSL (q180): in= the
     // labeled corpus, queries= the stream to classify; emits
     // (query_id, predicted).

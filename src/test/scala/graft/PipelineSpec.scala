@@ -373,8 +373,40 @@ class PipelineSpec extends AnyFunSuite {
       "chunk", "avroread", "avrowrite", "sql", "zorderwrite",
       "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2",
       "kmvsketch", "linkage", "nfcnormalize",
-      "linfit", "sssp", "knnclassify")
+      "linfit", "sssp", "knnclassify", "wquantile", "hashscore")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("wquantile + hashscore modules end-to-end") {
+    val d = tmp("wqhash")
+    // weighted median of (v=10 w=1, v=20 w=3) -> 20; p250 -> 10
+    writeCsv(s"$d/wv.csv", "g,v,w", "a,10,1", "a,20,3")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/wv.csv", "csvread:infer=1:out=wv",
+      "wquantile:in=wv:group=g:value=v:weight=w:permilles=250,500:out=q",
+      "sort:in=q:by=permille:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/q.csv"))
+    assert(readOut(s"$d/q.csv") ==
+      Seq("g,permille,value,total_weight", "a,250,10,4", "a,500,20,4"))
+
+    // hashscore matches the operator's score exactly
+    writeCsv(s"$d/docs.ndjson",
+      """{"id": 1, "body": "alpha beta gamma"}""",
+      """{"id": 2, "body": "delta epsilon"}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/docs.ndjson", "ndjsonread:out=docs",
+      "hashscore:in=docs:key=id:text=body:weights=1,-2,3,5:bias=7:out=sc",
+      "select:in=sc:exprs=id;score;n_feats:out=sel",
+      "sort:in=sel:by=id:out=sorted2",
+      "csvwrite:in=sorted2", s"filewrite:out=$d/sc.csv"))
+    import spark.implicits._
+    val want = graft.operators.Ops.hashedFeatureScore(
+        Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+          .toDF("id", "body"), "id", "body", Seq(1, -2, 3, 5), 7L)
+      .select($"id", $"score", $"n_feats")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .map { case (i, s, n) => s"$i,$s,$n" }.toSeq
+    assert(readOut(s"$d/sc.csv") == ("id,score,n_feats" +: want))
   }
 
   test("linfit + sssp + knnclassify modules end-to-end") {
