@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -279,6 +279,69 @@ object EventStreams extends Serializable {
       }
       .start()
     (q, () => view)
+  }
+
+  /** Streaming exact OLS: maintain `groupedLinearFit`'s decimal
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) as an
+    * incrementally-merged view — the statistics are
+    * commutative-associative-exact sums, so the maintained model is
+    * BIT-EQUAL to a batch refit over everything seen so far, no
+    * matter how the stream is batched. This is the streaming twin of
+    * q178: a model that refreshes per microbatch without rescanning
+    * history. `current()` finalizes slope/intercept/r² through the
+    * same fixed-order ratio arithmetic as the batch operator.
+    * Input columns: group (string col name) + integer-valued x, y.
+    */
+  def linfitStream(rows: DataFrame, group: String, x: String, y: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    def stats(df: DataFrame): DataFrame = {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      df.select(col(group), dec(col(x)).as("__x"), dec(col(y)).as("__y"))
+        .groupBy(col(group)).agg(
+          count(lit(1)).as("n"),
+          sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+          sum(col("__x") * col("__y")).as("sxy"),
+          sum(col("__x") * col("__x")).as("sxx"),
+          sum(col("__y") * col("__y")).as("syy"))
+    }
+    val spark0 = rows.sparkSession
+    import spark0.implicits._
+    // empty STATIC seed with the stats schema (limit(0) is illegal on
+    // a streaming frame)
+    @volatile var view: DataFrame = stats(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+      .localCheckpoint()
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          // merge = add the statistics; every column is an exact sum
+          view = view.unionByName(stats(batch.toDF()))
+            .groupBy(col(group)).agg(
+              sum($"n").as("n"),
+              sum($"sx").cast("decimal(38,0)").as("sx"),
+              sum($"sy").cast("decimal(38,0)").as("sy"),
+              sum($"sxy").cast("decimal(38,0)").as("sxy"),
+              sum($"sxx").cast("decimal(38,0)").as("sxx"),
+              sum($"syy").cast("decimal(38,0)").as("syy"))
+            .localCheckpoint()
+      }
+      .start()
+    val finalize = () => {
+      val nD = $"n".cast("decimal(38,0)")
+      val covN = (nD * $"sxy" - $"sx" * $"sy").cast("double")
+      val varXN = (nD * $"sxx" - $"sx" * $"sx").cast("double")
+      val varYN = (nD * $"syy" - $"sy" * $"sy").cast("double")
+      val slope = when(varXN =!= 0.0, covN / varXN)
+      view.select(col(group), $"n",
+        slope.as("slope"),
+        when(varXN =!= 0.0,
+          ($"sy".cast("double") - slope * $"sx".cast("double"))
+            / $"n".cast("double")).as("intercept"),
+        when(varXN =!= 0.0 && varYN =!= 0.0,
+          (covN * covN) / (varXN * varYN)).as("r2"))
+    }
+    (q, finalize)
   }
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -758,6 +758,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("weightedQuantiles handles negative values (arithmetic-shift buckets)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 200).map { i =>
+      ("g", ((i * 53) % 211 - 105).toLong, 1L + i % 4) }
+    val df = rows.toDF("g", "v", "w").repartition(3)
+    val got = Ops.weightedQuantiles(df, Seq("g"), $"v", $"w",
+        Seq(250, 500, 750), coarseShift = 4)
+      .select($"permille", $"value").as[(Long, Long)].collect().sortBy(_._1)
+    val f = df.groupBy($"g", $"v").agg(sum($"w").as("vw"))
+      .withColumn("cum", sum($"vw").over(Window.partitionBy($"g").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum($"vw").over(Window.partitionBy($"g")))
+    val naive = Seq(250, 500, 750).map { p =>
+      (p.toLong, f.filter($"cum" * 1000 >= lit(p) * $"tw")
+        .agg(min($"v")).as[Long].collect().head)
+    }
+    assert(got.toSeq == naive)
+    assert(got.exists(_._2 < 0), "test data must cross zero")
+  }
+
   test("weightedMedian straddle edge: exact half-weight picks the lower value") {
     // weights 1,1 at values 10,20: cum(10)*2 == tw -> median 10
     val df = Seq(("a", 10L, 1L), ("a", 20L, 1L)).toDF("g", "v", "w")

@@ -289,6 +289,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("a", 1L, 12.0), ("c", 2L, 25.0)))
   }
 
+  test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
+    // q178's streaming twin: the maintained sufficient statistics are
+    // exact decimal sums, so the model after ANY batching equals a
+    // batch refit over everything seen — down to the last double bit.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 90).map(i =>
+      (s"g${i % 2}", (i % 17).toLong, (i * 31 % 101).toLong))
+    val ms = MemoryStream[(String, Long, Long)]
+    val (q, current) = EventStreams.linfitStream(
+      ms.toDF().toDF("g", "x", "y"), "g", "x", "y")
+    try {
+      Seq(all.slice(0, 20), all.slice(20, 57), all.slice(57, 90))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(20, 57, 90)(i))
+          val want = graft.operators.Ops.groupedLinearFit(
+              seen.toDF("g", "x", "y"), Seq("g"), $"x", $"y")
+            .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+          val got = current()
+            .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+          assert(got.toSeq == want.toSeq, s"cut $i diverged")
+        }
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: replayed batch ids are no-ops") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
