@@ -267,6 +267,45 @@ object CurationQueries {
         .orderBy($"source")
     }),
 
+    // Welch two-sample t-test per source vs the REST of the corpus
+    // (doc length): the third drift lens beside KL (q132) and χ²
+    // (q186) — "is this source's length distribution shifting?".
+    // Sufficient statistics are exact integer sums from ONE scan;
+    // the complement's stats are global-minus-source (broadcast 1-row
+    // global), so no second scan and no pair join. The t statistic is
+    // one fixed-order double expression over exact integers.
+    "q191_ttest_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val per = docs.groupBy($"source").agg(
+        count(lit(1)).as("n1"),
+        sum(dec($"n_chars")).as("s1"),
+        sum(dec($"n_chars") * dec($"n_chars")).as("q1"))
+      val glob = docs.agg(
+        count(lit(1)).as("ng"),
+        sum(dec($"n_chars")).as("sg"),
+        sum(dec($"n_chars") * dec($"n_chars")).as("qg"))
+      val j = per.crossJoin(broadcast(glob))
+        .withColumn("n2", $"ng" - $"n1")
+        .withColumn("s2", ($"sg" - $"s1").cast("decimal(38,0)"))
+        .withColumn("q2", ($"qg" - $"q1").cast("decimal(38,0)"))
+      def meanv(n: String, sx: String) =
+        col(sx).cast("double") / col(n).cast("double")
+      def varv(n: String, sx: String, qx: String) =
+        (col(n).cast("decimal(38,0)") * col(qx) - col(sx) * col(sx))
+          .cast("double") /
+          (col(n).cast("double") * (col(n).cast("double") - 1.0))
+      val tstat = (meanv("n1", "s1") - meanv("n2", "s2")) /
+        sqrt(varv("n1", "s1", "q1") / $"n1".cast("double") +
+             varv("n2", "s2", "q2") / $"n2".cast("double"))
+      j.filter($"n1" > 1 && $"n2" > 1)
+        .select($"source", $"n1".as("n_docs"),
+          round(tstat, 6).as("t_stat"),
+          (abs(tstat) > 2.0).as("shifted"))
+        .orderBy($"source")
+    }),
+
     // Feature-hashing linear inference (the production shape of a
     // cheap learned quality filter): token -> md5 bucket -> literal
     // weight table via element_at (no join, codegen projection),
@@ -514,6 +553,43 @@ object CurationQueries {
         |CROSS JOIN tot
         |GROUP BY sl.source
         |ORDER BY sl.source""".stripMargin,
+
+    // identical exact integer statistics, identical fixed-order
+    // Welch arithmetic (HUGEINT = the 128-bit exact twin of Spark's
+    // decimal(38,0))
+    "q191_ttest_drift" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS HUGEINT) AS x FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n1, sum(x) AS s1, sum(x * x) AS q1
+        |  FROM d GROUP BY source),
+        |tot AS (
+        |  SELECT count(*) AS ng, sum(x) AS sg, sum(x * x) AS qg FROM d),
+        |j AS (
+        |  SELECT source, n1, s1, q1,
+        |    ng - n1 AS n2, sg - s1 AS s2, qg - q1 AS q2
+        |  FROM per CROSS JOIN tot)
+        |SELECT source, n1 AS n_docs,
+        |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(
+        |        (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+        |          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+        |          / CAST(n1 AS DOUBLE)
+        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+        |          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+        |          / CAST(n2 AS DOUBLE)), 6) AS t_stat,
+        |  (abs((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(
+        |        (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+        |          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+        |          / CAST(n1 AS DOUBLE)
+        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+        |          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+        |          / CAST(n2 AS DOUBLE))) > 2.0) AS shifted
+        |FROM j WHERE n1 > 1 AND n2 > 1
+        |ORDER BY source""".stripMargin,
 
     // identical md5 bucket, identical literal weight list, bias 2
     "q190_hashed_inference" ->

@@ -361,6 +361,29 @@ object EventQueries {
           expr("percentile(lat_us, 0.9)").as("p90_lat_us"))
     }),
 
+    // Sequence-pattern detection (the MATCH_RECOGNIZE shape): find
+    // CONSECUTIVE view → click → purchase triples per user that
+    // complete within 24 hours — one shuffle by user, two lead()
+    // probes over the per-user event order, exact micros span. No
+    // self-joins: adjacency rides the same window pass that any
+    // funnel step-order query already needs.
+    "q192_event_pattern" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("t1", lead($"event_type", 1).over(w))
+        .withColumn("t2", lead($"event_type", 2).over(w))
+        .withColumn("ts2", lead($"ts", 2).over(w))
+        .filter($"event_type" === "view" && $"t1" === "click" &&
+          $"t2" === "purchase" &&
+          unix_micros($"ts2") - unix_micros($"ts") <= 86400000000L)
+        .select($"user_id", $"event_id".as("start_event"),
+          (unix_micros($"ts2") - unix_micros($"ts")).as("span_us"))
+        .orderBy($"user_id", $"start_event")
+    }),
+
     // Time-decayed engagement score with EXACT integer arithmetic:
     // half-life = one week, decay = right-shift of whole cents by
     // weeks-ago (value halves each week, no float pow drift — the
@@ -386,6 +409,24 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical per-user order, identical lead probes and micros span
+    "q192_event_pattern" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(ts, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS ts2
+        |  FROM events)
+        |SELECT user_id, event_id AS start_event,
+        |  CAST(epoch_us(ts2) - epoch_us(ts) AS BIGINT) AS span_us
+        |FROM w
+        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |  AND epoch_us(ts2) - epoch_us(ts) <= 86400000000
+        |ORDER BY user_id, start_event""".stripMargin,
+
     // identical integer shift-decay: cents >> min(weeks_ago, 62)
     "q182_decay_score" ->
       """WITH a AS (

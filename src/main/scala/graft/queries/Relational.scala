@@ -915,6 +915,19 @@ object Relational {
       s.sql(Q39ShapeText)
     }),
 
+    // Null-semantics battery: count(*) vs count(col), sums over
+    // null-bearing and all-null groups, count(DISTINCT) ignoring
+    // nulls, grouping BY a nullable key (the NULL group is a real
+    // group), and a null-safe join (IS NOT DISTINCT FROM — an inner
+    // equi-join silently drops the NULL group; the null-safe form
+    // keeps it, which Spark plans as a hashable EqualNullSafe key,
+    // not a nested loop). Explicit NULLS FIRST makes the output
+    // order engine-portable.
+    "q193_null_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(NullSemanticsText)
+    }),
+
     // TPC-DS Q64 shape: the SAME star aggregate built over two
     // disjoint periods and self-joined on a compound (customer,
     // brand) key with a cross-period growth residual — the
@@ -1526,6 +1539,32 @@ object Relational {
       |  ON f1.pri = f2.pri AND f2.ym = f1.ym + 1
       |ORDER BY o_orderpriority, ym""".stripMargin
 
+  /** Null-semantics battery — shared verbatim with the oracle. */
+  val NullSemanticsText: String =
+    """WITH d AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |         ELSE o_totalprice END AS v,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS p
+      |  FROM orders),
+      |agg AS (
+      |  SELECT p, count(*) AS n_rows, count(v) AS n_nonnull,
+      |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_null,
+      |    CAST(round(sum(CAST(v AS DECIMAL(30,4))), 2) AS DOUBLE)
+      |      AS sum_v,
+      |    count(DISTINCT CAST(v AS DECIMAL(30,4))) AS nd_v
+      |  FROM d GROUP BY p),
+      |dim AS (SELECT DISTINCT p FROM d),
+      |ns AS (
+      |  SELECT dim.p, count(*) AS n_nullsafe
+      |  FROM dim JOIN d ON dim.p IS NOT DISTINCT FROM d.p
+      |  GROUP BY dim.p)
+      |SELECT agg.p, n_rows, n_nonnull, n_null, sum_v, nd_v, n_nullsafe
+      |FROM agg JOIN ns ON agg.p IS NOT DISTINCT FROM ns.p
+      |ORDER BY agg.p NULLS FIRST""".stripMargin
+
   /** TPC-DS Q64 shape: one star aggregate over two periods, self-
     * joined on (customer, brand) with an exact-decimal growth filter.
     */
@@ -2035,6 +2074,7 @@ object Relational {
     "q183_tpcds_q1_shape" -> Q1ShapeText,
     "q187_tpcds_q39_shape" -> Q39ShapeText,
     "q189_tpcds_q64_shape" -> Q64ShapeText,
+    "q193_null_semantics" -> NullSemanticsText,
 
     // the declarative statement of the null-filtered NOT IN the
     // left-anti rewrite implements
