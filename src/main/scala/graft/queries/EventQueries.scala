@@ -384,6 +384,40 @@ object EventQueries {
         .orderBy($"user_id", $"start_event")
     }),
 
+    // Multi-touch (linear) attribution with EXACT credit: each
+    // purchase splits 1000 permille across the user's views in the
+    // prior 24h by largest-remainder — floor share to every view,
+    // the remainder to the most recent ones — so credit sums to
+    // exactly 1000 per attributed purchase (float splits leak credit;
+    // permille integers cannot). Equi-join on user with a time-range
+    // residual; the rank window is per PURCHASE (bounded by views/
+    // purchase, never a whole-user scan).
+    "q194_multitouch_attribution" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts".as("vts"), $"event_id".as("view_id"))
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("pts"), $"event_id".as("purchase_id"))
+      val pairs = views.join(purch, Seq("user_id"))
+        .filter($"vts" < $"pts" &&
+          unix_micros($"pts") - unix_micros($"vts") <= 86400000000L)
+      val w = Window.partitionBy($"purchase_id")
+        .orderBy($"vts".desc, $"view_id".desc)
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nv", count(lit(1)).over(
+          Window.partitionBy($"purchase_id")))
+        .withColumn("credit", (lit(1000L) / $"nv").cast("long") +
+          when($"rn" <= lit(1000L) % $"nv", 1L).otherwise(0L))
+        .groupBy($"user_id")
+        .agg(countDistinct($"purchase_id").as("n_purchases"),
+          countDistinct($"view_id").as("n_views_credited"),
+          sum($"credit").as("credit_permille"))
+        .orderBy($"user_id")
+    }),
+
     // Time-decayed engagement score with EXACT integer arithmetic:
     // half-life = one week, decay = right-shift of whole cents by
     // weeks-ago (value halves each week, no float pow drift — the
@@ -409,6 +443,34 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical pair set, identical largest-remainder permille split
+    "q194_multitouch_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS vts, event_id AS view_id FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts AS pts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT v.user_id, vts, view_id, pts, purchase_id
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |  WHERE vts < pts
+        |    AND epoch_us(pts) - epoch_us(vts) <= 86400000000),
+        |ranked AS (
+        |  SELECT user_id, view_id, purchase_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY vts DESC, view_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY purchase_id) AS nv
+        |  FROM pairs)
+        |SELECT user_id,
+        |  count(DISTINCT purchase_id) AS n_purchases,
+        |  count(DISTINCT view_id) AS n_views_credited,
+        |  CAST(sum(1000 // nv + CASE WHEN rn <= 1000 % nv THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS credit_permille
+        |FROM ranked
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // identical per-user order, identical lead probes and micros span
     "q192_event_pattern" ->
       """WITH w AS (
