@@ -394,6 +394,40 @@ object Operators {
         .orderBy($"ant", $"cons")
     }),
 
+    // Item-item co-visitation similarity (the recommender staple):
+    // cosine between brand "customer vectors" — n_ab/√(n_a·n_b) from
+    // exact pair counts over a deterministic 1/3 customer sample
+    // (co-visitation pair space is quadratic PER BASKET; the sample
+    // bounds it the same way q172 thins its graph). Top-3 neighbors
+    // per brand via the rank window over ≤ items² similarity rows —
+    // metadata-sized, never data-sized.
+    "q195_item_similarity" -> ((s, dir) => {
+      import s.implicits._
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+        .join(t(s, dir, "part"), $"p_partkey" === $"l_partkey")
+        .filter($"o_custkey" % 3 === 0)
+        .select($"o_custkey".as("ck"), $"p_brand".as("brand")).distinct()
+      val cnt = baskets.groupBy($"brand").agg(count(lit(1)).as("n"))
+      val pairs = baskets.select($"ck", $"brand".as("ba"))
+        .join(baskets.select($"ck", $"brand".as("bb")), "ck")
+        .filter($"ba" < $"bb")
+        .groupBy($"ba", $"bb").agg(count(lit(1)).as("nab"))
+      val sym = pairs.unionByName(
+        pairs.select($"bb".as("ba"), $"ba".as("bb"), $"nab"))
+      val sim = sym
+        .join(cnt.select($"brand".as("ba"), $"n".as("na")), "ba")
+        .join(cnt.select($"brand".as("bb"), $"n".as("nb")), "bb")
+        .select($"ba".as("brand"), $"bb".as("other"), $"nab",
+          ($"nab".cast("double") /
+            (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+            .as("sim"))
+      Ops.topKPerGroup(sim, Seq("brand"),
+          Seq($"sim".desc, $"other".asc), 3)
+        .select($"brand", $"other", $"nab", round($"sim", 6).as("sim"), $"rk")
+        .orderBy($"brand", $"rk")
+    }),
+
     // Grouped OLS + r² (value-cents ~ hour-of-day per event type) on
     // EXACT integer sufficient statistics — one hash-agg with map-side
     // partials; the built-in corr/regr_* double accumulators would
@@ -748,6 +782,38 @@ object Operators {
         |  CAST(min(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tw
         |GROUP BY g ORDER BY g""".stripMargin,
+
+    // identical sample, identical pair counts, identical fixed-order
+    // cosine
+    "q195_item_similarity" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT o_custkey AS ck, p_brand AS brand
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE o_custkey % 3 = 0),
+        |cnt AS (SELECT brand, count(*) AS n FROM baskets GROUP BY brand),
+        |pairs AS (
+        |  SELECT a.brand AS ba, b.brand AS bb, count(*) AS nab
+        |  FROM baskets a JOIN baskets b ON a.ck = b.ck AND a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT ba, bb, nab FROM pairs
+        |  UNION ALL SELECT bb, ba, nab FROM pairs),
+        |sim AS (
+        |  SELECT sym.ba AS brand, sym.bb AS other, nab,
+        |    CAST(nab AS DOUBLE) /
+        |      (sqrt(CAST(ca.n AS DOUBLE)) * sqrt(CAST(cb.n AS DOUBLE)))
+        |      AS sim
+        |  FROM sym
+        |  JOIN cnt ca ON ca.brand = sym.ba
+        |  JOIN cnt cb ON cb.brand = sym.bb)
+        |SELECT brand, other, nab, round(sim, 6) AS sim, rk FROM (
+        |  SELECT brand, other, nab, sim, row_number() OVER (
+        |    PARTITION BY brand ORDER BY sim DESC, other ASC) AS rk
+        |  FROM sim)
+        |WHERE rk <= 3
+        |ORDER BY brand, rk""".stripMargin,
 
     // same straddle rule per permille point
     "q185_exact_quartiles" ->
