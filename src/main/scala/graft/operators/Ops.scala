@@ -1158,6 +1158,30 @@ object Ops {
       .filter(col(cntCol) > 0)
   }
 
+  /** Quantile binning (feature discretization): label every row with
+    * the number of per-group quantile boundaries strictly below its
+    * value — permilles (250,500,750) ⇒ quartile bins 0..3. The
+    * boundaries come from [[weightedQuantiles]] (weight 1, the same
+    * two bounded passes — no whole-group sort), collapse to ONE array
+    * row per group, and ride a broadcast join back onto the data; the
+    * bin itself is a tiny codegen HOF over that array. Output: input
+    * columns + `bin`.
+    */
+  def quantileBucketize(df: DataFrame, group: Seq[String], value: Column,
+                        permilles: Seq[Int],
+                        coarseShift: Int = 10): DataFrame = {
+    val bounds = weightedQuantiles(df.select(group.map(col) :+
+          value.as("__qv"): _*), group, col("__qv"), lit(1L),
+        permilles, coarseShift)
+      .groupBy(group.map(col): _*)
+      .agg(array_sort(collect_list(col("value"))).as("__bounds"))
+    df.withColumn("__v", value.cast("long"))
+      .join(broadcast(bounds), group)
+      .withColumn("bin",
+        size(filter(col("__bounds"), b => b < col("__v"))))
+      .drop("__bounds", "__v")
+  }
+
   /** Feature-hashing linear inference (the "hashing trick"): score a
     * text as bias + Σ_token weights[h(token) mod |weights|] with an
     * engine-portable md5 bucket hash — the shape of every cheap

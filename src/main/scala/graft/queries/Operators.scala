@@ -394,6 +394,24 @@ object Operators {
         .orderBy($"ant", $"cons")
     }),
 
+    // Quantile binning (feature discretization): quartile labels per
+    // returnflag from the two-phase exact-quantile machinery, bins
+    // broadcast back as one tiny array per group — summarized to
+    // per-bin counts and price ranges (binning a 100 TB fact adds one
+    // broadcast join, nothing else).
+    "q196_quantile_binning" -> ((s, dir) => {
+      import s.implicits._
+      Ops.quantileBucketize(
+          t(s, dir, "lineitem")
+            .select($"l_returnflag", floor($"l_extendedprice" * 100)
+              .cast("long").as("cents")),
+          Seq("l_returnflag"), $"cents", Seq(250, 500, 750))
+        .groupBy($"l_returnflag", $"bin")
+        .agg(count(lit(1)).as("n"),
+          min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+        .orderBy($"l_returnflag", $"bin")
+    }),
+
     // Item-item co-visitation similarity (the recommender staple):
     // cosine between brand "customer vectors" — n_ab/√(n_a·n_b) from
     // exact pair counts over a deterministic 1/3 customer sample
@@ -782,6 +800,40 @@ object Operators {
         |  CAST(min(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tw
         |GROUP BY g ORDER BY g""".stripMargin,
+
+    // identical straddle boundaries (q185 machinery), identical
+    // strict-less binning
+    "q196_quantile_binning" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |f AS (SELECT g, v, count(*) AS vw FROM b GROUP BY g, v),
+        |c AS (
+        |  SELECT g, v,
+        |    sum(vw) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(vw) OVER (PARTITION BY g) AS tw
+        |  FROM f),
+        |p AS (SELECT unnest([250, 500, 750]) AS permille),
+        |bounds AS (
+        |  SELECT g,
+        |    max(CASE WHEN permille = 250 THEN q END) AS b1,
+        |    max(CASE WHEN permille = 500 THEN q END) AS b2,
+        |    max(CASE WHEN permille = 750 THEN q END) AS b3
+        |  FROM (
+        |    SELECT g, permille, min(v) AS q
+        |    FROM c CROSS JOIN p
+        |    WHERE cum * 1000 >= permille * tw
+        |    GROUP BY g, permille)
+        |  GROUP BY g)
+        |SELECT b.g AS l_returnflag,
+        |  (CASE WHEN b1 < v THEN 1 ELSE 0 END
+        |   + CASE WHEN b2 < v THEN 1 ELSE 0 END
+        |   + CASE WHEN b3 < v THEN 1 ELSE 0 END) AS bin,
+        |  count(*) AS n, min(v) AS min_cents, max(v) AS max_cents
+        |FROM b JOIN bounds ON bounds.g = b.g
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // identical sample, identical pair counts, identical fixed-order
     // cosine

@@ -778,6 +778,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(_._2 < 0), "test data must cross zero")
   }
 
+  test("quantileBucketize: quartile labels respect strict-less boundaries") {
+    // values 1..8 in one group: quartile bounds (lower quantile) are
+    // 2, 4, 6 -> bins: 1,2 -> 0; 3,4 -> 1; 5,6 -> 2; 7,8 -> 3
+    val df = (1L to 8L).map(("g", _)).toDF("g", "v")
+    val out = Ops.quantileBucketize(df, Seq("g"), $"v", Seq(250, 500, 750),
+        coarseShift = 1)
+      .select($"v", $"bin").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3), out.toString)
+  }
+
   test("weightedMedian straddle edge: exact half-weight picks the lower value") {
     // weights 1,1 at values 10,20: cum(10)*2 == tw -> median 10
     val df = Seq(("a", 10L, 1L), ("a", 20L, 1L)).toDF("g", "v", "w")
