@@ -306,6 +306,37 @@ object CurationQueries {
         .orderBy($"source")
     }),
 
+    // EXACT ROC AUC of the q190 hash score as an English-detector:
+    // Mann-Whitney form — concordant pairs counted from per-score
+    // (pos, neg) tallies and a cumulative-negatives prefix, ALL in
+    // integers (numerator2 = Σ np·(2·cum_neg_below + nn) counts ties
+    // at half weight; denominator2 = 2·P·N). No per-pair join (P·N
+    // pairs never materialize) and no global-order window over data
+    // rows — the prefix runs on the per-score table via the
+    // distributed runningTotal (score domain ≪ row count). The only
+    // double is the final reported ratio.
+    "q198_auc_exact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.Ops.hashedFeatureScore(
+          docs, "doc_id", "text", HashWeights, bias = 2L)
+        .join(docs.select($"doc_id", ($"lang" === "en").as("pos")),
+          "doc_id")
+      val per = scored.groupBy($"score").agg(
+        sum(when($"pos", 1L).otherwise(0L)).as("np"),
+        sum(when(!$"pos", 1L).otherwise(0L)).as("nn"))
+      val c = graft.operators.Ops.runningTotal(per, Seq($"score"), "nn",
+          buckets = 16, outCol = "cum_nn")
+        .withColumn("cumb", $"cum_nn" - $"nn")
+      c.agg(
+          sum($"np").as("p"), sum($"nn").as("n"),
+          sum($"np" * (lit(2L) * $"cumb" + $"nn")).as("auc_num2"))
+        .select($"p", $"n", $"auc_num2",
+          (lit(2L) * $"p" * $"n").as("auc_den2"),
+          round($"auc_num2".cast("double") /
+            ($"p" * $"n" * 2L).cast("double"), 6).as("auc"))
+    }),
+
     // Feature-hashing linear inference (the production shape of a
     // cheap learned quality filter): token -> md5 bucket -> literal
     // weight table via element_at (no join, codegen projection),
@@ -590,6 +621,41 @@ object CurationQueries {
         |          / CAST(n2 AS DOUBLE))) > 2.0) AS shifted
         |FROM j WHERE n1 > 1 AND n2 > 1
         |ORDER BY source""".stripMargin,
+
+    // same per-score tallies, same integer Mann-Whitney algebra; the
+    // oracle's plain cumulative window is the relation the
+    // distributed runningTotal must reproduce
+    "q198_auc_exact" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), t -> t != ''))
+         |      AS tok
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(sum((${HashWeights.mkString("[", ",", "]")})[
+         |      (CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 64) + 1])
+         |      + 2 AS BIGINT) AS score
+         |  FROM tok GROUP BY doc_id),
+         |lab AS (
+         |  SELECT sc.score, (d.lang = 'en') AS pos
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |per AS (
+         |  SELECT score,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM lab GROUP BY score),
+         |c AS (
+         |  SELECT score, np, nn,
+         |    sum(nn) OVER (ORDER BY score) - nn AS cumb
+         |  FROM per)
+         |SELECT CAST(sum(np) AS BIGINT) AS p,
+         |  CAST(sum(nn) AS BIGINT) AS n,
+         |  CAST(sum(np * (2 * cumb + nn)) AS BIGINT) AS auc_num2,
+         |  CAST(2 * sum(np) * sum(nn) AS BIGINT) AS auc_den2,
+         |  round(CAST(sum(np * (2 * cumb + nn)) AS DOUBLE)
+         |    / CAST(sum(np) * sum(nn) * 2 AS DOUBLE), 6) AS auc
+         |FROM c""".stripMargin,
 
     // identical md5 bucket, identical literal weight list, bias 2
     "q190_hashed_inference" ->

@@ -589,6 +589,41 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // Classifier evaluation over the q180 holdout predictions:
+    // per-label confusion counts → precision/recall/F1 as fixed-order
+    // doubles over exact integers. The whole evaluation is two tiny
+    // hash-aggs on the (prediction, actual) pairs — at 100 TB the
+    // pair relation is the only thing that scales, the metric table
+    // stays |labels| rows.
+    "q197_classifier_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val test = emb.filter($"vec_id" % 10 === 0)
+      val train = emb.filter($"vec_id" % 10 =!= 0)
+      val pred = Similarity.knnClassify(train, test, "vec_id",
+          "embedding", "label", k = 5)
+        .join(test.select($"vec_id".as("query_id"),
+          $"label".as("actual")), "query_id")
+      val tp = sum(when($"predicted" === $"actual", 1L).otherwise(0L))
+      val byPred = pred.groupBy($"predicted".as("label"))
+        .agg(count(lit(1)).as("n_pred"), tp.as("tp_p"))
+      val byActual = pred.groupBy($"actual".as("label"))
+        .agg(count(lit(1)).as("n_actual"), tp.as("tp_a"))
+      byActual.join(byPred, Seq("label"), "full_outer")
+        .select($"label",
+          coalesce($"n_actual", lit(0L)).as("n_actual"),
+          coalesce($"n_pred", lit(0L)).as("n_pred"),
+          coalesce($"tp_a", lit(0L)).as("tp"))
+        .withColumn("precision", when($"n_pred" > 0,
+          round($"tp".cast("double") / $"n_pred".cast("double"), 6)))
+        .withColumn("recall", when($"n_actual" > 0,
+          round($"tp".cast("double") / $"n_actual".cast("double"), 6)))
+        .withColumn("f1", when($"tp" > 0, round(
+          ($"tp".cast("double") * 2.0) /
+            ($"n_pred".cast("double") + $"n_actual".cast("double")), 6)))
+        .orderBy($"label")
+    }),
+
     // k-NN majority-vote classification on a 10% id-hash holdout:
     // broadcast queries, ONE labeled-corpus scan (codegen cosine),
     // label votes in a tiny hash-agg, deterministic winner. The vote
@@ -674,6 +709,34 @@ object DedupSim {
       |      i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
       |   * sqrt(list_sum(list_transform(range(1, len(eb) + 1),
       |      i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))""".stripMargin
+
+  /** Shared CTE chain producing the q180 kNN prediction relation
+    * (train/test split, neighbor ranks, votes, winner) — consumed by
+    * both the q180 and q197 oracles.
+    */
+  private lazy val knnPredCtes: String =
+    s"""c AS (SELECT vec_id, embedding AS ea, label
+       |           FROM embeddings WHERE vec_id % 10 <> 0),
+       |q AS (SELECT vec_id, embedding AS eb, label
+       |      FROM embeddings WHERE vec_id % 10 = 0),
+       |nn AS (
+       |  SELECT query_id, lab FROM (
+       |    SELECT query_id, lab, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, nid ASC) AS rk
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+       |        c.label AS lab, $cosSql AS sim
+       |      FROM c, q))
+       |  WHERE rk <= 5),
+       |votes AS (
+       |  SELECT query_id, lab, count(*) AS votes
+       |  FROM nn GROUP BY query_id, lab),
+       |win AS (
+       |  SELECT query_id, lab AS predicted FROM (
+       |    SELECT query_id, lab, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY votes DESC, lab ASC) AS r
+       |    FROM votes)
+       |  WHERE r = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // q175: full PQ replay — same md5-ordered codebook sample, same
@@ -821,32 +884,45 @@ object DedupSim {
     // same neighbor ranks (sim desc, id asc), same vote count, same
     // (votes desc, label asc) winner pick
     "q180_knn_classify" ->
-      s"""WITH c AS (SELECT vec_id, embedding AS ea, label
-         |           FROM embeddings WHERE vec_id % 10 <> 0),
-         |q AS (SELECT vec_id, embedding AS eb, label
-         |      FROM embeddings WHERE vec_id % 10 = 0),
-         |nn AS (
-         |  SELECT query_id, lab FROM (
-         |    SELECT query_id, lab, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY sim DESC, nid ASC) AS rk
-         |    FROM (
-         |      SELECT q.vec_id AS query_id, c.vec_id AS nid,
-         |        c.label AS lab, $cosSql AS sim
-         |      FROM c, q))
-         |  WHERE rk <= 5),
-         |votes AS (
-         |  SELECT query_id, lab, count(*) AS votes
-         |  FROM nn GROUP BY query_id, lab),
-         |win AS (
-         |  SELECT query_id, lab AS predicted FROM (
-         |    SELECT query_id, lab, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY votes DESC, lab ASC) AS r
-         |    FROM votes)
-         |  WHERE r = 1)
+      s"""WITH $knnPredCtes
          |SELECT w.query_id, w.predicted, q.label AS actual,
          |  (w.predicted = q.label) AS correct
          |FROM win w JOIN q ON q.vec_id = w.query_id
          |ORDER BY w.query_id""".stripMargin,
+
+    // same prediction relation (shared CTEs), same confusion counts
+    // and fixed-order precision/recall/F1 arithmetic
+    "q197_classifier_eval" ->
+      s"""WITH $knnPredCtes,
+         |pred AS (
+         |  SELECT w.query_id, w.predicted, q.label AS actual
+         |  FROM win w JOIN q ON q.vec_id = w.query_id),
+         |byp AS (
+         |  SELECT predicted AS label, count(*) AS n_pred,
+         |    CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp_p
+         |  FROM pred GROUP BY predicted),
+         |bya AS (
+         |  SELECT actual AS label, count(*) AS n_actual,
+         |    CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp_a
+         |  FROM pred GROUP BY actual)
+         |SELECT label,
+         |  coalesce(n_actual, 0) AS n_actual,
+         |  coalesce(n_pred, 0) AS n_pred,
+         |  coalesce(tp_a, 0) AS tp,
+         |  CASE WHEN coalesce(n_pred, 0) > 0 THEN
+         |    round(CAST(coalesce(tp_a, 0) AS DOUBLE)
+         |      / CAST(n_pred AS DOUBLE), 6) END AS precision,
+         |  CASE WHEN coalesce(n_actual, 0) > 0 THEN
+         |    round(CAST(coalesce(tp_a, 0) AS DOUBLE)
+         |      / CAST(n_actual AS DOUBLE), 6) END AS recall,
+         |  CASE WHEN coalesce(tp_a, 0) > 0 THEN
+         |    round((CAST(coalesce(tp_a, 0) AS DOUBLE) * 2.0)
+         |      / (CAST(coalesce(n_pred, 0) AS DOUBLE)
+         |         + CAST(coalesce(n_actual, 0) AS DOUBLE)), 6) END AS f1
+         |FROM bya FULL OUTER JOIN byp USING (label)
+         |ORDER BY label""".stripMargin,
 
     "q53_cosine_topk" ->
       s"""SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (
