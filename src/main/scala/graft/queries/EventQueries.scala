@@ -384,6 +384,26 @@ object EventQueries {
         .orderBy($"user_id", $"start_event")
     }),
 
+    // Day-of-week seasonality profile: per (event_type, dow) exact
+    // cent totals, share of the type's weekly volume (integer permille
+    // of exact sums), and the peak day flag — the seasonal
+    // decomposition a monitoring pipeline reads daily. One hash-agg
+    // over the fact; the 7×|types| profile table is metadata-sized.
+    "q199_dow_seasonality" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "events")
+        .groupBy($"event_type", dayofweek($"ts").as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"value" * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy($"event_type")
+      per.withColumn("tot", sum($"cents").over(w))
+        .withColumn("permille", expr("(cents * 1000) div tot"))
+        .withColumn("peak", $"cents" === max($"cents").over(w))
+        .select($"event_type", $"dow", $"n", $"cents", $"permille", $"peak")
+        .orderBy($"event_type", $"dow")
+    }),
+
     // Multi-touch (linear) attribution with EXACT credit: each
     // purchase splits 1000 permille across the user's views in the
     // prior 24h by largest-remainder — floor share to every view,
@@ -443,6 +463,26 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical dow convention (Sunday=1), identical integer permille
+    "q199_dow_seasonality" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, dow, n, cents,
+        |    sum(cents) OVER (PARTITION BY event_type) AS tot,
+        |    max(cents) OVER (PARTITION BY event_type) AS mx
+        |  FROM per)
+        |SELECT event_type, dow, n, cents,
+        |  CAST((cents * 1000) // tot AS BIGINT) AS permille,
+        |  (cents = mx) AS peak
+        |FROM t
+        |ORDER BY event_type, dow""".stripMargin,
+
     // identical pair set, identical largest-remainder permille split
     "q194_multitouch_attribution" ->
       """WITH v AS (

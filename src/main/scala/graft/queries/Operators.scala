@@ -394,6 +394,29 @@ object Operators {
         .orderBy($"ant", $"cons")
     }),
 
+    // Composition recipe: quantile binning feeding grouped OLS —
+    // quantity ~ price WITHIN each per-flag price quartile ("price
+    // sensitivity by price tier"). Demonstrates that the new
+    // operators compose as relational citizens: the binner's output
+    // is just columns, the fitter groups on (flag, bin), and the
+    // whole thing stays two hash-aggs + one broadcast join.
+    "q200_elasticity_by_tier" -> ((s, dir) => {
+      import s.implicits._
+      val binned = Ops.quantileBucketize(
+        t(s, dir, "lineitem")
+          .select($"l_returnflag",
+            floor($"l_extendedprice" * 100).cast("long").as("cents"),
+            $"l_quantity".cast("long").as("qty")),
+        Seq("l_returnflag"), $"cents", Seq(250, 500, 750))
+      Ops.groupedLinearFit(binned, Seq("l_returnflag", "bin"),
+          $"cents", $"qty")
+        .select($"l_returnflag", $"bin", $"n",
+          round($"slope" * 1e6, 6).as("slope_ppm"),
+          round($"intercept", 6).as("intercept"),
+          round($"r2", 6).as("r2"))
+        .orderBy($"l_returnflag", $"bin")
+    }),
+
     // Quantile binning (feature discretization): quartile labels per
     // returnflag from the two-phase exact-quantile machinery, bins
     // broadcast back as one tiny array per group — summarized to
@@ -800,6 +823,60 @@ object Operators {
         |  CAST(min(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tw
         |GROUP BY g ORDER BY g""".stripMargin,
+
+    // q196's binning CTEs + q178's exact-stat OLS arithmetic, grouped
+    // by (flag, bin)
+    "q200_elasticity_by_tier" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |f AS (SELECT g, v, count(*) AS vw FROM b GROUP BY g, v),
+        |c AS (
+        |  SELECT g, v,
+        |    sum(vw) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(vw) OVER (PARTITION BY g) AS tw
+        |  FROM f),
+        |p AS (SELECT unnest([250, 500, 750]) AS permille),
+        |bounds AS (
+        |  SELECT g,
+        |    max(CASE WHEN permille = 250 THEN q END) AS b1,
+        |    max(CASE WHEN permille = 500 THEN q END) AS b2,
+        |    max(CASE WHEN permille = 750 THEN q END) AS b3
+        |  FROM (
+        |    SELECT g, permille, min(v) AS q
+        |    FROM c CROSS JOIN p
+        |    WHERE cum * 1000 >= permille * tw
+        |    GROUP BY g, permille)
+        |  GROUP BY g),
+        |d AS (
+        |  SELECT b.g,
+        |    (CASE WHEN b1 < v THEN 1 ELSE 0 END
+        |     + CASE WHEN b2 < v THEN 1 ELSE 0 END
+        |     + CASE WHEN b3 < v THEN 1 ELSE 0 END) AS bin,
+        |    CAST(v AS HUGEINT) AS x, CAST(qty AS HUGEINT) AS y
+        |  FROM b JOIN bounds ON bounds.g = b.g),
+        |a AS (
+        |  SELECT g, bin, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM d GROUP BY g, bin),
+        |m AS (
+        |  SELECT g, bin, n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+        |  FROM a)
+        |SELECT g AS l_returnflag, bin, n,
+        |  round(CASE WHEN varxn <> 0 THEN covn / varxn END
+        |    * 1000000.0, 6) AS slope_ppm,
+        |  round(CASE WHEN varxn <> 0 THEN
+        |    (CAST(sy AS DOUBLE) - (covn / varxn) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END, 6) AS intercept,
+        |  round(CASE WHEN varxn <> 0 AND varyn <> 0 THEN
+        |    (covn * covn) / (varxn * varyn) END, 6) AS r2
+        |FROM m ORDER BY l_returnflag, bin""".stripMargin,
 
     // identical straddle boundaries (q185 machinery), identical
     // strict-less binning
