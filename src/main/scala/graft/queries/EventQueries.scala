@@ -384,6 +384,38 @@ object EventQueries {
         .orderBy($"user_id", $"start_event")
     }),
 
+    // Population Stability Index per event type (first half-month vs
+    // second): the model-monitoring standard for "did the input
+    // distribution move?". Value histogram in fixed 20-unit bins,
+    // +1-additive smoothing so empty cells stay finite and
+    // DETERMINISTIC (no ε hand-waving), per-bin (p1−p2)·ln(p1/p2)
+    // doubles quantized to decimal before the sum — the q132 drift
+    // convention. One scan, conditional aggregation, |types|·|bins|
+    // metadata table.
+    "q201_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "events").select($"event_type",
+        floor($"value" / 20).cast("int").as("b"),
+        when($"ts" < lit("2024-01-16").cast("timestamp"), 0).otherwise(1)
+          .as("per"))
+      val cells = d.groupBy($"event_type", $"b").agg(
+        sum(when($"per" === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when($"per" === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = cells.groupBy($"event_type").agg(
+        sum($"c1").as("n1"), sum($"c2").as("n2"),
+        count(lit(1)).as("nb"))
+      val p1 = ($"c1" + 1L).cast("double") / ($"n1" + $"nb").cast("double")
+      val p2 = ($"c2" + 1L).cast("double") / ($"n2" + $"nb").cast("double")
+      val term = ((p1 - p2) * log(p1 / p2)).cast("decimal(30,12)")
+      val psi = sum(term).cast("double")
+      cells.join(tot, "event_type")
+        .groupBy($"event_type")
+        .agg(max($"n1").as("n_before"), max($"n2").as("n_after"),
+          max($"nb").as("n_bins"), round(psi, 6).as("psi"),
+          (psi > lit(0.10)).as("shifted"))
+        .orderBy($"event_type")
+    }),
+
     // Day-of-week seasonality profile: per (event_type, dow) exact
     // cent totals, share of the type's weekly volume (integer permille
     // of exact sums), and the peak day flag — the seasonal
@@ -463,6 +495,45 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical bins, identical +1 smoothing, identical fixed-order
+    // PSI arithmetic, decimal-quantized sum
+    "q201_psi_drift" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(floor(value / 20) AS INTEGER) AS b,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+        |      AS per
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, b,
+        |    CAST(sum(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM d GROUP BY event_type, b),
+        |tot AS (
+        |  SELECT event_type, sum(c1) AS n1, sum(c2) AS n2,
+        |    count(*) AS nb
+        |  FROM cells GROUP BY event_type)
+        |SELECT cells.event_type,
+        |  CAST(max(n1) AS BIGINT) AS n_before,
+        |  CAST(max(n2) AS BIGINT) AS n_after,
+        |  max(nb) AS n_bins,
+        |  round(CAST(sum(CAST(
+        |    ((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+        |     - (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))) *
+        |    ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+        |       / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE)))
+        |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS psi,
+        |  (CAST(sum(CAST(
+        |    ((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+        |     - (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))) *
+        |    ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))
+        |       / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE)))
+        |    AS DECIMAL(30,12))) AS DOUBLE) > 0.10) AS shifted
+        |FROM cells JOIN tot ON tot.event_type = cells.event_type
+        |GROUP BY cells.event_type
+        |ORDER BY cells.event_type""".stripMargin,
+
     // identical dow convention (Sunday=1), identical integer permille
     "q199_dow_seasonality" ->
       """WITH per AS (
