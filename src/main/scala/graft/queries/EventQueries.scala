@@ -384,6 +384,44 @@ object EventQueries {
         .orderBy($"user_id", $"start_event")
     }),
 
+    // EXACT two-sample Kolmogorov-Smirnov per event type (first vs
+    // second half-month): KS = max |CDF1 − CDF2| evaluated only at
+    // the observed distinct cent values — as the INTEGER maximum of
+    // |cum1·n2 − cum2·n1| over a common denominator n1·n2, so the
+    // statistic has no float comparison anywhere. The cumulative runs
+    // per type over the distinct-value table (bounded by the value
+    // domain, not the row count). Completes the drift family:
+    // KL (q132), χ² (q186), t (q191), PSI (q201), KS (q202).
+    "q202_ks_drift" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "events").select($"event_type",
+        floor($"value" * 100).cast("long").as("c"),
+        when($"ts" < lit("2024-01-16").cast("timestamp"), 0).otherwise(1)
+          .as("per"))
+      val cells = d.groupBy($"event_type", $"c").agg(
+        sum(when($"per" === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when($"per" === 1, 1L).otherwise(0L)).as("c2"))
+      val w = Window.partitionBy($"event_type").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells
+        .withColumn("cum1", sum($"c1").over(w))
+        .withColumn("cum2", sum($"c2").over(w))
+      val tot = cells.groupBy($"event_type")
+        .agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      cum.join(tot, "event_type")
+        .withColumn("num", abs($"cum1" * $"n2" - $"cum2" * $"n1"))
+        .groupBy($"event_type")
+        .agg(max($"n1").as("n_before"), max($"n2").as("n_after"),
+          max($"num").as("ks_num"))
+        .join(tot, "event_type")
+        .select($"event_type", $"n_before", $"n_after", $"ks_num",
+          ($"n1" * $"n2").as("ks_den"),
+          round($"ks_num".cast("double") /
+            ($"n1" * $"n2").cast("double"), 6).as("ks"))
+        .orderBy($"event_type")
+    }),
+
     // Population Stability Index per event type (first half-month vs
     // second): the model-monitoring standard for "did the input
     // distribution move?". Value histogram in fixed 20-unit bins,
@@ -495,6 +533,43 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical distinct-value CDF grid, identical integer cross
+    // products — the statistic never touches a float until the final
+    // reported ratio
+    "q202_ks_drift" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+        |      AS per
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, c,
+        |    CAST(sum(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM d GROUP BY event_type, c),
+        |cum AS (
+        |  SELECT event_type, c, c1, c2,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY c) AS cum1,
+        |    sum(c2) OVER (PARTITION BY event_type ORDER BY c) AS cum2
+        |  FROM cells),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM cells GROUP BY event_type),
+        |mx AS (
+        |  SELECT cum.event_type,
+        |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num
+        |  FROM cum JOIN tot ON tot.event_type = cum.event_type
+        |  GROUP BY cum.event_type)
+        |SELECT mx.event_type, n1 AS n_before, n2 AS n_after, ks_num,
+        |  CAST(n1 * n2 AS BIGINT) AS ks_den,
+        |  round(CAST(ks_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
+        |    AS ks
+        |FROM mx JOIN tot ON tot.event_type = mx.event_type
+        |ORDER BY mx.event_type""".stripMargin,
+
     // identical bins, identical +1 smoothing, identical fixed-order
     // PSI arithmetic, decimal-quantized sum
     "q201_psi_drift" ->
