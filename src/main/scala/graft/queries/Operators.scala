@@ -394,6 +394,32 @@ object Operators {
         .orderBy($"ant", $"cons")
     }),
 
+    // EXACT Gini coefficient of customer spend (inequality — the
+    // concentration metric behind "top-1% of customers" analyses):
+    // rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over the
+    // ascending-spend order, with ranks from the DISTRIBUTED global
+    // enumeration (range partition + zipWithIndex — no single-task
+    // ORDER BY window) and every sum an exact integer of cents. The
+    // only doubles are the two final ratio terms.
+    "q203_gini_spend" -> ((s, dir) => {
+      import s.implicits._
+      val spend = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      val ranked = Ops.assignIds(spend,
+        Seq($"cents".asc, $"o_custkey".asc), "rid")
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum($"cents").as("total_cents"),
+          sum(($"rid" + 1L) * $"cents").as("s1"))
+        .select($"n", $"total_cents",
+          round(
+            ($"s1" * 2L).cast("double") /
+              ($"n" * $"total_cents").cast("double") -
+            ($"n" + 1L).cast("double") / $"n".cast("double"), 6)
+            .as("gini"))
+    }),
+
     // Composition recipe: quantile binning feeding grouped OLS —
     // quantity ~ price WITHIN each per-flag price quartile ("price
     // sensitivity by price tier"). Demonstrates that the new
@@ -823,6 +849,26 @@ object Operators {
         |  CAST(min(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tw
         |GROUP BY g ORDER BY g""".stripMargin,
+
+    // same ascending order, same integer rank sums, same two-term
+    // ratio — the window rank is the relation assignIds replaces
+    "q203_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT cents, row_number() OVER (
+        |    ORDER BY cents ASC, o_custkey ASC) AS i
+        |  FROM spend)
+        |SELECT count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(CAST(sum(i * cents) * 2 AS DOUBLE)
+        |      / CAST(count(*) * sum(cents) AS DOUBLE)
+        |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS gini
+        |FROM r""".stripMargin,
 
     // q196's binning CTEs + q178's exact-stat OLS arithmetic, grouped
     // by (flag, bin)
