@@ -88,6 +88,14 @@ object Similarity {
     * tie-break by id). At 100 TB the corpus scan is the cost; swap the
     * neighbor stage for [[annTopK]]/[[ivfTopK]] candidates — the vote
     * stage is unchanged. Output: (query id, predicted label).
+    *
+    * CONTRACT: query ids must be DISJOINT from corpus ids.
+    * [[bruteForceTopK]] excludes corpus rows whose id equals the
+    * query's id (the leave-self-out semantic for dedup search), so a
+    * query whose id also appears in the labeled corpus silently loses
+    * its exact-match neighbor — classify held-out rows under fresh
+    * ids, or re-key one side. q180/q197 satisfy this via the %10
+    * holdout split.
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
                   embCol: String, labelCol: String, k: Int): DataFrame = {

@@ -1886,7 +1886,7 @@ object Pipeline {
     // with an id column; emits (id, dist) for nodes reachable within
     // maxhops edges. Frontier Bellman-Ford — O(rounds·|E|) equi-joins.
     Registered("sssp", RowType, RowType,
-      "in=STREAM:seeds=STREAM:src=COL:dst=COL:w=COL:maxhops=6:out=STREAM",
+      "in=STREAM:seeds=STREAM:id=COL:src=COL:dst=COL:w=COL:maxhops=6:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val sname = m.args.getOrElse("seeds",

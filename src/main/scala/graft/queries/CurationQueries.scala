@@ -328,13 +328,22 @@ object CurationQueries {
       val c = graft.operators.Ops.runningTotal(per, Seq($"score"), "nn",
           buckets = 16, outCol = "cum_nn")
         .withColumn("cumb", $"cum_nn" - $"nn")
+      // The Mann-Whitney numerator is ~P·N — the very pair count the
+      // comment above says never materializes — so a raw BIGINT sum
+      // silently wraps at large corpora while the oracle promotes to
+      // HUGEINT. Accumulate numerator AND denominator in
+      // decimal(38,0) (q191's convention); the outputs are decimal on
+      // both sides.
       c.agg(
           sum($"np").as("p"), sum($"nn").as("n"),
-          sum($"np" * (lit(2L) * $"cumb" + $"nn")).as("auc_num2"))
+          sum(($"np" * (lit(2L) * $"cumb" + $"nn"))
+            .cast("decimal(38,0)")).as("auc_num2"))
         .select($"p", $"n", $"auc_num2",
-          (lit(2L) * $"p" * $"n").as("auc_den2"),
+          ($"p".cast("decimal(38,0)") * $"n" * 2L)
+            .cast("decimal(38,0)").as("auc_den2"),
           round($"auc_num2".cast("double") /
-            ($"p" * $"n" * 2L).cast("double"), 6).as("auc"))
+            ($"p".cast("decimal(38,0)") * $"n" * 2L).cast("double"), 6)
+            .as("auc"))
     }),
 
     // Feature-hashing linear inference (the production shape of a
@@ -651,8 +660,8 @@ object CurationQueries {
          |  FROM per)
          |SELECT CAST(sum(np) AS BIGINT) AS p,
          |  CAST(sum(nn) AS BIGINT) AS n,
-         |  CAST(sum(np * (2 * cumb + nn)) AS BIGINT) AS auc_num2,
-         |  CAST(2 * sum(np) * sum(nn) AS BIGINT) AS auc_den2,
+         |  CAST(sum(np * (2 * cumb + nn)) AS DECIMAL(38,0)) AS auc_num2,
+         |  CAST(2 * sum(np) * sum(nn) AS DECIMAL(38,0)) AS auc_den2,
          |  round(CAST(sum(np * (2 * cumb + nn)) AS DOUBLE)
          |    / CAST(sum(np) * sum(nn) * 2 AS DOUBLE), 6) AS auc
          |FROM c""".stripMargin,

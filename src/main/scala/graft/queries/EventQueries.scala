@@ -409,16 +409,24 @@ object EventQueries {
         .withColumn("cum2", sum($"c2").over(w))
       val tot = cells.groupBy($"event_type")
         .agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      // The cross products are bounded by n1·n2, which wraps a BIGINT
+      // once per-type counts pass ~3e9 — take them (and the n1·n2
+      // denominator) through decimal(38,0) so the "no float anywhere"
+      // guarantee holds at scale, matching the HUGEINT-promoting
+      // oracle. ks_num/ks_den are decimal on both sides.
       cum.join(tot, "event_type")
-        .withColumn("num", abs($"cum1" * $"n2" - $"cum2" * $"n1"))
+        .withColumn("num", abs($"cum1".cast("decimal(38,0)") * $"n2" -
+          $"cum2".cast("decimal(38,0)") * $"n1").cast("decimal(38,0)"))
         .groupBy($"event_type")
         .agg(max($"n1").as("n_before"), max($"n2").as("n_after"),
           max($"num").as("ks_num"))
         .join(tot, "event_type")
         .select($"event_type", $"n_before", $"n_after", $"ks_num",
-          ($"n1" * $"n2").as("ks_den"),
+          ($"n1".cast("decimal(38,0)") * $"n2")
+            .cast("decimal(38,0)").as("ks_den"),
           round($"ks_num".cast("double") /
-            ($"n1" * $"n2").cast("double"), 6).as("ks"))
+            ($"n1".cast("decimal(38,0)") * $"n2").cast("double"), 6)
+            .as("ks"))
         .orderBy($"event_type")
     }),
 
@@ -560,11 +568,12 @@ object EventQueries {
         |  FROM cells GROUP BY event_type),
         |mx AS (
         |  SELECT cum.event_type,
-        |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num
+        |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DECIMAL(38,0))
+        |      AS ks_num
         |  FROM cum JOIN tot ON tot.event_type = cum.event_type
         |  GROUP BY cum.event_type)
         |SELECT mx.event_type, n1 AS n_before, n2 AS n_after, ks_num,
-        |  CAST(n1 * n2 AS BIGINT) AS ks_den,
+        |  CAST(n1 * n2 AS DECIMAL(38,0)) AS ks_den,
         |  round(CAST(ks_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
         |    AS ks
         |FROM mx JOIN tot ON tot.event_type = mx.event_type

@@ -408,14 +408,19 @@ object Operators {
         .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
       val ranked = Ops.assignIds(spend,
         Seq($"cents".asc, $"o_custkey".asc), "rid")
+      // Σ(rank·cents) is ~n²·avg_cents: a raw BIGINT sum silently
+      // wraps at production scale (Spark non-ANSI) while the oracle
+      // promotes to HUGEINT — accumulate in decimal(38,0) (the
+      // groupedLinearFit convention) and so for the n·total product.
       ranked.agg(
           count(lit(1)).as("n"),
           sum($"cents").as("total_cents"),
-          sum(($"rid" + 1L) * $"cents").as("s1"))
+          sum((($"rid" + 1L) * $"cents").cast("decimal(38,0)")).as("s1"))
         .select($"n", $"total_cents",
           round(
             ($"s1" * 2L).cast("double") /
-              ($"n" * $"total_cents").cast("double") -
+              ($"n".cast("decimal(38,0)") * $"total_cents")
+                .cast("double") -
             ($"n" + 1L).cast("double") / $"n".cast("double"), 6)
             .as("gini"))
     }),
