@@ -664,19 +664,40 @@ object Dedup {
     * So a prefix-token equi-join finds every qualifying pair.
     *
     * Scale shape (each stage an equi-join or hash-agg):
-    *  1. one hash-agg computes global df per token (rare-first order);
-    *  2. one shuffle by id rebuilds each doc's tokens sorted
+    *  0. exact-duplicate collapse: docs group by their DISTINCT
+    *     token-set (the sorted array is the grouping key — no hash,
+    *     stays exact; at 100 TB key by md5(set) if array keys are too
+    *     wide for the shuffle) into one representative "shape" per
+    *     set. Crawl corpora are dominated by exact duplicates, so the
+    *     expensive candidate join runs over the (much smaller) shape
+    *     relation and the final answer is recovered by expansion —
+    *     identical-set pairs have jaccard exactly 1.0, cross-shape
+    *     pairs inherit the shape pair's jaccard.
+    *  1. one hash-agg computes global df per token over SHAPES
+    *     (rare-first order; any strict total order is correct, df is
+    *     the heuristic that keeps join buckets small);
+    *  2. one shuffle by shape rebuilds each shape's tokens sorted
     *     rare-first (sort_array over (df, tok) structs);
-    *  3. candidates = self equi-join of exploded PREFIX tokens — the
-    *     rarest tokens carry the join, so hot common words never
-    *     enter the shuffle; the symmetric length filter
-    *     t*max(na,nb) <= min(na,nb) prunes before verify (loosened by
-    *     1e-9 so double rounding can never drop a boundary pair);
+    *  3. candidates = self equi-join of posexploded PREFIX tokens —
+    *     the rarest tokens carry the join, so hot common words never
+    *     enter the shuffle; two residual prunes fire before the
+    *     distinct: the symmetric length filter
+    *     t*max(na,nb) <= min(na,nb), and PPJoin's POSITIONAL filter —
+    *     a match at 0-based prefix positions (pa, pb) bounds the
+    *     overlap by 1 + min(na-1-pa, nb-1-pb), which must reach the
+    *     Jaccard overlap floor t·(na+nb)/(1+t); the pair's minimal
+    *     common token row always satisfies the bound (all other
+    *     common tokens sit strictly after it in both arrays), so no
+    *     true pair is lost while candidates that only share late
+    *     prefix tokens die before the shuffle. Both prunes are
+    *     loosened by 1e-9 so double rounding can never drop a
+    *     boundary pair.
     *  4. exact verify joins the full token arrays back for surviving
-    *     candidate ids only (arrays never ride the candidate shuffle)
-    *     and computes |A∩B| / |A∪B| with array_intersect.
-    * At 100 TB the refinement knob is the positional filter (PPJoin's
-    * per-token position bound), not the plan shape.
+    *     candidate shapes only (arrays never ride the candidate
+    *     shuffle) and computes |A∩B| / |A∪B| with array_intersect;
+    *  5. expansion: shape pairs fan back out to member id pairs
+    *     (equi-joins on the shape key), plus the within-shape
+    *     id pairs at jaccard 1.0 — both stages are output-bound.
     *
     * Returns (idA, idB, jac) with idA < idB and raw double jac.
     * The reference has no fuzzy join at all (dbitool.pl's only dedup
@@ -691,37 +712,73 @@ object Dedup {
         array_distinct(filter(split(col(textCol), " "), t => t =!= ""))
           .as("toks"))
       .withColumn("n", size(col("toks"))).filter(col("n") > 0)
-    // 1-2: global rare-first order, then per-doc rare-first arrays.
-    val dfreq = toks.select(explode(col("toks")).as("tok"))
+    // 0: collapse exact-duplicate token sets into shapes. skey (the
+    // alphabetically sorted set) is exact shape identity; sid is the
+    // shape's min member id — a compact exact key for every later
+    // join, so arrays never ride the candidate/expansion shuffles.
+    val keyed = toks.select(col("id"), sort_array(col("toks")).as("skey"),
+      col("n"))
+    val shapes = keyed.groupBy(col("skey"), col("n"))
+      .agg(min(col("id")).as("sid"), count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = keyed.join(shapes.select(col("skey"), col("sid")), "skey")
+      .select(col("sid"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1-2: global rare-first order over shapes, then per-shape
+    // rare-first arrays.
+    val dfreq = shapes.select(explode(col("skey")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = toks.select(col("id"), col("n"), explode(col("toks")).as("tok"))
+    val ordered = shapes
+      .select(col("sid"), col("n"), explode(col("skey")).as("tok"))
       .join(dfreq, "tok")
-      .groupBy(col("id"), col("n"))
+      .groupBy(col("sid"), col("n"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
-      .select(col("id"), col("n"),
+      .select(col("sid"), col("n"),
         transform(col("st"), s => s("tok")).as("sorted"))
       .withColumn("p",
         (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3: prefix-prefix candidate equi-join.
-    val pre = ordered.select(col("id"), col("n"),
-      explode(slice(col("sorted"), lit(1), col("p"))).as("tok"))
-    val cand = pre.select(col("tok"), col("id").as("idA"), col("n").as("nA"))
-      .join(pre.select(col("tok"), col("id").as("idB"), col("n").as("nB")), "tok")
-      .filter(col("idA") < col("idB"))
+    // 3: prefix-prefix candidate equi-join with length + positional
+    // residual prunes (positions are 0-based via posexplode).
+    val pre = ordered.select(col("sid"), col("n"),
+      posexplode(slice(col("sorted"), lit(1), col("p"))).as(Seq("pos", "tok")))
+    val cand = pre.select(col("tok"), col("sid").as("sidA"),
+        col("n").as("nA"), col("pos").as("pA"))
+      .join(pre.select(col("tok"), col("sid").as("sidB"),
+        col("n").as("nB"), col("pos").as("pB")), "tok")
+      .filter(col("sidA") < col("sidB"))
       .filter(least(col("nA"), col("nB")).cast("double") >=
         lit(threshold) * greatest(col("nA"), col("nB")) - lit(1e-9))
-      .select(col("idA"), col("idB")).distinct()
-    // 4: exact verify on full arrays, candidates only.
-    cand
-      .join(ordered.select(col("id").as("idA"), col("sorted").as("ta"),
-        col("n").as("na")), "idA")
-      .join(ordered.select(col("id").as("idB"), col("sorted").as("tb"),
-        col("n").as("nb")), "idB")
+      .filter((lit(1) + least(col("nA") - 1 - col("pA"),
+          col("nB") - 1 - col("pB"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("nA") + col("nB"))
+          - lit(1e-9))
+      .select(col("sidA"), col("sidB")).distinct()
+    // 4: exact verify on full arrays, candidate shapes only. Distinct
+    // sets can never reach jaccard 1.0, so cross-shape and
+    // within-shape outputs never overlap.
+    val spairs = cand
+      .join(ordered.select(col("sid").as("sidA"), col("sorted").as("ta"),
+        col("n").as("na")), "sidA")
+      .join(ordered.select(col("sid").as("sidB"), col("sorted").as("tb"),
+        col("n").as("nb")), "sidB")
       .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jac",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jac") >= threshold)
-      .select(col("idA"), col("idB"), col("jac"))
+      .select(col("sidA"), col("sidB"), col("jac"))
+    // 5: expansion — cross-shape member pairs inherit the shape
+    // jaccard; within-shape member pairs are exact duplicates
+    // (jaccard exactly 1.0, identical to i/(2n-i) at i=n=union).
+    val cross = spairs
+      .join(members.select(col("sid").as("sidA"), col("id").as("ia")), "sidA")
+      .join(members.select(col("sid").as("sidB"), col("id").as("ib")), "sidB")
+      .select(least(col("ia"), col("ib")).as("idA"),
+        greatest(col("ia"), col("ib")).as("idB"), col("jac"))
+    val within = members.select(col("sid"), col("id").as("idA"))
+      .join(members.select(col("sid"), col("id").as("idB")), "sid")
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), lit(1.0).as("jac"))
+    cross.unionByName(within)
   }
 }
