@@ -922,17 +922,48 @@ object Ops {
     * pair space is bounded per basket, the classic a-priori cut.
     * All three metrics are exact integer ratios evaluated in double
     * (numerators < 2^53), so they replay bit-for-bit in the oracle.
+    *
+    * `maxBasket` bounds the one shape apriori can't: a single HOT
+    * basket. Min-support prunes the item DOMAIN, but one basket
+    * holding B frequent items still contributes B²/2 pairs from one
+    * join key — and AQE skew-split can only spread those rows, not
+    * reduce them. Baskets above the cap have their items down-sampled
+    * to the maxBasket smallest md5(basket,item) hashes (deterministic,
+    * uniform — the same hub-cut discipline as the LSH star-edge cap,
+    * [[Dedup.bandCandidates]]) BEFORE the pair join; item supports and
+    * the basket total stay exact, so surviving rules keep exact
+    * confidence denominators while hot-basket pair counts become a
+    * documented under-count. The default is a no-op for any sane
+    * vocabulary; size it to (pairs-per-task budget)^0.5 at 100 TB.
     */
   def associationRules(baskets: DataFrame, basket: String, item: String,
-                       minSupport: Long,
-                       minConfidence: Double): DataFrame = {
+                       minSupport: Long, minConfidence: Double,
+                       maxBasket: Int = 1 << 16): DataFrame = {
+    require(maxBasket >= 1, s"maxBasket must be >= 1, got $maxBasket")
     val b = baskets.select(col(basket).as("__ck"), col(item).as("__it"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTotal = b.select(countDistinct(col("__ck")).as("__n_total"))
     val items = b.groupBy(col("__it")).agg(count(lit(1)).as("n_item"))
     val freq = items.filter(col("n_item") >= minSupport)
-    val fb = b.join(freq.select(col("__it")), "__it")
+    val fbAll = b.join(freq.select(col("__it")), "__it")
+    // Hot-basket cap: rank only inside oversized baskets (the window
+    // partitions by basket, so its cost is linear in the rows it must
+    // bound anyway), keep the maxBasket smallest item hashes.
+    val sizes = fbAll.groupBy(col("__ck")).agg(count(lit(1)).as("__bn"))
+    val sized = fbAll.join(sizes, "__ck")
+    val fb = sized.filter(col("__bn") <= maxBasket)
+      .select(col("__ck"), col("__it"))
+      .unionByName(sized.filter(col("__bn") > maxBasket)
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("__ck")).orderBy(
+            graft.operators.DedupPortable.md5Long(
+              org.apache.spark.sql.functions.concat(
+              col("__ck").cast("string"), lit("\u0001"),
+              col("__it").cast("string"))).asc,
+            col("__it").asc)))
+        .filter(col("__r") <= maxBasket)
+        .select(col("__ck"), col("__it")))
     val pairs = fb.select(col("__ck"), col("__it").as("__ia"))
       .join(fb.select(col("__ck"), col("__it").as("__ib")), "__ck")
       .filter(col("__ia") < col("__ib"))

@@ -462,6 +462,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Ops.associationRules(baskets, "ck", "it", 2L, 0.7).count() == 0)
   }
 
+  test("associationRules maxBasket: no-op within bound, caps a hot basket") {
+    // 30 baskets of {A,B,C}, plus 3 "hot" baskets holding the full
+    // 12-item vocabulary — so every item passes minSupport=3 and the
+    // hot baskets genuinely exceed a maxBasket=4 cap.
+    val vocab = ('A' to 'L').map(_.toString)
+    val rows = (1 to 30).flatMap(ck => Seq("A", "B", "C").map((ck, _))) ++
+      (31 to 33).flatMap(ck => vocab.map((ck, _)))
+    val baskets = rows.toDF("ck", "it")
+    val uncapped = Ops.associationRules(baskets, "ck", "it", 3L, 0.0)
+      .orderBy("ant", "cons").collect().map(_.toSeq).toSeq
+    // cap far above every basket: bit-identical output
+    val noop = Ops.associationRules(baskets, "ck", "it", 3L, 0.0,
+      maxBasket = 1000).orderBy("ant", "cons").collect().map(_.toSeq).toSeq
+    assert(noop == uncapped)
+    // cap below the hot basket: its pair fan-out is bounded to
+    // maxBasket items (n_both may drop) but the support/confidence
+    // DENOMINATORS stay exact — n_ant/n_cons count full baskets.
+    val capped = Ops.associationRules(baskets, "ck", "it", 3L, 0.0,
+      maxBasket = 4)
+    val ab = capped.filter($"ant" === "A" && $"cons" === "B").collect()
+    assert(ab.nonEmpty && ab.head.getAs[Long]("n_ant") == 33L,
+      "item support must stay exact under the cap")
+    assert(ab.head.getAs[Long]("n_both") >= 30L)
+    // determinism: same cap twice → identical rows
+    val again = Ops.associationRules(baskets, "ck", "it", 3L, 0.0,
+      maxBasket = 4).orderBy("ant", "cons").collect().map(_.toSeq).toSeq
+    assert(capped.orderBy("ant", "cons").collect().map(_.toSeq).toSeq == again)
+  }
+
   test("rankPerGroupDistributed == plain per-group window rank, skewed groups") {
     // group a: 200 rows (the 'hub stratum'), b: 3, c: 1
     val rows = (1 to 200).map(i => ("a", i.toLong)) ++

@@ -74,6 +74,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("associationRules hot-basket cap: equi-join shaped, basket-partitioned window only") {
+    // The one shape apriori can't bound is a single hot basket (B
+    // frequent items → B²/2 pairs from ONE join key — AQE can spread
+    // but not shrink them). The cap must stay relational: no
+    // cartesian, no nested loop, and the sampling window partitioned
+    // by basket — never a global (unpartitioned) window.
+    val baskets = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("ck"), $"l_partkey".as("it"))
+    val plan = executed(graft.operators.Ops.associationRules(
+      baskets, "ck", "it", minSupport = 2L, minConfidence = 0.0,
+      maxBasket = 8))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one nested-loop join is allowed: the 1-row
+    // broadcast(nTotal) scalar attach — data-sized sides never NLJ
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+    // every Window in the plan must carry a partition spec
+    plan.split('\n').filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("windowspecdefinition(__ck"),
+        s"unpartitioned or mis-partitioned window: $l")
+    }
+  }
+
   test("prefix-filter jaccard join: equi-join shaped end to end") {
     // q170 is EXACT all-pairs similarity — the gate proves the plan
     // still never goes quadratic: candidates ride a prefix-token
