@@ -431,11 +431,25 @@ object Ops {
     * ((1-d)/n + d·x, r/deg) is identical IEEE in any engine. A double
     * can never land exactly on a scale-15 decimal tie (ties have
     * factor 5^15 denominators — not dyadic), so the double→decimal
-    * rounding is also engine-independent. Caller guarantees every
-    * node has ≥1 out-edge (symmetric edge sets do) — dangling-mass
-    * redistribution is deliberately out of scope.
+    * rounding is also engine-independent.
     *
-    * `edges` = (src long, dst long), deduplicated. Returns (id, r).
+    * Dangling-node mass is redistributed per textbook PageRank: the
+    * node universe is src ∪ dst, and each round the rank held by
+    * nodes with NO out-edges is summed (one 1-row decimal scalar —
+    * fetched to the driver, the standard per-round action of every
+    * iterative graph engine) and shared equally by all nodes — so Σr
+    * stays exactly 1 per round instead of leaking. The dangling and
+    * no-in-edge node SETS are iteration-invariant, so both are
+    * computed once up front; when the graph has no dangling nodes
+    * (symmetric edge sets never do) the per-round recurrence is
+    * bit-identical to the plain damped form with ZERO extra jobs.
+    * With dangling nodes present, each round adds one |dangling|-row
+    * aggregate, and the round's rank relation is persisted (previous
+    * round unpersisted after materialization) so the two reads per
+    * round keep the lineage LINEAR in the round count.
+    *
+    * `edges` = (src long, dst long), deduplicated. Returns (id, r)
+    * over ALL nodes, including those with no in-edges.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
@@ -450,10 +464,39 @@ object Ops {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val n = e.select(col("src")).distinct().count()
-    var ranks = e.select(col("src").as("id")).distinct()
-      .withColumn("r", lit(1.0) / lit(n))
-    for (_ <- 1 to iters) {
+    // One |2E|-row hash-agg discovers the node universe AND the two
+    // iteration-invariant special sets (dangling = no out-edge,
+    // no-in-edge) — no distinct-union, no anti-joins.
+    val flags = e.select(explode(array(
+        struct(col("src").as("id"), lit(1).as("o"), lit(0).as("i")),
+        struct(col("dst").as("id"), lit(0).as("o"), lit(1).as("i"))))
+        .as("x"))
+      .select(col("x.id").as("id"), col("x.o").as("o"), col("x.i").as("i"))
+      .groupBy(col("id"))
+      .agg(max(col("o")).as("hasOut"), max(col("i")).as("hasIn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = flags.agg(count(lit(1)),
+      sum(lit(1) - col("hasOut")), sum(lit(1) - col("hasIn"))).head()
+    val n = st.getLong(0)
+    val hasDangling = st.getLong(1) > 0
+    val hasNoIn = st.getLong(2) > 0
+    val nodes = flags.select(col("id"))
+    val dangling = flags.filter(col("hasOut") === 0).select(col("id"))
+    val noIn = flags.filter(col("hasIn") === 0).select(col("id"))
+    var ranks = nodes.withColumn("r", lit(1.0) / lit(n))
+    var persisted: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      // Dangling mass: one 1-row decimal aggregate (order-free sum)
+      // over the precomputed dangling set. BigDecimal→double is
+      // correctly rounded, identical to the in-plan CAST. Skipped
+      // entirely (exact +0.0) when no node dangles.
+      val dm =
+        if (!hasDangling) 0.0
+        else {
+          val row = ranks.join(dangling, Seq("id"), "left_semi")
+            .agg(sum(col("r").cast("decimal(30,15)")).as("dm")).head()
+          Option(row.getDecimal(0)).map(_.doubleValue).getOrElse(0.0)
+        }
       // Pre-divide rank by out-degree at the NODE level (|V| rows)
       // before fanning out over edges (|E| rows): one small join +
       // one big join per iteration instead of two big ones. The
@@ -464,12 +507,32 @@ object Ops {
         .join(deg, "src")
         .select(col("src"), (col("r") / col("d"))
           .cast("decimal(30,15)").as("c"))
-      ranks = e
+      // Receiving nodes get the damped sum; no-in-edge nodes get the
+      // same expression at S = 0 as a UNION of a literal column —
+      // never an all-nodes left join per round.
+      val recvR = e
         .join(contrib, "src")
         .groupBy(col("dst").as("id"))
         .agg((lit(1.0 - damping) / lit(n) + lit(damping) *
-          sum(col("c")).cast("double")).as("r"))
-        .select(col("id"), col("r"))
+          (sum(col("c")).cast("double") +
+           lit(dm) / lit(n.toDouble))).as("r"))
+      val next =
+        if (!hasNoIn) recvR
+        else recvR.unionByName(noIn.withColumn("r",
+          lit(1.0 - damping) / lit(n) + lit(damping) *
+            (lit(0.0) + lit(dm) / lit(n.toDouble))))
+      if (hasDangling && i < iters) {
+        // ranks is read twice per round (dm action + contribution):
+        // materialize before dropping the parent so the second read
+        // hits the cache and the lineage stays linear
+        val p = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        persisted.foreach(_.unpersist(false))
+        persisted = Some(p)
+        ranks = p
+      } else {
+        ranks = next
+      }
     }
     ranks
   }

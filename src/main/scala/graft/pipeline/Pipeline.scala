@@ -1754,8 +1754,8 @@ object Pipeline {
       }),
 
     // Relational PageRank from the DSL: in= is an edge stream with
-    // src=/dst= columns; emits (id, r). Symmetric/complete out-degree
-    // is the caller's contract (Ops.pageRank scaladoc).
+    // src=/dst= columns; emits (id, r) over all nodes, with textbook
+    // dangling-mass redistribution (Ops.pageRank scaladoc).
     Registered("pagerank", RowType, RowType,
       "in=STREAM:src=COL:dst=COL:iters=3:damping=0.85:out=STREAM",
       (ctx, m) => {

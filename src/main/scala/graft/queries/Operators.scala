@@ -804,16 +804,32 @@ object Operators {
   }
 
   private def pageRankOracleSql(iters: Int): String = {
+    // Replays Ops.pageRank's textbook recurrence term-for-term:
+    // per round a 1-row dangling-mass scalar (rank on nodes without
+    // out-edges, decimal sum), receiving-node contribution sums in
+    // DECIMAL(30,15), and the fixed-order double damping expression
+    // (1-d)/n + d·(S + DM/n) over ALL nodes via LEFT JOIN.
     val rounds = (1 to iters).map { i =>
-      s"""r$i AS (
+      s"""dm$i AS (
+         |  SELECT sum(CAST(rr.r AS DECIMAL(30,15))) AS dm
+         |  FROM r${i - 1} rr
+         |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = rr.id)),
+         |recv$i AS (
          |  SELECT e.dst AS id,
+         |    sum(CAST(rr.r / deg.d AS DECIMAL(30,15))) AS s
+         |  FROM edges e JOIN r${i - 1} rr ON rr.id = e.src
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.id,
          |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt
          |      + CAST(0.85 AS DOUBLE) *
-         |        CAST(sum(CAST(rr.r / deg.d AS DECIMAL(30,15))) AS DOUBLE)
+         |        (COALESCE(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
+         |         + COALESCE(CAST(dm AS DOUBLE), CAST(0 AS DOUBLE))
+         |           / CAST(cnt AS DOUBLE))
          |      AS r
-         |  FROM edges e JOIN r${i - 1} rr ON rr.id = e.src
-         |  JOIN deg ON deg.src = e.src CROSS JOIN nn
-         |  GROUP BY e.dst, cnt)""".stripMargin
+         |  FROM nodes LEFT JOIN recv$i ON recv$i.id = nodes.id
+         |  CROSS JOIN nn CROSS JOIN dm$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
@@ -822,10 +838,14 @@ object Operators {
        |  SELECT c AS src, p AS dst FROM pairs
        |  UNION ALL SELECT p, c FROM pairs),
        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-       |nn AS (SELECT count(DISTINCT src) AS cnt FROM edges),
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges
+       |    UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT count(*) AS cnt FROM nodes),
        |r0 AS (
-       |  SELECT DISTINCT src AS id, CAST(1 AS DOUBLE) / cnt AS r
-       |  FROM edges CROSS JOIN nn),
+       |  SELECT id, CAST(1 AS DOUBLE) / cnt AS r
+       |  FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT id, CAST(floor(r * 1e10) AS BIGINT) AS r_e10
        |FROM r$iters ORDER BY r_e10 DESC, id LIMIT 100""".stripMargin

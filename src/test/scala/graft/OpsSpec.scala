@@ -491,6 +491,34 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.orderBy("ant", "cons").collect().map(_.toSeq).toSeq == again)
   }
 
+  test("pageRank: dangling mass redistributed, rank sum conserved, all nodes kept") {
+    // 1→2, 1→3, 2→3; node 3 is dangling (no out-edges) — without
+    // redistribution Σr shrinks every round and node 1 (no in-edges)
+    // would drop out of the result entirely.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Ops.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(out.values.sum - 1.0) < 1e-9,
+      s"rank mass must be conserved, got ${out.values.sum}")
+    // dense textbook replay (double arithmetic, tolerance compare)
+    val deg = Map(1L -> 2.0, 2L -> 1.0)
+    var r = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val dm = r.collect { case (k, v) if !deg.contains(k) => v }.sum
+      def in(v: Long): Double = v match {
+        case 2L => r(1L) / deg(1L)
+        case 3L => r(1L) / deg(1L) + r(2L) / deg(2L)
+        case _  => 0.0
+      }
+      r = r.keys.map(k =>
+        k -> (0.15 / 3 + 0.85 * (in(k) + dm / 3))).toMap
+    }
+    Seq(1L, 2L, 3L).foreach { k =>
+      assert(math.abs(out(k) - r(k)) < 1e-9, s"node $k: ${out(k)} vs ${r(k)}")
+    }
+  }
+
   test("rankPerGroupDistributed == plain per-group window rank, skewed groups") {
     // group a: 200 rows (the 'hub stratum'), b: 3, c: 1
     val rows = (1 to 200).map(i => ("a", i.toLong)) ++

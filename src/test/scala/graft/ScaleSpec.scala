@@ -523,7 +523,9 @@ class ScaleSpec extends AnyFunSuite {
   test("pagerank rounds are equi-join + hash-agg: no cartesian, no NLJ, no windows") {
     // each damped round must be the edges⋈ranks co-partitioned join
     // plus a dst hash-agg — a cartesian, nested loop, or rank window
-    // anywhere would break the O(E) per-round contract
+    // anywhere would break the O(E) per-round contract (the
+    // dangling-mass scalar is a per-round 1-row driver fetch, so it
+    // never appears as a join in the plan)
     val plan = executed(SparkEntry.queries("q168_pagerank")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
