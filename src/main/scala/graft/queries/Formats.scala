@@ -137,6 +137,56 @@ object Formats {
       s.read.orc(out).orderBy(col("s_suppkey"))
     }),
 
+    // spreadsheetwrite → spreadsheetread over the pure-JDK OOXML codec
+    // (dbitool.pl:2696-2784 spreadsheet surface): header row + typed
+    // numeric cells through the xlsx zip, strings through shared-string
+    // XML escaping, then cast back to the parquet schema. Driver-memory
+    // by design — same caveat the reference documents for spreadsheets.
+    // This gives the spreadsheet family a driver-visible ORACLE row
+    // (previously spec-only).
+    "q204_roundtrip_xlsx" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val d = tmpDir("xlsx")
+      val f = s"$d/nation.xlsx"
+      val grid: Seq[Seq[Any]] =
+        nat.columns.toSeq +:
+          nat.orderBy(col("n_nationkey")).collect().toSeq.map(_.toSeq)
+      graft.formats.Xlsx.write(f, grid)
+      val back = graft.formats.Xlsx.read(f)
+      val names = back.head.map(c => Option(c).getOrElse("").trim)
+      import s.implicits._
+      back.tail
+        .map(r => names.indices.map(i =>
+          if (i < r.length) r(i) else null).toList)
+        .toDF("cells")
+        .select(names.zipWithIndex.map { case (n, i) =>
+          col("cells").getItem(i).as(n) }: _*)
+        .select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // jdbcinsert → jdbcselect round-trip on the embedded Derby engine
+    // (the same Sources.jdbc/Sinks.jdbc plumbing mysqlselect/
+    // sqliteselect/sqliteinsert ride — only the URL differs; no MySQL/
+    // SQLite driver exists in this zero-egress image). Gives the JDBC
+    // family a driver-visible ORACLE row (previously spec-only).
+    "q205_roundtrip_jdbc" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+      val db = tmpDir("derby") + "/rt"
+      Sinks.jdbc(sup, s"jdbc:derby:$db;create=true", "supplier_rt",
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+      Sources.jdbc(s, s"jdbc:derby:$db", "supplier_rt")
+        .select(
+          col("s_suppkey").cast("bigint").as("s_suppkey"),
+          col("s_name"),
+          col("s_nationkey").cast("int").as("s_nationkey"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // gzip codec at the edge (replaces the reference's gzip/gunzip
     // modules; its own docs recommend edge compression,
     // dbitool.pl:3304-3307).
@@ -153,6 +203,8 @@ object Formats {
     s"SELECT * FROM $table ORDER BY $order"
 
   val oracleSql: Map[String, String] = Map(
+    "q204_roundtrip_xlsx" -> selectAll("nation", "n_nationkey"),
+    "q205_roundtrip_jdbc" -> selectAll("supplier", "s_suppkey"),
     "q20_roundtrip_csv" -> selectAll("orders", "o_orderkey"),
     "q21_roundtrip_ndjson" -> selectAll("lineitem", "l_orderkey, l_linenumber"),
     "q28_roundtrip_ndjson_orders" -> selectAll("orders", "o_orderkey"),
