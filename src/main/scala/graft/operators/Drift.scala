@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift and evaluation statistics as reusable operators —
+  * the DSL-facing twins of the q191/q198/q201/q202/q203 oracle queries
+  * (each module keeps the exact same fixed-order integer/decimal
+  * arithmetic, so results replay engine-exact).
+  *
+  * Scale discipline shared by the family (SCALE.md "drift family"):
+  * every statistic reduces the data to a per-(group, cell) integer
+  * tally in ONE hash-agg with map-side partials, then finishes on the
+  * metadata-sized cell relation. Windows only ever run over cells
+  * (bounded by the value domain), never over data rows; big sums ride
+  * decimal(38,0) so nothing wraps at production row counts.
+  *
+  * The reference has no drift surface at all (dbitool.pl's analytics
+  * stop at count/sum stats) — north-star extension work.
+  */
+object Drift {
+
+  /** Population Stability Index per group between two periods
+    * (`period` must evaluate to 0 = before, 1 = after), with +1
+    * Laplace smoothing per bin so empty cells never divide by zero.
+    * Bins come from `bucket` (any discretization expression). The
+    * per-bin terms sum as decimal(30,12) (order-free); output
+    * `shifted` flags psi > threshold (0.10 = the industry "moderate
+    * shift" line). Mirrors q201's arithmetic exactly.
+    */
+  def psi(df: DataFrame, group: String, bucket: Column, period: Column,
+          threshold: Double = 0.10): DataFrame = {
+    val d = df.select(col(group), bucket.cast("int").as("__b"),
+      period.cast("int").as("__per"))
+    val cells = d.groupBy(col(group), col("__b")).agg(
+      sum(when(col("__per") === 0, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("__per") === 1, 1L).otherwise(0L)).as("c2"))
+    val tot = cells.groupBy(col(group)).agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      count(lit(1)).as("nb"))
+    val p1 = (col("c1") + 1L).cast("double") /
+      (col("n1") + col("nb")).cast("double")
+    val p2 = (col("c2") + 1L).cast("double") /
+      (col("n2") + col("nb")).cast("double")
+    val term = ((p1 - p2) * log(p1 / p2)).cast("decimal(30,12)")
+    val psiCol = sum(term).cast("double")
+    cells.join(tot, group)
+      .groupBy(col(group))
+      .agg(max(col("n1")).as("n_before"), max(col("n2")).as("n_after"),
+        max(col("nb")).as("n_bins"), round(psiCol, 6).as("psi"),
+        (psiCol > lit(threshold)).as("shifted"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic per group between two
+    * periods over a DISCRETE value (`value` should already be
+    * quantized — e.g. floor(x*100)). The CDF grid is the distinct
+    * value domain per group (a window over cells, never data rows);
+    * cross products ride decimal(38,0) so n1·n2 can't wrap a long.
+    * Output ks = max |F1 - F2| plus its exact integer numerator and
+    * denominator. Mirrors q202's arithmetic exactly.
+    */
+  def ks(df: DataFrame, group: String, value: Column,
+         period: Column): DataFrame = {
+    val d = df.select(col(group), value.cast("long").as("__c"),
+      period.cast("int").as("__per"))
+    val cells = d.groupBy(col(group), col("__c")).agg(
+      sum(when(col("__per") === 0, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("__per") === 1, 1L).otherwise(0L)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("__c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cells
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val tot = cells.groupBy(col(group))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.join(tot, group)
+      .withColumn("num", abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+        col("cum2").cast("decimal(38,0)") * col("n1")).cast("decimal(38,0)"))
+      .groupBy(col(group))
+      .agg(max(col("n1")).as("n_before"), max(col("n2")).as("n_after"),
+        max(col("num")).as("ks_num"))
+      .join(tot, group)
+      .select(col(group), col("n_before"), col("n_after"), col("ks_num"),
+        (col("n1").cast("decimal(38,0)") * col("n2"))
+          .cast("decimal(38,0)").as("ks_den"),
+        round(col("ks_num").cast("double") /
+          (col("n1").cast("decimal(38,0)") * col("n2")).cast("double"), 6)
+          .as("ks"))
+  }
+
+  /** Welch two-sample t-test of each group vs the REST of the corpus
+    * over an integer-valued column: sufficient statistics (n, Σx, Σx²)
+    * in decimal(38,0) from ONE scan; the complement's stats are
+    * global-minus-group via a broadcast 1-row global — no second scan,
+    * no pair join. Output t_stat plus shifted = |t| > 2. Mirrors
+    * q191's arithmetic exactly.
+    */
+  def welch(df: DataFrame, group: String, value: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v = df.select(col(group), value.cast("long").as("__x"))
+    val per = v.groupBy(col(group)).agg(
+      count(lit(1)).as("n1"),
+      sum(dec(col("__x"))).as("s1"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("q1"))
+    val glob = v.agg(
+      count(lit(1)).as("ng"),
+      sum(dec(col("__x"))).as("sg"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("qg"))
+    val j = per.crossJoin(broadcast(glob))
+      .withColumn("n2", col("ng") - col("n1"))
+      .withColumn("s2", (col("sg") - col("s1")).cast("decimal(38,0)"))
+      .withColumn("q2", (col("qg") - col("q1")).cast("decimal(38,0)"))
+    def meanv(n: String, sx: String) =
+      col(sx).cast("double") / col(n).cast("double")
+    def varv(n: String, sx: String, qx: String) =
+      (col(n).cast("decimal(38,0)") * col(qx) - col(sx) * col(sx))
+        .cast("double") /
+        (col(n).cast("double") * (col(n).cast("double") - 1.0))
+    val tstat = (meanv("n1", "s1") - meanv("n2", "s2")) /
+      sqrt(varv("n1", "s1", "q1") / col("n1").cast("double") +
+        varv("n2", "s2", "q2") / col("n2").cast("double"))
+    j.filter(col("n1") > 1 && col("n2") > 1)
+      .select(col(group), col("n1").as("n"),
+        round(tstat, 6).as("t_stat"),
+        (abs(tstat) > 2.0).as("shifted"))
+  }
+
+  /** Exact Gini coefficient of an integer-valued measure: rank formula
+    * G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending-value order, ranks
+    * from the DISTRIBUTED global enumeration ([[Ops.assignIds]] —
+    * range partition + zipWithIndex, no single-task ORDER BY window),
+    * the rank-weighted sum in decimal(38,0) (it's ~n²·avg — a raw
+    * BIGINT wraps at scale). One output row (n, total, gini). Mirrors
+    * q203's arithmetic exactly. `key` breaks rank ties
+    * deterministically.
+    */
+  def gini(df: DataFrame, key: String, value: Column): DataFrame = {
+    val v = df.select(col(key).as("__k"), value.cast("long").as("__v"))
+    val ranked = Ops.assignIds(v,
+      Seq(col("__v").asc, col("__k").asc), "rid")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("__v")).as("total"),
+        sum(((col("rid") + 1L) * col("__v")).cast("decimal(38,0)")).as("s1"))
+      .select(col("n"), col("total"),
+        round(
+          (col("s1") * 2L).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("total")).cast("double") -
+          (col("n") + 1L).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  /** EXACT ROC AUC (Mann-Whitney form): concordant pairs counted from
+    * per-score (pos, neg) tallies and a distributed cumulative-negatives
+    * prefix ([[Ops.runningTotal]] over the score domain, never data
+    * rows); ties at half weight. Numerator and denominator accumulate
+    * in decimal(38,0) — they are ~P·N, the very pair count that never
+    * materializes. One output row. Mirrors q198's arithmetic exactly.
+    * `score` must be integer-valued; `pos` boolean.
+    */
+  def aucExact(df: DataFrame, score: Column, pos: Column): DataFrame = {
+    val d = df.select(score.cast("long").as("__s"), pos.as("__p"))
+    val per = d.groupBy(col("__s")).agg(
+      sum(when(col("__p"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("__p"), 1L).otherwise(0L)).as("nn"))
+    val c = Ops.runningTotal(per, Seq(col("__s")), "nn",
+        buckets = 16, outCol = "cum_nn")
+      .withColumn("cumb", col("cum_nn") - col("nn"))
+    c.agg(
+        sum(col("np")).as("p"), sum(col("nn")).as("n"),
+        sum((col("np") * (lit(2L) * col("cumb") + col("nn")))
+          .cast("decimal(38,0)")).as("auc_num2"))
+      .select(col("p"), col("n"), col("auc_num2"),
+        (col("p").cast("decimal(38,0)") * col("n") * 2L)
+          .cast("decimal(38,0)").as("auc_den2"),
+        round(col("auc_num2").cast("double") /
+          (col("p").cast("decimal(38,0)") * col("n") * 2L).cast("double"), 6)
+          .as("auc"))
+  }
+
+  /** Touch attribution: for every conversion, the count of qualifying
+    * touches by the same key within `within` BEFORE it (the q73
+    * composition over [[graft.streaming.EventStreams.intervalJoin]] —
+    * both inputs need a `ts` timestamp column). Output: one row per
+    * (conversion id, key) with n_touches. The join is an equi-join on
+    * key with a bounded time residual — never a time-cartesian.
+    */
+  def attribution(touches: DataFrame, convs: DataFrame, key: String,
+                  convId: String, within: String = "1 hour"): DataFrame =
+    graft.streaming.EventStreams.intervalJoin(touches, convs, key, within)
+      .groupBy(col(s"r_$convId").as(convId), col(key))
+      .agg(count(lit(1)).as("n_touches"))
+}

@@ -1980,6 +1980,82 @@ object Pipeline {
             throw new BuildError("knnclassify: label= required")), k), RowType)
       }),
 
+    // Distribution-drift family from the DSL (operators/Drift.scala —
+    // the q191/q198/q201/q202/q203 statistics as reusable modules; all
+    // cell-tally plans, windows only over value domains, big sums in
+    // decimal so nothing wraps at scale).
+    Registered("psi", RowType, RowType,
+      "in=STREAM:group=COL:bucket=EXPR:period=EXPR:threshold=0.10:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"psi: $k= required"))
+        ctx.writeStream(m, graft.operators.Drift.psi(df, req("group"),
+          expr(req("bucket")), expr(req("period")),
+          m.args.getOrElse("threshold", "0.10").toDouble), RowType)
+      }),
+
+    Registered("ks", RowType, RowType,
+      "in=STREAM:group=COL:value=EXPR:period=EXPR:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"ks: $k= required"))
+        ctx.writeStream(m, graft.operators.Drift.ks(df, req("group"),
+          expr(req("value")), expr(req("period"))), RowType)
+      }),
+
+    Registered("welch", RowType, RowType,
+      "in=STREAM:group=COL:value=EXPR:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"welch: $k= required"))
+        ctx.writeStream(m, graft.operators.Drift.welch(df, req("group"),
+          expr(req("value"))), RowType)
+      }),
+
+    Registered("gini", RowType, RowType,
+      "in=STREAM:key=COL:value=EXPR:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"gini: $k= required"))
+        ctx.writeStream(m, graft.operators.Drift.gini(df, req("key"),
+          expr(req("value"))), RowType)
+      }),
+
+    Registered("auc", RowType, RowType,
+      "in=STREAM:score=EXPR:pos=EXPR:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"auc: $k= required"))
+        ctx.writeStream(m, graft.operators.Drift.aucExact(df,
+          expr(req("score")), expr(req("pos"))), RowType)
+      }),
+
+    // Touch attribution: in= the touch stream, conv= the conversion
+    // stream (both need a ts column); emits (conversion id, key,
+    // n_touches) for touches within `within` before each conversion.
+    Registered("attribution", RowType, RowType,
+      "in=STREAM:conv=STREAM:key=COL:id=COL:within=1 hour:out=STREAM",
+      (ctx, m) => {
+        val touches = ctx.readStream(m, RowType)
+        val cname = m.args.getOrElse("conv",
+          throw new BuildError("attribution: conv= required"))
+        val (convDf, ct) = ctx.streams.getOrElse(cname,
+          throw new BuildError(s"attribution: unknown stream '$cname'"))
+        if (ct != RowType)
+          throw new BuildError(s"attribution: '$cname' is not a row stream")
+        ctx.readers(cname) += 1
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"attribution: $k= required"))
+        ctx.writeStream(m, graft.operators.Drift.attribution(
+          touches, convDf, req("key"), req("id"),
+          m.args.getOrElse("within", "1 hour")), RowType)
+      }),
+
     // Mixed-corpus media near-dup pairs from the DSL: sniff each
     // payload, dispatch stills/WAV to the banded-hamming fingerprint
     // join and MJPEG/AVI to the positional frame-hash join, union the

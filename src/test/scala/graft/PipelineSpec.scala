@@ -373,8 +373,79 @@ class PipelineSpec extends AnyFunSuite {
       "chunk", "avroread", "avrowrite", "sql", "zorderwrite",
       "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2",
       "kmvsketch", "linkage", "nfcnormalize",
-      "linfit", "sssp", "knnclassify", "wquantile", "hashscore")
+      "linfit", "sssp", "knnclassify", "wquantile", "hashscore",
+      "psi", "ks", "welch", "gini", "auc", "attribution")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("drift family modules (psi/ks/welch/gini/auc/attribution) end-to-end") {
+    val d = tmp("drift")
+    import spark.implicits._
+    // psi: identical distributions -> psi ~ 0, not shifted
+    writeCsv(s"$d/psi.csv", "g,v,per",
+      "a,5,0", "a,15,0", "a,5,1", "a,15,1")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/psi.csv", "csvread:infer=1:out=ev",
+      "psi:in=ev:group=g:bucket=floor(v / 10):period=per:out=p",
+      "select:in=p:exprs=g;n_before;n_after;psi;shifted:out=sel",
+      "csvwrite:in=sel", s"filewrite:out=$d/p.csv"))
+    assert(readOut(s"$d/p.csv") ==
+      Seq("g,n_before,n_after,psi,shifted", "a,2,2,0.0,false"))
+
+    // ks: disjoint supports -> ks = 1
+    writeCsv(s"$d/ks.csv", "g,v,per", "a,1,0", "a,2,0", "a,9,1", "a,10,1")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/ks.csv", "csvread:infer=1:out=ev",
+      "ks:in=ev:group=g:value=v:period=per:out=k",
+      "select:in=k:exprs=g;ks:out=sel",
+      "csvwrite:in=sel", s"filewrite:out=$d/k.csv"))
+    assert(readOut(s"$d/k.csv") == Seq("g,ks", "a,1.0"))
+
+    // welch: matches the operator bit-for-bit
+    writeCsv(s"$d/w.csv", "g,v",
+      "a,10", "a,12", "a,11", "b,50", "b,52", "b,51", "c,30", "c,31")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/w.csv", "csvread:infer=1:out=ev",
+      "welch:in=ev:group=g:value=v:out=t",
+      "sort:in=t:by=g:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/t.csv"))
+    val wantW = graft.operators.Drift.welch(
+        Seq(("a", 10), ("a", 12), ("a", 11), ("b", 50), ("b", 52),
+          ("b", 51), ("c", 30), ("c", 31)).toDF("g", "v"), "g", $"v")
+      .orderBy($"g").collect()
+      .map(r => s"${r.getString(0)},${r.getLong(1)},${r.getDouble(2)},${r.getBoolean(3)}")
+    assert(readOut(s"$d/t.csv").tail == wantW.toSeq)
+
+    // gini: perfectly equal values -> gini 0
+    writeCsv(s"$d/g.csv", "id,spend", "1,100", "2,100", "3,100", "4,100")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/g.csv", "csvread:infer=1:out=ev",
+      "gini:in=ev:key=id:value=spend:out=gi",
+      "csvwrite:in=gi", s"filewrite:out=$d/g_out.csv"))
+    assert(readOut(s"$d/g_out.csv") == Seq("n,total,gini", "4,400,0.0"))
+
+    // auc: perfectly separating score -> auc 1
+    writeCsv(s"$d/a.csv", "s,y", "1,false", "2,false", "9,true", "10,true")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/a.csv", "csvread:infer=1:out=ev",
+      "auc:in=ev:score=s:pos=y:out=au",
+      "select:in=au:exprs=p;n;auc:out=sel",
+      "csvwrite:in=sel", s"filewrite:out=$d/a_out.csv"))
+    assert(readOut(s"$d/a_out.csv") == Seq("p,n,auc", "2,2,1.0"))
+
+    // attribution: 2 touches within the hour, 1 outside
+    writeCsv(s"$d/touch.csv", "user_id,ts,tid",
+      "7,2024-01-01 10:00:00,t1", "7,2024-01-01 10:30:00,t2",
+      "7,2024-01-01 08:00:00,t3")
+    writeCsv(s"$d/conv.csv", "user_id,ts,cid", "7,2024-01-01 10:45:00,c1")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/touch.csv", "csvread:infer=1:out=touch",
+      s"fileread:in=$d/conv.csv", "csvread:infer=1:out=conv",
+      "attribution:in=touch:conv=conv:key=user_id:id=cid:out=at",
+      "select:in=at:exprs=cid;user_id;n_touches:out=sel",
+      "csvwrite:in=sel", s"filewrite:out=$d/at.csv"))
+    assert(readOut(s"$d/at.csv") ==
+      Seq("cid,user_id,n_touches", "c1,7,2"))
   }
 
   test("wquantile + hashscore modules end-to-end") {
