@@ -29,12 +29,26 @@ object Drift {
     * shift" line). Mirrors q201's arithmetic exactly.
     */
   def psi(df: DataFrame, group: String, bucket: Column, period: Column,
-          threshold: Double = 0.10): DataFrame = {
-    val d = df.select(col(group), bucket.cast("int").as("__b"),
-      period.cast("int").as("__per"))
-    val cells = d.groupBy(col(group), col("__b")).agg(
-      sum(when(col("__per") === 0, 1L).otherwise(0L)).as("c1"),
-      sum(when(col("__per") === 1, 1L).otherwise(0L)).as("c2"))
+          threshold: Double = 0.10): DataFrame =
+    psiFromCells(psiCells(df, group, bucket, period), group, threshold)
+
+  /** The one data-sized hash-agg of [[psi]]: per-(group, bin) counts
+    * for period 0 and 1. Exposed so a streaming twin can maintain the
+    * cell relation incrementally (the counts are exact sums — merging
+    * per-batch cells is bit-equal to a batch recount).
+    */
+  def psiCells(df: DataFrame, group: String, bucket: Column,
+               period: Column): DataFrame =
+    df.select(col(group), bucket.cast("int").as("__b"),
+        period.cast("int").as("__per"))
+      .groupBy(col(group), col("__b")).agg(
+        sum(when(col("__per") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__per") === 1, 1L).otherwise(0L)).as("c2"))
+
+  /** The metadata-sized finishing stage of [[psi]] over a
+    * (group, __b, c1, c2) cell relation. */
+  def psiFromCells(cells: DataFrame, group: String,
+                   threshold: Double = 0.10): DataFrame = {
     val tot = cells.groupBy(col(group)).agg(
       sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
       count(lit(1)).as("nb"))

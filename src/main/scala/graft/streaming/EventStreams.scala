@@ -344,6 +344,39 @@ object EventStreams extends Serializable {
     (q, finalize)
   }
 
+  /** Streaming drift monitor: maintain [[graft.operators.Drift.psi]]'s
+    * per-(group, bin, period) cell counts as an incrementally-merged
+    * view — the counts are commutative-associative-exact sums, so the
+    * maintained cells are BIT-EQUAL to a batch recount over everything
+    * seen so far, no matter how the stream is batched (the same
+    * merge-the-sufficient-statistics discipline as [[linfitStream]]).
+    * `current()` finalizes PSI through Drift.psiFromCells — the exact
+    * q201 arithmetic. At scale the view is |groups|·|bins| rows — the
+    * monitor's state never grows with the stream.
+    */
+  def psiDriftStream(rows: DataFrame, group: String, bucket: Column,
+                     period: Column, threshold: Double = 0.10)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    val spark0 = rows.sparkSession
+    import spark0.implicits._
+    def cells(df: DataFrame): DataFrame =
+      graft.operators.Drift.psiCells(df, group, bucket, period)
+    @volatile var view: DataFrame = cells(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+      .localCheckpoint()
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          view = view.unionByName(cells(batch.toDF()))
+            .groupBy(col(group), $"__b")
+            .agg(sum($"c1").as("c1"), sum($"c2").as("c2"))
+            .localCheckpoint()
+      }
+      .start()
+    (q, () => graft.operators.Drift.psiFromCells(view, group, threshold))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -289,6 +289,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("a", 1L, 12.0), ("c", 2L, 25.0)))
   }
 
+  test("streaming PSI drift monitor equals the batch statistic at every batch cut") {
+    // q201's streaming twin: the maintained per-(group, bin, period)
+    // cell counts are exact sums, so psiFromCells over the view after
+    // ANY batching equals Drift.psi over everything seen — down to the
+    // last double bit of the smoothed log terms.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 120).map { i =>
+      (s"t${i % 3}", (i * 37 % 100).toLong, (i % 5) / 3) // per 0 or 1
+    }
+    val ms = MemoryStream[(String, Long, Int)]
+    val (q, current) = EventStreams.psiDriftStream(
+      ms.toDF().toDF("g", "v", "per"), "g", floor($"v" / 20), $"per")
+    try {
+      Seq(all.slice(0, 35), all.slice(35, 80), all.slice(80, 120))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(35, 80, 120)(i))
+          val want = graft.operators.Drift.psi(
+              seen.toDF("g", "v", "per"), "g", floor($"v" / 20), $"per")
+            .as[(String, Long, Long, Long, Double, Boolean)]
+            .collect().sortBy(_._1)
+          val got = current()
+            .as[(String, Long, Long, Long, Double, Boolean)]
+            .collect().sortBy(_._1)
+          assert(got.toSeq == want.toSeq, s"cut $i diverged")
+        }
+    } finally q.stop()
+  }
+
   test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
     // q178's streaming twin: the maintained sufficient statistics are
     // exact decimal sums, so the model after ANY batching equals a
