@@ -99,9 +99,18 @@ object Similarity {
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
                   embCol: String, labelCol: String, k: Int): DataFrame = {
-    val nn = bruteForceTopK(corpus, queries, idCol, embCol, k)
+    // Single corpus scan: the label rides the scored projection into
+    // the top-k (same neighbors, same votes as a post-hoc label join —
+    // the join was 1:1 on id — minus one full corpus re-read).
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+    val scored = corpus.select(col(idCol), col(embCol), col(labelCol))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col(labelCol),
+        cosine(col(embCol), col("__qe")).as("sim"))
+    val nn = Ops.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("sim").desc, col(idCol).asc), k)
     val votes = nn
-      .join(corpus.select(col(idCol), col(labelCol)), idCol)
       .groupBy(col("query_id"), col(labelCol))
       .agg(count(lit(1)).as("votes"))
     Ops.topKPerGroup(votes, Seq("query_id"),

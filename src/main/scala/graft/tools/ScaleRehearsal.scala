@@ -1,0 +1,171 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-of-magnitude scale rehearsal (VERDICT r10 #7): synthesize a
+  * 10× corpus from sf0.1 and run the heaviest compositions once,
+  * recording measured-vs-predicted shapes for SCALE.md — one real
+  * data point that converts the 100 TB scaling argument from design
+  * prose into evidence.
+  *
+  * Corpus construction (all derived from the driver's sf0.1 parquet —
+  * no fresh synthesis, just replication with controlled divergence):
+  *  - documents ×10: replica r keeps doc structure but (a) prefixes
+  *    every token with a replica tag "q<r>x" and (b) Caesar-shifts
+  *    letters by r — token sets across replicas are DISJOINT, so the
+  *    exact operators (q170 prefix-Jaccard) must scale EXACTLY 10×
+  *    in output pairs, and char-shingle similarity across replicas
+  *    collapses, so LSH compositions should land ≈10× (probabilistic
+  *    recall, tolerance recorded);
+  *  - orders/lineitem ×10 with per-replica key offsets (new customers
+  *    per replica, SAME part/brand domain) — association-rule
+  *    supports scale exactly 10×, so rules at minSupport×10 must be
+  *    IDENTICAL to sf0.1's at minSupport.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleRehearsal"` (~4 min). Prints
+  * one labelled line per measurement.
+  */
+object ScaleRehearsal {
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+
+  private def shifted(r: Int): String = {
+    val k = r % 26
+    Lower.drop(k) + Lower.take(k)
+  }
+
+  private def replicate(spark: SparkSession, sf: String, out: String): Unit = {
+    val dir = new java.io.File(out)
+    if (new java.io.File(dir, "documents.parquet").exists()) {
+      println(s"rehearsal: $out already generated")
+      return
+    }
+    dir.mkdirs()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val reps = (0 until 10).map { r =>
+      if (r == 0) docs
+      else {
+        val tag = s"q${r}x"
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          array_join(transform(
+            filter(split(col("text"), " "), t => t =!= ""),
+            t => concat(lit(tag),
+              translate(t, Lower + Lower.toUpperCase,
+                shifted(r) + shifted(r).toUpperCase))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    (0 until 10).map { r =>
+      orders.select(
+        (col("o_orderkey") + lit(r.toLong * 100000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(r.toLong * 10000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    (0 until 10).map { r =>
+      li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(r.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    for (t <- Seq("part", "region", "nation", "customer", "supplier"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    println(s"rehearsal: generated $out")
+  }
+
+  private def timed[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    println(f"rehearsal: $tag = ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    a
+  }
+
+  private def baskets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(spark.read.parquet(s"$dir/part.parquet"),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("o_custkey").as("ck"), col("p_brand").as("brand"))
+
+  private def survivorCount(spark: SparkSession, dir: String): Long = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.DedupPortable.minhashDuplicatePairsPortable(
+      docs, "doc_id", "text", k = 3, numPerm = 64, bands = 16,
+      threshold = 0.7)
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+    val singles = docs.select(col("doc_id"))
+      .join(clusters.select(col("id").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select(col("doc_id").as("id"), col("doc_id").as("rep"))
+    clusters.unionByName(singles).select(col("rep")).distinct().count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = "target/sf1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-rehearsal")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    timed("generate-sf1")(replicate(spark, sf01, out))
+
+    // 1. EXACT prefix-Jaccard join: pairs must scale EXACTLY 10×.
+    val p01 = timed("q170-pairs-sf0.1")(
+      graft.operators.Dedup.prefixJaccardPairs(
+        spark.read.parquet(s"$sf01/documents.parquet"),
+        "doc_id", "text", threshold = 0.9).count())
+    spark.catalog.clearCache()
+    val p1 = timed("q170-pairs-sf1")(
+      graft.operators.Dedup.prefixJaccardPairs(
+        spark.read.parquet(s"$out/documents.parquet"),
+        "doc_id", "text", threshold = 0.9).count())
+    println(s"rehearsal: q170 pairs sf0.1=$p01 sf1=$p1 " +
+      s"exact10x=${p1 == 10 * p01}")
+    spark.catalog.clearCache()
+
+    // 2. Association rules: at minSupport×10 the rule set must be
+    // IDENTICAL (supports scale exactly, ratios unchanged).
+    val r01 = timed("q177-rules-sf0.1")(
+      graft.operators.Ops.associationRules(
+        baskets(spark, sf01), "ck", "brand", 800L, 0.0)
+        .collect().map(_.toSeq).toSet)
+    spark.catalog.clearCache()
+    val r1 = timed("q177-rules-sf1")(
+      graft.operators.Ops.associationRules(
+        baskets(spark, out), "ck", "brand", 8000L, 0.0)
+        .collect().toSeq)
+    val r1scaled = r1.map { row =>
+      // un-scale the exact-integer counts; ratios must match as-is
+      Seq(row.getString(0), row.getString(1), row.getLong(2) / 10,
+        row.getLong(3) / 10, row.getLong(4) / 10, row.getDouble(5),
+        row.getDouble(6), row.getDouble(7))
+    }.toSet
+    println(s"rehearsal: q177 rules sf0.1=${r01.size} sf1=${r1.size} " +
+      s"identicalScaled=${r1scaled == r01}")
+    spark.catalog.clearCache()
+
+    // 3. LSH dedup -> clusters -> survivorship composition
+    // (probabilistic recall: expect ≈10×, report the ratio).
+    val s01 = timed("q148-survivors-sf0.1")(survivorCount(spark, sf01))
+    spark.catalog.clearCache()
+    val s1 = timed("q148-survivors-sf1")(survivorCount(spark, out))
+    println(f"rehearsal: q148 survivors sf0.1=$s01 sf1=$s1 " +
+      f"ratio=${s1.toDouble / s01}%.3f (predicted 10.0)")
+    spark.stop()
+  }
+}
