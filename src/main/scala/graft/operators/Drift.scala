@@ -74,12 +74,24 @@ object Drift {
     * denominator. Mirrors q202's arithmetic exactly.
     */
   def ks(df: DataFrame, group: String, value: Column,
-         period: Column): DataFrame = {
-    val d = df.select(col(group), value.cast("long").as("__c"),
-      period.cast("int").as("__per"))
-    val cells = d.groupBy(col(group), col("__c")).agg(
-      sum(when(col("__per") === 0, 1L).otherwise(0L)).as("c1"),
-      sum(when(col("__per") === 1, 1L).otherwise(0L)).as("c2"))
+         period: Column): DataFrame =
+    ksFromCells(ksCells(df, group, value, period), group)
+
+  /** The one data-sized hash-agg of [[ks]]: per-(group, value) counts
+    * for period 0 and 1 — exact sums, so a streaming twin can merge
+    * per-batch cells bit-equal to a batch recount. */
+  def ksCells(df: DataFrame, group: String, value: Column,
+              period: Column): DataFrame =
+    df.select(col(group), value.cast("long").as("__c"),
+        period.cast("int").as("__per"))
+      .groupBy(col(group), col("__c")).agg(
+        sum(when(col("__per") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__per") === 1, 1L).otherwise(0L)).as("c2"))
+
+  /** The finishing stage of [[ks]] over a (group, __c, c1, c2) cell
+    * relation — the CDF window runs over the value domain, never data
+    * rows. */
+  def ksFromCells(cells: DataFrame, group: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group)).orderBy(col("__c"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -377,6 +377,34 @@ object EventStreams extends Serializable {
     (q, () => graft.operators.Drift.psiFromCells(view, group, threshold))
   }
 
+  /** Streaming KS drift monitor — [[psiDriftStream]]'s twin for the
+    * distribution-free lens: merge [[graft.operators.Drift.ksCells]]
+    * per batch (exact sums), finalize through ksFromCells. State is
+    * |groups|·|distinct values| rows.
+    */
+  def ksDriftStream(rows: DataFrame, group: String, value: Column,
+                    period: Column)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    val spark0 = rows.sparkSession
+    import spark0.implicits._
+    def cells(df: DataFrame): DataFrame =
+      graft.operators.Drift.ksCells(df, group, value, period)
+    @volatile var view: DataFrame = cells(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+      .localCheckpoint()
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          view = view.unionByName(cells(batch.toDF()))
+            .groupBy(col(group), $"__c")
+            .agg(sum($"c1").as("c1"), sum($"c2").as("c2"))
+            .localCheckpoint()
+      }
+      .start()
+    (q, () => graft.operators.Drift.ksFromCells(view, group))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

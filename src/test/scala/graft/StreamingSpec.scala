@@ -320,6 +320,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KS drift monitor equals the batch statistic at every batch cut") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 120).map { i =>
+      (s"t${i % 2}", (i * 53 % 40).toLong, (i % 7) / 4)
+    }
+    val ms = MemoryStream[(String, Long, Int)]
+    val (q, current) = EventStreams.ksDriftStream(
+      ms.toDF().toDF("g", "v", "per"), "g", $"v", $"per")
+    try {
+      Seq(all.slice(0, 41), all.slice(41, 77), all.slice(77, 120))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(41, 77, 120)(i))
+          val want = graft.operators.Drift.ks(
+              seen.toDF("g", "v", "per"), "g", $"v", $"per")
+            .select($"g", $"n_before", $"n_after",
+              $"ks_num".cast("long"), $"ks_den".cast("long"), $"ks")
+            .as[(String, Long, Long, Long, Long, Double)]
+            .collect().sortBy(_._1)
+          val got = current()
+            .select($"g", $"n_before", $"n_after",
+              $"ks_num".cast("long"), $"ks_den".cast("long"), $"ks")
+            .as[(String, Long, Long, Long, Long, Double)]
+            .collect().sortBy(_._1)
+          assert(got.toSeq == want.toSeq, s"cut $i diverged")
+        }
+    } finally q.stop()
+  }
+
   test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
     // q178's streaming twin: the maintained sufficient statistics are
     // exact decimal sums, so the model after ANY batching equals a
