@@ -1009,24 +1009,33 @@ object Ops {
     val nTotal = b.select(countDistinct(col("__ck")).as("__n_total"))
     val items = b.groupBy(col("__it")).agg(count(lit(1)).as("n_item"))
     val freq = items.filter(col("n_item") >= minSupport)
+    // Persist the frequent-item basket relation: the pair stage
+    // self-joins it and the cap check aggregates it -- without the
+    // cache the b-join-freq lineage would re-evaluate per read.
     val fbAll = b.join(freq.select(col("__it")), "__it")
-    // Hot-basket cap: rank only inside oversized baskets (the window
-    // partitions by basket, so its cost is linear in the rows it must
-    // bound anyway), keep the maxBasket smallest item hashes.
-    val sizes = fbAll.groupBy(col("__ck")).agg(count(lit(1)).as("__bn"))
-    val sized = fbAll.join(sizes, "__ck")
-    val fb = sized.filter(col("__bn") <= maxBasket)
-      .select(col("__ck"), col("__it"))
-      .unionByName(sized.filter(col("__bn") > maxBasket)
-        .withColumn("__r", row_number().over(
-          Window.partitionBy(col("__ck")).orderBy(
-            graft.operators.DedupPortable.md5Long(
-              org.apache.spark.sql.functions.concat(
-              col("__ck").cast("string"), lit("\u0001"),
-              col("__it").cast("string"))).asc,
-            col("__it").asc)))
-        .filter(col("__r") <= maxBasket)
-        .select(col("__ck"), col("__it")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-basket cap: ONE cheap aggregate finds oversized baskets; in
+    // the (overwhelmingly common) case that none exist the capped
+    // relation IS the cached fbAll -- zero plan overhead. Otherwise
+    // rank only inside oversized baskets (the window partitions by
+    // basket, so its cost is linear in the rows it must bound anyway)
+    // and keep the maxBasket smallest item hashes.
+    val overs = fbAll.groupBy(col("__ck"))
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBasket)
+    val fb =
+      if (overs.limit(1).count() == 0) fbAll
+      else fbAll.join(overs.select(col("__ck")), Seq("__ck"), "left_anti")
+        .unionByName(fbAll
+          .join(overs.select(col("__ck")), "__ck")
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("__ck")).orderBy(
+              graft.operators.DedupPortable.md5Long(
+                org.apache.spark.sql.functions.concat(
+                col("__ck").cast("string"), lit("\u0001"),
+                col("__it").cast("string"))).asc,
+              col("__it").asc)))
+          .filter(col("__r") <= maxBasket)
+          .select(col("__ck"), col("__it")))
     val pairs = fb.select(col("__ck"), col("__it").as("__ia"))
       .join(fb.select(col("__ck"), col("__it").as("__ib")), "__ck")
       .filter(col("__ia") < col("__ib"))
