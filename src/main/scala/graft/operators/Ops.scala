@@ -463,25 +463,28 @@ object Ops {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // One |2E|-row hash-agg discovers the node universe AND the two
-    // iteration-invariant special sets (dangling = no out-edge,
-    // no-in-edge) — no distinct-union, no anti-joins.
+    // One |2E|-row hash-agg discovers the node universe, the
+    // OUT-DEGREES, and the two iteration-invariant special sets
+    // (dangling = no out-edge, no-in-edge) — no distinct-union, no
+    // anti-joins, no separate degree aggregation.
     val flags = e.select(explode(array(
-        struct(col("src").as("id"), lit(1).as("o"), lit(0).as("i")),
-        struct(col("dst").as("id"), lit(0).as("o"), lit(1).as("i"))))
+        struct(col("src").as("id"), lit(1L).as("o"), lit(0).as("i")),
+        struct(col("dst").as("id"), lit(0L).as("o"), lit(1).as("i"))))
         .as("x"))
       .select(col("x.id").as("id"), col("x.o").as("o"), col("x.i").as("i"))
       .groupBy(col("id"))
-      .agg(max(col("o")).as("hasOut"), max(col("i")).as("hasIn"))
+      .agg(sum(col("o")).as("od"), max(col("i")).as("hasIn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = flags.filter(col("od") > 0)
+      .select(col("id").as("src"), col("od").as("d"))
     val st = flags.agg(count(lit(1)),
-      sum(lit(1) - col("hasOut")), sum(lit(1) - col("hasIn"))).head()
+      sum(when(col("od") === 0, 1L).otherwise(0L)),
+      sum(lit(1) - col("hasIn"))).head()
     val n = st.getLong(0)
     val hasDangling = st.getLong(1) > 0
     val hasNoIn = st.getLong(2) > 0
     val nodes = flags.select(col("id"))
-    val dangling = flags.filter(col("hasOut") === 0).select(col("id"))
+    val dangling = flags.filter(col("od") === 0).select(col("id"))
     val noIn = flags.filter(col("hasIn") === 0).select(col("id"))
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n))
     var persisted: Option[DataFrame] = None
