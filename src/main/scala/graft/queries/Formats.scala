@@ -41,6 +41,25 @@ object Formats {
     p.toString
   }
 
+  /** Shared tail of the spreadsheet round-trips: header-row grid of
+    * strings back to the nation schema. */
+  private def spreadsheetGridToDf(s: SparkSession,
+                                  back: Seq[Seq[String]]): DataFrame = {
+    val names = back.head.map(c => Option(c).getOrElse("").trim)
+    import s.implicits._
+    back.tail
+      .map(r => names.indices.map(i =>
+        if (i < r.length) r(i) else null).toList)
+      .toDF("cells")
+      .select(names.zipWithIndex.map { case (n, i) =>
+        col("cells").getItem(i).as(n) }: _*)
+      .select(
+        col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // csvwrite → csvread (header, quoting, timestamps, doubles).
@@ -152,20 +171,7 @@ object Formats {
         nat.columns.toSeq +:
           nat.orderBy(col("n_nationkey")).collect().toSeq.map(_.toSeq)
       graft.formats.Xlsx.write(f, grid)
-      val back = graft.formats.Xlsx.read(f)
-      val names = back.head.map(c => Option(c).getOrElse("").trim)
-      import s.implicits._
-      back.tail
-        .map(r => names.indices.map(i =>
-          if (i < r.length) r(i) else null).toList)
-        .toDF("cells")
-        .select(names.zipWithIndex.map { case (n, i) =>
-          col("cells").getItem(i).as(n) }: _*)
-        .select(
-          col("n_nationkey").cast("int").as("n_nationkey"),
-          col("n_name"),
-          col("n_regionkey").cast("int").as("n_regionkey"))
-        .orderBy(col("n_nationkey"))
+      spreadsheetGridToDf(s, graft.formats.Xlsx.read(f))
     }),
 
     // jdbcinsert → jdbcselect round-trip on the embedded Derby engine
@@ -187,6 +193,67 @@ object Formats {
         .orderBy(col("s_suppkey"))
     }),
 
+    // spreadsheetwrite → spreadsheetread over the OpenDocument codec
+    // (pure-JDK zip+XML, mimetype STORED-first per spec) — q204's ods
+    // twin, so every spreadsheet codec has a driver-visible oracle row.
+    "q206_roundtrip_ods" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val f = tmpDir("ods") + "/nation.ods"
+      val grid: Seq[Seq[Any]] =
+        nat.columns.toSeq +:
+          nat.orderBy(col("n_nationkey")).collect().toSeq.map(_.toSeq)
+      graft.formats.Ods.write(f, grid)
+      val back = graft.formats.Ods.read(f)
+      spreadsheetGridToDf(s, back)
+    }),
+
+    // ...and the legacy binary xls (BIFF) codec — same grid contract.
+    "q207_roundtrip_xls" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val f = tmpDir("xls") + "/nation.xls"
+      val grid: Seq[Seq[Any]] =
+        nat.columns.toSeq +:
+          nat.orderBy(col("n_nationkey")).collect().toSeq.map(_.toSeq)
+      graft.formats.Xls.write(f, grid)
+      val back = graft.formats.Xls.read(f)
+      spreadsheetGridToDf(s, back)
+    }),
+
+    // zipwrite → zipread file-level round trip (reference TODO:48-53):
+    // the csv part files zip into one archive (pure-JDK java.util.zip,
+    // same plumbing as the spreadsheet codecs), extract to a fresh
+    // directory, and must read back hash-identical.
+    "q208_roundtrip_zip" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+      val src = tmpDir("zipsrc")
+      val dst = tmpDir("zipdst")
+      Sinks.csv(sup, src)
+      val zf = tmpDir("ziparc") + "/supplier.zip"
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zf))
+      val parts = new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+      for (p <- parts) {
+        zos.putNextEntry(new java.util.zip.ZipEntry(p.getName))
+        java.nio.file.Files.copy(p.toPath, zos)
+        zos.closeEntry()
+      }
+      zos.close()
+      val z = new java.util.zip.ZipFile(zf)
+      try {
+        import scala.jdk.CollectionConverters._
+        // clear stale extracts from prior bench samples
+        Option(new java.io.File(dst).listFiles()).foreach(_.foreach(_.delete()))
+        for (e <- z.entries().asScala) {
+          val out = java.nio.file.Paths.get(dst, e.getName)
+          java.nio.file.Files.copy(z.getInputStream(e), out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally z.close()
+      Sources.csv(s, dst, schema = Some(sup.schema))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // gzip codec at the edge (replaces the reference's gzip/gunzip
     // modules; its own docs recommend edge compression,
     // dbitool.pl:3304-3307).
@@ -205,6 +272,9 @@ object Formats {
   val oracleSql: Map[String, String] = Map(
     "q204_roundtrip_xlsx" -> selectAll("nation", "n_nationkey"),
     "q205_roundtrip_jdbc" -> selectAll("supplier", "s_suppkey"),
+    "q206_roundtrip_ods" -> selectAll("nation", "n_nationkey"),
+    "q207_roundtrip_xls" -> selectAll("nation", "n_nationkey"),
+    "q208_roundtrip_zip" -> selectAll("supplier", "s_suppkey"),
     "q20_roundtrip_csv" -> selectAll("orders", "o_orderkey"),
     "q21_roundtrip_ndjson" -> selectAll("lineitem", "l_orderkey, l_linenumber"),
     "q28_roundtrip_ndjson_orders" -> selectAll("orders", "o_orderkey"),
