@@ -202,6 +202,24 @@ object Pipeline {
     }
   }
 
+  /** Required-argument fetch with a uniform error message. */
+  private def reqArg(m: ModuleSpec, mod: String, key: String): String =
+    m.args.getOrElse(key, throw new BuildError(s"$mod: $key= required"))
+
+  /** Resolve a named SECOND row stream (queries=/anchors=/conv= style
+    * args) and count the read — shared by the two-input modules.
+    */
+  private def secondRowStream(ctx: Context, m: ModuleSpec, mod: String,
+                              arg: String): DataFrame = {
+    val name = reqArg(m, mod, arg)
+    val (df, t) = ctx.streams.getOrElse(name,
+      throw new BuildError(s"$mod: unknown stream '$name'"))
+    if (t != RowType)
+      throw new BuildError(s"$mod: '$name' is not a row stream")
+    ctx.readers(name) += 1
+    df
+  }
+
   /** Shared near-dup pair source for the dedupnear / dedupcluster /
     * survivor family: the six method×hash fingerprint combinations
     * (all banded equi-joins with hub cut + exact verify, never
@@ -2054,6 +2072,151 @@ object Pipeline {
         ctx.writeStream(m, graft.operators.Drift.attribution(
           touches, convDf, req("key"), req("id"),
           m.args.getOrElse("within", "1 hour")), RowType)
+      }),
+
+    // Embedding similarity family from the DSL (operators/Similarity —
+    // the full ANN ladder brute→LSH→IVF→PQ plus semantic dedup and
+    // hard-negative mining; in= is the corpus stream, queries=/
+    // anchors= the second stream where applicable).
+    Registered("cosinetopk", RowType, RowType,
+      "in=STREAM:queries=STREAM:key=COL:emb=COL:k=5:out=STREAM",
+      (ctx, m) => {
+        val corpus = ctx.readStream(m, RowType)
+        val qDf = secondRowStream(ctx, m, "cosinetopk", "queries")
+        ctx.writeStream(m, graft.operators.Similarity.bruteForceTopK(
+          corpus, qDf, reqArg(m, "cosinetopk", "key"),
+          reqArg(m, "cosinetopk", "emb"),
+          m.args.getOrElse("k", "5").toInt), RowType)
+      }),
+
+    Registered("anntopk", RowType, RowType,
+      "in=STREAM:queries=STREAM:key=COL:emb=COL:k=5:nbits=16:bands=4:dim=64:multiprobe=1:maxbucket=1024:out=STREAM",
+      (ctx, m) => {
+        val corpus = ctx.readStream(m, RowType)
+        val qDf = secondRowStream(ctx, m, "anntopk", "queries")
+        ctx.writeStream(m, graft.operators.Similarity.annTopK(
+          corpus, qDf, reqArg(m, "anntopk", "key"),
+          reqArg(m, "anntopk", "emb"),
+          m.args.getOrElse("k", "5").toInt,
+          m.args.getOrElse("nbits", "16").toInt,
+          m.args.getOrElse("bands", "4").toInt,
+          m.args.getOrElse("dim", "64").toInt,
+          m.args.getOrElse("multiprobe", "1").toInt,
+          m.args.getOrElse("maxbucket", "1024").toInt), RowType)
+      }),
+
+    Registered("ivftopk", RowType, RowType,
+      "in=STREAM:queries=STREAM:key=COL:emb=COL:k=5:nlist=16:nprobe=4:kmeans=0:out=STREAM",
+      (ctx, m) => {
+        val corpus = ctx.readStream(m, RowType)
+        val qDf = secondRowStream(ctx, m, "ivftopk", "queries")
+        ctx.writeStream(m, graft.operators.Similarity.ivfTopK(
+          corpus, qDf, reqArg(m, "ivftopk", "key"),
+          reqArg(m, "ivftopk", "emb"),
+          m.args.getOrElse("k", "5").toInt,
+          m.args.getOrElse("nlist", "16").toInt,
+          m.args.getOrElse("nprobe", "4").toInt,
+          m.args.getOrElse("kmeans", "0").toInt), RowType)
+      }),
+
+    Registered("pqtopk", RowType, RowType,
+      "in=STREAM:queries=STREAM:key=COL:emb=COL:k=5:m=4:kcodes=16:out=STREAM",
+      (ctx, m) => {
+        val corpus = ctx.readStream(m, RowType)
+        val qDf = secondRowStream(ctx, m, "pqtopk", "queries")
+        ctx.writeStream(m, graft.operators.Similarity.pqTopK(
+          corpus, qDf, reqArg(m, "pqtopk", "key"),
+          reqArg(m, "pqtopk", "emb"),
+          m.args.getOrElse("k", "5").toInt,
+          m.args.getOrElse("m", "4").toInt,
+          m.args.getOrElse("kcodes", "16").toInt), RowType)
+      }),
+
+    Registered("semdedup", RowType, RowType,
+      "in=STREAM:key=COL:emb=COL:k=8:tau=0.95:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        ctx.writeStream(m, graft.operators.Similarity.semDedup(
+          df, reqArg(m, "semdedup", "key"), reqArg(m, "semdedup", "emb"),
+          m.args.getOrElse("k", "8").toInt,
+          m.args.getOrElse("tau", "0.95").toDouble), RowType)
+      }),
+
+    Registered("hardneg", RowType, RowType,
+      "in=STREAM:anchors=STREAM:key=COL:emb=COL:label=COL:k=5:out=STREAM",
+      (ctx, m) => {
+        val corpus = ctx.readStream(m, RowType)
+        val aDf = secondRowStream(ctx, m, "hardneg", "anchors")
+        ctx.writeStream(m, graft.operators.Similarity.hardNegatives(
+          corpus, aDf, reqArg(m, "hardneg", "key"),
+          reqArg(m, "hardneg", "emb"), reqArg(m, "hardneg", "label"),
+          m.args.getOrElse("k", "5").toInt), RowType)
+      }),
+
+    // Market-basket association rules from the DSL (apriori-pruned
+    // frequent pairs with the hot-basket cap; Ops.associationRules).
+    Registered("assocrules", RowType, RowType,
+      "in=STREAM:basket=COL:item=COL:minsupport=2:minconfidence=0.0:maxbasket=65536:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        ctx.writeStream(m, graft.operators.Ops.associationRules(
+          df, reqArg(m, "assocrules", "basket"),
+          reqArg(m, "assocrules", "item"),
+          m.args.getOrElse("minsupport", "2").toLong,
+          m.args.getOrElse("minconfidence", "0.0").toDouble,
+          m.args.getOrElse("maxbasket", "65536").toInt), RowType)
+      }),
+
+    // Curation tail from the DSL: greedy sequence packing, RRF pool
+    // fusion, boilerplate gate, and PII redaction.
+    Registered("seqpack", RowType, RowType,
+      "in=STREAM:domain=COL:order=COL[,COL]:tokens=COL:bintokens=N:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val orderCols = reqArg(m, "seqpack", "order")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(col)
+        ctx.writeStream(m, graft.operators.Curation.packSequences(
+          df, reqArg(m, "seqpack", "domain"), orderCols,
+          reqArg(m, "seqpack", "tokens"),
+          reqArg(m, "seqpack", "bintokens").toLong), RowType)
+      }),
+
+    Registered("rrf", RowType, RowType,
+      "in=STREAM:pools=STREAM[,STREAM]:key=COL:k0=60:out=STREAM",
+      (ctx, m) => {
+        val first = ctx.readStream(m, RowType)
+        val others = m.args.getOrElse("pools", "")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { n =>
+            val (df, t) = ctx.streams.getOrElse(n,
+              throw new BuildError(s"rrf: unknown stream '$n'"))
+            if (t != RowType)
+              throw new BuildError(s"rrf: '$n' is not a row stream")
+            ctx.readers(n) += 1
+            df
+          }
+        ctx.writeStream(m, graft.operators.Curation.rrfFuse(
+          first +: others, reqArg(m, "rrf", "key"),
+          m.args.getOrElse("k0", "60").toInt), RowType)
+      }),
+
+    Registered("boilerplate", RowType, RowType,
+      "in=STREAM:key=COL:text=COL:k=5:mindf=2:maxshare=0.5:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        ctx.writeStream(m, graft.operators.Curation.boilerplateShare(
+          df, reqArg(m, "boilerplate", "key"),
+          reqArg(m, "boilerplate", "text"),
+          m.args.getOrElse("k", "5").toInt,
+          m.args.getOrElse("mindf", "2").toLong,
+          m.args.getOrElse("maxshare", "0.5").toDouble), RowType)
+      }),
+
+    Registered("pii", RowType, RowType,
+      "in=STREAM:text=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        ctx.writeStream(m, graft.operators.Curation.redactPii(
+          df, reqArg(m, "pii", "text")), RowType)
       }),
 
     // Mixed-corpus media near-dup pairs from the DSL: sniff each

@@ -374,7 +374,9 @@ class PipelineSpec extends AnyFunSuite {
       "eventread", "eventwindow", "streamdedup", "streamwrite", "scd2",
       "kmvsketch", "linkage", "nfcnormalize",
       "linfit", "sssp", "knnclassify", "wquantile", "hashscore",
-      "psi", "ks", "welch", "gini", "auc", "attribution")
+      "psi", "ks", "welch", "gini", "auc", "attribution",
+      "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
+      "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -446,6 +448,118 @@ class PipelineSpec extends AnyFunSuite {
       "csvwrite:in=sel", s"filewrite:out=$d/at.csv"))
     assert(readOut(s"$d/at.csv") ==
       Seq("cid,user_id,n_touches", "c1,7,2"))
+  }
+
+  test("similarity + curation DSL modules end-to-end") {
+    val d = tmp("simdsl")
+    import spark.implicits._
+    val emb = s"$sf/embeddings.parquet"
+
+    // cosinetopk: module == operator, bit for bit
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$emb:out=corpus",
+      "filter:in=corpus:expr=vec_id < 3:out=q",
+      "cosinetopk:in=corpus:queries=q:key=vec_id:emb=embedding:k=3:out=nn",
+      "select:in=nn:exprs=query_id;vec_id;rk:out=sel",
+      "sort:in=sel:by=query_id,rk:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/nn.csv"))
+    val corpus = spark.read.parquet(emb)
+    val want = graft.operators.Similarity.bruteForceTopK(
+        corpus, corpus.filter($"vec_id" < 3), "vec_id", "embedding", 3)
+      .select($"query_id", $"vec_id", $"rk")
+      .orderBy($"query_id", $"rk").collect()
+      .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getInt(2)}")
+    assert(readOut(s"$d/nn.csv").tail == want.toSeq)
+
+    // anntopk / ivftopk / pqtopk / semdedup / hardneg: wiring checks
+    // (operators have their own exactness/recall specs)
+    val r1 = Pipeline.run(spark, Seq(
+      s"parquetread:in=$emb:out=corpus",
+      "filter:in=corpus:expr=vec_id < 3:out=q",
+      "anntopk:in=corpus:queries=q:key=vec_id:emb=embedding:k=3:out=a",
+      s"parquetwrite:in=a:out=$d/ann"))
+    assert(r1.rowsWritten.values.sum > 0)
+    val r2 = Pipeline.run(spark, Seq(
+      s"parquetread:in=$emb:out=corpus",
+      "filter:in=corpus:expr=vec_id < 3:out=q",
+      "ivftopk:in=corpus:queries=q:key=vec_id:emb=embedding:k=3:nlist=4:nprobe=4:out=v",
+      s"parquetwrite:in=v:out=$d/ivf"))
+    assert(r2.rowsWritten.values.sum > 0)
+    val r3 = Pipeline.run(spark, Seq(
+      s"parquetread:in=$emb:out=corpus",
+      "filter:in=corpus:expr=vec_id < 3:out=q",
+      "pqtopk:in=corpus:queries=q:key=vec_id:emb=embedding:k=3:m=4:kcodes=8:out=p",
+      s"parquetwrite:in=p:out=$d/pq"))
+    assert(r3.rowsWritten.values.sum > 0)
+    val r4 = Pipeline.run(spark, Seq(
+      s"parquetread:in=$emb:out=corpus",
+      "semdedup:in=corpus:key=vec_id:emb=embedding:k=4:tau=0.99:out=sd",
+      s"parquetwrite:in=sd:out=$d/sd"))
+    assert(r4.rowsWritten.values.sum > 0)
+
+    // assocrules: module == operator on a tiny basket fixture
+    writeCsv(s"$d/b.csv", "ck,it",
+      "1,A", "1,B", "2,A", "2,B", "3,A", "3,C", "4,B")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/b.csv", "csvread:infer=1:out=b",
+      "assocrules:in=b:basket=ck:item=it:minsupport=2:out=r",
+      "select:in=r:exprs=ant;cons;n_both:out=sel2",
+      "sort:in=sel2:by=ant:out=sorted2",
+      "csvwrite:in=sorted2", s"filewrite:out=$d/rules.csv"))
+    assert(readOut(s"$d/rules.csv") ==
+      Seq("ant,cons,n_both", "A,B,2", "B,A,2"))
+
+    // seqpack: cumulative bins per domain
+    writeCsv(s"$d/sp.csv", "dom,ord,tok",
+      "x,1,60", "x,2,60", "x,3,60", "y,1,10")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/sp.csv", "csvread:infer=1:out=sp",
+      "seqpack:in=sp:domain=dom:order=ord:tokens=tok:bintokens=100:out=pk",
+      "select:in=pk:exprs=dom;ord;bin:out=sel3",
+      "sort:in=sel3:by=dom,ord:out=sorted3",
+      "csvwrite:in=sorted3", s"filewrite:out=$d/pk.csv"))
+    assert(readOut(s"$d/pk.csv") == Seq("dom,ord,bin",
+      "x,1,0", "x,2,0", "x,3,1", "y,1,0"))
+
+    // rrf: two pools fuse; shared id scores 1/61+1/62
+    writeCsv(s"$d/p1.csv", "id,rk", "10,1", "11,2")
+    writeCsv(s"$d/p2.csv", "id,rk", "10,2", "12,1")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/p1.csv", "csvread:infer=1:out=p1",
+      s"fileread:in=$d/p2.csv", "csvread:infer=1:out=p2",
+      "rrf:in=p1:pools=p2:key=id:out=f",
+      "sort:in=f:by=id:out=sorted4",
+      "csvwrite:in=sorted4", s"filewrite:out=$d/f.csv"))
+    val fused = readOut(s"$d/f.csv")
+    assert(fused.head == "id,rrf" && fused.length == 4)
+    assert(fused(1).startsWith("10,") &&
+      math.abs(fused(1).split(",")(1).toDouble -
+        (1.0 / 61 + 1.0 / 62)) < 1e-12)
+
+    // boilerplate: identical docs share all shingles -> share 1.0
+    writeCsv(s"$d/bp.ndjson",
+      """{"id": 1, "t": "alpha beta gamma delta epsilon zeta"}""",
+      """{"id": 2, "t": "alpha beta gamma delta epsilon zeta"}""",
+      """{"id": 3, "t": "one two three four five six seven"}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/bp.ndjson", "ndjsonread:out=docs",
+      "boilerplate:in=docs:key=id:text=t:k=3:mindf=2:maxshare=0.5:out=bs",
+      "select:in=bs:exprs=id;boiler_share;keep:out=sel5",
+      "sort:in=sel5:by=id:out=sorted5",
+      "csvwrite:in=sorted5", s"filewrite:out=$d/bs.csv"))
+    assert(readOut(s"$d/bs.csv") == Seq("id,boiler_share,keep",
+      "1,1.0,false", "2,1.0,false", "3,0.0,true"))
+
+    // pii: email + phone redacted, counters set
+    writeCsv(s"$d/pii.ndjson",
+      """{"id": 1, "t": "mail a@b.com or call 555-123-4567 now"}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/pii.ndjson", "ndjsonread:out=docs",
+      "pii:in=docs:text=t:out=red",
+      "select:in=red:exprs=id;t:out=sel6",
+      "csvwrite:in=sel6", s"filewrite:out=$d/red.csv"))
+    val red = readOut(s"$d/red.csv")(1)
+    assert(!red.contains("a@b.com") && !red.contains("555-123-4567"), red)
   }
 
   test("wquantile + hashscore modules end-to-end") {
