@@ -405,6 +405,42 @@ object EventStreams extends Serializable {
     (q, () => graft.operators.Drift.ksFromCells(view, group))
   }
 
+  /** Streaming Count-Min frequency sketch — the third streaming-twin
+    * discipline beside sufficient statistics ([[linfitStream]]) and
+    * cell counts ([[psiDriftStream]]/[[ksDriftStream]]): MERGEABLE
+    * SKETCHES. Each microbatch builds its own CMS with Spark's
+    * distributed `count_min_sketch` aggregate (map-side partials) and
+    * the ~80 KB result merges into the driver-held sketch — counter
+    * arrays add elementwise, so with a fixed seed the maintained
+    * sketch is BIT-EQUAL to one built over everything seen, at any
+    * batch cut. State is O(1/eps · ln(1/δ)) regardless of stream
+    * length; `current()` returns the live sketch for probing.
+    */
+  def cmsStream(rows: DataFrame, value: Column, eps: Double = 0.001,
+                confidence: Double = 0.99, seed: Int = 42)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => org.apache.spark.util.sketch.CountMinSketch) = {
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .create(eps, confidence, seed)
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val bytes = batch.toDF().select(value.as("__v"))
+            .agg(expr(
+              s"count_min_sketch(__v, CAST($eps AS DOUBLE), " +
+                s"CAST($confidence AS DOUBLE), $seed)"))
+            .head().getAs[Array[Byte]](0)
+          if (bytes != null) {
+            sk.mergeInPlace(
+              org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                new java.io.ByteArrayInputStream(bytes))): Unit
+          }
+      }
+      .start()
+    (q, () => sk)
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

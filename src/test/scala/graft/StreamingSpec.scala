@@ -351,6 +351,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS merge is bit-equal to a whole-data sketch at every batch cut") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val all = (0 until 300).map(i => vocab(i * 7 % 5))
+    val ms = MemoryStream[String]
+    val (q, current) = EventStreams.cmsStream(
+      ms.toDF().toDF("tok"), $"tok", eps = 0.01, confidence = 0.9, seed = 7)
+    try {
+      Seq(all.slice(0, 100), all.slice(100, 230), all.slice(230, 300))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(100, 230, 300)(i))
+          val bytes = seen.toDF("tok")
+            .agg(expr("count_min_sketch(tok, CAST(0.01 AS DOUBLE), " +
+              "CAST(0.9 AS DOUBLE), 7)")).head().getAs[Array[Byte]](0)
+          val want = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          val got = current()
+          assert(got.totalCount() == want.totalCount(), s"cut $i totalCount")
+          vocab.foreach { t =>
+            assert(got.estimateCount(t) == want.estimateCount(t),
+              s"cut $i estimate($t)")
+          }
+        }
+    } finally q.stop()
+  }
+
   test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
     // q178's streaming twin: the maintained sufficient statistics are
     // exact decimal sums, so the model after ANY batching equals a
