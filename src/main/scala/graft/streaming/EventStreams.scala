@@ -441,6 +441,40 @@ object EventStreams extends Serializable {
     (q, () => sk)
   }
 
+  /** Streaming distinct-count sketch (Datasketches HLL): the view is
+    * ONE row holding the sketch bytes, merged per microbatch with
+    * `hll_union_agg` — HLL union takes the elementwise register max,
+    * so the maintained sketch's registers equal a whole-data sketch's
+    * at any batch cut and the estimate is identical. Same
+    * maintained-view discipline as [[linfitStream]], state = one
+    * 2^lgK-register sketch regardless of stream length. `current()`
+    * returns the live distinct-count estimate.
+    */
+  def hllStream(rows: DataFrame, value: Column, lgK: Int = 12)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => Long) = {
+    val spark0 = rows.sparkSession
+    def sketch(df: DataFrame): DataFrame =
+      df.select(value.as("__v"))
+        .agg(expr(s"hll_sketch_agg(__v, $lgK)").as("sk"))
+    @volatile var view: DataFrame = sketch(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+      .localCheckpoint()
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          view = view.unionByName(sketch(batch.toDF()))
+            .agg(expr("hll_union_agg(sk, true)").as("sk"))
+            .localCheckpoint()
+      }
+      .start()
+    val estimate = () => {
+      val r = view.select(expr("hll_sketch_estimate(sk)")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    (q, estimate)
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -380,6 +380,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL estimate equals a whole-data sketch at every batch cut") {
+    // HLL union is the elementwise register max, so the maintained
+    // sketch's registers — and therefore its estimate — equal a
+    // fresh whole-data sketch's after ANY batching.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 400).map(i => s"user-${i * 13 % 173}")
+    val ms = MemoryStream[String]
+    val (q, current) = EventStreams.hllStream(
+      ms.toDF().toDF("uid"), $"uid", lgK = 12)
+    try {
+      Seq(all.slice(0, 120), all.slice(120, 290), all.slice(290, 400))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(120, 290, 400)(i))
+          val want = seen.toDF("uid")
+            .agg(expr("hll_sketch_estimate(hll_sketch_agg(uid, 12))"))
+            .head().getLong(0)
+          assert(current() == want, s"cut $i estimate")
+        }
+    } finally q.stop()
+  }
+
   test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
     // q178's streaming twin: the maintained sufficient statistics are
     // exact decimal sums, so the model after ANY batching equals a
