@@ -276,6 +276,48 @@ object TextKernels {
     }
     inter.toDouble / (na + nb - inter).toDouble
   }
+
+  /** Character-unigram Shannon entropy in NATS, one pass per row — the
+    * boilerplate/gibberish quality signal (low entropy = repetitive
+    * text). Counts per CODE POINT (matching an engine-side
+    * `unnest(string_split(text, ''))` explode), each distinct-char
+    * term `(k/n)·ln(n/k)` quantized to decimal(·,12) HALF_UP exactly
+    * like a `cast(... as decimal(30,12))` per-term sum (the repo's
+    * float-aggregation convention), so the exact decimal sum is
+    * partition-order invariant AND replayable by an explode+group-by
+    * oracle. ASCII fast path: a 128-slot array; anything else falls
+    * into a hash map.
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val slot = other.computeIfAbsent(Integer.valueOf(cp), _ => new Array[Long](1))
+        slot(0) += 1L
+      }
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    var sum = java.math.BigDecimal.ZERO
+    def add(k: Long): Unit = if (k > 0L) {
+      val term = (k.toDouble / n.toDouble) * math.log(n.toDouble / k.toDouble)
+      sum = sum.add(java.math.BigDecimal.valueOf(term)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    var c = 0
+    while (c < 128) { add(ascii(c)); c += 1 }
+    if (other != null) other.values.forEach(slot => add(slot(0)))
+    sum.doubleValue()
+  }
 }
 
 /** Word n-grams of a single-space-tokenized string (array<string>). */
@@ -482,6 +524,33 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row character-unigram entropy (nats, double) — see
+  * [[TextKernels.charEntropy]] for the exact-decimal term convention
+  * that makes it oracle-replayable.
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.charEntropy(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.charEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpr {
   /** Column-API entry points (codegen'd). */
   def wordNgrams(text: Column, n: Int): Column =
@@ -507,4 +576,7 @@ object TextExpr {
   def tokenSetCount(text: Column, tokens: Seq[String]): Column =
     ColumnBridge.column(TokenSetCountExpr(
       ColumnBridge.expression(text), tokens))
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
 }

@@ -1478,4 +1478,57 @@ object Ops {
       dist
     } finally e.unpersist(blocking = false)
   }
+
+  /** Deterministic hash-guided random walks — the DeepWalk/node2vec
+    * sampling primitive (walk corpora for graph-embedding training),
+    * made exactly replayable on any engine: at step t from node u the
+    * walk takes the edge ranked `md5Long(u:t:salt, 8) % outdeg(u) + 1`
+    * with edges per src ranked by dst ascending, so the "random"
+    * choice is a pure function of (node, step, salt) — no RNG state,
+    * re-run-identical, resumable mid-corpus, and oracle-replayable as
+    * a recursive CTE over the same md5 family. Plan shape: the ranked
+    * edge relation is built ONCE (per-src row_number windows — one
+    * small partition per node, never a global sort) and persisted
+    * src-partitioned; each step is ONE equi-join of the seed-sized
+    * frontier against it (the rank pick rides the join condition, so
+    * Catalyst evaluates it inside the join — no fanout
+    * materializes). Walks stop early at sink nodes.
+    * edges: (src, dst); seeds: (id). Output: (seed, step, node) with
+    * step 0 = the seed itself.
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
+                  salt: String = "w1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps >= 1 && steps <= 64, s"steps in [1,64], got $steps")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ranked = edges
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))))
+      .join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var out = seeds
+        .select(col("id").as("seed"), lit(0).as("step"), col("id").as("node"))
+        .localCheckpoint(eager = true)
+      var frontier = out
+      var t = 0
+      while (t < steps) {
+        // NB: functions.concat — Ops.concat is the DataFrame fan-in
+        val pick = DedupPortable.md5Long(
+          org.apache.spark.sql.functions.concat(
+            frontier("node").cast("string"), lit(s":$t:$salt")), 8)
+        val nxt = frontier.join(ranked,
+            frontier("node") === ranked("src") &&
+              ranked("rk") === pick % ranked("outdeg") + lit(1L))
+          .select(frontier("seed"), lit(t + 1).as("step"),
+            ranked("dst").as("node"))
+          .localCheckpoint(eager = true)
+        out = out.unionByName(nxt)
+        frontier = nxt
+        t += 1
+      }
+      out
+    } finally ranked.unpersist(blocking = false)
+  }
 }

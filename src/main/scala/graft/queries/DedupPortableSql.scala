@@ -167,6 +167,38 @@ object DedupPortableSql {
        |  count(*) AS family
        |FROM rnk GROUP BY rep ORDER BY rep""".stripMargin
 
+  /** q209 oracle: LSH pairs -> clusters -> CLUSTER-KEYED hash split.
+    * Every doc routes by md5 of its cluster rep (singletons by their
+    * own id), so near-duplicates can never straddle train/val/test —
+    * the leakage-safe variant of the q101 split. `moved` counts docs
+    * whose naive doc_id-keyed split differs (the leakage the rep
+    * keying prevented). Thresholds are the Ops.hashSplit hex
+    * convention (cccccccc = floor(0.8*2^32), e6666666 = floor(0.9*2^32)).
+    */
+  def leakageSafeSplitOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                                maxBucket: Int, salt: String): String = {
+    def splitCase(key: String): String =
+      s"""CASE WHEN substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 8)
+         |       < 'cccccccc' THEN 'train'
+         |     WHEN substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 8)
+         |       < 'e6666666' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE ${minhashPairsCtes(numPerm, bands, threshold, maxBucket)},
+       |$reachabilityCtes,
+       |asg AS (
+       |  SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+       |sp AS (
+       |  SELECT doc_id, rep,
+       |    ${splitCase("rep")} AS split,
+       |    ${splitCase("doc_id")} AS naive_split
+       |  FROM asg)
+       |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+       |  count(CASE WHEN naive_split <> split THEN 1 END) AS moved,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
   /** q110 oracle: full replay of the incremental delta-vs-corpus pass
     * (DedupPortable.incrementalMinhashPortable). `deltaPred` is a SQL
     * predicate over `doc_id` selecting the delta batch; everything

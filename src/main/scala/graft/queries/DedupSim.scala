@@ -155,6 +155,36 @@ object DedupSim {
         .orderBy($"rep")
     }),
 
+    // Leakage-safe train/val/test split: route every doc by md5 of its
+    // duplicate-cluster REP (singletons by their own id), so near-dups
+    // can never straddle splits — the contamination mode a naive
+    // per-doc hash split (q101) silently allows. Composition: LSH pair
+    // source → connected components → rep-keyed hashSplit; `moved`
+    // counts the docs whose naive doc_id-keyed split differs, i.e. the
+    // leakage this prevented. 100 TB shape: the pair/cluster stages are
+    // the q147 scale path, the split itself is a narrow md5 projection
+    // and the summary a map-side-combining hash-agg — no new shuffles.
+    "q209_leakage_safe_split" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = DedupPortable.minhashDuplicatePairsPortable(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      val clusters = Dedup.duplicateClusters(pairs) // (id, rep)
+      val asg = t(s, dir, "documents").select($"doc_id")
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce($"rep", $"doc_id"))
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val both = Ops.hashSplit(
+        Ops.hashSplit(asg, "rep", splits, salt = "v1"),
+        "doc_id", splits, salt = "v1", splitName = "naive_split")
+      both.groupBy($"split").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"rep").as("n_clusters"),
+          count(when($"naive_split" =!= $"split", lit(1))).as("moved"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"split")
+    }),
+
     // The end-to-end corpus-curation RECIPE — the "make a training
     // corpus" flow as ONE query: language + quality gate → LSH
     // near-dup clustering over the survivors → per-cluster
@@ -959,6 +989,8 @@ object DedupSim {
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
     "q148_lsh_survivorship" -> DedupPortableSql.minhashSurvivorOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
+    "q209_leakage_safe_split" -> DedupPortableSql.leakageSafeSplitOracleSql(
+      numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64, salt = "v1"),
     "q149_image_phash_dedup" -> DedupPortableSql.imagePhashOracleSql(
       maxDist = 3, maxBucket = 256),
     "q161_audio_fp_dedup" -> DedupPortableSql.audioFpOracleSql(

@@ -540,6 +540,28 @@ object Operators {
         .select($"id", $"dist").orderBy($"id")
     }),
 
+    // Deterministic random walks over the q168 bipartite
+    // customer-supplier graph — the DeepWalk/node2vec corpus sampler.
+    // Seeds scale with the data (every 100th customer); the hash-picked
+    // next hop makes the walk corpus a pure function of the graph, so
+    // the oracle replays it as a recursive CTE over the same md5
+    // family. 100 TB shape: ranked edges built once and reused across
+    // all steps; per-step work is frontier-sized, not graph-sized.
+    "q211_random_walks" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+        .distinct()
+        .persist()
+      val edges = pairs.select($"c".as("src"), $"p".as("dst"))
+        .unionByName(pairs.select($"p".as("src"), $"c".as("dst")))
+      val seeds = t(s, dir, "customer").filter($"c_custkey" % 100 === 0)
+        .select(($"c_custkey" * 2).as("id"))
+      Ops.randomWalks(edges, seeds, steps = 4, salt = "w1")
+        .orderBy($"seed", $"step", $"node")
+    }),
+
     // Exact quantity-weighted median price per returnflag: the
     // two-phase coarse-bucket plan — no whole-group sort/window task
     // ever exists (the naive cumulative window is the q148-class skew
@@ -803,6 +825,39 @@ object Operators {
        |SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
   }
 
+  /** q211 oracle: the hash-guided walk as a recursive CTE — per-src
+    * dst-ranked edges, next hop = md5Long(node:step:salt, 8) mod
+    * outdeg + 1 (the Ops.randomWalks recurrence, same md5 family as
+    * hashSplit/KMV).
+    */
+  private def randomWalksOracleSql(steps: Int, salt: String): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p, c FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |ranked AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+       |  FROM edges),
+       |walk(seed, step, node) AS (
+       |  SELECT c_custkey * 2, 0, c_custkey * 2
+       |  FROM customer WHERE c_custkey % 100 = 0
+       |  UNION ALL
+       |  SELECT w.seed, w.step + 1, r.dst
+       |  FROM walk w
+       |  JOIN deg d ON d.src = w.node
+       |  JOIN ranked r ON r.src = w.node
+       |    AND r.rk = CAST('0x' || substr(md5(
+       |        CAST(w.node AS VARCHAR) || ':'
+       |          || CAST(w.step AS VARCHAR) || ':$salt'), 1, 8) AS BIGINT)
+       |      % d.outdeg + 1
+       |  WHERE w.step < $steps)
+       |SELECT seed, step, node FROM walk
+       |ORDER BY seed, step, node""".stripMargin
+
   private def pageRankOracleSql(iters: Int): String = {
     // Replays Ops.pageRank's textbook recurrence term-for-term:
     // per round a 1-row dangling-mass scalar (rank on nodes without
@@ -854,6 +909,7 @@ object Operators {
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
     "q179_sssp" -> ssspOracleSql(6),
+    "q211_random_walks" -> randomWalksOracleSql(4, "w1"),
 
     // definitional weighted lower median: first value whose cumulative
     // weight reaches half the total

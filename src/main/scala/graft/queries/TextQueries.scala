@@ -323,6 +323,24 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Character-unigram entropy (nats) as a quality signal — low
+    // entropy flags repetitive/boilerplate text, the classic cheap
+    // gibberish filter. The kernel (TextKernels.charEntropy) does ONE
+    // codegen'd pass per row — a narrow map-only plan at any corpus
+    // size — while the oracle replays it as explode → per-char counts
+    // → decimal-quantized term sum; both sides sum exact decimals so
+    // partition order can't flip a bit. Output: the 20 lowest-entropy
+    // docs (the ones a curation gate would drop first).
+    "q210_char_entropy" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(length($"text") > 0)
+        .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars"),
+          round(graft.functions.TextExpr.charEntropy($"text"), 4).as("entropy"))
+        .orderBy($"entropy".asc, $"doc_id".asc)
+        .limit(20)
+    }),
+
     // PMI collocations: the strongest word pairings by pointwise
     // mutual information ln((n12/NB)/((n1/NU)(n2/NU))) — the classic
     // phrase-detection statistic (word2vec-style phrase merging).
@@ -521,6 +539,27 @@ object TextQueries {
         |JOIN ucnt b ON b.w = split_part(bg, ' ', 2)
         |CROSS JOIN nu CROSS JOIN nb
         |ORDER BY pmi DESC, bg ASC LIMIT 30""".stripMargin,
+
+    // charEntropy oracle: explode to code points, per-char counts,
+    // per-term decimal(30,12) quantization (the kernel's exact
+    // convention), double division only at the end.
+    "q210_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+        |ent AS (
+        |  SELECT cnt.doc_id,
+        |    CAST(sum(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS h
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        |  GROUP BY cnt.doc_id)
+        |SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  round(e.h, 4) AS entropy
+        |FROM ent e JOIN documents d ON d.doc_id = e.doc_id
+        |ORDER BY entropy ASC, d.doc_id ASC LIMIT 20""".stripMargin,
 
     "q117_perplexity_filter" ->
       """WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 != 0),

@@ -401,4 +401,31 @@ class DedupSimSpec extends AnyFunSuite {
       "label", k = 2).as[(Long, Int)].collect()
     assert(out.toSeq == Seq((10L, 0)))
   }
+
+  test("leakage-safe split: no duplicate cluster ever straddles splits") {
+    // The q209 invariant on the real corpus: route docs by their
+    // cluster rep and every cluster lands in exactly one split; the
+    // doc universe is partitioned (no doc lost or double-assigned).
+    import graft.operators.{DedupPortable, Ops}
+    val docs = Tables(spark, sf, "documents")
+    val pairs = DedupPortable.minhashDuplicatePairsPortable(
+      docs, "doc_id", "text", k = 3, numPerm = 64, bands = 16,
+      threshold = 0.7)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val asg = docs.select($"doc_id")
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"rep", $"doc_id"))
+    val split = Ops.hashSplit(asg, "rep",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .persist()
+    try {
+      val straddlers = split.groupBy($"rep")
+        .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+      assert(straddlers == 0, s"$straddlers clusters straddle splits")
+      assert(split.count() == docs.count())
+      assert(split.select($"doc_id").distinct().count() == docs.count())
+      // and the split is non-degenerate (all three splits populated)
+      assert(split.select($"split").distinct().count() == 3)
+    } finally split.unpersist(blocking = false)
+  }
 }

@@ -875,4 +875,45 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
+
+  test("randomWalks: valid edges, one node per step, sinks stop, rerun-stable") {
+    // 3 is a sink: a walk reaching it must truncate, and seeding at 3
+    // yields only step 0. Every consecutive hop must be a real edge
+    // and every (seed, step) at most one node — the walk is a path,
+    // not a tree.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (2L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("id")
+    val w = Ops.randomWalks(edges, seeds, steps = 5, salt = "t").persist()
+    try {
+      val rows = w.orderBy("seed", "step").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      // step 0 is the seed itself
+      assert(rows.filter(_._2 == 0).map(x => (x._1, x._3)).toSet ==
+        Set((1L, 1L), (3L, 3L)))
+      // sink seed goes nowhere
+      assert(rows.filter(_._1 == 3L) == Seq((3L, 0, 3L)))
+      // at most one node per (seed, step)
+      assert(rows.groupBy(x => (x._1, x._2)).values.forall(_.size == 1))
+      // consecutive hops are edges; a walk that visited the sink ends
+      val edgeSet = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (2L, 4L),
+        (4L, 1L))
+      val walk1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+      walk1.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet.contains((a, b)), s"$a->$b not an edge")
+        case _ =>
+      }
+      // deterministic: a second run is identical
+      val again = Ops.randomWalks(edges, seeds, steps = 5, salt = "t")
+        .orderBy("seed", "step").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(again == rows)
+      // a different salt decorrelates the picks without breaking shape
+      val salted = Ops.randomWalks(edges, seeds, steps = 5, salt = "u")
+        .orderBy("seed", "step").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(salted.filter(_._2 == 0) == rows.filter(_._2 == 0))
+    } finally w.unpersist(blocking = false)
+  }
 }

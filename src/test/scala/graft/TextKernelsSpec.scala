@@ -123,4 +123,38 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
     assert(rows(1).getSeq[String](0).isEmpty && rows(1).getSeq[Long](1).isEmpty)
   }
+
+  test("charEntropy kernel == explode/decimal-sum reference, bit for bit") {
+    // The reference IS the q210 oracle shape: explode to chars,
+    // per-char counts, per-term decimal(30,12) quantization, exact
+    // decimal sum — the kernel must reproduce it to the last bit on
+    // hostile strings (unicode included) and the real corpus.
+    val all = Tables(spark, sf, "documents").select($"text")
+      .union(hostile)
+      .filter(length($"text") > 0)
+      .withColumn("id", monotonically_increasing_id())
+      .persist()
+    try {
+      val cnt = all.select($"id", explode(split($"text", "")).as("c"))
+        .groupBy($"id", $"c").agg(count(lit(1)).as("k"))
+      val tot = cnt.groupBy($"id").agg(sum($"k").as("n"))
+      val ref = cnt.join(tot, "id")
+        .select($"id", (($"k" / $"n") * log($"n" / $"k"))
+          .cast("decimal(30,12)").as("h"))
+        .groupBy($"id").agg(sum($"h").cast("double").as("ref"))
+      val diff = all.select($"id", TextExpr.charEntropy($"text").as("fast"))
+        .join(ref, "id")
+        .filter(!($"fast" <=> $"ref")).count()
+      assert(diff == 0, s"$diff rows differ")
+    } finally all.unpersist(blocking = false)
+  }
+
+  test("charEntropy edge cases: empty/uniform zero, null propagates") {
+    val rows = Seq(Some(""), Some("aaaa"), Some(" "), Option.empty[String])
+      .toDF("text").select(TextExpr.charEntropy($"text").as("e")).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).getDouble(0) == 0.0)
+    assert(rows(2).getDouble(0) == 0.0)
+    assert(rows(3).isNullAt(0))
+  }
 }
