@@ -1255,6 +1255,44 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // Leakage-safe split (q209): same md5 thresholds as hashsplit, but
+    // every row routes by its duplicate-cluster REP from a
+    // dedupcluster-shaped stream (id, rep) — near-dups can never
+    // straddle train/val/test. Rows without a cluster row route by
+    // their own key (singleton = its own rep).
+    Registered("safesplit", RowType, RowType,
+      "in=STREAM:clusters=STREAM:key=COL:weights=train=0.8,val=0.1,test=0.1[:salt=S][:col=split]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val cname = m.args.getOrElse("clusters",
+          throw new BuildError("safesplit: clusters= required"))
+        val (clusters, ct) = ctx.streams.getOrElse(cname,
+          throw new BuildError(s"safesplit: unknown stream '$cname'"))
+        if (ct != RowType)
+          throw new BuildError(s"safesplit: '$cname' is not a row stream")
+        ctx.readers(cname) += 1
+        val key = m.args.getOrElse("key",
+          throw new BuildError("safesplit: key= required"))
+        val weights = m.args.getOrElse("weights",
+            throw new BuildError("safesplit: weights= required"))
+          .split(",").toSeq.map { kv =>
+            kv.split("=") match {
+              case Array(n, w) => n -> w.toDouble
+              case _ => throw new BuildError(
+                s"safesplit: bad weights entry '$kv' (want name=frac)")
+            }
+          }
+        val withRep = df
+          .join(clusters.select(col("id").as(key), col("rep").as("__rep")),
+            Seq(key), "left")
+          .withColumn("__rep", coalesce(col("__rep"), col(key)))
+        val out = graft.operators.Ops.hashSplit(withRep, "__rep", weights,
+            salt = m.args.getOrElse("salt", ""),
+            splitName = m.args.getOrElse("col", "split"))
+          .drop("__rep")
+        ctx.writeStream(m, out, RowType)
+      }),
+
     Registered("assignids", RowType, RowType,
       "in=STREAM:order=COL[,COL...][:col=row_id]:out=STREAM", (ctx, m) => {
         // Contiguous global ids in the given total order (Ops.assignIds
@@ -1926,6 +1964,31 @@ object Pipeline {
           edges, seeds, maxHops), RowType)
       }),
 
+    // Deterministic hash-guided random walks (q211 / Ops.randomWalks):
+    // in= the edge stream, seeds= the start nodes; emits
+    // (seed, step, node) walk corpora for graph-embedding training.
+    Registered("randomwalk", RowType, RowType,
+      "in=STREAM:seeds=STREAM:id=COL:src=COL:dst=COL:steps=4[:salt=w1]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val sname = m.args.getOrElse("seeds",
+          throw new BuildError("randomwalk: seeds= required"))
+        val (seedDf, st) = ctx.streams.getOrElse(sname,
+          throw new BuildError(s"randomwalk: unknown stream '$sname'"))
+        if (st != RowType)
+          throw new BuildError(s"randomwalk: '$sname' is not a row stream")
+        ctx.readers(sname) += 1
+        val steps = m.args.getOrElse("steps", "4").toInt
+        if (steps < 1 || steps > 64)
+          throw new BuildError(s"randomwalk: steps in [1,64], got $steps")
+        val edges = df.select(
+          col(m.args.getOrElse("src", "src")).as("src"),
+          col(m.args.getOrElse("dst", "dst")).as("dst"))
+        val seeds = seedDf.select(col(m.args.getOrElse("id", "id")).as("id"))
+        ctx.writeStream(m, graft.operators.Ops.randomWalks(
+          edges, seeds, steps, m.args.getOrElse("salt", "w1")), RowType)
+      }),
+
     // Exact weighted quantiles from the DSL (q184/q185): two-phase
     // coarse-bucket plan, no whole-group window task; permilles=
     // comma-separated points (500 = median). value=/weight= must be
@@ -1970,6 +2033,23 @@ object Pipeline {
         val bias = m.args.getOrElse("bias", "0").toLong
         ctx.writeStream(m, graft.operators.Ops.hashedFeatureScore(
           df, key, text, weights, bias), RowType)
+      }),
+
+    // Character-entropy quality signal (q210): appends the one-pass
+    // codegen'd char-unigram entropy (nats) — the cheap
+    // boilerplate/gibberish gate; narrow map-only plan at any scale.
+    Registered("entropy", RowType, RowType,
+      "in=STREAM:text=COL[:col=entropy][:round=4]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val text = m.args.getOrElse("text",
+          throw new BuildError("entropy: text= required"))
+        val nd = m.args.getOrElse("round", "4").toInt
+        if (nd < 0 || nd > 12)
+          throw new BuildError(s"entropy: round in [0,12], got $nd")
+        ctx.writeStream(m, df.withColumn(
+          m.args.getOrElse("col", "entropy"),
+          round(graft.functions.TextExpr.charEntropy(col(text)), nd)), RowType)
       }),
 
     // k-NN majority-vote classification from the DSL (q180): in= the

@@ -376,7 +376,8 @@ class PipelineSpec extends AnyFunSuite {
       "linfit", "sssp", "knnclassify", "wquantile", "hashscore",
       "psi", "ks", "welch", "gini", "auc", "attribution",
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
-      "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii")
+      "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
+      "entropy", "safesplit", "randomwalk")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -635,6 +636,54 @@ class PipelineSpec extends AnyFunSuite {
     intercept[BuildError](Pipeline.run(spark, Seq(
       s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e2",
       "sssp:in=e2:seeds=nosuch", "csvwrite", s"filewrite:out=$d/x.csv")))
+  }
+
+  test("entropy + safesplit + randomwalk modules end-to-end") {
+    val d = tmp("curve")
+    // entropy: uniform single char -> 0; 'ab' -> ln 2 rounded
+    writeCsv(s"$d/docs.csv", "id,body", "1,aaaa", "2,ab")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/docs.csv", "csvread:out=docs",
+      "entropy:in=docs:text=body:out=e",
+      "select:in=e:exprs=id;entropy:out=sel",
+      "sort:in=sel:by=id:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/e.csv"))
+    assert(readOut(s"$d/e.csv") == Seq("id,entropy", "1,0.0", "2,0.6931"))
+
+    // safesplit: docs 1,2 share cluster rep 1 -> SAME split always;
+    // doc 4 has no cluster row -> routes by its own id (singleton)
+    writeCsv(s"$d/sdocs.csv", "id,v", "1,a", "2,b", "3,c", "4,d")
+    writeCsv(s"$d/clus.csv", "id,rep", "1,1", "2,1", "3,3")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/clus.csv", "csvread:infer=1:out=clus",
+      s"fileread:in=$d/sdocs.csv", "csvread:infer=1:out=sdocs",
+      "safesplit:in=sdocs:clusters=clus:key=id:weights=train=0.5,test=0.5:salt=v1:out=sp",
+      "sort:in=sp:by=id:out=spo",
+      "csvwrite:in=spo", s"filewrite:out=$d/sp.csv"))
+    val spLines = readOut(s"$d/sp.csv")
+    assert(spLines.head == "id,v,split")
+    val byId = spLines.tail.map(_.split(",")).map(r => r(0) -> r(2)).toMap
+    assert(byId.size == 4)
+    assert(byId("1") == byId("2"), "clustered docs must share a split")
+    assert(byId.values.forall(Set("train", "test")))
+
+    // randomwalk: triangle 1->2->3->1; 3 steps from seed 1 must emit
+    // step 0..3, each hop a real edge (deterministic hash pick)
+    writeCsv(s"$d/we.csv", "src,dst", "1,2", "2,3", "3,1")
+    writeCsv(s"$d/ws.csv", "id", "1")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/ws.csv", "csvread:infer=1:out=ws",
+      s"fileread:in=$d/we.csv", "csvread:infer=1:out=we",
+      "randomwalk:in=we:seeds=ws:steps=3:out=walk",
+      "sort:in=walk:by=step:out=wo",
+      "csvwrite:in=wo", s"filewrite:out=$d/w.csv"))
+    assert(readOut(s"$d/w.csv") ==
+      Seq("seed,step,node", "1,0,1", "1,1,2", "1,2,3", "1,3,1"))
+
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/sdocs.csv", "csvread:infer=1:out=s2",
+      "safesplit:in=s2:clusters=nosuch:key=id:weights=train=1.0",
+      "csvwrite", s"filewrite:out=$d/x2.csv")))
   }
 
   test("dedupcluster + survivor modules: DSL clustering chain end-to-end") {

@@ -798,4 +798,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
       plan)
   }
+
+  test("random walks: steps are equi-joins on src, lineage capped per step") {
+    // Each step must join the frontier to the ranked edge relation on
+    // the src key (the hash pick rides the join as a residual) — a
+    // cartesian/NLJ step would be walk-count × edge-count. And the
+    // returned corpus must read checkpointed steps, not replay the
+    // whole walk per reference.
+    import graft.operators.Ops
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val out = Ops.randomWalks(edges, Seq(1L, 2L).toDF("id"), steps = 3)
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      plan)
+  }
+
+  test("leakage-safe split summary aggregates map-side (partial below exchange)") {
+    // The q209 tail after the cluster join is a narrow md5 projection
+    // + ONE hash aggregate: partial_count must sit below the exchange
+    // so the per-split summary combines map-side at 100 TB.
+    import graft.operators.Ops
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "rep")
+    val out = Ops.hashSplit(asg, "rep",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .groupBy($"split").agg(count(lit(1)).as("n"))
+    val plan = executed(out)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
