@@ -341,6 +341,25 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Per-source 3-gram diversity (type/token ratio) — the standard
+    // corpus-health metric a curation report tracks before/after
+    // dedup (near-dup removal raises it; boilerplate lowers it).
+    // Exact distinct counts so the oracle can replay it; the
+    // 100 TB path swaps count_distinct for the KMV sketch (q119
+    // infrastructure) when ±1% is acceptable — the explode feeds a
+    // partial-aggregating hash-agg either way, never a window.
+    "q212_ngram_diversity" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"source", explode(wordNgrams($"text", 3)).as("g"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct($"g").as("distinct_ngrams"))
+        .withColumn("diversity",
+          round($"distinct_ngrams".cast("double") / $"total_ngrams", 6))
+        .orderBy($"source")
+    }),
+
     // PMI collocations: the strongest word pairings by pointwise
     // mutual information ln((n12/NB)/((n1/NU)(n2/NU))) — the classic
     // phrase-detection statistic (word2vec-style phrase merging).
@@ -539,6 +558,19 @@ object TextQueries {
         |JOIN ucnt b ON b.w = split_part(bg, ' ', 2)
         |CROSS JOIN nu CROSS JOIN nb
         |ORDER BY pmi DESC, bg ASC LIMIT 30""".stripMargin,
+
+    // 3-gram diversity oracle: same single-space token convention as
+    // the q117 bigram replay, one gram CTE + exact distinct counts.
+    "q212_ngram_diversity" ->
+      """SELECT source, count(*) AS total_ngrams,
+        |  count(DISTINCT g) AS distinct_ngrams,
+        |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS diversity
+        |FROM (
+        |  SELECT source, unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents))
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // charEntropy oracle: explode to code points, per-char counts,
     // per-term decimal(30,12) quantization (the kernel's exact
