@@ -277,6 +277,28 @@ object TextKernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Containment |A∩B| / min(|A|,|B|) over two SORTED distinct long
+    * arrays — one merge pass (the [[jaccardSorted]] merge with the
+    * asymmetric denominator). The doc-in-doc statistic: a snippet
+    * inside a 10× larger doc has jaccard ≈ 0.1 but containment 1.0.
+    * NaN when either side is empty (0/0 discipline of jaccardSorted).
+    */
+  def containmentSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / math.min(na, nb).toDouble
+  }
+
   /** Character-unigram Shannon entropy in NATS, one pass per row — the
     * boilerplate/gibberish quality signal (low entropy = repetitive
     * text). Counts per CODE POINT (matching an engine-side
@@ -524,6 +546,40 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Containment over two sorted distinct long arrays — see
+  * [[TextKernels.containmentSorted]].
+  */
+case class SortedLongContainment(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects array<long> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.containmentSorted(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.containmentSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-row character-unigram entropy (nats, double) — see
   * [[TextKernels.charEntropy]] for the exact-decimal term convention
   * that makes it oracle-replayable.
@@ -579,4 +635,8 @@ object TextExpr {
 
   def charEntropy(text: Column): Column =
     ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
+
+  def containmentSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongContainment(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -159,6 +159,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Doc-in-doc containment pairs — the subset-duplication semantic
+    * Jaccard-targeted LSH structurally misses: a snippet embedded in a
+    * 10× larger doc has jaccard ≈ 0.1 (never band-collides) but
+    * containment |A∩B| / min(|A|,|B|) = 1.0. Candidates come from a
+    * shingle INVERTED INDEX (docs sharing any shingle), with posting
+    * lists over the [[bandCandidates]] hub-cut: common-boilerplate
+    * shingles (list longer than maxBucket) emit linear min-id star
+    * edges instead of quadratic pairs, so the plan is equi-join shaped
+    * at any corpus size; the recall trade is the documented star-edge
+    * one — a pair sharing ONLY ultra-common shingles must reach the
+    * same star hub to surface. Verify joins sorted md5-shingle sets
+    * back for survivors only (one merge-pass containment kernel). md5
+    * family throughout -> any engine replays it exactly.
+    * Output: (idA, idB, containment), idA < idB, >= threshold.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8,
+                       maxBucket: Int = 64): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"),
+        graft.functions.PortableExpr.md5Shingles(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = hashed.select(col("id"), lit(0).as("bandIdx"),
+      explode(col("hs")).as("h"))
+    val cand = bandCandidates(posting, "h", maxBucket)
+    cand
+      .join(hashed.select(col("id").as("idA"), col("hs").as("__sA")), "idA")
+      .join(hashed.select(col("id").as("idB"), col("hs").as("__sB")), "idB")
+      .withColumn("containment",
+        graft.functions.TextExpr.containmentSorted(col("__sA"), col("__sB")))
+      .filter(col("containment") >= threshold)
+      .select(col("idA"), col("idB"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** MinHash-LSH candidate pairs, verified with EXACT shingle jaccard.
     * Output: (idA, idB, jaccard), idA < idB, jaccard >= threshold.
     */

@@ -245,8 +245,12 @@ object Pipeline {
         Dedup.winnowDuplicatePairs(df, key, text, threshold = threshold)
       case ("winnow", "md5") => DedupPortable
         .winnowDuplicatePairsPortable(df, key, text, threshold = threshold)
+      // containment is md5-family by construction (portable shingle
+      // inverted index); accept either hash= spelling
+      case ("containment", _) =>
+        Dedup.containmentPairs(df, key, text, k = k, threshold = threshold)
       case (meth, h) => throw new BuildError(
-        s"${m.name}: method=$meth hash=$h (methods: minhash, simhash, winnow; hashes: xx, md5)")
+        s"${m.name}: method=$meth hash=$h (methods: minhash, simhash, winnow, containment; hashes: xx, md5)")
     }
   }
 
@@ -1108,7 +1112,7 @@ object Pipeline {
     // exact verification in all six combinations (shared with
     // dedupcluster via nearDupPairSource).
     Registered("dedupnear", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow:threshold=0.8:maxdist=3:k=3:hash=xx|md5:transitive:out=STREAM",
+      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow|containment:threshold=0.8:maxdist=3:k=3:hash=xx|md5:transitive:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",
@@ -1135,7 +1139,7 @@ object Pipeline {
     // connected components → singleton anti-join) as a module, for
     // chains that need the clusters themselves (survivor, reporting).
     Registered("dedupcluster", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow:threshold=0.8:maxdist=3:k=3:hash=xx|md5:out=STREAM",
+      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow|containment:threshold=0.8:maxdist=3:k=3:hash=xx|md5:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",

@@ -199,6 +199,41 @@ object DedupPortableSql {
        |FROM sp GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** q213 oracle: containment pairs over the snippet-planted bounded
+    * corpus — shingle inverted index (single pseudo-band b=0) under
+    * the shared hub-cut CTEs, exact containment
+    * len(∩)/least(len A, len B) on the survivors.
+    */
+  def containmentOracleSql(threshold: Double, maxBucket: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500),
+       |corp AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(
+       |      ws[1:greatest(3, CAST(floor(len(ws) / 3.0) AS INT))], ' ')
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM base WHERE doc_id % 7 = 0)),
+       |d0 AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |    g -> ${md5Long("g")}))) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corp)),
+       |d AS (SELECT * FROM d0 WHERE len(hs) > 0),
+       |banded AS (SELECT doc_id, 0 AS b, unnest(hs) AS key FROM d),
+       |${hubCutCtes(maxBucket)},
+       |ver AS (
+       |  SELECT cand.idA, cand.idB,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / least(len(x.hs), len(y.hs)) AS c
+       |  FROM cand JOIN d x ON x.doc_id = cand.idA
+       |            JOIN d y ON y.doc_id = cand.idB)
+       |SELECT idA, idB, round(c, 4) AS containment
+       |FROM ver WHERE c >= $threshold
+       |ORDER BY idA, idB""".stripMargin
+
   /** q110 oracle: full replay of the incremental delta-vs-corpus pass
     * (DedupPortable.incrementalMinhashPortable). `deltaPred` is a SQL
     * predicate over `doc_id` selecting the delta batch; everything

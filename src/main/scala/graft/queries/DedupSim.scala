@@ -185,6 +185,30 @@ object DedupSim {
         .orderBy($"split")
     }),
 
+    // Doc-in-doc containment dedup: plant a ~1/3-prefix snippet of
+    // every 7th doc as a new doc and find it — containment 1.0 where
+    // jaccard-targeted LSH sees ~0.33 and stays silent. Bounded corpus
+    // (first 500 docs, q50 precedent — the 31-word synthetic vocab
+    // makes unbounded containment output explosive); the OPERATOR is
+    // the scale path: inverted-index candidates under the hub cut,
+    // merge-pass containment verify (Dedup.containmentPairs).
+    "q213_containment_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .orderBy($"doc_id").limit(500)
+        .select($"doc_id", $"text")
+      val snip = docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          array_join(slice(split($"text", " "), lit(1),
+            greatest(lit(3),
+              floor(size(split($"text", " ")) / lit(3.0)).cast("int"))),
+            " ").as("text"))
+      val corpus = docs.unionByName(snip)
+      Dedup.containmentPairs(corpus, "doc_id", "text", k = 3,
+          threshold = 0.8, maxBucket = 64)
+        .orderBy($"idA", $"idB")
+    }),
+
     // The end-to-end corpus-curation RECIPE — the "make a training
     // corpus" flow as ONE query: language + quality gate → LSH
     // near-dup clustering over the survivors → per-cluster
@@ -991,6 +1015,8 @@ object DedupSim {
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
     "q209_leakage_safe_split" -> DedupPortableSql.leakageSafeSplitOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64, salt = "v1"),
+    "q213_containment_dedup" -> DedupPortableSql.containmentOracleSql(
+      threshold = 0.8, maxBucket = 64),
     "q149_image_phash_dedup" -> DedupPortableSql.imagePhashOracleSql(
       maxDist = 3, maxBucket = 256),
     "q161_audio_fp_dedup" -> DedupPortableSql.audioFpOracleSql(

@@ -402,6 +402,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 0)))
   }
 
+  test("containmentPairs finds doc-in-doc where jaccard-LSH is silent") {
+    import graft.operators.DedupPortable
+    // snippet = first third of a long doc: containment 1.0, jaccard
+    // well under the 0.7 LSH threshold
+    val big = (1 to 60).map(i => s"w${i % 37}x$i").mkString(" ")
+    val snippet = big.split(" ").take(20).mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, snippet), (3L, other)).toDF("id", "body")
+    val got = Dedup.containmentPairs(docs, "id", "body", k = 3,
+        threshold = 0.8, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)), got.toString)
+    // the same pair never surfaces from the jaccard-targeted path
+    val lsh = DedupPortable.minhashDuplicatePairsPortable(
+      docs, "id", "body", k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+    assert(lsh.count() == 0)
+    // kernel sanity: symmetric denominator, NaN-free on real sets
+    val c = docs.filter($"id" < 3)
+      .select(graft.functions.PortableExpr.md5Shingles($"body", 3).as("hs"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(c(1).subsetOf(c(0)))
+  }
+
   test("leakage-safe split: no duplicate cluster ever straddles splits") {
     // The q209 invariant on the real corpus: route docs by their
     // cluster rep and every cluster lands in exactly one split; the

@@ -1645,6 +1645,20 @@ class PipelineSpec extends AnyFunSuite {
         s"csvwrite:in=mi$i", s"filewrite:out=$d/m$i.csv"))
       assert(readOut(s"$d/m$i.csv").sorted == Seq("1", "3", "id"), arg)
     }
+
+    // method=containment: a snippet INSIDE doc 1 dies (containment
+    // 1.0) even though its jaccard vs the full doc is far below any
+    // LSH threshold — the doc-in-doc semantic the other methods miss
+    writeCsv(s"$d/cin.csv", "id,body",
+      "1,the quick brown fox jumps over the lazy dog today and tomorrow and forever more",
+      "2,the quick brown fox jumps",
+      "3,a completely different document about spark pipelines here")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/cin.csv", "csvread:infer=1:out=c0",
+      "dedupnear:in=c0:key=id:text=body:method=containment:threshold=0.9",
+      "select:exprs=id:out=cids",
+      "csvwrite:in=cids", s"filewrite:out=$d/c.csv"))
+    assert(readOut(s"$d/c.csv").sorted == Seq("1", "3", "id"))
   }
 
   test("dbdumpread reconstructs rows from a db_dump of a reference ndb file") {
