@@ -114,6 +114,18 @@ object Pipeline {
       */
     val originPaths = mutable.Map[String, String]()
 
+    /** progress=true (reference TODO:24-27, the row-count progress
+      * relay): every bounded stream registration rides a zero-cost
+      * CollectMetrics observation — counts are collected DURING the
+      * sink writes (no extra actions, unlike stats=true) and relayed
+      * to the log channel as each sink completes. Fan-out/self-join
+      * safe: one observation per stream name, and Spark tolerates the
+      * same CollectMetrics subtree on several paths of one plan.
+      */
+    var progressEnabled = false
+    val observations =
+      mutable.LinkedHashMap[String, org.apache.spark.sql.Observation]()
+
     def addErrors(mod: String, records: DataFrame): Unit =
       errorDfs += records.select(lit(mod).as("mod"),
         col(records.columns.head).cast("string").as("record"))
@@ -152,7 +164,13 @@ object Pipeline {
       val n = outName(spec)
       if (writers(n) > 0) // reference: one writer per stream (README.md:13-16)
         throw new BuildError(s"${spec.name}: stream '$n' already has a writer")
-      streams(n) = (df, t)
+      val stored =
+        if (progressEnabled && !df.isStreaming) {
+          val ob = new org.apache.spark.sql.Observation(s"progress_$n")
+          observations(n) = ob
+          df.observe(ob, count(lit(1)).as("rows"))
+        } else df
+      streams(n) = (stored, t)
       writers(n) += 1
       lastOut = Some(n)
       n
@@ -2515,9 +2533,40 @@ object Pipeline {
 
   def run(spark: SparkSession, words: Seq[String],
           stats: Boolean = false, errorSize: Int = 3,
-          inputs: Map[String, DataFrame] = Map.empty): RunResult = {
-    val ctx = build(spark, words, inputs)
-    val written = ctx.sinks.map { case (name, action) => name -> action() }.toMap
+          inputs: Map[String, DataFrame] = Map.empty,
+          progress: Boolean = false): RunResult = {
+    val ctx = build(spark, words, inputs, progress)
+    val relayed = mutable.Set[String]()
+    // Row counts observed DURING each sink's write (zero extra
+    // actions); relayed to the log channel as each sink completes —
+    // the reference-TODO progress info, at Spark's action granularity.
+    def relayProgress(deadlineMs: Long): Unit = if (progress) {
+      val until = System.currentTimeMillis() + deadlineMs
+      ctx.observations.foreach { case (n, ob) =>
+        if (!relayed(n)) {
+          // the observation listener fires on the async bus right
+          // after the action returns — bounded wait, never a block
+          val m: Option[org.apache.spark.sql.Row] = ob.future.value match {
+            case Some(scala.util.Success(row)) => Some(row)
+            case _ =>
+              val remaining = math.max(1L, until - System.currentTimeMillis())
+              try Some(scala.concurrent.Await.result(ob.future,
+                scala.concurrent.duration.Duration(remaining, "ms")))
+              catch { case _: java.util.concurrent.TimeoutException => None }
+          }
+          m.foreach { row =>
+            relayed += n
+            ctx.log("progress", s"$n rows=${row.getAs[Long]("rows")}")
+          }
+        }
+      }
+    }
+    val written = ctx.sinks.map { case (name, action) =>
+      val rows = action()
+      relayProgress(200L)
+      name -> rows
+    }.toMap
+    relayProgress(2000L)
 
     // Error budget (reference default 3, dbitool.pl:39). Errors also
     // print to stderr when nothing consumed them — the reference
@@ -2564,8 +2613,10 @@ object Pipeline {
     * data sinks finish.
     */
   def build(spark: SparkSession, words0: Seq[String],
-            inputs: Map[String, DataFrame] = Map.empty): Context = {
+            inputs: Map[String, DataFrame] = Map.empty,
+            progress: Boolean = false): Context = {
     val ctx = new Context(spark)
+    ctx.progressEnabled = progress
     // Externally-provided row streams (a MemoryStream in tests, any
     // DataFrame from library code): seeded with a writer so a module
     // can't shadow them, and subject to the same no-reader validation.

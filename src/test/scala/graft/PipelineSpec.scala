@@ -638,6 +638,31 @@ class PipelineSpec extends AnyFunSuite {
       "sssp:in=e2:seeds=nosuch", "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
+  test("progress relay: per-stream row counts observed during the run") {
+    val d = tmp("prog")
+    writeCsv(s"$d/in.csv", "id,v", "1,a", "2,b", "3,c")
+    // the self-join reads the observed stream 'kept' TWICE inside one
+    // sink plan — the relay must survive (same CollectMetrics subtree
+    // on two paths), and counts must match the data
+    val res = Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=rows",
+      "filter:in=rows:expr=id > 1:out=kept",
+      "select:in=kept:exprs=id:out=k1",
+      "join:in=k1:with=k1:on=id:out=j",
+      "csvwrite:in=j", s"filewrite:out=$d/out.csv"),
+      progress = true)
+    import spark.implicits._
+    val prog = res.log.filter($"mod" === "progress")
+      .select($"msg").as[String].collect().toSet
+    assert(prog.contains("rows rows=3"), prog.toString)
+    assert(prog.contains("kept rows=2"), prog.toString)
+    assert(prog.contains("k1 rows=2"), prog.toString)
+    assert(prog.contains("j rows=2"), prog.toString)
+    // progress costs no extra actions, so rowsWritten is unchanged
+    // (2 data rows + the csv header line)
+    assert(res.rowsWritten.values.toSeq == Seq(3L))
+  }
+
   test("entropy + safesplit + randomwalk modules end-to-end") {
     val d = tmp("curve")
     // entropy: uniform single char -> 0; 'ab' -> ln 2 rounded
