@@ -88,11 +88,23 @@ object Bench {
       sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       passes: Int = 3): BenchResult = {
+    // SPARK_GRAFT_GC=N: force a JVM gc every N samples (0 disables).
+    // ContextCleaner reclaims shuffle files/broadcasts only when their
+    // driver refs are collected — across a 600-sample session the
+    // un-collected backlog produces the position-dependent drag on
+    // heavy queries the r10 notes bisected (q168 floor 5.5 -> 6.9 s
+    // after 55 queries; with gc every 10 samples it held 5.7-5.8, and
+    // q162 ran at-or-below its standalone floor in both A/B repeats).
+    // Default 25 ≈ +2.6 s of gc across a full ~190 s suite.
+    val gcEvery = sys.env.get("SPARK_GRAFT_GC").map(_.toInt).getOrElse(25)
+    var sampleNo = 0
     def timeOnce(name: String): Either[String, Double] = {
       // Some operators persist internal relations (LSH signatures etc.)
       // scoped to one invocation; clearing between samples keeps them
       // independent and bounds cache growth across 80+ queries.
       spark.catalog.clearCache()
+      sampleNo += 1
+      if (gcEvery > 0 && sampleNo % gcEvery == 0) System.gc()
       val t0 = System.nanoTime()
       try {
         // noop-format write, not count(): count() lets Catalyst elide
