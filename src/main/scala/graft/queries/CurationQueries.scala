@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Ops, Similarity}
 import graft.functions.TextFunctions
 
 /** Corpus-curation queries (graft.operators.Curation + hard-negative
@@ -164,6 +164,60 @@ object CurationQueries {
           countDistinct($"lang").as("n_langs"),
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
         .orderBy($"split")
+    }),
+
+    // Dataset-release manifest: per training shard (the q166
+    // deterministic shuffle assignment), row count, token budget, and
+    // an ORDER-INVARIANT content fingerprint — the exact decimal sum
+    // of per-row md5 draws over (id, md5(text)), so any engine, any
+    // partitioning, any row order reproduces the same 38-digit
+    // integer. This is the integrity record a 100 TB release ships
+    // with: a consumer re-running the manifest query over a shard
+    // proves bit-level content identity without ordering guarantees.
+    // One hash-agg with map-side partials; zero windows beyond the
+    // shard assignment itself.
+    "q214_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      Ops.shuffleShardAssign(
+          t(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", nShards = 8, seed = "rel1")
+        .groupBy($"shard").agg(
+          count(lit(1)).as("n_rows"),
+          sum(size(split($"text", " ")).cast("long")).as("ws_tokens"),
+          sum(graft.operators.DedupPortable.md5Long(
+              concat($"doc_id".cast("string"), lit(":"), md5($"text")))
+            .cast("decimal(38,0)")).as("fingerprint"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"shard")
+    }),
+
+    // Probability-calibration report + exact Brier decomposition: the
+    // model-eval step a training pipeline runs on every scored
+    // snapshot. Predicted probability is a 2-decimal rational
+    // (p = k/100), so every squared error (p - y)² has denominator
+    // 10⁴ — the per-bin Brier numerator Σ(100p - 100y)² is an exact
+    // integer tally (decimal-accumulated per repo convention) and the
+    // final division is the only float op. |bins| = 10 rows of
+    // metadata from ONE scan; nothing here grows with the data.
+    "q215_calibration_brier" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "customer").select(
+        pmod($"c_custkey" * 37, lit(100)).cast("long").as("p100"),
+        when($"c_acctbal" > 0, 1L).otherwise(0L).as("y"))
+      scored
+        .withColumn("bin", floor($"p100" / 10.0).cast("int"))
+        .groupBy($"bin").agg(
+          count(lit(1)).as("n"),
+          sum($"p100").as("sp"),
+          sum($"y").as("positives"),
+          sum((($"p100" - $"y" * 100) * ($"p100" - $"y" * 100))
+            .cast("decimal(38,0)")).as("sq"))
+        .select($"bin", $"n",
+          round($"sp".cast("double") / ($"n" * 100), 4).as("mean_pred"),
+          $"positives",
+          round($"positives".cast("double") / $"n", 4).as("frac_pos"),
+          round($"sq".cast("double") / ($"n" * 10000), 6).as("brier"))
+        .orderBy($"bin")
     }),
 
     // PII scrubbing (Curation.redactPii): the synthetic corpus carries
@@ -483,6 +537,40 @@ object CurationQueries {
         |  FROM documents)
         |GROUP BY split
         |ORDER BY split""".stripMargin,
+
+    // Shard-manifest oracle: q166's md5 shard assignment + the exact
+    // decimal fingerprint sum — order-invariant, so GROUP BY replays
+    // it regardless of row order.
+    "q214_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'rel1'),
+        |      1, 15) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS INTEGER) AS shard,
+        |  count(*) AS n_rows,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  sum(CAST(CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS fingerprint,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Calibration/Brier oracle: identical integer tallies; the only
+    // float ops are the final divisions and rounds.
+    "q215_calibration_brier" ->
+      """WITH s AS (
+        |  SELECT (c_custkey * 37) % 100 AS p100,
+        |    CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+        |  FROM customer)
+        |SELECT CAST(floor(p100 / 10.0) AS INTEGER) AS bin,
+        |  count(*) AS n,
+        |  round(CAST(sum(p100) AS DOUBLE) / (count(*) * 100), 4) AS mean_pred,
+        |  CAST(sum(y) AS BIGINT) AS positives,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS frac_pos,
+        |  round(CAST(sum(CAST((p100 - y * 100) * (p100 - y * 100)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / (count(*) * 10000), 6) AS brier
+        |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // DuckDB replay of redactPii: same pattern strings verbatim (the
     // shared Java/RE2 regex subset), counts on the raw text, 'g'-flag
