@@ -197,6 +197,8 @@ object DedupSim {
       val docs = t(s, dir, "documents")
         .orderBy($"doc_id").limit(500)
         .select($"doc_id", $"text")
+        .persist() // both union branches + the snippet derivation read
+                   // it; harness cache-clear unpersists
       val snip = docs.filter($"doc_id" % 7 === 0)
         .select(($"doc_id" + 1000000L).as("doc_id"),
           array_join(slice(split($"text", " "), lit(1),

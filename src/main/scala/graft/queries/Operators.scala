@@ -562,6 +562,33 @@ object Operators {
         .orderBy($"seed", $"step", $"node")
     }),
 
+    // Skip-gram pair extraction over the walk corpus — the DeepWalk/
+    // node2vec training-data step: (center, context) co-occurrence
+    // counts within a +-2 step window. The self-join keys on the walk
+    // id (seed), so its fanout is steps x window per walk — linear in
+    // the walk corpus, never in the graph; the count is a map-side-
+    // combining hash-agg. Oracle: the q211 recursive walk + the same
+    // window self-join.
+    "q216_walk_skipgrams" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+        .distinct()
+        .persist()
+      val edges = pairs.select($"c".as("src"), $"p".as("dst"))
+        .unionByName(pairs.select($"p".as("src"), $"c".as("dst")))
+      val seeds = t(s, dir, "customer").filter($"c_custkey" % 100 === 0)
+        .select(($"c_custkey" * 2).as("id"))
+      val w = Ops.randomWalks(edges, seeds, steps = 4, salt = "w1")
+      val a = w.select($"seed", $"step".as("s1"), $"node".as("center"))
+      val b = w.select($"seed", $"step".as("s2"), $"node".as("context"))
+      a.join(b, "seed")
+        .filter($"s1" =!= $"s2" && abs($"s1" - $"s2") <= 2)
+        .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
+        .orderBy($"center", $"context")
+    }),
+
     // Exact quantity-weighted median price per returnflag: the
     // two-phase coarse-bucket plan — no whole-group sort/window task
     // ever exists (the naive cumulative window is the q148-class skew
@@ -825,12 +852,12 @@ object Operators {
        |SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
   }
 
-  /** q211 oracle: the hash-guided walk as a recursive CTE — per-src
+  /** The q211 walk CTEs (shared with the q216 skip-gram tail): per-src
     * dst-ranked edges, next hop = md5Long(node:step:salt, 8) mod
     * outdeg + 1 (the Ops.randomWalks recurrence, same md5 family as
     * hashSplit/KMV).
     */
-  private def randomWalksOracleSql(steps: Int, salt: String): String =
+  private def walkCtes(steps: Int, salt: String): String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
@@ -854,9 +881,25 @@ object Operators {
        |        CAST(w.node AS VARCHAR) || ':'
        |          || CAST(w.step AS VARCHAR) || ':$salt'), 1, 8) AS BIGINT)
        |      % d.outdeg + 1
-       |  WHERE w.step < $steps)
-       |SELECT seed, step, node FROM walk
-       |ORDER BY seed, step, node""".stripMargin
+       |  WHERE w.step < $steps)""".stripMargin
+
+  // NB: walkCtes is already margin-stripped — the tails concatenate
+  // plain strings (an outer stripMargin would strip the `||` concat
+  // lines INSIDE the interpolated CTEs a second time).
+  private def randomWalksOracleSql(steps: Int, salt: String): String =
+    walkCtes(steps, salt) +
+      "\nSELECT seed, step, node FROM walk\nORDER BY seed, step, node"
+
+  /** q216 oracle: window-2 skip-gram pairs over the same walk corpus. */
+  private def walkSkipgramsOracleSql(steps: Int, salt: String,
+                                     window: Int): String =
+    walkCtes(steps, salt) + s"""
+SELECT a.node AS center, b.node AS context, count(*) AS n
+FROM walk a JOIN walk b
+  ON a.seed = b.seed AND a.step <> b.step
+  AND abs(a.step - b.step) <= $window
+GROUP BY 1, 2
+ORDER BY center, context"""
 
   private def pageRankOracleSql(iters: Int): String = {
     // Replays Ops.pageRank's textbook recurrence term-for-term:
@@ -910,6 +953,7 @@ object Operators {
     "q168_pagerank" -> pageRankOracleSql(3),
     "q179_sssp" -> ssspOracleSql(6),
     "q211_random_walks" -> randomWalksOracleSql(4, "w1"),
+    "q216_walk_skipgrams" -> walkSkipgramsOracleSql(4, "w1", window = 2),
 
     // definitional weighted lower median: first value whose cumulative
     // weight reaches half the total

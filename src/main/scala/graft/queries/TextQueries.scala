@@ -360,6 +360,43 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Zipf rank-frequency slope per language — the corpus power-law
+    // health check (natural text sits near slope -1; synthetic or
+    // templated text flattens). OLS on (ln rank, ln freq) over the
+    // top-100 vocabulary per lang: each log term is decimal-quantized
+    // BEFORE summing (q117 discipline) so the sufficient statistics
+    // are exact and partition-order invariant; the slope is ONE
+    // fixed-order double expression both engines evaluate
+    // identically. The rank window partitions by lang over the vocab
+    // relation — bounded by vocabulary, never by corpus size.
+    "q217_zipf_slope" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val freq = t(s, dir, "documents")
+        .select($"lang", explode(split($"text", " ")).as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("r", row_number().over(
+          Window.partitionBy($"lang").orderBy($"f".desc, $"w".asc)))
+        .filter($"r" <= 100)
+      val qx = log($"r".cast("double")).cast("decimal(20,10)")
+      val qy = log($"f".cast("double")).cast("decimal(20,10)")
+      val terms = ranked.select($"lang", qx.as("qx"), qy.as("qy"),
+        (qx.cast("double") * qy.cast("double"))
+          .cast("decimal(30,12)").as("qxy"),
+        (qx.cast("double") * qx.cast("double"))
+          .cast("decimal(30,12)").as("qxx"))
+      terms.groupBy($"lang").agg(
+          count(lit(1)).as("n"),
+          sum($"qx").as("sx"), sum($"qy").as("sy"),
+          sum($"qxy").as("sxy"), sum($"qxx").as("sxx"))
+        .select($"lang", $"n",
+          round(($"n" * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"n" * $"sxx".cast("double")
+              - $"sx".cast("double") * $"sx".cast("double")), 4).as("slope"))
+        .orderBy($"lang")
+    }),
+
     // PMI collocations: the strongest word pairings by pointwise
     // mutual information ln((n12/NB)/((n1/NU)(n2/NU))) — the classic
     // phrase-detection statistic (word2vec-style phrase merging).
@@ -571,6 +608,40 @@ object TextQueries {
         |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents))
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // Zipf oracle: same quantized log terms, same fixed-order slope.
+    "q217_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT lang, w, count(*) AS f FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY lang, w),
+        |ranked AS (
+        |  SELECT lang, f,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY f DESC, w ASC) AS r
+        |  FROM freq),
+        |terms AS (
+        |  SELECT lang,
+        |    CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(20,10)) AS qx,
+        |    CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(20,10)) AS qy
+        |  FROM ranked WHERE r <= 100),
+        |t2 AS (
+        |  SELECT lang, qx, qy,
+        |    CAST(CAST(qx AS DOUBLE) * CAST(qy AS DOUBLE)
+        |      AS DECIMAL(30,12)) AS qxy,
+        |    CAST(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)
+        |      AS DECIMAL(30,12)) AS qxx
+        |  FROM terms),
+        |agg AS (
+        |  SELECT lang, count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+        |    sum(qxy) AS sxy, sum(qxx) AS sxx
+        |  FROM t2 GROUP BY lang)
+        |SELECT lang, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        |    4) AS slope
+        |FROM agg ORDER BY lang""".stripMargin,
 
     // charEntropy oracle: explode to code points, per-char counts,
     // per-term decimal(30,12) quantization (the kernel's exact
