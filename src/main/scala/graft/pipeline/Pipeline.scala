@@ -280,6 +280,47 @@ object Pipeline {
       ctx.log("fileread", s"open $path")
     }),
 
+    // Dynamic per-file fan-out (reference TODO "file type", one stream
+    // per input file): lists the glob AT BUILD TIME and registers one
+    // raw stream per match — prefix0, prefix1, ... in lexicographic
+    // path order — plus a (stream, path) manifest as the module's own
+    // out stream, so a pipeline can both address individual files and
+    // enumerate what matched. Per-file streams are read-optional (the
+    // match count isn't knowable when the pipeline is written), which
+    // exempts them from the dangling-stream check; the manifest is a
+    // normal stream and must be consumed.
+    Registered("globread", NoneType, RowType,
+      "in=GLOB:prefix=NAME:out=STREAM (registers raw streams NAME0..; out = manifest of stream,path)",
+      (ctx, m) => {
+        val pattern = m.args.getOrElse("in",
+          throw new BuildError("globread: in= required"))
+        val prefix = m.args.getOrElse("prefix",
+          throw new BuildError("globread: prefix= required"))
+        val hPath = new org.apache.hadoop.fs.Path(pattern)
+        val fs = hPath.getFileSystem(
+          ctx.spark.sparkContext.hadoopConfiguration)
+        val matches = Option(fs.globStatus(hPath)).map(_.toSeq)
+          .getOrElse(Seq.empty)
+          .filter(_.isFile).map(_.getPath.toString).sorted
+        if (matches.isEmpty)
+          throw new BuildError(s"globread: no files match '$pattern'")
+        matches.zipWithIndex.foreach { case (p, i) =>
+          val name = s"$prefix$i"
+          if (ctx.writers(name) > 0)
+            throw new BuildError(s"globread: stream '$name' already has a writer")
+          ctx.streams(name) = (rawDf(ctx.spark, p), RawType)
+          ctx.writers(name) += 1
+          ctx.readers(name) += 1 // read-optional by design (see scaladoc)
+          ctx.originPaths(name) = p
+        }
+        ctx.log("globread", s"matched ${matches.size} files for $pattern")
+        import ctx.spark.implicits._
+        val manifest = matches.zipWithIndex
+          .map { case (p, i) => (s"$prefix$i", p) }
+          .toDF("stream", "path")
+        ctx.writeStream(m.copy(args = m.args - "in"), manifest, RowType)
+      }),
+
     Registered("filewrite", RawType, NoneType, "in=STREAM:out=FILE[:gzip]", (ctx, m) => {
       val df = ctx.readStream(m, RawType)
       val path = m.args.getOrElse("out", throw new BuildError("filewrite: out= required"))

@@ -377,7 +377,7 @@ class PipelineSpec extends AnyFunSuite {
       "psi", "ks", "welch", "gini", "auc", "attribution",
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
-      "entropy", "safesplit", "randomwalk")
+      "entropy", "safesplit", "randomwalk", "globread")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -636,6 +636,30 @@ class PipelineSpec extends AnyFunSuite {
     intercept[BuildError](Pipeline.run(spark, Seq(
       s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e2",
       "sssp:in=e2:seeds=nosuch", "csvwrite", s"filewrite:out=$d/x.csv")))
+  }
+
+  test("globread: one raw stream per matched file + manifest") {
+    val d = tmp("glob")
+    writeCsv(s"$d/a.csv", "id,v", "1,x")
+    writeCsv(s"$d/b.csv", "id,v", "2,y", "3,z")
+    writeCsv(s"$d/ignore.txt", "nope")
+    // address one generated stream (part1 = b.csv, lexicographic) and
+    // consume the manifest; part0 stays unread — read-optional
+    Pipeline.run(spark, Seq(
+      s"globread:in=$d/*.csv:prefix=part:out=mf",
+      "csvread:in=part1:infer=1:out=rows",
+      "select:in=rows:exprs=id:out=ids",
+      "csvwrite:in=ids", s"filewrite:out=$d/ids.csv",
+      "csvwrite:in=mf", s"filewrite:out=$d/mf.csv"))
+    assert(readOut(s"$d/ids.csv") == Seq("id", "2", "3"))
+    val mf = readOut(s"$d/mf.csv")
+    assert(mf.head == "stream,path")
+    assert(mf.tail.map(_.split(",")(0)) == Seq("part0", "part1"))
+    assert(mf.tail(0).endsWith("a.csv") && mf.tail(1).endsWith("b.csv"))
+
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"globread:in=$d/*.nope:prefix=x:out=m2",
+      "csvwrite:in=m2", s"filewrite:out=$d/x.csv")))
   }
 
   test("progress relay: per-stream row counts observed during the run") {
