@@ -387,6 +387,34 @@ object Ops {
       .drop("__h")
   }
 
+  /** Dataset-release manifest: per shard (the [[shuffleShardAssign]]
+    * md5 assignment), row count, whitespace-token budget, and an
+    * ORDER-INVARIANT content fingerprint — the exact decimal(38,0) sum
+    * of per-row md5 draws over (id, md5(text)). Any engine, any
+    * partitioning, any row order reproduces the same integer, so a
+    * consumer re-running this over a received shard proves bit-level
+    * content identity with no ordering guarantees. One hash-agg with
+    * map-side partials; every column merges exactly (sums add, min/max
+    * re-min/max), which is what makes the streaming twin
+    * (EventStreams.manifestStream) bit-equal at any batch cut.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int, seed: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val id = col(idCol)
+    val fc = org.apache.spark.sql.functions
+    df.withColumn("shard", pmod(DedupPortable.md5Long(
+        fc.concat(id.cast("string"), lit(seed))), lit(nShards.toLong))
+        .cast("int"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("ws_tokens"),
+        sum(DedupPortable.md5Long(
+            fc.concat(id.cast("string"), lit(":"), md5(col(textCol))))
+          .cast("decimal(38,0)")).as("fingerprint"),
+        min(id).as("min_id"), max(id).as("max_id"))
+  }
+
   /** The physical half of [[shuffleShardAssign]]: actually WRITE the
     * shuffled shards — one parquet directory per shard, rows inside
     * each file in the md5 draw order. repartition on the shard value

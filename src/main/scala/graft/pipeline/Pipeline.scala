@@ -1356,6 +1356,24 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // Release-manifest module (q214 / Ops.shardManifest): per-shard
+    // rows, token budget, and the order-invariant exact content
+    // fingerprint — the integrity record a dataset release ships with.
+    Registered("manifest", RowType, RowType,
+      "in=STREAM:key=COL:text=COL:shards=8[:salt=S]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("manifest: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("manifest: text= required"))
+        val shards = m.args.getOrElse("shards", "8").toInt
+        if (shards < 1)
+          throw new BuildError(s"manifest: shards must be >= 1, got $shards")
+        ctx.writeStream(m, graft.operators.Ops.shardManifest(
+          df, key, text, shards, m.args.getOrElse("salt", "")), RowType)
+      }),
+
     Registered("assignids", RowType, RowType,
       "in=STREAM:order=COL[,COL...][:col=row_id]:out=STREAM", (ctx, m) => {
         // Contiguous global ids in the given total order (Ops.assignIds

@@ -178,16 +178,9 @@ object CurationQueries {
     // shard assignment itself.
     "q214_shard_manifest" -> ((s, dir) => {
       import s.implicits._
-      Ops.shuffleShardAssign(
+      Ops.shardManifest(
           t(s, dir, "documents").select($"doc_id", $"text"),
-          "doc_id", nShards = 8, seed = "rel1")
-        .groupBy($"shard").agg(
-          count(lit(1)).as("n_rows"),
-          sum(size(split($"text", " ")).cast("long")).as("ws_tokens"),
-          sum(graft.operators.DedupPortable.md5Long(
-              concat($"doc_id".cast("string"), lit(":"), md5($"text")))
-            .cast("decimal(38,0)")).as("fingerprint"),
-          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          "doc_id", "text", nShards = 8, seed = "rel1")
         .orderBy($"shard")
     }),
 

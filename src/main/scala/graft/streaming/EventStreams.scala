@@ -475,6 +475,42 @@ object EventStreams extends Serializable {
     (q, estimate)
   }
 
+  /** Streaming dataset-release manifest — the q214 twin: per-shard
+    * (n_rows, ws_tokens, fingerprint, min/max id) maintained as an
+    * incrementally-merged view. Every column is a commutative exact
+    * merge (counts and the decimal(38,0) fingerprint sum add; min/max
+    * re-min/max), so the maintained manifest is BIT-EQUAL to a batch
+    * recompute over everything ingested, at any batch cut — a release
+    * manifest that stays current WHILE shards ingest, no history
+    * rescan. State = nShards rows, regardless of stream length.
+    */
+  def manifestStream(rows: DataFrame, idCol: String, textCol: String,
+                     nShards: Int, seed: String = "")
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    def man(df: DataFrame): DataFrame =
+      graft.operators.Ops.shardManifest(df, idCol, textCol, nShards, seed)
+    val spark0 = rows.sparkSession
+    @volatile var view: DataFrame = man(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+      .localCheckpoint()
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          view = view.unionByName(man(batch.toDF()))
+            .groupBy(col("shard")).agg(
+              sum(col("n_rows")).as("n_rows"),
+              sum(col("ws_tokens")).as("ws_tokens"),
+              sum(col("fingerprint")).cast("decimal(38,0)").as("fingerprint"),
+              min(col("min_id")).as("min_id"),
+              max(col("max_id")).as("max_id"))
+            .localCheckpoint()
+      }
+      .start()
+    (q, () => view)
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

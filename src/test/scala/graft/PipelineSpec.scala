@@ -377,7 +377,7 @@ class PipelineSpec extends AnyFunSuite {
       "psi", "ks", "welch", "gini", "auc", "attribution",
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
-      "entropy", "safesplit", "randomwalk", "globread")
+      "entropy", "safesplit", "randomwalk", "globread", "manifest")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -636,6 +636,29 @@ class PipelineSpec extends AnyFunSuite {
     intercept[BuildError](Pipeline.run(spark, Seq(
       s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e2",
       "sssp:in=e2:seeds=nosuch", "csvwrite", s"filewrite:out=$d/x.csv")))
+  }
+
+  test("manifest module: per-shard counts and exact fingerprint") {
+    val d = tmp("man")
+    writeCsv(s"$d/in.csv", "id,body", "1,a b c", "2,d e", "3,f")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=docs",
+      "manifest:in=docs:key=id:text=body:shards=2:salt=m1:out=mf",
+      "sort:in=mf:by=shard:out=mo",
+      "csvwrite:in=mo", s"filewrite:out=$d/mf.csv"))
+    val lines = readOut(s"$d/mf.csv")
+    assert(lines.head == "shard,n_rows,ws_tokens,fingerprint,min_id,max_id")
+    val rows = lines.tail.map(_.split(","))
+    assert(rows.map(_(1).toLong).sum == 3L, lines.toString) // all docs counted
+    assert(rows.map(_(2).toLong).sum == 6L)                 // 3+2+1 tokens
+    // fingerprint: re-running over the same data reproduces it exactly
+    import spark.implicits._
+    val again = graft.operators.Ops.shardManifest(
+        Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("id", "body"),
+        "id", "body", nShards = 2, seed = "m1")
+      .orderBy($"shard").collect()
+      .map(r => (r.getInt(0), r.getDecimal(3).toString)).toSeq
+    assert(again == rows.map(r => (r(0).toInt, r(3))).toSeq)
   }
 
   test("globread: one raw stream per matched file + manifest") {

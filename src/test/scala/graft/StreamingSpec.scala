@@ -404,6 +404,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming shard manifest is bit-equal to the batch manifest at every cut") {
+    // q214's streaming twin: counts, token sums, the decimal
+    // fingerprint sum, and min/max ids all merge exactly — the
+    // maintained manifest equals a from-scratch recompute after any
+    // batching, bit for bit.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (1 to 90).map(i =>
+      (i.toLong, (0 to i % 7).map(j => s"tok${(i * 3 + j) % 11}").mkString(" ")))
+    def batchManifest(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("shard", pmod(graft.operators.DedupPortable.md5Long(
+          concat($"doc_id".cast("string"), lit("m1"))), lit(4L)).cast("int"))
+        .groupBy($"shard").agg(
+          count(lit(1)).as("n_rows"),
+          sum(size(split($"text", " ")).cast("long")).as("ws_tokens"),
+          sum(graft.operators.DedupPortable.md5Long(
+              concat($"doc_id".cast("string"), lit(":"), md5($"text")))
+            .cast("decimal(38,0)")).as("fingerprint"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+    val ms = MemoryStream[(Long, String)]
+    val (q, current) = EventStreams.manifestStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      nShards = 4, seed = "m1")
+    try {
+      Seq(all.slice(0, 30), all.slice(30, 71), all.slice(71, 90))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(30, 71, 90)(i))
+          val want = batchManifest(seen).orderBy($"shard").collect().toSeq
+          val got = current().orderBy($"shard").collect().toSeq
+          assert(got == want, s"cut $i diverged")
+        }
+    } finally q.stop()
+  }
+
   test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
     // q178's streaming twin: the maintained sufficient statistics are
     // exact decimal sums, so the model after ANY batching equals a
