@@ -69,6 +69,14 @@ object GraftExtensions {
       arity("graft_jaccard_sorted", args, 2)
       SortedLongJaccard(args(0), args(1))
     },
+    "graft_containment_sorted" -> { args =>
+      arity("graft_containment_sorted", args, 2)
+      SortedLongContainment(args(0), args(1))
+    },
+    "graft_char_entropy" -> { args =>
+      arity("graft_char_entropy", args, 1)
+      CharEntropyExpr(args(0))
+    },
     "graft_winnow" -> { args =>
       arity("graft_winnow", args, 3)
       WinnowFingerprintExpr(args(0),

@@ -30,6 +30,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("graft_char_entropy and graft_containment_sorted from SQL") {
+    val r = spark.sql(
+      """SELECT graft_char_entropy('aaaa') AS z,
+        |  round(graft_char_entropy('ab'), 4) AS h,
+        |  graft_containment_sorted(graft_md5_shingles('a b c', 3),
+        |                           graft_md5_shingles('a b c d e', 3)) AS c""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 0.6931) // ln 2 quantized
+    assert(r.getDouble(2) == 1.0)    // 'a b c' shingles inside the longer doc
+  }
+
   test("graft_winnow and graft_token_set_count from SQL") {
     val r = spark.sql(
       """SELECT size(graft_winnow('the quick brown fox jumps over it', 8, 4)) AS n,
