@@ -166,6 +166,53 @@ object ScaleRehearsal {
     val s1 = timed("q148-survivors-sf1")(survivorCount(spark, out))
     println(f"rehearsal: q148 survivors sf0.1=$s01 sf1=$s1 " +
       f"ratio=${s1.toDouble / s01}%.3f (predicted 10.0)")
+    spark.catalog.clearCache()
+
+    // 4. Containment pairs must scale EXACTLY 10×: the replica cipher
+    // is a bijection on tokens (so shingle-set structure, posting-list
+    // sizes, hub cuts, and containment values per replica all mirror
+    // the original exactly) and replica shingle domains are disjoint
+    // (no cross-replica candidates).
+    val c01 = timed("q213-containment-sf0.1")(
+      graft.operators.Dedup.containmentPairs(
+        spark.read.parquet(s"$sf01/documents.parquet"),
+        "doc_id", "text", k = 3, threshold = 0.8).count())
+    spark.catalog.clearCache()
+    val c1 = timed("q213-containment-sf1")(
+      graft.operators.Dedup.containmentPairs(
+        spark.read.parquet(s"$out/documents.parquet"),
+        "doc_id", "text", k = 3, threshold = 0.8).count())
+    println(s"rehearsal: q213 pairs sf0.1=$c01 sf1=$c1 " +
+      s"exact10x=${c1 == 10 * c01}")
+    spark.catalog.clearCache()
+
+    // 5. Walk corpus rows must scale EXACTLY with the seed set: the
+    // bipartite graph is symmetric (no sinks), so every seed yields
+    // exactly steps+1 rows — 10× seeds over the 10× graph = 10× rows,
+    // proving the per-step joins neither drop nor duplicate under the
+    // bigger ranked-edge relation.
+    def walkRows(dir: String): Long = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val pairsG = li.join(ord, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct().persist()
+      val edges = pairsG.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairsG.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = ord.select(col("o_custkey")).distinct()
+        .filter(col("o_custkey") % 100 === 0)
+        .select((col("o_custkey") * 2).as("id"))
+      val n = graft.operators.Ops.randomWalks(edges, seeds, steps = 4,
+        salt = "w1").count()
+      pairsG.unpersist(blocking = false)
+      n
+    }
+    val w01 = timed("q211-walk-rows-sf0.1")(walkRows(sf01))
+    spark.catalog.clearCache()
+    val w1 = timed("q211-walk-rows-sf1")(walkRows(out))
+    println(s"rehearsal: q211 walk rows sf0.1=$w01 sf1=$w1 " +
+      s"exact10x=${w1 == 10 * w01}")
     spark.stop()
   }
 }

@@ -816,6 +816,26 @@ class ScaleSpec extends AnyFunSuite {
       plan)
   }
 
+  test("skip-gram extraction: walk self-join is seed-keyed, count aggregates map-side") {
+    val plan = executed(SparkEntry.queries("q216_walk_skipgrams")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("zipf slope: rank window partitions by lang, never SinglePartition") {
+    val plan = executed(SparkEntry.queries("q217_zipf_slope")(spark, sf))
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("partial_"), plan) // sums combine map-side
+  }
+
+  test("shard manifest is ONE map-side-combining hash-agg over a narrow scan") {
+    val plan = executed(SparkEntry.queries("q214_shard_manifest")(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Window"), plan) // no pos window in the manifest path
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("leakage-safe split summary aggregates map-side (partial below exchange)") {
     // The q209 tail after the cluster join is a narrow md5 projection
     // + ONE hash aggregate: partial_count must sit below the exchange
