@@ -185,14 +185,52 @@ object Dedup {
     val posting = hashed.select(col("id"), lit(0).as("bandIdx"),
       explode(col("hs")).as("h"))
     val cand = bandCandidates(posting, "h", maxBucket)
-    cand
-      .join(hashed.select(col("id").as("idA"), col("hs").as("__sA")), "idA")
-      .join(hashed.select(col("id").as("idB"), col("hs").as("__sB")), "idB")
+    verifiedContainmentPairs(cand,
+      hashed.select(col("id"), col("hs").as("set")), threshold)
+  }
+
+  /** The [[verifiedJaccardPairs]] tail with the asymmetric containment
+    * denominator — (idA, idB, containment), survivors only.
+    */
+  private[operators] def verifiedContainmentPairs(candidates: DataFrame,
+                                                  sets: DataFrame,
+                                                  threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("id").as("idA"), col("set").as("__sA")), "idA")
+      .join(sets.select(col("id").as("idB"), col("set").as("__sB")), "idB")
       .withColumn("containment",
         graft.functions.TextExpr.containmentSorted(col("__sA"), col("__sB")))
       .filter(col("containment") >= threshold)
       .select(col("idA"), col("idB"),
         round(col("containment"), 4).as("containment"))
+
+  /** Incremental doc-in-doc containment — the daily-crawl twin of
+    * [[incrementalMinhash]] for the subset-duplication semantic: flag
+    * delta docs contained in (or containing) a corpus doc or an
+    * earlier delta doc. The corpus NEVER reshuffles: its shingle
+    * postings are pruned by a broadcast of the delta's distinct
+    * shingles (delta-sized keys), hub shingles thin to their min-id
+    * rep, and only the survivors verify. Same id-disjointness
+    * contract and verdict semantics as incrementalMinhash; score
+    * column is `best_containment`.
+    */
+  def incrementalContainment(corpus: DataFrame, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 3, threshold: Double = 0.8,
+                             maxBucket: Int = 64): DataFrame = {
+    def hashedOf(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        graft.functions.PortableExpr.md5Shingles(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def postingOf(h: DataFrame) = h.select(col("id"),
+      lit(0).as("bandIdx"), explode(col("hs")).as("bandHash"))
+    val ch = hashedOf(corpus)
+    val dh = hashedOf(delta)
+    incrementalVerdicts(ch, postingOf(ch), dh,
+      postingOf(dh).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      delta.select(col(idCol).as("id")), threshold, maxBucket,
+      verifier = verifiedContainmentPairs, scoreCol = "containment")
   }
 
   /** MinHash-LSH candidate pairs, verified with EXACT shingle jaccard.
@@ -604,7 +642,10 @@ object Dedup {
   private[operators] def incrementalVerdicts(
       corpusHashed: DataFrame, corpusBanded: DataFrame,
       deltaHashed: DataFrame, deltaBanded: DataFrame,
-      deltaIds: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
+      deltaIds: DataFrame, threshold: Double, maxBucket: Int,
+      verifier: (DataFrame, DataFrame, Double) => DataFrame =
+        verifiedJaccardPairs,
+      scoreCol: String = "jaccard"): DataFrame = {
     val deltaKeys = deltaBanded.select(col("bandIdx"), col("bandHash")).distinct()
     val touched = corpusBanded
       .join(broadcast(deltaKeys), Seq("bandIdx", "bandHash"), "left_semi")
@@ -619,8 +660,8 @@ object Dedup {
       .dropDuplicates("idA", "idB")
     val allSets = corpusHashed.select(col("id"), col("hs").as("set"))
       .unionByName(deltaHashed.select(col("id"), col("hs").as("set")))
-    val corpusPairs = verifiedJaccardPairs(xCand, allSets, threshold)
-    val deltaPairs = verifiedJaccardPairs(
+    val corpusPairs = verifier(xCand, allSets, threshold)
+    val deltaPairs = verifier(
       bandCandidates(deltaBanded, "bandHash", maxBucket),
       deltaHashed.select(col("id"), col("hs").as("set")), threshold)
     val matches = corpusPairs.withColumn("__src", lit("corpus"))
@@ -631,7 +672,7 @@ object Dedup {
         sum(when(col("__src") === "delta", 1L).otherwise(0L)).as("__nd"),
         min(when(col("__src") === "corpus", col("idA"))).as("__dupc"),
         min(when(col("__src") === "delta", col("idA"))).as("__dupd"),
-        max(col("jaccard")).as("best_jaccard"))
+        max(col(scoreCol)).as(s"best_$scoreCol"))
       .withColumnRenamed("idB", "id")
     deltaIds.join(agg, Seq("id"), "left")
       .select(col("id"),
@@ -641,7 +682,7 @@ object Dedup {
         coalesce(col("__dupc"), col("__dupd")).as("dup_of"),
         coalesce(col("__nc"), lit(0L)).as("n_corpus"),
         coalesce(col("__nd"), lit(0L)).as("n_delta"),
-        col("best_jaccard"))
+        col(s"best_$scoreCol"))
   }
 
   /** Incremental MinHash near-dup, xxhash64 hot path: flag delta docs

@@ -234,6 +234,83 @@ object DedupPortableSql {
        |FROM ver WHERE c >= $threshold
        |ORDER BY idA, idB""".stripMargin
 
+  /** q218 oracle: incremental containment — delta = planted 1/3-prefix
+    * snippets of every 10th doc (ids +1000000); corpus postings pruned
+    * to delta shingle keys, hub thinning to min-id rep, delta-delta
+    * via the shared hub-cut CTEs, containment verify, corpus-first
+    * verdicts (the Dedup.incrementalVerdicts semantics with the
+    * containment score).
+    */
+  def incrementalContainmentOracleSql(threshold: Double,
+                                      maxBucket: Int): String =
+    s"""WITH del AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(
+       |      ws[1:greatest(3, CAST(floor(len(ws) / 3.0) AS INT))], ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents WHERE doc_id % 10 = 0)),
+       |cs0 AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |    g -> ${md5Long("g")}))) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |cset AS (SELECT * FROM cs0 WHERE len(hs) > 0),
+       |ds0 AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |    g -> ${md5Long("g")}))) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM del)),
+       |dset AS (SELECT * FROM ds0 WHERE len(hs) > 0),
+       |cex AS (SELECT doc_id, unnest(hs) AS key FROM cset),
+       |dex AS (SELECT doc_id, unnest(hs) AS key FROM dset),
+       |cpr AS (SELECT * FROM cex
+       |        WHERE key IN (SELECT DISTINCT key FROM dex)),
+       |cstats AS (
+       |  SELECT key, count(*) AS bsz, min(doc_id) AS rep
+       |  FROM cpr GROUP BY key),
+       |cthin AS (
+       |  SELECT cpr.doc_id, cpr.key
+       |  FROM cpr JOIN cstats ON cpr.key = cstats.key
+       |  WHERE cstats.bsz <= $maxBucket OR cpr.doc_id = cstats.rep),
+       |xcand AS (
+       |  SELECT DISTINCT cthin.doc_id AS idA, dex.doc_id AS idB
+       |  FROM cthin JOIN dex ON cthin.key = dex.key),
+       |banded AS (SELECT doc_id, 0 AS b, key FROM dex),
+       |${hubCutCtes(maxBucket)},
+       |allcand AS (
+       |  SELECT idA, idB, 'corpus' AS src FROM xcand
+       |  UNION ALL
+       |  SELECT idA, idB, 'delta' AS src FROM cand),
+       |allsets AS (
+       |  SELECT doc_id, hs FROM cset UNION ALL SELECT doc_id, hs FROM dset),
+       |ver AS (
+       |  SELECT allcand.idA, allcand.idB, allcand.src,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / least(len(x.hs), len(y.hs)) AS c
+       |  FROM allcand JOIN allsets x ON x.doc_id = allcand.idA
+       |               JOIN allsets y ON y.doc_id = allcand.idB),
+       |m AS (
+       |  SELECT idB AS id,
+       |    CAST(count(CASE WHEN src = 'corpus' THEN 1 END) AS BIGINT) AS nc,
+       |    CAST(count(CASE WHEN src = 'delta' THEN 1 END) AS BIGINT) AS nd,
+       |    coalesce(min(CASE WHEN src = 'corpus' THEN idA END),
+       |             min(CASE WHEN src = 'delta' THEN idA END)) AS dup_of,
+       |    max(round(c, 4)) AS best_containment
+       |  FROM ver WHERE c >= $threshold GROUP BY idB)
+       |SELECT base.doc_id AS id,
+       |  CASE WHEN coalesce(m.nc, 0) > 0 THEN 'dup_corpus'
+       |       WHEN coalesce(m.nd, 0) > 0 THEN 'dup_delta'
+       |       ELSE 'new' END AS status,
+       |  m.dup_of,
+       |  CAST(coalesce(m.nc, 0) AS BIGINT) AS n_corpus,
+       |  CAST(coalesce(m.nd, 0) AS BIGINT) AS n_delta,
+       |  m.best_containment
+       |FROM (SELECT doc_id FROM del) base
+       |LEFT JOIN m ON base.doc_id = m.id
+       |ORDER BY id""".stripMargin
+
   /** q110 oracle: full replay of the incremental delta-vs-corpus pass
     * (DedupPortable.incrementalMinhashPortable). `deltaPred` is a SQL
     * predicate over `doc_id` selecting the delta batch; everything

@@ -211,6 +211,26 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // Incremental containment — the daily-crawl form of q213: today's
+    // batch (a planted 1/3-prefix snippet of every 10th doc) is
+    // checked for doc-in-doc duplication against the standing corpus
+    // WITHOUT reshuffling it (corpus postings pruned by a broadcast of
+    // the delta's shingles), plus within-batch self-containment. Full
+    // corpus, no cap — this IS the scale path.
+    "q218_incremental_containment" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val delta = docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          array_join(slice(split($"text", " "), lit(1),
+            greatest(lit(3),
+              floor(size(split($"text", " ")) / lit(3.0)).cast("int"))),
+            " ").as("text"))
+      Dedup.incrementalContainment(docs, delta, "doc_id", "text",
+          k = 3, threshold = 0.8, maxBucket = 64)
+        .orderBy($"id")
+    }),
+
     // The end-to-end corpus-curation RECIPE — the "make a training
     // corpus" flow as ONE query: language + quality gate → LSH
     // near-dup clustering over the survivors → per-cluster
@@ -1019,6 +1039,8 @@ object DedupSim {
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64, salt = "v1"),
     "q213_containment_dedup" -> DedupPortableSql.containmentOracleSql(
       threshold = 0.8, maxBucket = 64),
+    "q218_incremental_containment" -> DedupPortableSql
+      .incrementalContainmentOracleSql(threshold = 0.8, maxBucket = 64),
     "q149_image_phash_dedup" -> DedupPortableSql.imagePhashOracleSql(
       maxDist = 3, maxBucket = 256),
     "q161_audio_fp_dedup" -> DedupPortableSql.audioFpOracleSql(

@@ -425,6 +425,25 @@ class DedupSimSpec extends AnyFunSuite {
     assert(c(1).subsetOf(c(0)))
   }
 
+  test("incrementalContainment: snippet flags dup_corpus, fresh doc stays new") {
+    val big = (1 to 60).map(i => s"w${i % 37}x$i").mkString(" ")
+    val corpus = Seq((1L, big),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("id", "body")
+    val delta = Seq(
+      (101L, big.split(" ").take(20).mkString(" ")),   // inside doc 1
+      (102L, (1 to 30).map(i => s"y$i").mkString(" ")), // fresh (canonical)
+      (103L, (1 to 30).map(i => s"y$i").mkString(" "))) // dup of 102 in-batch
+      .toDF("id", "body")
+    val out = Dedup.incrementalContainment(corpus, delta, "id", "body",
+        k = 3, threshold = 0.8)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // within-batch pairs are idA<idB: the smaller id stays canonical
+    assert(out == Seq((101L, "dup_corpus", 1L), (102L, "new", -1L),
+      (103L, "dup_delta", 102L)), out.toString)
+  }
+
   test("leakage-safe split: no duplicate cluster ever straddles splits") {
     // The q209 invariant on the real corpus: route docs by their
     // cluster rep and every cluster lands in exactly one split; the
