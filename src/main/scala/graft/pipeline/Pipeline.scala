@@ -1209,6 +1209,44 @@ object Pipeline {
           df, key, nearDupPairSource(df, key, text, m)), RowType)
       }),
 
+    // Incremental (daily-crawl) dedup from the DSL: in= the standing
+    // corpus, delta= today's batch; emits per-delta-doc verdicts
+    // (id, status, dup_of, n_corpus, n_delta, best_score). The corpus
+    // never reshuffles — delta-keyed pruning does the work.
+    // method=minhash (near-dup, xxhash hot path) or containment
+    // (doc-in-doc). Ids must be disjoint across corpus and delta (the
+    // operator contract).
+    Registered("incdedup", RowType, RowType,
+      "in=STREAM:delta=STREAM:key=COL:text=COL:method=minhash|containment:threshold=0.7:k=3:maxbucket=64:out=STREAM",
+      (ctx, m) => {
+        val corpus = ctx.readStream(m, RowType)
+        val dname = m.args.getOrElse("delta",
+          throw new BuildError("incdedup: delta= required"))
+        val (delta, dt) = ctx.streams.getOrElse(dname,
+          throw new BuildError(s"incdedup: unknown stream '$dname'"))
+        if (dt != RowType)
+          throw new BuildError(s"incdedup: '$dname' is not a row stream")
+        ctx.readers(dname) += 1
+        val key = m.args.getOrElse("key",
+          throw new BuildError("incdedup: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("incdedup: text= required"))
+        val threshold = m.args.getOrElse("threshold", "0.7").toDouble
+        val k = m.args.getOrElse("k", "3").toInt
+        val maxBucket = m.args.getOrElse("maxbucket", "64").toInt
+        val out = m.args.getOrElse("method", "minhash") match {
+          case "minhash" => graft.operators.Dedup.incrementalMinhash(
+            corpus, delta, key, text, k = k, threshold = threshold,
+            maxBucket = maxBucket)
+          case "containment" => graft.operators.Dedup.incrementalContainment(
+            corpus, delta, key, text, k = k, threshold = threshold,
+            maxBucket = maxBucket)
+          case other => throw new BuildError(
+            s"incdedup: method=$other (methods: minhash, containment)")
+        }
+        ctx.writeStream(m, out, RowType)
+      }),
+
     // Cluster survivorship from the DSL: keep the best-quality member
     // per cluster (ties to smallest key), annotated with rep + family
     // size. clusters= takes a dedupcluster output stream; quality= a

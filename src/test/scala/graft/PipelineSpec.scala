@@ -377,7 +377,8 @@ class PipelineSpec extends AnyFunSuite {
       "psi", "ks", "welch", "gini", "auc", "attribution",
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
-      "entropy", "safesplit", "randomwalk", "globread", "manifest")
+      "entropy", "safesplit", "randomwalk", "globread", "manifest",
+      "incdedup")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -636,6 +637,30 @@ class PipelineSpec extends AnyFunSuite {
     intercept[BuildError](Pipeline.run(spark, Seq(
       s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e2",
       "sssp:in=e2:seeds=nosuch", "csvwrite", s"filewrite:out=$d/x.csv")))
+  }
+
+  test("incdedup module: delta verdicts against a standing corpus") {
+    val d = tmp("incd")
+    val big = (1 to 60).map(i => s"w${i % 37}x$i").mkString(" ")
+    writeCsv(s"$d/corpus.csv", "id,body",
+      s"1,$big", "2," + (1 to 40).map(i => s"z$i").mkString(" "))
+    writeCsv(s"$d/delta.csv", "id,body",
+      "101," + big.split(" ").take(20).mkString(" "),
+      "102," + (1 to 30).map(i => s"y$i").mkString(" "))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/delta.csv", "csvread:infer=1:out=delta",
+      s"fileread:in=$d/corpus.csv", "csvread:infer=1:out=corpus",
+      "incdedup:in=corpus:delta=delta:key=id:text=body:method=containment:threshold=0.8",
+      "select:exprs=id;status;dup_of:out=v",
+      "sort:in=v:by=id:out=vo",
+      "csvwrite:in=vo", s"filewrite:out=$d/v.csv"))
+    assert(readOut(s"$d/v.csv") ==
+      Seq("id,status,dup_of", "101,dup_corpus,1", "102,new,"))
+
+    intercept[BuildError](Pipeline.run(spark, Seq(
+      s"fileread:in=$d/corpus.csv", "csvread:infer=1:out=c2",
+      "incdedup:in=c2:delta=nosuch:key=id:text=body",
+      "csvwrite", s"filewrite:out=$d/x.csv")))
   }
 
   test("manifest module: per-shard counts and exact fingerprint") {
