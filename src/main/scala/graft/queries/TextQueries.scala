@@ -397,6 +397,42 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Gopher-style quality-gate battery: the classic rule stack a
+    // pretraining curation pass applies (length bounds, mean word
+    // length, punctuation ratio, stopword presence, distinct-word
+    // ratio, char entropy) — every threshold is INTEGER cross-multiply
+    // arithmetic (3·n ≤ Σchars ≤ 10·n instead of a float mean) except
+    // the entropy gate, whose kernel value is exact-decimal-derived
+    // and therefore engine-identical. Per-language report: docs kept
+    // and per-rule failure counts — the audit a filter change ships
+    // with. One scan, one hash-agg, all kernels codegen'd.
+    "q219_gopher_gates" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.{TextFunctions => TF}
+      val ws = split($"text", " ")
+      val n = size(ws)
+      val sumWc = length($"text") - (n - 1)
+      val gated = t(s, dir, "documents").select($"lang",
+        (n >= 25 && n <= 100000).as("r_len"),
+        (sumWc >= n * 3 && sumWc <= n * 10).as("r_wordlen"),
+        (TF.punctCount($"text") * 10 <= n).as("r_punct"),
+        (TF.stopwordCount($"text", TF.EnStopwords) >= 2).as("r_stop"),
+        (size(array_distinct(ws)) * 10 >= n * 3).as("r_distinct"),
+        (graft.functions.TextExpr.charEntropy($"text") >= 2.0)
+          .as("r_entropy"))
+      gated.groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          count(when($"r_len" && $"r_wordlen" && $"r_punct" && $"r_stop"
+            && $"r_distinct" && $"r_entropy", lit(1))).as("kept"),
+          count(when(!$"r_len", lit(1))).as("fail_len"),
+          count(when(!$"r_wordlen", lit(1))).as("fail_wordlen"),
+          count(when(!$"r_punct", lit(1))).as("fail_punct"),
+          count(when(!$"r_stop", lit(1))).as("fail_stop"),
+          count(when(!$"r_distinct", lit(1))).as("fail_distinct"),
+          count(when(!$"r_entropy", lit(1))).as("fail_entropy"))
+        .orderBy($"lang")
+    }),
+
     // PMI collocations: the strongest word pairings by pointwise
     // mutual information ln((n12/NB)/((n1/NU)(n2/NU))) — the classic
     // phrase-detection statistic (word2vec-style phrase merging).
@@ -608,6 +644,51 @@ object TextQueries {
         |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents))
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // Gopher-gates oracle: identical integer rule arithmetic; the
+    // entropy gate joins the q210 per-doc entropy replay.
+    "q219_gopher_gates" ->
+      s"""WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+        |ent AS (
+        |  SELECT cnt.doc_id,
+        |    CAST(sum(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS h
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        |  GROUP BY cnt.doc_id),
+        |feat AS (
+        |  SELECT d.lang,
+        |    len(string_split(d.text, ' ')) AS n,
+        |    length(d.text) - (len(string_split(d.text, ' ')) - 1) AS wc,
+        |    len(regexp_extract_all(d.text, '[\\.,;:!\\?]')) AS punct,
+        |    len(list_filter(string_split(d.text, ' '),
+        |      w -> list_contains($stopSql, w))) AS stop,
+        |    len(list_distinct(string_split(d.text, ' '))) AS dw,
+        |    coalesce(e.h, 0.0) AS ent
+        |  FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id),
+        |r AS (
+        |  SELECT lang,
+        |    (n >= 25 AND n <= 100000) AS r_len,
+        |    (wc >= n * 3 AND wc <= n * 10) AS r_wordlen,
+        |    (punct * 10 <= n) AS r_punct,
+        |    (stop >= 2) AS r_stop,
+        |    (dw * 10 >= n * 3) AS r_distinct,
+        |    (ent >= 2.0) AS r_entropy
+        |  FROM feat)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN r_len AND r_wordlen AND r_punct AND r_stop
+        |    AND r_distinct AND r_entropy THEN 1 END) AS kept,
+        |  count(CASE WHEN NOT r_len THEN 1 END) AS fail_len,
+        |  count(CASE WHEN NOT r_wordlen THEN 1 END) AS fail_wordlen,
+        |  count(CASE WHEN NOT r_punct THEN 1 END) AS fail_punct,
+        |  count(CASE WHEN NOT r_stop THEN 1 END) AS fail_stop,
+        |  count(CASE WHEN NOT r_distinct THEN 1 END) AS fail_distinct,
+        |  count(CASE WHEN NOT r_entropy THEN 1 END) AS fail_entropy
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Zipf oracle: same quantized log terms, same fixed-order slope.
     "q217_zipf_slope" ->
