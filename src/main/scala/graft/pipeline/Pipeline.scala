@@ -2171,6 +2171,101 @@ object Pipeline {
           round(graft.functions.TextExpr.charEntropy(col(text)), nd)), RowType)
       }),
 
+    // Gopher-style quality gates (q219): appends per-rule booleans and
+    // a `keep` flag, or filters to survivors with drop. Integer
+    // cross-multiply thresholds — see the q219 scaladoc.
+    Registered("qualitygate", RowType, RowType,
+      "in=STREAM:text=COL[:minwords=25][:maxwords=100000][:drop]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val text = m.args.getOrElse("text",
+          throw new BuildError("qualitygate: text= required"))
+        val minW = m.args.getOrElse("minwords", "25").toInt
+        val maxW = m.args.getOrElse("maxwords", "100000").toInt
+        if (minW < 1 || maxW < minW)
+          throw new BuildError(
+            s"qualitygate: need 1 <= minwords <= maxwords, got $minW..$maxW")
+        val tf = graft.functions.TextFunctions
+        val ws = split(col(text), " ")
+        val n = size(ws)
+        val wc = length(col(text)) - (n - lit(1))
+        val keep = (n >= minW && n <= maxW) &&
+          (wc >= n * 3 && wc <= n * 10) &&
+          (tf.punctCount(col(text)) * 10 <= n) &&
+          (tf.stopwordCount(col(text), tf.EnStopwords) >= 2) &&
+          (size(array_distinct(ws)) * 10 >= n * 3) &&
+          (graft.functions.TextExpr.charEntropy(col(text)) >= 2.0)
+        val out =
+          if (m.args.contains("drop")) df.filter(keep)
+          else df.withColumn("keep", keep)
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    // Per-group n-gram diversity report (q212): type/token ratio.
+    Registered("diversity", RowType, RowType,
+      "in=STREAM:group=COL:text=COL[:n=3]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val group = m.args.getOrElse("group",
+          throw new BuildError("diversity: group= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("diversity: text= required"))
+        val ng = m.args.getOrElse("n", "3").toInt
+        if (ng < 1 || ng > 8)
+          throw new BuildError(s"diversity: n in [1,8], got $ng")
+        val out = df
+          .select(col(group),
+            explode(graft.functions.TextExpr.wordNgrams(col(text), ng))
+              .as("__g"))
+          .groupBy(col(group))
+          .agg(count(lit(1)).as("total_ngrams"),
+            countDistinct(col("__g")).as("distinct_ngrams"))
+          .withColumn("diversity", round(
+            col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    // Zipf rank-frequency slope per group (q217): power-law corpus
+    // health via quantized-decimal OLS over the top-R vocabulary.
+    Registered("zipf", RowType, RowType,
+      "in=STREAM:group=COL:text=COL[:top=100]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val group = m.args.getOrElse("group",
+          throw new BuildError("zipf: group= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("zipf: text= required"))
+        val top = m.args.getOrElse("top", "100").toInt
+        if (top < 3)
+          throw new BuildError(s"zipf: top must be >= 3, got $top")
+        import org.apache.spark.sql.expressions.Window
+        val freq = df
+          .select(col(group), explode(split(col(text), " ")).as("__w"))
+          .groupBy(col(group), col("__w")).agg(count(lit(1)).as("__f"))
+        val ranked = freq.withColumn("__r", row_number().over(
+            Window.partitionBy(col(group))
+              .orderBy(col("__f").desc, col("__w").asc)))
+          .filter(col("__r") <= top)
+        val qx = log(col("__r").cast("double")).cast("decimal(20,10)")
+        val qy = log(col("__f").cast("double")).cast("decimal(20,10)")
+        val terms = ranked.select(col(group), qx.as("qx"), qy.as("qy"),
+          (qx.cast("double") * qy.cast("double"))
+            .cast("decimal(30,12)").as("qxy"),
+          (qx.cast("double") * qx.cast("double"))
+            .cast("decimal(30,12)").as("qxx"))
+        val out = terms.groupBy(col(group)).agg(
+            count(lit(1)).as("n"),
+            sum(col("qx")).as("__sx"), sum(col("qy")).as("__sy"),
+            sum(col("qxy")).as("__sxy"), sum(col("qxx")).as("__sxx"))
+          .select(col(group), col("n"),
+            round((col("n") * col("__sxy").cast("double")
+                - col("__sx").cast("double") * col("__sy").cast("double"))
+              / (col("n") * col("__sxx").cast("double")
+                - col("__sx").cast("double") * col("__sx").cast("double")),
+              4).as("slope"))
+        ctx.writeStream(m, out, RowType)
+      }),
+
     // k-NN majority-vote classification from the DSL (q180): in= the
     // labeled corpus, queries= the stream to classify; emits
     // (query_id, predicted).

@@ -378,7 +378,7 @@ class PipelineSpec extends AnyFunSuite {
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
-      "incdedup")
+      "incdedup", "qualitygate", "diversity", "zipf")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -637,6 +637,48 @@ class PipelineSpec extends AnyFunSuite {
     intercept[BuildError](Pipeline.run(spark, Seq(
       s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e2",
       "sssp:in=e2:seeds=nosuch", "csvwrite", s"filewrite:out=$d/x.csv")))
+  }
+
+  test("qualitygate + diversity + zipf text-analytics modules") {
+    val d = tmp("tqual")
+    val good = ("the cat sat on the mat and then the dog ran to the park " +
+      "with a ball and it was a good day for everyone in the town").trim
+    writeCsv(s"$d/in.csv", "id,body", s"1,$good", "2,tiny doc")
+    // qualitygate: keep flag appended; drop filters
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=docs",
+      "qualitygate:in=docs:text=body:minwords=10:out=g",
+      "select:in=g:exprs=id;keep:out=gs", "sort:in=gs:by=id:out=go",
+      "csvwrite:in=go", s"filewrite:out=$d/g.csv"))
+    assert(readOut(s"$d/g.csv") == Seq("id,keep", "1,true", "2,false"))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=docs2",
+      "qualitygate:in=docs2:text=body:minwords=10:drop:out=g2",
+      "select:in=g2:exprs=id:out=g2s",
+      "csvwrite:in=g2s", s"filewrite:out=$d/g2.csv"))
+    assert(readOut(s"$d/g2.csv") == Seq("id", "1"))
+
+    // diversity: 'a b a b' has 3 bigrams, 2 distinct
+    writeCsv(s"$d/div.csv", "src,body", "s1,a b a b")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/div.csv", "csvread:out=dv",
+      "diversity:in=dv:group=src:text=body:n=2:out=dd",
+      "csvwrite:in=dd", s"filewrite:out=$d/dd.csv"))
+    assert(readOut(s"$d/dd.csv") ==
+      Seq("src,total_ngrams,distinct_ngrams,diversity", "s1,3,2,0.666667"))
+
+    // zipf: three frequency tiers -> negative slope, n = vocab size
+    writeCsv(s"$d/z.csv", "src,body",
+      "s1," + (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
+        Seq.fill(2)("cc") ++ Seq("dd")).mkString(" "))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/z.csv", "csvread:out=zz",
+      "zipf:in=zz:group=src:text=body:top=10:out=zo",
+      "csvwrite:in=zo", s"filewrite:out=$d/zo.csv"))
+    val zo = readOut(s"$d/zo.csv")
+    assert(zo.head == "src,n,slope")
+    val parts = zo(1).split(",")
+    assert(parts(1) == "4" && parts(2).toDouble < -0.9, zo.toString)
   }
 
   test("incdedup module: delta verdicts against a standing corpus") {
