@@ -2171,6 +2171,29 @@ object Pipeline {
           round(graft.functions.TextExpr.charEntropy(col(text)), nd)), RowType)
       }),
 
+    // Real BPE subword tokenization (operators/Bpe.scala): trains the
+    // merge table from the stream itself at build time (one
+    // distributed word-count agg + the driver-side Sennrich merge
+    // loop) and appends the subword token array. For a pre-trained
+    // table, chain from a stream that carries the training text.
+    Registered("bpe", RowType, RowType,
+      "in=STREAM:text=COL:merges=N[:col=tokens][:maxvocab=50000]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val text = m.args.getOrElse("text",
+          throw new BuildError("bpe: text= required"))
+        val nm = m.args.getOrElse("merges",
+          throw new BuildError("bpe: merges= required")).toInt
+        if (nm < 1 || nm > 100000)
+          throw new BuildError(s"bpe: merges in [1,100000], got $nm")
+        val maxVocab = m.args.getOrElse("maxvocab", "50000").toInt
+        val table = graft.operators.Bpe.train(df, text, nm, maxVocab)
+        ctx.log("bpe", s"trained ${table.size} merges")
+        ctx.writeStream(m, df.withColumn(
+          m.args.getOrElse("col", "tokens"),
+          graft.operators.Bpe.encode(col(text), table)), RowType)
+      }),
+
     // Gopher-style quality gates (q219): appends per-rule booleans and
     // a `keep` flag, or filters to survivors with drop. Integer
     // cross-multiply thresholds — see the q219 scaladoc.

@@ -378,7 +378,7 @@ class PipelineSpec extends AnyFunSuite {
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
-      "incdedup", "qualitygate", "diversity", "zipf")
+      "incdedup", "qualitygate", "diversity", "zipf", "bpe")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
