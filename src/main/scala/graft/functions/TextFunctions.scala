@@ -65,6 +65,26 @@ object TextFunctions {
         lit(0.2) * (lit(1.0) - least(punctRatio, lit(1.0))), 4)
   }
 
+  /** Gopher-style quality rules (q219 / the qualitygate module) as
+    * named boolean columns — single source of truth for both the
+    * oracle query and the DSL. Every threshold is integer
+    * cross-multiply arithmetic except the entropy gate (whose kernel
+    * value is exact-decimal-derived, hence engine-identical).
+    */
+  def gopherRules(text: Column, minWords: Int = 25,
+                  maxWords: Int = 100000): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val n = size(ws)
+    val wc = length(text) - (n - lit(1))
+    Seq(
+      "r_len" -> (n >= minWords && n <= maxWords),
+      "r_wordlen" -> (wc >= n * 3 && wc <= n * 10),
+      "r_punct" -> (punctCount(text) * 10 <= n),
+      "r_stop" -> (stopwordCount(text, EnStopwords) >= 2),
+      "r_distinct" -> (size(array_distinct(ws)) * 10 >= n * 3),
+      "r_entropy" -> (TextExpr.charEntropy(text) >= 2.0))
+  }
+
   /** Language-ID: tiny per-language function-word marker lists, scored
     * by marker hits, argmax with a fixed priority order for ties.
     * A deterministic heuristic (n-gram-free variant of the classic

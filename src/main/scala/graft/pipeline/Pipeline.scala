@@ -2208,16 +2208,9 @@ object Pipeline {
         if (minW < 1 || maxW < minW)
           throw new BuildError(
             s"qualitygate: need 1 <= minwords <= maxwords, got $minW..$maxW")
-        val tf = graft.functions.TextFunctions
-        val ws = split(col(text), " ")
-        val n = size(ws)
-        val wc = length(col(text)) - (n - lit(1))
-        val keep = (n >= minW && n <= maxW) &&
-          (wc >= n * 3 && wc <= n * 10) &&
-          (tf.punctCount(col(text)) * 10 <= n) &&
-          (tf.stopwordCount(col(text), tf.EnStopwords) >= 2) &&
-          (size(array_distinct(ws)) * 10 >= n * 3) &&
-          (graft.functions.TextExpr.charEntropy(col(text)) >= 2.0)
+        val keep = graft.functions.TextFunctions
+          .gopherRules(col(text), minW, maxW)
+          .map(_._2).reduce(_ && _)
         val out =
           if (m.args.contains("drop")) df.filter(keep)
           else df.withColumn("keep", keep)

@@ -408,18 +408,9 @@ object TextQueries {
     // with. One scan, one hash-agg, all kernels codegen'd.
     "q219_gopher_gates" -> ((s, dir) => {
       import s.implicits._
-      import graft.functions.{TextFunctions => TF}
-      val ws = split($"text", " ")
-      val n = size(ws)
-      val sumWc = length($"text") - (n - 1)
-      val gated = t(s, dir, "documents").select($"lang",
-        (n >= 25 && n <= 100000).as("r_len"),
-        (sumWc >= n * 3 && sumWc <= n * 10).as("r_wordlen"),
-        (TF.punctCount($"text") * 10 <= n).as("r_punct"),
-        (TF.stopwordCount($"text", TF.EnStopwords) >= 2).as("r_stop"),
-        (size(array_distinct(ws)) * 10 >= n * 3).as("r_distinct"),
-        (graft.functions.TextExpr.charEntropy($"text") >= 2.0)
-          .as("r_entropy"))
+      val rules = graft.functions.TextFunctions.gopherRules($"text")
+      val gated = t(s, dir, "documents").select(
+        $"lang" +: rules.map { case (nm, c) => c.as(nm) }: _*)
       gated.groupBy($"lang").agg(
           count(lit(1)).as("n_docs"),
           count(when($"r_len" && $"r_wordlen" && $"r_punct" && $"r_stop"
