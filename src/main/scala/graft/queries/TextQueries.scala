@@ -16,6 +16,62 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
   private def stopSql = sqlList(EnStopwords)
 
+  /** q220's fixed merge table — the EXACT output of
+    * `Bpe.train(documents, "text", 8)` on the sf0.01 corpus (ties
+    * break lexicographically, so any rerun reproduces it). Shared by
+    * the Spark query and the recursive-CTE oracle.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"))
+
+  /** The lowest-rank-first BPE loop as SQL: per word-occurrence symbol
+    * list, each recursion step merges the LEFTMOST lowest-rank
+    * adjacent pair (list_indexof finds the first index of the min
+    * rank — the Bpe.encodeWord tie-break); terminal rows are those
+    * with no applicable pair.
+    */
+  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    def rankCase(a: String, b: String): String = {
+      val arms = merges.zipWithIndex.map { case ((x, y), r) =>
+        s"WHEN $a = '$x' AND $b = '$y' THEN $r"
+      }.mkString(" ")
+      s"CASE $arms END"
+    }
+    val pairRanks =
+      s"list_transform(range(1, len(syms)), i -> ${rankCase("syms[i]", "syms[i+1]")})"
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |init AS (
+       |  SELECT doc_id, lang,
+       |    list_append(string_split(w, ''), '</w>') AS syms
+       |  FROM w0 WHERE length(w) > 0),
+       |enc(doc_id, lang, syms) AS (
+       |  SELECT doc_id, lang, syms FROM init
+       |  UNION ALL
+       |  SELECT doc_id, lang,
+       |    list_concat(list_concat(
+       |      syms[1:bp-1], [syms[bp] || syms[bp+1]]), syms[bp+2:])
+       |  FROM (
+       |    SELECT doc_id, lang, syms,
+       |      list_indexof(rks,
+       |        list_min(list_filter(rks, r -> r IS NOT NULL))) AS bp
+       |    FROM (SELECT doc_id, lang, syms, $pairRanks AS rks FROM enc))
+       |  WHERE bp IS NOT NULL),
+       |fin AS (
+       |  SELECT doc_id, lang, syms FROM (
+       |    SELECT doc_id, lang, syms,
+       |      list_min(list_filter($pairRanks, r -> r IS NOT NULL)) AS mn
+       |    FROM enc)
+       |  WHERE mn IS NULL),
+       |toks AS (SELECT doc_id, lang, unnest(syms) AS tok FROM fin)
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS total_tokens,
+       |  count(DISTINCT tok) AS distinct_subwords
+       |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** BM25 terms + constants, shared by the Spark query and its oracle.
     * Every literal is written as the SAME decimal string in both (2.2,
     * 0.25, 0.5) — composing them differently (e.g. 1.2 + 1) yields a
@@ -424,6 +480,27 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // REAL BPE application, oracle-checked: a fixed 8-merge table
+    // (trained by Bpe.train on this very corpus — the literals below
+    // ARE its output) segments every word via the lowest-rank-first
+    // loop, and the oracle replays that loop as a RECURSIVE CTE over
+    // symbol lists — each step merges the leftmost lowest-rank pair,
+    // terminal states are the rows with no applicable merge. Per-lang
+    // token accounting from one explode. The tokenizer itself is a
+    // per-row expression (narrow, corpus-scale); training is the
+    // vocab-bounded word-count agg + driver merge loop (Bpe.scala).
+    "q220_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang", $"doc_id",
+          explode(graft.operators.Bpe.encode($"text", BpeMerges)).as("tok"))
+        .groupBy($"lang").agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("total_tokens"),
+          countDistinct($"tok").as("distinct_subwords"))
+        .orderBy($"lang")
+    }),
+
     // PMI collocations: the strongest word pairings by pointwise
     // mutual information ln((n12/NB)/((n1/NU)(n2/NU))) — the classic
     // phrase-detection statistic (word2vec-style phrase merging).
@@ -635,6 +712,8 @@ object TextQueries {
         |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents))
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q220_bpe_apply" -> bpeOracleSql(BpeMerges),
 
     // Gopher-gates oracle: identical integer rule arithmetic; the
     // entropy gate joins the q210 per-doc entropy replay.

@@ -59,6 +59,17 @@ class BpeSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("train on the real corpus matches an independently computed table") {
+    // expected table computed by a from-scratch reference
+    // implementation (python) over the same sf0.001 word counts —
+    // cross-validates counting, the merge loop, and the tie-break.
+    val merges = Bpe.train(Tables(spark, sf, "documents"), "text", 8)
+    assert(merges == Seq(
+      ("e", "r"), ("e", Bpe.Eow), ("n", Bpe.Eow), ("o", "r"),
+      ("t", Bpe.Eow), ("er", Bpe.Eow), ("o", "w"), ("ow", Bpe.Eow)),
+      merges.toString)
+  }
+
   test("bpe pipeline module trains on the stream and appends tokens") {
     val d = java.nio.file.Files.createTempDirectory("bpe").toString
     val corpus = counts.flatMap { case (w, f) =>
