@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * every statistic reduces the data to a per-(group, cell) integer
   * tally in ONE hash-agg with map-side partials, then finishes on the
   * metadata-sized cell relation. Windows only ever run over cells
-  * (bounded by the value domain), never over data rows; big sums ride
-  * decimal(38,0) so nothing wraps at production row counts.
+  * (bounded by the value domain), never over data rows. Big sums ride
+  * decimal(38,0), and factors that can individually exceed 2^63 (the
+  * Mann-Whitney per-score product, the Gini rank product) are cast to
+  * decimal BEFORE multiplying, so products overflow to a loud NULL at
+  * 38 digits instead of silently wrapping a BIGINT; Welch's variance
+  * finishes in doubles over the exact sums because its n·q and s·s
+  * terms can themselves exceed 38 digits.
   *
   * The reference has no drift surface at all (dbitool.pl's analytics
   * stop at count/sum stats) — north-star extension work.
@@ -140,9 +145,16 @@ object Drift {
       .withColumn("q2", (col("qg") - col("q1")).cast("decimal(38,0)"))
     def meanv(n: String, sx: String) =
       col(sx).cast("double") / col(n).cast("double")
+    // Variance via DOUBLES over the exact decimal sums: n·q and s·s
+    // individually approach 38 digits (sum of squares alone), so a
+    // decimal(38,0) product would overflow → NULL in non-ANSI Spark.
+    // Doubles make overflow impossible; both engines evaluate the
+    // identical fixed-order IEEE expression, so the oracle still
+    // matches bit-for-bit. Cancellation error is ~ulp(s²)/((n²-n)·var)
+    // — negligible unless var/mean² < ~1e-14·n.
     def varv(n: String, sx: String, qx: String) =
-      (col(n).cast("decimal(38,0)") * col(qx) - col(sx) * col(sx))
-        .cast("double") /
+      (col(n).cast("double") * col(qx).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double")) /
         (col(n).cast("double") * (col(n).cast("double") - 1.0))
     val tstat = (meanv("n1", "s1") - meanv("n2", "s2")) /
       sqrt(varv("n1", "s1", "q1") / col("n1").cast("double") +
@@ -169,7 +181,11 @@ object Drift {
     ranked.agg(
         count(lit(1)).as("n"),
         sum(col("__v")).as("total"),
-        sum(((col("rid") + 1L) * col("__v")).cast("decimal(38,0)")).as("s1"))
+        // cast the rank factor to decimal BEFORE the multiply: the
+        // per-row product i·xᵢ is itself ~n·avg and wraps a BIGINT long
+        // before the sum does (ADVICE r11)
+        sum(((col("rid") + 1L).cast("decimal(38,0)") * col("__v"))
+          .cast("decimal(38,0)")).as("s1"))
       .select(col("n"), col("total"),
         round(
           (col("s1") * 2L).cast("double") /
@@ -196,7 +212,12 @@ object Drift {
       .withColumn("cumb", col("cum_nn") - col("nn"))
     c.agg(
         sum(col("np")).as("p"), sum(col("nn")).as("n"),
-        sum((col("np") * (lit(2L) * col("cumb") + col("nn")))
+        // np is cast to decimal BEFORE the multiply: the per-row
+        // product np·(2·cumb+nn) is itself ~P·N-sized and wraps a
+        // BIGINT at production counts (np~2e9 · cumb~2.3e9) long
+        // before the sum does (ADVICE r11)
+        sum((col("np").cast("decimal(38,0)") *
+            (lit(2L) * col("cumb") + col("nn")))
           .cast("decimal(38,0)")).as("auc_num2"))
       .select(col("p"), col("n"), col("auc_num2"),
         (col("p").cast("decimal(38,0)") * col("n") * 2L)

@@ -565,7 +565,17 @@ object Ops {
         ranks = next
       }
     }
-    ranks
+    // Materialize the |V|-row result once (eager localCheckpoint —
+    // the per-round dm action already made the operator eager when
+    // dangling nodes exist), then release EVERY internal persist:
+    // without this, repeated library calls accumulated the edge
+    // relation, flags, and the final round's cache until an external
+    // clearCache (ADVICE r11).
+    val out = ranks.localCheckpoint()
+    e.unpersist(false)
+    flags.unpersist(false)
+    persisted.foreach(_.unpersist(false))
+    out
   }
 
   /** Bucketed-table layout: write `df` hash-bucketed (and sorted)

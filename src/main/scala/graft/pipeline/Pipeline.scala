@@ -2273,6 +2273,9 @@ object Pipeline {
             count(lit(1)).as("n"),
             sum(col("qx")).as("__sx"), sum(col("qy")).as("__sy"),
             sum(col("qxy")).as("__sxy"), sum(col("qxx")).as("__sxx"))
+          // 1-term vocabulary → slope denominator exactly 0 (0/0 NaN
+          // row); OLS needs ≥ 2 ranked terms (ADVICE r11)
+          .filter(col("n") >= 2)
           .select(col(group), col("n"),
             round((col("n") * col("__sxy").cast("double")
                 - col("__sx").cast("double") * col("__sy").cast("double"))

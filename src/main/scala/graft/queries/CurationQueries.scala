@@ -339,9 +339,13 @@ object CurationQueries {
         .withColumn("q2", ($"qg" - $"q1").cast("decimal(38,0)"))
       def meanv(n: String, sx: String) =
         col(sx).cast("double") / col(n).cast("double")
+      // variance via doubles over the exact sums: a decimal(38,0)
+      // product n·q (or s·s) overflows precision 38 → NULL for
+      // wide-valued columns; both engines evaluate the identical
+      // fixed-order IEEE expression (ADVICE r11, Drift.welch twin)
       def varv(n: String, sx: String, qx: String) =
-        (col(n).cast("decimal(38,0)") * col(qx) - col(sx) * col(sx))
-          .cast("double") /
+        (col(n).cast("double") * col(qx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double")) /
           (col(n).cast("double") * (col(n).cast("double") - 1.0))
       val tstat = (meanv("n1", "s1") - meanv("n2", "s2")) /
         sqrt(varv("n1", "s1", "q1") / $"n1".cast("double") +
@@ -383,7 +387,11 @@ object CurationQueries {
       // both sides.
       c.agg(
           sum($"np").as("p"), sum($"nn").as("n"),
-          sum(($"np" * (lit(2L) * $"cumb" + $"nn"))
+          // np cast to decimal BEFORE the multiply: the per-row
+          // product is ~P·N-sized and wraps a BIGINT long before the
+          // sum does (ADVICE r11)
+          sum(($"np".cast("decimal(38,0)") *
+              (lit(2L) * $"cumb" + $"nn"))
             .cast("decimal(38,0)")).as("auc_num2"))
         .select($"p", $"n", $"auc_num2",
           ($"p".cast("decimal(38,0)") * $"n" * 2L)
@@ -675,9 +683,10 @@ object CurationQueries {
         |GROUP BY sl.source
         |ORDER BY sl.source""".stripMargin,
 
-    // identical exact integer statistics, identical fixed-order
-    // Welch arithmetic (HUGEINT = the 128-bit exact twin of Spark's
-    // decimal(38,0))
+    // identical exact integer statistics (HUGEINT = the 128-bit exact
+    // twin of Spark's decimal(38,0) sums), identical fixed-order Welch
+    // arithmetic — the variance products run in DOUBLES on both sides
+    // because n·q / s·s individually outgrow 38 digits (ADVICE r11)
     "q191_ttest_drift" ->
       """WITH d AS (
         |  SELECT source, CAST(n_chars AS HUGEINT) AS x FROM documents),
@@ -694,19 +703,23 @@ object CurationQueries {
         |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
         |    / sqrt(
-        |        (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+        |        ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
         |          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
         |          / CAST(n1 AS DOUBLE)
-        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+        |      + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+        |            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
         |          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
         |          / CAST(n2 AS DOUBLE)), 6) AS t_stat,
         |  (abs((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
         |    / sqrt(
-        |        (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+        |        ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
         |          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
         |          / CAST(n1 AS DOUBLE)
-        |      + (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+        |      + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+        |            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
         |          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
         |          / CAST(n2 AS DOUBLE))) > 2.0) AS shifted
         |FROM j WHERE n1 > 1 AND n2 > 1
@@ -741,9 +754,9 @@ object CurationQueries {
          |  FROM per)
          |SELECT CAST(sum(np) AS BIGINT) AS p,
          |  CAST(sum(nn) AS BIGINT) AS n,
-         |  CAST(sum(np * (2 * cumb + nn)) AS DECIMAL(38,0)) AS auc_num2,
+         |  CAST(sum(CAST(np AS HUGEINT) * (2 * cumb + nn)) AS DECIMAL(38,0)) AS auc_num2,
          |  CAST(2 * sum(np) * sum(nn) AS DECIMAL(38,0)) AS auc_den2,
-         |  round(CAST(sum(np * (2 * cumb + nn)) AS DOUBLE)
+         |  round(CAST(sum(CAST(np AS HUGEINT) * (2 * cumb + nn)) AS DOUBLE)
          |    / CAST(sum(np) * sum(nn) * 2 AS DOUBLE), 6) AS auc
          |FROM c""".stripMargin,
 

@@ -412,10 +412,14 @@ object Operators {
       // wraps at production scale (Spark non-ANSI) while the oracle
       // promotes to HUGEINT — accumulate in decimal(38,0) (the
       // groupedLinearFit convention) and so for the n·total product.
+      // The rank factor is cast to decimal BEFORE the multiply: the
+      // per-row product i·cents itself wraps a BIGINT at ~2e9 rows of
+      // average spend, long before the sum does (ADVICE r11).
       ranked.agg(
           count(lit(1)).as("n"),
           sum($"cents").as("total_cents"),
-          sum((($"rid" + 1L) * $"cents").cast("decimal(38,0)")).as("s1"))
+          sum((($"rid" + 1L).cast("decimal(38,0)") * $"cents")
+            .cast("decimal(38,0)")).as("s1"))
         .select($"n", $"total_cents",
           round(
             ($"s1" * 2L).cast("double") /
@@ -989,7 +993,7 @@ ORDER BY center, context"""
         |  FROM spend)
         |SELECT count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  round(CAST(sum(i * cents) * 2 AS DOUBLE)
+        |  round(CAST(sum(CAST(i AS HUGEINT) * cents) * 2 AS DOUBLE)
         |      / CAST(count(*) * sum(cents) AS DOUBLE)
         |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS gini

@@ -445,6 +445,9 @@ object TextQueries {
           count(lit(1)).as("n"),
           sum($"qx").as("sx"), sum($"qy").as("sy"),
           sum($"qxy").as("sxy"), sum($"qxx").as("sxx"))
+        // a 1-term vocabulary makes the slope denominator exactly 0
+        // (qx=ln 1=0 → n·sxx−sx² = 0/0 = NaN): OLS needs ≥ 2 points
+        .filter($"n" >= 2)
         .select($"lang", $"n",
           round(($"n" * $"sxy".cast("double")
               - $"sx".cast("double") * $"sy".cast("double"))
@@ -792,7 +795,7 @@ object TextQueries {
         |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
         |    4) AS slope
-        |FROM agg ORDER BY lang""".stripMargin,
+        |FROM agg WHERE n >= 2 ORDER BY lang""".stripMargin,
 
     // charEntropy oracle: explode to code points, per-char counts,
     // per-term decimal(30,12) quantization (the kernel's exact
