@@ -45,10 +45,34 @@ object Bench {
           s""","errors":$m,"rc":1"""
         }
       val io = IoTagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val samples = results.map { case (k, r) =>
+        "\"" + k + "\":[" + r.samples.mkString(",") + "]"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","minsum":$minSum,""" +
         s""""queries":${numMap(_.median)},"mins":${numMap(_.min)}$errs,""" +
-        s""""io_tagged":$io,"sf":"$sfDir"}"""
+        s""""io_tagged":$io,"samples":$samples,""" +
+        s""""spread_med":${fmt2(spreadMedian)},"spread_max":${fmt2(spreadMax)},""" +
+        s""""sf":"$sfDir"}"""
     }
+
+    private def fmt2(d: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
+    /** Per-query spread = max(sample)/min(sample): ~1.0 on a quiet
+      * host; a CPU-steal burst shows as a 10-25x spread inside ONE
+      * query's back-to-back samples. The suite median and max make the
+      * artifact self-adjudicating (VERDICT r11 #1) — a driver run with
+      * spread_med >> 1.2 was cut on a stolen window and its totals
+      * can't be compared across rounds.
+      */
+    def spreads: Vector[Double] = results.collect {
+      case (_, r) if r.samples.nonEmpty && r.samples.min > 0 =>
+        r.samples.max / r.samples.min
+    }
+    def spreadMedian: Double =
+      if (spreads.isEmpty) 1.0
+      else spreads.sorted.apply((spreads.size - 1) / 2)
+    def spreadMax: Double = if (spreads.isEmpty) 1.0 else spreads.max
 
     /** Compact final-stdout-line summary. The full per-query map
       * (`json`) outgrew the driver's 2 kB stdout tail at 146 queries
@@ -64,6 +88,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""minsum":${fmt(minSum)},"n":${results.size},"rc":$rc,""" +
         s""""errors":$nErr,"io_tagged":${IoTagged.size},""" +
+        s""""spread_med":${fmt2(spreadMedian)},"spread_max":${fmt2(spreadMax)},""" +
         s""""detail":"target/bench.json","sf":"$sfDir"}"""
     }
 

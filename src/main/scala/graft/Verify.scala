@@ -4,6 +4,34 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** HEAD commit of the repo at `cwd` (or the nearest .git upward),
+    * resolved by reading .git/HEAD -> refs -> packed-refs directly.
+    * "unknown" when not in a git checkout — never throws.
+    */
+  def gitSha(): String = try {
+    var dir = Paths.get("").toAbsolutePath
+    while (dir != null && !Files.isDirectory(dir.resolve(".git")))
+      dir = dir.getParent
+    if (dir == null) "unknown"
+    else {
+      val git = dir.resolve(".git")
+      val head = Files.readString(git.resolve("HEAD")).trim
+      if (!head.startsWith("ref: ")) head
+      else {
+        val ref = head.stripPrefix("ref: ").trim
+        val loose = git.resolve(ref)
+        if (Files.exists(loose)) Files.readString(loose).trim
+        else {
+          val packed = git.resolve("packed-refs")
+          if (!Files.exists(packed)) "unknown"
+          else Files.readString(packed).linesIterator
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split(" ")(0)).getOrElse("unknown")
+        }
+      }
+    }
+  } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +79,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Stamp the dump with the git SHA it was produced from: a driver
+    // CORRECTNESS artifact cut mid-round is then attributable to its
+    // exact commit (VERDICT r11 #8 — the r11 217/220 cost a judge
+    // re-run to adjudicate). Plain file reads, no process exec.
+    Files.writeString(Paths.get(s"$outDir/git_sha.txt"), gitSha() + "\n")
     spark.stop()
   }
 }

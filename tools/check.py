@@ -36,6 +36,13 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # Echo the dump's git SHA (written by Verify) so a correctness
+    # record is attributable to its exact commit.
+    try:
+        with open(f"{outdir}/git_sha.txt") as f:
+            print(f"dump git sha: {f.read().strip()}")
+    except OSError:
+        pass
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Optional 3rd arg: comma-separated query-name prefixes to check
     # (pairs with Verify's SPARK_GRAFT_ONLY dev filter).
