@@ -33,7 +33,11 @@ object Bench {
 
     /** One-line JSON contract with the driver: metric/value/unit/queries/sf,
       * plus minsum, per-query mins, errors (only when present), and the
-      * I/O-tagged exclusion list.
+      * I/O-tagged exclusion list. Raw per-query samples live ONLY in
+      * the samplesJson artifact (ADVICE r12 — duplicating them here
+      * re-grew the line the compactJson note says outgrew the driver's
+      * 2 kB stdout tail); the spread summary fields keep this line
+      * self-adjudicating without the raw arrays.
       */
     def json: String = {
       val errs =
@@ -45,12 +49,9 @@ object Bench {
           s""","errors":$m,"rc":1"""
         }
       val io = IoTagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val samples = results.map { case (k, r) =>
-        "\"" + k + "\":[" + r.samples.mkString(",") + "]"
-      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","minsum":$minSum,""" +
         s""""queries":${numMap(_.median)},"mins":${numMap(_.min)}$errs,""" +
-        s""""io_tagged":$io,"samples":$samples,""" +
+        s""""io_tagged":$io,""" +
         s""""spread_med":${fmt2(spreadMedian)},"spread_max":${fmt2(spreadMax)},""" +
         s""""sf":"$sfDir"}"""
     }
@@ -65,14 +66,14 @@ object Bench {
       * spread_med >> 1.2 was cut on a stolen window and its totals
       * can't be compared across rounds.
       */
-    def spreads: Vector[Double] = results.collect {
+    lazy val spreads: Vector[Double] = results.collect {
       case (_, r) if r.samples.nonEmpty && r.samples.min > 0 =>
         r.samples.max / r.samples.min
     }
-    def spreadMedian: Double =
+    lazy val spreadMedian: Double =
       if (spreads.isEmpty) 1.0
       else spreads.sorted.apply((spreads.size - 1) / 2)
-    def spreadMax: Double = if (spreads.isEmpty) 1.0 else spreads.max
+    lazy val spreadMax: Double = if (spreads.isEmpty) 1.0 else spreads.max
 
     /** Compact final-stdout-line summary. The full per-query map
       * (`json`) outgrew the driver's 2 kB stdout tail at 146 queries

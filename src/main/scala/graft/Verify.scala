@@ -4,31 +4,69 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  /** HEAD commit of the repo at `cwd` (or the nearest .git upward),
-    * resolved by reading .git/HEAD -> refs -> packed-refs directly.
-    * "unknown" when not in a git checkout — never throws.
+  /** HEAD commit of THIS repo, resolved by reading .git/HEAD -> refs ->
+    * packed-refs directly — "unknown" when no checkout is found, never
+    * throws. Root resolution order (ADVICE r12 — a cwd-first walk
+    * mis-attributes the SHA when the launcher's cwd sits in a DIFFERENT
+    * enclosing repo): 1) $SPARK_GRAFT_REPO if set; 2) walk up from
+    * `anchor` (Verify passes its outDir — inside the checkout by
+    * construction); 3) walk up from the process cwd. `.git` may be a
+    * worktree/submodule gitdir-POINTER FILE (`gitdir: <path>`), which
+    * is followed (relative paths resolve against the pointer's dir).
     */
-  def gitSha(): String = try {
-    var dir = Paths.get("").toAbsolutePath
-    while (dir != null && !Files.isDirectory(dir.resolve(".git")))
-      dir = dir.getParent
-    if (dir == null) "unknown"
-    else {
-      val git = dir.resolve(".git")
-      val head = Files.readString(git.resolve("HEAD")).trim
-      if (!head.startsWith("ref: ")) head
-      else {
-        val ref = head.stripPrefix("ref: ").trim
-        val loose = git.resolve(ref)
-        if (Files.exists(loose)) Files.readString(loose).trim
+  def gitSha(anchor: Option[String] = None): String = try {
+    def gitDirAt(p: java.nio.file.Path): Option[java.nio.file.Path] = {
+      val g = p.resolve(".git")
+      if (Files.isDirectory(g)) Some(g)
+      else if (Files.isRegularFile(g)) {
+        // worktree/submodule: ".git" is a one-line pointer file
+        val line = Files.readString(g).trim
+        if (!line.startsWith("gitdir:")) None
         else {
-          val packed = git.resolve("packed-refs")
-          if (!Files.exists(packed)) "unknown"
-          else Files.readString(packed).linesIterator
-            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
-            .map(_.split(" ")(0)).getOrElse("unknown")
+          val tgt = Paths.get(line.stripPrefix("gitdir:").trim)
+          val abs = if (tgt.isAbsolute) tgt else p.resolve(tgt).normalize
+          if (Files.isDirectory(abs)) Some(abs) else None
         }
+      } else None
+    }
+    def walkUp(from: java.nio.file.Path): Option[java.nio.file.Path] = {
+      var dir = from.toAbsolutePath.normalize
+      var found: Option[java.nio.file.Path] = None
+      while (dir != null && found.isEmpty) {
+        found = gitDirAt(dir); if (found.isEmpty) dir = dir.getParent
       }
+      found
+    }
+    val roots: Seq[Option[java.nio.file.Path]] =
+      Seq(sys.env.get("SPARK_GRAFT_REPO").flatMap(r => walkUp(Paths.get(r))),
+        anchor.flatMap(a => walkUp(Paths.get(a))),
+        walkUp(Paths.get("")))
+    roots.flatten.headOption match {
+      case None => "unknown"
+      case Some(git) =>
+        // worktree gitdirs keep HEAD locally but refs in commondir
+        val common = {
+          val cd = git.resolve("commondir")
+          if (!Files.isRegularFile(cd)) git
+          else {
+            val c = Paths.get(Files.readString(cd).trim)
+            (if (c.isAbsolute) c else git.resolve(c)).normalize
+          }
+        }
+        val head = Files.readString(git.resolve("HEAD")).trim
+        if (!head.startsWith("ref: ")) head
+        else {
+          val ref = head.stripPrefix("ref: ").trim
+          val loose = Seq(git.resolve(ref), common.resolve(ref))
+            .find(Files.exists(_))
+          loose.map(p => Files.readString(p).trim).getOrElse {
+            val packed = common.resolve("packed-refs")
+            if (!Files.exists(packed)) "unknown"
+            else Files.readString(packed).linesIterator
+              .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+              .map(_.split(" ")(0)).getOrElse("unknown")
+          }
+        }
     }
   } catch { case _: Throwable => "unknown" }
 
@@ -83,7 +121,8 @@ object Verify {
     // CORRECTNESS artifact cut mid-round is then attributable to its
     // exact commit (VERDICT r11 #8 — the r11 217/220 cost a judge
     // re-run to adjudicate). Plain file reads, no process exec.
-    Files.writeString(Paths.get(s"$outDir/git_sha.txt"), gitSha() + "\n")
+    Files.writeString(Paths.get(s"$outDir/git_sha.txt"),
+      gitSha(anchor = Some(outDir)) + "\n")
     spark.stop()
   }
 }

@@ -24,13 +24,30 @@ import graft.functions.TextFunctions
   * dedup is north-star extension work.
   *
   * Cache note: the pair builders persist small internal relations
-  * (hashed shingles, signatures) that are load-bearing for both
-  * correctness-of-cost (plan reuse across join sides) and plan-shape
-  * tests, and stay cached until the session ends. Long-lived sessions
-  * running many dedup jobs should `spark.catalog.clearCache()` between
-  * them (Bench does).
+  * (hashed shingles, signatures) that are load-bearing for
+  * correctness-of-cost (plan reuse across join sides). Every public
+  * builder RELEASES those persists before returning (eager
+  * localCheckpoint of the result, then unpersist — the Ops.pageRank
+  * pattern, VERDICT r12 #2): long-lived sessions running many dedup
+  * jobs accumulate nothing, no caller-side clearCache contract.
+  * DedupSimSpec gates cacheManager-empty after each builder.
   */
 object Dedup {
+
+  /** Materialize `out` once (eager localCheckpoint) and release every
+    * internal persist before returning — the Ops.pageRank cache-hygiene
+    * pattern applied to the pair builders. The returned Dataset's
+    * checkpoint blocks are executor-local (unrecoverable on executor
+    * loss — cluster callers needing fault tolerance should write the
+    * pairs out) and live until it is GC'd; callers done early can
+    * release them with out.unpersist().
+    */
+  private[operators] def checkpointReleasing(out: DataFrame,
+                                             internals: DataFrame*): DataFrame = {
+    val cp = out.localCheckpoint()
+    internals.foreach(_.unpersist(false))
+    cp
+  }
 
   /** Distinct word-k-shingles per document. */
   def shingles(text: Column, k: Int): Column =
@@ -185,8 +202,10 @@ object Dedup {
     val posting = hashed.select(col("id"), lit(0).as("bandIdx"),
       explode(col("hs")).as("h"))
     val cand = bandCandidates(posting, "h", maxBucket)
-    verifiedContainmentPairs(cand,
-      hashed.select(col("id"), col("hs").as("set")), threshold)
+    checkpointReleasing(
+      verifiedContainmentPairs(cand,
+        hashed.select(col("id"), col("hs").as("set")), threshold),
+      hashed)
   }
 
   /** The [[verifiedJaccardPairs]] tail with the asymmetric containment
@@ -227,10 +246,13 @@ object Dedup {
       lit(0).as("bandIdx"), explode(col("hs")).as("bandHash"))
     val ch = hashedOf(corpus)
     val dh = hashedOf(delta)
-    incrementalVerdicts(ch, postingOf(ch), dh,
-      postingOf(dh).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      delta.select(col(idCol).as("id")), threshold, maxBucket,
-      verifier = verifiedContainmentPairs, scoreCol = "containment")
+    val dp = postingOf(dh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    checkpointReleasing(
+      incrementalVerdicts(ch, postingOf(ch), dh, dp,
+        delta.select(col(idCol).as("id")), threshold, maxBucket,
+        verifier = verifiedContainmentPairs, scoreCol = "containment"),
+      ch, dh, dp)
   }
 
   /** MinHash-LSH candidate pairs, verified with EXACT shingle jaccard.
@@ -277,8 +299,10 @@ object Dedup {
 
     // Exact verification joins hashed shingles back for surviving
     // pairs only.
-    verifiedJaccardPairs(candidates,
-      hashed.select(col("id"), col("hs").as("set")), threshold)
+    checkpointReleasing(
+      verifiedJaccardPairs(candidates,
+        hashed.select(col("id"), col("hs").as("set")), threshold),
+      hashed, sig)
   }
 
   /** SimHash-64 from token hashes: bit b of the output is 1 iff tokens
@@ -371,12 +395,14 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("bandIdx", "bandHash")))
-    bandCandidates(banded, "bandHash", maxBucket)
-      .join(base.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
-      .join(base.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
-      .select(col("idA"), col("idB"),
-        hamming(col("fpA"), col("fpB")).cast("int").as("dist"))
-      .filter(col("dist") <= maxDist)
+    checkpointReleasing(
+      bandCandidates(banded, "bandHash", maxBucket)
+        .join(base.select(col("id").as("idA"), col("fp").as("fpA")), "idA")
+        .join(base.select(col("id").as("idB"), col("fp").as("fpB")), "idB")
+        .select(col("idA"), col("idB"),
+          hamming(col("fpA"), col("fpB")).cast("int").as("dist"))
+        .filter(col("dist") <= maxDist),
+      base)
   }
 
   /** Video (frame-sequence) near-dup over PRECOMPUTED per-frame
@@ -396,13 +422,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       posexplode(col("fhs")).as(Seq("bandIdx", "fh")))
-    bandCandidates(banded, "fh", maxBucket)
-      .join(base.select(col("id").as("idA"), col("fhs").as("fA")), "idA")
-      .join(base.select(col("id").as("idB"), col("fhs").as("fB")), "idB")
-      .select(col("idA"), col("idB"),
-        expr("cast(aggregate(zip_with(fA, fB, (x, y) -> if(x = y, 1, 0))," +
-          " 0, (a, v) -> a + v) as int)").as("shared"))
-      .filter(col("shared") >= minShared)
+    checkpointReleasing(
+      bandCandidates(banded, "fh", maxBucket)
+        .join(base.select(col("id").as("idA"), col("fhs").as("fA")), "idA")
+        .join(base.select(col("id").as("idB"), col("fhs").as("fB")), "idB")
+        .select(col("idA"), col("idB"),
+          expr("cast(aggregate(zip_with(fA, fB, (x, y) -> if(x = y, 1, 0))," +
+            " 0, (a, v) -> a + v) as int)").as("shared"))
+        .filter(col("shared") >= minShared),
+      base)
   }
 
   /** Winnowing fingerprint (rolling-hash, MOSS scheme — see
@@ -425,6 +453,21 @@ object Dedup {
   def winnowDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 16, w: Int = 8, threshold: Double = 0.5,
                            maxBucket: Int = 64): DataFrame = {
+    val (out, internals) =
+      winnowDuplicatePairsRaw(df, idCol, textCol, k, w, threshold, maxBucket)
+    checkpointReleasing(out, internals: _*)
+  }
+
+  /** [[winnowDuplicatePairs]] before the checkpoint-release tail:
+    * (lazy result, persisted internals). Exists so plan-shape gates
+    * (ScaleSpec) can inspect the REAL candidate-join plan — the public
+    * builder's localCheckpoint collapses it to a scan. Callers must
+    * unpersist the returned internals.
+    */
+  private[graft] def winnowDuplicatePairsRaw(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 64): (DataFrame, Seq[DataFrame]) = {
     val fps = df
       .select(col(idCol).as("id"), winnowFingerprints(col(textCol), k, w).as("fp"))
       .filter(size(col("fp")) > 0)
@@ -443,8 +486,8 @@ object Dedup {
       .filter(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
 
-    verifiedJaccardPairs(candidates,
-      fps.select(col("id"), col("fp").as("set")), threshold)
+    (verifiedJaccardPairs(candidates,
+      fps.select(col("id"), col("fp").as("set")), threshold), Seq(fps))
   }
 
   /** Greedy keep-smallest-id dedup from a pair list: drop every doc
@@ -719,8 +762,10 @@ object Dedup {
     val ch = hashedOf(corpus)
     val dh = hashedOf(delta)
     val db = bandedOf(dh).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    incrementalVerdicts(ch, bandedOf(ch), dh, db,
-      delta.select(col(idCol).as("id")), threshold, maxBucket)
+    checkpointReleasing(
+      incrementalVerdicts(ch, bandedOf(ch), dh, db,
+        delta.select(col(idCol).as("id")), threshold, maxBucket),
+      ch, dh, db)
   }
 
   /** EXACT all-pairs Jaccard similarity self-join via prefix filtering
@@ -782,8 +827,43 @@ object Dedup {
     * extension work.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         pairsMode: String = "all"): DataFrame = {
+    val (out, internals) =
+      prefixJaccardPairsRaw(docs, idCol, textCol, threshold, pairsMode)
+    checkpointReleasing(out, internals: _*)
+  }
+
+  /** [[prefixJaccardPairs]] before the checkpoint-release tail:
+    * (lazy result, persisted internals). Exists so plan-shape gates
+    * (ScaleSpec) can inspect the REAL prefix-token candidate plan —
+    * the public builder's localCheckpoint collapses it to a scan.
+    * Callers must unpersist the returned internals.
+    *
+    * `pairsMode` (VERDICT r12 #1 — the output-volume scale knob):
+    *  - "all": every qualifying (idA, idB, jac) pair. Within a
+    *    duplicate family of m docs that is m(m-1)/2 rows — the one
+    *    stage of the operator that ISN'T shape-collapsed, and at
+    *    crawl scale (boilerplate families of 10^5 docs) it alone can
+    *    dwarf everything upstream.
+    *  - "starEdges": the LINEAR certificate of the same clustering —
+    *    within each shape, rep→member edges at jaccard 1.0 (rep =
+    *    sid, the shape's min member id); across shapes, ONE
+    *    rep→rep edge per qualifying shape pair carrying the shape
+    *    jaccard. Connected components over these edges are IDENTICAL
+    *    to components over "all" (each star edge is a real pair;
+    *    every all-pairs edge is a within/cross star path), so
+    *    duplicateClusters / survivors / leakage-safe splits consume
+    *    them unchanged — DedupSimSpec pins the cluster bit-equality.
+    *    Output rows: members + shape pairs, never members².
+    */
+  private[graft] def prefixJaccardPairsRaw(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      pairsMode: String = "all"): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(pairsMode == "all" || pairsMode == "starEdges",
+      s"pairsMode must be all|starEdges, got $pairsMode")
     val toks = docs
       .select(col(idCol).as("id"),
         array_distinct(filter(split(col(textCol), " "), t => t =!= ""))
@@ -844,18 +924,34 @@ object Dedup {
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jac") >= threshold)
       .select(col("sidA"), col("sidB"), col("jac"))
-    // 5: expansion — cross-shape member pairs inherit the shape
-    // jaccard; within-shape member pairs are exact duplicates
-    // (jaccard exactly 1.0, identical to i/(2n-i) at i=n=union).
-    val cross = spairs
-      .join(members.select(col("sid").as("sidA"), col("id").as("ia")), "sidA")
-      .join(members.select(col("sid").as("sidB"), col("id").as("ib")), "sidB")
-      .select(least(col("ia"), col("ib")).as("idA"),
-        greatest(col("ia"), col("ib")).as("idB"), col("jac"))
-    val within = members.select(col("sid"), col("id").as("idA"))
-      .join(members.select(col("sid"), col("id").as("idB")), "sid")
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), lit(1.0).as("jac"))
-    cross.unionByName(within)
+    // 5: expansion. "all" — cross-shape member pairs inherit the
+    // shape jaccard (fan-out join), within-shape member pairs are
+    // exact duplicates (jaccard exactly 1.0, identical to i/(2n-i) at
+    // i=n=union). "starEdges" — no fan-out at all: sid IS the shape's
+    // min member id, so shape pairs are already rep→rep edges and the
+    // within stars are one members-sized projection.
+    val out =
+      if (pairsMode == "starEdges") {
+        val cross = spairs
+          .select(col("sidA").as("idA"), col("sidB").as("idB"), col("jac"))
+        val within = members.filter(col("id") =!= col("sid"))
+          .select(col("sid").as("idA"), col("id").as("idB"),
+            lit(1.0).as("jac"))
+        cross.unionByName(within)
+      } else {
+        val cross = spairs
+          .join(members.select(col("sid").as("sidA"), col("id").as("ia")),
+            "sidA")
+          .join(members.select(col("sid").as("sidB"), col("id").as("ib")),
+            "sidB")
+          .select(least(col("ia"), col("ib")).as("idA"),
+            greatest(col("ia"), col("ib")).as("idB"), col("jac"))
+        val within = members.select(col("sid"), col("id").as("idA"))
+          .join(members.select(col("sid"), col("id").as("idB")), "sid")
+          .filter(col("idA") < col("idB"))
+          .select(col("idA"), col("idB"), lit(1.0).as("jac"))
+        cross.unionByName(within)
+      }
+    (out, Seq(shapes, members, ordered))
   }
 }

@@ -100,9 +100,11 @@ object DedupPortable {
         .as(Seq("bandIdx", "bandHash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    Dedup.verifiedJaccardPairs(
-      Dedup.bandCandidates(banded, "bandHash", maxBucket),
-      hashed.select(col("id"), col("hs").as("set")), threshold)
+    Dedup.checkpointReleasing(
+      Dedup.verifiedJaccardPairs(
+        Dedup.bandCandidates(banded, "bandHash", maxBucket),
+        hashed.select(col("id"), col("hs").as("set")), threshold),
+      hashed, banded)
   }
 
   /** The 60-bit md5-family SimHash per row via the single-pass kernel:
@@ -176,6 +178,21 @@ object DedupPortable {
   def winnowDuplicatePairsPortable(df: DataFrame, idCol: String, textCol: String,
                                    k: Int = 16, w: Int = 8, threshold: Double = 0.5,
                                    maxBucket: Int = 64): DataFrame = {
+    val (out, internals) = winnowDuplicatePairsPortableRaw(
+      df, idCol, textCol, k, w, threshold, maxBucket)
+    Dedup.checkpointReleasing(out, internals: _*)
+  }
+
+  /** [[winnowDuplicatePairsPortable]] before the checkpoint-release
+    * tail: (lazy result, persisted internals) — plan-shape gates
+    * (ScaleSpec q57) inspect the real candidate-join plan through this;
+    * the public builder's localCheckpoint collapses it to a scan.
+    * Callers must unpersist the returned internals.
+    */
+  private[graft] def winnowDuplicatePairsPortableRaw(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 64): (DataFrame, Seq[DataFrame]) = {
     // Single-pass kernel: per-doc fingerprint set in one narrow
     // projection (the exploded + window-min DataFrame formulation below
     // is the bit-identical semantic reference).
@@ -195,8 +212,8 @@ object DedupPortable {
       .select(col("a.id").as("idA"), col("b.id").as("idB"))
       .dropDuplicates("idA", "idB")
 
-    Dedup.verifiedJaccardPairs(candidates,
-      fps.select(col("id"), col("fp").as("set")), threshold)
+    (Dedup.verifiedJaccardPairs(candidates,
+      fps.select(col("id"), col("fp").as("set")), threshold), Seq(fps))
   }
 
   /** Exploded + window-min formulation of the portable winnowing
@@ -244,6 +261,23 @@ object DedupPortable {
                                  k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                                  threshold: Double = 0.7,
                                  maxBucket: Int = 64): DataFrame = {
+    val (out, internals) = incrementalMinhashPortableRaw(
+      corpus, delta, idCol, textCol, k, numPerm, bands, threshold, maxBucket)
+    Dedup.checkpointReleasing(out, internals: _*)
+  }
+
+  /** [[incrementalMinhashPortable]] before the checkpoint-release tail:
+    * (lazy verdicts, persisted internals) — ScaleSpec's broadcast-prune
+    * gate inspects the real plan through this (the public builder's
+    * localCheckpoint collapses it to a scan). Callers must unpersist
+    * the returned internals.
+    */
+  private[graft] def incrementalMinhashPortableRaw(
+      corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): (DataFrame, Seq[DataFrame]) = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     def hashedOf(df: DataFrame) = df
       .select(col(idCol).as("id"),
@@ -265,7 +299,8 @@ object DedupPortable {
     val ch = hashedOf(corpus)
     val dh = hashedOf(delta)
     val db = bandedOf(dh).persist(StorageLevel.MEMORY_AND_DISK)
-    Dedup.incrementalVerdicts(ch, bandedOf(ch), dh, db,
-      delta.select(col(idCol).as("id")), threshold, maxBucket)
+    (Dedup.incrementalVerdicts(ch, bandedOf(ch), dh, db,
+      delta.select(col(idCol).as("id")), threshold, maxBucket),
+      Seq(ch, dh, db))
   }
 }

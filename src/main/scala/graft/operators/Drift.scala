@@ -151,10 +151,15 @@ object Drift {
     // Doubles make overflow impossible; both engines evaluate the
     // identical fixed-order IEEE expression, so the oracle still
     // matches bit-for-bit. Cancellation error is ~ulp(s²)/((n²-n)·var)
-    // — negligible unless var/mean² < ~1e-14·n.
+    // — negligible unless var/mean² < ~1e-14·n. The numerator is
+    // clamped at 0 (greatest — identical fn on both engines): the
+    // exact decimal form guarantees n·q − s² >= 0, but cancellation
+    // can push the double form a hair negative for near-constant
+    // groups, turning sqrt into NaN; clamped, a near-zero variance
+    // yields a large finite |t| instead (ADVICE r12).
     def varv(n: String, sx: String, qx: String) =
-      (col(n).cast("double") * col(qx).cast("double") -
-        col(sx).cast("double") * col(sx).cast("double")) /
+      greatest(col(n).cast("double") * col(qx).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double"), lit(0.0)) /
         (col(n).cast("double") * (col(n).cast("double") - 1.0))
     val tstat = (meanv("n1", "s1") - meanv("n2", "s2")) /
       sqrt(varv("n1", "s1", "q1") / col("n1").cast("double") +

@@ -570,7 +570,14 @@ object Ops {
     // dangling nodes exist), then release EVERY internal persist:
     // without this, repeated library calls accumulated the edge
     // relation, flags, and the final round's cache until an external
-    // clearCache (ADVICE r11).
+    // clearCache (ADVICE r11). Caveats (ADVICE r12): localCheckpoint
+    // truncates lineage into executor-LOCAL blocks — on a cluster,
+    // losing an executor (incl. dynamic deallocation) makes the
+    // result unrecoverable, so cluster callers that need fault
+    // tolerance should write the result out instead of holding it;
+    // and the checkpoint blocks live until the Dataset is GC'd —
+    // callers done with the result can release them early with
+    // out.unpersist() (valid on localCheckpoint data).
     val out = ranks.localCheckpoint()
     e.unpersist(false)
     flags.unpersist(false)

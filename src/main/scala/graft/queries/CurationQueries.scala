@@ -342,10 +342,12 @@ object CurationQueries {
       // variance via doubles over the exact sums: a decimal(38,0)
       // product n·q (or s·s) overflows precision 38 → NULL for
       // wide-valued columns; both engines evaluate the identical
-      // fixed-order IEEE expression (ADVICE r11, Drift.welch twin)
+      // fixed-order IEEE expression (ADVICE r11, Drift.welch twin);
+      // numerator clamped at 0 so double cancellation on a
+      // near-constant group can't drive sqrt to NaN (ADVICE r12)
       def varv(n: String, sx: String, qx: String) =
-        (col(n).cast("double") * col(qx).cast("double") -
-          col(sx).cast("double") * col(sx).cast("double")) /
+        greatest(col(n).cast("double") * col(qx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double"), lit(0.0)) /
           (col(n).cast("double") * (col(n).cast("double") - 1.0))
       val tstat = (meanv("n1", "s1") - meanv("n2", "s2")) /
         sqrt(varv("n1", "s1", "q1") / $"n1".cast("double") +
@@ -686,7 +688,9 @@ object CurationQueries {
     // identical exact integer statistics (HUGEINT = the 128-bit exact
     // twin of Spark's decimal(38,0) sums), identical fixed-order Welch
     // arithmetic — the variance products run in DOUBLES on both sides
-    // because n·q / s·s individually outgrow 38 digits (ADVICE r11)
+    // because n·q / s·s individually outgrow 38 digits (ADVICE r11);
+    // numerator clamped with greatest(…, 0.0) exactly as the Spark
+    // side so double cancellation can't make sqrt NaN (ADVICE r12)
     "q191_ttest_drift" ->
       """WITH d AS (
         |  SELECT source, CAST(n_chars AS HUGEINT) AS x FROM documents),
@@ -698,32 +702,26 @@ object CurationQueries {
         |j AS (
         |  SELECT source, n1, s1, q1,
         |    ng - n1 AS n2, sg - s1 AS s2, qg - q1 AS q2
-        |  FROM per CROSS JOIN tot)
-        |SELECT source, n1 AS n_docs,
-        |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |  FROM per CROSS JOIN tot),
+        |v AS (
+        |  SELECT source, n1, n2, s1, s2,
+        |    greatest(CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+        |    greatest(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+        |        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE), 0.0)
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+        |  FROM j WHERE n1 > 1 AND n2 > 1),
+        |ts AS (
+        |  SELECT source, n1,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |    / sqrt(
-        |        ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
-        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-        |          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
-        |          / CAST(n1 AS DOUBLE)
-        |      + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
-        |            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
-        |          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
-        |          / CAST(n2 AS DOUBLE)), 6) AS t_stat,
-        |  (abs((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |    / sqrt(
-        |        ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
-        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-        |          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
-        |          / CAST(n1 AS DOUBLE)
-        |      + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
-        |            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
-        |          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
-        |          / CAST(n2 AS DOUBLE))) > 2.0) AS shifted
-        |FROM j WHERE n1 > 1 AND n2 > 1
-        |ORDER BY source""".stripMargin,
+        |      / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+        |      AS t
+        |  FROM v)
+        |SELECT source, n1 AS n_docs, round(t, 6) AS t_stat,
+        |  (abs(t) > 2.0) AS shifted
+        |FROM ts ORDER BY source""".stripMargin,
 
     // same per-score tallies, same integer Mann-Whitney algebra; the
     // oracle's plain cumulative window is the relation the

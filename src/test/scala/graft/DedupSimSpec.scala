@@ -470,4 +470,76 @@ class DedupSimSpec extends AnyFunSuite {
       assert(split.select($"split").distinct().count() == 3)
     } finally split.unpersist(blocking = false)
   }
+
+  test("pair builders self-release: session cache empty after each returns") {
+    // VERDICT r12 #2: every public builder localCheckpoints its result
+    // and unpersists its internals — NO caller-side clearCache
+    // contract. The probe sees the CacheManager directly (checkpoint
+    // blocks live in the block store, not the relation cache, so an
+    // empty CacheManager is exactly "no persisted relations leaked").
+    import graft.operators.{Dedup => D, DedupPortable => DP, Ops}
+    import org.apache.spark.sql.graftprobe.CacheProbe
+    def assertClean(name: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
+      val out = build
+      out.count()
+      assert(CacheProbe.cacheIsEmpty(spark),
+        s"$name left persisted internals in the session cache")
+    }
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    assertClean("minhashDuplicatePairs")(
+      D.minhashDuplicatePairs(docs, "doc_id", "text", threshold = 0.8))
+    assertClean("simhashDuplicatePairs")(
+      D.simhashDuplicatePairs(docs, "doc_id", "text"))
+    assertClean("winnowDuplicatePairs")(
+      D.winnowDuplicatePairs(docs, "doc_id", "text"))
+    assertClean("containmentPairs")(
+      D.containmentPairs(docs, "doc_id", "text"))
+    assertClean("prefixJaccardPairs(all)")(
+      D.prefixJaccardPairs(docs, "doc_id", "text", 0.9))
+    assertClean("prefixJaccardPairs(starEdges)")(
+      D.prefixJaccardPairs(docs, "doc_id", "text", 0.9, "starEdges"))
+    assertClean("incrementalMinhash")(
+      D.incrementalMinhash(corpus, delta, "doc_id", "text"))
+    assertClean("incrementalContainment")(
+      D.incrementalContainment(corpus, delta, "doc_id", "text"))
+    assertClean("minhashDuplicatePairsPortable")(
+      DP.minhashDuplicatePairsPortable(docs, "doc_id", "text"))
+    assertClean("winnowDuplicatePairsPortable")(
+      DP.winnowDuplicatePairsPortable(docs, "doc_id", "text"))
+    assertClean("incrementalMinhashPortable")(
+      DP.incrementalMinhashPortable(corpus, delta, "doc_id", "text"))
+    assertClean("pageRank") {
+      val e = docs.limit(60)
+        .select(($"doc_id" % 7).as("src"), ($"doc_id" % 5 + 7).as("dst"))
+        .distinct()
+      Ops.pageRank(e, iters = 2)
+    }
+  }
+
+  test("prefixJaccardPairs starEdges: linear certificate, identical clusters") {
+    // VERDICT r12 #1: starEdges collapses within-shape member² pairs
+    // and cross-shape fan-out to rep edges. Gates: (a) every star edge
+    // IS a real pair with the bit-identical jaccard double, (b)
+    // connected components over the star edges equal components over
+    // ALL pairs exactly, (c) the certificate is never larger.
+    val all = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.7)
+    val star = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.7,
+      pairsMode = "starEdges")
+    val allSet = all.as[(Long, Long, Double)].collect().toSet
+    val starSet = star.as[(Long, Long, Double)].collect().toSet
+    assert(allSet.nonEmpty, "corpus should contain similar pairs")
+    assert(starSet.subsetOf(allSet),
+      s"star edges not in all-pairs: ${(starSet -- allSet).take(5)}")
+    assert(starSet.size <= allSet.size)
+    assert(starSet.forall { case (a, b, _) => a < b })
+    val ca = Dedup.duplicateClusters(all.toDF())
+      .as[(Long, Long)].collect().toSet
+    val cs = Dedup.duplicateClusters(star.toDF())
+      .as[(Long, Long)].collect().toSet
+    assert(ca === cs,
+      s"cluster mismatch: onlyAll=${(ca -- cs).take(5)} onlyStar=${(cs -- ca).take(5)}")
+  }
 }
