@@ -1466,6 +1466,114 @@ object Ops {
         (covN * covN) / (varXN * varYN)).as("r2")): _*)
   }
 
+  /** Logistic-regression training via IRLS (Newton-Raphson on the
+    * log-likelihood) — the missing TRAINING half of
+    * [[hashedFeatureScore]]'s quality-classifier story (VERDICT r12
+    * #4): fastText-style filtering classifiers (CCNet, Gopher) are
+    * logistic models over cheap text features, and at 100 TB the only
+    * viable trainer is exactly this shape — each iteration is ONE
+    * map-side-combining hash-agg over the d(d+3)/2 sufficient
+    * statistics of the Newton step (X'WX upper triangle + gradient
+    * X'(y−p), W = diag(p(1−p))), collected as a single 1-row action;
+    * the d×d solve is driver-side (d is tens-of-features tiny,
+    * [[groupedLinearFit]] is the in-repo precedent for
+    * exact-sufficient-stats + driver algebra). No gradient-descent
+    * epochs, no per-row state, nothing driver-side scales with |rows|.
+    *
+    * Determinism/oracle contract: every per-row term is cast to
+    * decimal(30,12) BEFORE summing (order-free exact sums — the float
+    * convention used across the repo), the decimal→double reads are
+    * correctly rounded on both engines, and for d ≤ 2 the solve is
+    * Cramer's rule in a FIXED operation order that static SQL replays
+    * verbatim (q221 unrolls 2 iterations as CTEs); d > 2 uses
+    * driver-side Gaussian elimination with partial pivoting (same
+    * answer, not SQL-replayable — spec-covered instead).
+    *
+    * `features` are numeric columns (include your own lit(1.0)
+    * intercept); `label` must be 0/1. β starts at 0 (p = 0.5 exactly,
+    * on both engines). Returns (idx int, beta double) — one row per
+    * feature, idx = position in `features`.
+    */
+  def logisticTrainIRLS(df: DataFrame, features: Seq[Column],
+                        label: Column, iters: Int = 2): DataFrame = {
+    val d = features.size
+    require(d >= 1 && d <= 64, s"features size in [1,64], got $d")
+    require(iters >= 1 && iters <= 64, s"iters in [1,64], got $iters")
+    val spark = df.sparkSession
+    // One narrow projection, persisted: every iteration re-scans it.
+    val base = df.select(
+      features.zipWithIndex.map { case (f, j) =>
+        f.cast("double").as(s"x$j") } :+ label.cast("double").as("y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def dec(c: Column) = c.cast("decimal(30,12)")
+      var beta = Array.fill(d)(0.0)
+      for (_ <- 1 to iters) {
+        // η as a left-assoc fold (the order the SQL replay parses),
+        // p/w inlined so the whole iteration is one codegen'd agg.
+        val eta = (0 until d).map(j => lit(beta(j)) * col(s"x$j"))
+          .reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-eta))
+        val w = p * (lit(1.0) - p)
+        val aggs =
+          (for { j <- 0 until d; k <- j until d }
+            yield sum(dec(w * col(s"x$j") * col(s"x$k"))).as(s"s_${j}_$k")) ++
+          (0 until d).map(j => sum(dec((col("y") - p) * col(s"x$j")))
+            .as(s"g_$j"))
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        val S = Array.ofDim[Double](d, d)
+        var i = 0
+        for { j <- 0 until d; k <- j until d } {
+          val v = row.getDecimal(i).doubleValue
+          S(j)(k) = v; S(k)(j) = v; i += 1
+        }
+        val g = Array.tabulate(d)(j => row.getDecimal(i + j).doubleValue)
+        val delta =
+          if (d == 1) Array(g(0) / S(0)(0))
+          else if (d == 2) {
+            // Cramer in the exact order q221's oracle SQL spells out
+            val det = S(0)(0) * S(1)(1) - S(0)(1) * S(0)(1)
+            Array((S(1)(1) * g(0) - S(0)(1) * g(1)) / det,
+              (S(0)(0) * g(1) - S(0)(1) * g(0)) / det)
+          } else solveSymmetric(S, g)
+        beta = Array.tabulate(d)(j => beta(j) + delta(j))
+      }
+      import spark.implicits._
+      beta.toSeq.zipWithIndex.map { case (b, j) => (j, b) }
+        .toDF("idx", "beta")
+    } finally base.unpersist(false)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting for the
+    * d×d Newton step (driver-side, d ≤ 64 — microseconds).
+    */
+  private def solveSymmetric(a: Array[Array[Double]],
+                             b: Array[Double]): Array[Double] = {
+    val d = b.length
+    val m = Array.tabulate(d, d)((i, j) => a(i)(j))
+    val v = b.clone()
+    for (c <- 0 until d) {
+      var piv = c
+      for (r <- c + 1 until d)
+        if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r
+      if (piv != c) { val t = m(c); m(c) = m(piv); m(piv) = t
+        val tv = v(c); v(c) = v(piv); v(piv) = tv }
+      require(m(c)(c) != 0.0, "singular X'WX — drop collinear features")
+      for (r <- c + 1 until d) {
+        val f = m(r)(c) / m(c)(c)
+        for (k <- c until d) m(r)(k) -= f * m(c)(k)
+        v(r) -= f * v(c)
+      }
+    }
+    val x = new Array[Double](d)
+    for (c <- d - 1 to 0 by -1) {
+      var s = v(c)
+      for (k <- c + 1 until d) s -= m(c)(k) * x(k)
+      x(c) = s / m(c)(c)
+    }
+    x
+  }
+
   /** Bounded-hop single-source(-set) shortest paths over integer
     * edge weights: frontier-based distributed Bellman-Ford. Round i
     * relaxes only the nodes whose distance improved in round i-1, so

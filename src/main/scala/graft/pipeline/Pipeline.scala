@@ -2346,6 +2346,22 @@ object Pipeline {
           expr(req("value"))), RowType)
       }),
 
+    Registered("logit", RowType, RowType,
+      "in=STREAM:label=EXPR:features=EXPR,...:iters=N:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"logit: $k= required"))
+        // feature exprs are comma-separated; an intercept column is
+        // prepended (the operator itself stays intercept-agnostic)
+        val feats = org.apache.spark.sql.functions.lit(1.0) +:
+          req("features").split(",").map(_.trim).filter(_.nonEmpty)
+            .toSeq.map(expr)
+        val iters = m.args.getOrElse("iters", "2").toInt
+        ctx.writeStream(m, graft.operators.Ops.logisticTrainIRLS(
+          df, feats, expr(req("label")), iters), RowType)
+      }),
+
     Registered("gini", RowType, RowType,
       "in=STREAM:key=COL:value=EXPR:out=STREAM",
       (ctx, m) => {

@@ -556,6 +556,22 @@ object Operators {
         .orderBy($"event_type")
     }),
 
+    // Logistic quality-classifier TRAINING via IRLS (the training half
+    // the filtering-classifier story was missing — hashedFeatureScore
+    // only applies weights): predict lang='en' from (intercept,
+    // n_chars/1000), exactly 2 Newton iterations. Each iteration is ONE
+    // hash-agg of decimal(30,12) sufficient statistics (order-free
+    // sums) + a fixed-order 2x2 Cramer solve, so the oracle replays
+    // both iterations as unrolled CTEs, arithmetic op for op.
+    "q221_logit_irls" -> ((s, dir) => {
+      import s.implicits._
+      Ops.logisticTrainIRLS(t(s, dir, "documents"),
+          features = Seq(lit(1.0), $"n_chars".cast("double") / 1000.0),
+          label = ($"lang" === "en").cast("double"), iters = 2)
+        .select($"idx", round($"beta", 6).as("beta"))
+        .orderBy($"idx")
+    }),
+
     // Bounded-hop shortest paths over the part↔supplier bipartite
     // graph (weight 1+(p+s)%7, seeds = suppliers 0-2): frontier
     // Bellman-Ford — O(rounds·|E|) equi-joins, NO path enumeration
@@ -1182,6 +1198,70 @@ ORDER BY center, context"""
         |  round(CASE WHEN varxn <> 0 AND varyn <> 0 THEN
         |    (covn * covn) / (varxn * varyn) END, 6) AS r2
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // both IRLS iterations unrolled as CTEs: identical feature/label
+    // projection, identical inline p = sigmoid(eta) per iteration,
+    // per-term DECIMAL(30,12) casts before the (order-free) sums, and
+    // the same fixed-order Cramer solve — the only engine-variant op
+    // is exp(), absorbed by the round-6 output (repo-wide precedent
+    // for ln/exp queries)
+    "q221_logit_irls" ->
+      """WITH f AS (
+        |  SELECT CAST(1.0 AS DOUBLE) AS x0,
+        |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+        |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT x0, x1, y,
+        |    1.0 / (1.0 + exp(-(0.0 * x0 + 0.0 * x1))) AS p
+        |  FROM f),
+        |s1 AS (
+        |  SELECT
+        |    sum(CAST(p * (1.0 - p) * x0 * x0 AS DECIMAL(30,12))) AS s00,
+        |    sum(CAST(p * (1.0 - p) * x0 * x1 AS DECIMAL(30,12))) AS s01,
+        |    sum(CAST(p * (1.0 - p) * x1 * x1 AS DECIMAL(30,12))) AS s11,
+        |    sum(CAST((y - p) * x0 AS DECIMAL(30,12))) AS g0,
+        |    sum(CAST((y - p) * x1 AS DECIMAL(30,12))) AS g1
+        |  FROM p1),
+        |b1 AS (
+        |  SELECT
+        |    0.0 + (CAST(s11 AS DOUBLE) * CAST(g0 AS DOUBLE)
+        |         - CAST(s01 AS DOUBLE) * CAST(g1 AS DOUBLE))
+        |      / (CAST(s00 AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |         - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE)) AS b0,
+        |    0.0 + (CAST(s00 AS DOUBLE) * CAST(g1 AS DOUBLE)
+        |         - CAST(s01 AS DOUBLE) * CAST(g0 AS DOUBLE))
+        |      / (CAST(s00 AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |         - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE)) AS b1
+        |  FROM s1),
+        |p2 AS (
+        |  SELECT x0, x1, y,
+        |    1.0 / (1.0 + exp(-(b.b0 * x0 + b.b1 * x1))) AS p
+        |  FROM f CROSS JOIN b1 b),
+        |s2 AS (
+        |  SELECT
+        |    sum(CAST(p * (1.0 - p) * x0 * x0 AS DECIMAL(30,12))) AS s00,
+        |    sum(CAST(p * (1.0 - p) * x0 * x1 AS DECIMAL(30,12))) AS s01,
+        |    sum(CAST(p * (1.0 - p) * x1 * x1 AS DECIMAL(30,12))) AS s11,
+        |    sum(CAST((y - p) * x0 AS DECIMAL(30,12))) AS g0,
+        |    sum(CAST((y - p) * x1 AS DECIMAL(30,12))) AS g1
+        |  FROM p2),
+        |b2 AS (
+        |  SELECT
+        |    b.b0 + (CAST(s11 AS DOUBLE) * CAST(g0 AS DOUBLE)
+        |          - CAST(s01 AS DOUBLE) * CAST(g1 AS DOUBLE))
+        |      / (CAST(s00 AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |         - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE)) AS beta0,
+        |    b.b1 + (CAST(s00 AS DOUBLE) * CAST(g1 AS DOUBLE)
+        |          - CAST(s01 AS DOUBLE) * CAST(g0 AS DOUBLE))
+        |      / (CAST(s00 AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |         - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE)) AS beta1
+        |  FROM s2 CROSS JOIN b1 b)
+        |SELECT 0 AS idx, round(beta0, 6) AS beta FROM b2
+        |UNION ALL
+        |SELECT 1 AS idx, round(beta1, 6) AS beta FROM b2
+        |ORDER BY idx""".stripMargin,
 
     // same apriori replay: dedup baskets, item counts, pair counts,
     // identical double ratio arithmetic

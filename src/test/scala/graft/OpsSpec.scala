@@ -916,4 +916,44 @@ class OpsSpec extends AnyFunSuite {
       assert(salted.filter(_._2 == 0) == rows.filter(_._2 == 0))
     } finally w.unpersist(blocking = false)
   }
+
+  test("logisticTrainIRLS: separable margin grows, noisy MLE converges, d=3 solves") {
+    import spark.implicits._
+    def beta(df: org.apache.spark.sql.DataFrame, it: Int,
+             d: Int = 2): Array[Double] = {
+      val feats =
+        if (d == 2) Seq(lit(1.0), col("x"))
+        else Seq(lit(1.0), col("x"), col("x") * col("x"))
+      Ops.logisticTrainIRLS(df, feats, col("y"), iters = it)
+        .orderBy("idx").collect().map(_.getDouble(1))
+    }
+    // separable fixture: y = (x > 0). Newton classifies perfectly and
+    // each extra iteration widens the margin (no finite MLE exists).
+    val sep = (1 to 20).map(i => (i / 10.0, 1.0)) ++
+      (1 to 20).map(i => (-i / 10.0, 0.0))
+    val sdf = sep.toDF("x", "y")
+    val b2 = beta(sdf, 2)
+    val b5 = beta(sdf, 5)
+    assert(b2(1) > 0, b2.toSeq.toString)
+    assert(b5(1) > b2(1), s"margin should grow: ${b2(1)} -> ${b5(1)}")
+    val wrong = sep.count { case (x, y) =>
+      val p = 1.0 / (1.0 + math.exp(-(b5(0) + b5(1) * x)))
+      (if (p > 0.5) 1.0 else 0.0) != y
+    }
+    assert(wrong == 0, s"$wrong of ${sep.size} misclassified")
+    // overlapping labels: the MLE is finite and IRLS CONVERGES — the
+    // coefficients are iteration-stable well below the decimal(30,12)
+    // statistic resolution.
+    val noisy = sep ++ Seq((1.5, 0.0), (-1.5, 1.0), (0.3, 0.0), (-0.3, 1.0))
+    val ndf = noisy.toDF("x", "y")
+    val b8 = beta(ndf, 8)
+    val b12 = beta(ndf, 12)
+    assert(math.abs(b8(0) - b12(0)) < 1e-8 &&
+      math.abs(b8(1) - b12(1)) < 1e-8,
+      s"IRLS did not converge: ${b8.toSeq} vs ${b12.toSeq}")
+    assert(b8(1) > 0)
+    // d = 3 exercises the Gaussian-elimination solve path
+    val b3 = beta(ndf, 8, d = 3)
+    assert(b3.length == 3 && b3(1) > 0, b3.toSeq.toString)
+  }
 }

@@ -378,7 +378,7 @@ class PipelineSpec extends AnyFunSuite {
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
-      "incdedup", "qualitygate", "diversity", "zipf", "bpe")
+      "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -679,6 +679,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(zo.head == "src,n,slope")
     val parts = zo(1).split(",")
     assert(parts(1) == "4" && parts(2).toDouble < -0.9, zo.toString)
+  }
+
+  test("logit module: IRLS training end-to-end, matches the operator") {
+    val d = tmp("logit")
+    writeCsv(s"$d/t.csv", "x,y",
+      "1.0,1", "2.0,1", "0.4,1", "-1.0,0", "-2.0,0", "-0.4,0",
+      "0.2,0", "-0.2,1") // two flipped points keep the MLE finite
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/t.csv", "csvread:infer=1:out=tr",
+      "logit:in=tr:label=y:features=x:iters=4:out=m",
+      "csvwrite:in=m", s"filewrite:out=$d/m.csv"))
+    val out = readOut(s"$d/m.csv")
+    assert(out.head == "idx,beta" && out.size == 3, out.toString)
+    val b1 = out(2).split(",")(1).toDouble
+    assert(b1 > 0, out.toString)
+    // bit-identical to the operator called directly
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val want = graft.operators.Ops.logisticTrainIRLS(
+      Seq((1.0, 1.0), (2.0, 1.0), (0.4, 1.0), (-1.0, 0.0), (-2.0, 0.0),
+        (-0.4, 0.0), (0.2, 0.0), (-0.2, 1.0)).toDF("x", "y"),
+      Seq(lit(1.0), col("x")), col("y"), iters = 4)
+      .orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    assert(out.drop(1).map(_.split(",")(1).toDouble) == want, s"$out vs $want")
   }
 
   test("incdedup module: delta verdicts against a standing corpus") {
