@@ -1440,6 +1440,24 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    Registered("dupspans", RowType, RowType,
+      "in=STREAM:key=COL:text=COL[:grans=100,50,20]:out=STREAM", (ctx, m) => {
+        // Variable-span EXACTSUBSTR (Curation.segmentDedupSpans):
+        // multi-granularity dup windows merged into maximal spans;
+        // emits (id, n_tokens, dup_tokens, n_spans).
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("dupspans: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("dupspans: text= required"))
+        val grans = m.args.get("grans")
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(100, 50, 20))
+        ctx.writeStream(m,
+          graft.operators.Curation.segmentDedupSpans(df, key, text, grans),
+          RowType)
+      }),
+
     Registered("domaincap", RowType, RowType,
       "in=STREAM:domain=COL:order=COL[,COL...]:cap=N[:salt=COL][:parts=16][:col=rk]:out=STREAM",
       (ctx, m) => {

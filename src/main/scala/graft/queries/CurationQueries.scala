@@ -247,6 +247,20 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Variable-span EXACTSUBSTR (q111's fixed 20-token windows at
+    // multi-granularity 100/50/20 with containment collapse): per doc,
+    // the merged duplicated-token spans — a long repeated block counts
+    // as ONE span. All-integer arithmetic + md5 identity: the oracle
+    // replays segmentation, first-occurrence ranks, and the island
+    // merge stage for stage.
+    "q222_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      Curation.segmentDedupSpans(t(s, dir, "documents"), "doc_id", "text",
+          grans = Seq(100, 50, 20))
+        .select($"id".as("doc_id"), $"n_tokens", $"dup_tokens", $"n_spans")
+        .orderBy($"doc_id")
+    }),
+
     // Per-domain quota (crawl curation: no source contributes more
     // than 15 docs, best-quality-first) via the skew-safe two-phase
     // exact top-k — bit-identical to a plain per-domain rank, which is
@@ -629,6 +643,59 @@ object CurationQueries {
         |  coalesce(array_to_string(
         |    list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '') AS retained
         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Variable-span EXACTSUBSTR: per-granularity segmentation blocks
+    // (UNION ALL, one per window size), the same (g, md5(seg))
+    // first-occurrence rank, the same gaps-and-islands merge
+    // (cum-max-end over preceding rows, RANGE-framed island sum), all
+    // integers — stage-for-stage identical to segmentDedupSpans.
+    "q222_dup_spans" -> {
+      val granBlocks = Seq(100, 50, 20).map { g =>
+        s"""  SELECT doc_id, n_tokens, $g AS g, CAST(i - 1 AS BIGINT) AS seg_idx,
+           |    array_to_string(t[((i-1)*$g+1):((i-1)*$g+$g)], ' ') AS seg,
+           |    CAST((i-1)*$g AS BIGINT) AS s,
+           |    CAST(least((i-1)*$g + $g, n_tokens) AS BIGINT) AS e
+           |  FROM base, LATERAL unnest(
+           |    range(1, greatest(CAST(ceil(n_tokens/$g.0) AS BIGINT), 1) + 1)) AS u(i)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |segs AS (
+         |$granBlocks),
+         |dups AS (
+         |  SELECT doc_id, s, e FROM (
+         |    SELECT doc_id, s, e,
+         |      row_number() OVER (PARTITION BY g, md5(seg)
+         |        ORDER BY doc_id, seg_idx) AS rk
+         |    FROM segs)
+         |  WHERE rk > 1),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS nw
+         |  FROM dups),
+         |isl2 AS (
+         |  SELECT doc_id, s, e,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e DESC) AS island
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+         |  FROM isl2 GROUP BY doc_id, island),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(ee - ss) AS BIGINT) AS dup_tokens,
+         |    count(*) AS n_spans
+         |  FROM spans GROUP BY doc_id)
+         |SELECT b.doc_id AS doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+         |  coalesce(p.n_spans, 0) AS n_spans
+         |FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
 
     // Domain cap: the salted two-phase top-k is bit-identical to the
     // plain per-domain rank (exactness argument in Ops.scaladoc), so

@@ -242,4 +242,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1) == ((2L, 1L, 0L, "")))
     assert(out(2) == ((3L, 1L, 0L, "")))
   }
+
+  test("segmentDedupSpans: a planted 400-token block collapses to ONE span") {
+    // VERDICT r12 #5: doc 2 duplicates doc 1's 400-token block — at
+    // 100/50/20 granularity every covering window is a dup and the
+    // ranges merge into a single [0,400) span; doc 3 duplicates only a
+    // 20-token aligned slice, which ONLY the finest granularity sees.
+    val block = (1 to 400).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),                                          // first occurrence
+      (2L, block + " " + (1 to 57).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ") + " " +
+        (1 to 20).map(i => s"b$i").mkString(" ")))          // b1..b20 at offset 20
+      .toDF("doc_id", "text")
+    val out = Curation.segmentDedupSpans(docs, "doc_id", "text",
+        grans = Seq(100, 50, 20))
+      .orderBy("id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 400L, 0L, 0L),    // first occurrence keeps everything
+      (2L, 457L, 400L, 1L),  // the whole block is ONE merged span
+      (3L, 40L, 20L, 1L)),   // fine-granularity-only dup still caught
+      out.toString)
+  }
 }

@@ -378,7 +378,8 @@ class PipelineSpec extends AnyFunSuite {
       "cosinetopk", "anntopk", "ivftopk", "pqtopk", "semdedup",
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
-      "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit")
+      "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
+      "dupspans")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
