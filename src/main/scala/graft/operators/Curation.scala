@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableExpr
 
@@ -213,6 +213,82 @@ object Curation {
             array_sort(collect_list(struct(col("seg_idx"), col("keep"), col("seg")))),
             x => x.getField("keep")), x => x.getField("seg")), " ")
           .as("retained"))
+  }
+
+  /** Query params stripped by [[urlNormalize]]: the click-tracking
+    * names that make otherwise-identical crawl URLs distinct (whole
+    * param matched, with or without a value).
+    */
+  val trackingParamPattern: String =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$"
+
+  /** (encoded, decoded) replace pairs for percent-decoding UNRESERVED
+    * octets (RFC 3986 §2.3: ALPHA / DIGIT / - . _ ~), covering both
+    * hex-digit cases — the single source for BOTH engines: the Spark
+    * fold below and the DuckDB oracle's generated replace chain apply
+    * these pairs in this exact order.
+    */
+  val unreservedEncodings: Seq[(String, String)] = {
+    val chars = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9'))
+      .map(_.toString) ++ Seq("-", ".", "_", "~")
+    chars.flatMap { ch =>
+      val hex = f"${ch.head.toInt}%02X"
+      val up = "%" + hex
+      val lo = "%" + hex.toLowerCase
+      if (up == lo) Seq(up -> ch) else Seq(up -> ch, lo -> ch)
+    }
+  }
+
+  /** URL/domain canonicalization (VERDICT r12 #7) — crawl curation's
+    * first step, so the exact-dedup family upstream sees one key per
+    * resource instead of one per tracking-link variant. RFC 3986
+    * normalizations implemented (each replayable in plain SQL, so the
+    * q223 oracle checks every rule):
+    *  1. trim; strip the fragment (first '#' onward);
+    *  2. percent-DECODE unreserved octets only (both hex cases;
+    *     reserved octets like %2F stay encoded — decoding them would
+    *     change the URL's structure);
+    *  3. lowercase scheme and authority (userinfo included — a
+    *     documented simplification), strip a trailing host dot;
+    *  4. strip the scheme's default port (:80 http, :443 https);
+    *  5. empty path with an authority becomes "/";
+    *  6. query: drop empties and tracking params
+    *     ([[trackingParamPattern]]), SORT the rest (param order is
+    *     almost never semantic; sorting canonicalizes), drop a
+    *     now-empty '?'.
+    * Non-URL values (no scheme://) pass through steps 1-2 unchanged
+    * otherwise — graceful degradation, never null. One narrow
+    * projection: string/array built-ins only, no UDF, no shuffle; at
+    * 100 TB this is a per-row map over the crawl manifest. (The
+    * ~90-step replace chain in step 2 is the portable formulation; a
+    * single-pass codegen kernel is the obvious upgrade if profiling
+    * ever shows it hot.)
+    */
+  def urlNormalize(url: Column): Column = {
+    def rep(c: Column, from: String, to: String): Column =
+      call_function("replace", c, lit(from), lit(to))
+    val noFrag = regexp_extract(trim(url), "^([^#]*)", 1)
+    val decoded = unreservedEncodings.foldLeft(noFrag) {
+      case (c, (e, d)) => rep(c, e, d)
+    }
+    val scheme =
+      lower(regexp_extract(decoded, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(decoded, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth0 = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val auth1 = regexp_replace(auth0, "\\.$", "")
+    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val pathq = rest.substr(length(auth0) + 1, length(rest))
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(path0 === "" && auth =!= "", lit("/")).otherwise(path0)
+    val q0 = pathq.substr(length(path0) + 2, length(pathq))
+    val params = filter(split(q0, "&"),
+      x => x =!= "" && !x.rlike(trackingParamPattern))
+    val q = array_join(array_sort(params), "&")
+    when(scheme === "", decoded).otherwise(
+      concat(scheme, lit("://"), auth, path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
   /** Variable-span EXACTSUBSTR (VERDICT r12 #5): [[segmentDedup]]'s

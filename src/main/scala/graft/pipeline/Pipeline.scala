@@ -1458,6 +1458,20 @@ object Pipeline {
           RowType)
       }),
 
+    Registered("urlnorm", RowType, RowType,
+      "in=STREAM:url=COL[:col=url_norm]:out=STREAM", (ctx, m) => {
+        // RFC 3986-subset URL canonicalization
+        // (Curation.urlNormalize): appends the normalized column so
+        // downstream dedup keys on one URL per resource.
+        val df = ctx.readStream(m, RowType)
+        val u = m.args.getOrElse("url",
+          throw new BuildError("urlnorm: url= required"))
+        ctx.writeStream(m, df.withColumn(
+          m.args.getOrElse("col", "url_norm"),
+          graft.operators.Curation.urlNormalize(
+            org.apache.spark.sql.functions.col(u))), RowType)
+      }),
+
     Registered("domaincap", RowType, RowType,
       "in=STREAM:domain=COL:order=COL[,COL...]:cap=N[:salt=COL][:parts=16][:col=rk]:out=STREAM",
       (ctx, m) => {

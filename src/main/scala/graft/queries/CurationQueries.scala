@@ -247,6 +247,27 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // URL canonicalization over a deterministic hostile-URL corpus
+    // derived from documents (upper-case scheme/host, default port,
+    // %6f-encoded path octet, tracking params, fragments, unsorted
+    // query, empty query) — every rule lands in at least one doc_id
+    // residue class. Oracle replays the identical corpus construction
+    // and every normalization stage, with the percent-decode replace
+    // chain GENERATED from the same (encoded, decoded) list.
+    "q223_urlnorm" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("HTTP://WWW.EXAMPLE-"), $"source",
+        lit(".COM:80/D%6fC/"), $"doc_id".cast("string"),
+        when($"doc_id" % 4 === 0,
+            lit("?utm_source=feed&b=2&a=1&gclid=x#frag"))
+          .when($"doc_id" % 4 === 1, lit("?z=%7E1&A=2#x"))
+          .when($"doc_id" % 4 === 2, lit(""))
+          .otherwise(lit("?utm_campaign=c&utm_medium=m")))
+      t(s, dir, "documents").select($"doc_id",
+          Curation.urlNormalize(url).as("url_norm"))
+        .orderBy($"doc_id")
+    }),
+
     // Variable-span EXACTSUBSTR (q111's fixed 20-token windows at
     // multi-granularity 100/50/20 with containment collapse): per doc,
     // the merged duplicated-token spans — a long repeated block counts
@@ -643,6 +664,55 @@ object CurationQueries {
         |  coalesce(array_to_string(
         |    list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '') AS retained
         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization: identical corpus construction, identical
+    // stage order (trim -> fragment strip -> generated unreserved
+    // percent-decode chain -> scheme/authority case -> default port ->
+    // empty-path '/' -> tracking strip + param sort). The replace
+    // chain interpolates Curation.unreservedEncodings — ONE source
+    // list for both engines.
+    "q223_urlnorm" -> {
+      val decChain = graft.operators.Curation.unreservedEncodings
+        .foldLeft("nf") { case (acc, (e, d)) =>
+          s"replace($acc, '$e', '$d')" }
+      val track = graft.operators.Curation.trackingParamPattern
+      s"""WITH u0 AS (
+         |  SELECT doc_id,
+         |    trim('HTTP://WWW.EXAMPLE-' || source || '.COM:80/D%6fC/' ||
+         |      CAST(doc_id AS VARCHAR) ||
+         |      CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=x#frag'
+         |           WHEN doc_id % 4 = 1 THEN '?z=%7E1&A=2#x'
+         |           WHEN doc_id % 4 = 2 THEN ''
+         |           ELSE '?utm_campaign=c&utm_medium=m' END) AS t0
+         |  FROM documents),
+         |u1 AS (SELECT doc_id, regexp_extract(t0, '^([^#]*)', 1) AS nf FROM u0),
+         |u2 AS (SELECT doc_id, $decChain AS dec FROM u1),
+         |u3 AS (SELECT doc_id, dec,
+         |  lower(regexp_extract(dec, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  regexp_replace(dec, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         |  FROM u2),
+         |u4 AS (SELECT doc_id, dec, scheme, rest,
+         |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth0 FROM u3),
+         |u5 AS (SELECT doc_id, dec, scheme, rest, auth0,
+         |  regexp_replace(auth0, '\\.$$', '') AS auth1,
+         |  substr(rest, length(auth0) + 1, length(rest)) AS pathq FROM u4),
+         |u6 AS (SELECT doc_id, dec, scheme, pathq,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
+         |       ELSE auth1 END AS auth,
+         |  regexp_extract(pathq, '^([^?]*)', 1) AS path0 FROM u5),
+         |u7 AS (SELECT doc_id, dec, scheme, auth,
+         |  CASE WHEN path0 = '' AND auth <> '' THEN '/' ELSE path0 END AS path,
+         |  array_to_string(list_sort(list_filter(
+         |    string_split(substr(pathq, length(path0) + 2, length(pathq)), '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x, '$track'))), '&') AS q
+         |  FROM u6)
+         |SELECT doc_id,
+         |  CASE WHEN scheme = '' THEN dec
+         |    ELSE scheme || '://' || auth || path ||
+         |      CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS url_norm
+         |FROM u7 ORDER BY doc_id""".stripMargin
+    },
 
     // Variable-span EXACTSUBSTR: per-granularity segmentation blocks
     // (UNION ALL, one per window size), the same (g, md5(seg))

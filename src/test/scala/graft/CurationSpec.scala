@@ -243,6 +243,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 1L, 0L, "")))
   }
 
+  test("urlNormalize: hostile-URL corpus hits every rule") {
+    val cases = Seq(
+      // scheme/authority case, default https port, tracking strip,
+      // param sort, fragment strip — path case preserved
+      ("HTTPS://User@WWW.Ex.COM:443/A/B?b=2&utm_source=x&a=1#frag",
+        "https://user@www.ex.com/A/B?a=1&b=2"),
+      ("http://EXAMPLE.com:80", "http://example.com/"), // empty path -> '/'
+      ("http://example.com:8080/x", "http://example.com:8080/x"), // port kept
+      ("http://example.com./x", "http://example.com/x"), // trailing host dot
+      ("http://a.b/p?utm_campaign=c&gclid=1", "http://a.b/p"), // '?' dropped
+      // unreserved decodes (both hex cases); reserved %2F stays
+      ("http://a.b/%7Euser/%6F%6e?x=%41%2Fy", "http://a.b/~user/on?x=A%2Fy"),
+      ("http://a.b/p%23q#real", "http://a.b/p%23q"), // %23 NOT decoded
+      ("http://a.b/p?", "http://a.b/p"),              // bare '?' dropped
+      ("  not a url %41 #x", "not a url A "),         // graceful degradation
+      ("mailto:x@y.z", "mailto:x@y.z"))               // no '://' -> untouched
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }
+      .toDF("i", "u")
+    val got = df.select($"i", Curation.urlNormalize($"u").as("n"))
+      .orderBy($"i").as[(Int, String)].collect().map(_._2).toSeq
+    val bad = got.zip(cases).collect {
+      case (g, (in, want)) if g != want => s"$in -> $g (want $want)" }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("segmentDedupSpans: a planted 400-token block collapses to ONE span") {
     // VERDICT r12 #5: doc 2 duplicates doc 1's 400-token block — at
     // 100/50/20 granularity every covering window is a dup and the

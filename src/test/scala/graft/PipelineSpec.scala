@@ -379,7 +379,7 @@ class PipelineSpec extends AnyFunSuite {
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
-      "dupspans")
+      "dupspans", "urlnorm")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -704,6 +704,19 @@ class PipelineSpec extends AnyFunSuite {
       Seq(lit(1.0), col("x")), col("y"), iters = 4)
       .orderBy("idx").collect().map(_.getDouble(1)).toSeq
     assert(out.drop(1).map(_.split(",")(1).toDouble) == want, s"$out vs $want")
+  }
+
+  test("urlnorm module: canonicalized column appended") {
+    val d = tmp("urln")
+    writeCsv(s"$d/u.csv", "id,u",
+      "1,HTTP://A.COM:80/X?utm_source=s&b=1#f", "2,plain")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/u.csv", "csvread:infer=1:out=uu",
+      "urlnorm:in=uu:url=u:out=n",
+      "select:in=n:exprs=id;url_norm:out=sel", "sort:in=sel:by=id:out=so",
+      "csvwrite:in=so", s"filewrite:out=$d/n.csv"))
+    assert(readOut(s"$d/n.csv") ==
+      Seq("id,url_norm", "1,http://a.com/X?b=1", "2,plain"))
   }
 
   test("incdedup module: delta verdicts against a standing corpus") {
