@@ -1650,9 +1650,31 @@ object Ops {
     * step 0 = the seed itself.
     */
   def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
-                  salt: String = "w1"): DataFrame = {
+                  salt: String = "w1", maxDegree: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(steps >= 1 && steps <= 64, s"steps in [1,64], got $steps")
+    // Hub guard (VERDICT r12 #6/r11 #6): the per-src rank window below
+    // puts ONE task over a node's whole adjacency list — exact and
+    // cheap up to maxDegree (2^22 rows of (src, dst) ≈ 64 MB, well
+    // inside an executor task), but a crawl-graph super-hub beyond
+    // that would straggle or OOM the single window task. The guard is
+    // one hash-agg (scales like any degree count) that fails LOUDLY
+    // with the offending node instead; callers walk hub-capped graphs
+    // by pre-thinning adjacency (e.g. keep the maxDegree smallest dst
+    // per src — deterministic, and the walk stays a pure function of
+    // the thinned graph) or disable with maxDegree = 0. SCALE.md
+    // records the bound.
+    if (maxDegree > 0) {
+      val hub = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("__d")).filter(col("__d") > maxDegree)
+        .orderBy(col("__d").desc).limit(1).collect()
+      require(hub.isEmpty,
+        s"randomWalks: node ${hub.headOption.map(_.get(0)).orNull} has " +
+          s"out-degree ${hub.headOption.map(_.get(1)).orNull} > " +
+          s"maxDegree=$maxDegree — one rank-window task would hold its " +
+          "whole adjacency; pre-cap hub adjacency (keep the maxDegree " +
+          "smallest dst) or raise/disable maxDegree")
+    }
     // rk and outdeg ride the SAME src-hash exchange (two window specs,
     // one shuffle) — no separate degree aggregate, no join, and the
     // window output already carries the src partitioning every step's

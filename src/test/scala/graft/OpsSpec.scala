@@ -917,6 +917,29 @@ class OpsSpec extends AnyFunSuite {
     } finally w.unpersist(blocking = false)
   }
 
+  test("randomWalks: hub guard fails loudly past maxDegree, exact under it") {
+    import spark.implicits._
+    // node 1 is a 50-out-edge hub; everything else is degree 1
+    val edges = ((1 to 50).map(i => (1L, 100L + i)) ++
+      Seq((2L, 1L), (3L, 2L))).toDF("src", "dst")
+    val seeds = Seq(3L).toDF("id")
+    val err = intercept[IllegalArgumentException] {
+      Ops.randomWalks(edges, seeds, steps = 2, salt = "h", maxDegree = 10)
+    }
+    assert(err.getMessage.contains("out-degree") &&
+      err.getMessage.contains("maxDegree"), err.getMessage)
+    // same graph under the bound (and with the guard off): identical,
+    // deterministic walks — the guard never changes results
+    val ok = Ops.randomWalks(edges, seeds, steps = 2, salt = "h",
+      maxDegree = 64).orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val off = Ops.randomWalks(edges, seeds, steps = 2, salt = "h",
+      maxDegree = 0).orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(ok == off)
+    assert(ok.take(2) == Seq((0, 3L), (1, 2L)), ok.toString)
+  }
+
   test("logisticTrainIRLS: separable margin grows, noisy MLE converges, d=3 solves") {
     import spark.implicits._
     def beta(df: org.apache.spark.sql.DataFrame, it: Int,
