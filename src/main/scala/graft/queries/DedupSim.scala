@@ -665,6 +665,21 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // q170's starEdges output mode (VERDICT r12 #1): the LINEAR
+    // certificate of the same clustering — rep→member edges at 1.0
+    // within each exact-duplicate shape, ONE rep→rep edge per
+    // qualifying shape pair. Same candidate/verify plan as q170; the
+    // member² expansion never runs. Oracle: shapes from sorted
+    // distinct token arrays, within-stars directly, cross edges from
+    // the definitional pair replay restricted to shape REPS.
+    "q224_prefix_jaccard_star" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.9, pairsMode = "starEdges")
+        .select($"idA", $"idB", round($"jac", 4).as("jac"))
+        .orderBy($"idA", $"idB")
+    }),
+
     // Classifier evaluation over the q180 holdout predictions:
     // per-label confusion counts → precision/recall/F1 as fixed-order
     // doubles over exact integers. The whole evaluation is two tiny
@@ -880,6 +895,41 @@ object DedupSim {
         |  JOIN sz sb ON sb.doc_id = inter.idB)
         |SELECT idA, idB, round(jac, 4) AS jac
         |FROM j WHERE jac >= 0.9 ORDER BY idA, idB""".stripMargin,
+
+    // Star-edge certificate: within-shape stars at exactly 1.0 plus
+    // the q170 definitional pair replay over one representative per
+    // shape (rep = min doc_id of its sorted distinct token array).
+    "q224_prefix_jaccard_star" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        |shape AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list(tok)), chr(1))) AS skey
+        |  FROM tok2 GROUP BY doc_id),
+        |rep AS (SELECT skey, min(doc_id) AS rep FROM shape GROUP BY skey),
+        |within AS (
+        |  SELECT r.rep AS idA, s.doc_id AS idB, 1.0 AS jac
+        |  FROM shape s JOIN rep r ON s.skey = r.skey
+        |  WHERE s.doc_id <> r.rep),
+        |rt AS (
+        |  SELECT t.doc_id, t.tok FROM tok2 t
+        |  JOIN rep r ON t.doc_id = r.rep),
+        |sz AS (SELECT doc_id, count(*) AS n FROM rt GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+        |  FROM rt a JOIN rt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cross_e AS (
+        |  SELECT idA, idB, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        |  FROM inter
+        |  JOIN sz sa ON sa.doc_id = inter.idA
+        |  JOIN sz sb ON sb.doc_id = inter.idB)
+        |SELECT idA, idB, round(jac, 4) AS jac FROM (
+        |  SELECT idA, idB, jac FROM cross_e WHERE jac >= 0.9
+        |  UNION ALL SELECT idA, idB, jac FROM within)
+        |ORDER BY idA, idB""".stripMargin,
 
     "q59_embed_centroid" ->
       """SELECT label, i - 1 AS pos, round(avg(CAST(e AS DOUBLE)), 4) AS v
