@@ -267,8 +267,17 @@ object Pipeline {
       // inverted index); accept either hash= spelling
       case ("containment", _) =>
         Dedup.containmentPairs(df, key, text, k = k, threshold = threshold)
+      // EXACT prefix-filter jaccard (PPJoin family), hash-free by
+      // construction. pairsmode=starEdges (the default) emits the
+      // linear rep-edge certificate — both the greedy pair-drop and
+      // the transitive clustering consume it with IDENTICAL results
+      // (DedupSimSpec pins both equalities), so the module never pays
+      // the member-squared expansion; pairsmode=all for the full list.
+      case ("prefix", _) =>
+        Dedup.prefixJaccardPairs(df, key, text, threshold,
+          pairsMode = m.args.getOrElse("pairsmode", "starEdges"))
       case (meth, h) => throw new BuildError(
-        s"${m.name}: method=$meth hash=$h (methods: minhash, simhash, winnow, containment; hashes: xx, md5)")
+        s"${m.name}: method=$meth hash=$h (methods: minhash, simhash, winnow, containment, prefix; hashes: xx, md5)")
     }
   }
 
@@ -1171,7 +1180,7 @@ object Pipeline {
     // exact verification in all six combinations (shared with
     // dedupcluster via nearDupPairSource).
     Registered("dedupnear", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow|containment:threshold=0.8:maxdist=3:k=3:hash=xx|md5:transitive:out=STREAM",
+      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow|containment|prefix:threshold=0.8:maxdist=3:k=3:hash=xx|md5:transitive:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",
@@ -1198,7 +1207,7 @@ object Pipeline {
     // connected components → singleton anti-join) as a module, for
     // chains that need the clusters themselves (survivor, reporting).
     Registered("dedupcluster", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow|containment:threshold=0.8:maxdist=3:k=3:hash=xx|md5:out=STREAM",
+      "in=STREAM:key=COL:text=COL:method=minhash|simhash|winnow|containment|prefix:threshold=0.8:maxdist=3:k=3:hash=xx|md5:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",

@@ -541,5 +541,14 @@ class DedupSimSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(ca === cs,
       s"cluster mismatch: onlyAll=${(ca -- cs).take(5)} onlyStar=${(cs -- ca).take(5)}")
+    // greedy pair-drop is ALSO identical: d survives iff no similar
+    // doc with a smaller id exists, and the star certificate names
+    // exactly the same idB victims (non-rep members + larger reps)
+    val da = Dedup.dropDuplicatesByPairs(docs, "doc_id", all.toDF())
+      .select($"doc_id").as[Long].collect().toSet
+    val ds = Dedup.dropDuplicatesByPairs(docs, "doc_id", star.toDF())
+      .select($"doc_id").as[Long].collect().toSet
+    assert(da === ds,
+      s"greedy mismatch: onlyAll=${(da -- ds).take(5)} onlyStar=${(ds -- da).take(5)}")
   }
 }

@@ -123,6 +123,28 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dup spans: every window carries a partition spec, no cartesian") {
+    // q222's two windows must partition on (g, hash(seg)) and on the
+    // doc id — an unpartitioned window would serialize 100 TB of
+    // segments into one task.
+    val plan = executed(SparkEntry.queries("q222_dup_spans")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split('\n').filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(g") ||
+        l.contains("windowspecdefinition(id"),
+        s"unpartitioned or mis-partitioned window: $l")
+    }
+  }
+
+  test("urlnorm is a NARROW per-row map: zero exchanges before the sort") {
+    // Canonicalization must stay embarrassingly parallel — the only
+    // exchange in q223's plan is the final presentation ORDER BY.
+    val plan = executed(SparkEntry.queries("q223_urlnorm")(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"urlnorm plan shuffles beyond the sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("runtime bloom filter: selective dim reaches the fact scan as might_contain") {
     // The 100 TB semi-join reduction: when a dim carries a selective
     // filter and the fact side is a shuffle join, Catalyst's
