@@ -213,6 +213,28 @@ object ScaleRehearsal {
     val w1 = timed("q211-walk-rows-sf1")(walkRows(out))
     println(s"rehearsal: q211 walk rows sf0.1=$w01 sf1=$w1 " +
       s"exact10x=${w1 == 10 * w01}")
+    spark.catalog.clearCache()
+
+    // 6. Variable-span EXACTSUBSTR totals must scale EXACTLY 10×: the
+    // replica cipher is a token bijection (each replica's internal
+    // segment-duplication structure mirrors the original exactly) and
+    // replica segment domains are disjoint (no cross-replica window
+    // ever matches), so Σ dup_tokens and Σ n_spans are both exactly
+    // 10× the originals — proving the (g, md5) rank window and the
+    // island merge neither drop nor double-count at 10× input.
+    def spanTotals(dir: String): (Long, Long) = {
+      val row = graft.operators.Curation.segmentDedupSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        grans = Seq(100, 50, 20))
+        .agg(sum(col("dup_tokens")), sum(col("n_spans"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val sp01 = timed("q222-span-totals-sf0.1")(spanTotals(sf01))
+    spark.catalog.clearCache()
+    val sp1 = timed("q222-span-totals-sf1")(spanTotals(out))
+    println(s"rehearsal: q222 dup_tokens sf0.1=${sp01._1} sf1=${sp1._1} " +
+      s"spans sf0.1=${sp01._2} sf1=${sp1._2} " +
+      s"exact10x=${sp1._1 == 10 * sp01._1 && sp1._2 == 10 * sp01._2}")
     spark.stop()
   }
 }
