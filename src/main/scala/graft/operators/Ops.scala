@@ -1719,4 +1719,155 @@ object Ops {
       out
     } finally ranked.unpersist(blocking = false)
   }
+
+  /** k-core of an undirected graph by iterative peeling (Matula-Beck;
+    * the distributed round form of Batagelj-Zavrsnik): repeatedly drop
+    * every node whose degree is < k until none is, returning the
+    * surviving nodes with their in-core degrees. The maximal subgraph
+    * of minimum degree >= k is the standard "dense backbone" extractor
+    * (spam/boilerplate domains in crawl graphs, scaffold detection in
+    * link networks).
+    *
+    * Plan shape, per round:
+    *  - ONE hash-agg over the symmetrized edge list for degrees — the
+    *    edge relation is persisted already hash-partitioned on `u`, so
+    *    the groupBy reuses that exchange every round;
+    *  - TWO semi-joins (u side partition-aligned, v side keyed on the
+    *    node-sized survivor set — broadcastable as soon as the core
+    *    shrinks below the broadcast threshold, and AQE does exactly
+    *    that at runtime).
+    * Each round's edge relation is eagerly localCheckpoint'd (the
+    * repo-wide iterative-operator protocol: lazy chaining re-executes
+    * all prior rounds — randomWalks measured 3.4x slower without) and
+    * the previous round's blocks are released. Rounds are bounded by
+    * the peel depth (the degeneracy ordering's round count), which is
+    * small on real graphs — near-critical random graphs are the
+    * pathological case and still converge in tens of rounds; a
+    * `maxRounds` guard fails loudly instead of looping.
+    *
+    * Peeling is a monotone fixpoint: re-running a converged round is a
+    * no-op, which is what lets a DuckDB oracle replay it as a fixed
+    * unroll with idempotent margin rounds (q225).
+    *
+    * edges: (u, v) one row per undirected edge (either orientation;
+    * duplicates and self-orientations are cleaned here). Output:
+    * (node, deg) for the k-core members, deg = within-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    val sym0 = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u"))
+    var e = sym0.localCheckpoint(eager = true)
+    var nNodes = -1L
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("u").as("__id"))
+        .localCheckpoint(eager = true)
+      val nKeep = keep.count()
+      if (nKeep == nNodes || nKeep == 0) {
+        done = true
+        if (nKeep == 0) e = e.limit(0)
+        keep.unpersist(blocking = false)
+      } else {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"kCore: no fixpoint after $maxRounds peel rounds " +
+              s"(still $nKeep candidate nodes) — raise maxRounds")
+        nNodes = nKeep
+        val next = e
+          .join(keep, e("u") === keep("__id"), "left_semi")
+          .join(keep, e("v") === keep("__id"), "left_semi")
+          .localCheckpoint(eager = true)
+        e.unpersist(blocking = false)
+        keep.unpersist(blocking = false)
+        e = next
+      }
+    }
+    val out = e.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    * list, `iters` full mutual-reinforcement rounds with max-
+    * normalization after every half-step (any positive rescaling
+    * preserves the HITS ranking; max-norm keeps every value in [0,1]
+    * so repeated rounds can never overflow, and costs one exact
+    * one-row decimal aggregate instead of an L2 sqrt).
+    *
+    * Determinism contract (the repo float convention): each half-step
+    * sums the counterpart scores per-term cast to decimal(30,12) —
+    * order-free exact sums — and performs exactly ONE double division
+    * by the (exact decimal) maximum, so both engines replay the
+    * arithmetic bit-for-bit and the q226 oracle unrolls the rounds as
+    * CTEs.
+    *
+    * Plan shape per round: edges persisted hash-partitioned on src;
+    * the hub->authority half joins on src (partition-aligned) and
+    * aggregates on dst (one shuffle), the authority->hub half joins on
+    * dst and aggregates on src (one shuffle) — 2 shuffles/round of
+    * node-sized score relations, the standard iterative-graph cost.
+    * Scores are localCheckpoint'd per half-step (iterative protocol)
+    * and interior rounds released before return.
+    *
+    * edges: (src, dst), deduped here. Output: (id, hub, auth) for
+    * every node, absent side scored 0.0.
+    */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"hits: iters in [1,32], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var hub = e.select(col("src").as("id")).distinct()
+        .withColumn("s", lit(1.0))
+        .localCheckpoint(eager = true)
+      var auth: DataFrame = null
+      var it = 0
+      while (it < iters) {
+        val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("s").cast("decimal(30,12)")).as("__sum"))
+          .localCheckpoint(eager = true)
+        val aMax = aRaw.agg(max(col("__sum"))).head().getDecimal(0)
+        require(aMax != null, "hits: empty edge set — nothing to score")
+        val nextAuth = aRaw.select(col("id"),
+            (col("__sum").cast("double") / lit(aMax.doubleValue)).as("s"))
+          .localCheckpoint(eager = true)
+        aRaw.unpersist(blocking = false)
+        if (auth != null) auth.unpersist(blocking = false)
+        auth = nextAuth
+        val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("s").cast("decimal(30,12)")).as("__sum"))
+          .localCheckpoint(eager = true)
+        val hMax = hRaw.agg(max(col("__sum"))).head().getDecimal(0)
+        val nextHub = hRaw.select(col("id"),
+            (col("__sum").cast("double") / lit(hMax.doubleValue)).as("s"))
+          .localCheckpoint(eager = true)
+        hRaw.unpersist(blocking = false)
+        hub.unpersist(blocking = false)
+        hub = nextHub
+        it += 1
+      }
+      val out = hub.select(col("id"), col("s").as("hub"))
+        .join(auth.select(col("id"), col("s").as("auth")), Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+          coalesce(col("auth"), lit(0.0)).as("auth"))
+        .localCheckpoint(eager = true)
+      hub.unpersist(blocking = false)
+      auth.unpersist(blocking = false)
+      out
+    } finally e.unpersist(blocking = false)
+  }
 }

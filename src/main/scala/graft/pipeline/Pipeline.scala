@@ -1985,6 +1985,42 @@ object Pipeline {
           m.args.getOrElse("damping", "0.85").toDouble), RowType)
       }),
 
+    // k-core backbone extraction (q225 / Ops.kCore): iterative peel
+    // to the maximal subgraph of minimum degree >= k; emits
+    // (node, deg) core members.
+    Registered("kcore", RowType, RowType,
+      "in=STREAM:u=COL:v=COL:k=N[:maxrounds=64]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val k = m.args.getOrElse("k",
+          throw new BuildError("kcore: k= required")).toInt
+        if (k < 1) throw new BuildError(s"kcore: k must be >= 1, got $k")
+        val maxRounds = m.args.getOrElse("maxrounds", "64").toInt
+        if (maxRounds < 1)
+          throw new BuildError(
+            s"kcore: maxrounds must be >= 1, got $maxRounds")
+        val edges = df.select(
+          col(m.args.getOrElse("u", "u")).as("u"),
+          col(m.args.getOrElse("v", "v")).as("v"))
+        ctx.writeStream(m, graft.operators.Ops.kCore(edges, k, maxRounds),
+          RowType)
+      }),
+
+    // HITS hubs & authorities (q226 / Ops.hits): emits
+    // (id, hub, auth), max-normalized per round.
+    Registered("hits", RowType, RowType,
+      "in=STREAM:src=COL:dst=COL:iters=2:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val iters = m.args.getOrElse("iters", "2").toInt
+        if (iters < 1 || iters > 32)
+          throw new BuildError(s"hits: iters in [1,32], got $iters")
+        val edges = df.select(
+          col(m.args.getOrElse("src", "src")).as("src"),
+          col(m.args.getOrElse("dst", "dst")).as("dst"))
+        ctx.writeStream(m, graft.operators.Ops.hits(edges, iters), RowType)
+      }),
+
     // EXACT Jaccard similarity self-join from the DSL (q170's
     // prefix-filter plan): every pair with word-set jaccard >=
     // threshold, zero false negatives, never quadratic.

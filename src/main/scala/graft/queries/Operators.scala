@@ -851,6 +851,54 @@ object Operators {
         .select($"source", $"doc_id", $"n_chars",
           round($"es_key" * 1000, 6).as("es_key_k"), $"rk")
         .orderBy($"source", $"rk")
+    }),
+
+    // 3-core backbone of the part co-occurrence graph (parts sharing
+    // an order, deterministically hash-thinned 1/29 — the thinning
+    // puts the mean degree near the k-core critical point, which is
+    // the WORST case for peeling: at sf0.01 the cascade runs 8 full
+    // rounds before fixpoint (12 at sf0.1), exactly the regime where
+    // a non-iterative "degree >= k once" filter is wrong). The oracle
+    // unrolls 16 idempotent peel rounds; the operator loops to the
+    // true fixpoint, so the equality also certifies convergence
+    // within the unroll. Output: core members with in-core degree.
+    "q225_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val edges = li.select($"l_orderkey", $"l_partkey".as("u"))
+        .join(li.select($"l_orderkey", $"l_partkey".as("v")), "l_orderkey")
+        .filter($"u" < $"v" && ($"u" * 1009 + $"v") % 29 === 0)
+        .select($"u", $"v").distinct()
+      Ops.kCore(edges, k = 3).orderBy($"node")
+    }),
+
+    // HITS hubs & authorities (2 rounds, max-normalized) over the
+    // customer->supplier purchase graph: customers that buy from many
+    // well-connected suppliers are hubs, suppliers bought by strong
+    // hubs are authorities — the mutual-reinforcement ranking
+    // PageRank's single score can't express on a bipartite graph.
+    // Node ids disambiguated (c*2 / s*2+1, the repo's bipartite
+    // convention). Top-10 each side via sort+limit (TakeOrdered — a
+    // per-partition top-k merge, never a global sort); the rank
+    // window runs over the 10 surviving rows only.
+    "q226_hits" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val sc = Ops.hits(edges, iters = 2)
+      def side(scoreCol: String, role: String) = {
+        val top = sc.orderBy(col(scoreCol).desc, $"id".asc).limit(10)
+        top.withColumn("rk", row_number().over(
+            Window.orderBy(col(scoreCol).desc, $"id".asc)))
+          .select(lit(role).as("role"), $"rk", $"id",
+            round(col(scoreCol), 6).as("score"))
+      }
+      side("hub", "hub").unionByName(side("auth", "auth"))
+        .orderBy($"role", $"rk")
     })
   )
 
@@ -884,6 +932,73 @@ object Operators {
        |  FROM supplier WHERE s_suppkey < 3),
        |$steps
        |SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
+  }
+
+  /** q225 oracle: `rounds` unrolled peel rounds (degree filter + both-
+    * endpoint edge restriction). Peeling is monotone and idempotent at
+    * fixpoint, so rounds past convergence are exact no-ops — the
+    * unroll carries margin beyond the measured sf0.01 cascade depth
+    * (8) and still equals the operator's true fixpoint.
+    */
+  private def kcoreOracleSql(rounds: Int, k: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  WHERE e.u IN (SELECT u FROM k$i)
+         |    AND e.v IN (SELECT u FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |    AND (a.l_partkey * 1009 + b.l_partkey) % 29 = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+       |$steps
+       |SELECT u AS node, count(*) AS deg FROM e$rounds
+       |GROUP BY u ORDER BY node""".stripMargin
+  }
+
+  /** q226 oracle: `iters` HITS rounds unrolled — per-term
+    * decimal(30,12) casts before each half-step's sum, ONE double
+    * division by the exact decimal max (Ops.hits determinism notes);
+    * ranking replayed as row_number over the full relation (the
+    * operator's TakeOrdered+window produces the identical rows).
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a${i}r AS (
+         |  SELECT e.dst AS id, sum(CAST(h.s AS DECIMAL(30,12))) AS sm
+         |  FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+         |a$i AS (
+         |  SELECT id, CAST(sm AS DOUBLE)
+         |    / (SELECT CAST(max(sm) AS DOUBLE) FROM a${i}r) AS s
+         |  FROM a${i}r),
+         |h${i}r AS (
+         |  SELECT e.src AS id, sum(CAST(a.s AS DECIMAL(30,12))) AS sm
+         |  FROM e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+         |h$i AS (
+         |  SELECT id, CAST(sm AS DOUBLE)
+         |    / (SELECT CAST(max(sm) AS DOUBLE) FROM h${i}r) AS s
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS s FROM e),
+       |$steps,
+       |ranked AS (
+       |  SELECT 'hub' AS role, id, s,
+       |    row_number() OVER (ORDER BY s DESC, id ASC) AS rk FROM h$iters
+       |  UNION ALL
+       |  SELECT 'auth' AS role, id, s,
+       |    row_number() OVER (ORDER BY s DESC, id ASC) AS rk FROM a$iters)
+       |SELECT role, rk, id, round(s, 6) AS score
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY role, rk""".stripMargin
   }
 
   /** The q211 walk CTEs (shared with the q216 skip-gram tail): per-src
@@ -986,6 +1101,8 @@ ORDER BY center, context"""
   val oracleSql: Map[String, String] = Map(
     "q168_pagerank" -> pageRankOracleSql(3),
     "q179_sssp" -> ssspOracleSql(6),
+    "q225_kcore" -> kcoreOracleSql(16, 3),
+    "q226_hits" -> hitsOracleSql(2),
     "q211_random_walks" -> randomWalksOracleSql(4, "w1"),
     "q216_walk_skipgrams" -> walkSkipgramsOracleSql(4, "w1", window = 2),
 

@@ -979,4 +979,74 @@ class OpsSpec extends AnyFunSuite {
     val b3 = beta(ndf, 8, d = 3)
     assert(b3.length == 3 && b3(1) > 0, b3.toSeq.toString)
   }
+
+  test("kCore: triangle survives the 2-core, pendant tail peels") {
+    // triangle 1-2-3 plus tail 3-4-5: k=2 peels 5, then 4 (a 2-round
+    // cascade), leaving the triangle with in-core degree 2 each.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val out = Ops.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: full cascade to an empty core returns zero rows") {
+    // a path graph has no 2-core — peeling eats it end-in (2 nodes
+    // per round from each side), a multi-round cascade to nothing
+    val path = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("u", "v")
+    assert(Ops.kCore(path, k = 2).count() == 0)
+  }
+
+  test("kCore: symmetrization — one orientation per edge suffices") {
+    val once = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val both = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L)).toDF("u", "v")
+    val a = Ops.kCore(once, k = 2).orderBy("node")
+      .collect().map(_.toSeq).toSeq
+    val b = Ops.kCore(both, k = 2).orderBy("node")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("kCore: maxRounds guard fails loudly before fixpoint") {
+    val path = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("u", "v")
+    val ex = intercept[IllegalStateException](
+      Ops.kCore(path, k = 2, maxRounds = 1).count())
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
+  test("hits: mutual reinforcement beats raw degree, max-norm pins [0,1]") {
+    // hub 1 → {10,11,12}, hub 2 → {10}: after 2 rounds authority 10
+    // leads (backed by the strongest hub), 11/12 tie below it, hub 2
+    // trails hub 1. Textbook replay in exact fractions:
+    //   a1 = {10:1, 11:.5, 12:.5}; h1 = {1:1, 2:.5}
+    //   a2 = {10:1, 11:2/3, 12:2/3}; h2 = {1:1, 2:3/7}
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("src", "dst")
+    val out = Ops.hits(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 10L, 11L, 12L))
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(near(out(1L)._1, 1.0) && near(out(2L)._1, 3.0 / 7))
+    assert(near(out(10L)._2, 1.0) && near(out(11L)._2, 2.0 / 3) &&
+      near(out(12L)._2, 2.0 / 3))
+    // bipartite: the absent side of each node scores exactly 0
+    assert(out(1L)._2 == 0.0 && out(10L)._1 == 0.0)
+  }
+
+  test("kCore and hits release every internal persist (cache hygiene)") {
+    import org.apache.spark.sql.graftprobe.CacheProbe
+    spark.catalog.clearCache()
+    val edges = (1L to 40L).flatMap(i => Seq((i, i % 7 + 100L),
+      (i, i % 5 + 200L))).toDF("u", "v")
+    Ops.kCore(edges, k = 2).count()
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "kCore left persisted internals in the session cache")
+    Ops.hits(edges.select($"u".as("src"), $"v".as("dst")), iters = 2).count()
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "hits left persisted internals in the session cache")
+  }
 }

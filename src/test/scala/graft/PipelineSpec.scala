@@ -986,6 +986,32 @@ class PipelineSpec extends AnyFunSuite {
       Seq("id,root,depth", "1,1,0", "2,1,1", "3,1,2"))
   }
 
+  test("kcore + hits modules end-to-end") {
+    val d = tmp("graphcore")
+    // triangle 1-2-3 with pendant tail 3-4-5: 2-core = the triangle
+    writeCsv(s"$d/edges.csv", "a,b",
+      "1,2", "2,3", "3,1", "3,4", "4,5")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e",
+      "kcore:in=e:u=a:v=b:k=2:out=core",
+      "sort:in=core:by=node:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/core.csv"))
+    assert(readOut(s"$d/core.csv") ==
+      Seq("node,deg", "1,2", "2,2", "3,2"))
+
+    // hits: hub 1 covers 10/11/12, hub 2 only 10 (OpsSpec fixture)
+    writeCsv(s"$d/de.csv", "s,t", "1,10", "1,11", "1,12", "2,10")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/de.csv", "csvread:infer=1:out=e2",
+      "hits:in=e2:src=s:dst=t:iters=2:out=sc",
+      "select:in=sc:exprs=id;round(hub, 4) as hub;round(auth, 4) as auth:out=sel",
+      "sort:in=sel:by=id:out=sorted2",
+      "csvwrite:in=sorted2", s"filewrite:out=$d/hits.csv"))
+    assert(readOut(s"$d/hits.csv") == Seq("id,hub,auth",
+      "1,1.0,0.0", "2,0.4286,0.0",
+      "10,0.0,1.0", "11,0.0,0.6667", "12,0.0,0.6667"))
+  }
+
   test("stratsplit + incragg modules end-to-end") {
     val d = tmp("stratincr")
     // stratsplit: strata a (4 rows) and b (2 rows), 50/50 split —
