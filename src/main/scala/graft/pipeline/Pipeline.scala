@@ -2362,6 +2362,103 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // Heaps'-law vocabulary-growth exponent per group (q227): V=K·Tᵝ
+    // fitted over doc-id-range bucket growth points — Zipf's
+    // companion power law; β well below ~0.5 flags templated or
+    // repetitive corpora. Emits (group, n, beta, ln_k).
+    Registered("heaps", RowType, RowType,
+      "in=STREAM:group=COL:id=COL:text=COL[:buckets=32]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"heaps: $k= required"))
+        val (group, id, text) = (req("group"), req("id"), req("text"))
+        val nb = m.args.getOrElse("buckets", "32").toInt
+        if (nb < 2 || nb > 4096)
+          throw new BuildError(s"heaps: buckets in [2,4096], got $nb")
+        import org.apache.spark.sql.expressions.Window
+        val d = df.select(col(group).as("__g"), col(id).as("__id"),
+          col(text).as("__t"))
+        val mx = d.groupBy(col("__g")).agg(max(col("__id")).as("__mx"))
+        val db = d.join(broadcast(mx), "__g")
+          .withColumn("__b", expr(s"(__id * $nb) div (__mx + 1)"))
+        val toks = db.groupBy(col("__g"), col("__b"))
+          .agg(sum(size(split(col("__t"), " ")).cast("long")).as("__nt"))
+        val nv = db
+          .select(col("__g"), col("__b"),
+            explode(split(col("__t"), " ")).as("__w"))
+          .groupBy(col("__g"), col("__w")).agg(min(col("__b")).as("__fb"))
+          .groupBy(col("__g"), col("__fb")).agg(count(lit(1)).as("__nv"))
+          .withColumnRenamed("__fb", "__b")
+        val w = Window.partitionBy(col("__g")).orderBy(col("__b"))
+        val cum = toks.join(nv, Seq("__g", "__b"), "left")
+          .select(col("__g"), col("__b"), col("__nt"),
+            coalesce(col("__nv"), lit(0L)).as("__nv"))
+          .select(col("__g"),
+            sum(col("__nt")).over(w).as("__ct"),
+            sum(col("__nv")).over(w).as("__cv"))
+          .filter(col("__ct") > 0 && col("__cv") > 0)
+        val qx = log(col("__ct").cast("double")).cast("decimal(20,10)")
+        val qy = log(col("__cv").cast("double")).cast("decimal(20,10)")
+        val terms = cum.select(col("__g"), qx.as("qx"), qy.as("qy"),
+          (qx.cast("double") * qy.cast("double"))
+            .cast("decimal(30,12)").as("qxy"),
+          (qx.cast("double") * qx.cast("double"))
+            .cast("decimal(30,12)").as("qxx"))
+        val slopeE = (col("n") * col("__sxy").cast("double")
+            - col("__sx").cast("double") * col("__sy").cast("double")) /
+          (col("n") * col("__sxx").cast("double")
+            - col("__sx").cast("double") * col("__sx").cast("double"))
+        val out = terms.groupBy(col("__g")).agg(
+            count(lit(1)).as("n"),
+            sum(col("qx")).as("__sx"), sum(col("qy")).as("__sy"),
+            sum(col("qxy")).as("__sxy"), sum(col("qxx")).as("__sxx"))
+          .filter(col("n") >= 2)
+          .select(col("__g").as(group), col("n"),
+            round(slopeE, 4).as("beta"),
+            round((col("__sy").cast("double")
+              - slopeE * col("__sx").cast("double")) / col("n"), 4)
+              .as("ln_k"))
+        ctx.writeStream(m, out, RowType)
+      }),
+
+    // First-occurrence precedence mining per actor (q228): for each
+    // type pair, how many actors saw a's first occurrence before
+    // b's. Emits (ta, tb, n_ab, n_ba, n_both, ratio).
+    Registered("precedence", RowType, RowType,
+      "in=STREAM:actor=COL:type=COL:order=COL[,COL...]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"precedence: $k= required"))
+        val actor = req("actor")
+        val typ = req("type")
+        val ord = req("order").split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map(col)
+        if (ord.isEmpty)
+          throw new BuildError("precedence: order= needs >= 1 column")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(actor)).orderBy(ord: _*)
+        val f = df.withColumn("__rn", row_number().over(w))
+          .groupBy(col(actor).as("__a"), col(typ).as("__t"))
+          .agg(min(col("__rn")).as("__pos"))
+        val l = f.select(col("__a"), col("__t").as("ta"),
+          col("__pos").as("__pa"))
+        val r = f.select(col("__a"), col("__t").as("tb"),
+          col("__pos").as("__pb"))
+        val out = l.join(r, "__a")
+          .filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(sum(when(col("__pa") < col("__pb"), 1L).otherwise(0L))
+              .as("n_ab"),
+            sum(when(col("__pb") < col("__pa"), 1L).otherwise(0L))
+              .as("n_ba"),
+            count(lit(1)).as("n_both"))
+          .withColumn("ratio",
+            round(col("n_ab").cast("double") / col("n_both"), 6))
+        ctx.writeStream(m, out, RowType)
+      }),
+
     // k-NN majority-vote classification from the DSL (q180): in= the
     // labeled corpus, queries= the stream to classify; emits
     // (query_id, predicted).

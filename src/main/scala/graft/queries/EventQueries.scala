@@ -537,6 +537,37 @@ object EventQueries {
         .agg(sum($"dec_cents").as("score"), count(lit(1)).as("n_events"))
         .orderBy($"score".desc, $"user_id".asc)
         .limit(100)
+    }),
+
+    // First-occurrence precedence mining — the sequential-pattern
+    // support a funnel designer wants before committing to a funnel
+    // definition: for each event-type pair, in how many users does
+    // a's FIRST occurrence precede b's (signup before purchase?
+    // error before churn?). Distinct from q135 (adjacent-step Markov
+    // transitions): precedence is order across the WHOLE history,
+    // any gap. First occurrences via one per-user rank window —
+    // bounded by a user's history, never corpus-wide — then a
+    // per-user type×type self-join (|types|² ≤ 25 rows per user,
+    // linear in users; never events×events). ratio = P(a first |
+    // both present), one double division at the end.
+    "q228_event_precedence" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val f = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"rn").as("pos"))
+      val a = f.select($"user_id", $"event_type".as("ta"), $"pos".as("pa"))
+      val b = f.select($"user_id", $"event_type".as("tb"), $"pos".as("pb"))
+      a.join(b, "user_id")
+        .filter($"ta" < $"tb")
+        .groupBy($"ta", $"tb")
+        .agg(sum(when($"pa" < $"pb", 1L).otherwise(0L)).as("n_ab"),
+          sum(when($"pb" < $"pa", 1L).otherwise(0L)).as("n_ba"),
+          count(lit(1)).as("n_both"))
+        .withColumn("ratio", round($"n_ab".cast("double") / $"n_both", 6))
+        .orderBy($"ta", $"tb")
     })
   )
 
@@ -942,6 +973,31 @@ object EventQueries {
         |SELECT count(*) AS n_converters,
         |  quantile_cont(lat_us, 0.5) AS median_lat_us,
         |  quantile_cont(lat_us, 0.9) AS p90_lat_us
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+
+    // same first-occurrence ranks ((ts, event_id) total order), same
+    // type-pair self-join, BIGINT-cast support counts, one double
+    // division
+    "q228_event_precedence" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, min(rn) AS pos
+        |  FROM r GROUP BY user_id, event_type)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(sum(CASE WHEN a.pos < b.pos THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ab,
+        |  CAST(sum(CASE WHEN b.pos < a.pos THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ba,
+        |  count(*) AS n_both,
+        |  round(CAST(sum(CASE WHEN a.pos < b.pos THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS ratio
+        |FROM f a JOIN f b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY a.event_type, b.event_type
+        |ORDER BY ta, tb""".stripMargin
   )
 }

@@ -535,6 +535,64 @@ object TextQueries {
              ($"nc".cast("double") / $"nu"))), 6).as("pmi"))
         .orderBy($"pmi".desc, $"bg".asc)
         .limit(30)
+    }),
+
+    // Heaps'-law vocabulary-growth exponent per language — q217
+    // Zipf's companion power law (V = K·Tᵝ; natural text sits near
+    // β ≈ 0.5, templated/synthetic corpora lower). Growth points
+    // come from 32 doc_id-RANGE buckets (integer div against the
+    // per-lang max id), NOT a per-doc cumulative window: a term's
+    // first-occurrence bucket is one vocab-sized hash-agg
+    // (min bucket per term), per-bucket token totals one more, and
+    // the cumulative window runs over ≤ 32 rows per language — the
+    // corpus is never globally sorted at any scale. Slope/intercept
+    // by the q217 quantized-decimal OLS (ln terms decimal(20,10)
+    // before summing, fixed-order double arithmetic at the end).
+    "q227_heaps_law" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select($"lang", $"doc_id", $"text")
+      val mx = d.groupBy($"lang").agg(max($"doc_id").as("mx"))
+      val db = d.join(broadcast(mx), "lang")
+        .withColumn("b", expr("(doc_id * 32) div (mx + 1)"))
+      val toks = db.groupBy($"lang", $"b")
+        .agg(sum(size(split($"text", " ")).cast("long")).as("nt"))
+      val nv = db
+        .select($"lang", $"b", explode(split($"text", " ")).as("w"))
+        .groupBy($"lang", $"w").agg(min($"b").as("fb"))
+        .groupBy($"lang", $"fb").agg(count(lit(1)).as("nv"))
+        .withColumnRenamed("fb", "b")
+      val w = Window.partitionBy($"lang").orderBy($"b")
+      val cum = toks.join(nv, Seq("lang", "b"), "left")
+        .select($"lang", $"b", $"nt", coalesce($"nv", lit(0L)).as("nv"))
+        .select($"lang", $"b",
+          sum($"nt").over(w).as("ct"), sum($"nv").over(w).as("cv"))
+        .filter($"ct" > 0 && $"cv" > 0)
+      val qx = log($"ct".cast("double")).cast("decimal(20,10)")
+      val qy = log($"cv".cast("double")).cast("decimal(20,10)")
+      val terms = cum.select($"lang", qx.as("qx"), qy.as("qy"),
+        (qx.cast("double") * qy.cast("double"))
+          .cast("decimal(30,12)").as("qxy"),
+        (qx.cast("double") * qx.cast("double"))
+          .cast("decimal(30,12)").as("qxx"))
+      terms.groupBy($"lang").agg(
+          count(lit(1)).as("n"),
+          sum($"qx").as("sx"), sum($"qy").as("sy"),
+          sum($"qxy").as("sxy"), sum($"qxx").as("sxx"))
+        .filter($"n" >= 2)
+        .select($"lang", $"n",
+          round(($"n" * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"n" * $"sxx".cast("double")
+              - $"sx".cast("double") * $"sx".cast("double")), 4)
+            .as("beta"),
+          round(($"sy".cast("double")
+              - (($"n" * $"sxy".cast("double")
+                  - $"sx".cast("double") * $"sy".cast("double"))
+                / ($"n" * $"sxx".cast("double")
+                  - $"sx".cast("double") * $"sx".cast("double")))
+                * $"sx".cast("double")) / $"n", 4).as("ln_k"))
+        .orderBy($"lang")
     })
   )
 
@@ -842,6 +900,64 @@ object TextQueries {
         |FROM bg LEFT JOIN cg ON bg.g = cg.g
         |LEFT JOIN cpre ON string_split(bg.g, ' ')[1] = cpre.w1
         |CROSS JOIN v
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Heaps oracle: same 32 doc_id-range buckets (integer div), same
+    // min-bucket first occurrences, same ≤32-row cumulative window,
+    // same quantized-decimal OLS with the identical fixed-order
+    // slope/intercept arithmetic.
+    "q227_heaps_law" ->
+      """WITH d AS (SELECT lang, doc_id, text FROM documents),
+        |mx AS (SELECT lang, max(doc_id) AS mx FROM d GROUP BY lang),
+        |db AS (
+        |  SELECT d.lang, d.doc_id, d.text,
+        |    (d.doc_id * 32) // (mx.mx + 1) AS b
+        |  FROM d JOIN mx ON d.lang = mx.lang),
+        |toks AS (
+        |  SELECT lang, b,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS nt
+        |  FROM db GROUP BY lang, b),
+        |fb AS (
+        |  SELECT lang, w, min(b) AS fb FROM (
+        |    SELECT lang, b, unnest(string_split(text, ' ')) AS w
+        |    FROM db)
+        |  GROUP BY lang, w),
+        |nv AS (SELECT lang, fb AS b, count(*) AS nv
+        |       FROM fb GROUP BY lang, fb),
+        |cum AS (
+        |  SELECT t.lang, t.b,
+        |    sum(t.nt) OVER (PARTITION BY t.lang ORDER BY t.b) AS ct,
+        |    sum(coalesce(v.nv, 0)) OVER (PARTITION BY t.lang
+        |      ORDER BY t.b) AS cv
+        |  FROM toks t LEFT JOIN nv v ON v.lang = t.lang AND v.b = t.b),
+        |pts AS (SELECT lang, ct, cv FROM cum WHERE ct > 0 AND cv > 0),
+        |terms AS (
+        |  SELECT lang,
+        |    CAST(ln(CAST(ct AS DOUBLE)) AS DECIMAL(20,10)) AS qx,
+        |    CAST(ln(CAST(cv AS DOUBLE)) AS DECIMAL(20,10)) AS qy
+        |  FROM pts),
+        |t2 AS (
+        |  SELECT lang, qx, qy,
+        |    CAST(CAST(qx AS DOUBLE) * CAST(qy AS DOUBLE)
+        |      AS DECIMAL(30,12)) AS qxy,
+        |    CAST(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)
+        |      AS DECIMAL(30,12)) AS qxx
+        |  FROM terms),
+        |agg AS (
+        |  SELECT lang, count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+        |    sum(qxy) AS sxy, sum(qxx) AS sxx
+        |  FROM t2 GROUP BY lang)
+        |SELECT lang, n,
+        |  round((n * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS beta,
+        |  round((CAST(sy AS DOUBLE)
+        |      - ((n * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (n * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / n, 4) AS ln_k
+        |FROM agg WHERE n >= 2 ORDER BY lang""".stripMargin
   )
 }

@@ -1012,6 +1012,33 @@ class PipelineSpec extends AnyFunSuite {
       "10,0.0,1.0", "11,0.0,0.6667", "12,0.0,0.6667"))
   }
 
+  test("heaps + precedence modules end-to-end") {
+    val d = tmp("heapsprec")
+    // two buckets (ids 0-1, 2-3): T=(4,8), V=(4,5) → the exact
+    // 2-point fit beta=ln(5/4)/ln 2=0.3219, ln_k=0.94
+    writeCsv(s"$d/docs.ndjson",
+      """{"g": "en", "id": 0, "body": "a b"}""",
+      """{"g": "en", "id": 1, "body": "c d"}""",
+      """{"g": "en", "id": 2, "body": "a b"}""",
+      """{"g": "en", "id": 3, "body": "c e"}""")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/docs.ndjson", "ndjsonread:out=docs",
+      "heaps:in=docs:group=g:id=id:text=body:buckets=2:out=h",
+      "csvwrite:in=h", s"filewrite:out=$d/h.csv"))
+    assert(readOut(s"$d/h.csv") == Seq("g,n,beta,ln_k", "en,2,0.3219,0.94"))
+
+    // u1 signup->purchase, u2 purchase->signup → ratio 0.5
+    writeCsv(s"$d/ev.csv", "u,t,typ",
+      "1,10,signup", "1,20,purchase",
+      "2,10,purchase", "2,20,signup", "3,5,signup")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/ev.csv", "csvread:infer=1:out=ev",
+      "precedence:in=ev:actor=u:type=typ:order=t,u:out=p",
+      "csvwrite:in=p", s"filewrite:out=$d/p.csv"))
+    assert(readOut(s"$d/p.csv") ==
+      Seq("ta,tb,n_ab,n_ba,n_both,ratio", "purchase,signup,1,1,2,0.5"))
+  }
+
   test("stratsplit + incragg modules end-to-end") {
     val d = tmp("stratincr")
     // stratsplit: strata a (4 rows) and b (2 rows), 50/50 split —
