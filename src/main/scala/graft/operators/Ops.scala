@@ -1762,33 +1762,39 @@ object Ops {
       .distinct()
       .repartition(col("u"))
     var e = sym0.localCheckpoint(eager = true)
-    var nNodes = -1L
+    // Convergence on the EDGE count: every node present in the
+    // symmetrized relation has degree >= 1, so "some node dropped"
+    // and "some edge dropped" are the same event — and counting the
+    // just-checkpointed relation is a scan of local blocks, not a
+    // recompute. One heavy job per round (the checkpoint itself;
+    // the degree-filter subplan appears under both semi-joins and is
+    // evaluated twice INSIDE that job — two hash-aggs over cached
+    // blocks beat a second materialization action per round).
+    var nEdges = e.count()
     var rounds = 0
-    var done = false
+    var done = nEdges == 0
     while (!done) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"kCore: no fixpoint after $maxRounds peel rounds " +
+            s"(still $nEdges directed edges) — raise maxRounds")
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("u").as("__id"))
+      val next = e
+        .join(keep, e("u") === keep("__id"), "left_semi")
+        .join(keep, e("v") === keep("__id"), "left_semi")
         .localCheckpoint(eager = true)
-      val nKeep = keep.count()
-      if (nKeep == nNodes || nKeep == 0) {
+      val nNext = next.count()
+      if (nNext == nEdges) {
+        next.unpersist(blocking = false)
         done = true
-        if (nKeep == 0) e = e.limit(0)
-        keep.unpersist(blocking = false)
       } else {
-        rounds += 1
-        if (rounds > maxRounds)
-          throw new IllegalStateException(
-            s"kCore: no fixpoint after $maxRounds peel rounds " +
-              s"(still $nKeep candidate nodes) — raise maxRounds")
-        nNodes = nKeep
-        val next = e
-          .join(keep, e("u") === keep("__id"), "left_semi")
-          .join(keep, e("v") === keep("__id"), "left_semi")
-          .localCheckpoint(eager = true)
         e.unpersist(blocking = false)
-        keep.unpersist(blocking = false)
         e = next
+        nEdges = nNext
+        done = nEdges == 0
       }
     }
     val out = e.groupBy(col("u").as("node"))
@@ -1828,36 +1834,37 @@ object Ops {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One materialization per half-step: the join-agg is checkpointed
+    // (it is read twice — by the one-row max action and by the next
+    // half-step's plan), while the normalization is a lazy projection
+    // over the checkpointed blocks (a second checkpoint there would
+    // double the job count for zero reuse). Checkpoint blocks are
+    // held until the final result materializes, then all released.
     try {
-      var hub = e.select(col("src").as("id")).distinct()
-        .withColumn("s", lit(1.0))
-        .localCheckpoint(eager = true)
+      val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def ckpt(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(eager = true)
+        held += c
+        c
+      }
+      var hub = ckpt(e.select(col("src").as("id")).distinct()
+        .withColumn("s", lit(1.0)))
       var auth: DataFrame = null
       var it = 0
       while (it < iters) {
-        val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
+        val aRaw = ckpt(e.join(hub.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
-          .agg(sum(col("s").cast("decimal(30,12)")).as("__sum"))
-          .localCheckpoint(eager = true)
+          .agg(sum(col("s").cast("decimal(30,12)")).as("__sum")))
         val aMax = aRaw.agg(max(col("__sum"))).head().getDecimal(0)
         require(aMax != null, "hits: empty edge set — nothing to score")
-        val nextAuth = aRaw.select(col("id"),
-            (col("__sum").cast("double") / lit(aMax.doubleValue)).as("s"))
-          .localCheckpoint(eager = true)
-        aRaw.unpersist(blocking = false)
-        if (auth != null) auth.unpersist(blocking = false)
-        auth = nextAuth
-        val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        auth = aRaw.select(col("id"),
+          (col("__sum").cast("double") / lit(aMax.doubleValue)).as("s"))
+        val hRaw = ckpt(e.join(auth.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id"))
-          .agg(sum(col("s").cast("decimal(30,12)")).as("__sum"))
-          .localCheckpoint(eager = true)
+          .agg(sum(col("s").cast("decimal(30,12)")).as("__sum")))
         val hMax = hRaw.agg(max(col("__sum"))).head().getDecimal(0)
-        val nextHub = hRaw.select(col("id"),
-            (col("__sum").cast("double") / lit(hMax.doubleValue)).as("s"))
-          .localCheckpoint(eager = true)
-        hRaw.unpersist(blocking = false)
-        hub.unpersist(blocking = false)
-        hub = nextHub
+        hub = hRaw.select(col("id"),
+          (col("__sum").cast("double") / lit(hMax.doubleValue)).as("s"))
         it += 1
       }
       val out = hub.select(col("id"), col("s").as("hub"))
@@ -1865,8 +1872,7 @@ object Ops {
         .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
           coalesce(col("auth"), lit(0.0)).as("auth"))
         .localCheckpoint(eager = true)
-      hub.unpersist(blocking = false)
-      auth.unpersist(blocking = false)
+      held.foreach(_.unpersist(blocking = false))
       out
     } finally e.unpersist(blocking = false)
   }
