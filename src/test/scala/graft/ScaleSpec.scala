@@ -892,4 +892,67 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("kCore/hits: EVERY executed round stays equi-join shaped") {
+    // The returned Datasets are checkpoint scans, so gating only the
+    // final plan would miss the per-round jobs — capture every plan
+    // the operators execute and assert none goes cartesian/NLJ.
+    // (QueryExecutionListener delivery is async: drain until stable.)
+    import graft.operators.Ops
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val edges = (1L to 60L).map(i => (i, i % 12 + 1)).toDF("u", "v")
+      Ops.kCore(edges, k = 2).count()
+      Ops.hits(edges.select($"u".as("src"), $"v".as("dst")), iters = 2)
+        .count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) { // 3 × 100 ms with no new events = drained
+        Thread.sleep(100)
+        if (plans.size == last) stable += 1 else { last = plans.size; stable = 0 }
+      }
+    } finally spark.listenerManager.unregister(l)
+    assert(plans.size >= 4, s"expected several round jobs, saw ${plans.size}")
+    plans.forEach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("hits query: global top-10 is TakeOrdered, never a full sort") {
+    val plan = executed(SparkEntry.queries("q226_hits")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("heaps-law: growth windows partition by lang, sums combine map-side") {
+    // The cumulative window must run over the ≤32-row bucket relation
+    // PER LANGUAGE — an unpartitioned (SinglePartition) window or a
+    // per-doc window would serialize the corpus.
+    val plan = executed(SparkEntry.queries("q227_heaps_law")(spark, sf))
+    plan.split('\n').filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(lang"),
+        s"unpartitioned or mis-partitioned window: $l")
+    }
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("event precedence: rank window partitions by user, type-pair join is keyed") {
+    val plan = executed(SparkEntry.queries("q228_event_precedence")(spark, sf))
+    plan.split('\n').filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(user_id"),
+        s"unpartitioned or mis-partitioned window: $l")
+    }
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
