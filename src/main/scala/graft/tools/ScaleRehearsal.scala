@@ -235,6 +235,77 @@ object ScaleRehearsal {
     println(s"rehearsal: q222 dup_tokens sf0.1=${sp01._1} sf1=${sp1._1} " +
       s"spans sf0.1=${sp01._2} sf1=${sp1._2} " +
       s"exact10x=${sp1._1 == 10 * sp01._1 && sp1._2 == 10 * sp01._2}")
+    spark.catalog.clearCache()
+
+    // 7. k-core: node count and degree mass must scale EXACTLY 10×.
+    // The replicated lineitem shares the part domain (only order keys
+    // shift), so the 10× graph is built by re-offsetting part keys
+    // per replica (r = l_orderkey div 1e8) while HASH-THINNING ON THE
+    // UNSHIFTED keys — each replica then contains the IDENTICAL
+    // thinned co-occurrence graph on a disjoint id range, the peel
+    // cascade runs the same 12 rounds in every copy, and the union's
+    // core is exactly 10 disjoint copies of the sf0.1 core.
+    def kcoreTotals(dir: String, tenX: Boolean): (Long, Long) = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          (col("l_orderkey") / 100000000L).cast("long").as("rep"),
+          col("l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey").as("u0"),
+          (col("l_partkey") +
+            (if (tenX) col("rep") * 10000000L else lit(0L))).as("uid"))
+        .distinct()
+      val edges = li.select(col("l_orderkey"), col("u0"), col("uid"))
+        .join(li.select(col("l_orderkey"), col("u0").as("v0"),
+          col("uid").as("vid")), "l_orderkey")
+        .filter(col("u0") < col("v0") &&
+          (col("u0") * 1009 + col("v0")) % 29 === 0)
+        .select(col("uid").as("u"), col("vid").as("v")).distinct()
+      val core = graft.operators.Ops.kCore(edges, k = 3)
+      val row = core.agg(count(lit(1)), sum(col("deg"))).head()
+      val res = (row.getLong(0), row.getLong(1))
+      core.unpersist(blocking = false)
+      res
+    }
+    val kc01 = timed("q225-kcore-sf0.1")(kcoreTotals(sf01, tenX = false))
+    spark.catalog.clearCache()
+    val kc1 = timed("q225-kcore-sf1")(kcoreTotals(out, tenX = true))
+    println(s"rehearsal: q225 core nodes sf0.1=${kc01._1} sf1=${kc1._1} " +
+      s"degmass sf0.1=${kc01._2} sf1=${kc1._2} " +
+      s"exact10x=${kc1._1 == 10 * kc01._1 && kc1._2 == 10 * kc01._2}")
+    spark.catalog.clearCache()
+
+    // 8. HITS: on 10 disjoint identical copies (customer AND supplier
+    // ids re-offset per replica) every copy reaches the same scores
+    // and the global max-normalization is over identical maxima — so
+    // node count and the rounded score masses must all be EXACTLY
+    // 10× the originals.
+    def hitsTotals(dir: String, tenX: Boolean): (Long, Double, Double) = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val rep = (col("o_orderkey") / 100000000L).cast("long")
+      val off = if (tenX) rep * 10000000L else lit(0L)
+      val edges = li.join(ord, col("o_orderkey") === col("l_orderkey"))
+        .select(((col("o_custkey") + off) * 2).as("src"),
+          ((col("l_suppkey") + off) * 2 + 1).as("dst"))
+        .distinct()
+      val sc = graft.operators.Ops.hits(edges, iters = 2)
+      val row = sc.agg(count(lit(1)),
+        sum(round(col("hub"), 6).cast("decimal(30,6)")),
+        sum(round(col("auth"), 6).cast("decimal(30,6)"))).head()
+      val res = (row.getLong(0), row.getDecimal(1).doubleValue,
+        row.getDecimal(2).doubleValue)
+      sc.unpersist(blocking = false)
+      res
+    }
+    val h01 = timed("q226-hits-sf0.1")(hitsTotals(sf01, tenX = false))
+    spark.catalog.clearCache()
+    val h1 = timed("q226-hits-sf1")(hitsTotals(out, tenX = true))
+    println(s"rehearsal: q226 nodes sf0.1=${h01._1} sf1=${h1._1} " +
+      s"hubmass sf0.1=${h01._2} sf1=${h1._2} " +
+      s"authmass sf0.1=${h01._3} sf1=${h1._3} " +
+      s"exact10x=${h1._1 == 10 * h01._1 &&
+        math.abs(h1._2 - 10 * h01._2) < 1e-6 &&
+        math.abs(h1._3 - 10 * h01._3) < 1e-6}")
     spark.stop()
   }
 }
