@@ -178,9 +178,15 @@ object CurationQueries {
     // shard assignment itself.
     "q214_shard_manifest" -> ((s, dir) => {
       import s.implicits._
+      // The fingerprint leaves the operator as decimal(38,0) (the
+      // exact-merge type the streaming twin needs) but ships as a
+      // canonical digit string: raw wide-decimal output columns proved
+      // driver-environment-sensitive three rounds straight (r13
+      // VERDICT directive #1; DecimalCanonSpec pins the rendering).
       Ops.shardManifest(
           t(s, dir, "documents").select($"doc_id", $"text"),
           "doc_id", "text", nShards = 8, seed = "rel1")
+        .withColumn("fingerprint", $"fingerprint".cast("string"))
         .orderBy($"shard")
     }),
 
@@ -420,8 +426,11 @@ object CurationQueries {
       // comment above says never materializes — so a raw BIGINT sum
       // silently wraps at large corpora while the oracle promotes to
       // HUGEINT. Accumulate numerator AND denominator in
-      // decimal(38,0) (q191's convention); the outputs are decimal on
-      // both sides.
+      // decimal(38,0) (q191's convention); the OUTPUT carries them as
+      // canonical digit strings (scale-0 decimal → string is plain
+      // digits on both engines, spec-pinned DecimalCanonSpec) because
+      // raw DECIMAL(38,0) output columns proved driver-environment-
+      // sensitive three rounds straight (r13 VERDICT directive #1).
       c.agg(
           sum($"np").as("p"), sum($"nn").as("n"),
           // np cast to decimal BEFORE the multiply: the per-row
@@ -430,9 +439,10 @@ object CurationQueries {
           sum(($"np".cast("decimal(38,0)") *
               (lit(2L) * $"cumb" + $"nn"))
             .cast("decimal(38,0)")).as("auc_num2"))
-        .select($"p", $"n", $"auc_num2",
+        .select($"p", $"n",
+          $"auc_num2".cast("string").as("auc_num2"),
           ($"p".cast("decimal(38,0)") * $"n" * 2L)
-            .cast("decimal(38,0)").as("auc_den2"),
+            .cast("decimal(38,0)").cast("string").as("auc_den2"),
           round($"auc_num2".cast("double") /
             ($"p".cast("decimal(38,0)") * $"n" * 2L).cast("double"), 6)
             .as("auc"))
@@ -588,9 +598,9 @@ object CurationQueries {
         |SELECT CAST(shard AS INTEGER) AS shard,
         |  count(*) AS n_rows,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-        |  sum(CAST(CAST('0x' || substr(md5(
+        |  CAST(sum(CAST(CAST('0x' || substr(md5(
         |      CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15) AS BIGINT)
-        |    AS DECIMAL(38,0))) AS fingerprint,
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
@@ -889,8 +899,10 @@ object CurationQueries {
          |  FROM per)
          |SELECT CAST(sum(np) AS BIGINT) AS p,
          |  CAST(sum(nn) AS BIGINT) AS n,
-         |  CAST(sum(CAST(np AS HUGEINT) * (2 * cumb + nn)) AS DECIMAL(38,0)) AS auc_num2,
-         |  CAST(2 * sum(np) * sum(nn) AS DECIMAL(38,0)) AS auc_den2,
+         |  CAST(CAST(sum(CAST(np AS HUGEINT) * (2 * cumb + nn))
+         |    AS DECIMAL(38,0)) AS VARCHAR) AS auc_num2,
+         |  CAST(CAST(2 * sum(np) * sum(nn) AS DECIMAL(38,0))
+         |    AS VARCHAR) AS auc_den2,
          |  round(CAST(sum(CAST(np AS HUGEINT) * (2 * cumb + nn)) AS DOUBLE)
          |    / CAST(sum(np) * sum(nn) * 2 AS DOUBLE), 6) AS auc
          |FROM c""".stripMargin,

@@ -413,7 +413,11 @@ object EventQueries {
       // once per-type counts pass ~3e9 — take them (and the n1·n2
       // denominator) through decimal(38,0) so the "no float anywhere"
       // guarantee holds at scale, matching the HUGEINT-promoting
-      // oracle. ks_num/ks_den are decimal on both sides.
+      // oracle. The OUTPUT carries ks_num/ks_den as canonical digit
+      // strings, not wide decimals: scale-0 decimal → string is plain
+      // digits on both engines (spec-pinned, DecimalCanonSpec), while
+      // raw DECIMAL(38,0) columns proved driver-environment-sensitive
+      // for three rounds straight (r13 VERDICT directive #1).
       cum.join(tot, "event_type")
         .withColumn("num", abs($"cum1".cast("decimal(38,0)") * $"n2" -
           $"cum2".cast("decimal(38,0)") * $"n1").cast("decimal(38,0)"))
@@ -421,9 +425,10 @@ object EventQueries {
         .agg(max($"n1").as("n_before"), max($"n2").as("n_after"),
           max($"num").as("ks_num"))
         .join(tot, "event_type")
-        .select($"event_type", $"n_before", $"n_after", $"ks_num",
+        .select($"event_type", $"n_before", $"n_after",
+          $"ks_num".cast("string").as("ks_num"),
           ($"n1".cast("decimal(38,0)") * $"n2")
-            .cast("decimal(38,0)").as("ks_den"),
+            .cast("decimal(38,0)").cast("string").as("ks_den"),
           round($"ks_num".cast("double") /
             ($"n1".cast("decimal(38,0)") * $"n2").cast("double"), 6)
             .as("ks"))
@@ -603,8 +608,10 @@ object EventQueries {
         |      AS ks_num
         |  FROM cum JOIN tot ON tot.event_type = cum.event_type
         |  GROUP BY cum.event_type)
-        |SELECT mx.event_type, n1 AS n_before, n2 AS n_after, ks_num,
-        |  CAST(n1 * n2 AS DECIMAL(38,0)) AS ks_den,
+        |SELECT mx.event_type, n1 AS n_before, n2 AS n_after,
+        |  CAST(ks_num AS VARCHAR) AS ks_num,
+        |  CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS DECIMAL(38,0))
+        |    AS VARCHAR) AS ks_den,
         |  round(CAST(ks_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
         |    AS ks
         |FROM mx JOIN tot ON tot.event_type = mx.event_type
