@@ -162,6 +162,12 @@ object GraftExtensions {
     "graft_nfc" -> { args =>
       arity("graft_nfc", args, 1)
       NfcNormalizeExpr(args(0))
+    },
+    // Chain-exact unreserved percent-decode (r14): urlNormalize's hot
+    // front door exposed to pure-SQL users.
+    "graft_url_pctdecode" -> { args =>
+      arity("graft_url_pctdecode", args, 1)
+      PercentDecodeUnreservedExpr(args(0))
     })
 
   /** Install on an EXISTING session as temp functions. */
