@@ -182,7 +182,17 @@ object Bench {
       .filter(_.nonEmpty)
     val qs = SparkEntry.queries
       .filter(kv => only.forall(_.exists(kv._1.startsWith)))
-    val res = run(spark, sfDir, qs)
+    val res0 = run(spark, sfDir, qs)
+    // The q211/q216 shared walk corpus is memoized, so whichever query
+    // ran first paid the graph+walk build and every per-query min
+    // discards it — ~4 s of real work invisible to minsum (VERDICT r13
+    // #3). Report the build as its own row, exactly once, so
+    // total/minsum stay like-for-like across rounds (BASELINE.md r14).
+    val res = Option(graft.queries.Operators.walkBuildSeconds.get(sfDir))
+      .map(_.doubleValue).filter(_ > 0)
+      .map(b => res0.copy(results = res0.results :+
+        ("q211_walk_build" -> QueryResult(Vector(b), Vector.empty))))
+      .getOrElse(res0)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(

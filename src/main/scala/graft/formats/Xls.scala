@@ -10,8 +10,9 @@ import scala.collection.mutable
   * Reader subset: BOUNDSHEET sheet map (selection by name or 1-based
   * index), SST with CONTINUE continuation, LABELSST / LABEL / NUMBER /
   * RK / MULRK / BLANK cells, compressed (latin-1) and UTF-16LE string
-  * encodings. Formula cells read as null (no cached-value decoding) —
-  * stated limitation. Writer subset: workbook globals + one sheet,
+  * encodings. FORMULA cells read their CACHED RESULTS (numeric inline;
+  * string via the trailing STRING record; boolean/error from the
+  * tagged payload) — spec-pinned. Writer subset: workbook globals + one sheet,
   * SST-backed strings, NUMBER cells; enough for any BIFF8 consumer to
   * open the grid.
   */

@@ -1507,6 +1507,10 @@ object Ops {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def dec(c: Column) = c.cast("decimal(30,12)")
+      // Empty input would surface as a null decimal out of the sums
+      // and an opaque NPE in getDecimal below — fail loudly instead
+      // (ADVICE r13). One cheap existence probe on the persisted base.
+      require(!base.isEmpty, "logisticTrainIRLS: empty training input")
       var beta = Array.fill(d)(0.0)
       for (_ <- 1 to iters) {
         // η as a left-assoc fold (the order the SQL replay parses),
@@ -1529,10 +1533,15 @@ object Ops {
         }
         val g = Array.tabulate(d)(j => row.getDecimal(i + j).doubleValue)
         val delta =
-          if (d == 1) Array(g(0) / S(0)(0))
-          else if (d == 2) {
-            // Cramer in the exact order q221's oracle SQL spells out
+          if (d == 1) {
+            require(S(0)(0) != 0.0, "singular X'WX — drop collinear features")
+            Array(g(0) / S(0)(0))
+          } else if (d == 2) {
+            // Cramer in the exact order q221's oracle SQL spells out;
+            // singular matrices fail loudly like solveSymmetric does
+            // instead of silently producing NaN/Inf betas (ADVICE r13)
             val det = S(0)(0) * S(1)(1) - S(0)(1) * S(0)(1)
+            require(det != 0.0, "singular X'WX — drop collinear features")
             Array((S(1)(1) * g(0) - S(0)(1) * g(1)) / det,
               (S(0)(0) * g(1) - S(0)(1) * g(0)) / det)
           } else solveSymmetric(S, g)
@@ -1770,38 +1779,41 @@ object Ops {
     // the degree-filter subplan appears under both semi-joins and is
     // evaluated twice INSIDE that job — two hash-aggs over cached
     // blocks beat a second materialization action per round).
-    var nEdges = e.count()
-    var rounds = 0
-    var done = nEdges == 0
-    while (!done) {
-      rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"kCore: no fixpoint after $maxRounds peel rounds " +
-            s"(still $nEdges directed edges) — raise maxRounds")
-      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k)
-        .select(col("u").as("__id"))
-      val next = e
-        .join(keep, e("u") === keep("__id"), "left_semi")
-        .join(keep, e("v") === keep("__id"), "left_semi")
-        .localCheckpoint(eager = true)
-      val nNext = next.count()
-      if (nNext == nEdges) {
-        next.unpersist(blocking = false)
-        done = true
-      } else {
-        e.unpersist(blocking = false)
-        e = next
-        nEdges = nNext
-        done = nEdges == 0
+    // The current round's blocks are released on EVERY exit path —
+    // the maxRounds throw included (ADVICE r13) — by the finally;
+    // the success path runs it after `out` is already materialized.
+    try {
+      var nEdges = e.count()
+      var rounds = 0
+      var done = nEdges == 0
+      while (!done) {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"kCore: no fixpoint after $maxRounds peel rounds " +
+              s"(still $nEdges directed edges) — raise maxRounds")
+        val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+          .filter(col("__d") >= k)
+          .select(col("u").as("__id"))
+        val next = e
+          .join(keep, e("u") === keep("__id"), "left_semi")
+          .join(keep, e("v") === keep("__id"), "left_semi")
+          .localCheckpoint(eager = true)
+        val nNext = next.count()
+        if (nNext == nEdges) {
+          next.unpersist(blocking = false)
+          done = true
+        } else {
+          e.unpersist(blocking = false)
+          e = next
+          nEdges = nNext
+          done = nEdges == 0
+        }
       }
-    }
-    val out = e.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
-    e.unpersist(blocking = false)
-    out
+      e.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true)
+    } finally e.unpersist(blocking = false)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
@@ -1839,9 +1851,11 @@ object Ops {
     // half-step's plan), while the normalization is a lazy projection
     // over the checkpointed blocks (a second checkpoint there would
     // double the job count for zero reuse). Checkpoint blocks are
-    // held until the final result materializes, then all released.
+    // held until the final result materializes, then all released —
+    // in a finally, so a mid-loop failure drains `held` too instead
+    // of leaking every half-step's blocks (ADVICE r13).
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def ckpt(df: DataFrame): DataFrame = {
         val c = df.localCheckpoint(eager = true)
         held += c
@@ -1867,13 +1881,15 @@ object Ops {
           (col("__sum").cast("double") / lit(hMax.doubleValue)).as("s"))
         it += 1
       }
-      val out = hub.select(col("id"), col("s").as("hub"))
+      // eager: materialized before the finally releases `held`
+      hub.select(col("id"), col("s").as("hub"))
         .join(auth.select(col("id"), col("s").as("auth")), Seq("id"), "full_outer")
         .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
           coalesce(col("auth"), lit(0.0)).as("auth"))
         .localCheckpoint(eager = true)
+    } finally {
       held.foreach(_.unpersist(blocking = false))
-      out
-    } finally e.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 }

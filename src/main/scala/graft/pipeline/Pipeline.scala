@@ -2380,8 +2380,15 @@ object Pipeline {
         val d = df.select(col(group).as("__g"), col(id).as("__id"),
           col(text).as("__t"))
         val mx = d.groupBy(col("__g")).agg(max(col("__id")).as("__mx"))
+        // Width division, not (__id * nb) div (__mx + 1): the product
+        // form overflows Long for ids above Long.MaxValue/nb (hash-
+        // derived ids are plausible inputs to a generic module) and
+        // negative ids would silently corrupt first-occurrence buckets
+        // — assert them out loudly instead (ADVICE r13).
         val db = d.join(broadcast(mx), "__g")
-          .withColumn("__b", expr(s"(__id * $nb) div (__mx + 1)"))
+          .filter(assert_true(col("__id") >= 0,
+            lit("heaps: id must be >= 0")).isNull)
+          .withColumn("__b", expr(s"__id div ((__mx div $nb) + 1)"))
         val toks = db.groupBy(col("__g"), col("__b"))
           .agg(sum(size(split(col("__t"), " ")).cast("long")).as("__nt"))
         val nv = db

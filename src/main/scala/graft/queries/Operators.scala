@@ -28,23 +28,52 @@ object Operators {
     */
   private val walkCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedWalkCorpus(s: SparkSession, dir: String): DataFrame =
-    walkCache.computeIfAbsent((s, dir), { _ =>
-      import s.implicits._
-      val pairs = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
-        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
-        .distinct()
-        .persist()
-      val edges = pairs.select($"c".as("src"), $"p".as("dst"))
-        .unionByName(pairs.select($"p".as("src"), $"c".as("dst")))
-      val seeds = t(s, dir, "customer").filter($"c_custkey" % 100 === 0)
-        .select(($"c_custkey" * 2).as("id"))
-      val w = Ops.randomWalks(edges, seeds, steps = 4, salt = "w1")
-        .localCheckpoint()
-      pairs.unpersist(false)
+
+  /** Wall-clock seconds each memoization MISS spent building the walk
+    * corpus, keyed by sfDir. Bench reads this after the run and reports
+    * the build as its own `q211_walk_build` row so the shared prelude's
+    * real cost lands in total/minsum exactly once — per-query mins of
+    * q211/q216 alone would hide ~4 s of real work behind the cache hit
+    * (VERDICT r13 #3 / ADVICE r13 #1).
+    */
+  val walkBuildSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def sharedWalkCorpus(s: SparkSession, dir: String): DataFrame = {
+    // Entries pin their session and its checkpointed blocks — drop the
+    // ones whose sessions are gone so restarts can't accumulate
+    // (ADVICE r13 #2).
+    walkCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    val cached = walkCache.get(key)
+    if (cached != null) return cached
+    // Build OUTSIDE the map lock (computeIfAbsent would run a
+    // multi-second Spark job while holding the bin lock); a concurrent
+    // double-build is resolved by putIfAbsent and the loser releases
+    // its blocks.
+    import s.implicits._
+    val t0 = System.nanoTime()
+    val pairs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+      .distinct()
+      .persist()
+    val edges = pairs.select($"c".as("src"), $"p".as("dst"))
+      .unionByName(pairs.select($"p".as("src"), $"c".as("dst")))
+    val seeds = t(s, dir, "customer").filter($"c_custkey" % 100 === 0)
+      .select(($"c_custkey" * 2).as("id"))
+    val w = Ops.randomWalks(edges, seeds, steps = 4, salt = "w1")
+      .localCheckpoint()
+    pairs.unpersist(false)
+    val prior = walkCache.putIfAbsent(key, w)
+    if (prior != null) { w.unpersist(false); prior }
+    else {
+      walkBuildSeconds.merge(dir,
+        java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
+        (a, b) => java.lang.Double.valueOf(a.doubleValue + b.doubleValue))
       w
-    })
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
