@@ -1892,4 +1892,105 @@ object Ops {
       e.unpersist(blocking = false)
     }
   }
+
+  /** Community detection by MONOTONE synchronous label propagation
+    * over an undirected edge list — the crawl-spam / template-farm
+    * grouping that k-core BOUNDS but doesn't partition (q225 finds the
+    * dense backbone; this names its pieces). Completes the graph
+    * family: CC gives reachability classes, LPA splits them along
+    * vote-density lines.
+    *
+    * Determinism + convergence contract (both engines replay it
+    * exactly, q229): labels start as the node id; each round EVERY
+    * node computes the PLURALITY label among its neighbors' labels
+    * plus its own (ties to the smallest label) and adopts
+    * `min(current, winner)`. All updates in a round see only the
+    * previous round's labels (synchronous — a round is a pure function
+    * of the label relation, so the oracle unrolls rounds as CTEs).
+    * The `min(current, ·)` clamp is the stabilization: classic
+    * synchronous LPA 2-cycles on symmetric structures (measured here:
+    * the q229 co-occurrence graph oscillates past 64 rounds even with
+    * the self-vote; GraphFrames ships the same oscillation-prone
+    * fixed-iteration variant) — with the clamp every label is
+    * non-increasing over a finite lattice, so a fixpoint ALWAYS
+    * exists, a converged round is the identity, and the oracle's
+    * unroll can carry idempotent margin rounds exactly like q225's
+    * peel. Plurality gating still blocks a low id from crossing
+    * sparse cuts it can't out-vote, which is what separates this from
+    * connected components (q147): under CC's min-propagation one low
+    * id floods the whole connected component, while here it stalls at
+    * the vote boundary — a bridged pair of cliques settles on
+    * per-clique labels (at most the bridge endpoint is captured by
+    * its cross-cut neighbor), not a single label (spec-pinned).
+    *
+    * Plan shape per round (kCore discipline): ONE join of the
+    * node-sized label relation against the edge list partitioned on
+    * the neighbor key, TWO map-side-combining hash-aggs — (node,
+    * label) vote counts, then per-node argmax via max(struct(count,
+    * -label)) so no per-node window/sort task ever exists — and one
+    * node-sized join applying the clamp, which doubles as the
+    * changed-label convergence count. Each round eagerly
+    * localCheckpoints and releases the previous round's blocks;
+    * `maxRounds` fails loudly.
+    *
+    * Node ids must be non-negative (the argmax encodes min-label as
+    * max(-label)); checked loudly on the initial label build.
+    *
+    * edges: (u, v) undirected (either orientation; duplicates and
+    * self-loops cleaned here). Output: (node, label) — label = the
+    * smallest node id whose votes reached everywhere in the community.
+    */
+  def labelPropagation(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"labelPropagation: maxRounds >= 1, got $maxRounds")
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 3 columns while iterating: (node, label, __old) — the clamp
+      // join already pairs new against old, so convergence is a
+      // filter-count over the just-checkpointed blocks, not a second
+      // join. The returned frame projects the pair away.
+      var cur = sym.select(col("u").as("node"))
+        .distinct()
+        .filter(assert_true(col("node") >= 0,
+          lit("labelPropagation: node ids must be >= 0")).isNull)
+        .select(col("node"), col("node").as("label"), col("node").as("__old"))
+        .localCheckpoint(eager = true)
+      try {
+        var rounds = 0
+        var converged = false
+        while (!converged) {
+          rounds += 1
+          if (rounds > maxRounds)
+            throw new IllegalStateException(
+              s"labelPropagation: no fixpoint after $maxRounds rounds — " +
+                "raise maxRounds (monotone labels guarantee one exists)")
+          val labels = cur.select(col("node"), col("label"))
+          val votes = sym
+            .join(labels.select(col("node").as("v"), col("label").as("nl")), "v")
+            .select(col("u"), col("nl"))
+            .unionByName(labels.select(col("node").as("u"), col("label").as("nl")))
+          val next = votes
+            .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("__c"))
+            .groupBy(col("u").as("node"))
+            .agg(max(struct(col("__c"), (-col("nl")).as("__m"))).as("__w"))
+            .join(labels.withColumnRenamed("label", "__old"), "node")
+            .select(col("node"),
+              least((-col("__w.__m")), col("__old")).as("label"),
+              col("__old"))
+            .localCheckpoint(eager = true)
+          val changed = next.filter(col("label") =!= col("__old")).count()
+          cur.unpersist(blocking = false)
+          cur = next
+          converged = changed == 0
+        }
+        cur.select(col("node"), col("label"))
+      } catch {
+        case t: Throwable => cur.unpersist(blocking = false); throw t
+      }
+    } finally sym.unpersist(blocking = false)
+  }
 }

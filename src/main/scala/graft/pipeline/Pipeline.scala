@@ -2006,6 +2006,24 @@ object Pipeline {
           RowType)
       }),
 
+    // Community detection by monotone label propagation (q229 /
+    // Ops.labelPropagation): deterministic plurality voting with the
+    // min-clamp that guarantees a fixpoint; emits (node, label).
+    Registered("labelprop", RowType, RowType,
+      "in=STREAM:u=COL:v=COL[:maxrounds=64]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val maxRounds = m.args.getOrElse("maxrounds", "64").toInt
+        if (maxRounds < 1)
+          throw new BuildError(
+            s"labelprop: maxrounds must be >= 1, got $maxRounds")
+        val edges = df.select(
+          col(m.args.getOrElse("u", "u")).as("u"),
+          col(m.args.getOrElse("v", "v")).as("v"))
+        ctx.writeStream(m,
+          graft.operators.Ops.labelPropagation(edges, maxRounds), RowType)
+      }),
+
     // HITS hubs & authorities (q226 / Ops.hits): emits
     // (id, hub, auth), max-normalized per round.
     Registered("hits", RowType, RowType,

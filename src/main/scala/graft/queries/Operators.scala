@@ -928,6 +928,29 @@ object Operators {
       }
       side("hub", "hub").unionByName(side("auth", "auth"))
         .orderBy($"role", $"rk")
+    }),
+
+    // Community detection over the q225 part co-occurrence graph via
+    // monotone synchronous label propagation — names the pieces the
+    // 3-core only bounds (crawl-spam / template-farm grouping). The
+    // operator loops to the guaranteed fixpoint (labels only descend);
+    // measured cascade depth at sf0.01 is 10 rounds, and the oracle
+    // unrolls 14 — converged rounds are the identity, so the margin is
+    // exact, certifying convergence within the unroll (q225's
+    // protocol). Output: per-community size + id range.
+    "q229_labelprop" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val edges = li.select($"l_orderkey", $"l_partkey".as("u"))
+        .join(li.select($"l_orderkey", $"l_partkey".as("v")), "l_orderkey")
+        .filter($"u" < $"v" && ($"u" * 1009 + $"v") % 29 === 0)
+        .select($"u", $"v").distinct()
+      Ops.labelPropagation(edges)
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_members"),
+          min($"node").as("min_node"), max($"node").as("max_node"))
+        .orderBy($"label")
     })
   )
 
@@ -989,6 +1012,48 @@ object Operators {
        |$steps
        |SELECT u AS node, count(*) AS deg FROM e$rounds
        |GROUP BY u ORDER BY node""".stripMargin
+  }
+
+  /** q229 oracle: `rounds` unrolled monotone-LPA rounds. Per round:
+    * neighbor labels + each node's own label counted per (node,
+    * label), plurality winner picked by the SAME (count desc, label
+    * asc) rule the operator encodes as max(struct(c, -label)), then
+    * clamped with least() against the previous label. Labels only
+    * descend, so rounds past the measured sf0.01 cascade depth (10)
+    * are exact no-ops and the unroll carries idempotent margin.
+    */
+  private def labelpropOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT w.node, least(w.cand, pr.label) AS label
+         |  FROM (
+         |    SELECT u AS node, nl AS cand FROM (
+         |      SELECT u, nl,
+         |        row_number() OVER (PARTITION BY u ORDER BY c DESC, nl ASC)
+         |          AS rk
+         |      FROM (
+         |        SELECT t.u, t.nl, count(*) AS c FROM (
+         |          SELECT e.u AS u, l.label AS nl
+         |          FROM e JOIN l${i - 1} l ON l.node = e.v
+         |          UNION ALL
+         |          SELECT node AS u, label AS nl FROM l${i - 1}) t
+         |        GROUP BY t.u, t.nl) cnt) rkd
+         |    WHERE rk = 1) w
+         |  JOIN l${i - 1} pr ON pr.node = w.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |    AND (a.l_partkey * 1009 + b.l_partkey) % 29 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e),
+       |$steps
+       |SELECT label, count(*) AS n_members, min(node) AS min_node,
+       |  max(node) AS max_node
+       |FROM l$rounds GROUP BY label ORDER BY label""".stripMargin
   }
 
   /** q226 oracle: `iters` HITS rounds unrolled — per-term
@@ -1132,6 +1197,7 @@ ORDER BY center, context"""
     "q179_sssp" -> ssspOracleSql(6),
     "q225_kcore" -> kcoreOracleSql(16, 3),
     "q226_hits" -> hitsOracleSql(2),
+    "q229_labelprop" -> labelpropOracleSql(14),
     "q211_random_walks" -> randomWalksOracleSql(4, "w1"),
     "q216_walk_skipgrams" -> walkSkipgramsOracleSql(4, "w1", window = 2),
 

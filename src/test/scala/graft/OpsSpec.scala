@@ -1017,6 +1017,47 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxRounds"))
   }
 
+  test("labelPropagation: a symmetric pair settles on the lower id") {
+    // Classic synchronous LPA 2-cycles here; the monotone clamp must
+    // converge it to the min id in one effective round.
+    val out = Ops.labelPropagation(Seq((1L, 2L)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("labelPropagation: bridged cliques keep per-clique labels, not CC's flood") {
+    // K4 {1,2,3,4} — bridge 4-10 — K4 {10,11,12,13}. Hand-traced
+    // fixpoint: clique A all 1; in B the bridge endpoint 10 is
+    // captured by its round-1 min-neighbor vote (label 4) while
+    // 11/12/13 hold B's own plurality label 10. CC would flood the
+    // whole component with 1 — the vote boundary is the difference.
+    val cl = (for {
+      c <- Seq(Seq(1L, 2L, 3L, 4L), Seq(10L, 11L, 12L, 13L))
+      a <- c; b <- c if a < b
+    } yield (a, b)) :+ ((4L, 10L))
+    val out = Ops.labelPropagation(cl.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 4L, 11L -> 10L, 12L -> 10L, 13L -> 10L), out.toString)
+  }
+
+  test("labelPropagation: symmetrization + self-loop/dup cleaning") {
+    val once = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 1L),
+      (2L, 3L)).toDF("u", "v")
+    val a = Ops.labelPropagation(once).orderBy("node")
+      .collect().map(_.toSeq).toSeq
+    val b = Ops.labelPropagation(noisy).orderBy("node")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("labelPropagation: negative node ids fail loudly") {
+    val ex = intercept[Exception](
+      Ops.labelPropagation(Seq((-1L, 2L)).toDF("u", "v")).count())
+    assert(ex.getMessage != null)
+  }
+
   test("hits: mutual reinforcement beats raw degree, max-norm pins [0,1]") {
     // hub 1 → {10,11,12}, hub 2 → {10}: after 2 rounds authority 10
     // leads (backed by the strongest hub), 11/12 tie below it, hub 2

@@ -379,7 +379,7 @@ class PipelineSpec extends AnyFunSuite {
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
-      "dupspans", "urlnorm")
+      "dupspans", "urlnorm", "labelprop")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -1010,6 +1010,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(readOut(s"$d/hits.csv") == Seq("id,hub,auth",
       "1,1.0,0.0", "2,0.4286,0.0",
       "10,0.0,1.0", "11,0.0,0.6667", "12,0.0,0.6667"))
+  }
+
+  test("labelprop module end-to-end") {
+    val d = tmp("labelprop")
+    // two triangles, no bridge: each settles on its min id
+    writeCsv(s"$d/edges.csv", "a,b",
+      "1,2", "2,3", "3,1", "10,11", "11,12", "12,10")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/edges.csv", "csvread:infer=1:out=e",
+      "labelprop:in=e:u=a:v=b:out=lp",
+      "sort:in=lp:by=node:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/lp.csv"))
+    assert(readOut(s"$d/lp.csv") == Seq("node,label",
+      "1,1", "2,1", "3,1", "10,10", "11,10", "12,10"))
   }
 
   test("heaps + precedence modules end-to-end") {

@@ -893,6 +893,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("labelPropagation: EVERY executed round stays equi-join shaped") {
+    import graft.operators.Ops
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val edges = (1L to 60L).map(i => (i, i % 12 + 1)).toDF("u", "v")
+      Ops.labelPropagation(edges).count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (plans.size == last) stable += 1 else { last = plans.size; stable = 0 }
+      }
+    } finally spark.listenerManager.unregister(l)
+    assert(plans.size >= 2, s"expected several round jobs, saw ${plans.size}")
+    plans.forEach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      // the per-node argmax must be the two-hash-agg shape, never a
+      // per-node window/sort task
+      assert(!p.contains("windowspecdefinition"), p)
+    }
+  }
+
   test("kCore/hits: EVERY executed round stays equi-join shaped") {
     // The returned Datasets are checkpoint scans, so gating only the
     // final plan would miss the per-round jobs — capture every plan
