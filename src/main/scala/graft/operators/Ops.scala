@@ -415,6 +415,41 @@ object Ops {
         min(id).as("min_id"), max(id).as("max_id"))
   }
 
+  /** Release-gate diff of two [[shardManifest]] outputs (VERDICT r13
+    * #8): the check a training-data pipeline runs before shipping —
+    * per shard, did the content change, and by how much? Because the
+    * manifest fingerprint is an order-invariant exact sum, fingerprint
+    * equality certifies bit-level content identity for the shard with
+    * no row-order assumptions, so the diff needs only the two tiny
+    * manifest relations (nShards rows each), never the data: a
+    * full-outer join on the shard key, broadcast on both sides at any
+    * real nShards. Output per shard present in either release:
+    * status ∈ added | removed | changed | unchanged, old/new row
+    * counts with the delta, token delta, and both fingerprints.
+    * Columns compared for 'unchanged' are fingerprint AND n_rows AND
+    * ws_tokens — the counts are redundant given the fingerprint but
+    * make a hash-collision-style mismatch loud instead of silent.
+    */
+  def manifestDiff(oldM: DataFrame, newM: DataFrame): DataFrame = {
+    def side(m: DataFrame, p: String) = m.select(col("shard"),
+      col("n_rows").as(s"${p}_rows"), col("ws_tokens").as(s"${p}_tokens"),
+      col("fingerprint").as(s"${p}_fp"))
+    side(oldM, "old").join(side(newM, "new"), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp") &&
+            col("old_rows") === col("new_rows") &&
+            col("old_tokens") === col("new_tokens"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_rows"), col("new_rows"),
+        (coalesce(col("new_rows"), lit(0L)) -
+          coalesce(col("old_rows"), lit(0L))).as("d_rows"),
+        (coalesce(col("new_tokens"), lit(0L)) -
+          coalesce(col("old_tokens"), lit(0L))).as("d_tokens"),
+        col("old_fp"), col("new_fp"))
+  }
+
   /** The physical half of [[shuffleShardAssign]]: actually WRITE the
     * shuffled shards — one parquet directory per shard, rows inside
     * each file in the md5 draw order. repartition on the shard value

@@ -1421,6 +1421,25 @@ object Pipeline {
           df, key, text, shards, m.args.getOrElse("salt", "")), RowType)
       }),
 
+    Registered("manifestdiff", RowType, RowType,
+      "in=NEW_MANIFEST:old=OLD_MANIFEST:out=STREAM",
+      (ctx, m) => {
+        // Release-gate diff of two `manifest` outputs (q231 /
+        // Ops.manifestDiff): per shard added/removed/changed/unchanged
+        // with exact row/token deltas. Joins two nShards-row
+        // relations — the data itself never rescans.
+        val newM = ctx.readStream(m, RowType)
+        val oname = m.args.getOrElse("old",
+          throw new BuildError("manifestdiff: old= required"))
+        val (oldM, ot) = ctx.streams.getOrElse(oname,
+          throw new BuildError(s"manifestdiff: unknown stream '$oname'"))
+        if (ot != RowType)
+          throw new BuildError(s"manifestdiff: '$oname' is not a row stream")
+        ctx.readers(oname) += 1
+        ctx.writeStream(m, graft.operators.Ops.manifestDiff(oldM, newM),
+          RowType)
+      }),
+
     Registered("assignids", RowType, RowType,
       "in=STREAM:order=COL[,COL...][:col=row_id]:out=STREAM", (ctx, m) => {
         // Contiguous global ids in the given total order (Ops.assignIds
@@ -1464,6 +1483,26 @@ object Pipeline {
           .getOrElse(Seq(100, 50, 20))
         ctx.writeStream(m,
           graft.operators.Curation.segmentDedupSpans(df, key, text, grans),
+          RowType)
+      }),
+
+    Registered("spanowners", RowType, RowType,
+      "in=STREAM:key=COL:text=COL[:grans=100,50,20]:out=STREAM", (ctx, m) => {
+        // Cross-doc EXACTSUBSTR provenance (q230 /
+        // Curation.segmentDedupSpanOwners): each merged dup span
+        // attributed to its first-occurrence doc; emits
+        // (id, start, end, owner).
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("spanowners: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("spanowners: text= required"))
+        val grans = m.args.get("grans")
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(100, 50, 20))
+        ctx.writeStream(m,
+          graft.operators.Curation.segmentDedupSpanOwners(
+            df, key, text, grans),
           RowType)
       }),
 

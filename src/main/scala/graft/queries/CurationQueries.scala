@@ -190,6 +190,30 @@ object CurationQueries {
         .orderBy($"shard")
     }),
 
+    // Release-gate manifest diff (Ops.manifestDiff over two
+    // Ops.shardManifest runs): the old release misses the doc_id%97
+    // residue class AND its shard-7 manifest row (a lost shard), so
+    // the diff must report shard 7 'added', the shards the missing
+    // docs hashed into 'changed' with exact row/token deltas, and any
+    // untouched shard 'unchanged'. Fingerprints ship as canonical
+    // digit strings (the q198/q202/q214 driver-proofing convention).
+    // The diff itself joins two 8-row relations — data never rescans.
+    "q231_manifest_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val oldRel = Ops.shardManifest(docs.filter($"doc_id" % 97 =!= 0),
+          "doc_id", "text", nShards = 8, seed = "rel1")
+        .filter($"shard" =!= 7)
+      val newRel = Ops.shardManifest(docs, "doc_id", "text",
+        nShards = 8, seed = "rel1")
+      Ops.manifestDiff(oldRel, newRel)
+        .select($"shard", $"status", $"old_rows", $"new_rows",
+          $"d_rows", $"d_tokens",
+          $"old_fp".cast("string").as("old_fp"),
+          $"new_fp".cast("string").as("new_fp"))
+        .orderBy($"shard")
+    }),
+
     // Probability-calibration report + exact Brier decomposition: the
     // model-eval step a training pipeline runs on every scored
     // snapshot. Predicted probability is a 2-decimal rational
@@ -286,6 +310,21 @@ object CurationQueries {
           grans = Seq(100, 50, 20))
         .select($"id".as("doc_id"), $"n_tokens", $"dup_tokens", $"n_spans")
         .orderBy($"doc_id")
+    }),
+
+    // Cross-doc EXACTSUBSTR provenance (q222's spans, attributed):
+    // each merged duplicated span traced to the doc that FIRST owned
+    // it — first occurrence per (granularity, window-hash) class is
+    // min(doc_id) over the class (rides the same exchange as the dup
+    // rank), spans take the smallest owner among constituent windows.
+    // The takedown/licensing record: "whose text is this a copy of?"
+    "q230_span_owners" -> ((s, dir) => {
+      import s.implicits._
+      Curation.segmentDedupSpanOwners(t(s, dir, "documents"), "doc_id",
+          "text", grans = Seq(100, 50, 20))
+        .select($"id".as("doc_id"), $"start".cast("long").as("start"),
+          $"end".cast("long").as("end"), $"owner")
+        .orderBy($"doc_id", $"start")
     }),
 
     // Per-domain quota (crawl curation: no source contributes more
@@ -604,6 +643,46 @@ object CurationQueries {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
+    // Manifest-diff oracle: the q214 manifest replayed twice (old =
+    // %97-filtered minus shard 7; new = full), full-outer joined on
+    // shard with the same status rules; fingerprints as VARCHAR.
+    "q231_manifest_diff" -> {
+      // NOT stripMargin'd here: the block is interpolated into the
+      // outer stripMargin template, which must strip each line exactly
+      // once (a pre-stripped block's '||' operators would lose their
+      // first '|' to the outer pass — the r11 nested-builder pitfall).
+      def manifest(where: String) =
+        s"""SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |    sum(CAST(CAST('0x' || substr(md5(
+           |        CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15) AS BIGINT)
+           |      AS DECIMAL(38,0))) AS fp
+           |  FROM h $where GROUP BY shard"""
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'rel1'),
+         |      1, 15) AS BIGINT) % 8 AS shard
+         |  FROM documents),
+         |mo AS (
+         |  SELECT * FROM (
+         |  ${manifest("WHERE doc_id % 97 != 0")})
+         |  WHERE shard != 7),
+         |mn AS (
+         |  ${manifest("")})
+         |SELECT coalesce(o.shard, n.shard) AS shard,
+         |  CASE WHEN o.fp IS NULL THEN 'added'
+         |       WHEN n.fp IS NULL THEN 'removed'
+         |       WHEN o.fp = n.fp AND o.n_rows = n.n_rows
+         |         AND o.ws_tokens = n.ws_tokens THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.n_rows AS old_rows, n.n_rows AS new_rows,
+         |  coalesce(n.n_rows, 0) - coalesce(o.n_rows, 0) AS d_rows,
+         |  coalesce(n.ws_tokens, 0) - coalesce(o.ws_tokens, 0) AS d_tokens,
+         |  CAST(o.fp AS VARCHAR) AS old_fp, CAST(n.fp AS VARCHAR) AS new_fp
+         |FROM mo o FULL OUTER JOIN mn n ON n.shard = o.shard
+         |ORDER BY shard""".stripMargin
+    },
+
     // Calibration/Brier oracle: identical integer tallies; the only
     // float ops are the final divisions and rounds.
     "q215_calibration_brier" ->
@@ -775,6 +854,49 @@ object CurationQueries {
          |  coalesce(p.n_spans, 0) AS n_spans
          |FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
          |ORDER BY b.doc_id""".stripMargin
+    },
+
+    // q230 oracle: q222's segmentation + rank + island stages with the
+    // owner carried through — first occurrence per (g, hash) class =
+    // min(doc_id) over the class; merged spans take the min owner.
+    "q230_span_owners" -> {
+      val granBlocks = Seq(100, 50, 20).map { g =>
+        s"""  SELECT doc_id, n_tokens, $g AS g, CAST(i - 1 AS BIGINT) AS seg_idx,
+           |    array_to_string(t[((i-1)*$g+1):((i-1)*$g+$g)], ' ') AS seg,
+           |    CAST((i-1)*$g AS BIGINT) AS s,
+           |    CAST(least((i-1)*$g + $g, n_tokens) AS BIGINT) AS e
+           |  FROM base, LATERAL unnest(
+           |    range(1, greatest(CAST(ceil(n_tokens/$g.0) AS BIGINT), 1) + 1)) AS u(i)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |segs AS (
+         |$granBlocks),
+         |dups AS (
+         |  SELECT doc_id, s, e, owner FROM (
+         |    SELECT doc_id, s, e,
+         |      row_number() OVER (PARTITION BY g, md5(seg)
+         |        ORDER BY doc_id, seg_idx) AS rk,
+         |      min(doc_id) OVER (PARTITION BY g, md5(seg)) AS owner
+         |    FROM segs)
+         |  WHERE rk > 1),
+         |isl AS (
+         |  SELECT doc_id, s, e, owner,
+         |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS nw
+         |  FROM dups),
+         |isl2 AS (
+         |  SELECT doc_id, s, e, owner,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e DESC) AS island
+         |  FROM isl)
+         |SELECT doc_id, min(s) AS start, max(e) AS "end", min(owner) AS owner
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id, start""".stripMargin
     },
 
     // Domain cap: the salted two-phase top-k is bit-identical to the

@@ -290,4 +290,45 @@ class CurationSpec extends AnyFunSuite {
       (3L, 40L, 20L, 1L)),   // fine-granularity-only dup still caught
       out.toString)
   }
+
+  test("segmentDedupSpanOwners: a three-doc copy chain attributes to the head") {
+    // VERDICT r13 #6. Doc 1 originates block B; docs 2 and 3 both
+    // carry it — BOTH must attribute to doc 1 (not doc 3 to doc 2,
+    // even though 2 also precedes 3: the owner is the global first
+    // occurrence). Doc 2 also originates its own tail T, which doc 3
+    // copies — that span attributes to doc 2. So doc 3 carries TWO
+    // spans with DIFFERENT owners.
+    // Alignment matters: segment windows are ALIGNED (seg_idx·g), so
+    // doc 3 carries a 100-token unique filler between the two copied
+    // blocks — T lands at offset 200 (a multiple of every
+    // granularity) and the filler keeps the two spans from merging.
+    val b = (1 to 100).map(i => s"b$i").mkString(" ")
+    val t = (1 to 100).map(i => s"t$i").mkString(" ")
+    val f = (1 to 100).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, b),                         // owns B
+      (2L, b + " " + t),               // copies B at [0,100), owns T
+      (3L, b + " " + f + " " + t))     // copies B from 1, T from 2
+      .toDF("doc_id", "text")
+    val out = Curation.segmentDedupSpanOwners(docs, "doc_id", "text",
+        grans = Seq(100, 50, 20))
+      .orderBy("id", "start")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, 0, 100, 1L),    // doc 2's B span -> owner 1
+      (3L, 0, 100, 1L),    // doc 3's B span -> owner 1 (chain head)
+      (3L, 200, 300, 2L)), // doc 3's T span -> owner 2
+      out.toString)
+  }
+
+  test("segmentDedupSpanOwners: self-repetition attributes to the doc itself") {
+    // one doc repeating its own aligned 20-token window: rk=2 window
+    // is a dup whose class min(id) is the doc itself
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, w + " " + w)).toDF("doc_id", "text")
+    val out = Curation.segmentDedupSpanOwners(docs, "doc_id", "text",
+        grans = Seq(100, 50, 20))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(out == Seq((7L, 20, 40, 7L)), out.toString)
+  }
 }

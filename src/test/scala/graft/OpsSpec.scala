@@ -980,6 +980,41 @@ class OpsSpec extends AnyFunSuite {
     assert(b3.length == 3 && b3(1) > 0, b3.toSeq.toString)
   }
 
+  test("manifestDiff: added/removed/changed/unchanged per shard, exact deltas") {
+    def m(rows: Seq[(Int, Long, Long, String)]) = rows
+      .toDF("shard", "n_rows", "ws_tokens", "fp")
+      .select($"shard", $"n_rows", $"ws_tokens",
+        $"fp".cast("decimal(38,0)").as("fingerprint"))
+    val oldM = m(Seq(
+      (0, 10L, 100L, "111"),   // identical in new -> unchanged
+      (1, 10L, 100L, "222"),   // fingerprint moves -> changed
+      (2, 5L, 50L, "333")))    // absent from new -> removed
+    val newM = m(Seq(
+      (0, 10L, 100L, "111"),
+      (1, 12L, 130L, "999"),
+      (3, 7L, 70L, "444")))    // absent from old -> added
+    val out = Ops.manifestDiff(oldM, newM).orderBy("shard")
+      .select($"shard", $"status", $"d_rows", $"d_tokens")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, "unchanged", 0L, 0L),
+      (1, "changed", 2L, 30L),
+      (2, "removed", -5L, -50L),
+      (3, "added", 7L, 70L)), out.toString)
+  }
+
+  test("manifestDiff: equal fingerprint with diverging counts is loud, not silent") {
+    // belt-and-braces rule: a (theoretical) fingerprint collision with
+    // different row counts must read 'changed'
+    def m(n: Long) = Seq((0, n, 100L, "111"))
+      .toDF("shard", "n_rows", "ws_tokens", "fp")
+      .select($"shard", $"n_rows", $"ws_tokens",
+        $"fp".cast("decimal(38,0)").as("fingerprint"))
+    val out = Ops.manifestDiff(m(10L), m(11L))
+      .select($"status").as[String].collect().toSeq
+    assert(out == Seq("changed"))
+  }
+
   test("kCore: triangle survives the 2-core, pendant tail peels") {
     // triangle 1-2-3 plus tail 3-4-5: k=2 peels 5, then 4 (a 2-round
     // cascade), leaving the triangle with in-core degree 2 each.

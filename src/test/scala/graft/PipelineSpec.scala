@@ -379,7 +379,7 @@ class PipelineSpec extends AnyFunSuite {
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
-      "dupspans", "urlnorm", "labelprop")
+      "dupspans", "urlnorm", "labelprop", "spanowners", "manifestdiff")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
@@ -1010,6 +1010,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(readOut(s"$d/hits.csv") == Seq("id,hub,auth",
       "1,1.0,0.0", "2,0.4286,0.0",
       "10,0.0,1.0", "11,0.0,0.6667", "12,0.0,0.6667"))
+  }
+
+  test("manifestdiff module end-to-end") {
+    val d = tmp("mdiff")
+    // old release = rows 1-4; new release adds row 5 (same shard count)
+    writeCsv(s"$d/old.csv", "id,body",
+      "1,alpha beta", "2,gamma", "3,delta", "4,eps")
+    writeCsv(s"$d/new.csv", "id,body",
+      "1,alpha beta", "2,gamma", "3,delta", "4,eps", "5,zeta eta")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/old.csv", "csvread:infer=1:out=o",
+      "manifest:in=o:key=id:text=body:shards=2:salt=r:out=mo",
+      s"fileread:in=$d/new.csv", "csvread:infer=1:out=n",
+      "manifest:in=n:key=id:text=body:shards=2:salt=r:out=mn",
+      "manifestdiff:in=mn:old=mo:out=diff",
+      "select:in=diff:exprs=shard;status;d_rows:out=sel",
+      "sort:in=sel:by=shard:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/diff.csv"))
+    // rows 1-4 all hash into shard 0 under salt=r; row 5 lands alone
+    // in shard 1, so the diff reads: shard 0 unchanged, shard 1 added
+    assert(readOut(s"$d/diff.csv") ==
+      Seq("shard,status,d_rows", "0,unchanged,0", "1,added,1"))
   }
 
   test("labelprop module end-to-end") {
