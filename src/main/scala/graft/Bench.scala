@@ -11,6 +11,21 @@ object Bench {
     */
   val IoTagged: Set[String] = Set("q21_roundtrip_ndjson")
 
+  /** The suite's heaviest iterative/join rows — the r13 directive's
+    * candidates for a forced gc + ContextCleaner drain immediately
+    * before each sample. The r14 A/B (BASELINE.md) did NOT reproduce a
+    * benefit: with pre-clean on vs off, these rows' mins differed by
+    * less than the runs' ambient delta (q168 6.40 vs 6.66 s while the
+    * q1_agg control moved 1.11 vs 0.97), i.e. whatever gc can reclaim
+    * is already reclaimed by the gc-every-25 baseline, and the
+    * remaining in-suite overhead (q168 ~1.7x its 3.8 s standalone
+    * floor, inside the <=2x gate) is session accumulation + ambient,
+    * not collectable garbage. Default OFF; SPARK_GRAFT_PRECLEAN=1
+    * re-enables the lever for future bisections.
+    */
+  val PreClean: Set[String] = Set("q168_pagerank", "q170_prefix_jaccard_join",
+    "q224_prefix_jaccard_star", "q225_kcore", "q226_hits")
+
   final case class QueryResult(
       samples: Vector[Double],
       errors: Vector[String]) {
@@ -123,6 +138,7 @@ object Bench {
     // q162 ran at-or-below its standalone floor in both A/B repeats).
     // Default 25 ≈ +2.6 s of gc across a full ~190 s suite.
     val gcEvery = sys.env.get("SPARK_GRAFT_GC").map(_.toInt).getOrElse(25)
+    val preClean = sys.env.get("SPARK_GRAFT_PRECLEAN").contains("1")
     var sampleNo = 0
     def timeOnce(name: String): Either[String, Double] = {
       // Some operators persist internal relations (LSH signatures etc.)
@@ -131,6 +147,13 @@ object Bench {
       spark.catalog.clearCache()
       sampleNo += 1
       if (gcEvery > 0 && sampleNo % gcEvery == 0) System.gc()
+      else if (preClean && PreClean(name)) {
+        // heaviest rows: collect driver refs NOW so ContextCleaner can
+        // reclaim shuffle files/broadcasts before the measurement, then
+        // let its async queue drain for a beat (see PreClean doc).
+        System.gc()
+        Thread.sleep(100)
+      }
       val t0 = System.nanoTime()
       try {
         // noop-format write, not count(): count() lets Catalyst elide

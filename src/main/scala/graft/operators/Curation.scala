@@ -490,6 +490,87 @@ object Curation {
       .agg(sum(col("c")).as("rrf"))
   }
 
+  /** BM25 sparse-retrieval top-k (Robertson/Spärck Jones; the Lucene
+    * idf variant, which is always positive): for each query, the k
+    * best-scoring documents by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln((N−df+0.5)/(df+0.5) + 1)`. This GENERATES the lexical
+    * candidate pool the rest of the retrieval family consumes —
+    * [[rrfFuse]] fuses it with the dense cosine/ANN pools, and
+    * decontamination / sparse hard-negative mining start from exactly
+    * this ranking. Repeated query terms score once (terms are
+    * DISTINCT per query — the common practical convention, pinned so
+    * the oracle replays it).
+    *
+    * Determinism contract: per-(query, doc, term) contributions are
+    * fixed-order IEEE double expressions cast to decimal(30,12)
+    * BEFORE the per-pair sum (order-free exact accumulation — the
+    * repo float convention), ranking compares the EXACT decimal score
+    * (ties → doc id), and only the reported score is a rounded
+    * double. ln() agreement across engines holds to the ULP (q132
+    * precedent) and the 1e-12 quantization absorbs it.
+    *
+    * Scale shape (the point): the corpus-sized relations never
+    * reshuffle after the one (id, term) tf aggregation. Query terms
+    * (tiny) pick up per-term df from the vocab-sized df relation and
+    * the 1-row (N, avgdl) stats, and THAT small (qid, term, df)
+    * relation broadcasts into the postings join — so the cost is one
+    * broadcast-join fanout of Σ df over query terms plus one hash-agg
+    * of matched rows keyed (qid, doc). Terms in more than
+    * `maxDfFrac·N` docs are dropped before the join (the standard
+    * stopword/hub cut — a term in half the corpus is a scan, not a
+    * signal; lower it for retrieval-heavy workloads).
+    *
+    * docs: (idCol, textCol); queries: (qidCol, qtextCol), whitespace
+    * tokens. Output: (qid, rk, doc id, score) — rk 1..k per query via
+    * the skew-safe two-phase top-k.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    require(maxDfFrac > 0 && maxDfFrac <= 1,
+      s"bm25TopK: maxDfFrac in (0,1], got $maxDfFrac")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val base = docs.select(col(idCol).as("__doc"), toks.as("__t"))
+      .select(col("__doc"), col("__t"), size(col("__t")).as("__dl"))
+    // (doc, term, tf, dl): the ONE corpus exchange
+    val dt = base
+      .select(col("__doc"), col("__dl"), explode(col("__t")).as("__term"))
+      .groupBy(col("__doc"), col("__term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val dfRel = dt.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val qToks = filter(split(col(qtextCol), " "), t => t =!= "")
+    val qt = queries.select(col(qidCol).as("__qid"),
+        explode(qToks).as("__term"))
+      .distinct()
+    // small side assembled first: query terms + df + stats, then
+    // stopword-cut — broadcast into the postings so the corpus side
+    // never reshuffles
+    val qside = qt.join(dfRel, "__term")
+      .crossJoin(broadcast(stats))
+      .filter(col("__df") <= floor(lit(maxDfFrac) * col("__n")))
+    val avgdl = col("__tot").cast("double") / col("__n").cast("double")
+    val idf = log(
+      (col("__n").cast("double") - col("__df").cast("double") + 0.5) /
+        (col("__df").cast("double") + 0.5) + 1.0)
+    val tfn = col("__tf").cast("double") * (lit(k1) + 1.0) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / avgdl))
+    val scored = dt.join(broadcast(qside), "__term")
+      .select(col("__qid"), col("__doc"),
+        (idf * tfn).cast("decimal(30,12)").as("__c"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(sum(col("__c")).as("__s"))
+    graft.operators.Ops.saltedTopKPerGroup(scored, part = Seq("__qid"),
+        order = Seq(col("__s").desc, col("__doc").asc), k = k,
+        saltCol = col("__doc"))
+      .select(col("__qid").as(qidCol), col("rk"), col("__doc").as(idCol),
+        round(col("__s").cast("double"), 6).as("score"))
+  }
+
   /** PII categories redacted by [[redactPii]], in application order.
     * Patterns are deliberately restricted to the regex subset that
     * Java (Spark codegen), RE2, and PCRE all interpret identically —

@@ -1421,6 +1421,32 @@ object Pipeline {
           df, key, text, shards, m.args.getOrElse("salt", "")), RowType)
       }),
 
+    Registered("bm25", RowType, RowType,
+      "in=DOCS:queries=STREAM:key=COL:text=COL:qkey=COL:qtext=COL" +
+        "[:k=10:k1=1.2:b=0.75:maxdf=0.5]:out=STREAM",
+      (ctx, m) => {
+        // BM25 sparse-retrieval top-k (q232 / Curation.bm25TopK): the
+        // lexical candidate pool generator for rrf / decontamination /
+        // hard-negative mining. Emits (qkey, rk, key, score).
+        val docs = ctx.readStream(m, RowType)
+        val qname = m.args.getOrElse("queries",
+          throw new BuildError("bm25: queries= required"))
+        val (qs, qt) = ctx.streams.getOrElse(qname,
+          throw new BuildError(s"bm25: unknown stream '$qname'"))
+        if (qt != RowType)
+          throw new BuildError(s"bm25: '$qname' is not a row stream")
+        ctx.readers(qname) += 1
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"bm25: $a= required"))
+        val k = m.args.getOrElse("k", "10").toInt
+        val maxDf = m.args.getOrElse("maxdf", "0.5").toDouble
+        ctx.writeStream(m, graft.operators.Curation.bm25TopK(
+          docs, req("key"), req("text"), qs, req("qkey"), req("qtext"),
+          k = k, k1 = m.args.getOrElse("k1", "1.2").toDouble,
+          b = m.args.getOrElse("b", "0.75").toDouble,
+          maxDfFrac = maxDf), RowType)
+      }),
+
     Registered("manifestdiff", RowType, RowType,
       "in=NEW_MANIFEST:old=OLD_MANIFEST:out=STREAM",
       (ctx, m) => {

@@ -214,6 +214,29 @@ object CurationQueries {
         .orderBy($"shard")
     }),
 
+    // BM25 sparse retrieval (Curation.bm25TopK): every 100th document's
+    // first 5 tokens form a query; top-5 docs per query by the Lucene
+    // BM25 variant. The query doc itself should rank — self-retrieval
+    // is the sanity property the spec pins. Per-term contributions
+    // quantize to decimal(30,12) before the per-pair sum and ranking
+    // compares the exact decimal, so both engines replay rank AND
+    // score bit-for-bit (the q132 ln-ULP precedent).
+    "q232_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val qs = docs.filter($"doc_id" % 100 === 0)
+        .select($"doc_id".as("query_id"),
+          array_join(slice(filter(split($"text", " "), t => t =!= ""),
+            1, 5), " ").as("qtext"))
+      // maxDfFrac=1.0 HERE ONLY: the synthetic corpus draws from a
+      // ~31-word vocabulary, so every term sits in >50% of docs and
+      // the production default (0.5) would cut the entire query — BM25
+      // still discriminates via tf and dl. Real crawls keep the cut.
+      Curation.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext",
+          k = 5, maxDfFrac = 1.0)
+        .orderBy($"query_id", $"rk")
+    }),
+
     // Probability-calibration report + exact Brier decomposition: the
     // model-eval step a training pipeline runs on every scored
     // snapshot. Predicted probability is a 2-decimal rational
@@ -642,6 +665,58 @@ object CurationQueries {
         |    AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // BM25 oracle: identical tokenization, identical FIXED-ORDER
+    // double arithmetic (constants written as the same runtime
+    // additions Spark's expression tree performs — '1.2 + 1.0', never
+    // a pre-folded 2.2, which is 1 ULP away), per-term decimal(30,12)
+    // quantization before the sum, rank over the exact decimal score.
+    "q232_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        |dt AS (
+        |  SELECT doc_id, dl, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+        |  GROUP BY doc_id, dl, tok),
+        |st AS (SELECT count(*) AS n, sum(dl) AS tot FROM base),
+        |dfr AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |q AS (
+        |  SELECT doc_id AS query_id, array_to_string(toks[1:5], ' ') AS qt
+        |  FROM d WHERE doc_id % 100 = 0),
+        |qterm AS (
+        |  SELECT DISTINCT query_id, tok AS term
+        |  FROM (SELECT query_id,
+        |          unnest(list_filter(string_split(qt, ' '), t -> t != ''))
+        |            AS tok
+        |        FROM q)),
+        |qside AS (
+        |  SELECT query_id, qterm.term, df, n, tot
+        |  FROM qterm JOIN dfr ON dfr.term = qterm.term, st
+        |  WHERE df <= floor(1.0 * n)),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    sum(CAST(
+        |      ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |           / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |                  / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))
+        |      AS DECIMAL(30,12))) AS s
+        |  FROM dt JOIN qside ON qside.term = dt.term
+        |  GROUP BY query_id, doc_id)
+        |SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
+        |  round(CAST(s AS DOUBLE), 6) AS score
+        |FROM (
+        |  SELECT query_id, doc_id, s,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, doc_id ASC) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
 
     // Manifest-diff oracle: the q214 manifest replayed twice (old =
     // %97-filtered minus shard 7; new = full), full-outer joined on

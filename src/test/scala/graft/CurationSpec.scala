@@ -321,6 +321,37 @@ class CurationSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("bm25TopK: self-retrieval at rank 1, shared terms rank by idf weight") {
+    // doc 1 is the query source; doc 2 shares the rare term, doc 3
+    // only the common one, doc 4 nothing. Expected order 1, 2, 3.
+    val docs = Seq(
+      (1L, "zebra common alpha beta gamma"),
+      (2L, "zebra other words here now"),
+      (3L, "common filler filler filler filler"),
+      (4L, "totally unrelated text body four"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "zebra common")).toDF("query_id", "qtext")
+    val out = Curation.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 3)
+      .select($"query_id", $"rk", $"doc_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L)), out.toString)
+  }
+
+  test("bm25TopK: the maxDfFrac stopword cut drops ubiquitous terms") {
+    // 'the' is in all 4 docs (df = N > 0.5N -> cut); only 'rare'
+    // should contribute, so doc 3 (no 'rare') never appears.
+    val docs = Seq(
+      (1L, "the rare one"), (2L, "the rare two"),
+      (3L, "the common three"), (4L, "the common four"))
+      .toDF("doc_id", "text")
+    val qs = Seq((9L, "the rare")).toDF("query_id", "qtext")
+    val got = Curation.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L), got.toString)
+  }
+
   test("segmentDedupSpanOwners: self-repetition attributes to the doc itself") {
     // one doc repeating its own aligned 20-token window: rk=2 window
     // is a dup whose class min(id) is the doc itself

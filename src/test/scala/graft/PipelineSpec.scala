@@ -379,7 +379,8 @@ class PipelineSpec extends AnyFunSuite {
       "hardneg", "assocrules", "seqpack", "rrf", "boilerplate", "pii",
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
-      "dupspans", "urlnorm", "labelprop", "spanowners", "manifestdiff")
+      "dupspans", "urlnorm", "labelprop", "spanowners", "manifestdiff",
+      "bm25")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 

@@ -893,6 +893,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bm25: query side broadcasts into the postings, corpus never reshuffles twice") {
+    val plan = executed(SparkEntry.queries("q232_bm25_topk")(spark, sf))
+    // the (qid, term, df, stats) side must reach the postings join as
+    // a broadcast — a sort-merge/shuffle join there would reshuffle
+    // the corpus-sized posting relation a second time
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONE tolerated nested-loop is the broadcast of the 1-row
+    // (N, avgdl) stats relation — the standard broadcast-global
+    // pattern (welch/q191 class), constant-size by construction
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+    assert(plan.contains("partial_count"), plan) // tf/df combine map-side
+  }
+
   test("labelPropagation: EVERY executed round stays equi-join shaped") {
     import graft.operators.Ops
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
