@@ -306,6 +306,100 @@ object ScaleRehearsal {
       s"exact10x=${h1._1 == 10 * h01._1 &&
         math.abs(h1._2 - 10 * h01._2) < 1e-6 &&
         math.abs(h1._3 - 10 * h01._3) < 1e-6}")
+    spark.catalog.clearCache()
+
+    // 9. Label propagation: the 10× graph (q225's per-replica
+    // re-offset construction) is 10 disjoint id-shifted copies, and
+    // monotone LPA is a pure function of structure + WITHIN-COMPONENT
+    // id order, which the constant per-replica offset preserves — so
+    // community count and member total must be EXACTLY 10× and the
+    // largest community the same size, proving the vote/clamp rounds
+    // neither merge across copies nor diverge under 10× relations.
+    def lpaTotals(dir: String, tenX: Boolean): (Long, Long, Long) = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          (col("l_orderkey") / 100000000L).cast("long").as("rep"),
+          col("l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey").as("u0"),
+          (col("l_partkey") +
+            (if (tenX) col("rep") * 10000000L else lit(0L))).as("uid"))
+        .distinct()
+      val edges = li.select(col("l_orderkey"), col("u0"), col("uid"))
+        .join(li.select(col("l_orderkey"), col("u0").as("v0"),
+          col("uid").as("vid")), "l_orderkey")
+        .filter(col("u0") < col("v0") &&
+          (col("u0") * 1009 + col("v0")) % 29 === 0)
+        .select(col("uid").as("u"), col("vid").as("v")).distinct()
+      val comms = graft.operators.Ops.labelPropagation(edges)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      val row = comms.agg(count(lit(1)), sum(col("sz")), max(col("sz")))
+        .head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val lp01 = timed("q229-labelprop-sf0.1")(lpaTotals(sf01, tenX = false))
+    spark.catalog.clearCache()
+    val lp1 = timed("q229-labelprop-sf1")(lpaTotals(out, tenX = true))
+    println(s"rehearsal: q229 comms sf0.1=${lp01._1} sf1=${lp1._1} " +
+      s"members sf0.1=${lp01._2} sf1=${lp1._2} " +
+      s"maxsz sf0.1=${lp01._3} sf1=${lp1._3} " +
+      s"exact10x=${lp1._1 == 10 * lp01._1 && lp1._2 == 10 * lp01._2 &&
+        lp1._3 == lp01._3}")
+    spark.catalog.clearCache()
+
+    // 10. Span attribution: on the 10× documents corpus (disjoint
+    // token domains per replica) span count, span token mass, AND the
+    // attribution displacement Σ(id − owner) must all be EXACTLY 10× —
+    // the per-replica id offset cancels in (id − owner), so the owner
+    // join neither crosses replicas nor picks a different first
+    // occurrence at 10× input.
+    def ownerTotals(dir: String): (Long, Long, Long) = {
+      val row = graft.operators.Curation.segmentDedupSpanOwners(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        grans = Seq(100, 50, 20))
+        .agg(count(lit(1)),
+          sum((col("end") - col("start")).cast("long")),
+          sum(col("id") - col("owner"))).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val ow01 = timed("q230-owners-sf0.1")(ownerTotals(sf01))
+    spark.catalog.clearCache()
+    val ow1 = timed("q230-owners-sf1")(ownerTotals(out))
+    println(s"rehearsal: q230 spans sf0.1=${ow01._1} sf1=${ow1._1} " +
+      s"mass sf0.1=${ow01._2} sf1=${ow1._2} " +
+      s"displacement sf0.1=${ow01._3} sf1=${ow1._3} " +
+      s"exact10x=${ow1._1 == 10 * ow01._1 && ow1._2 == 10 * ow01._2 &&
+        ow1._3 == 10 * ow01._3}")
+    spark.catalog.clearCache()
+
+    // 11. BM25: replica token domains are disjoint, so each replica's
+    // queries retrieve only within their replica and the result is
+    // exactly 10× rows; self-retrieval@1 must also scale exactly
+    // (the N grows 10× while per-term df stays replica-local, which
+    // re-weights idf — ranks may legitimately reshuffle below the
+    // self hit, so the invariants are row count and self@1, not the
+    // full ranking). maxDfFrac=1.0 mirrors q232's tiny-vocab setting;
+    // on this degenerate corpus every doc matches every same-replica
+    // query, so this run is also the operator's densest stress case.
+    def bm25Totals(dir: String): (Long, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(col("text"), " "),
+            t => t =!= ""), 1, 5), " ").as("qtext"))
+      val top = graft.operators.Curation.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 5, maxDfFrac = 1.0)
+      val row = top.agg(count(lit(1)),
+        sum(when(col("rk") === 1 && col("query_id") === col("doc_id"), 1L)
+          .otherwise(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val bm01 = timed("q232-bm25-sf0.1")(bm25Totals(sf01))
+    spark.catalog.clearCache()
+    val bm1 = timed("q232-bm25-sf1")(bm25Totals(out))
+    println(s"rehearsal: q232 rows sf0.1=${bm01._1} sf1=${bm1._1} " +
+      s"self@1 sf0.1=${bm01._2} sf1=${bm1._2} " +
+      s"exact10x=${bm1._1 == 10 * bm01._1 && bm1._2 == 10 * bm01._2}")
     spark.stop()
   }
 }
