@@ -244,4 +244,81 @@ object Drift {
     graft.streaming.EventStreams.intervalJoin(touches, convs, key, within)
       .groupBy(col(s"r_$convId").as(convId), col(key))
       .agg(count(lit(1)).as("n_touches"))
+
+  /** Cumulative Poisson(1) CDF at k = 0..7 — the inverse-CDF
+    * thresholds of the Poissonized bootstrap's per-row resample
+    * weights. SINGLE SOURCE for both engines: [[bootstrapDiff]] builds
+    * its when-chain from these and the q233 oracle interpolates the
+    * same values as SQL literals (Scala's shortest-roundtrip
+    * Double.toString parses back to the identical double in DuckDB).
+    * P(X > 7) < 1.1e-5 — the tail collapses to weight 8.
+    */
+  val PoissonCdf: Seq[Double] = {
+    val e = math.exp(-1.0)
+    Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0)
+      .scanLeft(0.0)((acc, f) => acc + e / f).tail
+  }
+
+  /** Paired Poissonized-bootstrap significance test (Efron; the
+    * "Poissonization" is the standard distributed form — per-row
+    * multinomial resample counts approximated by independent
+    * Poisson(1) draws, exact enough at any real n and embarrassingly
+    * parallel): given a per-item integer DIFFERENCE column (metric A
+    * minus metric B — e.g. correct(A) − correct(B) per document),
+    * draws `resamples` deterministic bootstrap resamples and reports
+    * how many land positive / zero / negative. The eval release gate:
+    * "model B beats A" ships only when the diff's sign survives
+    * resampling (frac_pos near 1 or 0 = significant; near 0.5 =
+    * noise).
+    *
+    * Determinism: the weight of item i in resample r is the
+    * Poisson(1) inverse CDF of the md5 unit hash of (id, r, salt) —
+    * the q130/q101 hash family, replayed verbatim by the oracle; the
+    * per-resample sums Σ w·diff are exact integers in decimal(38,0).
+    *
+    * Scale shape: one generator (explode of the 0..B-1 sequence —
+    * B-fold row amplification that never materializes: each exploded
+    * row feeds straight into a map-side partial sum), then ONE
+    * hash-agg keyed by resample whose shuffle carries B rows per
+    * partition, then a B-row finish. No resample ever exists as a
+    * dataset; observed total rides the same pass as resample 0's
+    * sibling aggregate.
+    *
+    * Output (one row): resamples, total_diff (the observed unweighted
+    * Σ diff, canonical digit string), n_pos, n_zero, n_neg,
+    * frac_pos = round(n_pos/resamples, 6).
+    */
+  def bootstrapDiff(df: DataFrame, idCol: String, diff: Column,
+                    resamples: Int = 200, salt: String = ""): DataFrame = {
+    require(resamples >= 1 && resamples <= 100000,
+      s"bootstrapDiff: resamples in [1,100000], got $resamples")
+    val d = df.select(col(idCol).cast("string").as("__id"),
+      diff.cast("long").as("__d"))
+    val u = Ops.kmvUnitHash(concat(col("__id"), lit(":"),
+      col("__r").cast("string"), lit(":"), lit(salt)))
+    // built inside-out so the OUTERMOST branch tests the smallest
+    // threshold — identical to the oracle's ascending CASE chain
+    val w = PoissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(8L)) { case (els, (c, k)) =>
+        when(col("__u") < lit(c), lit(k.toLong)).otherwise(els)
+      }
+    val perResample = d
+      .select(col("__id"), col("__d"),
+        explode(sequence(lit(0), lit(resamples - 1))).as("__r"))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy(col("__r"))
+      .agg(sum((col("__w") * col("__d")).cast("decimal(38,0)")).as("__s"))
+    val obs = d.agg(sum(col("__d").cast("decimal(38,0)")).as("__tot"))
+    perResample
+      .agg(count(lit(1)).cast("int").as("resamples"),
+        sum(when(col("__s") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__s") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("__s") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .crossJoin(broadcast(obs))
+      .select(col("resamples"), col("__tot").cast("string").as("total_diff"),
+        col("n_pos"), col("n_zero"), col("n_neg"),
+        round(col("n_pos").cast("double") / col("resamples").cast("double"),
+          6).as("frac_pos"))
+  }
 }

@@ -1421,6 +1421,24 @@ object Pipeline {
           df, key, text, shards, m.args.getOrElse("salt", "")), RowType)
       }),
 
+    Registered("bootstrap", RowType, RowType,
+      "in=STREAM:key=COL:diff=COL[:resamples=200:salt=S]:out=STREAM",
+      (ctx, m) => {
+        // Paired Poissonized-bootstrap significance test (q233 /
+        // Drift.bootstrapDiff): per-item metric difference in diff=,
+        // deterministic md5 Poisson(1) resamples; emits one row
+        // (resamples, total_diff, n_pos, n_zero, n_neg, frac_pos).
+        val df = ctx.readStream(m, RowType)
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"bootstrap: $a= required"))
+        val r = m.args.getOrElse("resamples", "200").toInt
+        if (r < 1 || r > 100000)
+          throw new BuildError(s"bootstrap: resamples in [1,100000], got $r")
+        ctx.writeStream(m, graft.operators.Drift.bootstrapDiff(
+          df, req("key"), col(req("diff")), r,
+          m.args.getOrElse("salt", "")), RowType)
+      }),
+
     Registered("bm25", RowType, RowType,
       "in=DOCS:queries=STREAM:key=COL:text=COL:qkey=COL:qtext=COL" +
         "[:k=10:k1=1.2:b=0.75:maxdf=0.5]:out=STREAM",

@@ -510,6 +510,29 @@ object CurationQueries {
             .as("auc"))
     }),
 
+    // Paired Poissonized-bootstrap significance test
+    // (Drift.bootstrapDiff): did operating point ">80" genuinely beat
+    // ">60" as the q190 hash-score English detector (sf0.01 accuracy
+    // 257 vs 242 — a modest +15/500 edge, the regime the test is
+    // FOR), or is
+    // the accuracy gap resampling noise? Per-doc diff = correct(A) −
+    // correct(B) ∈ {−1,0,1}; 200 deterministic Poisson(1)-weighted
+    // resamples report how many land positive — the eval release
+    // gate. Everything replays: md5-unit draws, one shared
+    // PoissonCdf threshold list, exact integer resample sums.
+    "q233_bootstrap_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val d = graft.operators.Ops.hashedFeatureScore(
+          docs, "doc_id", "text", HashWeights, bias = 2L)
+        .join(docs.select($"doc_id", ($"lang" === "en").as("pos")), "doc_id")
+        .select($"doc_id",
+          (when(($"score" > 80) === $"pos", 1L).otherwise(0L) -
+            when(($"score" > 60) === $"pos", 1L).otherwise(0L)).as("d"))
+      graft.operators.Drift.bootstrapDiff(d, "doc_id", $"d",
+        resamples = 200, salt = "bs1")
+    }),
+
     // Feature-hashing linear inference (the production shape of a
     // cheap learned quality filter): token -> md5 bucket -> literal
     // weight table via element_at (no join, codegen projection),
@@ -1103,6 +1126,56 @@ object CurationQueries {
          |  round(CAST(sum(CAST(np AS HUGEINT) * (2 * cumb + nn)) AS DOUBLE)
          |    / CAST(sum(np) * sum(nn) * 2 AS DOUBLE), 6) AS auc
          |FROM c""".stripMargin,
+
+    // q233 oracle: q198's score CTE, the same per-doc accuracy diff,
+    // a 200-resample grid with md5-unit Poisson(1) weights — the CASE
+    // thresholds interpolate Drift.PoissonCdf (shortest-roundtrip
+    // Double.toString parses to the identical double), exact integer
+    // resample sums in decimal(38,0), totals as digit strings.
+    "q233_bootstrap_eval" -> {
+      val caseChain = graft.operators.Drift.PoissonCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), t -> t != ''))
+         |      AS tok
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(sum((${HashWeights.mkString("[", ",", "]")})[
+         |      (CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 64) + 1])
+         |      + 2 AS BIGINT) AS score
+         |  FROM tok GROUP BY doc_id),
+         |dd AS (
+         |  SELECT sc.doc_id,
+         |    CAST(CASE WHEN (score > 80) = (d.lang = 'en') THEN 1 ELSE 0 END
+         |       - CASE WHEN (score > 60) = (d.lang = 'en') THEN 1 ELSE 0 END
+         |      AS BIGINT) AS d
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |wt AS (
+         |  SELECT r, d, CASE $caseChain ELSE 8 END AS w
+         |  FROM (
+         |    SELECT doc_id, d, r,
+         |      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+         |          || CAST(r AS VARCHAR) || ':bs1'), 1, 8) AS BIGINT)
+         |        AS DOUBLE) / 4294967296.0 AS u
+         |    FROM dd, range(200) t(r))),
+         |ps AS (
+         |  SELECT r, CAST(sum(CAST(w * d AS DECIMAL(38,0)))
+         |    AS DECIMAL(38,0)) AS s
+         |  FROM wt GROUP BY r),
+         |obs AS (
+         |  SELECT CAST(sum(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot
+         |  FROM dd)
+         |SELECT CAST(count(*) AS INT) AS resamples,
+         |  CAST(tot AS VARCHAR) AS total_diff,
+         |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS frac_pos
+         |FROM ps, obs GROUP BY tot""".stripMargin
+    },
 
     // identical md5 bucket, identical literal weight list, bias 2
     "q190_hashed_inference" ->

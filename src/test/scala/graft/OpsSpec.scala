@@ -980,6 +980,42 @@ class OpsSpec extends AnyFunSuite {
     assert(b3.length == 3 && b3(1) > 0, b3.toSeq.toString)
   }
 
+  test("bootstrapDiff: signs, determinism, and the degenerate zero diff") {
+    import graft.operators.Drift
+    // A clearly one-sided diff: 40 items at +1, 2 at -1 — virtually
+    // every resample must land positive.
+    val oneSided = ((1L to 40L).map(i => (i, 1L)) ++
+      Seq((41L, -1L), (42L, -1L))).toDF("id", "d")
+    val r1 = Drift.bootstrapDiff(oneSided, "id", $"d", resamples = 100,
+      salt = "s1").head()
+    assert(r1.getAs[String]("total_diff") == "38")
+    assert(r1.getAs[Long]("n_pos") > 90, r1.toString)
+    // deterministic: identical inputs + salt reproduce exactly
+    val r2 = Drift.bootstrapDiff(oneSided, "id", $"d", resamples = 100,
+      salt = "s1").head()
+    assert(r1.toString == r2.toString)
+    // a different salt draws different resamples (counts may differ)
+    val r3 = Drift.bootstrapDiff(oneSided, "id", $"d", resamples = 100,
+      salt = "s2").head()
+    assert(r3.getAs[Long]("n_pos") > 90)
+    // all-zero diff: every resample sum is exactly zero
+    val zero = (1L to 20L).map(i => (i, 0L)).toDF("id", "d")
+    val rz = Drift.bootstrapDiff(zero, "id", $"d", resamples = 50).head()
+    assert(rz.getAs[Long]("n_zero") == 50 && rz.getAs[String]("total_diff") == "0")
+  }
+
+  test("bootstrapDiff: Poisson(1) weights average to ~1 (resamples cover the data)") {
+    import graft.operators.Drift
+    // every item weight 1·diff with diff=1: per-resample sums should
+    // concentrate around n (mean weight 1) — a gross weighting bug
+    // (e.g. threshold order) would shift the mass
+    val ones = (1L to 500L).map(i => (i, 1L)).toDF("id", "d")
+    val r = Drift.bootstrapDiff(ones, "id", $"d", resamples = 100,
+      salt = "w").head()
+    // all resample sums positive (P(sum<=0) astronomically small)
+    assert(r.getAs[Long]("n_pos") == 100, r.toString)
+  }
+
   test("manifestDiff: added/removed/changed/unchanged per shard, exact deltas") {
     def m(rows: Seq[(Int, Long, Long, String)]) = rows
       .toDF("shard", "n_rows", "ws_tokens", "fp")
