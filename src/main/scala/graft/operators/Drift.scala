@@ -289,7 +289,21 @@ object Drift {
     * frac_pos = round(n_pos/resamples, 6).
     */
   def bootstrapDiff(df: DataFrame, idCol: String, diff: Column,
-                    resamples: Int = 200, salt: String = ""): DataFrame = {
+                    resamples: Int = 200, salt: String = ""): DataFrame =
+    bootstrapFinish(bootstrapParts(df, idCol, diff, resamples, salt))
+
+  /** The mergeable state behind [[bootstrapDiff]] and its streaming
+    * twin: one (__r, __s) row per resample (exact decimal(38,0) sum of
+    * the Poisson-weighted diffs) plus the sentinel row __r = −1
+    * carrying the observed unweighted total. Because per-item weights
+    * depend only on (id, resample, salt), the parts of any data
+    * partition ADD — summing parts over batches is bit-equal to
+    * computing them over the union (StreamingSpec pins it at every
+    * cut).
+    */
+  private[graft] def bootstrapParts(df: DataFrame, idCol: String,
+                                    diff: Column, resamples: Int,
+                                    salt: String): DataFrame = {
     require(resamples >= 1 && resamples <= 100000,
       s"bootstrapDiff: resamples in [1,100000], got $resamples")
     val d = df.select(col(idCol).cast("string").as("__id"),
@@ -309,8 +323,16 @@ object Drift {
       .withColumn("__w", w)
       .groupBy(col("__r"))
       .agg(sum((col("__w") * col("__d")).cast("decimal(38,0)")).as("__s"))
-    val obs = d.agg(sum(col("__d").cast("decimal(38,0)")).as("__tot"))
-    perResample
+    val obs = d.agg(lit(-1).as("__r"),
+      sum(col("__d").cast("decimal(38,0)")).as("__s"))
+    perResample.unionByName(obs)
+  }
+
+  /** Finisher over [[bootstrapParts]] state (batch or merged-stream). */
+  private[graft] def bootstrapFinish(parts: DataFrame): DataFrame = {
+    val obs = parts.filter(col("__r") === -1)
+      .select(col("__s").as("__tot"))
+    parts.filter(col("__r") >= 0)
       .agg(count(lit(1)).cast("int").as("resamples"),
         sum(when(col("__s") > 0, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("__s") === 0, 1L).otherwise(0L)).as("n_zero"),

@@ -511,6 +511,39 @@ object EventStreams extends Serializable {
     (q, () => view)
   }
 
+  /** Streaming paired-bootstrap significance test — the q233 twin: the
+    * per-resample Poisson-weighted sums are exact decimal(38,0)
+    * integers whose per-item terms depend only on (id, resample,
+    * salt), so batch parts ADD and the maintained view is BIT-EQUAL to
+    * a batch [[graft.operators.Drift.bootstrapDiff]] over everything
+    * ingested, at any cut — the eval gate stays current while scored
+    * items stream in. State = resamples + 1 rows, regardless of stream
+    * length. (Items must not repeat across batches — same contract as
+    * every twin here.)
+    */
+  def bootstrapStream(rows: DataFrame, idCol: String, diffCol: String,
+                      resamples: Int = 200, salt: String = "")
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    def parts(df: DataFrame): DataFrame =
+      graft.operators.Drift.bootstrapParts(df, idCol, col(diffCol),
+        resamples, salt)
+    val spark0 = rows.sparkSession
+    @volatile var view: DataFrame = parts(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+      .localCheckpoint()
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          view = view.unionByName(parts(batch.toDF()))
+            .groupBy(col("__r"))
+            .agg(sum(col("__s")).cast("decimal(38,0)").as("__s"))
+            .localCheckpoint()
+      }
+      .start()
+    (q, () => graft.operators.Drift.bootstrapFinish(view))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -441,6 +441,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bootstrap test is bit-equal to the batch recompute at every cut") {
+    // q233's streaming twin: per-resample Poisson-weighted sums are
+    // exact integer merges whose terms depend only on (id, resample,
+    // salt), so the maintained view equals a batch bootstrapDiff over
+    // everything ingested — including the reported counts and
+    // frac_pos — at any batching.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 90).map(i =>
+      (i.toLong, ((i * 13) % 5 - 2).toLong)) // diffs in [-2, 2]
+    val ms = MemoryStream[(Long, Long)]
+    val (q, current) = EventStreams.bootstrapStream(
+      ms.toDF().toDF("id", "d"), "id", "d", resamples = 60, salt = "bt")
+    try {
+      Seq(all.slice(0, 25), all.slice(25, 62), all.slice(62, 90))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(25, 62, 90)(i))
+          val want = graft.operators.Drift.bootstrapDiff(
+              seen.toDF("id", "d"), "id", $"d", resamples = 60,
+              salt = "bt").collect().toSeq
+          val got = current().collect().toSeq
+          assert(got == want, s"cut $i diverged: $got vs $want")
+        }
+    } finally q.stop()
+  }
+
   test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
     // q178's streaming twin: the maintained sufficient statistics are
     // exact decimal sums, so the model after ANY batching equals a
