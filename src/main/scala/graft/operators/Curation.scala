@@ -571,6 +571,73 @@ object Curation {
         round(col("__s").cast("double"), 6).as("score"))
   }
 
+  /** CCNet-style LM quality filter: score every document by the
+    * cross-entropy of an add-k-smoothed BIGRAM language model trained
+    * on a reference corpus (the production pattern behind KenLM
+    * perplexity filtering — docs that read like the reference score
+    * low, boilerplate/gibberish scores high). Per scored bigram
+    * (w1, w2): logp = ln((B(w1,w2) + k) / (U(w1) + k·V)) with B/U the
+    * reference bigram/unigram counts and V the reference vocabulary
+    * size; per doc, xent = −Σ logp / n_bigrams. Unseen bigrams and
+    * unseen context words degrade gracefully (B=0, U=0 → ln(1/V)).
+    *
+    * Determinism: counts are exact integers from hash-aggs; each
+    * bigram's logp is ONE fixed-order double expression quantized to
+    * decimal(30,12) before the per-doc sum (order-free), and the only
+    * unquantized float op is the final division — the oracle replays
+    * everything (q234; ln-ULP per the q132 precedent).
+    *
+    * Scale shape: training is two hash-aggs (bigram- and vocab-keyed)
+    * + a 1-row (V) aggregate; scoring explodes each doc into
+    * position-indexed bigrams (narrow generator) and takes TWO
+    * equi-joins — on the bigram key and the context-word key — then
+    * one doc-keyed hash-agg. The count tables are corpus vocabulary
+    * relations: broadcast when small, shuffle-joined on their natural
+    * keys when not, and the hub risk is capped by construction (a
+    * bigram's join fanout is its document frequency in the SCORED
+    * set, linear). No driver-side model state — counts stay
+    * distributed (the KenLM contrast: no serialized ARPA file to fit
+    * in memory).
+    *
+    * train/df: (idCol, textCol) whitespace tokens. Output: one row per
+    * scored doc with ≥ 2 tokens: (id, n_bigrams, xent).
+    */
+  def bigramCrossEntropy(train: DataFrame, df: DataFrame, idCol: String,
+                         textCol: String, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"bigramCrossEntropy: k must be > 0, got $k")
+    def toks(c: Column) = filter(split(c, " "), t => t =!= "")
+    def bigrams(src: DataFrame): DataFrame = {
+      val base = src.select(col(idCol).as("__id"),
+          toks(col(textCol)).as("__t"))
+        .withColumn("__n", size(col("__t")))
+        .filter(col("__n") >= 2)
+      base.select(col("__id"), col("__t"),
+          posexplode(sequence(lit(1), col("__n") - 1)).as(Seq("__x", "__i")))
+        .select(col("__id"),
+          element_at(col("__t"), col("__i")).as("__w1"),
+          concat(element_at(col("__t"), col("__i")), lit(" "),
+            element_at(col("__t"), col("__i") + 1)).as("__bg"))
+    }
+    val trainBg = bigrams(train)
+    val bTab = trainBg.groupBy(col("__bg")).agg(count(lit(1)).as("__b"))
+    val uTab = train.select(explode(toks(col(textCol))).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__u"))
+    val vocab = uTab.agg(count(lit(1)).as("__v"))
+    val logp = log(
+      (coalesce(col("__b"), lit(0L)).cast("double") + lit(k)) /
+        (coalesce(col("__u"), lit(0L)).cast("double") +
+          lit(k) * col("__v").cast("double")))
+    bigrams(df)
+      .join(bTab, Seq("__bg"), "left")
+      .join(uTab, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), logp.cast("decimal(30,12)").as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("__lp")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("xent"))
+  }
+
   /** PII categories redacted by [[redactPii]], in application order.
     * Patterns are deliberately restricted to the regex subset that
     * Java (Spark codegen), RE2, and PCRE all interpret identically —

@@ -1421,6 +1421,29 @@ object Pipeline {
           df, key, text, shards, m.args.getOrElse("salt", "")), RowType)
       }),
 
+    Registered("lmscore", RowType, RowType,
+      "in=SCORE:train=STREAM:key=COL:text=COL[:k=0.5]:out=STREAM",
+      (ctx, m) => {
+        // CCNet-style LM quality filter (q234 /
+        // Curation.bigramCrossEntropy): smoothed-bigram cross-entropy
+        // of each doc against a reference corpus; emits
+        // (key, n_bigrams, xent).
+        val df = ctx.readStream(m, RowType)
+        val tname = m.args.getOrElse("train",
+          throw new BuildError("lmscore: train= required"))
+        val (tr, tt) = ctx.streams.getOrElse(tname,
+          throw new BuildError(s"lmscore: unknown stream '$tname'"))
+        if (tt != RowType)
+          throw new BuildError(s"lmscore: '$tname' is not a row stream")
+        ctx.readers(tname) += 1
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"lmscore: $a= required"))
+        val k = m.args.getOrElse("k", "0.5").toDouble
+        if (k <= 0) throw new BuildError(s"lmscore: k must be > 0, got $k")
+        ctx.writeStream(m, graft.operators.Curation.bigramCrossEntropy(
+          tr, df, req("key"), req("text"), k), RowType)
+      }),
+
     Registered("bootstrap", RowType, RowType,
       "in=STREAM:key=COL:diff=COL[:resamples=200:salt=S]:out=STREAM",
       (ctx, m) => {

@@ -533,6 +533,19 @@ object CurationQueries {
         resamples = 200, salt = "bs1")
     }),
 
+    // CCNet-style LM quality filter (Curation.bigramCrossEntropy): an
+    // add-0.5-smoothed bigram LM trained on the English reference
+    // slice scores EVERY doc's cross-entropy — the KenLM-perplexity
+    // filter pattern, fully distributed (counts never leave the
+    // cluster). English docs should score low, other languages high.
+    "q234_lm_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Curation.bigramCrossEntropy(docs.filter($"lang" === "en"), docs,
+          "doc_id", "text", k = 0.5)
+        .orderBy($"doc_id")
+    }),
+
     // Feature-hashing linear inference (the production shape of a
     // cheap learned quality filter): token -> md5 bucket -> literal
     // weight table via element_at (no join, codegen projection),
@@ -1176,6 +1189,39 @@ object CurationQueries {
          |    / count(*), 6) AS frac_pos
          |FROM ps, obs GROUP BY tot""".stripMargin
     },
+
+    // q234 oracle: identical tokenization, position-indexed bigrams
+    // (range is end-exclusive = Spark's sequence(1, n-1)), exact
+    // integer count tables, ONE fixed-order double logp per bigram
+    // quantized to decimal(30,12) pre-sum, final division only.
+    "q234_lm_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS t,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS n
+        |  FROM documents),
+        |tb AS (
+        |  SELECT t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i)
+        |  WHERE lang = 'en' AND n >= 2),
+        |btab AS (SELECT bg, count(*) AS b FROM tb GROUP BY bg),
+        |utab AS (
+        |  SELECT w1, count(*) AS u FROM (
+        |    SELECT unnest(t) AS w1 FROM base WHERE lang = 'en')
+        |  GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM utab),
+        |sb AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(ln((CAST(coalesce(b, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(u, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |      AS DECIMAL(30,12)) AS lp
+        |  FROM sb LEFT JOIN btab USING (bg) LEFT JOIN utab USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical md5 bucket, identical literal weight list, bias 2
     "q190_hashed_inference" ->

@@ -352,6 +352,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L), got.toString)
   }
 
+  test("bigramCrossEntropy: in-domain text scores lower than gibberish") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat ran to the dog"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the rug"),   // all bigrams seen or near
+      (11L, "zx qv wk jn pf lm"))        // entirely out of vocabulary
+      .toDF("doc_id", "text")
+    val out = Curation.bigramCrossEntropy(train, score, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(5L, 5L), out.toString) // n-1 bigrams each
+    assert(out(0)._3 < out(1)._3,
+      s"in-domain should beat gibberish: $out")
+    // unseen everything degrades to exactly ln(V) per bigram (B=0,
+    // U=0 -> -ln(k/(kV)) = ln V); train vocab = 9 distinct words
+    assert(math.abs(out(1)._3 - math.log(9.0)) < 1e-6, out.toString)
+  }
+
+  test("bigramCrossEntropy: docs under two tokens drop out") {
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a"), (11L, ""), (12L, "a b")).toDF("doc_id", "text")
+    val got = Curation.bigramCrossEntropy(train, score, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(12L), got.toString)
+  }
+
   test("segmentDedupSpanOwners: self-repetition attributes to the doc itself") {
     // one doc repeating its own aligned 20-token window: rk=2 window
     // is a dup whose class min(id) is the doc itself

@@ -380,7 +380,7 @@ class PipelineSpec extends AnyFunSuite {
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
       "dupspans", "urlnorm", "labelprop", "spanowners", "manifestdiff",
-      "bm25", "bootstrap")
+      "bm25", "bootstrap", "lmscore")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
