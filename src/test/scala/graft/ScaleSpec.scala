@@ -907,6 +907,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan) // tf/df combine map-side
   }
 
+  test("bootstrap test: the B-fold generator combines map-side") {
+    val plan = executed(SparkEntry.queries("q233_bootstrap_eval")(spark, sf))
+    // the explode-by-resamples amplification must feed a PARTIAL sum
+    // below the exchange — the shuffle carries B rows per partition,
+    // never the generated rows
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // tolerated nested-loops: the 1-row observed-total sentinel and
+    // the 1-row finish crossJoin (broadcast-global pattern)
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 2, plan)
+  }
+
+  test("LM quality filter: vocab-keyed joins, no cartesian beyond the 1-row V") {
+    val plan = executed(SparkEntry.queries("q234_lm_quality")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+    assert(plan.contains("partial_count"), plan) // count tables combine map-side
+  }
+
   test("labelPropagation: EVERY executed round stays equi-join shaped") {
     import graft.operators.Ops
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
