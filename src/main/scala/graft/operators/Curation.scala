@@ -638,6 +638,77 @@ object Curation {
           count(lit(1)).cast("double"), 6).as("xent"))
   }
 
+  /** Statistical language identification by GROUPED bigram LMs — one
+    * model per label trained in ONE pass (counts keyed (label,
+    * bigram) / (label, word)), every doc scored against EVERY label's
+    * add-k-smoothed model, prediction = the label with the lowest
+    * cross-entropy. The multi-class big sibling of
+    * [[bigramCrossEntropy]], and the statistical complement of the
+    * character-heuristic langid: where the heuristic reads surface
+    * shape, this reads the actual token distribution the labeled
+    * corpus defines.
+    *
+    * Determinism: the argmin is taken over the EXACT decimal(30,12)
+    * log-prob sums (per-doc bigram counts are label-invariant, so
+    * min xent ⇔ max Σlogp), tie-broken by label order — Spark's
+    * min(struct(−Σlp, label)) equals the oracle's (s DESC, label ASC)
+    * rank, bit-for-bit, no float comparison anywhere in the decision.
+    *
+    * Scale shape: training = two hash-aggs keyed by (label, ngram) —
+    * label multiplies keys, not passes; scoring = the narrow bigram
+    * generator × a broadcast of the |labels|-row vocab relation (the
+    * bounded |labels|-fold fanout IS the algorithm), two (label,
+    * ngram)-keyed left joins, one (doc, label) hash-agg, one doc-keyed
+    * argmin agg. No per-doc windows, no driver-side model.
+    *
+    * train: (labelCol, textCol) labeled reference corpus; df docs to
+    * classify. Output per doc with ≥ 2 tokens: (id, pred, xent).
+    */
+  def bigramLangId(train: DataFrame, labelCol: String, df: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Double = 0.5): DataFrame = {
+    require(k > 0, s"bigramLangId: k must be > 0, got $k")
+    def toks(c: Column) = filter(split(c, " "), t => t =!= "")
+    def bigrams(src: DataFrame, keepCol: Column, keepAs: String): DataFrame = {
+      val base = src.select(keepCol.as(keepAs), toks(col(textCol)).as("__t"))
+        .withColumn("__n", size(col("__t")))
+        .filter(col("__n") >= 2)
+      base.select(col(keepAs), col("__t"),
+          posexplode(sequence(lit(1), col("__n") - 1))
+            .as(Seq("__x", "__i")))
+        .select(col(keepAs),
+          element_at(col("__t"), col("__i")).as("__w1"),
+          concat(element_at(col("__t"), col("__i")), lit(" "),
+            element_at(col("__t"), col("__i") + 1)).as("__bg"))
+    }
+    val trainBg = bigrams(train, col(labelCol), "__lab")
+    val bTab = trainBg.groupBy(col("__lab"), col("__bg"))
+      .agg(count(lit(1)).as("__b"))
+    val uTab = train.select(col(labelCol).as("__lab"),
+        explode(toks(col(textCol))).as("__w1"))
+      .groupBy(col("__lab"), col("__w1")).agg(count(lit(1)).as("__u"))
+    val vTab = uTab.groupBy(col("__lab")).agg(count(lit(1)).as("__v"))
+    val logp = log(
+      (coalesce(col("__b"), lit(0L)).cast("double") + lit(k)) /
+        (coalesce(col("__u"), lit(0L)).cast("double") +
+          lit(k) * col("__v").cast("double")))
+    val perLang = bigrams(df, col(idCol), "__id")
+      .crossJoin(broadcast(vTab))
+      .join(bTab, Seq("__lab", "__bg"), "left")
+      .join(uTab, Seq("__lab", "__w1"), "left")
+      .select(col("__id"), col("__lab"),
+        logp.cast("decimal(30,12)").as("__lp"))
+      .groupBy(col("__id"), col("__lab"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__lp")).as("__s"))
+    perLang
+      .groupBy(col("__id").as(idCol))
+      .agg(min(struct((-col("__s")).as("__neg"), col("__lab").as("__l"),
+          col("__nb").as("__k"))).as("__w"))
+      .select(col(idCol), col("__w.__l").as("pred"),
+        round(col("__w.__neg").cast("double") /
+          col("__w.__k").cast("double"), 6).as("xent"))
+  }
+
   /** PII categories redacted by [[redactPii]], in application order.
     * Patterns are deliberately restricted to the regex subset that
     * Java (Spark codegen), RE2, and PCRE all interpret identically —

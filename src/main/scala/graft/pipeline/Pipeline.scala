@@ -1444,6 +1444,28 @@ object Pipeline {
           tr, df, req("key"), req("text"), k), RowType)
       }),
 
+    Registered("lmlangid", RowType, RowType,
+      "in=SCORE:train=STREAM:label=COL:key=COL:text=COL[:k=0.5]:out=STREAM",
+      (ctx, m) => {
+        // Statistical language ID (q235 / Curation.bigramLangId):
+        // per-label bigram LMs, exact-decimal argmin cross-entropy;
+        // emits (key, pred, xent).
+        val df = ctx.readStream(m, RowType)
+        val tname = m.args.getOrElse("train",
+          throw new BuildError("lmlangid: train= required"))
+        val (tr, tt) = ctx.streams.getOrElse(tname,
+          throw new BuildError(s"lmlangid: unknown stream '$tname'"))
+        if (tt != RowType)
+          throw new BuildError(s"lmlangid: '$tname' is not a row stream")
+        ctx.readers(tname) += 1
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"lmlangid: $a= required"))
+        val k = m.args.getOrElse("k", "0.5").toDouble
+        if (k <= 0) throw new BuildError(s"lmlangid: k must be > 0, got $k")
+        ctx.writeStream(m, graft.operators.Curation.bigramLangId(
+          tr, req("label"), df, req("key"), req("text"), k), RowType)
+      }),
+
     Registered("bootstrap", RowType, RowType,
       "in=STREAM:key=COL:diff=COL[:resamples=200:salt=S]:out=STREAM",
       (ctx, m) => {

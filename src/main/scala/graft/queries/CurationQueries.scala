@@ -546,6 +546,21 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Statistical language ID (Curation.bigramLangId): one bigram LM
+    // per language trained in ONE pass, every doc scored against all
+    // five, prediction = exact-decimal argmin cross-entropy. Output is
+    // the confusion matrix vs the true labels — no float ever reaches
+    // the decision OR the output (the argmin compares exact decimal
+    // log-prob sums; ties go to label order).
+    "q235_lm_langid" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Curation.bigramLangId(docs, "lang", docs, "doc_id", "text", k = 0.5)
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+        .groupBy($"lang", $"pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"pred")
+    }),
+
     // Feature-hashing linear inference (the production shape of a
     // cheap learned quality filter): token -> md5 bucket -> literal
     // weight table via element_at (no join, codegen projection),
@@ -1222,6 +1237,48 @@ object CurationQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q235 oracle: per-language count tables, the |labels|-fold score
+    // grid, the same decimal log-prob sums, and the (s DESC, lab ASC)
+    // rank = Spark's min(struct(-s, lab)) argmin.
+    "q235_lm_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS t,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS n
+        |  FROM documents),
+        |tb AS (
+        |  SELECT lang AS lab, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |btab AS (SELECT lab, bg, count(*) AS b FROM tb GROUP BY lab, bg),
+        |utab AS (
+        |  SELECT lab, w1, count(*) AS u FROM (
+        |    SELECT lang AS lab, unnest(t) AS w1 FROM base)
+        |  GROUP BY lab, w1),
+        |vtab AS (SELECT lab, count(*) AS v FROM utab GROUP BY lab),
+        |sb AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |lp AS (
+        |  SELECT doc_id, vt.lab,
+        |    CAST(ln((CAST(coalesce(b, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(u, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |      AS DECIMAL(30,12)) AS lp
+        |  FROM sb CROSS JOIN vtab vt
+        |  LEFT JOIN btab ON btab.lab = vt.lab AND btab.bg = sb.bg
+        |  LEFT JOIN utab ON utab.lab = vt.lab AND utab.w1 = sb.w1),
+        |ps AS (
+        |  SELECT doc_id, lab, sum(lp) AS s FROM lp GROUP BY doc_id, lab),
+        |pr AS (
+        |  SELECT doc_id, lab AS pred FROM (
+        |    SELECT doc_id, lab,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY s DESC, lab ASC) AS rk
+        |    FROM ps) WHERE rk = 1)
+        |SELECT d.lang, pr.pred, count(*) AS n_docs
+        |FROM pr JOIN documents d USING (doc_id)
+        |GROUP BY d.lang, pr.pred
+        |ORDER BY d.lang, pr.pred""".stripMargin,
 
     // identical md5 bucket, identical literal weight list, bias 2
     "q190_hashed_inference" ->

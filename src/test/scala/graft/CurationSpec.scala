@@ -373,6 +373,28 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - math.log(9.0)) < 1e-6, out.toString)
   }
 
+  test("bigramLangId: separable labels classify correctly, ties go to label order") {
+    val train = Seq(
+      ("aa", 1L, "x y x y x y"),
+      ("aa", 2L, "y x y x"),
+      ("bb", 3L, "p q p q p q"),
+      ("bb", 4L, "q p q p"))
+      .toDF("lang", "doc_id", "text")
+    val score = Seq(
+      (10L, "x y x"),   // clearly aa
+      (11L, "p q p"),   // clearly bb
+      (12L, "m n m"))   // out of BOTH vocabularies -> per-bigram
+                        // ln(k/(kV)) with V=2 both sides: exact tie ->
+                        // label order -> aa
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.bigramLangId(
+        train.select($"lang", $"text"), "lang",
+        score, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"pred").as[(Long, String)].collect().toSeq
+    assert(out == Seq((10L, "aa"), (11L, "bb"), (12L, "aa")), out.toString)
+  }
+
   test("bigramCrossEntropy: docs under two tokens drop out") {
     val train = Seq((1L, "a b c")).toDF("doc_id", "text")
     val score = Seq((10L, "a"), (11L, ""), (12L, "a b")).toDF("doc_id", "text")

@@ -380,7 +380,7 @@ class PipelineSpec extends AnyFunSuite {
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
       "dupspans", "urlnorm", "labelprop", "spanowners", "manifestdiff",
-      "bm25", "bootstrap", "lmscore")
+      "bm25", "bootstrap", "lmscore", "lmlangid")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
