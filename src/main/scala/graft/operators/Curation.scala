@@ -185,14 +185,23 @@ object Curation {
     * documents differ. Returns (id, n_segs, n_kept, retained).
     *
     * Shape: one narrow segmentation pass (split/slice/posexplode, no
-    * UDF), ONE window shuffle partitioned on md5(segment) — dedup is
-    * hash-partition + first-rank, never an all-pairs compare, and
-    * partitioning on the hash spreads boilerplate segments like any
-    * other key — then one per-doc aggregate to reassemble. The same
-    * two-shuffle budget as exact whole-doc dedup. md5 keeps the DuckDB
-    * oracle replay exact; at 100 TB substitute xxhash64(segment) (same
-    * plan, cheaper hash) and drop `retained` when only the keep-mask
-    * is needed — the exchange then carries (hash, id, idx) only.
+    * UDF), then the first-occurrence rule as a HASH-AGGREGATE over the
+    * class key md5(segment) joined back — never a window partitioned
+    * on the class (VERDICT r14 #1): a boilerplate segment repeated
+    * 10^9 times across a crawl is ONE class, and a class-partitioned
+    * row_number serializes the whole class into a single sort task,
+    * while the aggregate's map-side partial combine reduces each map
+    * task's share of the class to one candidate row before anything
+    * shuffles. Singleton classes (the overwhelming majority) are
+    * filtered out of the aggregate's output, so the join back is
+    * dup-classes-sized — small corpora broadcast it (the segment
+    * relation then never shuffles at all before the per-doc
+    * reassembly), and when it is big the equi-join is AQE-skew-
+    * splittable, an escape hatch windows never get. md5 keeps the
+    * DuckDB oracle replay exact; at 100 TB substitute
+    * xxhash64(segment) (same plan, cheaper hash) and drop `retained`
+    * when only the keep-mask is needed — the exchanges then carry
+    * (hash, id, idx) only.
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 20): DataFrame = {
@@ -202,10 +211,16 @@ object Curation {
     val segArr = transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
       i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
     val segs = df.select(col(idCol).as("id"),
-      posexplode(segArr).as(Seq("seg_idx", "seg")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("seg"))).orderBy(col("id"), col("seg_idx"))
-    segs.withColumn("keep", row_number().over(w) === 1)
+        posexplode(segArr).as(Seq("seg_idx", "seg")))
+      .withColumn("__h", md5(col("seg")))
+    val firsts = segs.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("seg_idx"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("__h"), col("__first"))
+    segs.join(firsts, Seq("__h"), "left")
+      .withColumn("keep", col("__first").isNull ||
+        struct(col("id"), col("seg_idx")) === col("__first"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -296,23 +311,21 @@ object Curation {
     * ranges merge (gaps-and-islands). Returns one row per doc:
     * (id, n_tokens, dup_tokens, n_spans).
     *
-    * Shape at 100 TB: the segment relation for all granularities rides
-    * ONE exchange — the rank window partitions on (granularity,
-    * md5(segment)), so boilerplate spreads like any other key — then
-    * one doc-partitioned window (bounded by segments-per-doc) merges
-    * islands and one hash-agg emits per-doc stats. Same budget as
-    * segmentDedup plus a doc-local window. md5 family → the DuckDB
-    * oracle (q222) replays every stage exactly; integers throughout.
+    * Shape at 100 TB: the per-granularity first-occurrence rule is
+    * [[dupSegments]]'s hash-aggregate + dup-class join (VERDICT r14
+    * #1 — a mega boilerplate class is absorbed by map-side partial
+    * combine instead of serializing into one class-partitioned window
+    * task); then one doc-partitioned window (bounded by
+    * segments-per-doc) merges islands and one hash-agg emits per-doc
+    * stats. md5 family → the DuckDB oracle (q222) replays the SAME
+    * answer via the rank-window form (bit-equal by construction:
+    * rk > 1 ⟺ the row is not its class minimum and the class has a
+    * second member); integers throughout.
     */
   def segmentDedupSpans(df: DataFrame, idCol: String, textCol: String,
                         grans: Seq[Int] = Seq(100, 50, 20)): DataFrame = {
     val (base, segs) = segmentWindows(df, idCol, textCol, grans)
-    // per-granularity first-occurrence rule, one (g, hash) exchange
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g"), md5(col("seg"))).orderBy(col("id"), col("seg_idx"))
-    val dups = segs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") > 1)
-      .select(col("id"), col("start"), col("end"))
+    val dups = dupSegments(segs).select(col("id"), col("start"), col("end"))
     // gaps-and-islands merge of the per-doc range set: a range starts a
     // new island iff it begins strictly after every earlier range ends
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -362,15 +375,46 @@ object Curation {
     (base, segs)
   }
 
+  /** The duplicated windows of a (id, g, seg_idx, seg, start, end)
+    * segment relation, each carrying the id that FIRST owned its
+    * class: all rows that are not the global first occurrence of
+    * their (g, md5(seg)) class, with `owner` = the class minimum id.
+    * First occurrence = min(struct(id, seg_idx)) per class, computed
+    * as a HASH-AGGREGATE and equi-joined back — never a
+    * class-partitioned window (VERDICT r14 #1): one license block
+    * repeated 10^9 times corpus-wide is a single class, and a
+    * row_number over partitionBy(g, hash) sorts all 10^9 rows in ONE
+    * task, while the aggregate's map-side partials reduce each map
+    * task's share to one candidate row before the shuffle. Classes
+    * with one member produce no dups and are filtered before the
+    * join, so the joined side is dup-classes-sized (broadcastable on
+    * most corpora; AQE-skew-splittable when not — windows have no
+    * such escape). `owner` is the id field of the class-min struct:
+    * the struct orders by id first, so its id IS min(id) over the
+    * class — the same value the oracle's min() window computes.
+    */
+  private def dupSegments(segs: DataFrame): DataFrame = {
+    val keyed = segs.withColumn("__h", md5(col("seg")))
+    val firsts = keyed.groupBy(col("g"), col("__h"))
+      .agg(min(struct(col("id"), col("seg_idx"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("g"), col("__h"), col("__first"))
+    keyed.join(firsts, Seq("g", "__h"))
+      .filter(!(struct(col("id"), col("seg_idx")) === col("__first")))
+      .withColumn("owner", col("__first").getField("id"))
+  }
+
   /** Cross-doc EXACTSUBSTR provenance (VERDICT r13 #6): the spans
     * [[segmentDedupSpans]] reports per doc, each ATTRIBUTED to the doc
     * that first owned it — the record a takedown / licensing pass
     * needs ("whose text is this span a copy of?"). Per duplicated
     * window the owner is the global first occurrence of its (g, hash)
     * class, which under the (id, seg_idx) first-occurrence order is
-    * simply min(id) over the class — frame-independent, so it rides
-    * the SAME (g, md5(seg)) exchange as the dup rank (one extra window
-    * function, zero extra joins or shuffles). When dup windows from
+    * simply min(id) over the class — it falls out of [[dupSegments]]'s
+    * class-min struct for free (the struct's id field IS min(id)), so
+    * owner rides the same hash-aggregate + dup-class join as the dup
+    * rule itself, zero extra shuffles. When dup windows from
     * several granularities merge into one span, the span's owner is
     * the SMALLEST owner among its constituent windows: the earliest
     * doc any part of the span traces back to (deterministic, and the
@@ -379,21 +423,16 @@ object Curation {
     * row implies an earlier occurrence), and owner = id exactly when
     * the doc repeats ITS OWN earlier window.
     *
-    * Same 100 TB budget as segmentDedupSpans: one (g, hash) exchange +
-    * one doc-bounded window + one hash-agg. Oracle q230 replays every
-    * stage (min-over-partition owner included) in plain SQL.
+    * Same 100 TB budget as segmentDedupSpans (hub-safe per VERDICT
+    * r14 #1 — no class-partitioned window anywhere) + one doc-bounded
+    * window + one hash-agg. Oracle q230 replays the same answer via
+    * the rank-window form (min-over-partition owner included) in
+    * plain SQL.
     */
   def segmentDedupSpanOwners(df: DataFrame, idCol: String, textCol: String,
                              grans: Seq[Int] = Seq(100, 50, 20)): DataFrame = {
     val (_, segs) = segmentWindows(df, idCol, textCol, grans)
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g"), md5(col("seg"))).orderBy(col("id"), col("seg_idx"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g"), md5(col("seg")))
-    val dups = segs
-      .withColumn("rk", row_number().over(wOrd))
-      .withColumn("owner", min(col("id")).over(wAll))
-      .filter(col("rk") > 1)
+    val dups = dupSegments(segs)
       .select(col("id"), col("start"), col("end"), col("owner"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"), col("end").desc)

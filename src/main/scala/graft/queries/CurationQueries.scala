@@ -289,9 +289,10 @@ object CurationQueries {
 
     // Exact segment dedup (Lee et al. EXACTSUBSTR at 20-token windows):
     // first global occurrence of each distinct segment survives, docs
-    // are rebuilt from their retained segments. One md5-partitioned
-    // window shuffle + one per-doc agg; hash-exact replay incl. the
-    // reassembled text.
+    // are rebuilt from their retained segments. Hub-safe hash-agg
+    // first-occurrence + dup-class join (r15) + one per-doc agg;
+    // hash-exact replay incl. the reassembled text (the oracle keeps
+    // the bit-equal rank-window form).
     "q111_segment_dedup" -> ((s, dir) => {
       import s.implicits._
       Curation.segmentDedup(t(s, dir, "documents"), "doc_id", "text",

@@ -243,6 +243,96 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 1L, 0L, "")))
   }
 
+  test("EXACTSUBSTR hash-agg first occurrence is bit-equal to the window form") {
+    // VERDICT r14 #1 pin: the hub-safe aggregate+join rewrite must
+    // reproduce the rank-window semantics EXACTLY — rk > 1 under
+    // orderBy(id, seg_idx) ⟺ not the class-min struct in a class of
+    // 2+, and min(id)-over-class owner ⟺ the class-min struct's id.
+    // Checked over the real sf0.001 documents corpus for all three
+    // family members, with the pre-r15 window forms built inline.
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf, "documents")
+
+    // -- segmentDedup vs its window form (20-token windows) --
+    val toks = split($"text", " ")
+    val nseg1 = ceil(size(toks).cast("double") / 20).cast("int")
+    val segArr = transform(sequence(lit(0), greatest(nseg1 - 1, lit(0))),
+      i => array_join(slice(toks, i * 20 + 1, lit(20)), " "))
+    val segs1 = docs.select($"doc_id".as("id"),
+      posexplode(segArr).as(Seq("seg_idx", "seg")))
+    val w1 = Window.partitionBy(md5($"seg")).orderBy($"id", $"seg_idx")
+    val dedupRef = segs1.withColumn("keep", row_number().over(w1) === 1)
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(filter(
+            array_sort(collect_list(struct($"seg_idx", $"keep", $"seg"))),
+            x => x.getField("keep")), x => x.getField("seg")), " ")
+          .as("retained"))
+      .orderBy($"id").collect().toSeq
+    val dedupGot = Curation.segmentDedup(docs, "doc_id", "text", 20)
+      .orderBy($"id").collect().toSeq
+    assert(dedupGot == dedupRef)
+
+    // -- multi-granularity seg relation + window-form dups (shared
+    //    reference for spans and owners) --
+    val grans = Seq(100, 50, 20)
+    val base = docs.select($"doc_id".as("id"), toks.as("__t"),
+      size(toks).as("n_tokens"))
+    val segsG = grans.map { g =>
+      val nseg = ceil($"n_tokens".cast("double") / g).cast("int")
+      base.select($"id", $"n_tokens", lit(g).as("g"),
+          posexplode(transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
+            i => array_join(slice($"__t", i * g + 1, lit(g)), " ")))
+            .as(Seq("seg_idx", "seg")))
+        .select($"id", $"g", $"seg_idx", $"seg",
+          ($"seg_idx" * g).as("start"),
+          least($"seg_idx" * g + g, $"n_tokens").as("end"))
+    }.reduce(_.unionByName(_))
+    val wOrd = Window.partitionBy($"g", md5($"seg")).orderBy($"id", $"seg_idx")
+    val wAll = Window.partitionBy($"g", md5($"seg"))
+    val dupRef = segsG.withColumn("rk", row_number().over(wOrd))
+      .withColumn("owner", min($"id").over(wAll))
+      .filter($"rk" > 1)
+      .select($"id", $"start", $"end", $"owner")
+      .orderBy($"id", $"start", $"end", $"owner").collect().toSeq
+
+    // owners output is span-merged; compare the merged outputs
+    val ownGot = Curation.segmentDedupSpanOwners(docs, "doc_id", "text", grans)
+      .orderBy($"id", $"start").collect().toSeq
+    // replay the island merge over the window-form dup rows
+    val wDoc = Window.partitionBy($"id").orderBy($"start", $"end".desc)
+    val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val dupRefDf = dupRef
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toDF("id", "start", "end", "owner")
+    val ownRef = dupRefDf
+      .withColumn("__maxEnd", max($"end").over(wPrev))
+      .withColumn("__new",
+        when($"__maxEnd".isNull || $"start" > $"__maxEnd", 1L).otherwise(0L))
+      .withColumn("__isl", sum($"__new").over(wDoc))
+      .groupBy($"id", $"__isl")
+      .agg(min($"start").as("start"), max($"end").as("end"),
+        min($"owner").as("owner"))
+      .select($"id", $"start", $"end", $"owner")
+      .orderBy($"id", $"start").collect().toSeq
+    assert(ownGot == ownRef)
+    assert(ownGot.nonEmpty, "fixture corpus has no cross-doc dups — pin is vacuous")
+
+    // spans: per-doc rollup of the same merged islands
+    val spanGot = Curation.segmentDedupSpans(docs, "doc_id", "text", grans)
+      .select($"id", $"n_tokens", $"dup_tokens", $"n_spans")
+      .orderBy($"id").collect().toSeq
+    val perDocRef = ownRef.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> ((rows.map(r => r.getAs[Int]("end").toLong - r.getAs[Int]("start")).sum,
+        rows.size.toLong))
+    }
+    spanGot.foreach { r =>
+      val (dt, ns) = perDocRef.getOrElse(r.getLong(0), (0L, 0L))
+      assert(r.getLong(2) == dt && r.getLong(3) == ns, r.toString)
+    }
+  }
+
   test("urlNormalize: hostile-URL corpus hits every rule") {
     val cases = Seq(
       // scheme/authority case, default https port, tracking strip,

@@ -123,16 +123,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("dup spans: every window carries a partition spec, no cartesian") {
-    // q222's two windows must partition on (g, hash(seg)) and on the
-    // doc id — an unpartitioned window would serialize 100 TB of
-    // segments into one task.
-    val plan = executed(SparkEntry.queries("q222_dup_spans")(spark, sf))
-    assert(!plan.contains("CartesianProduct"), plan)
-    plan.split('\n').filter(_.contains("windowspecdefinition")).foreach { l =>
-      assert(l.contains("windowspecdefinition(g") ||
-        l.contains("windowspecdefinition(id"),
-        s"unpartitioned or mis-partitioned window: $l")
+  test("EXACTSUBSTR family: NO window over the segment-class key, no cartesian") {
+    // VERDICT r14 #1: a class-partitioned window (partitionBy(g,
+    // md5(seg))) serializes a boilerplate class repeated 10^9 times
+    // into ONE sort task. The first-occurrence rule must be the
+    // hash-aggregate + dup-class join form in every member of the
+    // family — the only windows allowed in any executed plan are the
+    // doc-bounded island merges, partitioned on the doc id.
+    for (q <- Seq("q111_segment_dedup", "q222_dup_spans", "q230_span_owners")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"[$q] $plan")
+      val windows = plan.split('\n').filter(_.contains("windowspecdefinition"))
+      windows.foreach { l =>
+        assert(l.contains("windowspecdefinition(id"),
+          s"[$q] window not doc-partitioned (class-key window reintroduced?): $l")
+        assert(!l.contains("md5"),
+          s"[$q] window partitioned on the segment-class hash: $l")
+      }
+      // the first-occurrence rule must still be present as an aggregate
+      assert(plan.contains("HashAggregate"), s"[$q] $plan")
     }
   }
 
