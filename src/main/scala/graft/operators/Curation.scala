@@ -560,6 +560,19 @@ object Curation {
     * stopword/hub cut — a term in half the corpus is a scan, not a
     * signal; lower it for retrieval-heavy workloads).
     *
+    * Broadcast guard (VERDICT r14 #4): the broadcast side has exactly
+    * |distinct (qid, term)| rows (df is unique per term, stats is one
+    * row — the join back cannot grow it), which is tiny for retrieval
+    * workloads but UNBOUNDED for eval-scale query sets
+    * (decontamination against a million-probe benchmark suite). The
+    * operator counts that relation first (one cheap agg over the
+    * query side only — the corpus is untouched) and above
+    * `broadcastQueryLimit` rows falls back to a plain shuffle
+    * equi-join on the term key instead of failing obscurely inside
+    * the broadcast exchange; results are bit-identical (same join,
+    * different physical strategy — CurationSpec pins it), and the
+    * shuffle path inherits AQE skew splitting for hub terms.
+    *
     * docs: (idCol, textCol); queries: (qidCol, qtextCol), whitespace
     * tokens. Output: (qid, rk, doc id, score) — rk 1..k per query via
     * the skew-safe two-phase top-k.
@@ -567,10 +580,13 @@ object Curation {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-               maxDfFrac: Double = 0.5): DataFrame = {
+               maxDfFrac: Double = 0.5,
+               broadcastQueryLimit: Long = 5000000L): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
     require(maxDfFrac > 0 && maxDfFrac <= 1,
       s"bm25TopK: maxDfFrac in (0,1], got $maxDfFrac")
+    require(broadcastQueryLimit >= 0,
+      s"bm25TopK: broadcastQueryLimit must be >= 0, got $broadcastQueryLimit")
     val toks = filter(split(col(textCol), " "), t => t =!= "")
     val base = docs.select(col(idCol).as("__doc"), toks.as("__t"))
       .select(col("__doc"), col("__t"), size(col("__t")).as("__dl"))
@@ -598,7 +614,11 @@ object Curation {
     val tfn = col("__tf").cast("double") * (lit(k1) + 1.0) /
       (col("__tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / avgdl))
-    val scored = dt.join(broadcast(qside), "__term")
+    // guard: |qside| == |qt| exactly (df unique per term, stats 1 row)
+    val qtRows = qt.count()
+    val qsideJoin =
+      if (qtRows <= broadcastQueryLimit) broadcast(qside) else qside
+    val scored = dt.join(qsideJoin, "__term")
       .select(col("__qid"), col("__doc"),
         (idf * tfn).cast("decimal(30,12)").as("__c"))
       .groupBy(col("__qid"), col("__doc"))

@@ -442,6 +442,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L), got.toString)
   }
 
+  test("bm25TopK: the shuffle-join fallback is bit-equal to the broadcast path") {
+    // VERDICT r14 #4: above broadcastQueryLimit the query side joins
+    // the postings via a plain shuffle equi-join instead of a
+    // broadcast. Same join, different physical strategy — every
+    // (qid, rk, doc, score) row must be identical. Real sf0.001
+    // corpus, queries derived from its own docs so matches are dense.
+    val docs = Tables(spark, sf, "documents")
+    val qs = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 5), " ").as("qtext"))
+    val broad = Curation.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 5, maxDfFrac = 1.0)
+      .orderBy($"query_id", $"rk").collect().toSeq
+    val shuffled = Curation.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 5, maxDfFrac = 1.0,
+        broadcastQueryLimit = 0L)
+      .orderBy($"query_id", $"rk").collect().toSeq
+    assert(broad.nonEmpty && broad == shuffled)
+  }
+
   test("bigramCrossEntropy: in-domain text scores lower than gibberish") {
     val train = Seq(
       (1L, "the cat sat on the mat"),

@@ -916,6 +916,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan) // tf/df combine map-side
   }
 
+  test("bm25 fallback: above the guard the postings join is a shuffle join") {
+    // VERDICT r14 #4: with broadcastQueryLimit forced to 0 the
+    // (qid, term, df, stats) side must NOT broadcast into the
+    // postings — the plan degrades to a term-keyed shuffle equi-join
+    // (AQE-skew-splittable), never a cartesian or nested loop.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so Catalyst can't silently re-promote
+      // the small test relation and vacuously pass the gate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables(spark, sf, "documents")
+      val qs = docs.limit(50).select($"doc_id".as("qid"),
+        $"text".as("qtext"))
+      val plan = executed(graft.operators.Curation.bm25TopK(
+        docs, "doc_id", "text", qs, "qid", "qtext", k = 3,
+        broadcastQueryLimit = 0L))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fallback lost the shuffle join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bootstrap test: the B-fold generator combines map-side") {
     val plan = executed(SparkEntry.queries("q233_bootstrap_eval")(spark, sf))
     // the explode-by-resamples amplification must feed a PARTIAL sum
