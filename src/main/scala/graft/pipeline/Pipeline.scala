@@ -1422,12 +1422,12 @@ object Pipeline {
       }),
 
     Registered("lmscore", RowType, RowType,
-      "in=SCORE:train=STREAM:key=COL:text=COL[:k=0.5]:out=STREAM",
+      "in=SCORE:train=STREAM:key=COL:text=COL[:k=0.5:ngram=word|char]:out=STREAM",
       (ctx, m) => {
         // CCNet-style LM quality filter (q234 /
         // Curation.bigramCrossEntropy): smoothed-bigram cross-entropy
         // of each doc against a reference corpus; emits
-        // (key, n_bigrams, xent).
+        // (key, n_bigrams, xent). ngram=char for unsegmented scripts.
         val df = ctx.readStream(m, RowType)
         val tname = m.args.getOrElse("train",
           throw new BuildError("lmscore: train= required"))
@@ -1440,16 +1440,19 @@ object Pipeline {
           throw new BuildError(s"lmscore: $a= required"))
         val k = m.args.getOrElse("k", "0.5").toDouble
         if (k <= 0) throw new BuildError(s"lmscore: k must be > 0, got $k")
+        val ngram = m.args.getOrElse("ngram", "word")
+        if (ngram != "word" && ngram != "char")
+          throw new BuildError(s"lmscore: ngram must be word or char, got $ngram")
         ctx.writeStream(m, graft.operators.Curation.bigramCrossEntropy(
-          tr, df, req("key"), req("text"), k), RowType)
+          tr, df, req("key"), req("text"), k, ngram), RowType)
       }),
 
     Registered("lmlangid", RowType, RowType,
-      "in=SCORE:train=STREAM:label=COL:key=COL:text=COL[:k=0.5]:out=STREAM",
+      "in=SCORE:train=STREAM:label=COL:key=COL:text=COL[:k=0.5:ngram=word|char]:out=STREAM",
       (ctx, m) => {
-        // Statistical language ID (q235 / Curation.bigramLangId):
+        // Statistical language ID (q235 q236 / Curation.bigramLangId):
         // per-label bigram LMs, exact-decimal argmin cross-entropy;
-        // emits (key, pred, xent).
+        // emits (key, pred, xent). ngram=char for unsegmented scripts.
         val df = ctx.readStream(m, RowType)
         val tname = m.args.getOrElse("train",
           throw new BuildError("lmlangid: train= required"))
@@ -1462,8 +1465,11 @@ object Pipeline {
           throw new BuildError(s"lmlangid: $a= required"))
         val k = m.args.getOrElse("k", "0.5").toDouble
         if (k <= 0) throw new BuildError(s"lmlangid: k must be > 0, got $k")
+        val ngram = m.args.getOrElse("ngram", "word")
+        if (ngram != "word" && ngram != "char")
+          throw new BuildError(s"lmlangid: ngram must be word or char, got $ngram")
         ctx.writeStream(m, graft.operators.Curation.bigramLangId(
-          tr, req("label"), df, req("key"), req("text"), k), RowType)
+          tr, req("label"), df, req("key"), req("text"), k, ngram), RowType)
       }),
 
     Registered("bootstrap", RowType, RowType,

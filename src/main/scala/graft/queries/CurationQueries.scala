@@ -562,6 +562,28 @@ object CurationQueries {
         .orderBy($"lang", $"pred")
     }),
 
+    // Char-bigram language ID on an UNSEGMENTED corpus (VERDICT r14
+    // #5): a deterministic two-"language" fixture with no whitespace
+    // at all — lang 'aa' = documents text with spaces stripped, lang
+    // 'bb' = the same stripped text REVERSED (different adjacent-char
+    // statistics, e.g. "th" vs "ht"). Word tokenization sees ONE
+    // token per doc and classifies nothing (CurationSpec pins that
+    // degeneracy); ngramMode="char" discriminates. Same exact-decimal
+    // argmin machinery as q235; output is the confusion matrix.
+    "q236_lm_char_langid" -> ((s, dir) => {
+      import s.implicits._
+      val stripped = regexp_replace($"text", " ", "")
+      val unseg = t(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 2 === 0, "aa").otherwise("bb").as("lang"),
+        when($"doc_id" % 2 === 0, stripped).otherwise(reverse(stripped))
+          .as("text"))
+      Curation.bigramLangId(unseg, "lang", unseg, "doc_id", "text",
+          k = 0.5, ngramMode = "char")
+        .join(unseg.select($"doc_id", $"lang"), "doc_id")
+        .groupBy($"lang", $"pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"pred")
+    }),
+
     // Feature-hashing linear inference (the production shape of a
     // cheap learned quality filter): token -> md5 bucket -> literal
     // weight table via element_at (no join, codegen projection),
@@ -1280,6 +1302,56 @@ object CurationQueries {
         |FROM pr JOIN documents d USING (doc_id)
         |GROUP BY d.lang, pr.pred
         |ORDER BY d.lang, pr.pred""".stripMargin,
+
+    // q236 oracle: identical unsegmented fixture (space-strip /
+    // reverse), char tokens as positional substr(tx, i, 1) — exactly
+    // Spark's filtered split("") — then q235's count tables, decimal
+    // log-prob sums, and (s DESC, lab ASC) argmin rank.
+    "q236_lm_char_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'aa' ELSE 'bb' END AS lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', '')
+        |         ELSE reverse(replace(text, ' ', '')) END AS tx
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, lang, tx, len(tx) AS n FROM base),
+        |tb AS (
+        |  SELECT lang AS lab,
+        |    substr(tx, CAST(i AS INTEGER), 1) || ' ' ||
+        |      substr(tx, CAST(i + 1 AS INTEGER), 1) AS bg
+        |  FROM b2, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |btab AS (SELECT lab, bg, count(*) AS b FROM tb GROUP BY lab, bg),
+        |utab AS (
+        |  SELECT lab, w1, count(*) AS u FROM (
+        |    SELECT lang AS lab, substr(tx, CAST(i AS INTEGER), 1) AS w1
+        |    FROM b2, LATERAL unnest(range(1, n + 1)) u(i))
+        |  GROUP BY lab, w1),
+        |vtab AS (SELECT lab, count(*) AS v FROM utab GROUP BY lab),
+        |sb AS (
+        |  SELECT doc_id, substr(tx, CAST(i AS INTEGER), 1) AS w1,
+        |    substr(tx, CAST(i AS INTEGER), 1) || ' ' ||
+        |      substr(tx, CAST(i + 1 AS INTEGER), 1) AS bg
+        |  FROM b2, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |lp AS (
+        |  SELECT doc_id, vt.lab,
+        |    CAST(ln((CAST(coalesce(b, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(u, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |      AS DECIMAL(30,12)) AS lp
+        |  FROM sb CROSS JOIN vtab vt
+        |  LEFT JOIN btab ON btab.lab = vt.lab AND btab.bg = sb.bg
+        |  LEFT JOIN utab ON utab.lab = vt.lab AND utab.w1 = sb.w1),
+        |ps AS (
+        |  SELECT doc_id, lab, sum(lp) AS s FROM lp GROUP BY doc_id, lab),
+        |pr AS (
+        |  SELECT doc_id, lab AS pred FROM (
+        |    SELECT doc_id, lab,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY s DESC, lab ASC) AS rk
+        |    FROM ps) WHERE rk = 1)
+        |SELECT b.lang, pr.pred, count(*) AS n_docs
+        |FROM pr JOIN base b USING (doc_id)
+        |GROUP BY b.lang, pr.pred
+        |ORDER BY b.lang, pr.pred""".stripMargin,
 
     // identical md5 bucket, identical literal weight list, bias 2
     "q190_hashed_inference" ->

@@ -462,6 +462,38 @@ class CurationSpec extends AnyFunSuite {
     assert(broad.nonEmpty && broad == shuffled)
   }
 
+  test("LM family ngramMode=char: classifies unsegmented text the word path drops") {
+    // VERDICT r14 #5. The q236 fixture: spaces stripped from the real
+    // sf0.001 corpus, half the docs reversed → two "languages" with
+    // distinct adjacent-char statistics and NO whitespace anywhere.
+    val stripped = regexp_replace($"text", " ", "")
+    val unseg = Tables(spark, sf, "documents").select($"doc_id",
+      when($"doc_id" % 2 === 0, "aa").otherwise("bb").as("lang"),
+      when($"doc_id" % 2 === 0, stripped).otherwise(reverse(stripped))
+        .as("text"))
+    // word mode: every doc is ONE token -> the n >= 2 bigram filter
+    // drops everything — this IS the silent degeneracy being fixed
+    val word = Curation.bigramLangId(unseg, "lang", unseg, "doc_id",
+      "text", k = 0.5, ngramMode = "word")
+    assert(word.count() == 0L)
+    // char mode discriminates: >= 90% of docs classified correctly
+    val char = Curation.bigramLangId(unseg, "lang", unseg, "doc_id",
+        "text", k = 0.5, ngramMode = "char")
+      .join(unseg.select($"doc_id", $"lang"), "doc_id")
+    val n = char.count()
+    val right = char.filter($"pred" === $"lang").count()
+    assert(n > 0 && right.toDouble / n >= 0.9, s"$right/$n")
+    // the filter twin: reversed text is out-of-domain for a forward-
+    // trained char LM — strictly higher cross-entropy on average
+    val fwd = unseg.filter($"lang" === "aa")
+    val xent = Curation.bigramCrossEntropy(fwd, unseg, "doc_id", "text",
+        k = 0.5, ngramMode = "char")
+      .join(unseg.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang").agg(avg($"xent").as("ax"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(xent("aa") < xent("bb"), xent.toString)
+  }
+
   test("bigramCrossEntropy: in-domain text scores lower than gibberish") {
     val train = Seq(
       (1L, "the cat sat on the mat"),
