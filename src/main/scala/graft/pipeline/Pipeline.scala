@@ -1581,6 +1581,25 @@ object Pipeline {
           RowType)
       }),
 
+    Registered("anchoredspans", RowType, RowType,
+      "in=STREAM:key=COL:text=COL[:anchor=16:mintok=5:maxrun=512]:out=STREAM",
+      (ctx, m) => {
+        // Unaligned EXACTSUBSTR (q237 / Curation.anchoredDedupSpans):
+        // content-defined anchor segmentation catches copies at ANY
+        // token offset (dupspans' fixed windows are aligned-only);
+        // emits (id, n_tokens, dup_tokens, n_spans).
+        val df = ctx.readStream(m, RowType)
+        val key = m.args.getOrElse("key",
+          throw new BuildError("anchoredspans: key= required"))
+        val text = m.args.getOrElse("text",
+          throw new BuildError("anchoredspans: text= required"))
+        val anchor = m.args.getOrElse("anchor", "16").toInt
+        val mintok = m.args.getOrElse("mintok", "5").toInt
+        val maxrun = m.args.getOrElse("maxrun", "512").toInt
+        ctx.writeStream(m, graft.operators.Curation.anchoredDedupSpans(
+          df, key, text, anchor, mintok, maxrun), RowType)
+      }),
+
     Registered("spanowners", RowType, RowType,
       "in=STREAM:key=COL:text=COL[:grans=100,50,20]:out=STREAM", (ctx, m) => {
         // Cross-doc EXACTSUBSTR provenance (q230 /

@@ -351,6 +351,30 @@ object CurationQueries {
         .orderBy($"doc_id", $"start")
     }),
 
+    // UNALIGNED EXACTSUBSTR via content-defined anchors (VERDICT r14
+    // #2): each doc gets a twin that copies its full text at a junk
+    // offset of 1..7 tokens — never a multiple of any aligned
+    // granularity, so q222's fixed windows see nothing, while anchor
+    // segmentation (boundaries = tokens with md5 prefix = 0 mod 16)
+    // makes the copied interior collide at any offset. The oracle
+    // replays boundary detection, segment assembly, the
+    // first-occurrence rule, and the island merge stage for stage.
+    "q237_anchored_spans" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val junk = array_join(transform(
+        sequence(lit(1), ($"doc_id" % 7 + 1).cast("int")),
+        k => concat(lit("j"), $"doc_id".cast("string"), lit("x"),
+          k.cast("string"))), " ")
+      val fixture = docs.select(($"doc_id" * 2).as("doc_id"), $"text")
+        .unionByName(docs.select(($"doc_id" * 2 + 1).as("doc_id"),
+          concat(junk, lit(" "), $"text").as("text")))
+      Curation.anchoredDedupSpans(fixture, "doc_id", "text",
+          anchorMod = 16, minTok = 5, maxRun = 512)
+        .select($"id".as("doc_id"), $"n_tokens", $"dup_tokens", $"n_spans")
+        .orderBy($"doc_id")
+    }),
+
     // Per-domain quota (crawl curation: no source contributes more
     // than 15 docs, best-quality-first) via the skew-safe two-phase
     // exact top-k — bit-identical to a plain per-domain rank, which is
@@ -1047,6 +1071,74 @@ object CurationQueries {
          |FROM isl2 GROUP BY doc_id, island
          |ORDER BY doc_id, start""".stripMargin
     },
+
+    // q237 oracle: identical twin fixture (junk prefix of 1 + doc_id%7
+    // unique tokens), anchor boundaries as positional md5 tests,
+    // lead() successor = Spark's try_element_at(starts, j+2), then
+    // q222's rank + island + rollup stages.
+    "q237_anchored_spans" ->
+      """WITH fixture AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id,
+        |    array_to_string(list_transform(range(1, (doc_id % 7 + 1) + 1),
+        |      k -> 'j' || CAST(doc_id AS VARCHAR) || 'x' ||
+        |        CAST(k AS VARCHAR)), ' ') || ' ' || text AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM fixture),
+        |starts AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s
+        |  FROM base, LATERAL unnest(range(0, n_tokens)) u(i)
+        |  WHERE i = 0 OR i % 512 = 0
+        |     OR (CAST('0x' || substr(md5(t[CAST(i + 1 AS INTEGER)]), 1, 4)
+        |           AS INTEGER) % 16) = 0),
+        |segs0 AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS seg_idx,
+        |    lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        |  FROM starts),
+        |segs AS (
+        |  SELECT s0.doc_id, seg_idx, s,
+        |    least(coalesce(nxt, n_tokens), n_tokens) AS e,
+        |    array_to_string(t[CAST(s + 1 AS INTEGER):
+        |      CAST(least(coalesce(nxt, n_tokens), n_tokens) AS INTEGER)],
+        |      ' ') AS seg
+        |  FROM segs0 s0 JOIN base USING (doc_id)
+        |  WHERE least(coalesce(nxt, n_tokens), n_tokens) - s >= 5),
+        |dups AS (
+        |  SELECT doc_id, s, e FROM (
+        |    SELECT doc_id, s, e,
+        |      row_number() OVER (PARTITION BY md5(seg)
+        |        ORDER BY doc_id, seg_idx) AS rk
+        |    FROM segs)
+        |  WHERE rk > 1),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM dups),
+        |isl2 AS (
+        |  SELECT doc_id, s, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e DESC) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+        |  FROM isl2 GROUP BY doc_id, island),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(ee - ss) AS BIGINT) AS dup_tokens,
+        |    count(*) AS n_spans
+        |  FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id AS doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(p.n_spans, 0) AS n_spans
+        |FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Domain cap: the salted two-phase top-k is bit-identical to the
     // plain per-domain rank (exactness argument in Ops.scaladoc), so

@@ -381,6 +381,54 @@ class CurationSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("anchoredDedupSpans catches a SHIFTED copy the aligned windows miss") {
+    // VERDICT r14 #2. Doc 2 copies doc 1's 80-token block at token
+    // offset 3 — not a multiple of any aligned granularity, so every
+    // aligned window in doc 2 mixes junk and block text and none
+    // collides. Content-defined anchors derive from the tokens
+    // themselves, so the block's interior segments are identical
+    // strings in both docs.
+    val block = (1 to 80).map(i => s"blk$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),
+      (2L, "jA jB jC " + block)).toDF("doc_id", "text")
+    val aligned = Curation.segmentDedupSpans(docs, "doc_id", "text",
+        grans = Seq(20))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(aligned == Seq((1L, 80L, 0L, 0L), (2L, 83L, 0L, 0L)),
+      s"aligned unexpectedly caught the shifted copy: $aligned")
+    val anchored = Curation.anchoredDedupSpans(docs, "doc_id", "text",
+        anchorMod = 4, minTok = 3)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    val d2 = anchored(1)
+    assert(anchored.head == ((1L, 80L, 0L, 0L)), anchored.toString)
+    // interior coverage: most of the 80 copied tokens flagged (edge
+    // segments at the copy boundary legitimately miss)
+    assert(d2._1 == 2L && d2._3 >= 50L && d2._3 <= 80L && d2._4 >= 1L,
+      anchored.toString)
+  }
+
+  test("anchoredDedupSpans: offset invariance and the minTok floor") {
+    // the same block at three different unaligned offsets all report
+    // near-identical interior coverage; a tiny common phrase below
+    // minTok never fires
+    val block = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),
+      (2L, "x1 " + block),
+      (3L, "y1 y2 y3 y4 y5 " + block),
+      (4L, "the of and")) // 3 tokens, all below any segment floor
+      .toDF("doc_id", "text")
+    val out = Curation.anchoredDedupSpans(docs, "doc_id", "text",
+        anchorMod = 4, minTok = 3)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    val cov2 = out(1)._3; val cov3 = out(2)._3
+    assert(out(0)._3 == 0L, out.toString)      // first occurrence clean
+    assert(cov2 >= 40L && cov3 >= 40L, out.toString)
+    assert(cov2 == cov3, s"offset changed interior coverage: $out")
+    assert(out(3)._3 == 0L, out.toString)
+  }
+
   test("segmentDedupSpanOwners: a three-doc copy chain attributes to the head") {
     // VERDICT r13 #6. Doc 1 originates block B; docs 2 and 3 both
     // carry it — BOTH must attribute to doc 1 (not doc 3 to doc 2,

@@ -130,7 +130,8 @@ class ScaleSpec extends AnyFunSuite {
     // hash-aggregate + dup-class join form in every member of the
     // family — the only windows allowed in any executed plan are the
     // doc-bounded island merges, partitioned on the doc id.
-    for (q <- Seq("q111_segment_dedup", "q222_dup_spans", "q230_span_owners")) {
+    for (q <- Seq("q111_segment_dedup", "q222_dup_spans", "q230_span_owners",
+                  "q237_anchored_spans")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"[$q] $plan")
       val windows = plan.split('\n').filter(_.contains("windowspecdefinition"))
