@@ -597,12 +597,24 @@ object Curation {
     * top-N-bounded by their producers.
     */
   def rrfFuse(pools: Seq[DataFrame], idCol: String,
-              k0: Int = 60): DataFrame = {
+              k0: Int = 60): DataFrame =
+    rrfFuseKeyed(pools, Seq(idCol), k0)
+
+  /** [[rrfFuse]] with a composite key — the multi-query retrieval
+    * shape (VERDICT r14 #6): pools are per-query rankings (qid, id,
+    * rk) and fusion groups on (qid, id), so one pass fuses EVERY
+    * query's pools at once. Same union-then-aggregate scale shape:
+    * P pools × Q queries × N rows cost one hash-agg, no multi-way
+    * join, because every pool is top-N-bounded by its producer.
+    */
+  def rrfFuseKeyed(pools: Seq[DataFrame], keyCols: Seq[String],
+                   k0: Int = 60): DataFrame = {
     require(pools.nonEmpty, "rrfFuse needs at least one pool")
-    pools.map(p => p.select(col(idCol),
-        (lit(1.0) / (lit(k0.toDouble) + col("rk").cast("double"))).as("c")))
+    require(keyCols.nonEmpty, "rrfFuse needs at least one key column")
+    pools.map(p => p.select(keyCols.map(col) :+
+        (lit(1.0) / (lit(k0.toDouble) + col("rk").cast("double"))).as("c"): _*))
       .reduce(_ unionByName _)
-      .groupBy(col(idCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(col("c")).as("rrf"))
   }
 

@@ -2863,8 +2863,10 @@ object Pipeline {
       }),
 
     Registered("rrf", RowType, RowType,
-      "in=STREAM:pools=STREAM[,STREAM]:key=COL:k0=60:out=STREAM",
+      "in=STREAM:pools=STREAM[,STREAM]:key=COL[,COL]:k0=60:out=STREAM",
       (ctx, m) => {
+        // key= takes a comma list: (qid, doc) fuses per-query pools
+        // in one pass (q238 / Curation.rrfFuseKeyed)
         val first = ctx.readStream(m, RowType)
         val others = m.args.getOrElse("pools", "")
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { n =>
@@ -2875,8 +2877,10 @@ object Pipeline {
             ctx.readers(n) += 1
             df
           }
-        ctx.writeStream(m, graft.operators.Curation.rrfFuse(
-          first +: others, reqArg(m, "rrf", "key"),
+        val keys = reqArg(m, "rrf", "key")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        ctx.writeStream(m, graft.operators.Curation.rrfFuseKeyed(
+          first +: others, keys,
           m.args.getOrElse("k0", "60").toInt), RowType)
       }),
 

@@ -351,6 +351,36 @@ object CurationQueries {
         .orderBy($"doc_id", $"start")
     }),
 
+    // Hybrid retrieval end-to-end (VERDICT r14 #6): the composition
+    // proof for the retrieval family — BM25 top-20 (lexical pool,
+    // q232's scorer) + brute-force cosine top-20 over the aligned
+    // embeddings (dense pool, q53's scorer) fused per query with
+    // reciprocal-rank fusion (rrfFuseKeyed on (query_id, doc_id)),
+    // then the skew-safe top-5. Queries = every 50th doc: text prefix
+    // feeds the lexical side, its embedding row feeds the dense side.
+    "q238_hybrid_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val emb = t(s, dir, "embeddings")
+      val qs = docs.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("query_id"),
+          array_join(slice(filter(split($"text", " "), t => t =!= ""),
+            1, 5), " ").as("qtext"))
+      val lex = Curation.bm25TopK(docs, "doc_id", "text", qs,
+          "query_id", "qtext", k = 20, maxDfFrac = 1.0)
+        .select($"query_id", $"doc_id", $"rk")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter($"vec_id" % 50 === 0), "vec_id", "embedding", k = 20)
+        .select($"query_id", $"vec_id".as("doc_id"), $"rk")
+      val fused = Curation.rrfFuseKeyed(Seq(lex, dense),
+        Seq("query_id", "doc_id"))
+      Ops.saltedTopKPerGroup(fused, part = Seq("query_id"),
+          order = Seq($"rrf".desc, $"doc_id".asc), k = 5,
+          saltCol = $"doc_id")
+        .select($"query_id", $"rk", $"doc_id", round($"rrf", 6).as("rrf"))
+        .orderBy($"query_id", $"rk")
+    }),
+
     // UNALIGNED EXACTSUBSTR via content-defined anchors (VERDICT r14
     // #2): each doc gets a twin that copies its full text at a junk
     // offset of 1..7 tokens — never a multiple of any aligned
@@ -1070,6 +1100,86 @@ object CurationQueries {
          |SELECT doc_id, min(s) AS start, max(e) AS "end", min(owner) AS owner
          |FROM isl2 GROUP BY doc_id, island
          |ORDER BY doc_id, start""".stripMargin
+    },
+
+    // q238 oracle: q232's BM25 CTE chain (k=20, %50 queries) + q53's
+    // cosine expression for the dense pool + q76's RRF union-agg, all
+    // keyed (query_id, doc_id), top-5 per query.
+    "q238_hybrid_retrieval" -> {
+      val cos = graft.queries.DedupSim.cosSql
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |dt AS (
+         |  SELECT doc_id, dl, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+         |  GROUP BY doc_id, dl, tok),
+         |st AS (SELECT count(*) AS n, sum(dl) AS tot FROM base),
+         |dfr AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |q AS (
+         |  SELECT doc_id AS query_id, array_to_string(toks[1:5], ' ') AS qt
+         |  FROM d WHERE doc_id % 50 = 0),
+         |qterm AS (
+         |  SELECT DISTINCT query_id, tok AS term
+         |  FROM (SELECT query_id,
+         |          unnest(list_filter(string_split(qt, ' '), t -> t != ''))
+         |            AS tok
+         |        FROM q)),
+         |qside AS (
+         |  SELECT query_id, qterm.term, df, n, tot
+         |  FROM qterm JOIN dfr ON dfr.term = qterm.term, st
+         |  WHERE df <= floor(1.0 * n)),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    sum(CAST(
+         |      ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |           / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+         |           / (CAST(tf AS DOUBLE)
+         |              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+         |                  / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))
+         |      AS DECIMAL(30,12))) AS s
+         |  FROM dt JOIN qside ON qside.term = dt.term
+         |  GROUP BY query_id, doc_id),
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, doc_id ASC) AS rk
+         |  FROM scored),
+         |dsc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    $cos AS sim
+         |  FROM (SELECT vec_id, embedding AS ea FROM embeddings) c,
+         |       (SELECT vec_id, embedding AS eb FROM embeddings
+         |        WHERE vec_id % 50 = 0) q
+         |  WHERE c.vec_id != q.vec_id),
+         |dense AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, doc_id ASC) AS rk
+         |  FROM dsc),
+         |u AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(1.0 AS DOUBLE) / (60.0 + CAST(rk AS DOUBLE)) AS c
+         |  FROM lex WHERE rk <= 20
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(1.0 AS DOUBLE) / (60.0 + CAST(rk AS DOUBLE)) AS c
+         |  FROM dense WHERE rk <= 20),
+         |f AS (
+         |  SELECT query_id, doc_id, sum(c) AS rrf
+         |  FROM u GROUP BY query_id, doc_id)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
+         |  round(rrf, 6) AS rrf
+         |FROM (
+         |  SELECT query_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS rk
+         |  FROM f)
+         |WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
     },
 
     // q237 oracle: identical twin fixture (junk prefix of 1 + doc_id%7

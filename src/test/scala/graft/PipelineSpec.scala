@@ -566,6 +566,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(!red.contains("a@b.com") && !red.contains("555-123-4567"), red)
   }
 
+  test("hybrid retrieval DSL chain: bm25 + cosinetopk + keyed rrf == operators") {
+    // VERDICT r14 #6: the q238 recipe as a module chain — lexical
+    // pool (bm25) + dense pool (cosinetopk over the aligned
+    // embeddings) fused per query by the keyed rrf — bit-equal to the
+    // direct operator composition.
+    val d = tmp("hybrid")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_join, filter, round, slice, split}
+    val docsPath = s"$sf/documents.parquet"
+    val embPath = s"$sf/embeddings.parquet"
+    val docs = spark.read.parquet(docsPath).select($"doc_id", $"text")
+    val qs = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(filter(split($"text", " "), t => t =!= ""),
+          1, 5), " ").as("qtext"))
+    qs.write.mode("overwrite").parquet(s"$d/qs")
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$docsPath:out=docs",
+      s"parquetread:in=$d/qs:out=qs",
+      "bm25:in=docs:queries=qs:key=doc_id:text=text:qkey=query_id:qtext=qtext:k=5:maxdf=1.0:out=lex0",
+      "select:in=lex0:exprs=query_id;doc_id;rk:out=lex",
+      s"parquetread:in=$embPath:out=corpus",
+      "filter:in=corpus:expr=vec_id % 10 = 0:out=qv",
+      "cosinetopk:in=corpus:queries=qv:key=vec_id:emb=embedding:k=5:out=nn",
+      "select:in=nn:exprs=query_id;vec_id as doc_id;rk:out=dense",
+      "rrf:in=lex:pools=dense:key=query_id,doc_id:out=fused",
+      "select:in=fused:exprs=query_id;doc_id;round(rrf, 6) as rrf:out=sel",
+      "sort:in=sel:by=query_id,doc_id:out=sorted",
+      "csvwrite:in=sorted", s"filewrite:out=$d/hybrid.csv"))
+    val emb = spark.read.parquet(embPath)
+    val lex = graft.operators.Curation.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 5, maxDfFrac = 1.0)
+      .select($"query_id", $"doc_id", $"rk")
+    val dense = graft.operators.Similarity.bruteForceTopK(emb,
+        emb.filter($"vec_id" % 10 === 0), "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id".as("doc_id"), $"rk")
+    val want = graft.operators.Curation.rrfFuseKeyed(Seq(lex, dense),
+        Seq("query_id", "doc_id"))
+      .select($"query_id", $"doc_id", round($"rrf", 6).as("rrf"))
+      .orderBy($"query_id", $"doc_id").collect()
+      .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}")
+    val got = readOut(s"$d/hybrid.csv")
+    assert(got.head == "query_id,doc_id,rrf")
+    assert(got.tail == want.toSeq)
+    assert(want.nonEmpty)
+  }
+
   test("wquantile + hashscore modules end-to-end") {
     val d = tmp("wqhash")
     // weighted median of (v=10 w=1, v=20 w=3) -> 20; p250 -> 10
