@@ -430,6 +430,40 @@ object Ops {
     * ws_tokens — the counts are redundant given the fingerprint but
     * make a hash-collision-style mismatch loud instead of silent.
     */
+  /** Exact merge of two [[shardManifest]] relations — THE manifest
+    * merge algebra, shared with the streaming twin
+    * (EventStreams.manifestStream calls this per batch): counts and
+    * token sums add, the order-invariant fingerprint adds (it is a
+    * per-row hash SUM), id bounds re-min/max. Exact by construction
+    * when the underlying row sets are disjoint; merging manifests of
+    * overlapping row sets double-counts (this is an additive,
+    * append-only record — dedup upstream).
+    */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("shard")).agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("ws_tokens")).as("ws_tokens"),
+      sum(col("fingerprint")).cast("decimal(38,0)").as("fingerprint"),
+      min(col("min_id")).as("min_id"),
+      max(col("max_id")).as("max_id"))
+
+  /** Incremental manifest maintenance (VERDICT r14 #7) — the
+    * daily-release loop: fold a DELTA batch of new rows into a
+    * standing manifest without rescanning the corpus. The delta's own
+    * manifest is one hash-agg over just the new rows; the merge is
+    * [[mergeManifests]], exact because every manifest column is
+    * commutative-additive. Pair with [[manifestDiff]](standing,
+    * updated) for the release record: which shards today's batch
+    * touched and by exactly how many rows/tokens. At 100 TB the
+    * standing manifest is a shards-sized relation (KBs) — the daily
+    * cost is the delta scan alone, never the archive.
+    */
+  def manifestUpdate(standing: DataFrame, delta: DataFrame, idCol: String,
+                     textCol: String, nShards: Int,
+                     seed: String = ""): DataFrame =
+    mergeManifests(standing,
+      shardManifest(delta, idCol, textCol, nShards, seed))
+
   def manifestDiff(oldM: DataFrame, newM: DataFrame): DataFrame = {
     def side(m: DataFrame, p: String) = m.select(col("shard"),
       col("n_rows").as(s"${p}_rows"), col("ws_tokens").as(s"${p}_tokens"),

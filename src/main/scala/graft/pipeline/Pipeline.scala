@@ -1407,8 +1407,12 @@ object Pipeline {
     // rows, token budget, and the order-invariant exact content
     // fingerprint — the integrity record a dataset release ships with.
     Registered("manifest", RowType, RowType,
-      "in=STREAM:key=COL:text=COL:shards=8[:salt=S]:out=STREAM",
+      "in=STREAM:key=COL:text=COL:shards=8[:salt=S:update=STREAM]:out=STREAM",
       (ctx, m) => {
+        // update= names a STANDING manifest stream: the input is then
+        // treated as a DELTA batch and folded in exactly
+        // (Ops.manifestUpdate, q239) — the daily-release loop without
+        // rescanning the archive.
         val df = ctx.readStream(m, RowType)
         val key = m.args.getOrElse("key",
           throw new BuildError("manifest: key= required"))
@@ -1417,8 +1421,20 @@ object Pipeline {
         val shards = m.args.getOrElse("shards", "8").toInt
         if (shards < 1)
           throw new BuildError(s"manifest: shards must be >= 1, got $shards")
-        ctx.writeStream(m, graft.operators.Ops.shardManifest(
-          df, key, text, shards, m.args.getOrElse("salt", "")), RowType)
+        val salt = m.args.getOrElse("salt", "")
+        val out = m.args.get("update") match {
+          case None => graft.operators.Ops.shardManifest(
+            df, key, text, shards, salt)
+          case Some(uname) =>
+            val (standing, ut) = ctx.streams.getOrElse(uname,
+              throw new BuildError(s"manifest: unknown stream '$uname'"))
+            if (ut != RowType)
+              throw new BuildError(s"manifest: '$uname' is not a row stream")
+            ctx.readers(uname) += 1
+            graft.operators.Ops.manifestUpdate(standing, df, key, text,
+              shards, salt)
+        }
+        ctx.writeStream(m, out, RowType)
       }),
 
     Registered("lmscore", RowType, RowType,

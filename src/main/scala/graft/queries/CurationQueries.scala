@@ -198,6 +198,30 @@ object CurationQueries {
     // untouched shard 'unchanged'. Fingerprints ship as canonical
     // digit strings (the q198/q202/q214 driver-proofing convention).
     // The diff itself joins two 8-row relations — data never rescans.
+    // Incremental manifest maintenance (VERDICT r14 #7): the daily
+    // release loop — a standing manifest (yesterday = every doc not in
+    // the %11 residue class) folded forward with today's delta batch
+    // via Ops.manifestUpdate (one hash-agg over ONLY the delta +
+    // the exact additive merge), then diffed against yesterday. The
+    // merge is exact by construction, so `new_*` equals a full-corpus
+    // rebuild and the diff shows precisely which shards today's batch
+    // touched and by how many rows/tokens.
+    "q239_manifest_update" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val standing = Ops.shardManifest(docs.filter($"doc_id" % 11 =!= 0),
+        "doc_id", "text", nShards = 8, seed = "rel2")
+      val updated = Ops.manifestUpdate(standing,
+        docs.filter($"doc_id" % 11 === 0), "doc_id", "text",
+        nShards = 8, seed = "rel2")
+      Ops.manifestDiff(standing, updated)
+        .select($"shard", $"status", $"old_rows", $"new_rows",
+          $"d_rows", $"d_tokens",
+          $"old_fp".cast("string").as("old_fp"),
+          $"new_fp".cast("string").as("new_fp"))
+        .orderBy($"shard")
+    }),
+
     "q231_manifest_diff" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
@@ -845,6 +869,46 @@ object CurationQueries {
         |  FROM scored)
         |WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+
+    // q239 oracle: standing manifest (%11 residue held out), delta
+    // manifest over ONLY the residue, additive merge (union + group
+    // sums — the manifestUpdate algebra), then q231's diff rules.
+    "q239_manifest_update" -> {
+      def manifest(where: String) =
+        s"""SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |    sum(CAST(CAST('0x' || substr(md5(
+           |        CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15) AS BIGINT)
+           |      AS DECIMAL(38,0))) AS fp
+           |  FROM h $where GROUP BY shard"""
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'rel2'),
+         |      1, 15) AS BIGINT) % 8 AS shard
+         |  FROM documents),
+         |mo AS (
+         |  ${manifest("WHERE doc_id % 11 != 0")}),
+         |md AS (
+         |  ${manifest("WHERE doc_id % 11 = 0")}),
+         |mn AS (
+         |  SELECT shard, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |    CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(fp) AS DECIMAL(38,0)) AS fp
+         |  FROM (SELECT * FROM mo UNION ALL SELECT * FROM md)
+         |  GROUP BY shard)
+         |SELECT coalesce(o.shard, n.shard) AS shard,
+         |  CASE WHEN o.fp IS NULL THEN 'added'
+         |       WHEN n.fp IS NULL THEN 'removed'
+         |       WHEN o.fp = n.fp AND o.n_rows = n.n_rows
+         |         AND o.ws_tokens = n.ws_tokens THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.n_rows AS old_rows, n.n_rows AS new_rows,
+         |  coalesce(n.n_rows, 0) - coalesce(o.n_rows, 0) AS d_rows,
+         |  coalesce(n.ws_tokens, 0) - coalesce(o.ws_tokens, 0) AS d_tokens,
+         |  CAST(o.fp AS VARCHAR) AS old_fp, CAST(n.fp AS VARCHAR) AS new_fp
+         |FROM mo o FULL OUTER JOIN mn n ON n.shard = o.shard
+         |ORDER BY shard""".stripMargin
+    },
 
     // Manifest-diff oracle: the q214 manifest replayed twice (old =
     // %97-filtered minus shard 7; new = full), full-outer joined on

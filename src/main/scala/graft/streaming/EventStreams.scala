@@ -498,13 +498,8 @@ object EventStreams extends Serializable {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          view = view.unionByName(man(batch.toDF()))
-            .groupBy(col("shard")).agg(
-              sum(col("n_rows")).as("n_rows"),
-              sum(col("ws_tokens")).as("ws_tokens"),
-              sum(col("fingerprint")).cast("decimal(38,0)").as("fingerprint"),
-              min(col("min_id")).as("min_id"),
-              max(col("max_id")).as("max_id"))
+          view = graft.operators.Ops
+            .mergeManifests(view, man(batch.toDF()))
             .localCheckpoint()
       }
       .start()

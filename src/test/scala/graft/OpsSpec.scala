@@ -1039,6 +1039,36 @@ class OpsSpec extends AnyFunSuite {
       (3, "added", 7L, 70L)), out.toString)
   }
 
+  test("manifestUpdate: folding a delta in equals a full rebuild, bit for bit") {
+    // VERDICT r14 #7 merge exactness: every manifest column is
+    // commutative-additive, so standing(old rows) + delta(new rows)
+    // must equal shardManifest(all rows) EXACTLY — counts, token
+    // sums, the decimal fingerprint, and the id bounds.
+    val docs = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val standing = Ops.shardManifest(docs.filter($"doc_id" % 11 =!= 0),
+      "doc_id", "text", nShards = 8, seed = "mu")
+    val updated = Ops.manifestUpdate(standing,
+        docs.filter($"doc_id" % 11 === 0), "doc_id", "text",
+        nShards = 8, seed = "mu")
+      .orderBy("shard").collect().toSeq
+    val full = Ops.shardManifest(docs, "doc_id", "text",
+        nShards = 8, seed = "mu")
+      .orderBy("shard").collect().toSeq
+    assert(updated.nonEmpty && updated == full)
+    // chained updates stay exact (the daily loop composes)
+    val third = docs.filter($"doc_id" % 11 === 0)
+    val twoStep = Ops.manifestUpdate(
+      Ops.manifestUpdate(
+        Ops.shardManifest(docs.filter($"doc_id" % 11 =!= 0)
+          .filter($"doc_id" % 7 =!= 0), "doc_id", "text", 8, "mu"),
+        docs.filter($"doc_id" % 11 =!= 0).filter($"doc_id" % 7 === 0),
+        "doc_id", "text", 8, "mu"),
+      third, "doc_id", "text", 8, "mu")
+      .orderBy("shard").collect().toSeq
+    assert(twoStep == full)
+  }
+
   test("manifestDiff: equal fingerprint with diverging counts is loud, not silent") {
     // belt-and-braces rule: a (theoretical) fingerprint collision with
     // different row counts must read 'changed'
