@@ -211,7 +211,10 @@ object Bench {
     // discards it — ~4 s of real work invisible to minsum (VERDICT r13
     // #3). Report the build as its own row, exactly once, so
     // total/minsum stay like-for-like across rounds (BASELINE.md r14).
-    val res = Option(graft.queries.Operators.walkBuildSeconds.get(sfDir))
+    // remove() rather than get(): consuming resets the accumulator, so
+    // a second runAll in one JVM reports only builds ITS run paid for
+    // (a cache-hit second run emits no walk-build row) — ADVICE r14
+    val res = Option(graft.queries.Operators.walkBuildSeconds.remove(sfDir))
       .map(_.doubleValue).filter(_ > 0)
       .map(b => res0.copy(results = res0.results :+
         ("q211_walk_build" -> QueryResult(Vector(b), Vector.empty))))

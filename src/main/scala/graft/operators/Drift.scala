@@ -289,8 +289,15 @@ object Drift {
     * frac_pos = round(n_pos/resamples, 6).
     */
   def bootstrapDiff(df: DataFrame, idCol: String, diff: Column,
-                    resamples: Int = 200, salt: String = ""): DataFrame =
+                    resamples: Int = 200, salt: String = ""): DataFrame = {
+    // loud on empty input (ADVICE r14): a significance test over zero
+    // items is undefined — resampling nothing would report a
+    // degenerate resamples=0 row instead of the modeling error it is
+    require(!df.isEmpty,
+      "bootstrapDiff: empty input — no items to resample; filter/join " +
+        "upstream produced zero eval rows")
     bootstrapFinish(bootstrapParts(df, idCol, diff, resamples, salt))
+  }
 
   /** The mergeable state behind [[bootstrapDiff]] and its streaming
     * twin: one (__r, __s) row per resample (exact decimal(38,0) sum of
@@ -328,7 +335,13 @@ object Drift {
     perResample.unionByName(obs)
   }
 
-  /** Finisher over [[bootstrapParts]] state (batch or merged-stream). */
+  /** Finisher over [[bootstrapParts]] state (batch or merged-stream).
+    * Guarded for the no-data-yet state (ADVICE r14): a stream reader
+    * called before the first batch sees resamples=0 with zero counts,
+    * total_diff "0", and frac_pos NULL — a well-defined "nothing
+    * observed" row instead of 0/0 nulls. The batch entry point
+    * ([[bootstrapDiff]]) rejects empty input loudly before this.
+    */
   private[graft] def bootstrapFinish(parts: DataFrame): DataFrame = {
     val obs = parts.filter(col("__r") === -1)
       .select(col("__s").as("__tot"))
@@ -338,9 +351,14 @@ object Drift {
         sum(when(col("__s") === 0, 1L).otherwise(0L)).as("n_zero"),
         sum(when(col("__s") < 0, 1L).otherwise(0L)).as("n_neg"))
       .crossJoin(broadcast(obs))
-      .select(col("resamples"), col("__tot").cast("string").as("total_diff"),
-        col("n_pos"), col("n_zero"), col("n_neg"),
-        round(col("n_pos").cast("double") / col("resamples").cast("double"),
-          6).as("frac_pos"))
+      .select(col("resamples"),
+        coalesce(col("__tot"), lit(0)).cast("decimal(38,0)")
+          .cast("string").as("total_diff"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_zero"), lit(0L)).as("n_zero"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        when(col("resamples") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_pos").cast("double") /
+            col("resamples").cast("double"), 6)).as("frac_pos"))
   }
 }

@@ -2567,15 +2567,26 @@ object Pipeline {
         val d = df.select(col(group).as("__g"), col(id).as("__id"),
           col(text).as("__t"))
         val mx = d.groupBy(col("__g")).agg(max(col("__id")).as("__mx"))
-        // Width division, not (__id * nb) div (__mx + 1): the product
-        // form overflows Long for ids above Long.MaxValue/nb (hash-
-        // derived ids are plausible inputs to a generic module) and
-        // negative ids would silently corrupt first-occurrence buckets
-        // — assert them out loudly instead (ADVICE r13).
+        // Bucketing (ADVICE r13 + r14): the canonical form is the
+        // product (__id * nb) div (__mx + 1) — exactly nb buckets,
+        // and exactly what the q227 oracle replays — but it overflows
+        // Long for ids above Long.MaxValue/nb (hash-derived ids are
+        // plausible inputs to a generic module). Guard by RANGE, not
+        // by formula: groups whose max id is product-safe use the
+        // product form (bit-equal to q227); only a group with
+        // mx >= Long.MaxValue/nb falls back to width division, which
+        // may produce fewer than nb buckets for small ranges — an
+        // impossibility on the fallback path (mx is astronomically
+        // large there), so the two forms never diverge in practice.
+        // Negative ids would silently corrupt first-occurrence
+        // buckets in either form — asserted out loudly.
+        val safeMx = Long.MaxValue / nb
         val db = d.join(broadcast(mx), "__g")
           .filter(assert_true(col("__id") >= 0,
             lit("heaps: id must be >= 0")).isNull)
-          .withColumn("__b", expr(s"__id div ((__mx div $nb) + 1)"))
+          .withColumn("__b", expr(
+            s"CASE WHEN __mx < ${safeMx}L THEN (__id * $nb) div (__mx + 1) " +
+              s"ELSE __id div ((__mx div $nb) + 1) END"))
         val toks = db.groupBy(col("__g"), col("__b"))
           .agg(sum(size(split(col("__t"), " ")).cast("long")).as("__nt"))
         val nv = db

@@ -530,10 +530,18 @@ object EventStreams extends Serializable {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          view = view.unionByName(parts(batch.toDF()))
+          // release the superseded checkpoint after the new one
+          // materializes (localCheckpoint is eager) — ADVICE r14: the
+          // state here is rebuilt wholesale each batch, so without
+          // this every microbatch leaks one (resamples+1)-row
+          // checkpoint RDD over an unbounded stream
+          val prev = view
+          view = prev.unionByName(parts(batch.toDF()))
             .groupBy(col("__r"))
             .agg(sum(col("__s")).cast("decimal(38,0)").as("__s"))
             .localCheckpoint()
+          prev.unpersist(false)
+          ()
       }
       .start()
     (q, () => graft.operators.Drift.bootstrapFinish(view))
