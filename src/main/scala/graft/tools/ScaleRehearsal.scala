@@ -400,6 +400,48 @@ object ScaleRehearsal {
     println(s"rehearsal: q232 rows sf0.1=${bm01._1} sf1=${bm1._1} " +
       s"self@1 sf0.1=${bm01._2} sf1=${bm1._2} " +
       s"exact10x=${bm1._1 == 10 * bm01._1 && bm1._2 == 10 * bm01._2}")
+    spark.catalog.clearCache()
+
+    // 12. Anchored spans (q237): the replica cipher rewrites token
+    // HASHES, so anchor positions differ per replica and a 10× count
+    // invariant would be wrong by construction. The valid invariant
+    // is ISOLATION: replica 0 inside the 10× corpus is the original
+    // corpus verbatim, and disjoint replica token domains mean no
+    // segment ever matches across replicas — so replica 0's per-doc
+    // span rows inside the 10× run must equal the standalone sf0.1
+    // run EXACTLY (adding 9× unrelated data changes nothing).
+    def anchoredRows(dir: String, cap: Long): Map[Long, (Long, Long, Long)] =
+      graft.operators.Curation.anchoredDedupSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .filter(col("id") < cap)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val an01 = timed("q237-anchored-sf0.1")(anchoredRows(sf01, Long.MaxValue))
+    spark.catalog.clearCache()
+    val an1 = timed("q237-anchored-sf1")(anchoredRows(out, 10000000L))
+    println(s"rehearsal: q237 docs sf0.1=${an01.size} sf1r0=${an1.size} " +
+      s"dupmass sf0.1=${an01.values.map(_._2).sum} " +
+      s"sf1r0=${an1.values.map(_._2).sum} isolation=${an01 == an1}")
+    spark.catalog.clearCache()
+
+    // 13. Manifest update (q239): the additive merge is scale-free —
+    // folding the %11 delta into the standing manifest over the 10×
+    // corpus must equal a full rebuild bit-for-bit (counts, token
+    // sums, decimal fingerprints, id bounds).
+    def manifestExact(dir: String): Boolean = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val upd = graft.operators.Ops.manifestUpdate(
+        graft.operators.Ops.shardManifest(
+          docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", 8, "rx"),
+        docs.filter(col("doc_id") % 11 === 0), "doc_id", "text", 8, "rx")
+      val full = graft.operators.Ops.shardManifest(
+        docs, "doc_id", "text", 8, "rx")
+      upd.orderBy("shard").collect().toSeq ==
+        full.orderBy("shard").collect().toSeq
+    }
+    val mu1 = timed("q239-manifest-sf1")(manifestExact(out))
+    println(s"rehearsal: q239 update==rebuild at sf1: $mu1")
     spark.stop()
   }
 }

@@ -146,6 +146,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirSelect: broadcast bin table, heap top-k, no corpus-sized window") {
+    // The B-row log-ratio table must broadcast into the occurrence
+    // stream (the corpus never reshuffles on it) and the global top-k
+    // must be a per-partition heap (TakeOrderedAndProject), not a
+    // global sort. The only window is the k-row rank after the limit.
+    // (no BNLJ assert: the 1-row corpus-totals crossJoin(broadcast(...))
+    // compiles to a benign BroadcastNestedLoopJoin — the audited
+    // repo-wide pattern for scalar stats)
+    val plan = executed(SparkEntry.queries("q240_dsir_select")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"dsir top-k lost its heap (global sort?):\n$plan")
+    assert(plan.split('\n').count(_.contains("windowspecdefinition")) <= 1,
+      s"dsir grew corpus windows:\n$plan")
+  }
+
+  test("perplexityBuckets: windows only over the bounded histogram") {
+    // Tertile cutoffs come from a per-(label, 0.01-bin) HISTOGRAM —
+    // bin-bounded regardless of corpus size. A window keyed by the
+    // doc id (or none) means someone rewrote it as ntile-per-language,
+    // which sorts whole languages in single tasks at 100 TB.
+    val plan = executed(SparkEntry.queries("q241_ppl_buckets")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val windows = plan.split('\n').filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty, s"histogram cumsum window missing:\n$plan")
+    windows.foreach { l =>
+      assert(l.contains("windowspecdefinition(__lab"),
+        s"window not histogram-partitioned: $l")
+    }
+  }
+
   test("urlnorm is a NARROW per-row map: zero exchanges before the sort") {
     // Canonicalization must stay embarrassingly parallel — the only
     // exchange in q223's plan is the final presentation ORDER BY.
@@ -470,15 +501,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("segmentDedup: hash-partition + rank, never a join") {
-    // Duplicate detection is one window shuffle on md5(segment) plus
-    // the per-doc rebuild aggregate — the exact-dedup budget. Any join
-    // appearing here means someone rewrote it as a self-compare.
+  test("segmentDedup: first-occurrence hash-agg + class equi-join, never a window") {
+    // VERDICT r14 #1 budget: duplicate detection is a map-side-partial
+    // hash-aggregate on the segment hash (absorbs a 10^9-row
+    // boilerplate class before the exchange), an equi-join back on
+    // that hash, and the per-doc rebuild aggregate. A window here
+    // means the class-key sort came back; a cartesian/NLJ means
+    // someone rewrote it as a self-compare.
     val plan = executed(graft.operators.Curation.segmentDedup(
       Tables(spark, sf, "documents"), "doc_id", "text"))
-    assert(!plan.contains("Join"), s"segment dedup must be join-free:\n$plan")
+    assert(!plan.contains("Window"), s"class-key window reintroduced:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.size <= 3, // window hash + agg partial->final
+    assert(exchanges.size <= 4, // class agg + join align + doc rebuild agg
       s"segment dedup grew extra shuffles:\n$plan")
   }
 
