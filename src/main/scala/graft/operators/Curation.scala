@@ -884,6 +884,100 @@ object Curation {
           col("__w.__k").cast("double"), 6).as("xent"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every doc against its OWN language's add-k bigram LM (the
+    * [[bigramLangId]] count tables, joined on the doc's label instead
+    * of fanned out over all labels), then split each language into
+    * head / middle / tail perplexity TERTILES — the buckets CCNet
+    * publishes and downstream mixture recipes sample from ("head" =
+    * reads most like the reference corpus).
+    *
+    * Determinism: the per-doc score is q234's exact decimal log-prob
+    * sum; the histogram key is the cross-entropy rounded to 2
+    * decimals (the proven 6-dp rounding convention, coarser — rounded
+    * doubles are bit-identical across engines away from exact-half
+    * boundaries, which sums of lns never hit); cutoffs compare pure
+    * integers (3·cum ≥ n, 3·cum ≥ 2n), so bucket assignment replays
+    * exactly.
+    *
+    * Scale shape: training is the grouped hash-aggs; scoring is the
+    * narrow bigram generator + two (label, ngram) equi-joins + one
+    * doc-keyed hash-agg — no fanout (unlike langid, each doc scores
+    * ONE model). The tertile cutoffs come from a HISTOGRAM, not a
+    * per-doc rank: per-(label, bin) counts (bin domain is bounded —
+    * xent lives in a few hundred 0.01-wide bins regardless of corpus
+    * size), one bounded-domain cumulative window over bins, and a
+    * |labels|-row cutoff relation broadcast back. No corpus-sized
+    * window anywhere — the classic ntile(3)-per-language formulation
+    * would sort whole languages in single tasks at 100 TB.
+    *
+    * train: (labelCol, textCol); df: (idCol, dLabelCol, textCol).
+    * Output per doc with ≥ 2 tokens: (id, label, xent, bucket).
+    */
+  def perplexityBuckets(train: DataFrame, labelCol: String, df: DataFrame,
+                        idCol: String, dLabelCol: String, textCol: String,
+                        k: Double = 0.5, ngramMode: String = "word"): DataFrame = {
+    require(k > 0, s"perplexityBuckets: k must be > 0, got $k")
+    val toks = lmTokenizer(ngramMode, "perplexityBuckets")
+    val trainBase = train.select(col(labelCol).as("__lab"),
+        toks(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t"))).filter(col("__n") >= 2)
+    val trainBg = trainBase.select(col("__lab"),
+        posexplode(sequence(lit(1), col("__n") - 1)).as(Seq("__x", "__i")),
+        col("__t"))
+      .select(col("__lab"),
+        element_at(col("__t"), col("__i")).as("__w1"),
+        concat(element_at(col("__t"), col("__i")), lit(" "),
+          element_at(col("__t"), col("__i") + 1)).as("__bg"))
+    val bTab = trainBg.groupBy(col("__lab"), col("__bg"))
+      .agg(count(lit(1)).as("__b"))
+    val uTab = train.select(col(labelCol).as("__lab"),
+        explode(toks(col(textCol))).as("__w1"))
+      .groupBy(col("__lab"), col("__w1")).agg(count(lit(1)).as("__u"))
+    val vTab = uTab.groupBy(col("__lab")).agg(count(lit(1)).as("__v"))
+    val docBase = df.select(col(idCol).as("__id"), col(dLabelCol).as("__lab"),
+        toks(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t"))).filter(col("__n") >= 2)
+    val docBg = docBase.select(col("__id"), col("__lab"),
+        posexplode(sequence(lit(1), col("__n") - 1)).as(Seq("__x", "__i")),
+        col("__t"))
+      .select(col("__id"), col("__lab"),
+        element_at(col("__t"), col("__i")).as("__w1"),
+        concat(element_at(col("__t"), col("__i")), lit(" "),
+          element_at(col("__t"), col("__i") + 1)).as("__bg"))
+    val logp = log(
+      (coalesce(col("__b"), lit(0L)).cast("double") + lit(k)) /
+        (coalesce(col("__u"), lit(0L)).cast("double") +
+          lit(k) * col("__v").cast("double")))
+    val scored = docBg
+      .join(bTab, Seq("__lab", "__bg"), "left")
+      .join(uTab, Seq("__lab", "__w1"), "left")
+      .join(broadcast(vTab), Seq("__lab"))
+      .select(col("__id"), col("__lab"), logp.cast("decimal(30,12)").as("__lp"))
+      .groupBy(col("__id"), col("__lab"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__lp")).as("__s"))
+      .select(col("__id"), col("__lab"),
+        round((-col("__s")).cast("double") / col("__nb").cast("double"), 6)
+          .as("xent"),
+        round((-col("__s")).cast("double") / col("__nb").cast("double"), 2)
+          .as("__bin"))
+    val hist = scored.groupBy(col("__lab"), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val wLab = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lab")).orderBy(col("__bin"))
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wLab))
+      .withColumn("__nl", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__lab"))))
+    val cuts = cum.groupBy(col("__lab")).agg(
+      min(when(col("__cum") * 3 >= col("__nl"), col("__bin"))).as("__c1"),
+      min(when(col("__cum") * 3 >= col("__nl") * 2, col("__bin"))).as("__c2"))
+    scored.join(broadcast(cuts), Seq("__lab"))
+      .select(col("__id").as(idCol), col("__lab").as(dLabelCol), col("xent"),
+        when(col("__bin") <= col("__c1"), "head")
+          .when(col("__bin") <= col("__c2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** PII categories redacted by [[redactPii]], in application order.
     * Patterns are deliberately restricted to the regex subset that
     * Java (Spark codegen), RE2, and PCRE all interpret identically —
@@ -923,5 +1017,109 @@ object Curation {
       case (c, (_, pat, token)) => regexp_replace(c, lit(pat), lit(token))
     }
     counted.withColumn(textCol, redacted)
+  }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW document by how much more likely its hashed-bigram
+    * feature profile is under a TARGET-corpus model than under the
+    * raw-corpus model. Bigrams hash into `buckets` feature bins; each
+    * corpus defines an add-one-smoothed multinomial over bins,
+    * p(b) = (cnt(b)+1)/(tot+B); a doc's log importance weight is
+    * Σ_occurrences [ln p_target(bin) − ln p_raw(bin)] — positive
+    * means "reads like the target".
+    *
+    * Determinism: bin ids are exact md5 arithmetic (the repo's
+    * sampling-hash family, replayed bit-identically by the oracle);
+    * the two lns are each ONE fixed-order double expression quantized
+    * to decimal(30,12) (ln-ULP per the q132 precedent); the per-doc
+    * accumulation multiplies the per-(doc,bin) integer count by the
+    * quantized decimal log-ratio and sums decimals — order-free, no
+    * float addition anywhere.
+    *
+    * Scale shape: the corpus pays one narrow bigram generator + hash,
+    * one broadcast join against the B-row log-ratio table (B =
+    * `buckets`, bounded by construction — the hash absorbs unbounded
+    * vocabulary, which is the POINT of hashed features at 100 TB),
+    * and one doc-keyed hash-agg (map-side partials collapse each
+    * doc's occurrences before the exchange). Count tables are B-row
+    * aggregates with map-side partials; no window, no driver-side
+    * model. The occurrence-level decimal sum deliberately avoids a
+    * count×logratio decimal product: decimal MULTIPLICATION overflows
+    * 38-digit precision and the two engines truncate scale
+    * DIFFERENTLY there, while sum-of-decimal(30,12) is exact in both
+    * (the q234 precedent).
+    *
+    * `targetPred` marks the target slice of `df` (e.g. a curated
+    * source); weights are emitted for the complement (the raw pool a
+    * selection would draw from). Output: (idCol, n_feat, logw) — one
+    * row per raw doc with ≥ 2 tokens; logw is the EXACT decimal.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column, buckets: Int = 4096,
+                     ngramMode: String = "word"): DataFrame = {
+    require(buckets >= 2, s"dsirLogWeights: buckets must be >= 2, got $buckets")
+    val toks = lmTokenizer(ngramMode, "dsirLogWeights")
+    val base = df.select(col(idCol).as("__id"), targetPred.as("__tgt"),
+        toks(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") >= 2)
+    val feats = base.select(col("__id"), col("__tgt"), col("__t"),
+        posexplode(sequence(lit(1), col("__n") - 1)).as(Seq("__x", "__i")))
+      .select(col("__id"), col("__tgt"),
+        pmod(conv(substring(md5(concat(
+            element_at(col("__t"), col("__i")), lit(" "),
+            element_at(col("__t"), col("__i") + 1))), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("__b"))
+    val tCnt = feats.filter(col("__tgt")).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val rCnt = feats.filter(!col("__tgt")).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"))
+    val tots = feats.groupBy().agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tt"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__tr"))
+    def lp(cnt: Column, tot: Column) = log(
+      (coalesce(cnt, lit(0L)).cast("double") + lit(1.0)) /
+        (tot.cast("double") + lit(buckets.toDouble)))
+    val ratio = tCnt.join(rCnt, Seq("__b"), "full")
+      .crossJoin(broadcast(tots))
+      .select(col("__b"),
+        (lp(col("__ct"), col("__tt")).cast("decimal(30,12)") -
+          lp(col("__cr"), col("__tr")).cast("decimal(30,12)")).as("__lr"))
+    feats.filter(!col("__tgt"))
+      .join(broadcast(ratio), Seq("__b"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(col("__lr")).cast("decimal(30,12)").as("logw"))
+  }
+
+  /** DSIR selection = Gumbel-top-k over [[dsirLogWeights]]: sampling
+    * `k` docs without replacement with probability ∝ exp(logw) is
+    * EXACTLY taking the k largest logw + Gumbel(0,1) perturbations
+    * (the Gumbel-max trick the DSIR paper uses). The Gumbel draw is
+    * the repo's deterministic md5-uniform — u = (h₃₂+0.5)/2³², g =
+    * −ln(−ln u) — so the "random" sample is reproducible on any
+    * engine and the oracle replays the exact selection. The perturbed
+    * score is decimal-exact (quantized g + exact logw), ties → id.
+    *
+    * Scale: the perturbation is narrow per-row arithmetic; top-k is
+    * orderBy+limit → TakeOrderedAndProject (a size-k heap per
+    * partition, no global sort) — k must be driver-bounded (the usual
+    * selection sizes are per-shard; for corpus-sized k, threshold on
+    * logw directly instead). Output: (idCol, n_feat, logw, score, rk).
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, k: Int, buckets: Int = 4096,
+                 ngramMode: String = "word"): DataFrame = {
+    require(k >= 1, s"dsirSelect: k must be >= 1, got $k")
+    val w = dsirLogWeights(df, idCol, textCol, targetPred, buckets, ngramMode)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val scored = w.withColumn("score",
+      col("logw") + (-log(-log(u))).cast("decimal(30,12)"))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    // rank the k selected rows — k is bounded, the window is k-row
+    top.withColumn("rk", row_number().over(org.apache.spark.sql
+      .expressions.Window.orderBy(col("score").desc, col(idCol))))
   }
 }

@@ -206,6 +206,24 @@ object CurationQueries {
     // merge is exact by construction, so `new_*` equals a full-corpus
     // rebuild and the diff shows precisely which shards today's batch
     // touched and by how many rows/tokens.
+    // DSIR importance resampling (Curation.dsirSelect): src0 is the
+    // "curated" target; every other doc gets a hashed-bigram (512
+    // bins) log importance weight ln p_target/p_raw, then Gumbel-top-k
+    // (the paper's sampling-without-replacement trick) picks 60 docs
+    // with the deterministic md5-uniform perturbation. Both the weight
+    // and the perturbed score are exact decimals, so rank AND score
+    // replay bit-for-bit in the oracle.
+    "q240_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Curation.dsirSelect(docs, "doc_id", "text",
+          $"source" === "src0", k = 60, buckets = 512)
+        .select($"doc_id", $"n_feat",
+          round($"logw".cast("double"), 6).as("logw"),
+          round($"score".cast("double"), 6).as("score"), $"rk")
+        .orderBy($"rk")
+    }),
+
     "q239_manifest_update" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
@@ -625,6 +643,20 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // CCNet perplexity tertiles (Curation.perplexityBuckets): each doc
+    // scored against its OWN language's bigram LM, languages split
+    // head/middle/tail at histogram-derived tertile cutoffs — the
+    // scale-safe replacement for ntile(3)-per-language (which would
+    // sort whole languages in single tasks). Integer cutoff tests +
+    // the rounded-double histogram key replay exactly in the oracle.
+    "q241_ppl_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Curation.perplexityBuckets(docs, "lang", docs,
+          "doc_id", "lang", "text", k = 0.5)
+        .orderBy($"doc_id")
+    }),
+
     // Statistical language ID (Curation.bigramLangId): one bigram LM
     // per language trained in ONE pass, every doc scored against all
     // five, prediction = exact-decimal argmin cross-entropy. Output is
@@ -869,6 +901,51 @@ object CurationQueries {
         |  FROM scored)
         |WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+
+    // q240 oracle: identical tokenization + position-indexed bigrams
+    // (the q234 CTE), md5-hash into 512 bins, add-one multinomials
+    // for target (src0) vs raw, per-occurrence decimal log-ratio
+    // sums, Gumbel perturbation from the md5-uniform, exact-decimal
+    // top-60.
+    "q240_dsir_select" ->
+      """WITH base AS (
+        |  SELECT doc_id, source = 'src0' AS tgt,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS t,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS n
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id, tgt,
+        |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8) AS BIGINT)
+        |      % 512 AS b
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |tc AS (SELECT b, count(*) AS ct FROM fe WHERE tgt GROUP BY b),
+        |rc AS (SELECT b, count(*) AS cr FROM fe WHERE NOT tgt GROUP BY b),
+        |tot AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt,
+        |               sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS tr FROM fe),
+        |lr AS (
+        |  SELECT b,
+        |    CAST(ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(tt AS DOUBLE) + 512.0)) AS DECIMAL(30,12))
+        |    - CAST(ln((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(tr AS DOUBLE) + 512.0)) AS DECIMAL(30,12)) AS lr
+        |  FROM tc FULL JOIN rc USING (b), tot),
+        |w AS (
+        |  SELECT doc_id, count(*) AS n_feat,
+        |    CAST(sum(lr) AS DECIMAL(30,12)) AS logw
+        |  FROM fe JOIN lr USING (b) WHERE NOT tgt GROUP BY doc_id),
+        |sc AS (
+        |  SELECT doc_id, n_feat, logw,
+        |    logw + CAST(-ln(-ln((CAST(CAST('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / 4294967296.0)) AS DECIMAL(30,12)) AS score
+        |  FROM w),
+        |top AS (
+        |  SELECT doc_id, n_feat, logw, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT doc_id, n_feat, round(CAST(logw AS DOUBLE), 6) AS logw,
+        |  round(CAST(score AS DOUBLE), 6) AS score, CAST(rk AS INT) AS rk
+        |FROM top WHERE rk <= 60 ORDER BY rk""".stripMargin,
 
     // q239 oracle: standing manifest (%11 residue held out), delta
     // manifest over ONLY the residue, additive merge (union + group
@@ -1526,6 +1603,58 @@ object CurationQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q241 oracle: q235's per-language count tables, but each doc
+    // scores ONE model (its own language); xent rounded to 6dp for
+    // output and 2dp as the histogram bin; tertile cutoffs from the
+    // integer 3·cum ≥ n / ≥ 2n tests over the per-language histogram.
+    "q241_ppl_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS t,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS n
+        |  FROM documents),
+        |tb AS (
+        |  SELECT lang AS lab, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |btab AS (SELECT lab, bg, count(*) AS b FROM tb GROUP BY lab, bg),
+        |utab AS (
+        |  SELECT lab, w1, count(*) AS u FROM (
+        |    SELECT lang AS lab, unnest(t) AS w1 FROM base)
+        |  GROUP BY lab, w1),
+        |vtab AS (SELECT lab, count(*) AS v FROM utab GROUP BY lab),
+        |sb AS (
+        |  SELECT doc_id, lang AS lab, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |lp AS (
+        |  SELECT doc_id, sb.lab,
+        |    CAST(ln((CAST(coalesce(b, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(u, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |      AS DECIMAL(30,12)) AS lp
+        |  FROM sb
+        |  LEFT JOIN btab ON btab.lab = sb.lab AND btab.bg = sb.bg
+        |  LEFT JOIN utab ON utab.lab = sb.lab AND utab.w1 = sb.w1
+        |  JOIN vtab ON vtab.lab = sb.lab),
+        |sc AS (
+        |  SELECT doc_id, lab,
+        |    round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent,
+        |    round(-CAST(sum(lp) AS DOUBLE) / count(*), 2) AS bin
+        |  FROM lp GROUP BY doc_id, lab),
+        |hist AS (SELECT lab, bin, count(*) AS c FROM sc GROUP BY lab, bin),
+        |cum AS (
+        |  SELECT lab, bin,
+        |    sum(c) OVER (PARTITION BY lab ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY lab) AS nl
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lab,
+        |    min(CASE WHEN cum * 3 >= nl THEN bin END) AS c1,
+        |    min(CASE WHEN cum * 3 >= nl * 2 THEN bin END) AS c2
+        |  FROM cum GROUP BY lab)
+        |SELECT doc_id, lab AS lang, xent,
+        |  CASE WHEN bin <= c1 THEN 'head' WHEN bin <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM sc JOIN cuts USING (lab) ORDER BY doc_id""".stripMargin,
 
     // q235 oracle: per-language count tables, the |labels|-fold score
     // grid, the same decimal log-prob sums, and the (s DESC, lab ASC)

@@ -585,6 +585,67 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((10L, "aa"), (11L, "bb"), (12L, "aa")), out.toString)
   }
 
+  test("dsirLogWeights: target-like raw docs weigh above alien raw docs") {
+    // target vocabulary {x y}; raw doc 10 mimics it, raw doc 11 is
+    // from a disjoint vocabulary -> logw(10) > 0 > logw(11)
+    val docs = Seq(
+      (1L, "tgt", "x y x y x y x y"),
+      (2L, "tgt", "y x y x y x"),
+      (10L, "raw", "x y x y x"),
+      (11L, "raw", "p q r s t u"))
+      .toDF("doc_id", "source", "text")
+    val w = Curation.dsirLogWeights(docs, "doc_id", "text",
+        col("source") === "tgt", buckets = 64)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_feat", $"logw".cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(w.map(_._1) == Seq(10L, 11L), w.toString) // target docs absent
+    assert(w(0)._2 == 4L && w(1)._2 == 5L, w.toString) // n-1 bigrams
+    assert(w(0)._3 > 0 && w(1)._3 < 0,
+      s"mimic should be positive, alien negative: $w")
+  }
+
+  test("dsirSelect: k rows ranked by descending perturbed score, exact k") {
+    val docs = Seq(
+      (1L, "tgt", "x y x y x y"),
+      (10L, "raw", "x y x y"), (11L, "raw", "p q r s"),
+      (12L, "raw", "x y x"), (13L, "raw", "m n o p"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.dsirSelect(docs, "doc_id", "text",
+        col("source") === "tgt", k = 3, buckets = 64)
+      .orderBy("rk")
+      .select($"rk", $"doc_id", $"score".cast("double"))
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1, 2, 3), out.toString)
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse, out.toString)
+    assert(out.map(_._2).distinct.size == 3, out.toString)
+  }
+
+  test("perplexityBuckets: tertiles split per language, ordered by xent") {
+    // lang A: three docs with increasing out-of-model content; lang B
+    // has its own model so A's gibberish doesn't pollute its buckets
+    val docs = Seq(
+      (1L, "A", "x y x y x y x y x y"),
+      (2L, "A", "x y x y q q x y x y"),
+      (3L, "A", "q w e r t z u i o p"),
+      (4L, "B", "p p p p p p p p"),
+      (5L, "B", "p p k k p p p p"),
+      (6L, "B", "k j h g f d s a"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.perplexityBuckets(docs, "lang", docs,
+        "doc_id", "lang", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"lang", $"xent", $"ppl_bucket")
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(out.size == 6, out.toString)
+    // per lang: one head, one middle, one tail, aligned with xent order
+    for (lang <- Seq("A", "B")) {
+      val g = out.filter(_._2 == lang).sortBy(_._3)
+      assert(g.map(_._4) == Seq("head", "middle", "tail"),
+        s"$lang buckets: $g")
+    }
+  }
+
   test("bigramCrossEntropy: docs under two tokens drop out") {
     val train = Seq((1L, "a b c")).toDF("doc_id", "text")
     val score = Seq((10L, "a"), (11L, ""), (12L, "a b")).toDF("doc_id", "text")
