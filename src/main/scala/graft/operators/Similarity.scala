@@ -529,4 +529,97 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"), col("anchor_sim"))
   }
+
+  /** Top principal component of an embedding corpus by POWER
+    * ITERATION over the relational covariance matrix — the
+    * decorrelation/whitening precursor of the ANN family (centering +
+    * leading components is what production semantic-dedup and
+    * retrieval stacks run before cosine search; further components
+    * follow by deflation with the same machinery).
+    *
+    * Shape: the corpus is scanned ONCE — the per-row d×d outer
+    * product flattens through a codegen `transform`×`transform` and
+    * one `posexplode`, and the Gram/mean/count moments are a single
+    * (i,j)-keyed hash-agg (map-side partials absorb the d² fanout;
+    * d² keys total, corpus size irrelevant). The covariance C is a
+    * d²-row relation, eagerly checkpointed so the `iters` iterations
+    * never re-touch the corpus; each iteration is one d²-row
+    * equi-join + two tiny aggs (matrix–vector product and the norm),
+    * per-step localCheckpoint with previous-step release on all exit
+    * paths (the repo's iterative-operator protocol). No driver-side
+    * linear algebra, no window.
+    *
+    * Determinism: every d-term or corpus-sized sum quantizes its
+    * per-term double product to decimal(30,12) first (order-free);
+    * everything else is fixed-order IEEE scalar arithmetic (divide,
+    * sqrt), bit-identical across engines — so the oracle replays the
+    * unrolled iterations EXACTLY even before convergence, and the
+    * 6-dp output rounding is cosmetic. The unnormalized-vector norm
+    * of the final iteration is the eigenvalue estimate (power
+    * iteration's standard Rayleigh surrogate).
+    *
+    * Output: one row per dimension, (dim, loading, eigenvalue) with
+    * the eigenvalue repeated (6-dp doubles).
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String,
+                      iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"pcaTopComponent: iters must be in [1,64], got $iters")
+    val e = df.select(col(vecCol).as("__e")).filter(col("__e").isNotNull)
+    val prod = e.select(size(col("__e")).as("__d"),
+        posexplode(flatten(transform(col("__e"), x =>
+          transform(col("__e"), y => x.cast("double") * y.cast("double")))))
+          .as(Seq("__p", "__xy")))
+      .select(((col("__p") - pmod(col("__p"), col("__d"))) / col("__d"))
+          .cast("int").as("__i"),
+        pmod(col("__p"), col("__d")).cast("int").as("__j"),
+        col("__xy"))
+    val sxx = prod.groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__xy").cast("decimal(30,12)")).as("__sxy"))
+    val mx = e.select(posexplode(col("__e")).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(sum(col("__x").cast("double").cast("decimal(30,12)")).as("__sx"))
+    val nRel = e.agg(count(lit(1)).as("__n"))
+    val c = sxx
+      .join(mx.select(col("__i"), col("__sx").as("__si")), Seq("__i"))
+      .join(mx.select(col("__i").as("__j"), col("__sx").as("__sj")), Seq("__j"))
+      .crossJoin(broadcast(nRel))
+      .select(col("__i"), col("__j"),
+        (col("__sxy").cast("double") / col("__n").cast("double") -
+          (col("__si").cast("double") / col("__n").cast("double")) *
+            (col("__sj").cast("double") / col("__n").cast("double")))
+          .as("__c"))
+      .localCheckpoint(eager = true)
+    val dRel = c.agg(max(col("__i")).as("__dm"))
+    var v = c.select(col("__i")).distinct()
+      .crossJoin(broadcast(dRel))
+      .select(col("__i"),
+        (lit(1.0) / sqrt(col("__dm").cast("double") + 1.0)).as("__v"),
+        lit(0.0).as("__nrm"))
+      .localCheckpoint(eager = true)
+    try {
+      for (_ <- 1 to iters) {
+        val w = c.join(v.select(col("__i").as("__j"), col("__v").as("__vj")),
+            Seq("__j"))
+          .groupBy(col("__i"))
+          .agg(sum((col("__c") * col("__vj")).cast("decimal(30,12)"))
+            .cast("double").as("__w"))
+        val nrm = w.agg(sqrt(
+          sum((col("__w") * col("__w")).cast("decimal(30,12)"))
+            .cast("double")).as("__n2"))
+        val vNext = w.crossJoin(broadcast(nrm))
+          .select(col("__i"), (col("__w") / col("__n2")).as("__v"),
+            col("__n2").as("__nrm"))
+          .localCheckpoint(eager = true)
+        v.unpersist(blocking = false)
+        v = vNext
+      }
+      v.select(col("__i").as("dim"), round(col("__v"), 6).as("loading"),
+          round(col("__nrm"), 6).as("eigenvalue"))
+        .localCheckpoint(eager = true)
+    } finally {
+      v.unpersist(blocking = false)
+      c.unpersist(blocking = false)
+    }
+  }
 }

@@ -442,6 +442,18 @@ object DedupSim {
         .orderBy($"query_id", $"rk")
     }),
 
+    // Distributed PCA (Similarity.pcaTopComponent): top principal
+    // component of the 64-dim embedding corpus by 10 power-iteration
+    // rounds over the relational covariance — one corpus scan for the
+    // moments, d^2-row iterations, decimal-quantized sums everywhere,
+    // so the oracle replays the unrolled iterations bit-for-bit even
+    // before convergence.
+    "q242_pca_top" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.pcaTopComponent(t(s, dir, "embeddings"), "embedding")
+        .orderBy($"dim")
+    }),
+
     // Exact near-dup pairs above cosine 0.3 inside a blocked sample.
     "q54_embed_neardup" -> ((s, dir) => {
       import s.implicits._
@@ -1061,6 +1073,53 @@ object DedupSim {
          |         (SELECT vec_id, embedding AS eb FROM embeddings WHERE vec_id < 10) q
          |    WHERE c.vec_id != q.vec_id))
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // q242 oracle: moments via the double LATERAL index unnest,
+    // covariance from exact decimal sums, then the 10 power-iteration
+    // rounds UNROLLED as generated CTEs — per-term decimal(30,12)
+    // quantization before every sum makes each iteration order-free,
+    // and all scalar ops (divide, sqrt) are fixed-order IEEE, so both
+    // engines trace the identical trajectory. Every multiply-
+    // referenced CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    // and each w_k feeding both n_k and v_k would otherwise double the
+    // expansion per iteration — 2^10 copies of the corpus moment scan.
+    "q242_pca_top" -> {
+      val its = (1 to 10).map { k =>
+        val pv = s"v${k - 1}"
+        s"""w$k AS MATERIALIZED (
+           |  SELECT c.i, CAST(sum(CAST(c.c * v.v AS DECIMAL(30,12)))
+           |    AS DOUBLE) AS w
+           |  FROM c JOIN $pv v ON v.i = c.j GROUP BY c.i),
+           |n$k AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12)))
+           |  AS DOUBLE)) AS nrm FROM w$k),
+           |v$k AS MATERIALIZED (SELECT i, w / nrm AS v, nrm FROM w$k, n$k)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT embedding AS e FROM embeddings),
+         |mom AS MATERIALIZED (
+         |  SELECT CAST(ii.i - 1 AS INT) AS i, CAST(jj.j - 1 AS INT) AS j,
+         |    sum(CAST(CAST(e[ii.i] AS DOUBLE) * CAST(e[jj.j] AS DOUBLE)
+         |      AS DECIMAL(30,12))) AS sxy
+         |  FROM e,
+         |    LATERAL unnest(range(1, len(e) + 1)) ii(i),
+         |    LATERAL unnest(range(1, len(e) + 1)) jj(j)
+         |  GROUP BY 1, 2),
+         |mx AS MATERIALIZED (
+         |  SELECT CAST(ii.i - 1 AS INT) AS i,
+         |    sum(CAST(CAST(e[ii.i] AS DOUBLE) AS DECIMAL(30,12))) AS sx
+         |  FROM e, LATERAL unnest(range(1, len(e) + 1)) ii(i)
+         |  GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |c AS MATERIALIZED (
+         |  SELECT m.i, m.j,
+         |    CAST(m.sxy AS DOUBLE) / n - (CAST(a.sx AS DOUBLE) / n)
+         |      * (CAST(b.sx AS DOUBLE) / n) AS c
+         |  FROM mom m JOIN mx a ON a.i = m.i JOIN mx b ON b.i = m.j, nn),
+         |dd AS (SELECT CAST(max(i) + 1 AS DOUBLE) AS d FROM mx),
+         |v0 AS (SELECT i, 1.0 / sqrt(d) AS v FROM mx, dd),
+         |$its
+         |SELECT i AS dim, round(v, 6) AS loading, round(nrm, 6) AS eigenvalue
+         |FROM v10 ORDER BY dim""".stripMargin
+    },
 
     "q66_group_sample" ->
       """SELECT doc_id, lang FROM (

@@ -551,4 +551,34 @@ class DedupSimSpec extends AnyFunSuite {
     assert(da === ds,
       s"greedy mismatch: onlyAll=${(da -- ds).take(5)} onlyStar=${(ds -- da).take(5)}")
   }
+
+  test("pcaTopComponent recovers a planted dominant axis") {
+    // dim0 variance 5.0 dominates dim1 variance 0.01 (means zero);
+    // C = [[5, 0.1], [0.1, 0.01]] -> top eigenvector ~ (1, 0.02),
+    // eigenvalue ~ 5.002
+    val vecs = Seq(
+      Array(3f, 0.1f), Array(-3f, -0.1f), Array(1f, -0.1f), Array(-1f, 0.1f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pcaTopComponent(vecs, "embedding")
+      .orderBy("dim")
+      .select($"dim", $"loading", $"eigenvalue")
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1), out.toString)
+    assert(math.abs(math.abs(out(0)._2) - 1.0) < 1e-3, out.toString)
+    assert(math.abs(out(1)._2) < 0.05, out.toString)
+    assert(math.abs(out(0)._3 - 5.002) < 0.01, out.toString)
+    // both rows report the same eigenvalue
+    assert(out(0)._3 == out(1)._3, out.toString)
+  }
+
+  test("pcaTopComponent is invariant to row order (order-free decimal sums)") {
+    val base = emb.limit(100)
+    val a = Similarity.pcaTopComponent(base, "embedding")
+      .orderBy("dim").collect().toSeq
+    val b = Similarity.pcaTopComponent(
+        base.orderBy($"vec_id".desc).repartition(7), "embedding")
+      .orderBy("dim").collect().toSeq
+    assert(a == b, "PCA must be bit-identical under row reordering")
+  }
 }

@@ -1026,6 +1026,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaTopComponent: EVERY executed iteration is equi-join + agg, no window") {
+    // The corpus is touched once (moment checkpoint); the 10
+    // iterations run on the d^2 covariance relation. No plan may go
+    // cartesian or introduce a window/sort task. (BNLJ is allowed
+    // here: the 1-row count/norm crossJoin(broadcast(...)) scalars —
+    // the audited repo-wide pattern.)
+    import graft.operators.Similarity
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Similarity.pcaTopComponent(
+        Tables(spark, sf, "embeddings").limit(50), "embedding", iters = 3)
+        .count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (plans.size == last) stable += 1 else { last = plans.size; stable = 0 }
+      }
+    } finally spark.listenerManager.unregister(l)
+    assert(plans.size >= 4, s"expected moment + iteration jobs, saw ${plans.size}")
+    plans.forEach { p =>
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("windowspecdefinition"), p)
+    }
+  }
+
   test("kCore/hits: EVERY executed round stays equi-join shaped") {
     // The returned Datasets are checkpoint scans, so gating only the
     // final plan would miss the per-round jobs — capture every plan
