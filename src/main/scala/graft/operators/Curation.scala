@@ -884,6 +884,36 @@ object Curation {
           col("__w.__k").cast("double"), 6).as("xent"))
   }
 
+  /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data") —
+    * the classic LM-based data-selection method and the exact-LM
+    * sibling of [[dsirLogWeights]]' hashed features: score every doc
+    * by H_raw(doc) − H_target(doc); docs that read MORE like the
+    * target than like the general pool score high, and a threshold on
+    * the score is the selection. Both entropies come from
+    * [[bigramCrossEntropy]], so the determinism contract (exact
+    * decimal log-prob sums, 6-dp outputs) and the scale shape (two
+    * count-table trainings, each scoring pass = narrow generator +
+    * two vocab-keyed equi-joins + one doc-keyed hash-agg) are
+    * inherited wholesale; the final step is one id equi-join of two
+    * doc-keyed relations.
+    *
+    * Output per scored doc: (id, n_bigrams, xent_target, xent_raw,
+    * mls) — mls = xent_raw − xent_target (a fixed-order difference of
+    * identical rounded doubles, replayed exactly by the oracle);
+    * keep docs with mls above a corpus-tuned threshold.
+    */
+  def mooreLewisScore(target: DataFrame, raw: DataFrame, df: DataFrame,
+                      idCol: String, textCol: String, k: Double = 0.5,
+                      ngramMode: String = "word"): DataFrame = {
+    val st = bigramCrossEntropy(target, df, idCol, textCol, k, ngramMode)
+      .select(col(idCol), col("n_bigrams"), col("xent").as("xent_target"))
+    val sr = bigramCrossEntropy(raw, df, idCol, textCol, k, ngramMode)
+      .select(col(idCol), col("xent").as("xent_raw"))
+    st.join(sr, Seq(idCol))
+      .withColumn("mls", round(col("xent_raw") - col("xent_target"), 6))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     * every doc against its OWN language's add-k bigram LM (the
     * [[bigramLangId]] count tables, joined on the doc's label instead

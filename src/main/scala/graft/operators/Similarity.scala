@@ -561,6 +561,53 @@ object Similarity {
     * Output: one row per dimension, (dim, loading, eigenvalue) with
     * the eigenvalue repeated (6-dp doubles).
     */
+  /** "All-but-the-top" embedding post-processing (Mu & Viswanath
+    * 2018): center the corpus and remove its top principal component
+    * — the dominant direction of text-embedding spaces is mostly
+    * frequency signal, and removing it measurably improves cosine
+    * retrieval and semantic-dedup quality. Composes
+    * [[pcaTopComponent]] (the component, at its published 6-dp
+    * rounding) with per-row arithmetic only: the d-row mean and
+    * component relations collapse into ONE broadcast row of arrays,
+    * so the corpus pass is completely narrow — no shuffle, no window,
+    * embarrassingly parallel at any scale.
+    *
+    * Per vector x: c = x − μ, proj = c·v (the sequential-fold dot —
+    * the q53 cross-engine convention), residual = c − proj·v. Output:
+    * (idCol, proj, resid), resid an array<double> ready for the
+    * downstream cosine/ANN family.
+    */
+  def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                         iters: Int = 10): DataFrame = {
+    val e = df.select(col(idCol).as("__id"), col(vecCol).as("__e"))
+      .filter(col("__e").isNotNull)
+    val mx = e.select(posexplode(col("__e")).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(sum(col("__x").cast("double").cast("decimal(30,12)")).as("__sx"))
+    val nRel = e.agg(count(lit(1)).as("__n"))
+    val mu = mx.crossJoin(broadcast(nRel))
+      .select(col("__i").as("__mi"),
+        (col("__sx").cast("double") / col("__n").cast("double")).as("__m"))
+    val pc = pcaTopComponent(df, vecCol, iters)
+    val packed = pc.join(mu, pc("dim") === mu("__mi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("loading")))),
+          s => s.getField("loading")).as("__v"),
+        transform(array_sort(collect_list(struct(col("dim"), col("__m")))),
+          s => s.getField("__m")).as("__mu"))
+    val withC = e.crossJoin(broadcast(packed))
+      .select(col("__id"),
+        zip_with(col("__e"), col("__mu"),
+          (x, m) => x.cast("double") - m).as("__c"),
+        col("__v"))
+    withC
+      .select(col("__id"), col("__c"), col("__v"),
+        dotHof(col("__c"), col("__v")).as("__p"))
+      .select(col("__id").as(idCol), col("__p").as("proj"),
+        zip_with(col("__c"), col("__v"),
+          (c, v) => c - col("__p") * v).as("resid"))
+  }
+
   def pcaTopComponent(df: DataFrame, vecCol: String,
                       iters: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 64,

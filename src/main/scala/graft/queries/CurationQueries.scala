@@ -643,6 +643,19 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Moore-Lewis cross-entropy difference (Curation.mooreLewisScore):
+    // target LM = English docs, raw LM = the whole pool; mls =
+    // xent_raw - xent_target ranks docs by how much more target-like
+    // than pool-like they read — the classic LM data-selection score,
+    // the exact-LM sibling of q240's hashed DSIR.
+    "q243_moore_lewis" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Curation.mooreLewisScore(docs.filter($"lang" === "en"),
+          docs, docs, "doc_id", "text", k = 0.5)
+        .orderBy($"doc_id")
+    }),
+
     // CCNet perplexity tertiles (Curation.perplexityBuckets): each doc
     // scored against its OWN language's bigram LM, languages split
     // head/middle/tail at histogram-derived tertile cutoffs — the
@@ -1603,6 +1616,60 @@ object CurationQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q243 oracle: the q234 chain TWICE — target tables from the
+    // English slice, raw tables from the whole pool — joined per doc;
+    // mls is a fixed-order difference of the two rounded doubles.
+    "q243_moore_lewis" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS t,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS n
+        |  FROM documents),
+        |tbt AS (
+        |  SELECT t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i)
+        |  WHERE lang = 'en' AND n >= 2),
+        |btt AS (SELECT bg, count(*) AS b FROM tbt GROUP BY bg),
+        |utt AS (
+        |  SELECT w1, count(*) AS u FROM (
+        |    SELECT unnest(t) AS w1 FROM base WHERE lang = 'en')
+        |  GROUP BY w1),
+        |vt AS (SELECT count(*) AS v FROM utt),
+        |tbr AS (
+        |  SELECT t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |btr AS (SELECT bg, count(*) AS b FROM tbr GROUP BY bg),
+        |utr AS (
+        |  SELECT w1, count(*) AS u FROM (
+        |    SELECT unnest(t) AS w1 FROM base) GROUP BY w1),
+        |vr AS (SELECT count(*) AS v FROM utr),
+        |sb AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |lpt AS (
+        |  SELECT doc_id,
+        |    CAST(ln((CAST(coalesce(b, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(u, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |      AS DECIMAL(30,12)) AS lp
+        |  FROM sb LEFT JOIN btt USING (bg) LEFT JOIN utt USING (w1), vt),
+        |lpr AS (
+        |  SELECT doc_id,
+        |    CAST(ln((CAST(coalesce(b, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(u, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |      AS DECIMAL(30,12)) AS lp
+        |  FROM sb LEFT JOIN btr USING (bg) LEFT JOIN utr USING (w1), vr),
+        |xt AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent_target
+        |  FROM lpt GROUP BY doc_id),
+        |xr AS (
+        |  SELECT doc_id,
+        |    round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent_raw
+        |  FROM lpr GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, xent_target, xent_raw,
+        |  round(xent_raw - xent_target, 6) AS mls
+        |FROM xt JOIN xr USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // q241 oracle: q235's per-language count tables, but each doc
     // scores ONE model (its own language); xent rounded to 6dp for

@@ -454,6 +454,20 @@ object DedupSim {
         .orderBy($"dim")
     }),
 
+    // All-but-the-top post-processing (Similarity.removeTopComponent):
+    // center + remove the q242 component from every embedding; output
+    // the per-vector projection on the removed direction and the
+    // residual norm — the downstream cosine family consumes `resid`.
+    "q244_pca_residual" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.removeTopComponent(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select($"vec_id", round($"proj", 6).as("proj"),
+          round(sqrt(Similarity.dotHof($"resid", $"resid")), 6)
+            .as("resid_norm"))
+        .orderBy($"vec_id")
+    }),
+
     // Exact near-dup pairs above cosine 0.3 inside a blocked sample.
     "q54_embed_neardup" -> ((s, dir) => {
       import s.implicits._
@@ -813,6 +827,51 @@ object DedupSim {
       |   * sqrt(list_sum(list_transform(range(1, len(eb) + 1),
       |      i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))""".stripMargin
 
+  /** Shared q242/q244 CTE chain: embedding moments, covariance, and
+    * 10 unrolled power-iteration rounds ending in v10(i, v, nrm) —
+    * per-term decimal(30,12) quantization before every sum makes each
+    * iteration order-free; all scalar ops are fixed-order IEEE, so
+    * both engines trace the identical trajectory. Every multiply-
+    * referenced CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    * and each w_k feeding both n_k and v_k would otherwise double the
+    * expansion per iteration — 2^10 copies of the corpus moment scan.
+    */
+  private lazy val pcaCtes: String = {
+    val its = (1 to 10).map { k =>
+      val pv = s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i, CAST(sum(CAST(c.c * v.v AS DECIMAL(30,12)))
+         |    AS DOUBLE) AS w
+         |  FROM c JOIN $pv v ON v.i = c.j GROUP BY c.i),
+         |n$k AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12)))
+         |  AS DOUBLE)) AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, w / nrm AS v, nrm FROM w$k, n$k)"""
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT embedding AS e FROM embeddings),
+       |mom AS MATERIALIZED (
+       |  SELECT CAST(ii.i - 1 AS INT) AS i, CAST(jj.j - 1 AS INT) AS j,
+       |    sum(CAST(CAST(e[ii.i] AS DOUBLE) * CAST(e[jj.j] AS DOUBLE)
+       |      AS DECIMAL(30,12))) AS sxy
+       |  FROM e,
+       |    LATERAL unnest(range(1, len(e) + 1)) ii(i),
+       |    LATERAL unnest(range(1, len(e) + 1)) jj(j)
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (
+       |  SELECT CAST(ii.i - 1 AS INT) AS i,
+       |    sum(CAST(CAST(e[ii.i] AS DOUBLE) AS DECIMAL(30,12))) AS sx
+       |  FROM e, LATERAL unnest(range(1, len(e) + 1)) ii(i)
+       |  GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |c AS MATERIALIZED (
+       |  SELECT m.i, m.j,
+       |    CAST(m.sxy AS DOUBLE) / n - (CAST(a.sx AS DOUBLE) / n)
+       |      * (CAST(b.sx AS DOUBLE) / n) AS c
+       |  FROM mom m JOIN mx a ON a.i = m.i JOIN mx b ON b.i = m.j, nn),
+       |dd AS (SELECT CAST(max(i) + 1 AS DOUBLE) AS d FROM mx),
+       |v0 AS (SELECT i, 1.0 / sqrt(d) AS v FROM mx, dd),
+       |$its"""
+  }
+
   /** Shared CTE chain producing the q180 kNN prediction relation
     * (train/test split, neighbor ranks, votes, winner) — consumed by
     * both the q180 and q197 oracles.
@@ -1076,50 +1135,34 @@ object DedupSim {
 
     // q242 oracle: moments via the double LATERAL index unnest,
     // covariance from exact decimal sums, then the 10 power-iteration
-    // rounds UNROLLED as generated CTEs — per-term decimal(30,12)
-    // quantization before every sum makes each iteration order-free,
-    // and all scalar ops (divide, sqrt) are fixed-order IEEE, so both
-    // engines trace the identical trajectory. Every multiply-
-    // referenced CTE is MATERIALIZED: DuckDB inlines CTEs by default,
-    // and each w_k feeding both n_k and v_k would otherwise double the
-    // expansion per iteration — 2^10 copies of the corpus moment scan.
-    "q242_pca_top" -> {
-      val its = (1 to 10).map { k =>
-        val pv = s"v${k - 1}"
-        s"""w$k AS MATERIALIZED (
-           |  SELECT c.i, CAST(sum(CAST(c.c * v.v AS DECIMAL(30,12)))
-           |    AS DOUBLE) AS w
-           |  FROM c JOIN $pv v ON v.i = c.j GROUP BY c.i),
-           |n$k AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12)))
-           |  AS DOUBLE)) AS nrm FROM w$k),
-           |v$k AS MATERIALIZED (SELECT i, w / nrm AS v, nrm FROM w$k, n$k)"""
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT embedding AS e FROM embeddings),
-         |mom AS MATERIALIZED (
-         |  SELECT CAST(ii.i - 1 AS INT) AS i, CAST(jj.j - 1 AS INT) AS j,
-         |    sum(CAST(CAST(e[ii.i] AS DOUBLE) * CAST(e[jj.j] AS DOUBLE)
-         |      AS DECIMAL(30,12))) AS sxy
-         |  FROM e,
-         |    LATERAL unnest(range(1, len(e) + 1)) ii(i),
-         |    LATERAL unnest(range(1, len(e) + 1)) jj(j)
-         |  GROUP BY 1, 2),
-         |mx AS MATERIALIZED (
-         |  SELECT CAST(ii.i - 1 AS INT) AS i,
-         |    sum(CAST(CAST(e[ii.i] AS DOUBLE) AS DECIMAL(30,12))) AS sx
-         |  FROM e, LATERAL unnest(range(1, len(e) + 1)) ii(i)
-         |  GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM e),
-         |c AS MATERIALIZED (
-         |  SELECT m.i, m.j,
-         |    CAST(m.sxy AS DOUBLE) / n - (CAST(a.sx AS DOUBLE) / n)
-         |      * (CAST(b.sx AS DOUBLE) / n) AS c
-         |  FROM mom m JOIN mx a ON a.i = m.i JOIN mx b ON b.i = m.j, nn),
-         |dd AS (SELECT CAST(max(i) + 1 AS DOUBLE) AS d FROM mx),
-         |v0 AS (SELECT i, 1.0 / sqrt(d) AS v FROM mx, dd),
-         |$its
+    // rounds UNROLLED as generated CTEs (pcaCtes, shared with q244).
+    "q242_pca_top" ->
+      s"""WITH $pcaCtes
          |SELECT i AS dim, round(v, 6) AS loading, round(nrm, 6) AS eigenvalue
-         |FROM v10 ORDER BY dim""".stripMargin
-    },
+         |FROM v10 ORDER BY dim""".stripMargin,
+
+    // q244 oracle: the pcaCtes chain + the published (6-dp) component
+    // and the exact-double mean packed into one-row lists, then pure
+    // per-vector list arithmetic — proj is the q53 sequential-fold
+    // dot convention; resid_norm reuses the RAW proj (rounding is
+    // output-only), exactly like the Spark side.
+    "q244_pca_residual" ->
+      s"""WITH $pcaCtes,
+         |vv AS (SELECT list(round(v, 6) ORDER BY i) AS vl FROM v10),
+         |mm AS (SELECT list(CAST(sx AS DOUBLE) / n ORDER BY i) AS ml
+         |  FROM mx, nn),
+         |pr AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> (CAST(embedding[i] AS DOUBLE) - ml[i]) * vl[i])) AS p
+         |  FROM embeddings, vv, mm)
+         |SELECT pr.vec_id, round(p, 6) AS proj,
+         |  round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |    i -> ((CAST(embedding[i] AS DOUBLE) - ml[i]) - p * vl[i])
+         |       * ((CAST(embedding[i] AS DOUBLE) - ml[i]) - p * vl[i])))), 6)
+         |    AS resid_norm
+         |FROM pr JOIN embeddings USING (vec_id), vv, mm
+         |ORDER BY pr.vec_id""".stripMargin,
 
     "q66_group_sample" ->
       """SELECT doc_id, lang FROM (

@@ -621,6 +621,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.size == 3, out.toString)
   }
 
+  test("mooreLewisScore: target-like docs score above pool-like docs") {
+    // target vocabulary {x y}; the pool adds {p q}. A doc in target
+    // vocab must get a higher mls (= xent_raw - xent_target) than a
+    // doc in pool-only vocab.
+    val target = Seq((1L, "x y x y x y"), (2L, "y x y x")).toDF("doc_id", "text")
+    val pool = target.union(
+      Seq((3L, "p q p q p q"), (4L, "q p q p")).toDF("doc_id", "text"))
+    val score = Seq((10L, "x y x y"), (11L, "p q p q")).toDF("doc_id", "text")
+    val out = Curation.mooreLewisScore(target, pool, score, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"mls").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(10L, 11L), out.toString)
+    assert(out(0)._2 > out(1)._2,
+      s"target-like must outrank pool-like: $out")
+    assert(out(0)._2 > 0 && out(1)._2 < 0, out.toString)
+  }
+
   test("perplexityBuckets: tertiles split per language, ordered by xent") {
     // lang A: three docs with increasing out-of-model content; lang B
     // has its own model so A's gibberish doesn't pollute its buckets

@@ -572,6 +572,30 @@ class DedupSimSpec extends AnyFunSuite {
     assert(out(0)._3 == out(1)._3, out.toString)
   }
 
+  test("removeTopComponent: residuals are orthogonal to the removed direction") {
+    val sample = emb.limit(80)
+    val pc = Similarity.pcaTopComponent(sample, "embedding")
+      .orderBy("dim").select($"loading").as[Double].collect()
+    val out = Similarity.removeTopComponent(sample, "vec_id", "embedding")
+      .select($"vec_id", $"proj", $"resid").as[(Long, Double, Seq[Double])]
+      .collect()
+    assert(out.length == 80)
+    // tolerance is rounding-bound, not float-bound: the operator uses
+    // the PUBLISHED 6-dp component (||v|| = 1 only to ~1e-6), so
+    // per-vector orthogonality holds to ~1e-6 by construction
+    out.foreach { case (id, _, resid) =>
+      val re = resid.zip(pc).map { case (r, v) => r * v }.sum
+      assert(math.abs(re) < 1e-5, s"vec $id residual not orthogonal: $re")
+    }
+    // removing a component can only shrink the centered norm
+    val withProj = out.map { case (_, p, r) =>
+      (math.sqrt(r.map(x => x * x).sum), p)
+    }
+    withProj.foreach { case (rn, p) =>
+      assert(rn >= 0 && !rn.isNaN, s"bad residual norm $rn (proj $p)")
+    }
+  }
+
   test("pcaTopComponent is invariant to row order (order-free decimal sums)") {
     val base = emb.limit(100)
     val a = Similarity.pcaTopComponent(base, "embedding")
