@@ -1488,6 +1488,122 @@ object Pipeline {
           tr, req("label"), df, req("key"), req("text"), k, ngram), RowType)
       }),
 
+    Registered("dsir", RowType, RowType,
+      "in=RAWPOOL:target=STREAM:key=COL:text=COL:k=N[:buckets=4096:ngram=word|char]:out=STREAM",
+      (ctx, m) => {
+        // DSIR importance resampling (q240 / Curation.dsirSelect):
+        // hashed-bigram log-ratio weights vs the target stream,
+        // deterministic Gumbel-top-k of the raw pool; emits
+        // (key, n_feat, logw, score, rk). Target ids never emit.
+        val df = ctx.readStream(m, RowType)
+        val tname = m.args.getOrElse("target",
+          throw new BuildError("dsir: target= required"))
+        val (tr, tt) = ctx.streams.getOrElse(tname,
+          throw new BuildError(s"dsir: unknown stream '$tname'"))
+        if (tt != RowType)
+          throw new BuildError(s"dsir: '$tname' is not a row stream")
+        ctx.readers(tname) += 1
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"dsir: $a= required"))
+        val key = req("key"); val text = req("text")
+        val k = req("k").toInt
+        if (k < 1) throw new BuildError(s"dsir: k must be >= 1, got $k")
+        val buckets = m.args.getOrElse("buckets", "4096").toInt
+        if (buckets < 2)
+          throw new BuildError(s"dsir: buckets must be >= 2, got $buckets")
+        val ngram = m.args.getOrElse("ngram", "word")
+        if (ngram != "word" && ngram != "char")
+          throw new BuildError(s"dsir: ngram must be word or char, got $ngram")
+        val both = tr.select(col(key), col(text))
+          .withColumn("__dsir_tgt", lit(true))
+          .unionByName(df.select(col(key), col(text))
+            .withColumn("__dsir_tgt", lit(false)))
+        ctx.writeStream(m, graft.operators.Curation.dsirSelect(
+          both, key, text, col("__dsir_tgt"), k, buckets, ngram), RowType)
+      }),
+
+    Registered("mlscore", RowType, RowType,
+      "in=SCORE:target=STREAM:pool=STREAM:key=COL:text=COL[:k=0.5:ngram=word|char]:out=STREAM",
+      (ctx, m) => {
+        // Moore-Lewis cross-entropy difference (q243 /
+        // Curation.mooreLewisScore): mls = xent_pool - xent_target;
+        // emits (key, n_bigrams, xent_target, xent_raw, mls).
+        val df = ctx.readStream(m, RowType)
+        def stream(a: String) = {
+          val n = m.args.getOrElse(a,
+            throw new BuildError(s"mlscore: $a= required"))
+          val (s, t) = ctx.streams.getOrElse(n,
+            throw new BuildError(s"mlscore: unknown stream '$n'"))
+          if (t != RowType)
+            throw new BuildError(s"mlscore: '$n' is not a row stream")
+          ctx.readers(n) += 1
+          s
+        }
+        val tr = stream("target"); val pool = stream("pool")
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"mlscore: $a= required"))
+        val k = m.args.getOrElse("k", "0.5").toDouble
+        if (k <= 0) throw new BuildError(s"mlscore: k must be > 0, got $k")
+        val ngram = m.args.getOrElse("ngram", "word")
+        if (ngram != "word" && ngram != "char")
+          throw new BuildError(s"mlscore: ngram must be word or char, got $ngram")
+        ctx.writeStream(m, graft.operators.Curation.mooreLewisScore(
+          tr, pool, df, req("key"), req("text"), k, ngram), RowType)
+      }),
+
+    Registered("pplbuckets", RowType, RowType,
+      "in=SCORE:train=STREAM:label=COL:key=COL:text=COL[:k=0.5:ngram=word|char]:out=STREAM",
+      (ctx, m) => {
+        // CCNet perplexity tertiles (q241 /
+        // Curation.perplexityBuckets): per-label bigram LMs, each doc
+        // scored against its OWN label, head/middle/tail at
+        // histogram-exact tertile cutoffs; emits
+        // (key, label, xent, ppl_bucket).
+        val df = ctx.readStream(m, RowType)
+        val tname = m.args.getOrElse("train",
+          throw new BuildError("pplbuckets: train= required"))
+        val (tr, tt) = ctx.streams.getOrElse(tname,
+          throw new BuildError(s"pplbuckets: unknown stream '$tname'"))
+        if (tt != RowType)
+          throw new BuildError(s"pplbuckets: '$tname' is not a row stream")
+        ctx.readers(tname) += 1
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"pplbuckets: $a= required"))
+        val k = m.args.getOrElse("k", "0.5").toDouble
+        if (k <= 0) throw new BuildError(s"pplbuckets: k must be > 0, got $k")
+        val ngram = m.args.getOrElse("ngram", "word")
+        if (ngram != "word" && ngram != "char")
+          throw new BuildError(s"pplbuckets: ngram must be word or char, got $ngram")
+        ctx.writeStream(m, graft.operators.Curation.perplexityBuckets(
+          tr, req("label"), df, req("key"), req("label"), req("text"),
+          k, ngram), RowType)
+      }),
+
+    Registered("pca", RowType, RowType,
+      "in=EMB:vec=COL[:mode=top|resid:key=COL:iters=10]:out=STREAM",
+      (ctx, m) => {
+        // Distributed PCA (q242/q244 / Similarity.pcaTopComponent,
+        // removeTopComponent): mode=top emits (dim, loading,
+        // eigenvalue); mode=resid (key= required) emits
+        // (key, proj, resid) — all-but-the-top post-processing.
+        val df = ctx.readStream(m, RowType)
+        def req(a: String) = m.args.getOrElse(a,
+          throw new BuildError(s"pca: $a= required"))
+        val iters = m.args.getOrElse("iters", "10").toInt
+        if (iters < 1 || iters > 64)
+          throw new BuildError(s"pca: iters must be in [1,64], got $iters")
+        val out = m.args.getOrElse("mode", "top") match {
+          case "top" =>
+            graft.operators.Similarity.pcaTopComponent(df, req("vec"), iters)
+          case "resid" =>
+            graft.operators.Similarity.removeTopComponent(
+              df, req("key"), req("vec"), iters)
+          case other =>
+            throw new BuildError(s"pca: mode must be top or resid, got $other")
+        }
+        ctx.writeStream(m, out, RowType)
+      }),
+
     Registered("bootstrap", RowType, RowType,
       "in=STREAM:key=COL:diff=COL[:resamples=200:salt=S]:out=STREAM",
       (ctx, m) => {

@@ -380,8 +380,55 @@ class PipelineSpec extends AnyFunSuite {
       "entropy", "safesplit", "randomwalk", "globread", "manifest",
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
       "dupspans", "urlnorm", "labelprop", "spanowners", "manifestdiff",
-      "bm25", "bootstrap", "lmscore", "lmlangid")
+      "bm25", "bootstrap", "lmscore", "lmlangid",
+      "dsir", "mlscore", "pplbuckets", "pca")
     assert(expected.subsetOf(names), (expected -- names).toString)
+  }
+
+  test("selection modules (dsir/mlscore/pca) end-to-end") {
+    val d = tmp("selection")
+    import spark.implicits._
+    // dsir: raw doc 10 mimics the target vocabulary, 11 is alien —
+    // with k=1 the Gumbel-perturbed top pick must still respect a
+    // large weight gap
+    writeCsv(s"$d/tgt.csv", "doc_id,text",
+      "1,x y x y x y x y", "2,y x y x y x")
+    writeCsv(s"$d/raw.csv", "doc_id,text",
+      "10,x y x y x", "11,p q r s t u")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/tgt.csv", "csvread:infer=1:out=tgt",
+      s"fileread:in=$d/raw.csv", "csvread:infer=1:out=raw",
+      "dsir:in=raw:target=tgt:key=doc_id:text=text:k=1:buckets=64:out=sel",
+      "select:in=sel:exprs=doc_id;rk:out=s2",
+      "csvwrite:in=s2", s"filewrite:out=$d/sel.csv"))
+    assert(readOut(s"$d/sel.csv") == Seq("doc_id,rk", "10,1"))
+
+    // mlscore: identical numbers to the operator
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/tgt.csv", "csvread:infer=1:out=tgt",
+      s"fileread:in=$d/raw.csv", "csvread:infer=1:out=raw",
+      "mlscore:in=raw:target=tgt:pool=raw:key=doc_id:text=text:out=ml",
+      "select:in=ml:exprs=doc_id;mls:out=s3",
+      "csvwrite:in=s3", s"filewrite:out=$d/ml.csv"))
+    val mlOut = readOut(s"$d/ml.csv")
+    val mlOp = graft.operators.Curation.mooreLewisScore(
+        Seq((1L, "x y x y x y x y"), (2L, "y x y x y x")).toDF("doc_id", "text"),
+        Seq((10L, "x y x y x"), (11L, "p q r s t u")).toDF("doc_id", "text"),
+        Seq((10L, "x y x y x"), (11L, "p q r s t u")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").select($"doc_id", $"mls")
+      .collect().map(r => s"${r.getLong(0)},${r.getDouble(1)}")
+    assert(mlOut.tail.sorted == mlOp.toSeq.sorted, s"$mlOut vs ${mlOp.toSeq}")
+
+    // pca mode=top emits one loading row per dimension
+    val emb = Tables(spark, TestSpark.sf, "embeddings").limit(40)
+    emb.write.mode("overwrite").parquet(s"$d/emb.parquet")
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/emb.parquet:out=e",
+      "pca:in=e:vec=embedding:mode=top:out=pc",
+      "select:in=pc:exprs=dim;loading:out=s4",
+      "csvwrite:in=s4", s"filewrite:out=$d/pc.csv"))
+    assert(readOut(s"$d/pc.csv").length == 65) // header + 64 dims
   }
 
   test("drift family modules (psi/ks/welch/gini/auc/attribution) end-to-end") {
