@@ -531,11 +531,9 @@ object Similarity {
   }
 
   /** Top principal component of an embedding corpus by POWER
-    * ITERATION over the relational covariance matrix — the
-    * decorrelation/whitening precursor of the ANN family (centering +
-    * leading components is what production semantic-dedup and
-    * retrieval stacks run before cosine search; further components
-    * follow by deflation with the same machinery).
+    * ITERATION over the relational covariance matrix — see
+    * [[pcaTopComponent]] below; this block documents the whole PCA
+    * family's shape.
     *
     * Shape: the corpus is scanned ONCE — the per-row d×d outer
     * product flattens through a codegen `transform`×`transform` and
@@ -608,10 +606,18 @@ object Similarity {
           (c, v) => c - col("__p") * v).as("resid"))
   }
 
-  def pcaTopComponent(df: DataFrame, vecCol: String,
-                      iters: Int = 10): DataFrame = {
-    require(iters >= 1 && iters <= 64,
-      s"pcaTopComponent: iters must be in [1,64], got $iters")
+  /** The PCA sufficient statistics as ONE tagged additive relation —
+    * (kind, i, j, v): 'xx' = Gram sums keyed (i,j), 'x' = dimension
+    * sums keyed (i, j=-1), 'n' = the row count at (-1,-1). Every v is
+    * an exact decimal(38,12) sum of per-term decimal(30,12) casts, so
+    * the relation ADDS: `pcaMergeMoments` of two batches equals the
+    * moments of their union bit-for-bit (decimal addition is exact
+    * and associative) — the algebra [[graft.streaming.EventStreams
+    * .pcaStream]] folds per microbatch, same contract as the
+    * manifest/bootstrap twins. State size is d²+d+1 rows regardless
+    * of corpus size.
+    */
+  def pcaMoments(df: DataFrame, vecCol: String): DataFrame = {
     val e = df.select(col(vecCol).as("__e")).filter(col("__e").isNotNull)
     val prod = e.select(size(col("__e")).as("__d"),
         posexplode(flatten(transform(col("__e"), x =>
@@ -621,12 +627,41 @@ object Similarity {
           .cast("int").as("__i"),
         pmod(col("__p"), col("__d")).cast("int").as("__j"),
         col("__xy"))
-    val sxx = prod.groupBy(col("__i"), col("__j"))
-      .agg(sum(col("__xy").cast("decimal(30,12)")).as("__sxy"))
-    val mx = e.select(posexplode(col("__e")).as(Seq("__i", "__x")))
+    val xx = prod.groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__xy").cast("decimal(30,12)")).cast("decimal(38,12)")
+        .as("__v"))
+      .select(lit("xx").as("__kind"), col("__i"), col("__j"), col("__v"))
+    val x = e.select(posexplode(col("__e")).as(Seq("__i", "__x")))
       .groupBy(col("__i"))
-      .agg(sum(col("__x").cast("double").cast("decimal(30,12)")).as("__sx"))
-    val nRel = e.agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__x").cast("double").cast("decimal(30,12)"))
+        .cast("decimal(38,12)").as("__v"))
+      .select(lit("x").as("__kind"), col("__i"), lit(-1).as("__j"), col("__v"))
+    val n = e.agg(count(lit(1)).cast("decimal(38,12)").as("__v"))
+      .select(lit("n").as("__kind"), lit(-1).as("__i"), lit(-1).as("__j"),
+        col("__v"))
+    xx.unionByName(x).unionByName(n)
+  }
+
+  /** Additive merge of two moment relations — exact decimal sums. */
+  def pcaMergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("__kind"), col("__i"), col("__j"))
+      .agg(sum(col("__v")).cast("decimal(38,12)").as("__v"))
+
+  /** Power iteration from a standing moment relation — the batch and
+    * streaming paths share this finish verbatim, so the streamed
+    * component is BIT-EQUAL to a batch [[pcaTopComponent]] over
+    * everything ingested, at any cut.
+    */
+  def pcaFromMoments(moments: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"pcaFromMoments: iters must be in [1,64], got $iters")
+    val sxx = moments.filter(col("__kind") === "xx")
+      .select(col("__i"), col("__j"), col("__v").as("__sxy"))
+    val mx = moments.filter(col("__kind") === "x")
+      .select(col("__i"), col("__v").as("__sx"))
+    val nRel = moments.filter(col("__kind") === "n")
+      .select(col("__v").as("__n"))
     val c = sxx
       .join(mx.select(col("__i"), col("__sx").as("__si")), Seq("__i"))
       .join(mx.select(col("__i").as("__j"), col("__sx").as("__sj")), Seq("__j"))
@@ -669,4 +704,15 @@ object Similarity {
       c.unpersist(blocking = false)
     }
   }
+
+  /** Top principal component of an embedding corpus (the
+    * decorrelation/whitening precursor of the ANN family; further
+    * components follow by deflation with the same machinery) —
+    * [[pcaMoments]] + [[pcaFromMoments]], the shape documented on the
+    * family scaladoc above. Output: one row per dimension,
+    * (dim, loading, eigenvalue), 6-dp doubles.
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String,
+                      iters: Int = 10): DataFrame =
+    pcaFromMoments(pcaMoments(df, vecCol), iters)
 }

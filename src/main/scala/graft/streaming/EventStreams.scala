@@ -547,6 +547,40 @@ object EventStreams extends Serializable {
     (q, () => graft.operators.Drift.bootstrapFinish(view))
   }
 
+  /** Streaming PCA — the q242 twin: the sufficient statistics (Gram
+    * sums, dimension sums, count) form an additive decimal relation
+    * ([[graft.operators.Similarity.pcaMoments]]), so batch moments
+    * FOLD into a standing d²+d+1-row view and the reader runs the
+    * shared power-iteration finish on it — the streamed component is
+    * BIT-EQUAL to a batch pcaTopComponent over everything ingested,
+    * at any cut (decimal addition is exact and associative). State is
+    * d²+d+1 rows regardless of stream length; superseded checkpoints
+    * release per batch (the bootstrapStream pattern). Vectors must
+    * not repeat across batches — same contract as every twin here.
+    */
+  def pcaStream(rows: DataFrame, vecCol: String, iters: Int = 10)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    def mom(df: DataFrame): DataFrame =
+      graft.operators.Similarity.pcaMoments(df, vecCol)
+    val spark0 = rows.sparkSession
+    @volatile var view: DataFrame = mom(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+      .localCheckpoint()
+    val q = rows.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val prev = view
+          view = graft.operators.Similarity
+            .pcaMergeMoments(prev, mom(batch.toDF()))
+            .localCheckpoint()
+          prev.unpersist(false)
+          ()
+      }
+      .start()
+    (q, () => graft.operators.Similarity.pcaFromMoments(view, iters))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

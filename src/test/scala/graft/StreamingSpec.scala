@@ -469,6 +469,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PCA is bit-equal to the batch component at every cut") {
+    // q242's twin: additive decimal moments -> the shared
+    // power-iteration finish must reproduce the batch component
+    // bit-for-bit at any batching.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 60).map { i =>
+      (i.toLong, Array(
+        (i % 13).toFloat - 6f, (i % 7).toFloat * 0.5f - 1.5f,
+        (i % 3).toFloat, ((i * 31) % 11).toFloat * 0.1f))
+    }
+    val ms = MemoryStream[(Long, Array[Float])]
+    val (q, current) = EventStreams.pcaStream(
+      ms.toDF().toDF("vec_id", "embedding"), "embedding", iters = 6)
+    try {
+      Seq(all.slice(0, 15), all.slice(15, 41), all.slice(41, 60))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(15, 41, 60)(i))
+          val want = graft.operators.Similarity.pcaTopComponent(
+              seen.toDF("vec_id", "embedding"), "embedding", iters = 6)
+            .orderBy("dim").collect().toSeq
+          val got = current().orderBy("dim").collect().toSeq
+          assert(got == want, s"cut $i diverged: $got vs $want")
+        }
+    } finally q.stop()
+  }
+
   test("streaming exact OLS is bit-equal to the batch refit at every batch cut") {
     // q178's streaming twin: the maintained sufficient statistics are
     // exact decimal sums, so the model after ANY batching equals a
