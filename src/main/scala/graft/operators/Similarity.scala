@@ -619,16 +619,20 @@ object Similarity {
     */
   def pcaMoments(df: DataFrame, vecCol: String): DataFrame = {
     val e = df.select(col(vecCol).as("__e")).filter(col("__e").isNotNull)
-    val prod = e.select(size(col("__e")).as("__d"),
-        posexplode(flatten(transform(col("__e"), x =>
-          transform(col("__e"), y => x.cast("double") * y.cast("double")))))
-          .as(Seq("__p", "__xy")))
-      .select(((col("__p") - pmod(col("__p"), col("__d"))) / col("__d"))
-          .cast("int").as("__i"),
-        pmod(col("__p"), col("__d")).cast("int").as("__j"),
-        col("__xy"))
-    val xx = prod.groupBy(col("__i"), col("__j"))
-      .agg(sum(col("__xy").cast("decimal(30,12)")).cast("decimal(38,12)")
+    // UPPER TRIANGLE only (i <= j): the Gram matrix is symmetric and
+    // x_i·x_j == x_j·x_i to the bit (IEEE multiplication commutes),
+    // so the mirror in pcaFromMoments reconstructs the full matrix
+    // exactly while the corpus-sized generate + exchange carries
+    // d(d+1)/2 rows per vector instead of d²
+    val prod = e.select(explode(flatten(transform(
+        sequence(lit(0), size(col("__e")) - 1), i =>
+          transform(sequence(i, size(col("__e")) - 1), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (element_at(col("__e"), i + 1).cast("double") *
+                element_at(col("__e"), j + 1).cast("double")).as("v"))))))
+        .as("__s"))
+    val xx = prod.groupBy(col("__s.i").as("__i"), col("__s.j").as("__j"))
+      .agg(sum(col("__s.v").cast("decimal(30,12)")).cast("decimal(38,12)")
         .as("__v"))
       .select(lit("xx").as("__kind"), col("__i"), col("__j"), col("__v"))
     val x = e.select(posexplode(col("__e")).as(Seq("__i", "__x")))
@@ -656,8 +660,12 @@ object Similarity {
   def pcaFromMoments(moments: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 64,
       s"pcaFromMoments: iters must be in [1,64], got $iters")
-    val sxx = moments.filter(col("__kind") === "xx")
+    val sxxTri = moments.filter(col("__kind") === "xx")
       .select(col("__i"), col("__j"), col("__v").as("__sxy"))
+    // mirror the strict upper triangle back to the full matrix —
+    // exact: each mirrored decimal is the identical per-row product sum
+    val sxx = sxxTri.unionByName(sxxTri.filter(col("__i") =!= col("__j"))
+      .select(col("__j").as("__i"), col("__i").as("__j"), col("__sxy")))
     val mx = moments.filter(col("__kind") === "x")
       .select(col("__i"), col("__v").as("__sx"))
     val nRel = moments.filter(col("__kind") === "n")
