@@ -128,6 +128,104 @@ object TextFunctions {
 
   def fastFingerprint(text: Column): Column = xxhash64(text)
 
+  // ---- Gopher/MassiveText repetition filters (q245) -----------------
+  //
+  // The OTHER half of the Gopher quality suite (gopherRules covers the
+  // rule gates): within-document repetition — duplicate lines, and the
+  // character mass captured by repeated word n-grams. The classic
+  // boilerplate/spam detectors every pretraining curation pass runs
+  // (Rae et al. 2021 Table A1; same stats in the FineWeb/Dolma
+  // pipelines). All arithmetic is exact integers over per-row
+  // higher-order functions: ZERO shuffles, the whole battery rides the
+  // scan. Cost note: the n-gram stats are O(distinct·occurrences) per
+  // document — quadratic in doc length worst case, fine for web-doc
+  // lengths (≤ ~10⁴ words ⇒ ≤ ~10⁸ cheap string compares per hot doc);
+  // for book-length inputs truncate first or switch to an exploded
+  // (doc, gram) hash-agg, which trades one shuffle for linearity.
+
+  /** Whitespace tokens splitting on space OR newline (repetition stats
+    * see multi-line docs, so line breaks must break words too).
+    */
+  def multilineTokens(text: Column): Column =
+    filter(split(text, "[ \n]"), w => w =!= "")
+
+  private def charsOf(arr: Column): Column =
+    aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+
+  /** Word n-grams over a PRE-TOKENIZED word array (single-space-joined
+    * strings, 1-indexed positions); empty array when fewer than `n`
+    * words. The sibling of [[wordNgrams]], which tokenizes raw text.
+    */
+  def tokenNgrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character mass of the MOST FREQUENT word n-gram:
+    * `count(top gram) · length(top gram)` (the gram string includes its
+    * single separating spaces). Ties break to the lexicographically
+    * smallest gram — deterministic, so the oracle's
+    * `ORDER BY c DESC, g ASC` rank replays it exactly.
+    */
+  def topNgramCharMass(words: Column, n: Int): Column = {
+    val g = tokenNgrams(words, n)
+    val best = aggregate(array_distinct(g),
+      struct(lit(0L).as("c"), lit("").as("g")),
+      (acc, x) => {
+        val c = size(filter(g, y => y === x)).cast("long")
+        when(c > acc("c") || (c === acc("c") && x < acc("g")),
+          struct(c.as("c"), x.as("g"))).otherwise(acc)
+      })
+    best("c") * length(best("g")).cast("long")
+  }
+
+  /** Character mass of DUPLICATED word n-grams: for every gram
+    * occurring more than once, `(count − 1) · length(gram)` — the
+    * occurrences beyond the first, the "duplicate n-gram character
+    * fraction" numerator.
+    */
+  def dupNgramCharMass(words: Column, n: Int): Column = {
+    val g = tokenNgrams(words, n)
+    aggregate(array_distinct(g), lit(0L), (acc, x) => {
+      val c = size(filter(g, y => y === x)).cast("long")
+      acc + when(c > lit(1L), (c - lit(1L)) * length(x).cast("long"))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** The full repetition battery as named exact-integer columns.
+    * Fractions are NOT materialized — gate with integer
+    * cross-multiplies against the published thresholds (e.g. duplicate
+    * line fraction > 0.30 ⇔ `dup_lines·10 > n_lines·3`), so no float
+    * ever enters the decision. Columns:
+    *  - `n_lines` / `dup_lines`: non-empty lines; occurrences beyond
+    *    the first of each repeated line
+    *  - `line_chars` / `dup_line_chars`: total line characters; the
+    *    share belonging to those repeat occurrences
+    *  - `gram_den`: characters of the single-space-joined token stream
+    *    (the denominator every n-gram fraction shares)
+    *  - `top2_num` / `top3_num`: [[topNgramCharMass]] at n=2,3
+    *  - `dup5_chars`: [[dupNgramCharMass]] at n=5
+    * (top-4 / dup-6..10 are the same helpers at other n.)
+    */
+  def repetitionStats(text: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val dlines = array_distinct(lines)
+    val words = multilineTokens(text)
+    val nw = size(words)
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "dup_lines" -> (size(lines) - size(dlines)).cast("long"),
+      "line_chars" -> charsOf(lines),
+      "dup_line_chars" -> (charsOf(lines) - charsOf(dlines)),
+      "gram_den" -> when(nw > 0, charsOf(words) + nw.cast("long") - lit(1L))
+        .otherwise(lit(0L)),
+      "top2_num" -> topNgramCharMass(words, 2),
+      "top3_num" -> topNgramCharMass(words, 3),
+      "dup5_chars" -> dupNgramCharMass(words, 5))
+  }
+
   /** Word n-grams as an array column — the codegen'd single-pass
     * Expression (see TextExpressions.scala; the HOF formulation below
     * is kept as the semantic reference for its spec).

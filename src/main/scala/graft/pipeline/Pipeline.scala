@@ -2597,6 +2597,30 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // Gopher repetition filters (q245): duplicate-line and repeated
+    // n-gram character-mass gates (thresholds 0.30/0.20/0.20/0.18/0.15
+    // as integer cross-multiplies). Appends the exact stat columns and
+    // `keep`, or filters with drop. Zero shuffles — per-row HOFs.
+    Registered("repetition", RowType, RowType,
+      "in=STREAM:text=COL[:drop]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val text = m.args.getOrElse("text",
+          throw new BuildError("repetition: text= required"))
+        val stats = graft.functions.TextFunctions.repetitionStats(col(text))
+        val st = stats.toMap
+        val keep = !(st("dup_lines") * 10 > st("n_lines") * 3) &&
+          !(st("dup_line_chars") * 5 > st("line_chars")) &&
+          !(st("top2_num") * 5 > st("gram_den")) &&
+          !(st("top3_num") * 100 > st("gram_den") * 18) &&
+          !(st("dup5_chars") * 100 > st("gram_den") * 15)
+        val out =
+          if (m.args.contains("drop")) df.filter(keep)
+          else stats.foldLeft(df) { case (d, (nm, c)) => d.withColumn(nm, c) }
+            .withColumn("keep", keep)
+        ctx.writeStream(m, out, RowType)
+      }),
+
     // Per-group n-gram diversity report (q212): type/token ratio.
     Registered("diversity", RowType, RowType,
       "in=STREAM:group=COL:text=COL[:n=3]:out=STREAM",

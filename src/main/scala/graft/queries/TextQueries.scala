@@ -593,6 +593,49 @@ object TextQueries {
                   - $"sx".cast("double") * $"sx".cast("double")))
                 * $"sx".cast("double")) / $"n", 4).as("ln_k"))
         .orderBy($"lang")
+    }),
+
+    // Gopher/MassiveText repetition filters (the other half of the
+    // q219 quality suite): duplicate-line fraction + character mass,
+    // top-2/3-gram character coverage, duplicate-5-gram character
+    // coverage — the classic boilerplate detectors, gated by INTEGER
+    // cross-multiplies against the published thresholds (0.30 / 0.20 /
+    // 0.20 / 0.18 / 0.15), with the exact integer numerator sums in
+    // the output so the oracle pins the full arithmetic, not just the
+    // gate bits. The synthetic corpus is single-line, so BOTH engines
+    // first rewrite ' line ' → '\n' (the corpus conveniently contains
+    // that token), giving real multi-line docs. Everything is per-row
+    // higher-order functions over the scan: zero shuffles before the
+    // per-lang hash-agg.
+    "q245_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val stats = graft.functions.TextFunctions.repetitionStats(
+        regexp_replace($"text", " line ", "\n"))
+      val st = t(s, dir, "documents").select(
+        $"lang" +: stats.map { case (nm, c) => c.as(nm) }: _*)
+      val fDl = $"dup_lines" * 10 > $"n_lines" * 3
+      val fDlc = $"dup_line_chars" * 5 > $"line_chars"
+      val fT2 = $"top2_num" * 5 > $"gram_den"
+      val fT3 = $"top3_num" * 100 > $"gram_den" * 18
+      val fD5 = $"dup5_chars" * 100 > $"gram_den" * 15
+      st.groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(!fDl && !fDlc && !fT2 && !fT3 && !fD5, lit(1)))
+            .as("kept"),
+          count(when(fDl, lit(1))).as("f_dupline"),
+          count(when(fDlc, lit(1))).as("f_duplinechar"),
+          count(when(fT2, lit(1))).as("f_top2"),
+          count(when(fT3, lit(1))).as("f_top3"),
+          count(when(fD5, lit(1))).as("f_dup5"),
+          sum($"n_lines").as("s_lines"),
+          sum($"dup_lines").as("s_dup_lines"),
+          sum($"line_chars").as("s_line_chars"),
+          sum($"dup_line_chars").as("s_dup_line_chars"),
+          sum($"gram_den").as("s_den"),
+          sum($"top2_num").as("s_top2_num"),
+          sum($"top3_num").as("s_top3_num"),
+          sum($"dup5_chars").as("s_dup5_chars"))
+        .orderBy($"lang")
     })
   )
 
@@ -958,6 +1001,103 @@ object TextQueries {
         |        / (n * CAST(sxx AS DOUBLE)
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
         |        * CAST(sx AS DOUBLE)) / n, 4) AS ln_k
-        |FROM agg WHERE n >= 2 ORDER BY lang""".stripMargin
+        |FROM agg WHERE n >= 2 ORDER BY lang""".stripMargin,
+
+    // q245 oracle: same ' line '→'\n' rewrite, same line/token split
+    // (space OR newline), exact integer line stats via list functions;
+    // the n-gram stats replay relationally — per-doc counts, top gram
+    // by (c DESC, g ASC) rank = Spark's deterministic tie-break, and
+    // dup-5 mass as Σ(c−1)·len. Sums cast to BIGINT (DuckDB sums
+    // bigints into HUGEINT otherwise).
+    "q245_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(text, ' line ', chr(10), 'g') AS t2
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(t2, chr(10)), l -> l != '') AS ls,
+        |    list_filter(string_split_regex(t2, '[ ' || chr(10) || ']'),
+        |      w -> w != '') AS wl
+        |  FROM base),
+        |st0 AS (
+        |  SELECT doc_id, lang,
+        |    len(ls) AS n_lines,
+        |    len(ls) - len(list_distinct(ls)) AS dup_lines,
+        |    coalesce(list_aggregate(list_transform(ls, x -> length(x)),
+        |      'sum'), 0) AS line_chars,
+        |    coalesce(list_aggregate(list_transform(ls, x -> length(x)),
+        |        'sum'), 0)
+        |      - coalesce(list_aggregate(list_transform(list_distinct(ls),
+        |        x -> length(x)), 'sum'), 0) AS dup_line_chars,
+        |    len(wl) AS nw,
+        |    CASE WHEN len(wl) > 0 THEN
+        |      coalesce(list_aggregate(list_transform(wl, w -> length(w)),
+        |        'sum'), 0) + len(wl) - 1
+        |    ELSE 0 END AS gram_den,
+        |    wl
+        |  FROM pl),
+        |g2c AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, wl[i] || ' ' || wl[i+1] AS g
+        |    FROM st0, LATERAL unnest(range(1, nw)) u(i))
+        |  GROUP BY doc_id, g),
+        |t2g AS (
+        |  SELECT doc_id, c * length(g) AS top2_num FROM (
+        |    SELECT doc_id, g, c, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rk
+        |    FROM g2c) WHERE rk = 1),
+        |g3c AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS g
+        |    FROM st0, LATERAL unnest(range(1, nw - 1)) u(i))
+        |  GROUP BY doc_id, g),
+        |t3g AS (
+        |  SELECT doc_id, c * length(g) AS top3_num FROM (
+        |    SELECT doc_id, g, c, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rk
+        |    FROM g3c) WHERE rk = 1),
+        |g5c AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+        |      || ' ' || wl[i+3] || ' ' || wl[i+4] AS g
+        |    FROM st0, LATERAL unnest(range(1, nw - 3)) u(i))
+        |  GROUP BY doc_id, g),
+        |d5 AS (
+        |  SELECT doc_id, CAST(sum((c - 1) * length(g)) AS BIGINT)
+        |    AS dup5_chars
+        |  FROM g5c WHERE c > 1 GROUP BY doc_id),
+        |st AS (
+        |  SELECT s.lang, s.n_lines, s.dup_lines, s.line_chars,
+        |    s.dup_line_chars, s.gram_den,
+        |    coalesce(t2g.top2_num, 0) AS top2_num,
+        |    coalesce(t3g.top3_num, 0) AS top3_num,
+        |    coalesce(d5.dup5_chars, 0) AS dup5_chars,
+        |    (s.dup_lines * 10 > s.n_lines * 3) AS f_dl,
+        |    (s.dup_line_chars * 5 > s.line_chars) AS f_dlc,
+        |    (coalesce(t2g.top2_num, 0) * 5 > s.gram_den) AS f_t2,
+        |    (coalesce(t3g.top3_num, 0) * 100 > s.gram_den * 18) AS f_t3,
+        |    (coalesce(d5.dup5_chars, 0) * 100 > s.gram_den * 15) AS f_d5
+        |  FROM st0 s
+        |  LEFT JOIN t2g ON s.doc_id = t2g.doc_id
+        |  LEFT JOIN t3g ON s.doc_id = t3g.doc_id
+        |  LEFT JOIN d5 ON s.doc_id = d5.doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN NOT f_dl AND NOT f_dlc AND NOT f_t2
+        |    AND NOT f_t3 AND NOT f_d5 THEN 1 END) AS kept,
+        |  count(CASE WHEN f_dl THEN 1 END) AS f_dupline,
+        |  count(CASE WHEN f_dlc THEN 1 END) AS f_duplinechar,
+        |  count(CASE WHEN f_t2 THEN 1 END) AS f_top2,
+        |  count(CASE WHEN f_t3 THEN 1 END) AS f_top3,
+        |  count(CASE WHEN f_d5 THEN 1 END) AS f_dup5,
+        |  CAST(sum(n_lines) AS BIGINT) AS s_lines,
+        |  CAST(sum(dup_lines) AS BIGINT) AS s_dup_lines,
+        |  CAST(sum(line_chars) AS BIGINT) AS s_line_chars,
+        |  CAST(sum(dup_line_chars) AS BIGINT) AS s_dup_line_chars,
+        |  CAST(sum(gram_den) AS BIGINT) AS s_den,
+        |  CAST(sum(top2_num) AS BIGINT) AS s_top2_num,
+        |  CAST(sum(top3_num) AS BIGINT) AS s_top3_num,
+        |  CAST(sum(dup5_chars) AS BIGINT) AS s_dup5_chars
+        |FROM st GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

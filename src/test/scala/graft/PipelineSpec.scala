@@ -777,6 +777,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(parts(1) == "4" && parts(2).toDouble < -0.9, zo.toString)
   }
 
+  test("repetition module: boilerplate dropped, clean text kept") {
+    val d = tmp("trep")
+    val boiler = Seq.fill(30)("buy now").mkString(" ")
+    val clean = (1 to 20).map(i => s"word$i").mkString(" ")
+    writeCsv(s"$d/in.csv", "id,body", s"1,$clean", s"2,$boiler")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=docs",
+      "repetition:in=docs:text=body:out=r",
+      "select:in=r:exprs=id;keep:out=rs", "sort:in=rs:by=id:out=ro",
+      "csvwrite:in=ro", s"filewrite:out=$d/r.csv"))
+    assert(readOut(s"$d/r.csv") == Seq("id,keep", "1,true", "2,false"))
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/in.csv", "csvread:infer=1:out=docs2",
+      "repetition:in=docs2:text=body:drop:out=r2",
+      "select:in=r2:exprs=id:out=r2s",
+      "csvwrite:in=r2s", s"filewrite:out=$d/r2.csv"))
+    assert(readOut(s"$d/r2.csv") == Seq("id", "1"))
+  }
+
   test("logit module: IRLS training end-to-end, matches the operator") {
     val d = tmp("logit")
     writeCsv(s"$d/t.csv", "x,y",

@@ -157,4 +157,51 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(rows(2).getDouble(0) == 0.0)
     assert(rows(3).isNullAt(0))
   }
+
+  private def repStatsRow(text: String): Map[String, Long] = {
+    val stats = TextFunctions.repetitionStats($"text")
+    val row = Seq(text).toDF("text")
+      .select(stats.map { case (nm, c) => c.as(nm) }: _*).collect()(0)
+    stats.map(_._1).zipWithIndex
+      .map { case (nm, i) => nm -> row.getLong(i) }.toMap
+  }
+
+  test("repetitionStats: hand-computed fixture, every stat exact") {
+    // lines: [a b, c d, a b, a b, e] → 5 lines, 2 beyond-first dups,
+    // 13 line chars of which 6 duplicate; words a b c d a b a b e →
+    // den 9+8=17; 'a b' occurs 3× (top2 3·3=9); all 3-grams unique →
+    // tie to smallest 'a b a' (len 5); all 5-grams unique → dup5 0.
+    val m = repStatsRow("a b\nc d\na b\na b\ne")
+    assert(m("n_lines") == 5L && m("dup_lines") == 2L)
+    assert(m("line_chars") == 13L && m("dup_line_chars") == 6L)
+    assert(m("gram_den") == 17L)
+    assert(m("top2_num") == 9L, s"top2 ${m("top2_num")}")
+    assert(m("top3_num") == 5L, s"top3 ${m("top3_num")}")
+    assert(m("dup5_chars") == 0L)
+  }
+
+  test("repetitionStats: boilerplate repeats trip the gates, clean text passes") {
+    // 30 repeats of the same 2-word phrase: the top 2-gram owns ~all
+    // the character mass and the dup-5 mass is ~(n-1)/n.
+    val boiler = repStatsRow(Seq.fill(30)("buy now").mkString(" "))
+    assert(boiler("top2_num") * 5 > boiler("gram_den"), "top2 gate must trip")
+    assert(boiler("dup5_chars") * 100 > boiler("gram_den") * 15,
+      "dup5 gate must trip")
+    // 20 distinct words, no repeated line: every gate clears.
+    val clean = repStatsRow((1 to 20).map(i => s"word$i").mkString(" "))
+    assert(clean("dup_lines") == 0L && clean("dup5_chars") == 0L)
+    assert(clean("top2_num") * 5 <= clean("gram_den"))
+    assert(clean("top3_num") * 100 <= clean("gram_den") * 18)
+  }
+
+  test("repetitionStats edge cases: empty and single-word docs are all-zero") {
+    for (t <- Seq("", " ", "solo", "\n\n")) {
+      val m = repStatsRow(t)
+      assert(m("dup_lines") == 0L && m("dup_line_chars") == 0L,
+        s"'$t' dup stats")
+      assert(m("top2_num") == 0L && m("top3_num") == 0L
+        && m("dup5_chars") == 0L, s"'$t' gram stats")
+      if (t.trim.isEmpty) assert(m("gram_den") == 0L, s"'$t' den")
+    }
+  }
 }
