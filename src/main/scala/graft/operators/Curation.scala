@@ -808,6 +808,90 @@ object Curation {
           count(lit(1)).cast("double"), 6).as("xent"))
   }
 
+  /** Interpolated Kneser-Ney bigram cross-entropy — the smoothing the
+    * production KenLM filters actually use, where [[bigramCrossEntropy]]
+    * is the add-k baseline. Per scored bigram (w1, w2):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *              + D·N1+(w1,·)/c(w1) · Pcont(w2)
+    *
+    * with c() the reference bigram counts, N1+(w1,·) the distinct
+    * continuations of w1 (absolute discounting redistributes exactly
+    * D·N1+(w1,·) of w1's mass), and the continuation probability
+    *
+    *   Pcont(w2) = (N1+(·,w2) + k) / (Ntypes + k·(Vcont + 1))
+    *
+    * — the Kneser-Ney "how many contexts precede w2" distribution,
+    * add-k smoothed over one extra OOV bucket so unseen words keep
+    * positive mass (the standard open-vocabulary closure; KN's
+    * textbook form assumes a closed vocabulary and divides by Ntypes
+    * alone). Unseen contexts (c(w1)=0) back off to Pcont entirely.
+    *
+    * Determinism contract (the q234 one): all counts are exact
+    * integers from hash-aggs; each bigram's log-probability is ONE
+    * fixed-order IEEE double expression (D and k exactly
+    * representable: 0.75, 0.5) quantized to decimal(30,12) before the
+    * per-doc sum; the only unquantized float op is the final division.
+    * ln-ULP agreement per the q132 precedent.
+    *
+    * Scale shape — identical to [[bigramCrossEntropy]] plus one
+    * CONSTANT-sized relation: training is the (w1,w2) hash-agg, the
+    * w1-keyed and w2-keyed rollups of THAT table (strictly smaller),
+    * and a broadcast 1-row (Ntypes, Vcont); scoring is the narrow
+    * bigram generator and three vocab-keyed left equi-joins, one
+    * doc-keyed hash-agg. No driver-side model, no extra corpus pass.
+    *
+    * Output: (id, n_bigrams, xent) per scored doc with ≥ 2 tokens.
+    */
+  def kneserNeyCrossEntropy(train: DataFrame, df: DataFrame, idCol: String,
+                            textCol: String, discount: Double = 0.75,
+                            contK: Double = 0.5,
+                            ngramMode: String = "word"): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"kneserNeyCrossEntropy: discount in (0,1), got $discount")
+    require(contK > 0, s"kneserNeyCrossEntropy: contK must be > 0, got $contK")
+    val toks = lmTokenizer(ngramMode, "kneserNeyCrossEntropy")
+    def bigrams(src: DataFrame): DataFrame = {
+      val base = src.select(col(idCol).as("__id"),
+          toks(col(textCol)).as("__t"))
+        .withColumn("__n", size(col("__t")))
+        .filter(col("__n") >= 2)
+      base.select(col("__id"), col("__t"),
+          posexplode(sequence(lit(1), col("__n") - 1)).as(Seq("__x", "__i")))
+        .select(col("__id"),
+          element_at(col("__t"), col("__i")).as("__w1"),
+          element_at(col("__t"), col("__i") + 1).as("__w2"))
+    }
+    val bTab = bigrams(train)
+      .groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__b"))
+    val ctx = bTab.groupBy(col("__w1"))
+      .agg(sum(col("__b")).as("__c1"), count(lit(1)).as("__nf"))
+    val cont = bTab.groupBy(col("__w2")).agg(count(lit(1)).as("__nb"))
+    // one 1-row aggregate: Ntypes = |btab|, Vcont = |cont| =
+    // |distinct w2 in btab| — fused so scoring takes a single
+    // broadcast-global crossJoin
+    val glob = bTab.agg(count(lit(1)).as("__nt"),
+      countDistinct(col("__w2")).as("__vc"))
+    val pc = (coalesce(col("__nb"), lit(0L)).cast("double") + lit(contK)) /
+      (col("__nt").cast("double") +
+        lit(contK) * (col("__vc").cast("double") + lit(1.0)))
+    val p = when(col("__c1").isNull, pc).otherwise(
+      greatest(coalesce(col("__b"), lit(0L)).cast("double") - lit(discount),
+          lit(0.0)) / col("__c1").cast("double") +
+        lit(discount) * col("__nf").cast("double") /
+          col("__c1").cast("double") * pc)
+    bigrams(df)
+      .join(bTab, Seq("__w1", "__w2"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(glob))
+      .select(col("__id"), log(p).cast("decimal(30,12)").as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("__lp")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("xent"))
+  }
+
   /** Statistical language identification by GROUPED bigram LMs — one
     * model per label trained in ONE pass (counts keyed (label,
     * bigram) / (label, word)), every doc scored against EVERY label's

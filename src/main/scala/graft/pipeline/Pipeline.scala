@@ -1438,12 +1438,15 @@ object Pipeline {
       }),
 
     Registered("lmscore", RowType, RowType,
-      "in=SCORE:train=STREAM:key=COL:text=COL[:k=0.5:ngram=word|char]:out=STREAM",
+      "in=SCORE:train=STREAM:key=COL:text=COL[:k=0.5:ngram=word|char" +
+        ":smoothing=addk|kn:discount=0.75]:out=STREAM",
       (ctx, m) => {
-        // CCNet-style LM quality filter (q234 /
-        // Curation.bigramCrossEntropy): smoothed-bigram cross-entropy
-        // of each doc against a reference corpus; emits
-        // (key, n_bigrams, xent). ngram=char for unsegmented scripts.
+        // CCNet-style LM quality filter (q234 q246): smoothed-bigram
+        // cross-entropy of each doc against a reference corpus; emits
+        // (key, n_bigrams, xent). ngram=char for unsegmented scripts;
+        // smoothing=kn switches add-k (bigramCrossEntropy) to
+        // interpolated Kneser-Ney (kneserNeyCrossEntropy — k then
+        // smooths the continuation distribution).
         val df = ctx.readStream(m, RowType)
         val tname = m.args.getOrElse("train",
           throw new BuildError("lmscore: train= required"))
@@ -1459,8 +1462,17 @@ object Pipeline {
         val ngram = m.args.getOrElse("ngram", "word")
         if (ngram != "word" && ngram != "char")
           throw new BuildError(s"lmscore: ngram must be word or char, got $ngram")
-        ctx.writeStream(m, graft.operators.Curation.bigramCrossEntropy(
-          tr, df, req("key"), req("text"), k, ngram), RowType)
+        val smoothing = m.args.getOrElse("smoothing", "addk")
+        val out = smoothing match {
+          case "addk" => graft.operators.Curation.bigramCrossEntropy(
+            tr, df, req("key"), req("text"), k, ngram)
+          case "kn" => graft.operators.Curation.kneserNeyCrossEntropy(
+            tr, df, req("key"), req("text"),
+            m.args.getOrElse("discount", "0.75").toDouble, k, ngram)
+          case other => throw new BuildError(
+            s"lmscore: smoothing must be addk or kn, got $other")
+        }
+        ctx.writeStream(m, out, RowType)
       }),
 
     Registered("lmlangid", RowType, RowType,

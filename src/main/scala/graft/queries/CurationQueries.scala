@@ -643,6 +643,20 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Kneser-Ney smoothed LM filter (Curation.kneserNeyCrossEntropy):
+    // the smoothing production KenLM filters actually use — absolute
+    // discounting (D=0.75) + the continuation-count backoff — trained
+    // on the English slice, scoring every doc. The add-k sibling is
+    // q234; same determinism contract (exact counts, one fixed-order
+    // double per bigram quantized pre-sum).
+    "q246_kneser_ney" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Curation.kneserNeyCrossEntropy(docs.filter($"lang" === "en"), docs,
+          "doc_id", "text", discount = 0.75, contK = 0.5)
+        .orderBy($"doc_id")
+    }),
+
     // Moore-Lewis cross-entropy difference (Curation.mooreLewisScore):
     // target LM = English docs, raw LM = the whole pool; mls =
     // xent_raw - xent_target ranks docs by how much more target-like
@@ -1613,6 +1627,49 @@ object CurationQueries {
         |      / (CAST(coalesce(u, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
         |      AS DECIMAL(30,12)) AS lp
         |  FROM sb LEFT JOIN btab USING (bg) LEFT JOIN utab USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q246 oracle: exact KN count tables (bigram counts, context
+    // rollup c1/nf, continuation rollup nb, 1-row Ntypes/Vcont), then
+    // the identical fixed-order double per bigram — discount arm order
+    // matches the Spark expression term for term.
+    "q246_kneser_ney" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS t,
+        |    len(list_filter(string_split(text, ' '), t -> t != '')) AS n
+        |  FROM documents),
+        |tb AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM base, LATERAL unnest(range(1, n)) u(i)
+        |  WHERE lang = 'en' AND n >= 2),
+        |btab AS (SELECT w1, w2, count(*) AS b FROM tb GROUP BY w1, w2),
+        |ctx AS (
+        |  SELECT w1, CAST(sum(b) AS BIGINT) AS c1, count(*) AS nf
+        |  FROM btab GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS nb FROM btab GROUP BY w2),
+        |gl AS (
+        |  SELECT (SELECT count(*) FROM btab) AS nt,
+        |    (SELECT count(*) FROM cont) AS vc),
+        |sb AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM base, LATERAL unnest(range(1, n)) u(i) WHERE n >= 2),
+        |sc AS (
+        |  SELECT doc_id, b, c1, nf,
+        |    (CAST(coalesce(nb, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(nt AS DOUBLE) + 0.5 * (CAST(vc AS DOUBLE) + 1.0)) AS pc
+        |  FROM sb LEFT JOIN btab USING (w1, w2) LEFT JOIN ctx USING (w1)
+        |    LEFT JOIN cont USING (w2), gl),
+        |lp AS (
+        |  SELECT doc_id, CAST(ln(
+        |    CASE WHEN c1 IS NULL THEN pc
+        |    ELSE greatest(CAST(coalesce(b, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(c1 AS DOUBLE)
+        |      + 0.75 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE) * pc END)
+        |    AS DECIMAL(30,12)) AS lp
+        |  FROM sc)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,

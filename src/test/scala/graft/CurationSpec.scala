@@ -563,6 +563,60 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - math.log(9.0)) < 1e-6, out.toString)
   }
 
+  test("kneserNeyCrossEntropy: hand-traced probability on a tiny corpus") {
+    // train "a b a b a c": btab {ab:2, ba:2, ac:1}; ctx a:(c1=3,nf=2),
+    // b:(c1=2,nf=1); cont {a:1, b:1, c:1}; nt=3 types, vc=3.
+    // pc(b) = (1+0.5)/(3+0.5·4) = 0.3
+    // P(b|a) = (2−0.75)/3 + 0.75·2/3·0.3 = 0.56666…
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b")).toDF("doc_id", "text")
+    val out = Curation.kneserNeyCrossEntropy(train, score, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = -math.log(1.25 / 3.0 + 0.75 * 2.0 / 3.0 * 0.3)
+    assert(out.size == 1 && out.head._2 == 1L, out.toString)
+    assert(math.abs(out.head._3 - want) < 1e-6,
+      s"got ${out.head._3}, want $want")
+  }
+
+  test("kneserNeyCrossEntropy: seen-context mass sums below one, OOV finite") {
+    val train = Seq((1L, "a b a b a c b a")).toDF("doc_id", "text")
+    // every (context, word) pair over the training vocabulary: total
+    // P(w|ctx) over seen w plus the discount leak must stay <= 1
+    val vocab = Seq("a", "b", "c")
+    val probes = for {
+      (c, i) <- vocab.zipWithIndex; (w, j) <- vocab.zipWithIndex
+    } yield ((i * 3 + j).toLong, s"$c $w")
+    val out = Curation.kneserNeyCrossEntropy(
+        train, probes.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, math.exp(-r._3))).toMap
+    for ((c, i) <- vocab.zipWithIndex) {
+      val tot = vocab.indices.map(j => out((i * 3 + j).toLong)).sum
+      assert(tot > 0 && tot <= 1.0 + 1e-9, s"context $c sums to $tot")
+    }
+    // fully OOV bigram: pure smoothed continuation -> finite positive
+    val oov = Curation.kneserNeyCrossEntropy(train,
+        Seq((99L, "zz qq")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().head
+    assert(oov._3 > 0 && !oov._3.isInfinite, oov.toString)
+  }
+
+  test("kneserNeyCrossEntropy: in-domain beats gibberish, char mode works") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the rug"),
+      (11L, "zx qv wk jn pf lm")).toDF("doc_id", "text")
+    val out = Curation.kneserNeyCrossEntropy(train, score, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out(0)._3 < out(1)._3, s"in-domain should beat gibberish: $out")
+    val ch = Curation.kneserNeyCrossEntropy(train, score, "doc_id", "text",
+        ngramMode = "char")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(ch(0)._3 < ch(1)._3, s"char mode: $ch")
+  }
+
   test("bigramLangId: separable labels classify correctly, ties go to label order") {
     val train = Seq(
       ("aa", 1L, "x y x y x y"),

@@ -796,6 +796,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(readOut(s"$d/r2.csv") == Seq("id", "1"))
   }
 
+  test("lmscore module: smoothing=kn routes to Kneser-Ney, matches the operator") {
+    import spark.implicits._
+    val d = tmp("tkn")
+    writeCsv(s"$d/tr.csv", "doc_id,body", "1,a b a b a c")
+    writeCsv(s"$d/sc.csv", "doc_id,body", "10,a b")
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/tr.csv", "csvread:infer=1:out=tr",
+      s"fileread:in=$d/sc.csv", "csvread:infer=1:out=sc",
+      "lmscore:in=sc:train=tr:key=doc_id:text=body:smoothing=kn:out=kn",
+      "csvwrite:in=kn", s"filewrite:out=$d/kn.csv"))
+    val got = readOut(s"$d/kn.csv")
+    val want = graft.operators.Curation.kneserNeyCrossEntropy(
+        Seq((1L, "a b a b a c")).toDF("doc_id", "body"),
+        Seq((10L, "a b")).toDF("doc_id", "body"), "doc_id", "body")
+      .as[(Long, Long, Double)].collect().head
+    assert(got == Seq("doc_id,n_bigrams,xent", s"10,1,${want._3}"), got.toString)
+  }
+
   test("logit module: IRLS training end-to-end, matches the operator") {
     val d = tmp("logit")
     writeCsv(s"$d/t.csv", "x,y",

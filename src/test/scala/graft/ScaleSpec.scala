@@ -994,6 +994,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan) // count tables combine map-side
   }
 
+  test("Kneser-Ney filter: same LM plan discipline as add-k plus 1-row globals") {
+    val plan = executed(SparkEntry.queries("q246_kneser_ney")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one tolerated BNLJ: the broadcast 1-row (Ntypes, Vcont) globals
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+    assert(plan.contains("partial_count"), plan) // count tables combine map-side
+  }
+
   test("labelPropagation: EVERY executed round stays equi-join shaped") {
     import graft.operators.Ops
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
