@@ -361,4 +361,58 @@ object Drift {
           .otherwise(round(col("n_pos").cast("double") /
             col("resamples").cast("double"), 6)).as("frac_pos"))
   }
+
+  /** Cohen's kappa — chance-corrected inter-rater agreement between
+    * two categorical rating columns, per group: κ = (p_o − p_e)/(1 −
+    * p_e) with p_o the observed agreement rate and p_e the chance rate
+    * Σ_c marginal_a(c)·marginal_b(c). The labeling-QA staple for
+    * RLHF/eval annotation pipelines (rater vs rater, model vs gold).
+    *
+    * Determinism: agreement and the per-label marginal counts are
+    * exact integers; the chance numerator Σ n_a(c)·n_b(c) accumulates
+    * as decimal(38,0) (products of two corpus-scale counts overflow
+    * long at ~3·10⁹ rows); p_o, p_e, and κ are fixed-order double
+    * expressions over those exact values, rounded at the edge —
+    * mirrors 1:1 into SQL.
+    *
+    * Scale shape: one grouped agg for (n, agree), two (group,
+    * label)-keyed aggs for the marginals, one full-outer vocab-sized
+    * join between them (labels missing from one rater contribute 0),
+    * one group-keyed hash-agg for the chance sum, one broadcast-sized
+    * group join at the end. Everything keys on (group, label): no
+    * windows, no corpus reshuffle beyond the label aggs.
+    *
+    * Output: (groupCols…, n, agree, po, pe, kappa); κ is NULL when
+    * p_e = 1 (both raters constant and equal — agreement is undefined
+    * beyond chance).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+                 groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val r = df.select(g :+ col(aCol).cast("string").as("__a")
+      :+ col(bCol).cast("string").as("__b"): _*)
+    def grouped(d: DataFrame, cols: Seq[Column]) =
+      if (cols.isEmpty) d.groupBy() else d.groupBy(cols: _*)
+    val base = grouped(r, g).agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("agree"))
+    val ma = grouped(r, g :+ col("__a").as("__c"))
+      .agg(count(lit(1)).as("__na"))
+    val mb = grouped(r, g :+ col("__b").as("__c"))
+      .agg(count(lit(1)).as("__nb"))
+    val joinKeys = groupCols :+ "__c"
+    val chance = ma.join(mb, joinKeys, "full_outer")
+      .select(g :+ (coalesce(col("__na"), lit(0L)) *
+        coalesce(col("__nb"), lit(0L))).cast("decimal(38,0)").as("__ab"): _*)
+    val pe = grouped(chance, g).agg(sum(col("__ab")).as("__s"))
+    val joined =
+      if (groupCols.isEmpty) base.crossJoin(broadcast(pe))
+      else base.join(pe, groupCols)
+    val poX = col("agree").cast("double") / col("n").cast("double")
+    val peX = col("__s").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    joined.select(g ++ Seq(col("n"), col("agree"),
+      round(poX, 6).as("po"), round(peX, 6).as("pe"),
+      when(peX === 1.0, lit(null).cast("double"))
+        .otherwise(round((poX - peX) / (lit(1.0) - peX), 6)).as("kappa")): _*)
+  }
 }

@@ -2903,6 +2903,20 @@ object Pipeline {
           expr(req("value"))), RowType)
       }),
 
+    // Cohen's kappa (q247): chance-corrected inter-rater agreement
+    // between two categorical columns, optionally per group.
+    Registered("kappa", RowType, RowType,
+      "in=STREAM:a=COL:b=COL[:group=COL,...]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"kappa: $k= required"))
+        val groups = m.args.get("group").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        ctx.writeStream(m, graft.operators.Drift.cohenKappa(
+          df, req("a"), req("b"), groups), RowType)
+      }),
+
     Registered("auc", RowType, RowType,
       "in=STREAM:score=EXPR:pos=EXPR:out=STREAM",
       (ctx, m) => {

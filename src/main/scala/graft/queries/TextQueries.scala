@@ -636,6 +636,19 @@ object TextQueries {
           sum($"top3_num").as("s_top3_num"),
           sum($"dup5_chars").as("s_dup5_chars"))
         .orderBy($"lang")
+    }),
+
+    // Cohen's kappa (Drift.cohenKappa): chance-corrected agreement
+    // between the langId heuristic and the gold lang label, per
+    // source — the labeling-QA statistic (is the cheap classifier
+    // actually agreeing beyond what the label marginals force?). All
+    // counts exact; po/pe/kappa are fixed-order doubles over them.
+    "q247_kappa" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "documents")
+        .select($"source", langId($"text").as("ra"), $"lang".as("rb"))
+      graft.operators.Drift.cohenKappa(r, "ra", "rb", Seq("source"))
+        .orderBy($"source")
     })
   )
 
@@ -1098,6 +1111,43 @@ object TextQueries {
         |  CAST(sum(top2_num) AS BIGINT) AS s_top2_num,
         |  CAST(sum(top3_num) AS BIGINT) AS s_top3_num,
         |  CAST(sum(dup5_chars) AS BIGINT) AS s_dup5_chars
-        |FROM st GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q247 oracle: the langId fold (langCaseSql) as rater A, exact
+    // marginal-product chance sum as DECIMAL(38,0), the same
+    // fixed-order po/pe/kappa doubles.
+    "q247_kappa" ->
+      s"""WITH r AS (
+         |  SELECT source, $langCaseSql AS ra, lang AS rb
+         |  FROM (SELECT source, lang, string_split(text, ' ') AS ws
+         |        FROM documents)),
+         |base AS (
+         |  SELECT source, count(*) AS n,
+         |    CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS agree
+         |  FROM r GROUP BY source),
+         |ma AS (SELECT source, ra AS c, count(*) AS na
+         |       FROM r GROUP BY source, ra),
+         |mb AS (SELECT source, rb AS c, count(*) AS nb
+         |       FROM r GROUP BY source, rb),
+         |ch AS (
+         |  SELECT coalesce(ma.source, mb.source) AS source,
+         |    CAST(coalesce(na, 0) * coalesce(nb, 0) AS DECIMAL(38,0)) AS ab
+         |  FROM ma FULL OUTER JOIN mb
+         |    ON ma.source = mb.source AND ma.c = mb.c),
+         |pe AS (SELECT source, CAST(sum(ab) AS DECIMAL(38,0)) AS s
+         |       FROM ch GROUP BY source)
+         |SELECT b.source, b.n, b.agree,
+         |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         |  round(CAST(s AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+         |  CASE WHEN CAST(s AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0 THEN NULL
+         |  ELSE round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |    / (1.0 - CAST(s AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         |  END AS kappa
+         |FROM base b JOIN pe USING (source) ORDER BY source""".stripMargin
   )
 }

@@ -1191,4 +1191,44 @@ class OpsSpec extends AnyFunSuite {
     assert(CacheProbe.cacheIsEmpty(spark),
       "hits left persisted internals in the session cache")
   }
+
+  test("cohenKappa: hand-computed values, degenerate and disjoint raters") {
+    import graft.operators.Drift
+    // A [x,x,y,y] vs B [x,y,y,y]: po=3/4, marginals (2,2)/(1,3),
+    // pe=(2·1+2·3)/16=0.5 -> kappa=(0.75-0.5)/0.5=0.5
+    val r = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"))
+      .toDF("ra", "rb")
+    val out = Drift.cohenKappa(r, "ra", "rb").collect().head
+    assert(out.getAs[Long]("n") == 4L && out.getAs[Long]("agree") == 3L)
+    assert(out.getAs[Double]("po") == 0.75 && out.getAs[Double]("pe") == 0.5)
+    assert(out.getAs[Double]("kappa") == 0.5, out.toString)
+    // perfect symmetric disagreement -> kappa = -1
+    val d = Drift.cohenKappa(
+      Seq(("x", "y"), ("y", "x")).toDF("ra", "rb"), "ra", "rb")
+      .collect().head
+    assert(d.getAs[Double]("kappa") == -1.0, d.toString)
+    // both raters constant and equal: pe = 1 -> kappa undefined (NULL)
+    val c = Drift.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("ra", "rb"), "ra", "rb")
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("kappa")), c.toString)
+    // disjoint label sets (full-outer marginals): pe = 0, kappa = po = 0
+    val j = Drift.cohenKappa(
+      Seq(("x", "z"), ("y", "z")).toDF("ra", "rb"), "ra", "rb")
+      .collect().head
+    assert(j.getAs[Double]("pe") == 0.0 && j.getAs[Double]("kappa") == 0.0,
+      j.toString)
+  }
+
+  test("cohenKappa: grouped keys stay independent") {
+    import graft.operators.Drift
+    val r = Seq(
+      ("g1", "x", "x"), ("g1", "y", "y"),          // perfect, pe=0.5 -> 1.0
+      ("g2", "x", "y"), ("g2", "y", "x"))          // inverted -> -1.0
+      .toDF("g", "ra", "rb")
+    val out = Drift.cohenKappa(r, "ra", "rb", Seq("g"))
+      .orderBy("g").collect()
+    assert(out(0).getAs[Double]("kappa") == 1.0, out(0).toString)
+    assert(out(1).getAs[Double]("kappa") == -1.0, out(1).toString)
+  }
 }
