@@ -1798,6 +1798,96 @@ object Ops {
     } finally ranked.unpersist(blocking = false)
   }
 
+  /** Bradley-Terry preference-strength fitting by Hunter's MM
+    * algorithm — the model behind pairwise-preference leaderboards
+    * (RLHF comparison data, model arenas): given (winner, loser)
+    * contest rows, estimate a positive strength w per item with
+    * P(i beats j) = w_i/(w_i + w_j). Each MM round updates
+    * `w_i ← W_i / Σ_j n_ij/(w_i + w_j)` (W_i total wins, n_ij games
+    * between i and j), which monotonically increases the likelihood.
+    *
+    * Regularization: every unordered pair that met gets +0.5
+    * pseudo-wins in EACH direction (so n_ij gains +1). This is the
+    * standard add-half smoothing that makes every participating item's
+    * strength strictly positive and the update well-defined even for
+    * undefeated/winless items and disconnected contest graphs — the
+    * unsmoothed MLE diverges on those (Hunter 2004's connectivity
+    * assumption).
+    *
+    * Determinism contract: win/game counts are exact integers; W_i
+    * and n'_ij are exact half-integer doubles; each round's
+    * denominator terms n'_ij/(w_i+w_j) are quantized to
+    * decimal(30,12) BEFORE the per-item sum (order-free), and the
+    * update is one double division — so a fixed-iteration oracle
+    * unroll replays it bit-for-bit (q248). The final scores are
+    * mean-normalized (mean strength = 1) via an exact decimal sum.
+    *
+    * Scale shape: contests collapse to one (i,j)-keyed hash-agg
+    * (pair-type-sized, NOT contest-sized); each round is two
+    * item-keyed equi-joins of the pair table against the w relation
+    * plus one hash-agg — the iterative-graph cost — with per-round
+    * eager localCheckpoint and release on all exit paths (iterative
+    * protocol). No windows, no driver-side state.
+    *
+    * Output: (item, n_games, n_wins, score), score rounded 6.
+    */
+  def bradleyTerry(contests: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"bradleyTerry: iters in [1,64], got $iters")
+    val dir = contests
+      .select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .filter(col("__w") =!= col("__l") &&
+        col("__w").isNotNull && col("__l").isNotNull)
+      .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__n"))
+    // one ordered row per met pair: wins of i over j + total games
+    val both = dir.select(col("__w").as("__i"), col("__l").as("__j"),
+        col("__n").as("__win"), col("__n").as("__g"))
+      .unionByName(dir.select(col("__l").as("__i"), col("__w").as("__j"),
+        lit(0L).as("__win"), col("__n").as("__g")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__win")).as("__wn"), sum(col("__g")).as("__gn"))
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      def ckpt(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(eager = true)
+        held += c
+        c
+      }
+      val pair = ckpt(both.select(col("__i"), col("__j"),
+        (col("__gn").cast("double") + lit(1.0)).as("__nij")))
+      val wt = ckpt(both.groupBy(col("__i")).agg(
+        (sum(col("__wn")).cast("double") +
+          count(lit(1)).cast("double") * lit(0.5)).as("__W"),
+        sum(col("__gn")).as("n_games"),
+        sum(col("__wn")).as("n_wins")))
+      var w = ckpt(wt.select(col("__i"), lit(1.0).as("__v")))
+      var it = 0
+      while (it < iters) {
+        val denom = pair
+          .join(w, "__i")
+          .join(w.select(col("__i").as("__j"), col("__v").as("__vj")), "__j")
+          .select(col("__i"), (col("__nij") / (col("__v") + col("__vj")))
+            .cast("decimal(30,12)").as("__t"))
+          .groupBy(col("__i")).agg(sum(col("__t")).as("__d"))
+        w = ckpt(wt.join(denom, "__i")
+          .select(col("__i"), (col("__W") / col("__d").cast("double"))
+            .as("__v")))
+        it += 1
+      }
+      val nrm = w.agg(sum(col("__v").cast("decimal(30,12)")).as("__s"),
+        count(lit(1)).as("__c"))
+      // eager: materialized before the finally releases `held`
+      wt.join(w, "__i")
+        .crossJoin(broadcast(nrm))
+        .select(col("__i").as("item"), col("n_games"), col("n_wins"),
+          round(col("__v") * col("__c").cast("double") /
+            col("__s").cast("double"), 6).as("score"))
+        .localCheckpoint(eager = true)
+    } finally held.foreach(_.unpersist(blocking = false))
+  }
+
   /** k-core of an undirected graph by iterative peeling (Matula-Beck;
     * the distributed round form of Batagelj-Zavrsnik): repeatedly drop
     * every node whose degree is < k until none is, returning the

@@ -2893,6 +2893,19 @@ object Pipeline {
           df, feats, expr(req("label")), iters), RowType)
       }),
 
+    // Bradley-Terry preference strengths (q248): fit pairwise-contest
+    // rows to per-item scores by Hunter's MM with add-half smoothing.
+    Registered("btrank", RowType, RowType,
+      "in=STREAM:winner=COL:loser=COL[:iters=8]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"btrank: $k= required"))
+        val iters = m.args.getOrElse("iters", "8").toInt
+        ctx.writeStream(m, graft.operators.Ops.bradleyTerry(
+          df, req("winner"), req("loser"), iters), RowType)
+      }),
+
     Registered("gini", RowType, RowType,
       "in=STREAM:key=COL:value=EXPR:out=STREAM",
       (ctx, m) => {

@@ -643,6 +643,27 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Bradley-Terry preference strengths (Ops.bradleyTerry): contests
+    // between SOURCES — consecutive doc ids from different sources
+    // "compete", the higher qualityScore wins (ties to the earlier
+    // doc) — fitted by 8 MM rounds with add-half smoothing. The
+    // pairwise-leaderboard model (RLHF comparisons, model arenas);
+    // the oracle unrolls the rounds as CTEs like q242's power
+    // iteration.
+    "q248_bradley_terry" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source",
+        graft.functions.TextFunctions.qualityScore($"text").as("q"))
+      val a = docs.select($"doc_id", $"source".as("sa"), $"q".as("qa"))
+      val b = docs.select(($"doc_id" - 1).as("doc_id"),
+        $"source".as("sb"), $"q".as("qb"))
+      val ct = a.join(b, "doc_id").filter($"sa" =!= $"sb")
+        .select(when($"qa" >= $"qb", $"sa").otherwise($"sb").as("w"),
+          when($"qa" >= $"qb", $"sb").otherwise($"sa").as("l"))
+      graft.operators.Ops.bradleyTerry(ct, "w", "l", iters = 8)
+        .orderBy($"item")
+    }),
+
     // Kneser-Ney smoothed LM filter (Curation.kneserNeyCrossEntropy):
     // the smoothing production KenLM filters actually use — absolute
     // discounting (D=0.75) + the continuation-count backoff — trained
@@ -1630,6 +1651,59 @@ object CurationQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q248 oracle: the contest construction (qualitySql both sides),
+    // exact win/game count tables, then 8 MM rounds unrolled as
+    // generated CTEs — denominator terms quantized to decimal(30,12)
+    // pre-sum exactly like the Spark loop, one double division per
+    // update, exact-decimal mean normalization at the end.
+    "q248_bradley_terry" -> {
+      val qa = TextQueries.qualitySql("a.text")
+      val qb = TextQueries.qualitySql("b.text")
+      val its = (1 to 8).map { k =>
+        val pv = s"v${k - 1}"
+        s"""d$k AS (
+           |  SELECT p.i, sum(CAST(p.nij / (x.v + y.v) AS DECIMAL(30,12))) AS d
+           |  FROM pair p JOIN $pv x ON x.i = p.i JOIN $pv y ON y.i = p.j
+           |  GROUP BY p.i),
+           |v$k AS MATERIALIZED (
+           |  SELECT wt.i, wt.W / CAST(d.d AS DOUBLE) AS v
+           |  FROM wt JOIN d$k d ON d.i = wt.i)"""
+      }.mkString(",\n")
+      s"""WITH ct AS (
+         |  SELECT CASE WHEN qa >= qb THEN sa ELSE sb END AS w,
+         |         CASE WHEN qa >= qb THEN sb ELSE sa END AS l
+         |  FROM (
+         |    SELECT a.source AS sa, b.source AS sb,
+         |      $qa AS qa,
+         |      $qb AS qb
+         |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |    WHERE a.source != b.source)),
+         |dir AS (SELECT w, l, count(*) AS n FROM ct GROUP BY w, l),
+         |both0 AS (
+         |  SELECT i, j, CAST(sum(win) AS BIGINT) AS wn,
+         |    CAST(sum(g) AS BIGINT) AS gn
+         |  FROM (
+         |    SELECT w AS i, l AS j, n AS win, n AS g FROM dir
+         |    UNION ALL SELECT l AS i, w AS j, 0 AS win, n AS g FROM dir)
+         |  GROUP BY i, j),
+         |pair AS MATERIALIZED (
+         |  SELECT i, j, CAST(gn AS DOUBLE) + 1.0 AS nij FROM both0),
+         |wt AS MATERIALIZED (
+         |  SELECT i, CAST(sum(wn) AS DOUBLE)
+         |      + CAST(count(*) AS DOUBLE) * 0.5 AS W,
+         |    CAST(sum(gn) AS BIGINT) AS n_games,
+         |    CAST(sum(wn) AS BIGINT) AS n_wins
+         |  FROM both0 GROUP BY i),
+         |v0 AS (SELECT i, 1.0 AS v FROM wt),
+         |$its,
+         |nr AS (
+         |  SELECT CAST(sum(CAST(v AS DECIMAL(30,12))) AS DECIMAL(38,12)) AS s,
+         |    count(*) AS c FROM v8)
+         |SELECT wt.i AS item, n_games, n_wins,
+         |  round(v * CAST(c AS DOUBLE) / CAST(s AS DOUBLE), 6) AS score
+         |FROM v8 JOIN wt ON wt.i = v8.i, nr ORDER BY item""".stripMargin
+    },
 
     // q246 oracle: exact KN count tables (bigram counts, context
     // rollup c1/nf, continuation rollup nb, 1-row Ntypes/Vcont), then

@@ -1192,6 +1192,74 @@ class OpsSpec extends AnyFunSuite {
       "hits left persisted internals in the session cache")
   }
 
+  test("bradleyTerry: two-player fixpoint is exact, order and smoothing hold") {
+    import graft.operators.Ops
+    import org.apache.spark.sql.graftprobe.CacheProbe
+    // A beats B 3 of 4: smoothed wins 3.5/1.5 over n'=5 games; the
+    // 2-player MM update lands the MLE odds W_A/W_B in ONE round and
+    // stays there: normalized scores exactly 1.4 / 0.6.
+    val ct = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("w", "l")
+    val out = Ops.bradleyTerry(ct, "w", "l", iters = 8)
+      .orderBy("item").collect()
+    assert(out.map(_.getAs[String]("item")).toSeq == Seq("A", "B"))
+    assert(out(0).getAs[Long]("n_games") == 4L
+      && out(0).getAs[Long]("n_wins") == 3L)
+    assert(out(0).getAs[Double]("score") == 1.4, out(0).toString)
+    assert(out(1).getAs[Double]("score") == 0.6, out(1).toString)
+    // transitive chain orders A > B > C
+    val chain = Ops.bradleyTerry(
+      Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C")).toDF("w", "l"),
+      "w", "l").collect().map(r =>
+        r.getAs[String]("item") -> r.getAs[Double]("score")).toMap
+    assert(chain("A") > chain("B") && chain("B") > chain("C"), chain.toString)
+    // winless item keeps strictly positive strength (add-half)
+    assert(chain("C") > 0.0)
+    // self-contests and nulls are dropped, not counted
+    val noisy = Ops.bradleyTerry(
+      Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"),
+        ("A", "A"), (null, "B")).toDF("w", "l"), "w", "l")
+      .orderBy("item").collect()
+    assert(noisy.map(r => (r.getAs[String]("item"),
+      r.getAs[Double]("score"))).toSeq == Seq(("A", 1.4), ("B", 0.6)),
+      noisy.mkString(","))
+    assert(CacheProbe.cacheIsEmpty(spark),
+      "bradleyTerry left persisted internals in the session cache")
+  }
+
+  test("bradleyTerry: every executed MM round stays equi-join shaped") {
+    import graft.operators.Ops
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val ct = (1 to 200).map(i => (s"s${i % 7}", s"s${(i * 3) % 7}"))
+        .toDF("w", "l")
+      Ops.bradleyTerry(ct, "w", "l", iters = 4).count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (plans.size == last) stable += 1 else { last = plans.size; stable = 0 }
+      }
+    } finally spark.listenerManager.unregister(l)
+    assert(plans.size >= 4, s"expected per-round jobs, saw ${plans.size}")
+    plans.forEach { p0 =>
+      // AQE toString dumps Final AND Initial plans — grade the final
+      val p = p0.split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct"), p)
+      // tolerated: the single broadcast 1-row normalization join
+      assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p)
+    }
+  }
+
   test("cohenKappa: hand-computed values, degenerate and disjoint raters") {
     import graft.operators.Drift
     // A [x,x,y,y] vs B [x,y,y,y]: po=3/4, marginals (2,2)/(1,3),
