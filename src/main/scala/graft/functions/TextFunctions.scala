@@ -194,22 +194,30 @@ object TextFunctions {
     })
   }
 
-  /** The full repetition battery as named exact-integer columns.
+  /** The full repetition battery as named exact-integer columns,
+    * computed by the single-pass codegen kernel
+    * ([[graft.functions.RepetitionKernel]] — one tokenize per doc,
+    * hash-map counts, O(len·n); the HOF formulation below is kept as
+    * the semantic reference and pinned bit-equal in TextKernelsSpec).
     * Fractions are NOT materialized — gate with integer
     * cross-multiplies against the published thresholds (e.g. duplicate
     * line fraction > 0.30 ⇔ `dup_lines·10 > n_lines·3`), so no float
-    * ever enters the decision. Columns:
-    *  - `n_lines` / `dup_lines`: non-empty lines; occurrences beyond
-    *    the first of each repeated line
-    *  - `line_chars` / `dup_line_chars`: total line characters; the
-    *    share belonging to those repeat occurrences
-    *  - `gram_den`: characters of the single-space-joined token stream
-    *    (the denominator every n-gram fraction shares)
-    *  - `top2_num` / `top3_num`: [[topNgramCharMass]] at n=2,3
-    *  - `dup5_chars`: [[dupNgramCharMass]] at n=5
-    * (top-4 / dup-6..10 are the same helpers at other n.)
+    * ever enters the decision. Columns: see [[RepetitionKernel]]
+    * (`dup5_masked` is the published position-masked Gopher metric,
+    * bounded by `gram_den` — gate dup-5 on IT; `dup5_chars` is the
+    * unbounded Σ(c−1)·len surrogate, reported for diagnostics).
     */
   def repetitionStats(text: Column): Seq[(String, Column)] = {
+    val st = RepetitionExpr.repetitionStats(text)
+    RepetitionKernel.fieldNames.map(nm => nm -> st.getField(nm))
+  }
+
+  /** Interpreted higher-order-function reference of the repetition
+    * battery (all columns except `dup5_masked`, which has no tractable
+    * HOF form) — O(distinct·occurrences·len) per doc, ~500× the
+    * kernel; used ONLY to cross-check [[repetitionStats]] in specs.
+    */
+  def repetitionStatsHof(text: Column): Seq[(String, Column)] = {
     val lines = filter(split(text, "\n"), l => l =!= "")
     val dlines = array_distinct(lines)
     val words = multilineTokens(text)

@@ -2611,8 +2611,10 @@ object Pipeline {
 
     // Gopher repetition filters (q245): duplicate-line and repeated
     // n-gram character-mass gates (thresholds 0.30/0.20/0.20/0.18/0.15
-    // as integer cross-multiplies). Appends the exact stat columns and
-    // `keep`, or filters with drop. Zero shuffles — per-row HOFs.
+    // as integer cross-multiplies; dup-5 uses the position-masked
+    // published metric). Appends the exact stat columns and `keep`, or
+    // filters with drop. Zero shuffles — one codegen kernel call per
+    // row (RepetitionKernel).
     Registered("repetition", RowType, RowType,
       "in=STREAM:text=COL[:drop]:out=STREAM",
       (ctx, m) => {
@@ -2625,7 +2627,7 @@ object Pipeline {
           !(st("dup_line_chars") * 5 > st("line_chars")) &&
           !(st("top2_num") * 5 > st("gram_den")) &&
           !(st("top3_num") * 100 > st("gram_den") * 18) &&
-          !(st("dup5_chars") * 100 > st("gram_den") * 15)
+          !(st("dup5_masked") * 100 > st("gram_den") * 15)
         val out =
           if (m.args.contains("drop")) df.filter(keep)
           else stats.foldLeft(df) { case (d, (nm, c)) => d.withColumn(nm, c) }

@@ -602,11 +602,15 @@ object TextQueries {
     // cross-multiplies against the published thresholds (0.30 / 0.20 /
     // 0.20 / 0.18 / 0.15), with the exact integer numerator sums in
     // the output so the oracle pins the full arithmetic, not just the
-    // gate bits. The synthetic corpus is single-line, so BOTH engines
-    // first rewrite ' line ' → '\n' (the corpus conveniently contains
-    // that token), giving real multi-line docs. Everything is per-row
-    // higher-order functions over the scan: zero shuffles before the
-    // per-lang hash-agg.
+    // gate bits. The dup-5 gate uses the POSITION-MASKED character
+    // mass (union of repeated-gram spans — the paper's semantics,
+    // bounded by the denominator); the unmasked Σ(c−1)·len surrogate
+    // is reported alongside. The synthetic corpus is single-line, so
+    // BOTH engines first rewrite ' line ' → '\n' (the corpus
+    // conveniently contains that token), giving real multi-line docs.
+    // The whole battery is ONE codegen'd kernel call per row riding
+    // the scan (RepetitionKernel): zero shuffles before the per-lang
+    // hash-agg.
     "q245_repetition" -> ((s, dir) => {
       import s.implicits._
       val stats = graft.functions.TextFunctions.repetitionStats(
@@ -617,7 +621,7 @@ object TextQueries {
       val fDlc = $"dup_line_chars" * 5 > $"line_chars"
       val fT2 = $"top2_num" * 5 > $"gram_den"
       val fT3 = $"top3_num" * 100 > $"gram_den" * 18
-      val fD5 = $"dup5_chars" * 100 > $"gram_den" * 15
+      val fD5 = $"dup5_masked" * 100 > $"gram_den" * 15
       st.groupBy($"lang").agg(
           count(lit(1)).as("n_docs"),
           count(when(!fDl && !fDlc && !fT2 && !fT3 && !fD5, lit(1)))
@@ -634,7 +638,8 @@ object TextQueries {
           sum($"gram_den").as("s_den"),
           sum($"top2_num").as("s_top2_num"),
           sum($"top3_num").as("s_top3_num"),
-          sum($"dup5_chars").as("s_dup5_chars"))
+          sum($"dup5_chars").as("s_dup5_chars"),
+          sum($"dup5_masked").as("s_dup5_masked"))
         .orderBy($"lang")
     }),
 
@@ -1019,9 +1024,12 @@ object TextQueries {
     // q245 oracle: same ' line '→'\n' rewrite, same line/token split
     // (space OR newline), exact integer line stats via list functions;
     // the n-gram stats replay relationally — per-doc counts, top gram
-    // by (c DESC, g ASC) rank = Spark's deterministic tie-break, and
-    // dup-5 mass as Σ(c−1)·len. Sums cast to BIGINT (DuckDB sums
-    // bigints into HUGEINT otherwise).
+    // by (c DESC, g ASC) rank = the kernel's deterministic tie-break,
+    // dup-5 mass as Σ(c−1)·len, and the MASKED dup-5 mass as the
+    // classic gaps-and-islands interval union (token char offsets via
+    // window prefix sum; islands via running-max-of-previous-ends
+    // breaks). Sums cast to BIGINT (DuckDB sums bigints into HUGEINT
+    // otherwise).
     "q245_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, lang,
@@ -1070,31 +1078,58 @@ object TextQueries {
         |    SELECT doc_id, g, c, row_number() OVER (
         |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rk
         |    FROM g3c) WHERE rk = 1),
+        |g5o AS (
+        |  SELECT doc_id, i, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+        |    || ' ' || wl[i+3] || ' ' || wl[i+4] AS g
+        |  FROM st0, LATERAL unnest(range(1, nw - 3)) u(i)),
         |g5c AS (
-        |  SELECT doc_id, g, count(*) AS c FROM (
-        |    SELECT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
-        |      || ' ' || wl[i+3] || ' ' || wl[i+4] AS g
-        |    FROM st0, LATERAL unnest(range(1, nw - 3)) u(i))
-        |  GROUP BY doc_id, g),
+        |  SELECT doc_id, g, count(*) AS c FROM g5o GROUP BY doc_id, g),
         |d5 AS (
         |  SELECT doc_id, CAST(sum((c - 1) * length(g)) AS BIGINT)
         |    AS dup5_chars
         |  FROM g5c WHERE c > 1 GROUP BY doc_id),
+        |wofs AS (
+        |  SELECT doc_id, i,
+        |    sum(length(wl[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |      - length(wl[i]) - 1 AS pre
+        |  FROM st0, LATERAL unnest(range(1, nw + 1)) u(i)),
+        |iv AS (
+        |  SELECT o.doc_id, w.pre + 1 AS s, w.pre + length(o.g) AS e
+        |  FROM g5o o
+        |  JOIN g5c c ON o.doc_id = c.doc_id AND o.g = c.g AND c.c > 1
+        |  JOIN wofs w ON o.doc_id = w.doc_id AND o.i = w.i),
+        |isl AS (
+        |  SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+        |      PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |m5 AS (
+        |  SELECT doc_id, CAST(sum(mass) AS BIGINT) AS dup5_masked FROM (
+        |    SELECT doc_id, grp, max(e) - min(s) + 1 AS mass FROM (
+        |      SELECT doc_id, s, e, sum(brk) OVER (
+        |        PARTITION BY doc_id ORDER BY s
+        |        ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM isl)
+        |    GROUP BY doc_id, grp)
+        |  GROUP BY doc_id),
         |st AS (
         |  SELECT s.lang, s.n_lines, s.dup_lines, s.line_chars,
         |    s.dup_line_chars, s.gram_den,
         |    coalesce(t2g.top2_num, 0) AS top2_num,
         |    coalesce(t3g.top3_num, 0) AS top3_num,
         |    coalesce(d5.dup5_chars, 0) AS dup5_chars,
+        |    coalesce(m5.dup5_masked, 0) AS dup5_masked,
         |    (s.dup_lines * 10 > s.n_lines * 3) AS f_dl,
         |    (s.dup_line_chars * 5 > s.line_chars) AS f_dlc,
         |    (coalesce(t2g.top2_num, 0) * 5 > s.gram_den) AS f_t2,
         |    (coalesce(t3g.top3_num, 0) * 100 > s.gram_den * 18) AS f_t3,
-        |    (coalesce(d5.dup5_chars, 0) * 100 > s.gram_den * 15) AS f_d5
+        |    (coalesce(m5.dup5_masked, 0) * 100 > s.gram_den * 15) AS f_d5
         |  FROM st0 s
         |  LEFT JOIN t2g ON s.doc_id = t2g.doc_id
         |  LEFT JOIN t3g ON s.doc_id = t3g.doc_id
-        |  LEFT JOIN d5 ON s.doc_id = d5.doc_id)
+        |  LEFT JOIN d5 ON s.doc_id = d5.doc_id
+        |  LEFT JOIN m5 ON s.doc_id = m5.doc_id)
         |SELECT lang, count(*) AS n_docs,
         |  count(CASE WHEN NOT f_dl AND NOT f_dlc AND NOT f_t2
         |    AND NOT f_t3 AND NOT f_d5 THEN 1 END) AS kept,
@@ -1110,7 +1145,8 @@ object TextQueries {
         |  CAST(sum(gram_den) AS BIGINT) AS s_den,
         |  CAST(sum(top2_num) AS BIGINT) AS s_top2_num,
         |  CAST(sum(top3_num) AS BIGINT) AS s_top3_num,
-        |  CAST(sum(dup5_chars) AS BIGINT) AS s_dup5_chars
+        |  CAST(sum(dup5_chars) AS BIGINT) AS s_dup5_chars,
+        |  CAST(sum(dup5_masked) AS BIGINT) AS s_dup5_masked
         |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q247 oracle: the langId fold (langCaseSql) as rater A, exact

@@ -194,6 +194,64 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(clean("top3_num") * 100 <= clean("gram_den") * 18)
   }
 
+  /** Set-union reference for the masked dup-5-gram character mass:
+    * literally materialize the set of joined-stream codepoint
+    * positions covered by any occurrence of a repeated 5-gram —
+    * definitionally the Gopher metric, O(len²) and spec-only.
+    */
+  private def maskedRef(text: String): Long = {
+    val words = text.split("[ \n]").filter(_.nonEmpty)
+    if (words.length < 5) return 0L
+    val grams = (0 to words.length - 5).map(i => words.slice(i, i + 5).mkString(" "))
+    val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+    val offs = words.map(w => w.codePointCount(0, w.length).toLong)
+      .scanLeft(0L)((a, l) => a + l + 1)
+    val mask = scala.collection.mutable.Set[Long]()
+    for (i <- grams.indices if counts(grams(i)) > 1) {
+      val st = offs(i)
+      val en = st + (offs(i + 5) - offs(i) - 1)
+      (st until en).foreach(mask += _)
+    }
+    mask.size.toLong
+  }
+
+  test("repetitionStats kernel == HOF reference (fuzz) + masked == set-union ref") {
+    // Small vocab forces repeats; separators mix space/newline and
+    // occasional doubles (empty tokens); non-BMP + multibyte tokens
+    // pin codepoint (not byte, not UTF-16-unit) character counting.
+    val rnd = new scala.util.Random(4217)
+    val vocab = Vector("a", "b", "cc", "ddd", "buy", "now", "😀x", "ñé")
+    val seps = Vector(" ", "\n", "  ", " \n", "\n\n")
+    val docs = (1 to 80).map { _ =>
+      val n = rnd.nextInt(50)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+    } :+ "a b a b a b a b a b" // full-coverage masked fixture below
+    val df = docs.toDF("text")
+    val fast = TextFunctions.repetitionStats($"text")
+    val ref = TextFunctions.repetitionStatsHof($"text")
+    val shared = ref.map(_._1) // 8 HOF-expressible fields
+    val diff = df.select(
+        struct(fast.collect { case (nm, c) if shared.contains(nm) => c.as(nm) }: _*).as("k"),
+        struct(ref.map { case (nm, c) => c.as(nm) }: _*).as("r"))
+      .filter(!($"k" <=> $"r")).count()
+    assert(diff == 0, s"$diff fuzz rows differ from the HOF reference")
+    val got = df.select($"text",
+      fast.toMap.apply("dup5_masked").as("m"),
+      fast.toMap.apply("gram_den").as("den")).collect()
+    for (row <- got) {
+      val t = row.getString(0)
+      assert(row.getLong(1) == maskedRef(t), s"masked mismatch on '${t.take(40)}'")
+      assert(row.getLong(1) <= row.getLong(2), "masked must be bounded by gram_den")
+    }
+    // "a b" ×5: every 5-gram repeats, spans tile the whole stream →
+    // masked == gram_den (19) while the unmasked surrogate (36)
+    // overshoots the denominator — the ADVICE r15 double-count case.
+    val m = repStatsRow("a b a b a b a b a b")
+    assert(m("gram_den") == 19L && m("dup5_masked") == 19L
+      && m("dup5_chars") == 36L)
+  }
+
   test("repetitionStats edge cases: empty and single-word docs are all-zero") {
     for (t <- Seq("", " ", "solo", "\n\n")) {
       val m = repStatsRow(t)
