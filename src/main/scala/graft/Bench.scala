@@ -124,11 +124,36 @@ object Bench {
     * rejects. A sample that throws is recorded as an error, never as a
     * near-zero time (VERDICT r5 #2).
     */
+  /** Daemon pool for the per-sample watchdog: samples run here so the
+    * measuring thread can bound them; an abandoned (cancelled) sample
+    * thread can't keep the JVM alive.
+    */
+  private lazy val samplePool = java.util.concurrent.Executors
+    .newCachedThreadPool((r: Runnable) => {
+      val t = new Thread(r, "bench-sample")
+      t.setDaemon(true)
+      t
+    })
+
+  /** @param budgetSecs per-SAMPLE wall-clock budget. One pathological
+    *   query must cost one error row, never the whole artifact: the
+    *   r15 driver bench died rc=124 (60-min timeout, zero data parsed)
+    *   because a single un-floored query ran ~40 min/sample. A sample
+    *   over budget has its Spark job group cancelled
+    *   (interruptOnCancel), is recorded as an error (rc=1 semantics,
+    *   VERDICT r5 #2), and the query's REMAINING passes are skipped.
+    *   `SPARK_GRAFT_SAMPLE_BUDGET` overrides (seconds; 0 disables the
+    *   watchdog entirely). Default 120 s ≈ 10× the suite's slowest
+    *   healthy row's sf0.1 floor.
+    */
   def run(
       spark: SparkSession,
       sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
-      passes: Int = 3): BenchResult = {
+      passes: Int = 3,
+      budgetSecs: Double =
+        sys.env.get("SPARK_GRAFT_SAMPLE_BUDGET").map(_.toDouble).getOrElse(120.0)
+  ): BenchResult = {
     // SPARK_GRAFT_GC=N: force a JVM gc every N samples (0 disables).
     // ContextCleaner reclaims shuffle files/broadcasts only when their
     // driver refs are collected — across a 600-sample session the
@@ -154,33 +179,61 @@ object Bench {
         System.gc()
         Thread.sleep(100)
       }
-      val t0 = System.nanoTime()
-      try {
-        // noop-format write, not count(): count() lets Catalyst elide
-        // sorts and prune every column, under-measuring ORDER BY and
-        // wide-projection cost. The noop sink executes the full plan.
+      // noop-format write, not count(): count() lets Catalyst elide
+      // sorts and prune every column, under-measuring ORDER BY and
+      // wide-projection cost. The noop sink executes the full plan.
+      def sample(): Double = {
+        val t0 = System.nanoTime()
         queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
-          Left(s"${e.getClass.getSimpleName}: $msg")
+        (System.nanoTime() - t0) / 1e9
+      }
+      def errMsg(e: Throwable) =
+        s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+      if (budgetSecs <= 0) {
+        try Right(sample())
+        catch { case e: Throwable => Left(errMsg(e)) }
+      } else {
+        // Job groups are thread-local: set it INSIDE the sample thread,
+        // cancel it from the measuring thread on budget overrun.
+        val group = s"bench-$name-$sampleNo"
+        val task = new java.util.concurrent.FutureTask[Double](() => {
+          spark.sparkContext.setJobGroup(group, s"bench $name", true)
+          try sample() finally spark.sparkContext.clearJobGroup()
+        })
+        samplePool.execute(task)
+        try Right(task.get((budgetSecs * 1000).toLong,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            task.cancel(true)
+            Left(f"over budget: sample exceeded $budgetSecs%.0f s " +
+              "(job group cancelled, remaining passes skipped)")
+          case e: java.util.concurrent.ExecutionException =>
+            Left(errMsg(Option(e.getCause).getOrElse(e)))
+          case e: Throwable => Left(errMsg(e))
+        }
       }
     }
     val names = queries.keys.toVector.sorted
     val acc = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> QueryResult(Vector.empty, Vector.empty)): _*)
-    for (_ <- 1 to passes; n <- names) {
+    val overBudget = scala.collection.mutable.Set[String]()
+    for (_ <- 1 to passes; n <- names if !overBudget(n)) {
       val r = acc(n)
       timeOnce(n) match {
         case Right(s) => acc(n) = r.copy(samples = r.samples :+ s)
-        case Left(e)  => acc(n) = r.copy(errors = r.errors :+ e)
+        case Left(e) =>
+          acc(n) = r.copy(errors = r.errors :+ e)
+          if (e.startsWith("over budget")) overBudget += n
       }
     }
     BenchResult(acc.toVector, sfDir)
   }
 
   def main(args: Array[String]): Unit = {
+    SparkEntry.assertContract("bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -28,4 +28,28 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.LinkageQueries.oracleSql
+
+  /** Keys on only one side of the queries↔oracleSql contract:
+    * (queries missing an oracle, oracles missing a query). Every query
+    * in this suite is oracle-checked by convention, so BOTH sets must
+    * be empty — Verify and Bench fail loudly otherwise (VERDICT r15
+    * #8: four queries once landed visible to Bench but absent from the
+    * committed HEAD record, and nothing tripped).
+    */
+  def contractDrift: (Set[String], Set[String]) =
+    (queries.keySet -- oracleSql.keySet, oracleSql.keySet -- queries.keySet)
+
+  /** Exit 2 with a named diff if the contract drifted; print the
+    * counts otherwise (makes every Verify/Bench log self-auditing).
+    */
+  def assertContract(tool: String): Unit = {
+    val (noOracle, noQuery) = contractDrift
+    if (noOracle.nonEmpty || noQuery.nonEmpty) {
+      System.err.println(s"[$tool] CONTRACT DRIFT — " +
+        s"queries without oracleSql: ${noOracle.toSeq.sorted.mkString(",")}; " +
+        s"oracleSql without query: ${noQuery.toSeq.sorted.mkString(",")}")
+      sys.exit(2)
+    }
+    println(s"[$tool] contract: ${queries.size} queries == ${oracleSql.size} oracles")
+  }
 }

@@ -16,6 +16,14 @@ class BenchSpec extends AnyFunSuite {
   private val bad: (SparkSession, String) => DataFrame =
     (s, _) => s.range(1).selectExpr("assert_true(id > 0, 'boom') as a")
 
+  test("queries and oracleSql are in exact 1:1 sync (contract drift gate)") {
+    val (noOracle, noQuery) = SparkEntry.contractDrift
+    assert(noOracle.isEmpty,
+      s"queries without an oracleSql entry: ${noOracle.toSeq.sorted}")
+    assert(noQuery.isEmpty,
+      s"oracleSql entries without a query: ${noQuery.toSeq.sorted}")
+  }
+
   test("broken query records an error and rc=1, never a near-zero time") {
     val res = Bench.run(spark, "unused",
       Map("z_ok" -> good, "a_broken" -> bad), passes = 2)
@@ -25,6 +33,29 @@ class BenchSpec extends AnyFunSuite {
     assert(res.rc == 1)
     assert(res.json.contains(""""errors":{"a_broken":"""))
     assert(res.json.contains(""""rc":1"""))
+  }
+
+  test("watchdog: an over-budget sample becomes an error row and skips remaining passes") {
+    // r15 regression class: one pathological query (q245) ran ~40
+    // min/sample and timed out the ENTIRE driver artifact (rc=124,
+    // zero data). With the per-sample budget the slow query must cost
+    // exactly one error row while the healthy query still gets all
+    // its samples and the artifact stays complete.
+    val slow: (SparkSession, String) => DataFrame = (s, _) => {
+      val f = org.apache.spark.sql.functions.udf { (id: Long) =>
+        Thread.sleep(30000); id
+      }
+      s.range(4).select(f(org.apache.spark.sql.functions.col("id")).as("v"))
+    }
+    val res = Bench.run(spark, "unused",
+      Map("a_slow" -> slow, "z_ok" -> good), passes = 3, budgetSecs = 2.0)
+    val sl = res.results.toMap.apply("a_slow")
+    assert(sl.samples.isEmpty, "an over-budget sample must not be timed")
+    assert(sl.errors.size == 1, s"remaining passes must be skipped: ${sl.errors}")
+    assert(sl.errors.head.startsWith("over budget"))
+    val ok = res.results.toMap.apply("z_ok")
+    assert(ok.samples.size == 3, "healthy query must keep all samples")
+    assert(res.rc == 1 && res.json.contains(""""a_slow":"over budget"""))
   }
 
   test("all-green run has rc=0, min<=median per query, no errors field") {
