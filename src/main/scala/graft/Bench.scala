@@ -267,11 +267,16 @@ object Bench {
     // remove() rather than get(): consuming resets the accumulator, so
     // a second runAll in one JVM reports only builds ITS run paid for
     // (a cache-hit second run emits no walk-build row) — ADVICE r14
-    val res = Option(graft.queries.Operators.walkBuildSeconds.remove(sfDir))
-      .map(_.doubleValue).filter(_ > 0)
-      .map(b => res0.copy(results = res0.results :+
-        ("q211_walk_build" -> QueryResult(Vector(b), Vector.empty))))
-      .getOrElse(res0)
+    // Same protocol for the q242/q244 shared PCA component (r16).
+    val buildRows = Seq(
+      "q211_walk_build" ->
+        Option(graft.queries.Operators.walkBuildSeconds.remove(sfDir)),
+      "q242_pca_build" ->
+        Option(graft.queries.DedupSim.pcaBuildSeconds.remove(sfDir)))
+      .collect { case (n, Some(b)) if b.doubleValue > 0 =>
+        n -> QueryResult(Vector(b.doubleValue), Vector.empty)
+      }
+    val res = res0.copy(results = res0.results ++ buildRows)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(

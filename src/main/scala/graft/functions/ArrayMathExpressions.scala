@@ -168,7 +168,83 @@ case class QuantizeDequantizeExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Upper-triangle Gram terms of one vector:
+  * array<struct<i:int, j:int, v:double>> with v = x_i·x_j for i ≤ j —
+  * the per-row generator of the PCA moment relation
+  * (Similarity.pcaMoments). Replaces the interpreted
+  * `explode(flatten(transform(sequence…)))` HOF chain, which built the
+  * d(d+1)/2 structs through nested interpreted lambdas (~1.5 ms/vector
+  * at d=64 — VERDICT r15 #4); this emits them in one tight loop and
+  * stays inside whole-stage codegen. The consuming hash-agg is
+  * unchanged, so moment sums (and the streaming twin's cuts) remain
+  * bit-identical.
+  */
+case class GramUpperExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("v", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    ArrayMathKernels.gramUpper(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ArrayMathKernels.gramUpper($c, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMathKernels {
+  /** See [[GramUpperExpr]]. Element order matches the HOF reference:
+    * i-major, j ascending from i.
+    */
+  def gramUpper(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = a.numElements()
+    val xs = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      xs(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](d * (d + 1) / 2)
+    var p = 0
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, xs(i) * xs(j)))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Mirrors the HOF composition's corner semantics (spec- and
     * oracle-parity on NaN-free data): Spark's array_max SKIPS null
     * elements (they pass through as null in the output, as transform
@@ -232,4 +308,7 @@ object ArrayMath {
 
   def quantizeDequantize(a: Column): Column =
     ColumnBridge.column(QuantizeDequantizeExpr(ColumnBridge.expression(a)))
+
+  def gramUpper(a: Column): Column =
+    ColumnBridge.column(GramUpperExpr(ColumnBridge.expression(a)))
 }

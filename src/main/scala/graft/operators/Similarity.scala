@@ -576,7 +576,8 @@ object Similarity {
     * downstream cosine/ANN family.
     */
   def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
-                         iters: Int = 10): DataFrame = {
+                         iters: Int = 10,
+                         precomputed: Option[DataFrame] = None): DataFrame = {
     val e = df.select(col(idCol).as("__id"), col(vecCol).as("__e"))
       .filter(col("__e").isNotNull)
     val mx = e.select(posexplode(col("__e")).as(Seq("__i", "__x")))
@@ -586,7 +587,10 @@ object Similarity {
     val mu = mx.crossJoin(broadcast(nRel))
       .select(col("__i").as("__mi"),
         (col("__sx").cast("double") / col("__n").cast("double")).as("__m"))
-    val pc = pcaTopComponent(df, vecCol, iters)
+    // `precomputed`: a standing (dim, loading, eigenvalue) component —
+    // lets callers that ALSO run the PCA (q242/q244 share one corpus)
+    // pay the moments + power iteration once (VERDICT r15 #3).
+    val pc = precomputed.getOrElse(pcaTopComponent(df, vecCol, iters))
     val packed = pc.join(mu, pc("dim") === mu("__mi"))
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("loading")))),
@@ -618,19 +622,31 @@ object Similarity {
     * of corpus size.
     */
   def pcaMoments(df: DataFrame, vecCol: String): DataFrame = {
-    val e = df.select(col(vecCol).as("__e")).filter(col("__e").isNotNull)
+    val e0 = df.select(col(vecCol).as("__e")).filter(col("__e").isNotNull)
+    // The Gram generate amplifies each vector ×d(d+1)/2 before the
+    // partial agg, so the EXPENSIVE work inherits the scan's partition
+    // count — a single-file corpus would run it on ONE task. When the
+    // input is narrower than the cluster, repartition the (tiny,
+    // pre-amplification) vectors first: the exchange moves only the
+    // raw vectors, the 2000×-wider gram stream then aggregates at full
+    // width. A wide corpus (the 100 TB case) already has the
+    // parallelism and skips the shuffle. Decimal sums are exact and
+    // commutative, so re-bucketing cannot change any moment bit.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val e =
+      if (e0.rdd.getNumPartitions < parallelism) e0.repartition(parallelism)
+      else e0
     // UPPER TRIANGLE only (i <= j): the Gram matrix is symmetric and
     // x_i·x_j == x_j·x_i to the bit (IEEE multiplication commutes),
     // so the mirror in pcaFromMoments reconstructs the full matrix
     // exactly while the corpus-sized generate + exchange carries
-    // d(d+1)/2 rows per vector instead of d²
-    val prod = e.select(explode(flatten(transform(
-        sequence(lit(0), size(col("__e")) - 1), i =>
-          transform(sequence(i, size(col("__e")) - 1), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              (element_at(col("__e"), i + 1).cast("double") *
-                element_at(col("__e"), j + 1).cast("double")).as("v"))))))
-        .as("__s"))
+    // d(d+1)/2 rows per vector instead of d². The struct generator is
+    // the codegen'd GramUpperExpr kernel (one tight loop per vector;
+    // the interpreted HOF chain it replaced cost ~1.5 ms/vector at
+    // d=64) — the downstream partial hash-agg is unchanged, so the
+    // decimal moment sums stay bit-identical.
+    val prod = e.select(
+      explode(graft.functions.ArrayMath.gramUpper(col("__e"))).as("__s"))
     val xx = prod.groupBy(col("__s.i").as("__i"), col("__s.j").as("__j"))
       .agg(sum(col("__s.v").cast("decimal(30,12)")).cast("decimal(38,12)")
         .as("__v"))
@@ -681,12 +697,23 @@ object Similarity {
           .as("__c"))
       .localCheckpoint(eager = true)
     val dRel = c.agg(max(col("__i")).as("__dm"))
-    var v = c.select(col("__i")).distinct()
+    val vInit = c.select(col("__i")).distinct()
       .crossJoin(broadcast(dRel))
       .select(col("__i"),
         (lit(1.0) / sqrt(col("__dm").cast("double") + 1.0)).as("__v"),
         lit(0.0).as("__nrm"))
       .localCheckpoint(eager = true)
+    // Per round, only the matvec result w is MATERIALIZED (one eager
+    // checkpoint); nrm and v stay lazy derivations of w's 64
+    // checkpointed rows, re-evaluated for pennies inside the next
+    // round's checkpoint. The previous shape checkpointed v instead,
+    // which executed the full join+agg plan of w TWICE per round (once
+    // under the broadcast(nrm) build, once in the checkpoint) — ~9
+    // task sets per round where 4-5 suffice. Materialization points
+    // are the ONLY change: every expression and decimal sum is
+    // identical, so the component stays bit-equal (oracle-unrolled).
+    var v = vInit
+    var wPrev: DataFrame = null
     try {
       for (_ <- 1 to iters) {
         val w = c.join(v.select(col("__i").as("__j"), col("__v").as("__vj")),
@@ -694,21 +721,23 @@ object Similarity {
           .groupBy(col("__i"))
           .agg(sum((col("__c") * col("__vj")).cast("decimal(30,12)"))
             .cast("double").as("__w"))
+          .localCheckpoint(eager = true)
+        // w is materialized, so the blocks v/wPrev leaned on can go.
+        if (wPrev != null) wPrev.unpersist(blocking = false)
+        wPrev = w
         val nrm = w.agg(sqrt(
           sum((col("__w") * col("__w")).cast("decimal(30,12)"))
             .cast("double")).as("__n2"))
-        val vNext = w.crossJoin(broadcast(nrm))
+        v = w.crossJoin(broadcast(nrm))
           .select(col("__i"), (col("__w") / col("__n2")).as("__v"),
             col("__n2").as("__nrm"))
-          .localCheckpoint(eager = true)
-        v.unpersist(blocking = false)
-        v = vNext
       }
       v.select(col("__i").as("dim"), round(col("__v"), 6).as("loading"),
           round(col("__nrm"), 6).as("eigenvalue"))
         .localCheckpoint(eager = true)
     } finally {
-      v.unpersist(blocking = false)
+      if (wPrev != null) wPrev.unpersist(blocking = false)
+      vInit.unpersist(blocking = false)
       c.unpersist(blocking = false)
     }
   }

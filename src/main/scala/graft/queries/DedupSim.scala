@@ -16,6 +16,40 @@ object DedupSim {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** q242/q244 share ONE top principal component of the embeddings
+    * corpus — the moments scan + 10 power-iteration rounds are the
+    * expensive half of both queries, so the suite pays them once (the
+    * q211/q216 shared-walk pattern, VERDICT r15 #3). The component is
+    * a 64-row localCheckpoint (pinned by pcaFromMoments itself); Bench
+    * reports the miss cost as its own `q242_pca_build` row via
+    * [[pcaBuildSeconds]] so minsum still carries the build exactly
+    * once.
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  val pcaBuildSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def sharedPcaComponent(s: SparkSession, dir: String): DataFrame = {
+    pcaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    val cached = pcaCache.get(key)
+    if (cached != null) return cached
+    // Build outside the map lock; concurrent double-build resolved by
+    // putIfAbsent, loser releases its checkpoint blocks.
+    val t0 = System.nanoTime()
+    val pc = Similarity.pcaTopComponent(t(s, dir, "embeddings"), "embedding")
+    val prior = pcaCache.putIfAbsent(key, pc)
+    if (prior != null) { pc.unpersist(false); prior }
+    else {
+      pcaBuildSeconds.merge(dir,
+        java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
+        (a, b) => java.lang.Double.valueOf(a.doubleValue + b.doubleValue))
+      pc
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // EXACT pairwise 3-gram jaccard on a bounded sample (quadratic by
@@ -450,8 +484,7 @@ object DedupSim {
     // before convergence.
     "q242_pca_top" -> ((s, dir) => {
       import s.implicits._
-      Similarity.pcaTopComponent(t(s, dir, "embeddings"), "embedding")
-        .orderBy($"dim")
+      sharedPcaComponent(s, dir).orderBy($"dim")
     }),
 
     // All-but-the-top post-processing (Similarity.removeTopComponent):
@@ -461,7 +494,8 @@ object DedupSim {
     "q244_pca_residual" -> ((s, dir) => {
       import s.implicits._
       Similarity.removeTopComponent(t(s, dir, "embeddings"),
-          "vec_id", "embedding")
+          "vec_id", "embedding",
+          precomputed = Some(sharedPcaComponent(s, dir)))
         .select($"vec_id", round($"proj", 6).as("proj"),
           round(sqrt(Similarity.dotHof($"resid", $"resid")), 6)
             .as("resid_norm"))
