@@ -649,18 +649,23 @@ object Curation {
     * stopword/hub cut — a term in half the corpus is a scan, not a
     * signal; lower it for retrieval-heavy workloads).
     *
-    * Broadcast guard (VERDICT r14 #4): the broadcast side has exactly
-    * |distinct (qid, term)| rows (df is unique per term, stats is one
-    * row — the join back cannot grow it), which is tiny for retrieval
-    * workloads but UNBOUNDED for eval-scale query sets
-    * (decontamination against a million-probe benchmark suite). The
-    * operator counts that relation first (one cheap agg over the
-    * query side only — the corpus is untouched) and above
-    * `broadcastQueryLimit` rows falls back to a plain shuffle
-    * equi-join on the term key instead of failing obscurely inside
-    * the broadcast exchange; results are bit-identical (same join,
-    * different physical strategy — CurationSpec pins it), and the
-    * shuffle path inherits AQE skew splitting for hub terms.
+    * Broadcast guard (VERDICT r14 #4, lazified per ADVICE r15): the
+    * broadcast side has exactly |distinct (qid, term)| rows (df is
+    * unique per term, stats is one row — the join back cannot grow
+    * it), which is tiny for retrieval workloads but UNBOUNDED for
+    * eval-scale query sets (decontamination against a million-probe
+    * benchmark suite). The guard reads Catalyst's OPTIMIZER ESTIMATE
+    * of the query-term relation (rowCount when CBO has it, else
+    * sizeInBytes over a conservative row width) — plan-time only, so
+    * constructing the DataFrame launches NO job and the query side is
+    * computed exactly once in the final plan. Estimates err upward on
+    * derived plans, which fails toward the SAFE side (shuffle join);
+    * above `broadcastQueryLimit` estimated rows the join runs as a
+    * plain shuffle equi-join on the term key instead of failing
+    * obscurely inside the broadcast exchange. Results are
+    * bit-identical on both paths (same join, different physical
+    * strategy — CurationSpec pins it), and the shuffle path inherits
+    * AQE skew splitting for hub terms.
     *
     * docs: (idCol, textCol); queries: (qidCol, qtextCol), whitespace
     * tokens. Output: (qid, rk, doc id, score) — rk 1..k per query via
@@ -703,10 +708,15 @@ object Curation {
     val tfn = col("__tf").cast("double") * (lit(k1) + 1.0) /
       (col("__tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / avgdl))
-    // guard: |qside| == |qt| exactly (df unique per term, stats 1 row)
-    val qtRows = qt.count()
+    // guard: |qside| == |qt| exactly (df unique per term, stats 1 row).
+    // Row count from the optimizer estimate, never an executed job —
+    // 32 B/row is deliberately small so the bytes fallback OVERSTATES
+    // rows and large-but-unknown query sides take the shuffle path.
+    val qtStats = qt.queryExecution.optimizedPlan.stats
+    val qtRowsEst: Long = qtStats.rowCount.map(_.toLong)
+      .getOrElse(math.max(1L, (qtStats.sizeInBytes / 32).toLong))
     val qsideJoin =
-      if (qtRows <= broadcastQueryLimit) broadcast(qside) else qside
+      if (qtRowsEst <= broadcastQueryLimit) broadcast(qside) else qside
     val scored = dt.join(qsideJoin, "__term")
       .select(col("__qid"), col("__doc"),
         (idf * tfn).cast("decimal(30,12)").as("__c"))
@@ -721,16 +731,25 @@ object Curation {
 
   /** Shared tokenizer for the LM family (VERDICT r14 #5): `"word"` =
     * whitespace tokens (the original mode); `"char"` = one token per
-    * character, spaces included — adjacent-character bigrams are the
+    * CODEPOINT, spaces included — adjacent-character bigrams are the
     * standard statistical-language-ID / LM-filter representation for
-    * scripts without word delimiters. split("") yields each character
-    * (plus a trailing empty string, filtered) and replays exactly as
-    * positional substr(text, i, 1) in the oracle.
+    * scripts without word delimiters. Char mode splits at every
+    * position except inside a surrogate pair (split("") would cut
+    * UTF-16 code units, turning any non-BMP character — emoji, CJK
+    * Extension B, realistic in exactly the zh/ja text this mode
+    * targets — into two lone surrogates whose UTF-8 bytes collapse to
+    * identical replacement sequences; ADVICE r15). The codepoint
+    * tokens replay exactly as positional substr(text, i, 1) in the
+    * oracle, which is codepoint-indexed in DuckDB.
     */
+  private[operators] val CodepointSplit =
+    "(?<=[^\\uD800-\\uDBFF])|(?<=[\\uD800-\\uDBFF][\\uDC00-\\uDFFF])"
+
   private def lmTokenizer(ngramMode: String, op: String): Column => Column = {
     require(ngramMode == "word" || ngramMode == "char",
       s"$op: ngramMode must be \"word\" or \"char\", got \"$ngramMode\"")
-    if (ngramMode == "char") (c: Column) => filter(split(c, ""), t => t =!= "")
+    if (ngramMode == "char")
+      (c: Column) => filter(split(c, CodepointSplit), t => t =!= "")
     else (c: Column) => filter(split(c, " "), t => t =!= "")
   }
 

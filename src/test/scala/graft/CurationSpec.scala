@@ -542,6 +542,31 @@ class CurationSpec extends AnyFunSuite {
     assert(xent("aa") < xent("bb"), xent.toString)
   }
 
+  test("LM char mode tokenizes by codepoint, not UTF-16 unit (non-BMP safe)") {
+    // ADVICE r15: split("") cuts code units, so any non-BMP char
+    // (emoji, CJK Ext B — realistic in the zh/ja text char mode
+    // targets) became two lone surrogates. "a😀b" = 3 codepoints →
+    // exactly 2 char bigrams; unit splitting would yield 3.
+    val doc = Seq((1L, "a😀b")).toDF("doc_id", "text")
+    val r = Curation.bigramCrossEntropy(doc, doc, "doc_id", "text",
+      k = 0.5, ngramMode = "char").collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_bigrams") == 2L,
+      r.toSeq.toString)
+    // Distinct non-BMP chars must stay distinct: lone-surrogate halves
+    // encode to identical UTF-8 replacement bytes, so U+1F600 and
+    // U+1F601 would collide and the out-of-domain doc would score
+    // in-domain.
+    val tr = Seq((1L, "😀a😀a😀"))
+      .toDF("doc_id", "text")
+    val te = Seq((1L, "😀a😀a"),
+        (2L, "😁a😁a"))
+      .toDF("doc_id", "text")
+    val x = Curation.bigramCrossEntropy(tr, te, "doc_id", "text",
+        k = 0.5, ngramMode = "char")
+      .collect().map(row => row.getLong(0) -> row.getAs[Double]("xent")).toMap
+    assert(x(1L) < x(2L), s"out-of-domain non-BMP must score higher: $x")
+  }
+
   test("bigramCrossEntropy: in-domain text scores lower than gibberish") {
     val train = Seq(
       (1L, "the cat sat on the mat"),
