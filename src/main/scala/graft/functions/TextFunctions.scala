@@ -212,6 +212,19 @@ object TextFunctions {
     RepetitionKernel.fieldNames.map(nm => nm -> st.getField(nm))
   }
 
+  /** HTML→main-content extraction (q249, `htmlextract` module): one
+    * codegen'd pass per page — block segmentation at block-level tags,
+    * then the jusText length + link-density gate per block. Columns:
+    * see [[HtmlKernel]]. Deterministic and oracle-replayable; the
+    * field extraction shares ONE kernel call via codegen CSE, same as
+    * [[repetitionStats]].
+    */
+  def htmlExtract(html: Column, minChars: Int = 25,
+                  linkDen: Int = 3): Seq[(String, Column)] = {
+    val st = HtmlExpr.htmlExtract(html, minChars, linkDen)
+    HtmlKernel.fieldNames.map(nm => nm -> st.getField(nm))
+  }
+
   /** Interpreted higher-order-function reference of the repetition
     * battery (all columns except `dup5_masked`, which has no tractable
     * HOF form) — O(distinct·occurrences·len) per doc, ~500× the

@@ -2635,6 +2635,32 @@ object Pipeline {
         ctx.writeStream(m, out, RowType)
       }),
 
+    // HTML→main-content extraction (q249, VERDICT r15 #7): strip
+    // script/style/comments, segment at block tags, keep blocks by
+    // the jusText length + link-density gate — one codegen'd kernel
+    // pass per page (HtmlKernel). cols= keeps the page stats; the
+    // default replaces the html column with title + main_text.
+    Registered("htmlextract", RowType, RowType,
+      "in=STREAM:html=COL[:minchars=25][:linkden=3][:stats]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val html = m.args.getOrElse("html",
+          throw new BuildError("htmlextract: html= required"))
+        val minChars = m.args.get("minchars").map(_.toInt).getOrElse(25)
+        val linkDen = m.args.get("linkden").map(_.toInt).getOrElse(3)
+        val fields = graft.functions.TextFunctions.htmlExtract(
+          col(html), minChars, linkDen)
+        val withAll = fields.foldLeft(df) {
+          case (d, (nm, c)) => d.withColumn(nm, c)
+        }
+        val out =
+          if (m.args.contains("stats")) withAll
+          else withAll.drop(html)
+            .drop("n_blocks", "kept_blocks", "text_chars", "kept_chars",
+              "link_chars")
+        ctx.writeStream(m, out, RowType)
+      }),
+
     // Per-group n-gram diversity report (q212): type/token ratio.
     Registered("diversity", RowType, RowType,
       "in=STREAM:group=COL:text=COL[:n=3]:out=STREAM",

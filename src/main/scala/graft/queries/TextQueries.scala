@@ -654,8 +654,52 @@ object TextQueries {
         .select($"source", langId($"text").as("ra"), $"lang".as("rb"))
       graft.operators.Drift.cohenKappa(r, "ra", "rb", Seq("source"))
         .orderBy($"source")
+    }),
+
+    // HTML→main-content extraction (HtmlKernel; VERDICT r15 #7): the
+    // crawl stage between "fetched page" and "curation-ready text".
+    // Each document is wrapped into a deterministic page — title,
+    // script/style/comment noise, a link-dense nav, an h1, the doc
+    // text as <p> blocks (the ' line ' token splits paragraphs, the
+    // q245 idiom), a conditional <ul>, a link-only aside and footer —
+    // and ONE codegen'd kernel pass strips the noise, splits at
+    // block tags, and keeps blocks by the jusText length(≥25) +
+    // link-density(<1/3) gate. The boilerplate must fall out and the
+    // paragraph text must survive; the oracle replays every step as
+    // RE2/list SQL. Narrow until the presentation sort.
+    "q249_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val page = htmlPageCol
+      val fields = graft.functions.TextFunctions.htmlExtract(page)
+      t(s, dir, "documents")
+        .select($"doc_id" +: fields.map { case (nm, c) => c.as(nm) }: _*)
+        .orderBy($"doc_id")
     })
   )
+
+  /** The synthetic crawl page for q249 — built from (source, lang,
+    * text, doc_id) with concat so BOTH engines assemble byte-identical
+    * HTML. Exercises: script with a literal '<', style, comment,
+    * attributes on block tags, nav/aside/footer boilerplate (link
+    * density 1), entity decode (&amp;) and an unknown entity (&copy;
+    * stays literal), short blocks (title/h1 under the length gate),
+    * and a per-doc structural variant (doc_id % 7 list block).
+    */
+  private def htmlPageCol: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title> "), col("source"), lit(" docs</title>"),
+    lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
+    lit("<style>.c { color: red }</style></head><body>"),
+    lit("<nav class=\"top\"><a href=\"/\">Home</a> <a href=\"/s\">"),
+    col("source"), lit("</a> <a href=\"/l\">"), col("lang"),
+    lit("</a></nav><h1>"), col("source"), lit(" report</h1>"),
+    lit("<!-- generated --><p>"),
+    regexp_replace(col("text"), " line ", " </p><p> "), lit("</p>"),
+    when(col("doc_id") % 7 === 0, concat(
+      lit("<ul><li>alpha beta gamma delta epsilon zeta eta theta</li><li>"),
+      col("lang"), lit(" items</li></ul>"))).otherwise(lit("")),
+    lit("<div class=\"aside\"><a href=\"/m\">more "), col("source"),
+    lit(" rows</a></div><footer><a href=\"/p\">privacy</a> &amp; " +
+      "<a href=\"/t\">terms</a> &copy; site</footer></body></html>"))
 
   /** Quality-score formula as DuckDB SQL over a text column — the 1:1
     * mirror of TextFunctions.qualityScore, shared by the q41/q46
@@ -1184,6 +1228,77 @@ object TextQueries {
          |    / (1.0 - CAST(s AS DOUBLE)
          |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
          |  END AS kappa
-         |FROM base b JOIN pe USING (source) ORDER BY source""".stripMargin
+         |FROM base b JOIN pe USING (source) ORDER BY source""".stripMargin,
+
+    // q249 oracle: the extraction spec replayed as RE2 + list SQL —
+    // identical page construction, the same three strip passes, the
+    // same block split, and per block the same tag-strip → entity-
+    // decode → non-whitespace count / anchor-body count / collapse.
+    "q249_html_extract" -> htmlOracleSql
   )
+
+  /** q249's oracle, assembled from the shared SQL fragments so each
+    * kernel step has exactly one SQL mirror (HtmlKernel scaladoc = the
+    * contract both sides implement).
+    */
+  private def htmlOracleSql: String = {
+    val page =
+      "'<html><head><title> ' || source || ' docs</title>" +
+        "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        "<style>.c { color: red }</style></head><body>" +
+        "<nav class=\"top\"><a href=\"/\">Home</a> <a href=\"/s\">' " +
+        "|| source || '</a> <a href=\"/l\">' || lang || '</a></nav>" +
+        "<h1>' || source || ' report</h1><!-- generated --><p>' " +
+        "|| regexp_replace(text, ' line ', ' </p><p> ', 'g') || '</p>' " +
+        "|| CASE WHEN doc_id % 7 = 0 THEN " +
+        "'<ul><li>alpha beta gamma delta epsilon zeta eta theta</li><li>' " +
+        "|| lang || ' items</li></ul>' ELSE '' END || " +
+        "'<div class=\"aside\"><a href=\"/m\">more ' || source || " +
+        "' rows</a></div><footer><a href=\"/p\">privacy</a> &amp; " +
+        "<a href=\"/t\">terms</a> &copy; site</footer></body></html>'"
+    def strip(x: String) = s"regexp_replace($x, '(?s)<[^>]*>', '', 'g')"
+    def decode(x: String) =
+      s"replace(replace(replace(replace(replace(replace($x, " +
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', chr(39)), '&amp;', '&')"
+    def txt(x: String) = decode(strip(x))
+    val ws = "[ \\t\\r\\n]"
+    def nonws(x: String) = s"length(regexp_replace($x, '$ws', '', 'g'))"
+    def clean(x: String) = s"trim(regexp_replace($x, '$ws+', ' ', 'g'))"
+    val blockPat = "(?i)</?(p|div|h[1-6]|li|ul|ol|nav|header|footer|" +
+      "article|section|blockquote|br|tr|td|th|table|body|html|head|title)" +
+      "\\b[^>]*>"
+    def anchors(x: String) =
+      s"regexp_extract_all($x, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1)"
+    val pre = "regexp_replace(regexp_replace(regexp_replace(html, " +
+      "'(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'), " +
+      "'(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'), " +
+      "'(?s)<!--.*?-->', '', 'g')"
+    val title =
+      "coalesce(regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)" +
+        "</title\\s*>', 1), '')"
+    val kept = "s.tc >= 25 AND s.lc * 3 < s.tc"
+    s"""WITH h AS (SELECT doc_id, $page AS html FROM documents),
+       |b AS (SELECT doc_id, html,
+       |  regexp_split_to_array($pre, '$blockPat') AS bs FROM h),
+       |p AS (SELECT doc_id, html, list_transform(bs, bb -> struct_pack(
+       |    tc := ${nonws(txt("bb"))},
+       |    lc := coalesce(list_aggregate(list_transform(${anchors("bb")},
+       |      aa -> ${nonws(txt("aa"))}), 'sum'), 0),
+       |    tx := ${clean(txt("bb"))})) AS ps
+       |  FROM b)
+       |SELECT doc_id,
+       |  ${clean(txt(title))} AS title,
+       |  coalesce(array_to_string(list_transform(list_filter(ps,
+       |    s -> $kept), s -> s.tx), chr(10)), '') AS main_text,
+       |  CAST(len(list_filter(ps, s -> s.tc > 0)) AS BIGINT) AS n_blocks,
+       |  CAST(len(list_filter(ps, s -> $kept)) AS BIGINT) AS kept_blocks,
+       |  CAST(coalesce(list_aggregate(list_transform(ps, s -> s.tc),
+       |    'sum'), 0) AS BIGINT) AS text_chars,
+       |  CAST(coalesce(list_aggregate(list_transform(list_filter(ps,
+       |    s -> $kept), s -> s.tc), 'sum'), 0) AS BIGINT) AS kept_chars,
+       |  CAST(coalesce(list_aggregate(list_transform(ps, s -> s.lc),
+       |    'sum'), 0) AS BIGINT) AS link_chars
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 }

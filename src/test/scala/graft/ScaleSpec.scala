@@ -1131,4 +1131,93 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("repetition battery: narrow kernel scan + ONE per-lang hash-agg, no window") {
+    // VERDICT r15 #1/#6: the whole Gopher battery must ride the scan
+    // as one codegen kernel call per row — the only exchanges are the
+    // per-lang aggregate and the presentation sort. A window, a join,
+    // or a third exchange means someone reintroduced the interpreted
+    // per-n-gram HOF shape that timed out BENCH_r15.
+    val plan = executed(SparkEntry.queries("q245_repetition")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"repetition grew exchanges beyond agg+sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-lang agg lost map-side combine:\n$plan") // docs collapse per task
+    assert(plan.contains("repetition_stats") || plan.contains("RepetitionExpr")
+      || plan.contains("repetitionstats"),
+      s"kernel column missing from the scan-side project:\n$plan")
+  }
+
+  test("htmlextract is a NARROW per-page map: zero exchanges before the sort") {
+    // Extraction must stay embarrassingly parallel — one kernel call
+    // per page riding the scan; the only exchange in q249's plan is
+    // the presentation ORDER BY (same gate class as q223 urlnorm).
+    val plan = executed(SparkEntry.queries("q249_html_extract")(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"htmlextract plan shuffles beyond the sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("cohenKappa: marginals are hash-aggs + ONE keyed full-outer, no window") {
+    // VERDICT r15 #6: kappa is three hash-aggregates (base, per-rater
+    // marginals) + one (group, class)-keyed full-outer join between
+    // the marginals + the group-keyed chance join. Class cardinality
+    // bounds every post-agg relation, so nothing here may ever sort a
+    // corpus: no window, no cartesian, no nested loop on data-sized
+    // sides.
+    val plan = executed(SparkEntry.queries("q247_kappa")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("FullOuter"), s"marginal full-outer join lost:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"marginal counts lost map-side combine:\n$plan")
+  }
+
+  test("bradleyTerry: EVERY executed round is item-keyed joins + hash-agg") {
+    // VERDICT r15 #6: contests collapse to the pair-type hash-agg
+    // BEFORE iteration; each MM round is two item-keyed equi-joins +
+    // one hash-agg over the pair relation. The returned frame is a
+    // checkpoint scan, so capture every plan the operator executes —
+    // none may go cartesian or grow a window; the only tolerated NLJ
+    // is the 1-row normalization crossJoin(broadcast(...)) at finish.
+    import graft.operators.Ops
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val contests = (1L to 300L)
+        .map(i => (s"m${i % 7}", s"m${(i * 3) % 7}"))
+        .toDF("winner", "loser")
+      Ops.bradleyTerry(contests, "winner", "loser", iters = 3).count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (plans.size == last) stable += 1 else { last = plans.size; stable = 0 }
+      }
+    } finally spark.listenerManager.unregister(l)
+    assert(plans.size >= 4, s"expected pair-agg + round jobs, saw ${plans.size}")
+    plans.forEach { p =>
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("windowspecdefinition"), p)
+      // adaptive plans print Final AND Initial sections — count the
+      // tolerated 1-row-normalization NLJ in the final plan only
+      val finalPlan = p.split("== Initial Plan ==")(0)
+      assert(finalPlan.split("BroadcastNestedLoopJoin").length - 1 <= 1, p)
+    }
+  }
 }
