@@ -122,6 +122,14 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `runMain graft.tools.ScaleRehearsal r16` runs only the r16 rows
+    // (they build their 10× inputs in-memory — no target/sf1 needed).
+    if (args.contains("r16")) {
+      rehearseR16(spark, sf01)
+      spark.stop()
+      return
+    }
+
     timed("generate-sf1")(replicate(spark, sf01, out))
 
     // 1. EXACT prefix-Jaccard join: pairs must scale EXACTLY 10×.
@@ -442,6 +450,111 @@ object ScaleRehearsal {
     }
     val mu1 = timed("q239-manifest-sf1")(manifestExact(out))
     println(s"rehearsal: q239 update==rebuild at sf1: $mu1")
+    rehearseR16(spark, sf01)
     spark.stop()
   }
+
+  /** r16 rows (VERDICT r15 #6): repetition gate counts and the
+    * Bradley-Terry fit at 10×. Both build their 10× corpus in-memory
+    * (neither touches the ciphered target/sf1 — see each invariant's
+    * note), so they also run standalone: `runMain ... r16`.
+    */
+  private def rehearseR16(spark: SparkSession, sf01: String): Unit = {
+    // 14. Repetition battery (q245): the battery is a PURE per-doc
+    // function with zero cross-doc interaction, so the valid 10×
+    // corpus is plain replication under fresh doc ids (the cipher
+    // would rewrite the ' line ' token the query's paragraph rewrite
+    // keys on and change every stat by construction). The invariant:
+    // every per-lang gate count and integer mass scales EXACTLY 10× —
+    // the per-lang hash-agg neither merges nor drops at volume.
+    def repTotals(docs: DataFrame): Map[String, Seq[Long]] = {
+      val stats = graft.functions.TextFunctions.repetitionStats(
+        regexp_replace(col("text"), " line ", "\n"))
+      val st = docs.select(
+        col("lang") +: stats.map { case (nm, c) => c.as(nm) }: _*)
+      val fDl = col("dup_lines") * 10 > col("n_lines") * 3
+      val fDlc = col("dup_line_chars") * 5 > col("line_chars")
+      val fT2 = col("top2_num") * 5 > col("gram_den")
+      val fT3 = col("top3_num") * 100 > col("gram_den") * 18
+      val fD5 = col("dup5_masked") * 100 > col("gram_den") * 15
+      st.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          count(when(!fDl && !fDlc && !fT2 && !fT3 && !fD5, lit(1)))
+            .as("kept"),
+          count(when(fDl, lit(1))).as("f_dupline"),
+          count(when(fDlc, lit(1))).as("f_duplinechar"),
+          count(when(fT2, lit(1))).as("f_top2"),
+          count(when(fT3, lit(1))).as("f_top3"),
+          count(when(fD5, lit(1))).as("f_dup5"),
+          sum(col("gram_den")).as("s_den"),
+          sum(col("dup5_masked")).as("s_masked"))
+        .collect()
+        .map(r => r.getString(0) -> (1 to 9).map(r.getLong).toSeq)
+        .toMap
+    }
+    val docs01 = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val docs10 = docs01
+      .withColumn("r", explode(sequence(lit(0), lit(9))))
+      .select((col("doc_id") + col("r").cast("long") * 10000000L)
+        .as("doc_id"), col("lang"), col("text"))
+      .repartition(32)
+    val rp01 = timed("q245-repetition-sf0.1")(repTotals(docs01))
+    val rp1 = timed("q245-repetition-10x")(repTotals(docs10))
+    val repExact = rp01.keySet == rp1.keySet &&
+      rp01.forall { case (l, v) => rp1(l) == v.map(_ * 10) }
+    println(s"rehearsal: q245 langs=${rp01.size} " +
+      s"sf0.1 kept=${rp01.values.map(_.head).sum}/" +
+      s"${rp01.values.map(_(0)).sum} masses=${rp01.values.map(_(7)).sum} " +
+      s"exact10x=$repExact")
+
+    // 15. Bradley-Terry (q248): replicate the CONTEST relation 10×
+    // with per-replica ITEM tags — disjoint item domains make 10
+    // independent copies of the same comparison graph, the MM
+    // fixpoint decomposes per copy (every join/agg is item-keyed),
+    // and the final normalization is invariant because the score sum
+    // and the item count both scale by the same 10. Invariant:
+    // replica 0's (item, n_games, n_wins, score) rows inside the 10×
+    // fit equal the standalone fit EXACTLY (rounded scores
+    // bit-equal), and total rows/games are exactly 10×.
+    def contests(dir: String): DataFrame = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      val a = docs.select(col("doc_id"), col("source").as("sa"),
+        col("q").as("qa"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("source").as("sb"), col("q").as("qb"))
+      a.join(b, "doc_id").filter(col("sa") =!= col("sb"))
+        .select(when(col("qa") >= col("qb"), col("sa"))
+          .otherwise(col("sb")).as("w"),
+          when(col("qa") >= col("qb"), col("sb"))
+            .otherwise(col("sa")).as("l"))
+    }
+    val ct = contests(sf01).localCheckpoint(true)
+    val base = timed("q248-bt-sf0.1")(
+      graft.operators.Ops.bradleyTerry(ct, "w", "l", iters = 8)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap)
+    val ct10 = ct.withColumn("r", explode(sequence(lit(0), lit(9))))
+      .select(concat(lit("r"), col("r"), lit("_"), col("w")).as("w"),
+        concat(lit("r"), col("r"), lit("_"), col("l")).as("l"))
+      .repartition(32)
+    val fit10 = timed("q248-bt-10x")(
+      graft.operators.Ops.bradleyTerry(ct10, "w", "l", iters = 8)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap)
+    val r0 = fit10.collect {
+      case (k, v) if k.startsWith("r0_") => k.stripPrefix("r0_") -> v
+    }
+    val btRows10 = fit10.size == 10 * base.size
+    val btGames10 = fit10.values.map(_._1).sum == 10 * base.values.map(_._1).sum
+    val btBitEqual = r0 == base
+    println(s"rehearsal: q248 items sf0.1=${base.size} 10x=${fit10.size} " +
+      s"rows10x=$btRows10 games10x=$btGames10 replica0BitEqual=$btBitEqual")
+    ct.unpersist(false)
+  }
+
 }
