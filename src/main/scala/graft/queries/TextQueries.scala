@@ -674,6 +674,37 @@ object TextQueries {
       t(s, dir, "documents")
         .select($"doc_id" +: fields.map { case (nm, c) => c.as(nm) }: _*)
         .orderBy($"doc_id")
+    }),
+
+    // Crawl-to-corpus recipe (q249 extraction → q43 exact dedup →
+    // q41 quality gate → per-source report): the end-to-end story a
+    // 100 TB crawl pipeline runs — extract main content, dedup the
+    // EXTRACTED text (boilerplate-stripped, so near-identical pages
+    // collapse), keep what scores as language. First-occurrence is
+    // the md5-class hash-agg + keyed join (NEVER a class window — the
+    // EXACTSUBSTR lesson); everything else rides the scan.
+    "q250_crawl_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val mt = graft.functions.TextFunctions.htmlExtract(htmlPageCol)
+        .toMap.apply("main_text")
+      val ex = t(s, dir, "documents")
+        .select($"doc_id", $"source", mt.as("mt"))
+        .withColumn("flat", regexp_replace($"mt", "\n", " "))
+      val firsts = ex.filter($"mt" =!= "")
+        .groupBy(md5($"mt").as("h")).agg(min($"doc_id").as("fid"))
+      val marked = ex
+        .join(firsts, md5($"mt") === $"h" && $"doc_id" === $"fid",
+          "left_outer")
+        .select($"source", $"mt", $"flat", $"fid".isNotNull.as("is_first"),
+          qualityScore($"flat").as("q"))
+      marked.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when($"mt" =!= "", 1)).as("n_extracted"),
+          count(when($"is_first", 1)).as("n_unique"),
+          count(when($"is_first" && $"q" >= 0.55, 1)).as("n_kept"),
+          sum(when($"is_first" && $"q" >= 0.55, size(split($"flat", " ")))
+            .otherwise(lit(0))).cast("long").as("kept_tokens"))
+        .orderBy($"source")
     })
   )
 
@@ -1234,14 +1265,39 @@ object TextQueries {
     // identical page construction, the same three strip passes, the
     // same block split, and per block the same tag-strip → entity-
     // decode → non-whitespace count / anchor-body count / collapse.
-    "q249_html_extract" -> htmlOracleSql
+    "q249_html_extract" -> htmlOracleSql,
+
+    // q250 oracle: the crawl-to-corpus composition — the q249
+    // extraction CTEs, then exact first-occurrence dedup of the
+    // extracted main text (md5-class hash-agg, the q43 rule) and the
+    // q41 quality gate over the newline-flattened text, rolled up per
+    // source.
+    "q250_crawl_corpus" -> crawlOracleSql
   )
 
-  /** q249's oracle, assembled from the shared SQL fragments so each
-    * kernel step has exactly one SQL mirror (HtmlKernel scaladoc = the
-    * contract both sides implement).
+  // ---- q249/q250 shared SQL fragments: each HtmlKernel step has
+  // ---- exactly one SQL mirror (HtmlKernel scaladoc = the contract
+  // ---- both sides implement).
+  private def hStrip(x: String) = s"regexp_replace($x, '(?s)<[^>]*>', '', 'g')"
+  private def hDecode(x: String) =
+    s"replace(replace(replace(replace(replace(replace($x, " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', chr(39)), '&amp;', '&')"
+  private def hTxt(x: String) = hDecode(hStrip(x))
+  // defs, not vals: the oracleSql map is a val declared ABOVE and
+  // initializes first — a val here would still be null when it runs
+  private def hWs = "[ \\t\\r\\n]"
+  private def hNonws(x: String) =
+    s"length(regexp_replace($x, '$hWs', '', 'g'))"
+  private def hClean(x: String) =
+    s"trim(regexp_replace($x, '$hWs+', ' ', 'g'))"
+  private def hKept = "s.tc >= 25 AND s.lc * 3 < s.tc"
+
+  /** WITH-prefix shared by the q249 and q250 oracles: page
+    * construction, the three strip passes, the block split, and the
+    * per-block (tc, lc, tx) struct list — carrying (doc_id, source).
     */
-  private def htmlOracleSql: String = {
+  private def htmlCtes: String = {
     val page =
       "'<html><head><title> ' || source || ' docs</title>" +
         "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
@@ -1256,15 +1312,6 @@ object TextQueries {
         "'<div class=\"aside\"><a href=\"/m\">more ' || source || " +
         "' rows</a></div><footer><a href=\"/p\">privacy</a> &amp; " +
         "<a href=\"/t\">terms</a> &copy; site</footer></body></html>'"
-    def strip(x: String) = s"regexp_replace($x, '(?s)<[^>]*>', '', 'g')"
-    def decode(x: String) =
-      s"replace(replace(replace(replace(replace(replace($x, " +
-        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
-        "'&#39;', chr(39)), '&amp;', '&')"
-    def txt(x: String) = decode(strip(x))
-    val ws = "[ \\t\\r\\n]"
-    def nonws(x: String) = s"length(regexp_replace($x, '$ws', '', 'g'))"
-    def clean(x: String) = s"trim(regexp_replace($x, '$ws+', ' ', 'g'))"
     val blockPat = "(?i)</?(p|div|h[1-6]|li|ul|ol|nav|header|footer|" +
       "article|section|blockquote|br|tr|td|th|table|body|html|head|title)" +
       "\\b[^>]*>"
@@ -1274,31 +1321,59 @@ object TextQueries {
       "'(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'), " +
       "'(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'), " +
       "'(?s)<!--.*?-->', '', 'g')"
+    s"""WITH h AS (SELECT doc_id, source, $page AS html FROM documents),
+       |b AS (SELECT doc_id, source, html,
+       |  regexp_split_to_array($pre, '$blockPat') AS bs FROM h),
+       |p AS (SELECT doc_id, source, html,
+       |  list_transform(bs, bb -> struct_pack(
+       |    tc := ${hNonws(hTxt("bb"))},
+       |    lc := coalesce(list_aggregate(list_transform(${anchors("bb")},
+       |      aa -> ${hNonws(hTxt("aa"))}), 'sum'), 0),
+       |    tx := ${hClean(hTxt("bb"))})) AS ps
+       |  FROM b)""".stripMargin
+  }
+
+  private def htmlOracleSql: String = {
     val title =
       "coalesce(regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)" +
         "</title\\s*>', 1), '')"
-    val kept = "s.tc >= 25 AND s.lc * 3 < s.tc"
-    s"""WITH h AS (SELECT doc_id, $page AS html FROM documents),
-       |b AS (SELECT doc_id, html,
-       |  regexp_split_to_array($pre, '$blockPat') AS bs FROM h),
-       |p AS (SELECT doc_id, html, list_transform(bs, bb -> struct_pack(
-       |    tc := ${nonws(txt("bb"))},
-       |    lc := coalesce(list_aggregate(list_transform(${anchors("bb")},
-       |      aa -> ${nonws(txt("aa"))}), 'sum'), 0),
-       |    tx := ${clean(txt("bb"))})) AS ps
-       |  FROM b)
+    s"""$htmlCtes
        |SELECT doc_id,
-       |  ${clean(txt(title))} AS title,
+       |  ${hClean(hTxt(title))} AS title,
        |  coalesce(array_to_string(list_transform(list_filter(ps,
-       |    s -> $kept), s -> s.tx), chr(10)), '') AS main_text,
+       |    s -> $hKept), s -> s.tx), chr(10)), '') AS main_text,
        |  CAST(len(list_filter(ps, s -> s.tc > 0)) AS BIGINT) AS n_blocks,
-       |  CAST(len(list_filter(ps, s -> $kept)) AS BIGINT) AS kept_blocks,
+       |  CAST(len(list_filter(ps, s -> $hKept)) AS BIGINT) AS kept_blocks,
        |  CAST(coalesce(list_aggregate(list_transform(ps, s -> s.tc),
        |    'sum'), 0) AS BIGINT) AS text_chars,
        |  CAST(coalesce(list_aggregate(list_transform(list_filter(ps,
-       |    s -> $kept), s -> s.tc), 'sum'), 0) AS BIGINT) AS kept_chars,
+       |    s -> $hKept), s -> s.tc), 'sum'), 0) AS BIGINT) AS kept_chars,
        |  CAST(coalesce(list_aggregate(list_transform(ps, s -> s.lc),
        |    'sum'), 0) AS BIGINT) AS link_chars
        |FROM p ORDER BY doc_id""".stripMargin
   }
+
+  private def crawlOracleSql: String =
+    s"""$htmlCtes,
+       |ex AS (SELECT doc_id, source,
+       |  coalesce(array_to_string(list_transform(list_filter(ps,
+       |    s -> $hKept), s -> s.tx), chr(10)), '') AS mt FROM p),
+       |fx AS (SELECT doc_id, source, mt,
+       |  replace(mt, chr(10), ' ') AS flat FROM ex),
+       |fst AS (SELECT md5(mt) AS h, min(doc_id) AS fid
+       |        FROM fx WHERE mt != '' GROUP BY md5(mt)),
+       |mk AS (SELECT f.source, f.mt, f.flat,
+       |  (fst.fid IS NOT NULL) AS is_first,
+       |  ${qualitySql("f.flat")} AS q
+       |  FROM fx f LEFT JOIN fst
+       |    ON md5(f.mt) = fst.h AND f.doc_id = fst.fid)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  count(CASE WHEN mt != '' THEN 1 END) AS n_extracted,
+       |  count(CASE WHEN is_first THEN 1 END) AS n_unique,
+       |  count(CASE WHEN is_first AND q >= 0.55 THEN 1 END) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN is_first AND q >= 0.55
+       |    THEN len(string_split(flat, ' ')) ELSE 0 END), 0) AS BIGINT)
+       |    AS kept_tokens
+       |FROM mk GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1164,6 +1164,18 @@ class ScaleSpec extends AnyFunSuite {
       !plan.contains("windowspecdefinition"), plan)
   }
 
+  test("crawl recipe: dedup is the md5-class hash-agg + keyed join, no window") {
+    // q250's first-occurrence rule must be the hash-agg + join form —
+    // a window over the md5 class would serialize a boilerplate page
+    // repeated 10^9 times into one sort task (the EXACTSUBSTR lesson,
+    // VERDICT r14 #1). Extraction itself must stay narrow.
+    val plan = executed(SparkEntry.queries("q250_crawl_corpus")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("cohenKappa: marginals are hash-aggs + ONE keyed full-outer, no window") {
     // VERDICT r15 #6: kappa is three hash-aggregates (base, per-rater
     // marginals) + one (group, class)-keyed full-outer join between
