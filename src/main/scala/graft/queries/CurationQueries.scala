@@ -65,6 +65,21 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Temperature-resampled mixture (Curation.temperatureRebalance):
+    // language l gets share n_l^α / Σ n^α of a total budget — the
+    // mT5/UNIMAX multilingual mixing rule (α between 0 and 1 boosts
+    // tail languages without flattening the head). α = 0.5 here
+    // because pow(x, 0.5) is the sqrt special case in BOTH engines'
+    // libm (fdlibm/glibc), so the per-row md5 threshold replays
+    // bit-exactly; other α values are engine-internal only.
+    "q252_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      Curation.temperatureRebalance(t(s, dir, "documents"), "lang",
+          "doc_id", totalTarget = 250L, alpha = 0.5)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     // Cross-document boilerplate share: fraction of a doc's distinct
     // 5-shingles seen in >= 2 docs corpus-wide; keep if <= 0.5 (near
     // duplicates and template pages fail). Two hash-aggs, (long,long)
@@ -781,6 +796,20 @@ object CurationQueries {
         |SELECT doc_id, lang FROM documents JOIN c USING (lang)
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |  < least(1.0, 40.0 / CAST(n AS DOUBLE)) * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q252 oracle: the temperatureRebalance arithmetic verbatim —
+    // n^0.5 weights, the DECIMAL(38,15)-summed normalizer, the same
+    // per-row md5 threshold draw.
+    "q252_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS wv FROM c),
+        |z AS (SELECT CAST(sum(CAST(wv AS DECIMAL(38,15))) AS DOUBLE) AS zv
+        |      FROM w)
+        |SELECT doc_id, lang FROM documents JOIN w USING (lang), z
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT)
+        |  < least(1.0, (wv / zv) * 250.0 / CAST(n AS DOUBLE)) * 4294967296.0
         |ORDER BY doc_id""".stripMargin,
 
     "q74_boilerplate_share" ->

@@ -31,7 +31,8 @@ object TextQueries {
     * rank — the Bpe.encodeWord tie-break); terminal rows are those
     * with no applicable pair.
     */
-  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+  private def bpeOracleSql(merges: Seq[(String, String)],
+                           tail: String = ""): String = {
     def rankCase(a: String, b: String): String = {
       val arms = merges.zipWithIndex.map { case ((x, y), r) =>
         s"WHEN $a = '$x' AND $b = '$y' THEN $r"
@@ -40,6 +41,11 @@ object TextQueries {
     }
     val pairRanks =
       s"list_transform(range(1, len(syms)), i -> ${rankCase("syms[i]", "syms[i+1]")})"
+    val finalSql = if (tail.nonEmpty) tail else
+      """SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS total_tokens,
+        |  count(DISTINCT tok) AS distinct_subwords
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
     s"""WITH RECURSIVE w0 AS (
        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
        |  FROM documents),
@@ -66,10 +72,7 @@ object TextQueries {
        |    FROM enc)
        |  WHERE mn IS NULL),
        |toks AS (SELECT doc_id, lang, unnest(syms) AS tok FROM fin)
-       |SELECT lang, count(DISTINCT doc_id) AS n_docs,
-       |  count(*) AS total_tokens,
-       |  count(DISTINCT tok) AS distinct_subwords
-       |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+       |$finalSql""".stripMargin
   }
 
   /** BM25 terms + constants, shared by the Spark query and its oracle.
@@ -705,6 +708,31 @@ object TextQueries {
           sum(when($"is_first" && $"q" >= 0.55, size(split($"flat", " ")))
             .otherwise(lit(0))).cast("long").as("kept_tokens"))
         .orderBy($"source")
+    }),
+
+    // Tokenizer fertility per language (Bpe.encode over the q220 merge
+    // table): subwords-per-word and chars-per-subword — the
+    // multilingual budgeting statistic (a language with fertility 2×
+    // costs 2× the training tokens for the same text; mT5/NLLB report
+    // exactly this table when sizing corpora). All counts exact; the
+    // two ratios are one fixed-order double division each. Narrow
+    // per-doc encode riding the scan + one per-lang hash-agg.
+    "q251_bpe_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val enc = graft.operators.Bpe.encode($"text", BpeMerges)
+      val per = t(s, dir, "documents").select($"lang",
+        size(filter(split($"text", " "), w => w =!= "")).as("nw"),
+        size(enc).as("ns"),
+        length(regexp_replace($"text", " ", "")).as("nc"))
+      per.groupBy($"lang").agg(
+          sum($"nw").as("n_words"), sum($"ns").as("n_subwords"),
+          sum($"nc").as("n_chars"))
+        .select($"lang", $"n_words", $"n_subwords", $"n_chars",
+          round($"n_subwords".cast("double") / $"n_words".cast("double"), 4)
+            .as("fertility"),
+          round($"n_chars".cast("double") / $"n_subwords".cast("double"), 4)
+            .as("chars_per_subword"))
+        .orderBy($"lang")
     })
   )
 
@@ -1272,7 +1300,24 @@ object TextQueries {
     // extracted main text (md5-class hash-agg, the q43 rule) and the
     // q41 quality gate over the newline-flattened text, rolled up per
     // source.
-    "q250_crawl_corpus" -> crawlOracleSql
+    "q250_crawl_corpus" -> crawlOracleSql,
+
+    // q251 oracle: the q220 recursive-CTE BPE replay with a fertility
+    // tail — word/char masses from the pre-encode word stream, subword
+    // mass from the encoded tokens, the same two rounded divisions.
+    "q251_bpe_fertility" -> bpeOracleSql(BpeMerges,
+      """,
+        |sw AS (SELECT lang, count(*) AS n_subwords
+        |       FROM toks GROUP BY lang),
+        |wd AS (SELECT lang, count(*) AS n_words,
+        |         CAST(sum(length(w)) AS BIGINT) AS n_chars
+        |       FROM w0 WHERE length(w) > 0 GROUP BY lang)
+        |SELECT wd.lang, n_words, n_subwords, n_chars,
+        |  round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+        |    AS fertility,
+        |  round(CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE), 4)
+        |    AS chars_per_subword
+        |FROM wd JOIN sw USING (lang) ORDER BY lang""".stripMargin)
   )
 
   // ---- q249/q250 shared SQL fragments: each HtmlKernel step has
