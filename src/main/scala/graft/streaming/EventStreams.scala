@@ -732,4 +732,56 @@ object EventStreams extends Serializable {
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
+
+  /** Streaming twin of the crawl-extraction report (q249/q250's
+    * additive half): pages stream in, each microbatch runs the SAME
+    * HtmlKernel pass (a stateless narrow map — extraction itself has
+    * no cross-page state at all), and the per-source counter view is
+    * maintained by the additive merge discipline — counts and Long
+    * sums are commutative-associative-EXACT, so the view is bit-equal
+    * to a batch recompute over everything ingested, at any batch cut.
+    * State = one row per source, regardless of stream length.
+    *
+    * The dedup half of q250 is deliberately NOT here — keyed
+    * first-occurrence state under streaming is [[incrementalDedupStream]]'s
+    * discipline (standing-corpus anti-join), which composes after this
+    * stage the same way q250 composes after q249 in batch.
+    */
+  def crawlStatsStream(pages: DataFrame, htmlCol: String, sourceCol: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    def agg(df: DataFrame): DataFrame = {
+      val fields = graft.functions.TextFunctions.htmlExtract(col(htmlCol))
+      df.select(col(sourceCol).cast("string").as("source") +:
+          fields.map { case (n, c) => c.as(n) }: _*)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("main_text") =!= "", 1)).as("n_extracted"),
+          sum(col("kept_blocks")).as("kept_blocks"),
+          sum(col("kept_chars")).as("kept_chars"),
+          sum(col("link_chars")).as("link_chars"))
+    }
+    def merge(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_extracted")).as("n_extracted"),
+          sum(col("kept_blocks")).as("kept_blocks"),
+          sum(col("kept_chars")).as("kept_chars"),
+          sum(col("link_chars")).as("link_chars"))
+    val spark0 = pages.sparkSession
+    @volatile var view: DataFrame = agg(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], pages.schema))
+      .localCheckpoint()
+    val q = pages.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val prev = view
+          view = merge(prev, agg(batch.toDF())).localCheckpoint()
+          prev.unpersist(false) // release the superseded checkpoint
+          ()
+      }
+      .start()
+    (q, () => view)
+  }
 }

@@ -441,6 +441,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl-extraction report is bit-equal to batch at every cut") {
+    // q249/q250's streaming twin (the additive half): the HtmlKernel
+    // pass is a stateless narrow map, and the per-source counters are
+    // counts + Long sums — commutative-associative-exact, so the
+    // maintained view equals a from-scratch recompute at any cut.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def page(body: String) =
+      s"<title>t</title><nav><a href='/'>Home</a> <a href='/x'>More</a>" +
+        s"</nav><p>$body</p><footer><a href='/p'>privacy</a></footer>"
+    val all = (1 to 60).map { i =>
+      val body =
+        if (i % 5 == 0) "tiny" // under the length gate
+        else (0 to 8).map(j => s"word${(i * 7 + j) % 13}").mkString(" ")
+      (s"s${i % 4}", if (i % 11 == 0) "<div></div>" else page(body))
+    }
+    def batchReport(rows: Seq[(String, String)]) = {
+      val fields = graft.functions.TextFunctions.htmlExtract($"html")
+      rows.toDF("source", "html")
+        .select($"source" +: fields.map { case (n, c) => c.as(n) }: _*)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"main_text" =!= "", 1)).as("n_extracted"),
+          sum($"kept_blocks").as("kept_blocks"),
+          sum($"kept_chars").as("kept_chars"),
+          sum($"link_chars").as("link_chars"))
+    }
+    val ms = MemoryStream[(String, String)]
+    val (q, current) = EventStreams.crawlStatsStream(
+      ms.toDF().toDF("source", "html"), "html", "source")
+    try {
+      Seq(all.slice(0, 20), all.slice(20, 47), all.slice(47, 60))
+        .zipWithIndex.foreach { case (b, i) =>
+          ms.addData(b); q.processAllAvailable()
+          val seen = all.take(Seq(20, 47, 60)(i))
+          val want = batchReport(seen).orderBy($"source").collect().toSeq
+          val got = current().orderBy($"source").collect().toSeq
+          assert(got == want, s"cut $i diverged")
+        }
+      // the gates are non-degenerate in this fixture
+      val fin = current().collect()
+      assert(fin.map(_.getAs[Long]("n_docs")).sum == 60)
+      assert(fin.map(_.getAs[Long]("n_extracted")).sum < 60)
+    } finally q.stop()
+  }
+
   test("streaming bootstrap test is bit-equal to the batch recompute at every cut") {
     // q233's streaming twin: per-resample Poisson-weighted sums are
     // exact integer merges whose terms depend only on (id, resample,
