@@ -65,6 +65,44 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Per-source Jensen-Shannon divergence against the corpus unigram
+    // distribution — the mixture-design statistic (a source with high
+    // JSD is lexically unlike the blend; Lin 1991). Decomposed so the
+    // work is linear in each source's SUPPORT: the off-support half of
+    // KL(corpus||mix) collapses to ln2·(1−Σ_support q). Per-word terms
+    // are fixed-order doubles quantized decimal(30,12) pre-sum (the LM
+    // family discipline), so the exact sum is partition-order-free and
+    // the oracle replays it bit-for-bit. Plan: two word-keyed
+    // hash-aggs, one vocab-keyed equi-join, per-source hash-agg;
+    // totals are 1-row broadcasts.
+    "q254_source_jsd" -> ((s, dir) => {
+      import s.implicits._
+      val w = t(s, dir, "documents")
+        .select($"source", explode(filter(split($"text", " "),
+          x => x =!= "")).as("w"))
+      val sc = w.groupBy($"source", $"w").agg(count(lit(1)).as("ns"))
+      val cc = w.groupBy($"w").agg(count(lit(1)).as("nw"))
+      val ts = sc.groupBy($"source").agg(sum($"ns").as("tn"))
+      val tot = cc.agg(sum($"nw").as("n"))
+      val p = $"ns".cast("double") / $"tn".cast("double")
+      val q = $"nw".cast("double") / $"n".cast("double")
+      val m = (p + q) / lit(2.0)
+      val term = (p * log(p / m) + q * log(q / m)).cast("decimal(30,12)")
+      val ln2 = lit(0.6931471805599453)
+      val agg = sc.join(cc, "w").join(ts, "source")
+        .crossJoin(broadcast(tot))
+        .select($"source", $"nw", term.as("t"))
+        .groupBy($"source").agg(count(lit(1)).as("support"),
+          sum($"nw").as("qsum"), sum($"t").as("st"))
+      val jsd = lit(0.5) * ($"st".cast("double") +
+        ln2 * (lit(1.0) - $"qsum".cast("double") / $"n".cast("double")))
+      agg.join(ts, "source").crossJoin(broadcast(tot))
+        .select($"source", $"tn".as("n_tokens"), $"support",
+          round(jsd, 6).as("jsd"),
+          round(jsd / ln2, 6).as("jsd_norm"))
+        .orderBy($"source")
+    }),
+
     // Temperature-resampled mixture (Curation.temperatureRebalance):
     // language l gets share n_l^α / Σ n^α of a total budget — the
     // mT5/UNIMAX multilingual mixing rule (α between 0 and 1 boosts
@@ -797,6 +835,45 @@ object CurationQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |  < least(1.0, 40.0 / CAST(n AS DOUBLE)) * 4294967296.0
         |ORDER BY doc_id""".stripMargin,
+
+    // q254 oracle: identical count tables, the identical fixed-order
+    // per-word term (inlined p/q/m subexpressions in the same tree
+    // shape), decimal(30,12) quantization pre-sum, and the same
+    // ln2-closed-form off-support mass.
+    "q254_source_jsd" ->
+      """WITH w0 AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT source, w FROM w0 WHERE w != ''),
+        |sc AS (SELECT source, w, count(*) AS ns FROM wf
+        |       GROUP BY source, w),
+        |cc AS (SELECT w, count(*) AS nw FROM wf GROUP BY w),
+        |ts AS (SELECT source, CAST(sum(ns) AS BIGINT) AS tn FROM sc
+        |       GROUP BY source),
+        |tot AS (SELECT CAST(sum(nw) AS BIGINT) AS n FROM cc),
+        |j AS (SELECT sc.source, cc.nw,
+        |  CAST(
+        |    (CAST(ns AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      * ln((CAST(ns AS DOUBLE) / CAST(tn AS DOUBLE))
+        |        / ((CAST(ns AS DOUBLE) / CAST(tn AS DOUBLE)
+        |            + CAST(nw AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+        |    + (CAST(nw AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln((CAST(nw AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / ((CAST(ns AS DOUBLE) / CAST(tn AS DOUBLE)
+        |            + CAST(nw AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+        |    AS DECIMAL(30,12)) AS t
+        |  FROM sc JOIN cc USING (w) JOIN ts USING (source), tot),
+        |a AS (SELECT source, count(*) AS support,
+        |        CAST(sum(nw) AS BIGINT) AS qsum, sum(t) AS st
+        |      FROM j GROUP BY source)
+        |SELECT a.source, tn AS n_tokens, support,
+        |  round(0.5 * (CAST(st AS DOUBLE) + 0.6931471805599453
+        |    * (1.0 - CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |    AS jsd,
+        |  round(0.5 * (CAST(st AS DOUBLE) + 0.6931471805599453
+        |    * (1.0 - CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / 0.6931471805599453, 6) AS jsd_norm
+        |FROM a JOIN ts USING (source), tot ORDER BY a.source""".stripMargin,
 
     // q252 oracle: the temperatureRebalance arithmetic verbatim —
     // n^0.5 weights, the DECIMAL(38,15)-summed normalizer, the same

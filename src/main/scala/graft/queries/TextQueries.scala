@@ -710,6 +710,32 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Chao1 vocabulary-richness estimator per language (Chao 1984,
+    // bias-corrected form): chao1 = V + f1·(f1−1)/(2·(f2+1)) from the
+    // singleton/doubleton counts — the standard "how much vocabulary
+    // haven't we seen yet" corpus statistic (coverage planning for a
+    // crawl: V far below chao1 ⇒ keep crawling). Two map-side-combining
+    // hash-aggs — (lang, word) counts then per-lang frequency-of-
+    // frequency tallies; one fixed-order double at the end.
+    "q253_chao1_richness" -> ((s, dir) => {
+      import s.implicits._
+      val w = t(s, dir, "documents")
+        .select($"lang", explode(filter(split($"text", " "),
+          x => x =!= "")).as("w"))
+      val c = w.groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      c.groupBy($"lang").agg(
+          sum($"c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          count(when($"c" === 1, 1)).as("f1"),
+          count(when($"c" === 2, 1)).as("f2"))
+        .select($"lang", $"n_tokens", $"vocab", $"f1", $"f2",
+          round($"vocab".cast("double") +
+            $"f1".cast("double") * ($"f1".cast("double") - lit(1.0)) /
+              (lit(2.0) * ($"f2".cast("double") + lit(1.0))), 4)
+            .as("chao1"))
+        .orderBy($"lang")
+    }),
+
     // Tokenizer fertility per language (Bpe.encode over the q220 merge
     // table): subwords-per-word and chars-per-subword — the
     // multilingual budgeting statistic (a language with fertility 2×
@@ -1301,6 +1327,25 @@ object TextQueries {
     // q41 quality gate over the newline-flattened text, rolled up per
     // source.
     "q250_crawl_corpus" -> crawlOracleSql,
+
+    // q253 oracle: identical two-level count aggregation + the same
+    // fixed-order bias-corrected Chao1 expression.
+    "q253_chao1_richness" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*) AS c FROM w
+        |      WHERE w != '' GROUP BY lang, w),
+        |a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS vocab,
+        |        count(CASE WHEN c = 1 THEN 1 END) AS f1,
+        |        count(CASE WHEN c = 2 THEN 1 END) AS f2
+        |      FROM c GROUP BY lang)
+        |SELECT lang, n_tokens, vocab, f1, f2,
+        |  round(CAST(vocab AS DOUBLE) +
+        |    CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) /
+        |      (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 4) AS chao1
+        |FROM a ORDER BY lang""".stripMargin,
 
     // q251 oracle: the q220 recursive-CTE BPE replay with a fertility
     // tail — word/char masses from the pre-encode word stream, subword
