@@ -118,6 +118,20 @@ object DedupPortableSql {
        |FROM pairs
        |ORDER BY idA, idB""".stripMargin
 
+  /** q255 oracle: LSH pairs attributed to their (source, source)
+    * provenance cell — which sources mirror each other.
+    */
+  def minhashProvenanceOracleSql(numPerm: Int, bands: Int, threshold: Double,
+                                 maxBucket: Int): String =
+    s"""WITH ${minhashPairsCtes(numPerm, bands, threshold, maxBucket)},
+       |att AS (SELECT da.source AS sa, db.source AS sb
+       |        FROM pairs p
+       |        JOIN documents da ON p.idA = da.doc_id
+       |        JOIN documents db ON p.idB = db.doc_id)
+       |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+       |  count(*) AS n_pairs
+       |FROM att GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Recursive-CTE reachability over `pairs` -> `cl(id, rep)` with
     * rep = component minimum — the oracle twin of
     * [[graft.operators.Dedup.duplicateClusters]] (same shape as the

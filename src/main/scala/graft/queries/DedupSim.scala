@@ -441,6 +441,27 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // Near-dup provenance matrix: every LSH pair attributed to its
+    // (source, source) cell — the "which sources mirror each other"
+    // report a curation team reads before deciding what to crawl less
+    // of. The pair relation is the q51 scale path verbatim (banded
+    // LSH, hub cut); attribution is two doc-keyed equi-joins against
+    // the (id, source) projection; the matrix is a |sources|²-bounded
+    // hash-agg.
+    "q255_dup_provenance" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val src = docs.select($"doc_id", $"source")
+      DedupPortable.minhashDuplicatePairsPortable(docs,
+          "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+        .join(src.select($"doc_id".as("idA"), $"source".as("sa")), "idA")
+        .join(src.select($"doc_id".as("idB"), $"source".as("sb")), "idB")
+        .select(least($"sa", $"sb").as("src_a"),
+          greatest($"sa", $"sb").as("src_b"))
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Incremental delta-vs-corpus dedup (the daily-crawl pass): docs
     // with doc_id % 10 == 0 play the new batch, the rest the standing
     // corpus. Corpus bands are pruned by a BROADCAST of the delta's
@@ -1216,6 +1237,8 @@ object DedupSim {
     // Full replays of the portable near-dup pipelines (md5 hash
     // family — see DedupPortable / DedupPortableSql).
     "q51_minhash_lsh" -> DedupPortableSql.minhashOracleSql(
+      numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
+    "q255_dup_provenance" -> DedupPortableSql.minhashProvenanceOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
     "q147_lsh_dup_clusters" -> DedupPortableSql.minhashClustersOracleSql(
       numPerm = 64, bands = 16, threshold = 0.7, maxBucket = 64),
