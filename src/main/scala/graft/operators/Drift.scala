@@ -386,6 +386,68 @@ object Drift {
     * p_e = 1 (both raters constant and equal — agreement is undefined
     * beyond chance).
     */
+  /** Krippendorff's alpha (nominal data, any number of raters per
+    * unit, tolerant of missing ratings — Krippendorff 2004) — the
+    * general inter-rater reliability statistic where [[cohenKappa]] is
+    * the two-complete-raters special case.
+    *
+    * Coincidence algebra, reduced to the diagonal: with n_uc = ratings
+    * of category c on unit u and m_u = Σ_c n_uc (units with m_u ≥ 2
+    * only),
+    *
+    *   alpha = 1 − (n − 1)·(n − A) / (n² − Σ_c n_c²)
+    *
+    * where A = Σ_u (Σ_c n_uc² − m_u)/(m_u − 1) is the matching-pair
+    * coincidence mass, n_c = Σ_u n_uc the category marginals and
+    * n = Σ_c n_c — because row marginals of the coincidence matrix are
+    * exactly n_c, the off-diagonal sums collapse and only A is ever a
+    * fraction. n and n_c stay exact integers; A's per-unit terms are
+    * quantized decimal(30,12) pre-sum (partition-order-free, oracle
+    * bit-replayable). Degenerate De = 0 (one category) → NULL.
+    *
+    * Shape: one (group, unit, value) hash-agg, one (group, unit)
+    * hash-agg, then category- and group-sized aggregates — unit
+    * cardinality never sorts, windows never appear.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, valueCol: String,
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val r = df.select(g :+ col(unitCol).cast("string").as("__u")
+      :+ col(valueCol).cast("string").as("__c"): _*)
+      .filter(col("__u").isNotNull && col("__c").isNotNull)
+    def grouped(d: DataFrame, cols: Seq[Column]) =
+      if (cols.isEmpty) d.groupBy() else d.groupBy(cols: _*)
+    val nuc = grouped(r, g :+ col("__u") :+ col("__c"))
+      .agg(count(lit(1)).as("__nuc"))
+    val perUnit = grouped(nuc, g :+ col("__u"))
+      .agg(sum(col("__nuc")).as("__m"),
+        sum(col("__nuc") * col("__nuc")).as("__s2"))
+      .filter(col("__m") >= 2)
+    val unitTerm = (col("__s2").cast("double") - col("__m").cast("double")) /
+      (col("__m").cast("double") - lit(1.0))
+    val totals = grouped(perUnit, g)
+      .agg(sum(col("__m")).as("__n"),
+        sum(unitTerm.cast("decimal(30,12)")).as("__a"))
+    // category marginals over ELIGIBLE units only (m >= 2)
+    val eligible = perUnit.select(g :+ col("__u"): _*)
+    val joinU = groupCols :+ "__u"
+    val nc = grouped(nuc.join(eligible, joinU), g :+ col("__c"))
+      .agg(sum(col("__nuc")).as("__nc"))
+    val sq = grouped(nc, g)
+      .agg(sum(col("__nc").cast("decimal(38,0)") *
+        col("__nc").cast("decimal(38,0)")).as("__sumsq"))
+    val joined =
+      if (groupCols.isEmpty) totals.crossJoin(broadcast(sq))
+      else totals.join(sq, groupCols)
+    val nD = col("__n").cast("double")
+    val de = nD * nD - col("__sumsq").cast("double")
+    val alpha = lit(1.0) -
+      (nD - lit(1.0)) * (nD - col("__a").cast("double")) / de
+    joined.select(g ++ Seq(col("__n").as("n_ratings"),
+      when(de === 0.0, lit(null).cast("double"))
+        .otherwise(round(alpha, 6)).as("alpha")): _*)
+  }
+
   def cohenKappa(df: DataFrame, aCol: String, bCol: String,
                  groupCols: Seq[String] = Nil): DataFrame = {
     val g = groupCols.map(col)

@@ -65,6 +65,32 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Per-doc n-gram novelty against a standing corpus: the fraction
+    // of a new doc's distinct 5-shingles never seen before — the
+    // dedup-pressure / freshness metric a crawl scheduler reads (a
+    // source whose novelty collapses is re-crawling known content).
+    // Docs with doc_id % 10 == 0 play the standing corpus, the rest
+    // the new batch. Seen-set = one hash-agg; membership = one
+    // h-keyed left join; counts exact, one rounded division.
+    "q256_ngram_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter($"doc_id" % 10 === 0)
+        .select(explode(graft.functions.PortableExpr
+          .md5Shingles($"text", 5)).as("h"))
+        .distinct().withColumn("seen", lit(1))
+      docs.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id", explode(graft.functions.PortableExpr
+          .md5Shingles($"text", 5)).as("h"))
+        .join(ref, Seq("h"), "left_outer")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"),
+          count(when($"seen".isNull, 1)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          round($"n_novel".cast("double") / $"n_shingles".cast("double"), 4)
+            .as("novelty"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-source Jensen-Shannon divergence against the corpus unigram
     // distribution — the mixture-design statistic (a source with high
     // JSD is lexically unlike the blend; Lin 1991). Decomposed so the
@@ -835,6 +861,20 @@ object CurationQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |  < least(1.0, 40.0 / CAST(n AS DOUBLE)) * 4294967296.0
         |ORDER BY doc_id""".stripMargin,
+
+    // q256 oracle: the shared shingle CTE split into standing corpus
+    // and new batch, the same left-join membership test.
+    "q256_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  ${shinglesCte(5)}),
+         |ref AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+         |tgt AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 != 0)
+         |SELECT t.doc_id, count(*) AS n_shingles,
+         |  count(CASE WHEN r.h IS NULL THEN 1 END) AS n_novel,
+         |  round(CAST(count(CASE WHEN r.h IS NULL THEN 1 END) AS DOUBLE)
+         |    / count(*), 4) AS novelty
+         |FROM tgt t LEFT JOIN ref r ON t.h = r.h
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // q254 oracle: identical count tables, the identical fixed-order
     // per-word term (inlined p/q/m subexpressions in the same tree

@@ -659,6 +659,25 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Krippendorff's alpha (Drift.krippendorffAlpha): the multi-rater
+    // generalization of q247 — three raters per doc (the langId
+    // heuristic, the gold label, and a deterministic noisy
+    // re-annotation that flips every 17th doc to 'en'), per source.
+    // Exercises the coincidence algebra beyond kappa's two-complete-
+    // raters case; the n/n_c marginals stay exact integers and only
+    // the matching-pair mass A is fractional (decimal-quantized).
+    "q257_krippendorff" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val ra = d.select($"source", $"doc_id", langId($"text").as("v"))
+      val rb = d.select($"source", $"doc_id", $"lang".as("v"))
+      val rc = d.select($"source", $"doc_id",
+        when($"doc_id" % 17 === 0, lit("en")).otherwise($"lang").as("v"))
+      graft.operators.Drift.krippendorffAlpha(
+          ra.unionByName(rb).unionByName(rc), "doc_id", "v", Seq("source"))
+        .orderBy($"source")
+    }),
+
     // HTML→main-content extraction (HtmlKernel; VERDICT r15 #7): the
     // crawl stage between "fetched page" and "curation-ready text".
     // Each document is wrapped into a deterministic page — title,
@@ -1314,6 +1333,44 @@ object TextQueries {
          |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
          |  END AS kappa
          |FROM base b JOIN pe USING (source) ORDER BY source""".stripMargin,
+
+    // q257 oracle: the three-rater union, the diagonal coincidence
+    // algebra (only A is fractional — decimal-quantized per unit),
+    // exact integer marginals, the same fixed-order alpha expression.
+    "q257_krippendorff" ->
+      s"""WITH rt AS (
+         |  SELECT source, doc_id, $langCaseSql AS v
+         |  FROM (SELECT source, doc_id, lang, string_split(text, ' ') AS ws
+         |        FROM documents)
+         |  UNION ALL SELECT source, doc_id, lang FROM documents
+         |  UNION ALL SELECT source, doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN 'en' ELSE lang END
+         |  FROM documents),
+         |nuc AS (SELECT source, doc_id, v, count(*) AS nuc
+         |        FROM rt GROUP BY source, doc_id, v),
+         |pu AS (SELECT source, doc_id, CAST(sum(nuc) AS BIGINT) AS m,
+         |         CAST(sum(nuc * nuc) AS BIGINT) AS s2
+         |       FROM nuc GROUP BY source, doc_id
+         |       HAVING sum(nuc) >= 2),
+         |tot AS (SELECT source, CAST(sum(m) AS BIGINT) AS n,
+         |          sum(CAST((CAST(s2 AS DOUBLE) - CAST(m AS DOUBLE))
+         |            / (CAST(m AS DOUBLE) - 1.0) AS DECIMAL(30,12))) AS a
+         |        FROM pu GROUP BY source),
+         |nc AS (SELECT u.source, u.v, CAST(sum(u.nuc) AS BIGINT) AS nc
+         |       FROM nuc u JOIN pu USING (source, doc_id)
+         |       GROUP BY u.source, u.v),
+         |sq AS (SELECT source,
+         |         sum(CAST(nc AS DECIMAL(38,0)) * CAST(nc AS DECIMAL(38,0)))
+         |           AS sumsq
+         |       FROM nc GROUP BY source)
+         |SELECT t.source, n AS n_ratings,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |      - CAST(sumsq AS DOUBLE) = 0.0 THEN NULL
+         |  ELSE round(1.0 - (CAST(n AS DOUBLE) - 1.0)
+         |    * (CAST(n AS DOUBLE) - CAST(a AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |      - CAST(sumsq AS DOUBLE)), 6) END AS alpha
+         |FROM tot t JOIN sq USING (source) ORDER BY t.source""".stripMargin,
 
     // q249 oracle: the extraction spec replayed as RE2 + list SQL —
     // identical page construction, the same three strip passes, the

@@ -1288,6 +1288,46 @@ class OpsSpec extends AnyFunSuite {
       j.toString)
   }
 
+  test("krippendorffAlpha: hand-computed, multi-rater, missing-data, degenerate") {
+    import graft.operators.Drift
+    // Two complete raters, the kappa fixture above: per-unit matching
+    // mass A = 2+0+2+2 = 6, n = 8, marginals (3,5) -> Σn_c² = 34,
+    // alpha = 1 − 7·(8−6)/(64−34) = 1 − 14/30 = 0.533333 (kappa gave
+    // 0.5 — alpha's small-sample correction).
+    val two = Seq(("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "y"),
+      ("u3", "y"), ("u3", "y"), ("u4", "y"), ("u4", "y"))
+      .toDF("u", "v")
+    val a2 = Drift.krippendorffAlpha(two, "u", "v").collect().head
+    assert(a2.getAs[Long]("n_ratings") == 8L)
+    assert(a2.getAs[Double]("alpha") == 0.533333, a2.toString)
+    // a unit with ONE rating contributes nothing (missing-data rule)
+    val miss = two.union(Seq(("u5", "z")).toDF("u", "v"))
+    val am = Drift.krippendorffAlpha(miss, "u", "v").collect().head
+    assert(am.getAs[Long]("n_ratings") == 8L &&
+      am.getAs[Double]("alpha") == 0.533333, am.toString)
+    // three raters, perfect agreement -> 1.0
+    val three = Seq(("u1", "x"), ("u1", "x"), ("u1", "x"),
+      ("u2", "y"), ("u2", "y"), ("u2", "y")).toDF("u", "v")
+    assert(Drift.krippendorffAlpha(three, "u", "v")
+      .collect().head.getAs[Double]("alpha") == 1.0)
+    // one category everywhere: De = 0 -> NULL
+    val const = Seq(("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "x"))
+      .toDF("u", "v")
+    val ac = Drift.krippendorffAlpha(const, "u", "v").collect().head
+    assert(ac.isNullAt(ac.fieldIndex("alpha")), ac.toString)
+    // grouped keys stay independent
+    val g = Seq(("g1", "u1", "x"), ("g1", "u1", "x"),
+      ("g1", "u2", "y"), ("g1", "u2", "y"),
+      ("g2", "u3", "x"), ("g2", "u3", "y"),
+      ("g2", "u4", "y"), ("g2", "u4", "x")).toDF("g", "u", "v")
+    val byG = Drift.krippendorffAlpha(g, "u", "v", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        Option(r.get(r.fieldIndex("alpha")))).toMap
+    assert(byG("g1").contains(1.0), byG.toString) // perfect per group
+    // g2: A=0, n=4, Σn_c²=8 -> 1 − 3·4/8 = −0.5 (systematic disagreement)
+    assert(byG("g2").contains(-0.5), byG.toString)
+  }
+
   test("cohenKappa: grouped keys stay independent") {
     import graft.operators.Drift
     val r = Seq(
