@@ -2958,6 +2958,22 @@ object Pipeline {
           df, req("a"), req("b"), groups), RowType)
       }),
 
+    // Krippendorff's alpha (q257): the multi-rater generalization of
+    // kappa — ratings arrive LONG (one row per rating), any number of
+    // raters per unit, units with one rating are excluded per the
+    // missing-data rule.
+    Registered("kripp", RowType, RowType,
+      "in=STREAM:unit=COL:value=COL[:group=COL,...]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"kripp: $k= required"))
+        val groups = m.args.get("group").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        ctx.writeStream(m, graft.operators.Drift.krippendorffAlpha(
+          df, req("unit"), req("value"), groups), RowType)
+      }),
+
     Registered("auc", RowType, RowType,
       "in=STREAM:score=EXPR:pos=EXPR:out=STREAM",
       (ctx, m) => {
