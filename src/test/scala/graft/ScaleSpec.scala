@@ -1176,6 +1176,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("source JSD: vocab-keyed joins + hash-aggs, no window, no cartesian") {
+    // q254's per-word terms ride a w-keyed equi-join between the two
+    // count tables; totals are 1-row broadcasts (tolerated BNLJs). A
+    // window or cartesian means someone rewrote the support-linear
+    // decomposition.
+    val plan = executed(SparkEntry.queries("q254_source_jsd")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"count tables lost map-side combine:\n$plan")
+  }
+
+  test("ngram novelty: seen-set hash-agg + ONE h-keyed join, no window") {
+    val plan = executed(SparkEntry.queries("q256_ngram_novelty")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("cohenKappa: marginals are hash-aggs + ONE keyed full-outer, no window") {
     // VERDICT r15 #6: kappa is three hash-aggregates (base, per-rater
     // marginals) + one (group, class)-keyed full-outer join between
