@@ -1255,4 +1255,88 @@ object Curation {
     top.withColumn("rk", row_number().over(org.apache.spark.sql
       .expressions.Window.orderBy(col("score").desc, col(idCol))))
   }
+
+  /** Per-doc n-gram novelty against a standing corpus (q256, the
+    * `novelty` module): the fraction of a doc's distinct `k`-shingles
+    * never seen in `ref` — the crawl freshness / dedup-pressure metric
+    * (a source whose novelty collapses is re-crawling known content).
+    * Seen-set = one hash-agg over ref's shingles; membership = one
+    * h-keyed left join; counts exact, one rounded division. Docs
+    * shorter than k tokens produce no shingles and drop out.
+    */
+  def ngramNovelty(df: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"ngramNovelty: k must be >= 1, got $k")
+    val seen = ref
+      .select(explode(PortableExpr.md5Shingles(col(textCol), k)).as("h"))
+      .distinct().withColumn("__seen", lit(1))
+    df.select(col(idCol),
+        explode(PortableExpr.md5Shingles(col(textCol), k)).as("h"))
+      .join(seen, Seq("h"), "left_outer")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__seen").isNull, 1)).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 4).as("novelty"))
+  }
+
+  /** Per-group Jensen–Shannon divergence against the whole-input
+    * unigram distribution (q254, the `jsd` module; Lin 1991) — the
+    * mixture-design statistic. Support-linear: the off-support half of
+    * KL(corpus‖mix) collapses to ln2·(1−Σ_support q); per-word terms
+    * are fixed-order doubles quantized decimal(30,12) pre-sum (the LM
+    * family discipline), so the exact sum is partition-order-free and
+    * engine-replayable. Output: (group, n_tokens, support, jsd,
+    * jsd_norm = jsd/ln2 ∈ [0,1]).
+    */
+  def unigramJsd(df: DataFrame, groupCol: String,
+                 textCol: String): DataFrame = {
+    val w = df.select(col(groupCol).as("__g"),
+      explode(filter(split(col(textCol), " "), x => x =!= "")).as("__w"))
+    val sc = w.groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__ns"))
+    val cc = w.groupBy(col("__w")).agg(count(lit(1)).as("__nw"))
+    val ts = sc.groupBy(col("__g")).agg(sum(col("__ns")).as("__tn"))
+    val tot = cc.agg(sum(col("__nw")).as("__n"))
+    val p = col("__ns").cast("double") / col("__tn").cast("double")
+    val q = col("__nw").cast("double") / col("__n").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = (p * log(p / m) + q * log(q / m)).cast("decimal(30,12)")
+    val ln2 = lit(0.6931471805599453)
+    val agg = sc.join(cc, "__w").join(ts, "__g")
+      .crossJoin(broadcast(tot))
+      .select(col("__g"), col("__nw"), term.as("__t"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("support"),
+        sum(col("__nw")).as("__qsum"), sum(col("__t")).as("__st"))
+    val jsd = lit(0.5) * (col("__st").cast("double") +
+      ln2 * (lit(1.0) - col("__qsum").cast("double") /
+        col("__n").cast("double")))
+    agg.join(ts, "__g").crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("__tn").as("n_tokens"),
+        col("support"), round(jsd, 6).as("jsd"),
+        round(jsd / ln2, 6).as("jsd_norm"))
+  }
+
+  /** Chao1 vocabulary-richness estimator per group (q253, the `chao1`
+    * module; Chao 1984, bias-corrected): V + f1·(f1−1)/(2·(f2+1)) from
+    * singleton/doubleton tallies — coverage planning for a crawl (V
+    * far below chao1 ⇒ the vocabulary is far from exhausted). Two
+    * map-side-combining hash-aggs; one fixed-order double.
+    */
+  def chao1Richness(df: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val w = df.select(col(groupCol).as("__g"),
+      explode(filter(split(col(textCol), " "), x => x =!= "")).as("__w"))
+    val c = w.groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    c.groupBy(col("__g")).agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("__c") === 1, 1)).as("f1"),
+        count(when(col("__c") === 2, 1)).as("f2"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("f1"), col("f2"),
+        round(col("vocab").cast("double") +
+          col("f1").cast("double") * (col("f1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("f2").cast("double") + lit(1.0))), 4)
+          .as("chao1"))
+  }
 }

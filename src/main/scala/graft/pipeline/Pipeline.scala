@@ -1285,6 +1285,48 @@ object Pipeline {
           RowType)
       }),
 
+    // Per-doc n-gram novelty vs a standing corpus stream (q256): the
+    // crawl freshness / dedup-pressure report.
+    Registered("novelty", RowType, RowType,
+      "in=STREAM:ref=STREAM:key=COL:text=COL[:k=5]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val rname = m.args.getOrElse("ref",
+          throw new BuildError("novelty: ref= required"))
+        val (ref, rt) = ctx.streams.getOrElse(rname,
+          throw new BuildError(s"novelty: unknown stream '$rname'"))
+        if (rt != RowType)
+          throw new BuildError(s"novelty: '$rname' is not a row stream")
+        ctx.readers(rname) += 1
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"novelty: $k= required"))
+        ctx.writeStream(m, graft.operators.Curation.ngramNovelty(
+          df, ref, req("key"), req("text"),
+          m.args.getOrElse("k", "5").toInt), RowType)
+      }),
+
+    // Per-group Jensen-Shannon divergence vs the whole input (q254).
+    Registered("jsd", RowType, RowType,
+      "in=STREAM:group=COL:text=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"jsd: $k= required"))
+        ctx.writeStream(m, graft.operators.Curation.unigramJsd(
+          df, req("group"), req("text")), RowType)
+      }),
+
+    // Chao1 vocabulary-richness estimator per group (q253).
+    Registered("chao1", RowType, RowType,
+      "in=STREAM:group=COL:text=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"chao1: $k= required"))
+        ctx.writeStream(m, graft.operators.Curation.chao1Richness(
+          df, req("group"), req("text")), RowType)
+      }),
+
     Registered("decontaminate", RowType, RowType,
       "in=STREAM:eval=STREAM:key=COL:text=COL:k=3:minshared=4:mode=drop|flag:out=STREAM",
       (ctx, m) => {

@@ -75,19 +75,8 @@ object CurationQueries {
     "q256_ngram_novelty" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val ref = docs.filter($"doc_id" % 10 === 0)
-        .select(explode(graft.functions.PortableExpr
-          .md5Shingles($"text", 5)).as("h"))
-        .distinct().withColumn("seen", lit(1))
-      docs.filter($"doc_id" % 10 =!= 0)
-        .select($"doc_id", explode(graft.functions.PortableExpr
-          .md5Shingles($"text", 5)).as("h"))
-        .join(ref, Seq("h"), "left_outer")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"),
-          count(when($"seen".isNull, 1)).as("n_novel"))
-        .select($"doc_id", $"n_shingles", $"n_novel",
-          round($"n_novel".cast("double") / $"n_shingles".cast("double"), 4)
-            .as("novelty"))
+      Curation.ngramNovelty(docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0), "doc_id", "text", k = 5)
         .orderBy($"doc_id")
     }),
 
@@ -103,29 +92,7 @@ object CurationQueries {
     // totals are 1-row broadcasts.
     "q254_source_jsd" -> ((s, dir) => {
       import s.implicits._
-      val w = t(s, dir, "documents")
-        .select($"source", explode(filter(split($"text", " "),
-          x => x =!= "")).as("w"))
-      val sc = w.groupBy($"source", $"w").agg(count(lit(1)).as("ns"))
-      val cc = w.groupBy($"w").agg(count(lit(1)).as("nw"))
-      val ts = sc.groupBy($"source").agg(sum($"ns").as("tn"))
-      val tot = cc.agg(sum($"nw").as("n"))
-      val p = $"ns".cast("double") / $"tn".cast("double")
-      val q = $"nw".cast("double") / $"n".cast("double")
-      val m = (p + q) / lit(2.0)
-      val term = (p * log(p / m) + q * log(q / m)).cast("decimal(30,12)")
-      val ln2 = lit(0.6931471805599453)
-      val agg = sc.join(cc, "w").join(ts, "source")
-        .crossJoin(broadcast(tot))
-        .select($"source", $"nw", term.as("t"))
-        .groupBy($"source").agg(count(lit(1)).as("support"),
-          sum($"nw").as("qsum"), sum($"t").as("st"))
-      val jsd = lit(0.5) * ($"st".cast("double") +
-        ln2 * (lit(1.0) - $"qsum".cast("double") / $"n".cast("double")))
-      agg.join(ts, "source").crossJoin(broadcast(tot))
-        .select($"source", $"tn".as("n_tokens"), $"support",
-          round(jsd, 6).as("jsd"),
-          round(jsd / ln2, 6).as("jsd_norm"))
+      Curation.unigramJsd(t(s, dir, "documents"), "source", "text")
         .orderBy($"source")
     }),
 

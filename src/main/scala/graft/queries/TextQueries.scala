@@ -738,20 +738,8 @@ object TextQueries {
     // frequency tallies; one fixed-order double at the end.
     "q253_chao1_richness" -> ((s, dir) => {
       import s.implicits._
-      val w = t(s, dir, "documents")
-        .select($"lang", explode(filter(split($"text", " "),
-          x => x =!= "")).as("w"))
-      val c = w.groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
-      c.groupBy($"lang").agg(
-          sum($"c").as("n_tokens"),
-          count(lit(1)).as("vocab"),
-          count(when($"c" === 1, 1)).as("f1"),
-          count(when($"c" === 2, 1)).as("f2"))
-        .select($"lang", $"n_tokens", $"vocab", $"f1", $"f2",
-          round($"vocab".cast("double") +
-            $"f1".cast("double") * ($"f1".cast("double") - lit(1.0)) /
-              (lit(2.0) * ($"f2".cast("double") + lit(1.0))), 4)
-            .as("chao1"))
+      graft.operators.Curation
+        .chao1Richness(t(s, dir, "documents"), "lang", "text")
         .orderBy($"lang")
     }),
 

@@ -733,6 +733,69 @@ object EventStreams extends Serializable {
       .toDF()
   }
 
+  /** Incremental n-gram novelty (q256's streaming twin — the crawl
+    * scheduler's daily loop): each microbatch of docs is scored
+    * against the standing shingle set (novelty = fraction of the
+    * doc's distinct k-shingles never seen BEFORE this batch — docs
+    * within one batch deliberately do not see each other, the
+    * daily-crawl batch semantics), then the batch's shingles fold into
+    * the standing set. The per-batch score is EXACTLY
+    * [[graft.operators.Curation.ngramNovelty]] against everything
+    * ingested earlier (spec pins equality at every cut); the standing
+    * state is the distinct shingle relation — the same corpus-append
+    * discipline as [[incrementalDedupStream]], localCheckpoint-capped.
+    * Returns (query, () => all per-doc novelty rows so far).
+    */
+  def noveltyStream(docs: DataFrame, corpus0: DataFrame, idCol: String,
+                    textCol: String, k: Int = 5)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    import graft.functions.PortableExpr
+    def shingles(df: DataFrame): DataFrame =
+      df.select(explode(PortableExpr.md5Shingles(col(textCol), k)).as("h"))
+        .distinct()
+    @volatile var seen: DataFrame =
+      shingles(corpus0).localCheckpoint()
+    val spark0 = docs.sparkSession
+    @volatile var report: DataFrame = spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          docs.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("n_shingles",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_novel",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("novelty",
+          org.apache.spark.sql.types.DoubleType))))
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val sh = batch.toDF()
+            .select(col(idCol),
+              explode(PortableExpr.md5Shingles(col(textCol), k)).as("h"))
+            .localCheckpoint()
+          val rep = sh
+            .join(seen.withColumn("__seen", lit(1)), Seq("h"), "left_outer")
+            .groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"),
+              count(when(col("__seen").isNull, 1)).as("n_novel"))
+            .select(col(idCol), col("n_shingles"), col("n_novel"),
+              round(col("n_novel").cast("double") /
+                col("n_shingles").cast("double"), 4).as("novelty"))
+          val prevR = report
+          val prevS = seen
+          report = prevR.unionByName(rep).localCheckpoint()
+          seen = prevS.unionByName(sh.select(col("h"))).distinct()
+            .localCheckpoint()
+          prevR.unpersist(false)
+          prevS.unpersist(false)
+          sh.unpersist(false)
+          ()
+      }
+      .start()
+    (q, () => report)
+  }
+
   /** Streaming twin of the crawl-extraction report (q249/q250's
     * additive half): pages stream in, each microbatch runs the SAME
     * HtmlKernel pass (a stateless narrow map — extraction itself has

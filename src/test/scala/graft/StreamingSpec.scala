@@ -441,6 +441,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming novelty equals the batch operator against prior ingest at every cut") {
+    // q256's daily-crawl loop: batch k's per-doc novelty must equal
+    // Curation.ngramNovelty(batch_k, corpus0 ∪ batches_<k) exactly —
+    // the standing shingle set neither leaks in-batch shingles nor
+    // loses earlier ones.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def doc(i: Long, stride: Int) =
+      (i, (0 to 8).map(j => s"tok${(i * 3 + stride * j) % 17}").mkString(" "))
+    val corpus0 = (1L to 10L).map(doc(_, 1)).toDF("doc_id", "text")
+    val b1 = (11L to 14L).map(doc(_, 1)) ++ // stride-1 runs: all seen
+      (15L to 18L).map(doc(_, 2))           // stride-2 runs: novel
+    val b2 = (19L to 21L).map(doc(_, 2)) ++ // now seen (b1 added them)
+      (22L to 25L).map(doc(_, 5))           // novel again
+    val ms = MemoryStream[(Long, String)]
+    val (q, current) = EventStreams.noveltyStream(
+      ms.toDF().toDF("doc_id", "text"), corpus0, "doc_id", "text", k = 5)
+    try {
+      var prior = corpus0
+      var expect = Seq.empty[org.apache.spark.sql.Row]
+      for (b <- Seq(b1, b2)) {
+        val bdf = b.toDF("doc_id", "text")
+        expect = expect ++ graft.operators.Curation
+          .ngramNovelty(bdf, prior, "doc_id", "text", k = 5)
+          .orderBy($"doc_id").collect().toSeq
+        ms.addData(b)
+        q.processAllAvailable()
+        val got = current().orderBy($"doc_id").collect().toSeq
+        assert(got == expect, s"cut after batch ${b.head._1} diverged")
+        prior = prior.unionByName(bdf)
+      }
+      // novelty genuinely drops once vocabulary is seen
+      val m = current().collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty"))
+        .toMap
+      assert(m.values.exists(_ > 0.0) && m.values.exists(_ < 1.0))
+    } finally q.stop()
+  }
+
   test("streaming crawl-extraction report is bit-equal to batch at every cut") {
     // q249/q250's streaming twin (the additive half): the HtmlKernel
     // pass is a stateless narrow map, and the per-source counters are
