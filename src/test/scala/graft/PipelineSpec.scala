@@ -63,6 +63,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(readOut(out) == Seq("b", "x", "y"))
   }
 
+  test("novelty module scores the in-stream against the ref stream") {
+    // two-stream read path: ref= names a second registered stream
+    val d = tmp("novelty")
+    writeCsv(d + "/ref.csv", "id,body",
+      "1,alpha beta gamma delta epsilon zeta",
+      "2,beta gamma delta epsilon zeta eta")
+    writeCsv(d + "/new.csv", "id,body",
+      "10,alpha beta gamma delta epsilon zeta", // fully seen -> 0.0
+      "11,one two three four five six")         // fully novel -> 1.0
+    val out = d + "/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/ref.csv:out=r0", "csvread:in=r0:out=ref",
+      s"fileread:in=$d/new.csv:out=n0", "csvread:in=n0:out=nw",
+      "novelty:in=nw:ref=ref:key=id:text=body:k=5:out=sc",
+      "csvwrite:in=sc:out=w", s"filewrite:in=w:out=$out"))
+    val rows = readOut(out).drop(1).map(_.split(",")).map(a => a(0) -> a(3))
+    assert(rows.toMap == Map("10" -> "0.0", "11" -> "1.0"), rows.toString)
+  }
+
   test("hashsplit + assignids curation modules") {
     val d = tmp("splitids")
     writeCsv(d + "/in.csv", "id,v" +: (1 to 50).map(i => f"$i%03d,x$i"): _*)
