@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -275,6 +276,52 @@ object HtmlKernel {
     out
   }
 
+  /** All outlink targets of a page, in document order — the first
+    * double-quoted href of each anchor tag, per the RE2 contract
+    * `(?is)<a\b[^>]*?href="([^"]*)"` (one match per `<a` occurrence;
+    * anchors whose tag carries no double-quoted href yield nothing).
+    * The crawl-frontier extraction: pages → outlinks → host graph.
+    */
+  def anchorHrefs(html0: UTF8String): ArrayData = {
+    val html = html0.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    val n = html.length
+    var pos = 0
+    var scanning = true
+    while (scanning) {
+      // leftmost '<a\b' at or after pos
+      var i = pos
+      var found = -1
+      while (found < 0 && i < n) {
+        if (html.charAt(i) == '<' && i + 1 < n &&
+          (html.charAt(i + 1) == 'a' || html.charAt(i + 1) == 'A') &&
+          (i + 2 == n || !isWord(html.charAt(i + 2)))) found = i
+        else i += 1
+      }
+      if (found < 0) scanning = false
+      else {
+        // lazy [^>]*? then href=" — first case-insensitive href=" in
+        // the tag (no '>' may intervene)
+        var j = found + 2
+        var hit = -1
+        while (hit < 0 && j + 6 <= n && html.charAt(j) != '>') {
+          if (html.regionMatches(true, j, "href=\"", 0, 6)) hit = j + 6
+          else j += 1
+        }
+        if (hit < 0) pos = found + 2
+        else {
+          val end = html.indexOf('"', hit)
+          if (end < 0) { pos = found + 2 } // unterminated: no match here
+          else {
+            out.add(UTF8String.fromString(html.substring(hit, end)))
+            pos = end + 1
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def htmlExtract(html0: UTF8String, minChars: Int, linkDen: Int): InternalRow = {
     val html = html0.toString
 
@@ -355,6 +402,32 @@ case class HtmlExtractExpr(child: Expression, minChars: Int, linkDen: Int)
     copy(child = newChild)
 }
 
+/** Outlink targets of a page in document order (see
+  * [[HtmlKernel.anchorHrefs]]).
+  */
+case class AnchorHrefsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    HtmlKernel.anchorHrefs(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlKernel.anchorHrefs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HtmlExpr {
   /** jusText-defaults: blocks of ≥ minChars non-whitespace codepoints
     * whose link density is below 1/linkDen survive as main content.
@@ -362,4 +435,8 @@ object HtmlExpr {
   def htmlExtract(html: Column, minChars: Int = 25, linkDen: Int = 3): Column =
     ColumnBridge.column(
       HtmlExtractExpr(ColumnBridge.expression(html), minChars, linkDen))
+
+  /** Outlink targets (first double-quoted href per anchor, in order). */
+  def anchorHrefs(html: Column): Column =
+    ColumnBridge.column(AnchorHrefsExpr(ColumnBridge.expression(html)))
 }

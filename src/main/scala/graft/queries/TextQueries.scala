@@ -729,6 +729,39 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
+    // outlinks → per-(source, host) counts — the crawl-frontier
+    // extraction (what the scheduler feeds back into the queue) and
+    // the input relation of a host-level link graph (q168's PageRank
+    // machinery runs on exactly this shape). The fixture wires
+    // data-dependent absolute links, a single-quoted href the
+    // double-quote contract deliberately skips, and a relative link
+    // bucketed as '(relative)'. Narrow kernel map + explode + one
+    // hash-agg.
+    "q258_outlink_hosts" -> ((s, dir) => {
+      import s.implicits._
+      val page = concat(
+        lit("<html><body><nav><a href=\"https://hub.example/h\">hub" +
+          "</a></nav><p><a href=\"https://"),
+        $"source", lit(".example/page/"), ($"doc_id" % 13).cast("string"),
+        lit("\">self</a> see also <a href=\"https://s"),
+        (($"doc_id" * 7) % 20).cast("string"),
+        lit(".example/ref\">x</a></p>"),
+        when($"doc_id" % 3 === 0,
+          lit("<p><a href='https://skip.example/q'>sq</a></p>"))
+          .otherwise(lit("")),
+        lit("<footer><a href=\"/local/rel\">rel</a></footer>" +
+          "</body></html>"))
+      t(s, dir, "documents")
+        .select($"source",
+          explode(graft.functions.HtmlExpr.anchorHrefs(page)).as("href"))
+        .select($"source", when($"href".startsWith("https://"),
+            substring_index($"href".substr(lit(9), length($"href")), "/", 1))
+          .otherwise(lit("(relative)")).as("host"))
+        .groupBy($"source", $"host").agg(count(lit(1)).as("n_links"))
+        .orderBy($"source", $"host")
+    }),
+
     // Chao1 vocabulary-richness estimator per language (Chao 1984,
     // bias-corrected form): chao1 = V + f1·(f1−1)/(2·(f2+1)) from the
     // singleton/doubleton counts — the standard "how much vocabulary
@@ -1372,6 +1405,31 @@ object TextQueries {
     // q41 quality gate over the newline-flattened text, rolled up per
     // source.
     "q250_crawl_corpus" -> crawlOracleSql,
+
+    // q258 oracle: identical page construction, the href contract as
+    // RE2 (first double-quoted href per anchor), the same host rule.
+    "q258_outlink_hosts" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  '<html><body><nav><a href="https://hub.example/h">hub</a>'
+        |  || '</nav><p><a href="https://' || source || '.example/page/'
+        |  || CAST(doc_id % 13 AS VARCHAR)
+        |  || '">self</a> see also <a href="https://s'
+        |  || CAST((doc_id * 7) % 20 AS VARCHAR)
+        |  || '.example/ref">x</a></p>'
+        |  || CASE WHEN doc_id % 3 = 0 THEN
+        |    '<p><a href=''https://skip.example/q''>sq</a></p>'
+        |  ELSE '' END
+        |  || '<footer><a href="/local/rel">rel</a></footer></body></html>'
+        |    AS html
+        |  FROM documents),
+        |l AS (SELECT source, unnest(regexp_extract_all(html,
+        |  '(?is)<a\b[^>]*?href="([^"]*)"', 1)) AS href FROM h),
+        |hh AS (SELECT source,
+        |  CASE WHEN href LIKE 'https://%'
+        |    THEN string_split(substr(href, 9), '/')[1]
+        |  ELSE '(relative)' END AS host FROM l)
+        |SELECT source, host, count(*) AS n_links
+        |FROM hh GROUP BY source, host ORDER BY source, host""".stripMargin,
 
     // q253 oracle: identical two-level count aggregation + the same
     // fixed-order bias-corrected Chao1 expression.

@@ -151,6 +151,26 @@ class HtmlKernelSpec extends AnyFunSuite {
         s"  kernel=$g\n  ref=$w")
   }
 
+  test("anchorHrefs == the RE2 contract via java.util.regex on hostile pages") {
+    val HrefPat = "(?is)<a\\b[^>]*?href=\"([^\"]*)\"".r
+    val pages = hostile ++ Seq(
+      "<a href=\"/one\">x</a><a href=\"/two\">y</a>",
+      "<a class='z' href=\"/attr-after\">x</a>",
+      "<a href='single-quoted-skipped'>x</a>",
+      "<a href=\"unterminated", // no closing quote anywhere
+      "<a href=\"swallows<p class=\"inner\">tail</a>", // quote spans a tag
+      "<A HREF=\"/upper\">x</A>",
+      "<abbr href=\"/not-an-anchor\">x</abbr>",
+      "<a>no href</a><a href=\"/after-bare\">x</a>",
+      "<a data-href=\"/decoy\" href=\"/real\">x</a>")
+    val got = pages.toDF("html")
+      .select(graft.functions.HtmlExpr.anchorHrefs($"html").as("hs"))
+      .collect().map(_.getSeq[String](0).toList)
+    val want = pages.map(p => HrefPat.findAllMatchIn(p).map(_.group(1)).toList)
+    for (((g, w), i) <- got.zip(want).zipWithIndex)
+      assert(g == w, s"page $i: ${pages(i)}\n  kernel=$g\n  ref=$w")
+  }
+
   test("q249 keeps paragraph text and drops the boilerplate on real docs") {
     val out = SparkEntry.queries("q249_html_extract")(spark, sf)
       .limit(200).collect()
