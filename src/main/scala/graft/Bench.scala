@@ -286,6 +286,17 @@ object Bench {
       // BASELINE.md) a file to read instead (VERDICT r3 #2).
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench.json"), res.json + "\n")
+      // FULL-suite runs additionally stamp bench_full*.json: any later
+      // SPARK_GRAFT_ONLY dev run overwrites bench.json, and that
+      // clobbered a round's committed per-query record once (VERDICT
+      // r16 #3). Filtered runs never touch the _full files.
+      if (only.isEmpty) {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_full.json"), res.json + "\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_full_samples.json"),
+          res.samplesJson + "\n")
+      }
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE the result line so shutdown logging can't
     // interleave: the JSON is the very last thing on stdout. The full

@@ -2680,8 +2680,9 @@ object Pipeline {
     // HTML→main-content extraction (q249, VERDICT r15 #7): strip
     // script/style/comments, segment at block tags, keep blocks by
     // the jusText length + link-density gate — one codegen'd kernel
-    // pass per page (HtmlKernel). cols= keeps the page stats; the
-    // default replaces the html column with title + main_text.
+    // pass per page (HtmlKernel). The :stats flag keeps the page
+    // stats; the default replaces the html column with title +
+    // main_text (ADVICE r16: the comment used to say cols=).
     Registered("htmlextract", RowType, RowType,
       "in=STREAM:html=COL[:minchars=25][:linkden=3][:stats]:out=STREAM",
       (ctx, m) => {

@@ -503,9 +503,11 @@ object ScaleRehearsal {
     val rp1 = timed("q245-repetition-10x")(repTotals(docs10))
     val repExact = rp01.keySet == rp1.keySet &&
       rp01.forall { case (l, v) => rp1(l) == v.map(_ * 10) }
+    // Seq indices into the row built above: 0=n_docs, 1=kept,
+    // 7=s_den, 8=s_masked (ADVICE r16: head/_(0) printed total/total)
     println(s"rehearsal: q245 langs=${rp01.size} " +
-      s"sf0.1 kept=${rp01.values.map(_.head).sum}/" +
-      s"${rp01.values.map(_(0)).sum} masses=${rp01.values.map(_(7)).sum} " +
+      s"sf0.1 kept=${rp01.values.map(_(1)).sum}/" +
+      s"${rp01.values.map(_(0)).sum} masked=${rp01.values.map(_(8)).sum} " +
       s"exact10x=$repExact")
 
     // 15. Bradley-Terry (q248): replicate the CONTEST relation 10×
