@@ -1,0 +1,296 @@
+package graft.formats
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException,
+  InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WARC/1.x container codec — the Common Crawl ingest format and the
+  * last stage between "crawl files on disk" and the q250
+  * crawl-to-corpus recipe (VERDICT r16 #1). Pure-JDK, hand-rolled like
+  * the sibling codecs here (Bson/Cfb/Xlsx): no external WARC library
+  * exists in this build, and the format is line-headers + an exact
+  * Content-Length payload frame, well inside hand-parser territory.
+  *
+  * Format (ISO 28500; the reference engine has no container ingest at
+  * all — its closest posture is fileread + gunzip, dbitool.pl:892-954,
+  * :1244-1316 — so this is extension surface, not a port):
+  *
+  * {{{
+  * WARC/1.0<CRLF>
+  * WARC-Type: response<CRLF>
+  * WARC-Target-URI: https://...<CRLF>
+  * WARC-Date: 2026-01-01T00:00:00Z<CRLF>
+  * Content-Type: application/http; msgtype=response<CRLF>
+  * Content-Length: N<CRLF>
+  * <CRLF>
+  * ...exactly N payload bytes...
+  * <CRLF><CRLF>
+  * }}}
+  *
+  * For `Content-Type: application/http` records the payload is itself
+  * an HTTP message: status line + headers + CRLF CRLF + body; the
+  * reader splits it and surfaces (status, mime, body) so a pipeline
+  * goes straight to htmlextract without re-parsing HTTP downstream.
+  *
+  * Compression: Common Crawl ships `.warc.gz` with ONE GZIP MEMBER PER
+  * RECORD (the spec's recommended layout — it makes records
+  * independently seekable). `java.util.zip.GZIPInputStream` reads
+  * concatenated members transparently, so the reader needs only the
+  * 1F 8B sniff it shares with Pipeline's gunzip; the writer emits the
+  * per-record-member layout so fixtures exercise exactly the
+  * multi-member path real crawl data takes.
+  *
+  * Scale posture: gzip members are not splittable, so the unit of
+  * parallelism is the FILE — exactly how every engine reads raw
+  * Common Crawl (its ~1 GB segment files exist to make that unit
+  * right-sized; 100 TB ≈ 10⁵ files ≫ 10³ executors). [[read]] uses
+  * `binaryFiles`' streaming `PortableDataStream` — one sequential
+  * O(file) pass per task, never whole-file byte arrays — and the
+  * record parse is a narrow map: no shuffle anywhere until the user's
+  * own aggregation.
+  */
+object Warc {
+
+  /** One parsed record: WARC headers lower-cased, HTTP payload split
+    * when present. `status`/`mime`/`body` come from the embedded HTTP
+    * response (mime = its Content-Type); for non-HTTP records status
+    * is null and `body` is the raw WARC payload.
+    */
+  final case class Record(
+      recNo: Long,
+      warcType: String,
+      url: String,
+      ts: String,
+      status: java.lang.Integer,
+      mime: String,
+      body: Array[Byte])
+
+  // ---------------------------------------------------------------- read
+
+  private final val CR: Int = '\r'.toInt
+  private final val LF: Int = '\n'.toInt
+
+  /** Read one header line (terminated by CRLF or bare LF — lenient,
+    * real crawls contain both). Returns null at clean EOF before any
+    * byte.
+    */
+  private def readLine(in: InputStream): String = {
+    val buf = new ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != LF) {
+      buf.write(b)
+      b = in.read()
+    }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == CR)
+      bytes.length - 1 else bytes.length
+    // WARC headers are ASCII-safe; ISO-8859-1 never throws on stray bytes
+    new String(bytes, 0, n, ISO_8859_1)
+  }
+
+  private def readFully(in: InputStream, n: Long): Array[Byte] = {
+    require(n <= Int.MaxValue, s"warc: payload over 2 GiB ($n bytes)")
+    val out = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < n) {
+      val r = in.read(out, off, n.toInt - off)
+      if (r < 0) throw new EOFException(
+        s"warc: truncated payload — expected $n bytes, got $off")
+      off += r
+    }
+    out
+  }
+
+  /** Find the first CRLFCRLF (or LFLF) in `bytes`; -1 if absent.
+    * Returns (headerEnd, bodyStart).
+    */
+  private def splitHttp(bytes: Array[Byte]): (Int, Int) = {
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == LF) {
+        if (i + 2 < bytes.length && bytes(i + 1) == CR && bytes(i + 2) == LF)
+          return (i, i + 3)
+        if (i + 1 < bytes.length && bytes(i + 1) == LF)
+          return (i, i + 2)
+      }
+      i += 1
+    }
+    (-1, -1)
+  }
+
+  /** Lazily parse every record in one (possibly multi-member-gzip)
+    * WARC stream. Malformed framing fails loudly with byte context —
+    * a silently skipped record is corpus loss nobody notices.
+    */
+  def records(raw: InputStream): Iterator[Record] = {
+    val buffered = new BufferedInputStream(raw, 1 << 16)
+    buffered.mark(2)
+    val b0 = buffered.read(); val b1 = buffered.read()
+    buffered.reset()
+    val in: InputStream =
+      if (b0 == 0x1F && b1 == 0x8B)
+        new BufferedInputStream(new GZIPInputStream(buffered, 1 << 16), 1 << 16)
+      else buffered
+
+    new Iterator[Record] {
+      private var nextRec: Record = null
+      private var recNo = 0L
+      private var done = false
+
+      private def advance(): Unit = {
+        if (done) return
+        // skip inter-record blank lines (the record's trailing
+        // CRLF CRLF separator, plus any padding)
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line == null) { done = true; return }
+        if (!line.startsWith("WARC/"))
+          throw new IllegalArgumentException(
+            s"warc: expected version line, got '${line.take(60)}' " +
+              s"(record ${recNo + 1})")
+        // header block: Name: Value until the blank line
+        var headers = Map.empty[String, String]
+        var h = readLine(in)
+        while (h != null && h.nonEmpty) {
+          val ci = h.indexOf(':')
+          if (ci <= 0) throw new IllegalArgumentException(
+            s"warc: bad header line '${h.take(60)}' (record ${recNo + 1})")
+          headers += (h.substring(0, ci).trim.toLowerCase ->
+            h.substring(ci + 1).trim)
+          h = readLine(in)
+        }
+        if (h == null) throw new EOFException(
+          s"warc: EOF inside header block (record ${recNo + 1})")
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"warc: missing Content-Length (record ${recNo + 1})")).toLong
+        val payload = readFully(in, len)
+        recNo += 1
+        val warcType = headers.getOrElse("warc-type", "")
+        val url = headers.getOrElse("warc-target-uri", null)
+        val ts = headers.getOrElse("warc-date", null)
+        val ct = headers.getOrElse("content-type", "")
+        val rec =
+          if (ct.startsWith("application/http")) {
+            val (he, bs) = splitHttp(payload)
+            if (he < 0) Record(recNo, warcType, url, ts, null, null, payload)
+            else {
+              val head = new String(payload, 0, he, ISO_8859_1)
+              val lines = head.split("\r?\n")
+              // "HTTP/1.1 200 OK" -> 200; requests have no status
+              val status: java.lang.Integer = lines.headOption
+                .filter(_.startsWith("HTTP/"))
+                .flatMap(_.split(" ").lift(1))
+                .flatMap(s => scala.util.Try(s.toInt).toOption)
+                .map(Int.box).orNull
+              val mime = lines.tail.collectFirst {
+                case l if l.toLowerCase.startsWith("content-type:") =>
+                  l.substring("content-type:".length).trim
+              }.orNull
+              Record(recNo, warcType, url, ts, status, mime,
+                java.util.Arrays.copyOfRange(payload, bs, payload.length))
+            }
+          } else Record(recNo, warcType, url, ts, null, null, payload)
+        nextRec = rec
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): Record = {
+        if (!hasNext) throw new NoSuchElementException("warc: past EOF")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** Distributed WARC scan: one task per file (gzip members are not
+    * splittable — see the object scaladoc for why that is the right
+    * unit at crawl scale), each task a single streaming pass. Columns:
+    * (path, rec_no, warc_type, url, ts, status, mime, payload binary).
+    * Filter `warc_type = 'response'` for page payloads; cast payload
+    * to string for HTML (binary→string is UTF-8 decode in Spark).
+    */
+  def read(spark: SparkSession, path: String,
+           minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        // binaryFiles' iterator is consumed fully within the task
+        // (records() is lazy; toArray would double peak memory only
+        // for the parsed rows, which ARE the task output anyway)
+        records(in).map(r =>
+          (file, r.recNo, r.warcType, r.url, r.ts,
+            Option(r.status).map(_.intValue), r.mime, r.body))
+      }
+      .toDF("path", "rec_no", "warc_type", "url", "ts", "status", "mime",
+        "payload")
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Write one record. `httpStatus`/`httpMime` non-null ⇒ wrap `body`
+    * in an HTTP/1.1 response message (Content-Type
+    * application/http; msgtype=response), the layout of every crawl
+    * response record; null ⇒ raw payload with `contentType`.
+    */
+  def writeRecord(out: OutputStream, warcType: String, url: String,
+                  ts: String, body: Array[Byte],
+                  httpStatus: java.lang.Integer = null,
+                  httpMime: String = null,
+                  contentType: String = "application/octet-stream"): Unit = {
+    val payload: Array[Byte] =
+      if (httpStatus != null) {
+        val reason = if (httpStatus.intValue == 200) "OK"
+          else if (httpStatus.intValue == 404) "Not Found" else "Status"
+        val head = s"HTTP/1.1 $httpStatus $reason\r\n" +
+          s"Content-Type: $httpMime\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n"
+        head.getBytes(ISO_8859_1) ++ body
+      } else body
+    val ct = if (httpStatus != null) "application/http; msgtype=response"
+      else contentType
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    if (url != null) sb.append(s"WARC-Target-URI: $url\r\n")
+    if (ts != null) sb.append(s"WARC-Date: $ts\r\n")
+    sb.append(s"WARC-Record-ID: <urn:graft:$warcType:${payload.length}>\r\n")
+    sb.append(s"Content-Type: $ct\r\n")
+    sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    out.write(sb.toString.getBytes(ISO_8859_1))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1))
+  }
+
+  /** Fixture/export writer: stream records to `path`, each record its
+    * own gzip member when `path` ends `.gz` (the Common Crawl layout).
+    * Driver-side by design — same posture as the spreadsheet/BSON
+    * writers; the SCAN is the distributed half of this codec.
+    */
+  def write(path: String,
+            recs: IterableOnce[(String, String, String, Array[Byte],
+              java.lang.Integer, String)]): Unit = {
+    val fos = new java.io.FileOutputStream(path)
+    val gz = path.endsWith(".gz")
+    try {
+      val it = recs.iterator
+      while (it.hasNext) {
+        val (warcType, url, ts, body, status, mime) = it.next()
+        if (gz) {
+          val g = new GZIPOutputStream(fos, 1 << 16, true)
+          writeRecord(g, warcType, url, ts, body, status, mime)
+          g.finish() // close the MEMBER, keep the file stream open
+        } else writeRecord(fos, warcType, url, ts, body, status, mime)
+      }
+    } finally fos.close()
+  }
+}

@@ -2099,6 +2099,29 @@ object Pipeline {
         })
       }),
 
+    // WARC/1.x container ingest (VERDICT r16 #1) — the Common Crawl
+    // arrival format, the stage between files-on-disk and htmlextract:
+    // warcread:in=crawl/*.warc.gz | htmlextract:html=text | ... is the
+    // full q250 recipe on real crawl data. One task per file, one
+    // streaming pass per task, multi-member gzip sniffed per file
+    // (formats/Warc.scala). type= filters WARC-Type (default response —
+    // the page payloads; type=all keeps warcinfo/request/metadata too);
+    // :binary keeps the raw payload bytes instead of the UTF-8 text.
+    Registered("warcread", NoneType, RowType,
+      "in=FILE_OR_GLOB:out=STREAM[:type=response|all][:binary]", (ctx, m) => {
+        val path = m.args.getOrElse("in",
+          throw new BuildError("warcread: in= required"))
+        val typ = m.args.getOrElse("type", "response")
+        val all = graft.formats.Warc.read(ctx.spark, path)
+        val filtered =
+          if (typ == "all") all else all.filter(col("warc_type") === typ)
+        val out =
+          if (m.args.contains("binary")) filtered
+          else filtered.withColumn("text", col("payload").cast("string"))
+            .drop("payload")
+        ctx.writeStream(m.copy(args = m.args - "in"), out, RowType)
+      }),
+
     Registered("bsonread", NoneType, RowType, "in=FILE:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("bsonread: in= required"))
       ctx.writeStream(m.copy(args = m.args - "in"),

@@ -254,6 +254,55 @@ object Formats {
         .orderBy(col("s_suppkey"))
     }),
 
+    // WARC container round-trip (VERDICT r16 #1): documents → a
+    // 4-shard synthetic crawl in the exact Common Crawl layout
+    // (.warc.gz, ONE GZIP MEMBER PER RECORD, warcinfo head record,
+    // interleaved request records) → the distributed Warc.read scan
+    // (one streaming pass per file) → response-filtered rows. The
+    // response filter must drop warcinfo+request records, the HTTP
+    // split must recover status/mime, and the payload must round-trip
+    // BYTE-exactly through Content-Length framing + multi-member gzip
+    // (multi-byte UTF-8 text makes byte-vs-char confusion fail loudly).
+    // The oracle replays the record construction from documents.
+    "q259_roundtrip_warc" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val d = tmpDir("warc")
+      for ((shard, rows) <- docs.groupBy(r => (r.getLong(0) % 4).toInt)) {
+        val recs =
+          Iterator(("warcinfo", null: String, "2026-01-01T00:00:00Z",
+            "graft synthetic crawl".getBytes(UTF_8),
+            null: java.lang.Integer, null: String)) ++
+            rows.sortBy(_.getLong(0)).iterator.flatMap { r =>
+              val id = r.getLong(0)
+              val url = s"https://${r.getString(1)}.example/doc/$id"
+              val ts = f"2026-01-${id % 28 + 1}%02dT00:00:00Z"
+              val miss = id % 50 == 0
+              val body = (if (miss) "" else r.getString(2)).getBytes(UTF_8)
+              val req =
+                if (id % 7 == 0)
+                  Iterator(("request", url, ts,
+                    s"GET /doc/$id HTTP/1.1\r\nHost: x\r\n\r\n"
+                      .getBytes(UTF_8), null: java.lang.Integer,
+                    null: String))
+                else Iterator.empty
+              req ++ Iterator(("response", url, ts, body,
+                Int.box(if (miss) 404 else 200),
+                "text/plain; charset=utf-8"))
+            }
+        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      }
+      graft.formats.Warc.read(s, s"$d/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          substring_index(col("url"), "/", -1).cast("bigint").as("doc_id"),
+          col("url"), col("ts"), col("status"), col("mime"),
+          col("payload").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // gzip codec at the edge (replaces the reference's gzip/gunzip
     // modules; its own docs recommend edge compression,
     // dbitool.pl:3304-3307).
@@ -284,6 +333,20 @@ object Formats {
     "q24_roundtrip_jsonarray" -> selectAll("region", "r_regionkey"),
     "q26_roundtrip_bson" -> selectAll("nation", "n_nationkey"),
     "q27_roundtrip_orc" -> selectAll("supplier", "s_suppkey"),
-    "q25_roundtrip_csv_gzip" -> selectAll("part", "p_partkey")
+    "q25_roundtrip_csv_gzip" -> selectAll("part", "p_partkey"),
+
+    // replay of the q259 record construction: url/ts/status/mime/body
+    // derived from documents exactly as the fixture writer derives them
+    "q259_roundtrip_warc" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS url,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    || 'T00:00:00Z' AS ts,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 404 ELSE 200 END AS INT)
+        |    AS status,
+        |  'text/plain; charset=utf-8' AS mime,
+        |  CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

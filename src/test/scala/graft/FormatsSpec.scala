@@ -150,6 +150,97 @@ class FormatsSpec extends AnyFunSuite {
     assert(lines == Seq("k    v    "))
   }
 
+  // ---- WARC container codec (formats/Warc.scala, VERDICT r16 #1) ----
+
+  private def warcRec(warcType: String, url: String, ts: String,
+                      body: Array[Byte], status: java.lang.Integer,
+                      mime: String) = (warcType, url, ts, body, status, mime)
+
+  test("warc: records parse headers, HTTP split, and byte-exact payloads") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.formats.Warc.writeRecord(bos, "warcinfo", null, null,
+      "crawl meta".getBytes(UTF_8), contentType = "application/warc-fields")
+    graft.formats.Warc.writeRecord(bos, "response",
+      "https://a.example/x", "2026-01-02T00:00:00Z",
+      "uni✓λ中 payload".getBytes(UTF_8), Int.box(200),
+      "text/html; charset=utf-8")
+    graft.formats.Warc.writeRecord(bos, "response",
+      "https://a.example/missing", "2026-01-03T00:00:00Z",
+      Array.emptyByteArray, Int.box(404), "text/plain")
+    val recs = graft.formats.Warc.records(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).toSeq
+    assert(recs.map(_.warcType) == Seq("warcinfo", "response", "response"))
+    val info = recs.head
+    assert(info.status == null && info.url == null)
+    assert(new String(info.body, UTF_8) == "crawl meta")
+    val ok = recs(1)
+    assert(ok.url == "https://a.example/x" && ok.ts == "2026-01-02T00:00:00Z")
+    assert(ok.status.intValue == 200 && ok.mime == "text/html; charset=utf-8")
+    assert(new String(ok.body, UTF_8) == "uni✓λ中 payload")
+    val miss = recs(2)
+    assert(miss.status.intValue == 404 && miss.body.isEmpty)
+  }
+
+  test("warc: multi-member gzip file parses all records (Common Crawl layout)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val f = tmp("warcgz") + "/t.warc.gz"
+    graft.formats.Warc.write(f, (1 to 25).map(i =>
+      warcRec("response", s"https://h$i.example/p", "2026-01-01T00:00:00Z",
+        s"body $i é✓".getBytes(UTF_8), Int.box(200), "text/plain")))
+    // the file really is multi-member: more than one 1F 8B magic
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val members = bytes.sliding(2).count(a =>
+      (a(0) & 0xFF) == 0x1F && (a(1) & 0xFF) == 0x8B)
+    assert(members >= 25, s"expected per-record gzip members, got $members")
+    val recs = graft.formats.Warc.records(
+      new java.io.FileInputStream(f)).toSeq
+    assert(recs.size == 25)
+    assert(recs.map(r => new String(r.body, UTF_8)) ==
+      (1 to 25).map(i => s"body $i é✓"))
+  }
+
+  test("warc: truncated payload and bad version line fail loudly") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99\r\n\r\nshort").getBytes(ISO_8859_1)
+    intercept[java.io.EOFException] {
+      graft.formats.Warc.records(
+        new java.io.ByteArrayInputStream(truncated)).toSeq
+    }
+    val bad = "NOT-WARC\r\n\r\n".getBytes(ISO_8859_1)
+    intercept[IllegalArgumentException] {
+      graft.formats.Warc.records(
+        new java.io.ByteArrayInputStream(bad)).toSeq
+    }
+  }
+
+  test("warc: distributed read scans a glob of files in parallel") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = tmp("warcdist")
+    for (s <- 0 until 3)
+      graft.formats.Warc.write(s"$d/shard$s.warc.gz",
+        Iterator(warcRec("warcinfo", null, null,
+          "meta".getBytes(UTF_8), null, null)) ++
+          (0 until 10).iterator.map(i =>
+            warcRec("response", s"https://s$s.example/$i", null,
+              s"b$s-$i".getBytes(UTF_8), Int.box(200), "text/plain")))
+    val df = graft.formats.Warc.read(spark, s"$d/*.warc.gz")
+    // binaryFiles combines SMALL files into shared partitions (the
+    // small-files mitigation); GB-scale crawl segments each exceed
+    // maxSplitSize and get their own task. Tiny fixtures may pack into
+    // one partition — assert coverage, not the packing.
+    assert(df.rdd.getNumPartitions >= 1)
+    assert(df.count() == 33)
+    val resp = df.filter(org.apache.spark.sql.functions.col("warc_type")
+      === "response")
+    assert(resp.count() == 30)
+    val got = resp.selectExpr("cast(payload as string)").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == (for (s <- 0 until 3; i <- 0 until 10)
+      yield s"b$s-$i").sorted)
+  }
+
   test("compactParquet sizes the write to the byte target") {
     def partFiles(p: String) = new java.io.File(p).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

@@ -52,6 +52,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(lines == Seq("""{"a":"1","b":"x"}""", """{"a":"2","b":"y"}"""))
   }
 
+  test("warcread -> htmlextract -> csvwrite: crawl file to corpus csv") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = tmp("warcchain")
+    def page(i: Int) =
+      s"""<html><head><title>Page $i</title><style>.x{color:red}</style>""" +
+        """</head><body><nav><a href="/">Home</a> <a href="/a">About""" +
+        s"""</a></nav><p>the quick brown fox number $i jumps over the """ +
+        s"""lazy dog again and again tonight</p>""" +
+        """<footer><a href="/p">privacy</a></footer></body></html>"""
+    graft.formats.Warc.write(s"$d/crawl.warc.gz",
+      Iterator(("warcinfo", null: String, null: String,
+        "meta".getBytes(UTF_8), null: java.lang.Integer, null: String)) ++
+        (1 to 3).iterator.map(i =>
+          ("response", s"https://h.example/$i", "2026-01-01T00:00:00Z",
+            page(i).getBytes(UTF_8), Int.box(200): java.lang.Integer,
+            "text/html; charset=utf-8")))
+    val out = s"$d/out.csv"
+    Pipeline.run(spark, Seq(
+      s"warcread:in=$d/*.warc.gz:out=pages",
+      "htmlextract:in=pages:html=text:out=ex",
+      "column:in=ex:clist=url,title,main_text:out=sel",
+      "sort:in=sel:by=url:out=srt",
+      "csvwrite:in=srt:out=w", s"filewrite:in=w:out=$out"))
+    val lines = readOut(out)
+    assert(lines.head == "url,title,main_text")
+    assert(lines.size == 4)
+    for ((l, i) <- lines.tail.zipWithIndex) {
+      assert(l.startsWith(s"https://h.example/${i + 1},Page ${i + 1},"))
+      assert(l.contains(s"fox number ${i + 1} jumps"))
+      assert(!l.contains("Home") && !l.contains("privacy")) // boilerplate out
+    }
+  }
+
   test("implicit stream chaining matches explicit naming") {
     val in = tmp("chain") + "/in.csv"
     writeCsv(in, "a,b", "1,x", "2,y")
