@@ -1144,13 +1144,19 @@ FROM walk a JOIN walk b
 GROUP BY 1, 2
 ORDER BY center, context"""
 
-  private def pageRankOracleSql(iters: Int): String = {
-    // Replays Ops.pageRank's textbook recurrence term-for-term:
-    // per round a 1-row dangling-mass scalar (rank on nodes without
-    // out-edges, decimal sum), receiving-node contribution sums in
-    // DECIMAL(30,15), and the fixed-order double damping expression
-    // (1-d)/n + d·(S + DM/n) over ALL nodes via LEFT JOIN.
-    val rounds = (1 to iters).map { i =>
+  /** The generic PageRank round CTEs, shared by the q168 oracle and
+    * the q260 crawl-frontier oracle (TextQueries): assumes CTEs named
+    * `edges(src,dst)`, `deg(src,d)`, `nodes(id)`, `nn(cnt)`, and
+    * `r0(id,r)` are already in scope, and appends dm{i}/recv{i}/r{i}
+    * for rounds 1..iters. Replays Ops.pageRank's textbook recurrence
+    * term-for-term: per round a 1-row dangling-mass scalar (rank on
+    * nodes without out-edges, decimal sum), receiving-node
+    * contribution sums in DECIMAL(30,15), and the fixed-order double
+    * damping expression (1-d)/n + d·(S + DM/n) over ALL nodes via
+    * LEFT JOIN.
+    */
+  private[queries] def pageRankRoundsSql(iters: Int): String =
+    (1 to iters).map { i =>
       s"""dm$i AS (
          |  SELECT sum(CAST(rr.r AS DECIMAL(30,15))) AS dm
          |  FROM r${i - 1} rr
@@ -1172,6 +1178,9 @@ ORDER BY center, context"""
          |  FROM nodes LEFT JOIN recv$i ON recv$i.id = nodes.id
          |  CROSS JOIN nn CROSS JOIN dm$i)""".stripMargin
     }.mkString(",\n")
+
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = pageRankRoundsSql(iters)
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),

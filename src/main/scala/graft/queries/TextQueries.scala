@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Ops
 
 /** Text-analysis queries over `documents` — oracle-checked: every
   * heuristic is deterministic arithmetic over codegen'd counts, so the
@@ -740,18 +741,7 @@ object TextQueries {
     // hash-agg.
     "q258_outlink_hosts" -> ((s, dir) => {
       import s.implicits._
-      val page = concat(
-        lit("<html><body><nav><a href=\"https://hub.example/h\">hub" +
-          "</a></nav><p><a href=\"https://"),
-        $"source", lit(".example/page/"), ($"doc_id" % 13).cast("string"),
-        lit("\">self</a> see also <a href=\"https://s"),
-        (($"doc_id" * 7) % 20).cast("string"),
-        lit(".example/ref\">x</a></p>"),
-        when($"doc_id" % 3 === 0,
-          lit("<p><a href='https://skip.example/q'>sq</a></p>"))
-          .otherwise(lit("")),
-        lit("<footer><a href=\"/local/rel\">rel</a></footer>" +
-          "</body></html>"))
+      val page = outlinkPageCol(s)
       t(s, dir, "documents")
         .select($"source",
           explode(graft.functions.HtmlExpr.anchorHrefs(page)).as("href"))
@@ -760,6 +750,34 @@ object TextQueries {
           .otherwise(lit("(relative)")).as("host"))
         .groupBy($"source", $"host").agg(count(lit(1)).as("n_links"))
         .orderBy($"source", $"host")
+    }),
+
+    // Crawl-frontier e2e composition (VERDICT r16 #2): pages →
+    // anchorHrefs (the q258 extraction) → absolute-host edge graph
+    // (src = the page's own host, dst = the linked host, distinct) →
+    // dangling-safe PageRank (the q168 operator — and unlike q168's
+    // symmetric trade graph, the leaf hosts here have NO out-edges, so
+    // every round's dangling-mass redistribution path actually runs) →
+    // top-10 frontier hosts: what a crawl scheduler fetches next.
+    // Composition rows catch interface drift single-operator rows
+    // can't (the q157/q250 precedent). Per round: ONE co-partitioned
+    // edges⋈ranks join + one hash-agg; no window anywhere.
+    "q260_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val page = outlinkPageCol(s)
+      val edges = t(s, dir, "documents")
+        .select(concat($"source", lit(".example")).as("src"),
+          explode(graft.functions.HtmlExpr.anchorHrefs(page)).as("href"))
+        .filter($"href".startsWith("https://"))
+        .select($"src",
+          substring_index($"href".substr(lit(9), length($"href")), "/", 1)
+            .as("dst"))
+        .distinct()
+      Ops.pageRank(edges, iters = 3)
+        .select($"id".as("host"),
+          expr("cast(floor(r * 1e10) as bigint)").as("r_e10"))
+        .orderBy($"r_e10".desc, $"host").limit(10)
+        .orderBy($"r_e10".desc, $"host")
     }),
 
     // Chao1 vocabulary-richness estimator per language (Chao 1984,
@@ -810,6 +828,48 @@ object TextQueries {
     * stays literal), short blocks (title/h1 under the length gate),
     * and a per-doc structural variant (doc_id % 7 list block).
     */
+  /** The synthetic outlink page shared by q258 (host histogram) and
+    * q260 (frontier PageRank): a hub link, a data-dependent self link,
+    * a data-dependent cross-host link, a single-quoted href the
+    * double-quote contract deliberately skips, and a relative link.
+    */
+  private def outlinkPageCol(s: SparkSession): org.apache.spark.sql.Column = {
+    import s.implicits._
+    concat(
+      lit("<html><body><nav><a href=\"https://hub.example/h\">hub" +
+        "</a></nav><p><a href=\"https://"),
+      $"source", lit(".example/page/"), ($"doc_id" % 13).cast("string"),
+      lit("\">self</a> see also <a href=\"https://s"),
+      (($"doc_id" * 7) % 20).cast("string"),
+      lit(".example/ref\">x</a></p>"),
+      when($"doc_id" % 3 === 0,
+        lit("<p><a href='https://skip.example/q'>sq</a></p>"))
+        .otherwise(lit("")),
+      lit("<footer><a href=\"/local/rel\">rel</a></footer>" +
+        "</body></html>"))
+  }
+
+  /** The q258/q260 shared oracle prelude: page construction + the href
+    * contract as RE2 (first double-quoted href per anchor). Ends with
+    * CTE `l(doc_id, source, href)`.
+    */
+  private def outlinkCtesSql: String =
+    """WITH h AS (SELECT doc_id, source,
+      |  '<html><body><nav><a href="https://hub.example/h">hub</a>'
+      |  || '</nav><p><a href="https://' || source || '.example/page/'
+      |  || CAST(doc_id % 13 AS VARCHAR)
+      |  || '">self</a> see also <a href="https://s'
+      |  || CAST((doc_id * 7) % 20 AS VARCHAR)
+      |  || '.example/ref">x</a></p>'
+      |  || CASE WHEN doc_id % 3 = 0 THEN
+      |    '<p><a href=''https://skip.example/q''>sq</a></p>'
+      |  ELSE '' END
+      |  || '<footer><a href="/local/rel">rel</a></footer></body></html>'
+      |    AS html
+      |  FROM documents),
+      |l AS (SELECT doc_id, source, unnest(regexp_extract_all(html,
+      |  '(?is)<a\b[^>]*?href="([^"]*)"', 1)) AS href FROM h)""".stripMargin
+
   private def htmlPageCol: org.apache.spark.sql.Column = concat(
     lit("<html><head><title> "), col("source"), lit(" docs</title>"),
     lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
@@ -1406,30 +1466,42 @@ object TextQueries {
     // source.
     "q250_crawl_corpus" -> crawlOracleSql,
 
-    // q258 oracle: identical page construction, the href contract as
-    // RE2 (first double-quoted href per anchor), the same host rule.
-    "q258_outlink_hosts" ->
-      """WITH h AS (SELECT doc_id, source,
-        |  '<html><body><nav><a href="https://hub.example/h">hub</a>'
-        |  || '</nav><p><a href="https://' || source || '.example/page/'
-        |  || CAST(doc_id % 13 AS VARCHAR)
-        |  || '">self</a> see also <a href="https://s'
-        |  || CAST((doc_id * 7) % 20 AS VARCHAR)
-        |  || '.example/ref">x</a></p>'
-        |  || CASE WHEN doc_id % 3 = 0 THEN
-        |    '<p><a href=''https://skip.example/q''>sq</a></p>'
-        |  ELSE '' END
-        |  || '<footer><a href="/local/rel">rel</a></footer></body></html>'
-        |    AS html
-        |  FROM documents),
-        |l AS (SELECT source, unnest(regexp_extract_all(html,
-        |  '(?is)<a\b[^>]*?href="([^"]*)"', 1)) AS href FROM h),
-        |hh AS (SELECT source,
+    // q258 oracle: identical page construction (shared prelude), the
+    // href contract as RE2 (first double-quoted href per anchor), the
+    // same host rule.
+    // NOTE both q258/q260 oracles CONCATENATE the pre-stripped prelude
+    // (never interpolate it into an outer stripMargin: the prelude's
+    // line-leading '||' concat tokens would be margin-stripped a
+    // second time — the randomWalksOracleSql lesson).
+    "q258_outlink_hosts" -> (outlinkCtesSql + ",\n" +
+      """hh AS (SELECT source,
         |  CASE WHEN href LIKE 'https://%'
         |    THEN string_split(substr(href, 9), '/')[1]
         |  ELSE '(relative)' END AS host FROM l)
         |SELECT source, host, count(*) AS n_links
-        |FROM hh GROUP BY source, host ORDER BY source, host""".stripMargin,
+        |FROM hh GROUP BY source, host ORDER BY source, host""".stripMargin),
+
+    // q260 oracle: the shared outlink prelude builds the distinct host
+    // edge relation, then the generic PageRank round CTEs
+    // (Operators.pageRankRoundsSql — the q168 template) replay the
+    // dangling-safe recurrence term-for-term, including the per-round
+    // dangling-mass scalar the leaf hosts make nonzero here.
+    "q260_crawl_frontier" -> (outlinkCtesSql + ",\n" +
+      """edges AS (SELECT DISTINCT source || '.example' AS src,
+        |    string_split(substr(href, 9), '/')[1] AS dst
+        |  FROM l WHERE href LIKE 'https://%'),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM edges
+        |    UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT count(*) AS cnt FROM nodes),
+        |r0 AS (
+        |  SELECT id, CAST(1 AS DOUBLE) / cnt AS r
+        |  FROM nodes CROSS JOIN nn),""".stripMargin + "\n" +
+      Operators.pageRankRoundsSql(3) + "\n" +
+      """SELECT id AS host, CAST(floor(r * 1e10) AS BIGINT) AS r_e10
+        |FROM r3 ORDER BY r_e10 DESC, host LIMIT 10""".stripMargin),
 
     // q253 oracle: identical two-level count aggregation + the same
     // fixed-order bias-corrected Chao1 expression.

@@ -1196,6 +1196,92 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("outlink extraction: narrow kernel map + explode + ONE hash-agg") {
+    // q258 (VERDICT r16 #6): pages → anchorHrefs is a per-page kernel
+    // scan; the host histogram is one hash-agg. No join at all, no
+    // window, and at most the agg + presentation-sort exchanges.
+    val plan = executed(SparkEntry.queries("q258_outlink_hosts")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"outlink histogram grew a join:\n$plan")
+    assert(plan.contains("Generate"), s"href explode missing:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"more than agg+sort exchanges:\n$plan")
+  }
+
+  test("crawl frontier: pagerank rounds stay equi-join + hash-agg over host edges") {
+    // q260 (VERDICT r16 #2): the composition must inherit q168's
+    // per-round contract — co-partitioned edges⋈ranks equi-join + dst
+    // hash-agg, dangling mass as a 1-row driver scalar (never a plan
+    // join), top-k as TakeOrdered. Windows/cartesians anywhere mean
+    // the frontier recipe lost the O(E)-per-round shape.
+    val plan = executed(SparkEntry.queries("q260_crawl_frontier")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 did not compile to TakeOrdered:\n$plan")
+  }
+
+  test("bpe fertility: narrow per-doc encode + per-lang hash-agg, no window") {
+    // q251 (VERDICT r16 #6): the BPE encode is a per-doc expression
+    // riding the scan; fertility is lang-keyed hash-aggs + one small
+    // lang-keyed join of the two rollups. Nothing may sort a corpus.
+    val plan = executed(SparkEntry.queries("q251_bpe_fertility")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("chao1: two map-side-combining hash-aggs, no join, no window") {
+    // q253 (VERDICT r16 #6): (lang,word) counts then per-lang
+    // frequency-of-frequency tallies — both hash-aggs with partial
+    // aggregation; the estimator is a projection.
+    val plan = executed(SparkEntry.queries("q253_chao1_richness")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"chao1 grew a join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"counts lost map-side combine:\n$plan")
+  }
+
+  test("dedup provenance: doc-keyed equi-joins + bounded agg, no window") {
+    // q255 (VERDICT r16 #6): cluster membership joins back to docs on
+    // the doc key twice; the (source_a, source_b) matrix agg is
+    // |sources|²-bounded. No window, no cartesian.
+    val plan = executed(SparkEntry.queries("q255_dup_provenance")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("krippendorff: coincidence algebra is hash-aggs + keyed joins, no window") {
+    // q257 (VERDICT r16 #6): unit marginals and pair mass are exact
+    // hash-aggs keyed by (group, unit) / (group, class); units never
+    // sort. The only tolerated nested loop is a 1-row scalar attach.
+    val plan = executed(SparkEntry.queries("q257_krippendorff")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("warc roundtrip read: response filter + narrow projection, no shuffle before sort") {
+    // q259: the WARC scan is one streaming pass per file; the only
+    // exchange tolerated is the presentation ORDER BY.
+    val plan = executed(SparkEntry.queries("q259_roundtrip_warc")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"warc read shuffles beyond the sort:\n$plan")
+  }
+
   test("cohenKappa: marginals are hash-aggs + ONE keyed full-outer, no window") {
     // VERDICT r15 #6: kappa is three hash-aggregates (base, per-rater
     // marginals) + one (group, class)-keyed full-outer join between
