@@ -870,7 +870,13 @@ object TextQueries {
       |l AS (SELECT doc_id, source, unnest(regexp_extract_all(html,
       |  '(?is)<a\b[^>]*?href="([^"]*)"', 1)) AS href FROM h)""".stripMargin
 
-  private def htmlPageCol: org.apache.spark.sql.Column = concat(
+  /** The deterministic page fixture shared by q249/q250/q258 (and the
+    * 10× rehearsal, which needs the identical page to prove exact
+    * counter scaling — hence private[graft]). NOTE: `doc_id % 7`
+    * drives the conditional <ul>, so any replica id offset must be
+    * divisible by 7 to preserve the page population.
+    */
+  private[graft] def htmlPageCol: org.apache.spark.sql.Column = concat(
     lit("<html><head><title> "), col("source"), lit(" docs</title>"),
     lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
     lit("<style>.c { color: red }</style></head><body>"),

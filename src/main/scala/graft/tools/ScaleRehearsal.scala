@@ -129,6 +129,11 @@ object ScaleRehearsal {
       spark.stop()
       return
     }
+    if (args.contains("r17")) {
+      rehearseR17(spark, sf01)
+      spark.stop()
+      return
+    }
 
     timed("generate-sf1")(replicate(spark, sf01, out))
 
@@ -451,6 +456,7 @@ object ScaleRehearsal {
     val mu1 = timed("q239-manifest-sf1")(manifestExact(out))
     println(s"rehearsal: q239 update==rebuild at sf1: $mu1")
     rehearseR16(spark, sf01)
+    rehearseR17(spark, sf01)
     spark.stop()
   }
 
@@ -557,6 +563,90 @@ object ScaleRehearsal {
     println(s"rehearsal: q248 items sf0.1=${base.size} 10x=${fit10.size} " +
       s"rows10x=$btRows10 games10x=$btGames10 replica0BitEqual=$btBitEqual")
     ct.unpersist(false)
+  }
+
+  /** r17 rows (VERDICT r16 #6 tail): HTML extraction counter scaling
+    * and novelty replica isolation. In-memory 10× inputs like the r16
+    * rows; also runs standalone: `runMain ... r17`.
+    */
+  private def rehearseR17(spark: SparkSession, sf01: String): Unit = {
+    // 16. HTML extraction (q249/q250 front half): htmlExtract and
+    // anchorHrefs are PURE per-page kernels with zero cross-doc state,
+    // so plain replication under fresh doc ids must scale every
+    // per-source counter EXACTLY 10× — pages, extracted pages, kept
+    // main-text char mass, kept/total block counts, outlinks. The
+    // replica id offset is 7,000,000 = 7·10⁶ (divisible by 7, so the
+    // fixture's `doc_id % 7` conditional <ul> hits the same docs in
+    // every replica; also ≡ 0 mod 10 for row 17's ref/batch split).
+    val docs01 = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    def times10(docs: DataFrame): DataFrame = docs
+      .withColumn("r", explode(sequence(lit(0), lit(9))))
+      .select((col("doc_id") + col("r").cast("long") * 7000000L)
+        .as("doc_id"), col("source"), col("lang"), col("text"))
+      .repartition(32)
+    def extractTotals(docs: DataFrame): Map[String, Seq[Long]] = {
+      val page = graft.queries.TextQueries.htmlPageCol
+      val f = graft.functions.TextFunctions.htmlExtract(page).toMap
+      docs.select(col("source"),
+          f("main_text").as("mt"), f("n_blocks").as("nb"),
+          f("kept_blocks").as("kb"), f("kept_chars").as("kc"),
+          size(graft.functions.HtmlExpr.anchorHrefs(page)).as("nl"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_pages"),
+          count(when(col("mt") =!= "", 1)).as("n_extracted"),
+          sum(col("nb")).as("blocks"),
+          sum(col("kb")).as("kept_blocks"),
+          sum(col("kc")).as("kept_chars"),
+          sum(col("nl")).as("outlinks"))
+        .collect()
+        .map(r => r.getString(0) -> (1 to 6).map(r.getLong).toSeq)
+        .toMap
+    }
+    val ex01 = timed("q249-extract-sf0.1")(extractTotals(docs01))
+    val ex10 = timed("q249-extract-10x")(extractTotals(times10(docs01)))
+    val exExact = ex01.keySet == ex10.keySet &&
+      ex01.forall { case (s, v) => ex10(s) == v.map(_ * 10) }
+    println(s"rehearsal: q249 sources=${ex01.size} " +
+      s"sf0.1 pages=${ex01.values.map(_.head).sum} " +
+      s"outlinks=${ex01.values.map(_(5)).sum} exact10x=$exExact")
+
+    // 17. n-gram novelty (q256) replica ISOLATION: each replica gets a
+    // disjoint shingle domain (per-replica token tag + letter cipher —
+    // a token bijection, so within a replica the shingle equality
+    // structure mirrors the original exactly, and across replicas no
+    // shingle collides). Invariants: the 10× run emits EXACTLY 10×
+    // rows, and EVERY replica's (n_shingles, n_novel, novelty) rows
+    // bit-equal the standalone sf0.1 run after the id offset is
+    // stripped — any cross-replica contamination of the standing set
+    // (or a dropped replica in the seen-set hash-agg) breaks it.
+    def ciphered(docs: DataFrame): DataFrame = (0 until 10).map { r =>
+      if (r == 0) docs.select(col("doc_id"), col("text"))
+      else {
+        val tag = s"q${r}x"
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 7000000L)).as("doc_id"),
+          array_join(transform(
+            filter(split(col("text"), " "), t => t =!= ""),
+            t => concat(lit(tag),
+              translate(t, Lower + Lower.toUpperCase,
+                shifted(r) + shifted(r).toUpperCase))), " ").as("text"))
+      }
+    }.reduce(_ unionByName _).repartition(32)
+    def novelty(docs: DataFrame): Map[Long, (Long, Long, Double)] =
+      graft.operators.Curation.ngramNovelty(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", k = 5)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+    val nv01 = timed("q256-novelty-sf0.1")(novelty(
+      docs01.select(col("doc_id"), col("text"))))
+    val nv10 = timed("q256-novelty-10x")(novelty(ciphered(docs01)))
+    val nvRows10 = nv10.size == 10 * nv01.size
+    val nvIsolated = nv10.forall { case (id, v) => nv01(id % 7000000L) == v }
+    println(s"rehearsal: q256 docs sf0.1=${nv01.size} 10x=${nv10.size} " +
+      s"rows10x=$nvRows10 replicasBitEqual=$nvIsolated")
   }
 
 }
