@@ -1318,6 +1318,144 @@ object Curation {
           col("n_shingles").cast("double"), 4).as("novelty"))
   }
 
+  /** Parse robots.txt bodies into a per-host rule table for `agent`
+    * (RFC 9309 Robots Exclusion Protocol, the subset every major
+    * crawler implements): output one row per applicable Allow/Disallow
+    * line — (hostCol, directive, pattern, plen, like_pat).
+    *
+    * Group logic per the RFC: a run of consecutive `User-agent:` lines
+    * opens a group whose rules are the Allow/Disallow lines until the
+    * next group; the groups that apply are ALL groups naming `agent`
+    * (case-insensitive exact product token), or — only when NO group
+    * names it — the `*` groups. Comments (`#` to end of line) are
+    * stripped first; keys are case-insensitive; unknown keys (crawl-
+    * delay, sitemap, …) are ignored here (see [[robotsSitemaps]]).
+    *
+    * Pattern → SQL LIKE translation, shared VERBATIM with the DuckDB
+    * oracle: `*` matches any run (→ `%`), a trailing `$` anchors the
+    * end (no trailing `%`), everything else is literal (`%`/`_`/`!`
+    * escaped with `!` — the escape char is `!` precisely so no engine
+    * backslash convention is involved). `plen` is the octet length of
+    * the pattern as written — the RFC's longest-match specificity key.
+    *
+    * Scale shape: one narrow line split per robots body + ONE window
+    * partitioned by host whose size is the FILE's line count (robots
+    * bodies are KBs by protocol — bounded, never corpus-sized), then
+    * two host-keyed semi-joins for group selection. The result is a
+    * host-keyed rule relation, small by construction (the PiiPatterns
+    * posture) — [[robotsFilter]] broadcasts it.
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, contentCol: String,
+                  agent: String): DataFrame = {
+    require(robots.columns.contains(hostCol), s"robotsRules: no $hostCol")
+    require(robots.columns.contains(contentCol),
+      s"robotsRules: no $contentCol")
+    val lines = robots.select(col(hostCol).as("__h"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("__ln", "__raw")))
+      // comment strip + first-colon key/value split via locate (the
+      // oracle mirrors with strpos/slicing — no limit-split in DuckDB)
+      .withColumn("__nc", when(locate("#", col("__raw")) > 0,
+        substring(col("__raw"), lit(1), locate("#", col("__raw")) - 1))
+        .otherwise(col("__raw")))
+      .withColumn("__pos", locate(":", col("__nc")))
+      .select(col("__h"), col("__ln"),
+        lower(trim(when(col("__pos") > 0,
+          substring(col("__nc"), lit(1), col("__pos") - 1))
+          .otherwise(lit("")))).as("__k"),
+        trim(when(col("__pos") > 0,
+          col("__nc").substr(col("__pos") + 1, length(col("__nc"))))
+          .otherwise(lit(""))).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("__ln"))
+    val tagged = lines
+      .withColumn("__ua", col("__k") === "user-agent")
+      // group-start marker first, cumulative sum second (two exprs on
+      // the SAME window spec → one WindowExec; nesting lag inside sum
+      // is not allowed)
+      .withColumn("__st", when(col("__ua") &&
+        !lag(col("__ua"), 1, false).over(w), 1).otherwise(0))
+      .withColumn("__grp", sum(col("__st")).over(w))
+    val agents = tagged.filter(col("__ua"))
+      .select(col("__h"), col("__grp"), lower(col("__v")).as("__a"))
+    val exact = agents.filter(col("__a") === lit(agent.toLowerCase))
+      .select(col("__h"), col("__grp")).distinct()
+    val star = agents.filter(col("__a") === "*")
+      .select(col("__h"), col("__grp")).distinct()
+    val chosen = exact.unionByName(
+      star.join(exact.select(col("__h")).distinct(), Seq("__h"),
+        "left_anti"))
+    val ends = col("pattern").endsWith("$")
+    val core = when(ends,
+      expr("substring(pattern, 1, length(pattern) - 1)"))
+      .otherwise(col("pattern"))
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      core, "!", "!!"), "%", "!%"), "_", "!_"), "\\*", "%")
+    tagged.filter(col("__k").isin("allow", "disallow"))
+      .join(chosen, Seq("__h", "__grp"))
+      .select(col("__h").as(hostCol), col("__k").as("directive"),
+        col("__v").as("pattern"))
+      .withColumn("plen", length(col("pattern")).cast("long"))
+      .withColumn("like_pat",
+        concat(esc, when(ends, lit("")).otherwise(lit("%"))))
+  }
+
+  /** Sitemap URLs declared anywhere in a robots.txt body (`Sitemap:`
+    * lines are group-independent per RFC 9309 / sitemaps.org): one
+    * (hostCol, sitemap) row per declaration, document order. Narrow.
+    */
+  def robotsSitemaps(robots: DataFrame, hostCol: String,
+                     contentCol: String): DataFrame =
+    robots.select(col(hostCol),
+        explode(split(col(contentCol), "\n")).as("__raw"))
+      .withColumn("__nc", when(locate("#", col("__raw")) > 0,
+        substring(col("__raw"), lit(1), locate("#", col("__raw")) - 1))
+        .otherwise(col("__raw")))
+      .withColumn("__pos", locate(":", col("__nc")))
+      .filter(col("__pos") > 0 &&
+        lower(trim(substring(col("__nc"), lit(1), col("__pos") - 1)))
+          === "sitemap")
+      .select(col(hostCol),
+        trim(col("__nc").substr(col("__pos") + 1, length(col("__nc"))))
+          .as("sitemap"))
+      .filter(col("sitemap") =!= "")
+
+  /** Crawl-frontier URL filtering against a [[robotsRules]] table:
+    * RFC 9309 precedence — among the rules whose pattern matches the
+    * URL path, the LONGEST pattern wins and `allow` beats `disallow`
+    * on ties; a URL matching no rule (or from a host with no rules)
+    * is allowed. Output: (idCol, hostCol, pathCol, allowed, rule,
+    * directive) with rule/directive NULL for unmatched URLs.
+    *
+    * Scale shape: the URL stream joins the BROADCAST rule relation on
+    * the host equi-key with the LIKE match as a residual condition
+    * (one probe per same-host rule — fanout bounded by the host's
+    * rule count, never corpus-sized), then ONE url-keyed hash-agg
+    * takes the precedence argmin as min(struct(−plen, dir_rank,
+    * pattern)) — exact integer/string comparisons, no window, no
+    * float anywhere, so the decision replays bit-for-bit in the
+    * oracle.
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, hostCol: String,
+                   pathCol: String, rules: DataFrame): DataFrame = {
+    require(urls.columns.contains(idCol), s"robotsFilter: no $idCol")
+    val r = broadcast(rules.select(col(hostCol).as("__rh"),
+      col("directive").as("__dir"), col("pattern").as("__pat"),
+      col("plen").as("__plen"), col("like_pat").as("__like")))
+    val u = urls.select(col(idCol).as("__id"), col(hostCol).as("__uh"),
+      col(pathCol).as("__path"))
+    u.join(r, col("__uh") === col("__rh") &&
+        expr("__path LIKE __like ESCAPE '!'"), "left_outer")
+      .groupBy(col("__id"), col("__uh"), col("__path"))
+      .agg(min(when(col("__pat").isNotNull,
+        struct((-col("__plen")).as("__n"),
+          when(col("__dir") === "allow", 0).otherwise(1).as("__r"),
+          col("__pat").as("__p"), col("__dir").as("__d")))).as("__w"))
+      .select(col("__id").as(idCol), col("__uh").as(hostCol),
+        col("__path").as(pathCol),
+        (col("__w").isNull || col("__w.__r") === 0).as("allowed"),
+        col("__w.__p").as("rule"), col("__w.__d").as("directive"))
+  }
+
   /** Per-group Jensen–Shannon divergence against the whole-input
     * unigram distribution (q254, the `jsd` module; Lin 1991) — the
     * mixture-design statistic. Support-linear: the off-support half of

@@ -1305,6 +1305,42 @@ object Pipeline {
           m.args.getOrElse("k", "5").toInt), RowType)
       }),
 
+    // robots.txt-aware crawl-frontier filtering (q261, RFC 9309):
+    // parse the robots stream's bodies into a rule table for agent=,
+    // verdict each URL row by longest-match / allow-wins-ties.
+    Registered("robotsfilter", RowType, RowType,
+      "in=STREAM:robots=STREAM:agent=STR:key=COL:host=COL:path=COL" +
+        ":rhost=COL:content=COL:out=STREAM",
+      (ctx, m) => {
+        val urls = ctx.readStream(m, RowType)
+        val rname = m.args.getOrElse("robots",
+          throw new BuildError("robotsfilter: robots= required"))
+        val (rob, rt) = ctx.streams.getOrElse(rname,
+          throw new BuildError(s"robotsfilter: unknown stream '$rname'"))
+        if (rt != RowType)
+          throw new BuildError(s"robotsfilter: '$rname' is not a row stream")
+        ctx.readers(rname) += 1
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"robotsfilter: $k= required"))
+        val rules = graft.operators.Curation.robotsRules(rob,
+          m.args.getOrElse("rhost", req("host")), req("content"),
+          req("agent"))
+        ctx.writeStream(m, graft.operators.Curation.robotsFilter(
+          urls, req("key"), req("host"), req("path"), rules), RowType)
+      }),
+
+    // Sitemap declarations from robots bodies (q262) — the seed-list
+    // half of the crawl-loop feedback.
+    Registered("sitemaps", RowType, RowType,
+      "in=STREAM:host=COL:content=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"sitemaps: $k= required"))
+        ctx.writeStream(m, graft.operators.Curation.robotsSitemaps(
+          df, req("host"), req("content")), RowType)
+      }),
+
     // Per-group Jensen-Shannon divergence vs the whole input (q254).
     Registered("jsd", RowType, RowType,
       "in=STREAM:group=COL:text=COL:out=STREAM",

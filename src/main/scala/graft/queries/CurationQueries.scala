@@ -80,6 +80,76 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // robots.txt-aware crawl-frontier filtering (RFC 9309; VERDICT r16
+    // #8): per-host robots bodies are PARSED (comment strip, first-
+    // colon key split, consecutive-User-agent group runs, exact-agent-
+    // over-star group selection) into a rule table, URLs take the
+    // longest-match verdict with allow winning ties. The fixture
+    // exercises: case-insensitive agent match ('GraftBot' vs
+    // 'graftbot'), a two-UA-line group run, * wildcards, $ anchors,
+    // an empty Allow (matches everything at the lowest precedence),
+    // a literal '_' that must NOT wildcard under the LIKE translation
+    // (escape '!'), and hosts WITHOUT a graftbot group falling back to
+    // the * group (len-5 sources). Output: per-(source, rule) verdict
+    // counts — wrong group selection, precedence, or escaping all
+    // shift rows across rule attributions.
+    "q261_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val robots = d.select($"source").distinct().select(
+        concat($"source", lit(".example")).as("host"),
+        concat(
+          lit("# robots fixture\nUser-agent: otherbot\nDisallow: /\n\n"),
+          when(length($"source") === 4, lit(
+            "User-agent: graftbot\nUser-Agent: graftbot-image\n" +
+              "Disallow: /private/*\nAllow: /private/*/pub$\n" +
+              "Disallow: /tmp$\nDisallow: /d_e/\nAllow:\n\n"))
+            .otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /star/\nSitemap: https://"),
+          $"source", lit(".example/sitemap.xml\n")).as("robots_txt"))
+      val rules = Curation.robotsRules(robots, "host", "robots_txt",
+        "GraftBot")
+      val urls = d.select($"doc_id", $"source",
+        concat($"source", lit(".example")).as("host"),
+        when($"doc_id" % 6 === 0, concat(lit("/private/"), $"lang",
+            lit("/pub")))
+          .when($"doc_id" % 6 === 1, concat(lit("/private/"), $"lang"))
+          .when($"doc_id" % 6 === 2, lit("/tmp"))
+          .when($"doc_id" % 6 === 3, concat(lit("/tmp/"), $"source"))
+          // the _ pair pins LIKE escaping BOTH ways: /d_e/x must match
+          // the literal '_' rule, /dxe/x must NOT (an unescaped LIKE
+          // '_' would match it and flip the verdict)
+          .when($"doc_id" % 12 === 4, lit("/d_e/x"))
+          .when($"doc_id" % 12 === 10, lit("/dxe/x"))
+          .otherwise(lit("/star/s")).as("path"))
+      Curation.robotsFilter(urls, "doc_id", "host", "path", rules)
+        .join(urls.select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source", $"directive", $"rule", $"allowed")
+        .agg(count(lit(1)).as("n_urls"))
+        .orderBy($"source", $"directive", $"rule", $"allowed")
+    }),
+
+    // Sitemap declarations from the same robots bodies (group-
+    // independent per the RFC) — the other half of the crawl-loop
+    // feedback (robots gate + sitemap seed list).
+    "q262_robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val robots = d.select($"source").distinct().select(
+        concat($"source", lit(".example")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /star/  # gated\n"),
+          lit("Sitemap: https://"), $"source",
+          lit(".example/sitemap.xml\n# Sitemap: https://commented.out\n"),
+          when(length($"source") === 4, concat(lit("sitemap: https://"),
+            $"source", lit(".example/extra.xml\n"))).otherwise(lit("")))
+          .as("robots_txt"))
+      Curation.robotsSitemaps(robots, "host", "robots_txt")
+        .groupBy($"host").agg(count(lit(1)).as("n_sitemaps"),
+          array_join(array_sort(collect_list($"sitemap")), "|")
+            .as("sitemaps"))
+        .orderBy($"host")
+    }),
+
     // Per-source Jensen-Shannon divergence against the corpus unigram
     // distribution — the mixture-design statistic (a source with high
     // JSD is lexically unlike the blend; Lin 1991). Decomposed so the
@@ -842,6 +912,116 @@ object CurationQueries {
          |    / count(*), 4) AS novelty
          |FROM tgt t LEFT JOIN ref r ON t.h = r.h
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // q261 oracle: the FULL RFC 9309 replay — the identical fixture
+    // bodies rebuilt with the same concat, parsed with the same
+    // comment-strip / first-colon / UA-run-group / exact-over-star
+    // logic (strpos+substr mirror locate+substring; the lag/sum group
+    // id is the same two-step window), the identical pattern → LIKE
+    // translation with ESCAPE '!', and the same longest-match /
+    // allow-wins-ties precedence (row_number over (plen DESC, rank,
+    // pattern) == Spark's min(struct(−plen, rank, pattern))).
+    "q261_robots_filter" ->
+      """WITH hosts AS (SELECT DISTINCT source FROM documents),
+        |rob AS (SELECT source || '.example' AS host,
+        |  '# robots fixture' || chr(10) || 'User-agent: otherbot' ||
+        |    chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+        |  CASE WHEN len(source) = 4 THEN
+        |    'User-agent: graftbot' || chr(10) ||
+        |    'User-Agent: graftbot-image' || chr(10) ||
+        |    'Disallow: /private/*' || chr(10) ||
+        |    'Allow: /private/*/pub$' || chr(10) ||
+        |    'Disallow: /tmp$' || chr(10) || 'Disallow: /d_e/' ||
+        |    chr(10) || 'Allow:' || chr(10) || chr(10) ELSE '' END ||
+        |  'User-agent: *' || chr(10) || 'Disallow: /star/' || chr(10) ||
+        |  'Sitemap: https://' || source || '.example/sitemap.xml' ||
+        |  chr(10) AS robots_txt FROM hosts),
+        |ls0 AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
+        |  FROM rob),
+        |lns AS (SELECT host, i AS ln, ls[i] AS raw
+        |  FROM ls0, LATERAL unnest(range(1, len(ls) + 1)) u(i)),
+        |kv AS (SELECT host, ln, strpos(nc, ':') AS pos, nc FROM (
+        |  SELECT host, ln, CASE WHEN strpos(raw, '#') > 0
+        |    THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END AS nc
+        |  FROM lns)),
+        |kv2 AS (SELECT host, ln,
+        |  lower(trim(CASE WHEN pos > 0 THEN substr(nc, 1, pos - 1)
+        |    ELSE '' END)) AS k,
+        |  trim(CASE WHEN pos > 0 THEN substr(nc, pos + 1)
+        |    ELSE '' END) AS v FROM kv),
+        |tg AS (SELECT host, ln, k, v, (k = 'user-agent') AS ua FROM kv2),
+        |st AS (SELECT *, CASE WHEN ua AND NOT coalesce(
+        |    lag(ua) OVER (PARTITION BY host ORDER BY ln), false)
+        |  THEN 1 ELSE 0 END AS s FROM tg),
+        |grp AS (SELECT *, sum(s) OVER (PARTITION BY host ORDER BY ln)
+        |  AS g FROM st),
+        |agents AS (SELECT DISTINCT host, g, lower(v) AS a FROM grp
+        |  WHERE ua),
+        |ex AS (SELECT DISTINCT host, g FROM agents WHERE a = 'graftbot'),
+        |star AS (SELECT DISTINCT host, g FROM agents WHERE a = '*'),
+        |chosen AS (SELECT * FROM ex UNION ALL
+        |  SELECT s.* FROM star s WHERE NOT EXISTS (
+        |    SELECT 1 FROM ex e WHERE e.host = s.host)),
+        |rl AS (SELECT host, directive, pattern,
+        |  CAST(len(pattern) AS BIGINT) AS plen,
+        |  replace(replace(replace(replace(
+        |    CASE WHEN right(pattern, 1) = '$'
+        |      THEN substr(pattern, 1, len(pattern) - 1) ELSE pattern END,
+        |    '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') ||
+        |  CASE WHEN right(pattern, 1) = '$' THEN '' ELSE '%' END
+        |    AS like_pat
+        |  FROM (SELECT gr.host, gr.k AS directive, gr.v AS pattern
+        |    FROM grp gr JOIN chosen c ON gr.host = c.host AND gr.g = c.g
+        |    WHERE gr.k IN ('allow', 'disallow'))),
+        |urls AS (SELECT doc_id, source, source || '.example' AS host,
+        |  CASE WHEN doc_id % 6 = 0 THEN '/private/' || lang || '/pub'
+        |    WHEN doc_id % 6 = 1 THEN '/private/' || lang
+        |    WHEN doc_id % 6 = 2 THEN '/tmp'
+        |    WHEN doc_id % 6 = 3 THEN '/tmp/' || source
+        |    WHEN doc_id % 12 = 4 THEN '/d_e/x'
+        |    WHEN doc_id % 12 = 10 THEN '/dxe/x'
+        |    ELSE '/star/s' END AS path FROM documents),
+        |m AS (SELECT u.doc_id, r.directive, r.pattern, r.plen
+        |  FROM urls u JOIN rl r ON u.host = r.host
+        |    AND u.path LIKE r.like_pat ESCAPE '!'),
+        |best AS (SELECT doc_id, directive, pattern FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY plen DESC,
+        |      CASE directive WHEN 'allow' THEN 0 ELSE 1 END,
+        |      pattern) AS rk FROM m) WHERE rk = 1)
+        |SELECT u.source, b.directive, b.pattern AS rule,
+        |  (b.doc_id IS NOT NULL AND b.directive = 'allow')
+        |    OR b.doc_id IS NULL AS allowed,
+        |  count(*) AS n_urls
+        |FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    // q262 oracle: same line/comment/key machinery, Sitemap lines are
+    // group-independent; the commented-out line must NOT surface.
+    "q262_robots_sitemaps" ->
+      """WITH hosts AS (SELECT DISTINCT source FROM documents),
+        |rob AS (SELECT source || '.example' AS host,
+        |  'User-agent: *' || chr(10) || 'Disallow: /star/  # gated' ||
+        |  chr(10) || 'Sitemap: https://' || source ||
+        |  '.example/sitemap.xml' || chr(10) ||
+        |  '# Sitemap: https://commented.out' || chr(10) ||
+        |  CASE WHEN len(source) = 4 THEN 'sitemap: https://' || source
+        |    || '.example/extra.xml' || chr(10) ELSE '' END
+        |  AS robots_txt FROM hosts),
+        |lns AS (SELECT host, unnest(string_split(robots_txt, chr(10)))
+        |  AS raw FROM rob),
+        |kv AS (SELECT host, strpos(nc, ':') AS pos, nc FROM (
+        |  SELECT host, CASE WHEN strpos(raw, '#') > 0
+        |    THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END AS nc
+        |  FROM lns)),
+        |sm AS (SELECT host,
+        |  trim(substr(nc, pos + 1)) AS sitemap FROM kv
+        |  WHERE pos > 0
+        |    AND lower(trim(substr(nc, 1, pos - 1))) = 'sitemap'
+        |    AND trim(substr(nc, pos + 1)) != '')
+        |SELECT host, count(*) AS n_sitemaps,
+        |  string_agg(sitemap, '|' ORDER BY sitemap) AS sitemaps
+        |FROM sm GROUP BY host ORDER BY host""".stripMargin,
 
     // q254 oracle: identical count tables, the identical fixed-order
     // per-word term (inlined p/q/m subexpressions in the same tree

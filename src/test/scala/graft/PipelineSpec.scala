@@ -115,6 +115,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toMap == Map("10" -> "0.0", "11" -> "1.0"), rows.toString)
   }
 
+  test("robotsfilter + sitemaps modules: rules gate the URL stream") {
+    val d = tmp("robots")
+    // the robots body carries real newlines — ndjson's \n escapes
+    // deliver them through the line-delimited reader
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "robots.ndjson"),
+      ("{\"host\":\"h.example\",\"body\":\"User-agent: graftbot\\n" +
+        "Disallow: /priv/*\\nAllow: /priv/ok$\\nUser-agent: *\\n" +
+        "Disallow: /\\nSitemap: https://h.example/sm.xml\"}\n")
+        .getBytes("UTF-8"))
+    writeCsv(d + "/urls.csv", "id,host,path",
+      "1,h.example,/priv/ok",   // allow beats /priv/* on length
+      "2,h.example,/priv/no",   // disallowed
+      "3,h.example,/open",      // no rule -> allowed
+      "4,other.example,/priv/no") // no rules for host -> allowed
+    val out = d + "/out.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/robots.ndjson:out=r0", "ndjsonread:in=r0:out=rob",
+      s"fileread:in=$d/urls.csv:out=u0", "csvread:in=u0:out=urls",
+      "robotsfilter:in=urls:robots=rob:agent=GraftBot:key=id" +
+        ":host=host:path=path:content=body:out=v",
+      "csvwrite:in=v:out=w", s"filewrite:in=w:out=$out"))
+    val rows = readOut(out).drop(1).map(_.split(",", -1))
+      .map(a => a(0) -> a(3)).toMap
+    assert(rows == Map("1" -> "true", "2" -> "false", "3" -> "true",
+      "4" -> "true"), rows.toString)
+    val out2 = d + "/sm.csv"
+    Pipeline.run(spark, Seq(
+      s"fileread:in=$d/robots.ndjson:out=r1", "ndjsonread:in=r1:out=rb",
+      "sitemaps:in=rb:host=host:content=body:out=s",
+      "csvwrite:in=s:out=sw", s"filewrite:in=sw:out=$out2"))
+    assert(readOut(out2).drop(1) == Seq("h.example,https://h.example/sm.xml"))
+  }
+
   test("hashsplit + assignids curation modules") {
     val d = tmp("splitids")
     writeCsv(d + "/in.csv", "id,v" +: (1 to 50).map(i => f"$i%03d,x$i"): _*)

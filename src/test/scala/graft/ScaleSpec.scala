@@ -1282,6 +1282,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"warc read shuffles beyond the sort:\n$plan")
   }
 
+  test("robots filter: rules broadcast into the URL stream, windows only over robots lines") {
+    // q261 (VERDICT r16 #8): the robots PARSE may window — but only
+    // partitioned by host over a single file's lines (KB-bounded by
+    // protocol); the URL stream takes the rule table as a BROADCAST
+    // hash join (host equi-key + LIKE residual) and ONE url-keyed
+    // aggregation. A window without the host key, or the rule table
+    // arriving via shuffle, is the 100 TB failure.
+    val plan = executed(SparkEntry.queries("q261_robots_filter")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val windows = plan.split('\n').filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty, s"robots group window missing:\n$plan")
+    windows.foreach { l =>
+      assert(l.contains("windowspecdefinition(__h"),
+        s"window not partitioned by robots host: $l")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rule table not broadcast into the URL stream:\n$plan")
+  }
+
+  test("robots sitemaps: narrow line split, zero pre-agg windows") {
+    val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("cohenKappa: marginals are hash-aggs + ONE keyed full-outer, no window") {
     // VERDICT r15 #6: kappa is three hash-aggregates (base, per-rater
     // marginals) + one (group, class)-keyed full-outer join between
