@@ -1419,6 +1419,25 @@ object Curation {
           .as("sitemap"))
       .filter(col("sitemap") =!= "")
 
+  /** Sitemap XML parsing (sitemaps.org protocol): every `<loc>` entry
+    * of each body, with the file's KIND from its root element —
+    * `urlset` bodies list page URLs, `sitemapindex` bodies list nested
+    * sitemap files (the crawler recurses on those). Extraction is the
+    * RE2-contract regex `(?is)<loc>\s*([^<]+?)\s*</loc>` via the
+    * codegen'd regexp_extract_all — pure per-row work, zero shuffles
+    * (the anchorHrefs posture), replayed verbatim by the oracle.
+    * Output: (hostCol, kind, loc), one row per entry, document order
+    * within a body.
+    */
+  def sitemapLocs(df: DataFrame, hostCol: String,
+                  xmlCol: String): DataFrame =
+    df.select(col(hostCol),
+        when(lower(col(xmlCol)).contains("<sitemapindex"), "index")
+          .otherwise("urlset").as("kind"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?is)<loc>\\s*([^<]+?)\\s*</loc>"), lit(1))).as("loc"))
+      .filter(col("loc") =!= "")
+
   /** Crawl-frontier URL filtering against a [[robotsRules]] table:
     * RFC 9309 precedence — among the rules whose pattern matches the
     * URL path, the LONGEST pattern wins and `allow` beats `disallow`

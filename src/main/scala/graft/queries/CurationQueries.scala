@@ -38,6 +38,85 @@ object CurationQueries {
       .stripMargin
   }
 
+  /** Shared robots fixture + FULL RFC 9309 parse as DuckDB CTEs,
+    * ending at `rl` (host, directive, pattern, plen, like_pat) — the
+    * q261/q263 oracles concatenate this PRE-STRIPPED prelude (never
+    * re-stripMargin it; the q260 lesson). Mirrors
+    * Curation.robotsRules step for step: comment strip + first-colon
+    * split via strpos/substr (= locate/substring), UA-run group ids
+    * via the same two-step lag/sum window, exact-agent-over-star
+    * group selection, and the identical pattern → LIKE ESCAPE '!'
+    * translation.
+    */
+  private val RobotsRulesPreludeSql: String =
+    """hosts AS (SELECT DISTINCT source FROM documents),
+      |rob AS (SELECT source || '.example' AS host,
+      |  '# robots fixture' || chr(10) || 'User-agent: otherbot' ||
+      |    chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+      |  CASE WHEN len(source) = 4 THEN
+      |    'User-agent: graftbot' || chr(10) ||
+      |    'User-Agent: graftbot-image' || chr(10) ||
+      |    'Disallow: /private/*' || chr(10) ||
+      |    'Allow: /private/*/pub$' || chr(10) ||
+      |    'Disallow: /tmp$' || chr(10) || 'Disallow: /d_e/' ||
+      |    chr(10) || 'Allow:' || chr(10) || chr(10) ELSE '' END ||
+      |  'User-agent: *' || chr(10) || 'Disallow: /star/' || chr(10) ||
+      |  'Sitemap: https://' || source || '.example/sitemap.xml' ||
+      |  chr(10) AS robots_txt FROM hosts),
+      |ls0 AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
+      |  FROM rob),
+      |lns AS (SELECT host, i AS ln, ls[i] AS raw
+      |  FROM ls0, LATERAL unnest(range(1, len(ls) + 1)) u(i)),
+      |kv AS (SELECT host, ln, strpos(nc, ':') AS pos, nc FROM (
+      |  SELECT host, ln, CASE WHEN strpos(raw, '#') > 0
+      |    THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END AS nc
+      |  FROM lns)),
+      |kv2 AS (SELECT host, ln,
+      |  lower(trim(CASE WHEN pos > 0 THEN substr(nc, 1, pos - 1)
+      |    ELSE '' END)) AS k,
+      |  trim(CASE WHEN pos > 0 THEN substr(nc, pos + 1)
+      |    ELSE '' END) AS v FROM kv),
+      |tg AS (SELECT host, ln, k, v, (k = 'user-agent') AS ua FROM kv2),
+      |st AS (SELECT *, CASE WHEN ua AND NOT coalesce(
+      |    lag(ua) OVER (PARTITION BY host ORDER BY ln), false)
+      |  THEN 1 ELSE 0 END AS s FROM tg),
+      |grp AS (SELECT *, sum(s) OVER (PARTITION BY host ORDER BY ln)
+      |  AS g FROM st),
+      |agents AS (SELECT DISTINCT host, g, lower(v) AS a FROM grp
+      |  WHERE ua),
+      |ex AS (SELECT DISTINCT host, g FROM agents WHERE a = 'graftbot'),
+      |star AS (SELECT DISTINCT host, g FROM agents WHERE a = '*'),
+      |chosen AS (SELECT * FROM ex UNION ALL
+      |  SELECT s.* FROM star s WHERE NOT EXISTS (
+      |    SELECT 1 FROM ex e WHERE e.host = s.host)),
+      |rl AS (SELECT host, directive, pattern,
+      |  CAST(len(pattern) AS BIGINT) AS plen,
+      |  replace(replace(replace(replace(
+      |    CASE WHEN right(pattern, 1) = '$'
+      |      THEN substr(pattern, 1, len(pattern) - 1) ELSE pattern END,
+      |    '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') ||
+      |  CASE WHEN right(pattern, 1) = '$' THEN '' ELSE '%' END
+      |    AS like_pat
+      |  FROM (SELECT gr.host, gr.k AS directive, gr.v AS pattern
+      |    FROM grp gr JOIN chosen c ON gr.host = c.host AND gr.g = c.g
+      |    WHERE gr.k IN ('allow', 'disallow')))""".stripMargin
+
+  /** The per-host robots fixture shared by q261/q263 — the Spark twin
+    * of [[RobotsRulesPreludeSql]]'s `rob` CTE, byte for byte.
+    */
+  private def robotsFixture(d: DataFrame): DataFrame =
+    d.select(col("source")).distinct().select(
+      concat(col("source"), lit(".example")).as("host"),
+      concat(
+        lit("# robots fixture\nUser-agent: otherbot\nDisallow: /\n\n"),
+        when(length(col("source")) === 4, lit(
+          "User-agent: graftbot\nUser-Agent: graftbot-image\n" +
+            "Disallow: /private/*\nAllow: /private/*/pub$\n" +
+            "Disallow: /tmp$\nDisallow: /d_e/\nAllow:\n\n"))
+          .otherwise(lit("")),
+        lit("User-agent: *\nDisallow: /star/\nSitemap: https://"),
+        col("source"), lit(".example/sitemap.xml\n")).as("robots_txt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Benchmark decontamination: docs whose 3-shingle overlap with the
@@ -96,19 +175,8 @@ object CurationQueries {
     "q261_robots_filter" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
-      val robots = d.select($"source").distinct().select(
-        concat($"source", lit(".example")).as("host"),
-        concat(
-          lit("# robots fixture\nUser-agent: otherbot\nDisallow: /\n\n"),
-          when(length($"source") === 4, lit(
-            "User-agent: graftbot\nUser-Agent: graftbot-image\n" +
-              "Disallow: /private/*\nAllow: /private/*/pub$\n" +
-              "Disallow: /tmp$\nDisallow: /d_e/\nAllow:\n\n"))
-            .otherwise(lit("")),
-          lit("User-agent: *\nDisallow: /star/\nSitemap: https://"),
-          $"source", lit(".example/sitemap.xml\n")).as("robots_txt"))
-      val rules = Curation.robotsRules(robots, "host", "robots_txt",
-        "GraftBot")
+      val rules = Curation.robotsRules(robotsFixture(d), "host",
+        "robots_txt", "GraftBot")
       val urls = d.select($"doc_id", $"source",
         concat($"source", lit(".example")).as("host"),
         when($"doc_id" % 6 === 0, concat(lit("/private/"), $"lang",
@@ -127,6 +195,49 @@ object CurationQueries {
         .groupBy($"source", $"directive", $"rule", $"allowed")
         .agg(count(lit(1)).as("n_urls"))
         .orderBy($"source", $"directive", $"rule", $"allowed")
+    }),
+
+    // The closed crawl loop (q262's seed list made concrete): per-host
+    // sitemap XML bodies — sitemapindex files for len-4 sources,
+    // urlset files for the rest — parsed by the RE2-contract <loc>
+    // extractor, paths stripped of the scheme+host prefix, every loc
+    // verdict-ed through the SAME robots rule table as q261. Pins the
+    // root-element kind detection, whitespace-tolerant loc trimming,
+    // nested-index gating (sitemap FILES are robots-gated too), and
+    // that /star/s from a sitemap is denied for star-group hosts.
+    "q263_crawl_loop" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val rules = Curation.robotsRules(robotsFixture(d), "host",
+        "robots_txt", "GraftBot")
+      val sm = d.select($"source").distinct().select(
+        concat($"source", lit(".example")).as("host"),
+        when(length($"source") === 4, concat(
+          lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+            "  <sitemap><loc> https://"), $"source",
+          lit(".example/sm1.xml </loc></sitemap>\n  <sitemap><loc>" +
+            "https://"), $"source",
+          lit(".example/sm2.xml</loc></sitemap>\n</sitemapindex>\n"))
+          ).otherwise(concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n  <url><loc> " +
+            "https://"), $"source",
+          lit(".example/private/en/pub </loc>" +
+            "<lastmod>2026-01-01</lastmod></url>\n  <url><loc>" +
+            "https://"), $"source",
+          lit(".example/tmp</loc></url>\n  <url><loc>https://"),
+          $"source",
+          lit(".example/star/s</loc></url>\n  <url><loc>https://"),
+          $"source",
+          lit(".example/open/a</loc></url>\n</urlset>\n"))).as("xml"))
+      val locs = Curation.sitemapLocs(sm, "host", "xml")
+        .withColumn("path", expr("replace(loc, 'https://' || host, '')"))
+      Curation.robotsFilter(locs.select($"loc", $"host", $"path"),
+          "loc", "host", "path", rules)
+        .join(locs.select($"loc", $"kind"), "loc")
+        .groupBy($"host", $"kind", $"allowed")
+        .agg(count(lit(1)).as("n_locs"),
+          array_join(array_sort(collect_list($"path")), "|").as("paths"))
+        .orderBy($"host", $"kind", $"allowed")
     }),
 
     // Sitemap declarations from the same robots bodies (group-
@@ -921,59 +1032,8 @@ object CurationQueries {
     // translation with ESCAPE '!', and the same longest-match /
     // allow-wins-ties precedence (row_number over (plen DESC, rank,
     // pattern) == Spark's min(struct(−plen, rank, pattern))).
-    "q261_robots_filter" ->
-      """WITH hosts AS (SELECT DISTINCT source FROM documents),
-        |rob AS (SELECT source || '.example' AS host,
-        |  '# robots fixture' || chr(10) || 'User-agent: otherbot' ||
-        |    chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
-        |  CASE WHEN len(source) = 4 THEN
-        |    'User-agent: graftbot' || chr(10) ||
-        |    'User-Agent: graftbot-image' || chr(10) ||
-        |    'Disallow: /private/*' || chr(10) ||
-        |    'Allow: /private/*/pub$' || chr(10) ||
-        |    'Disallow: /tmp$' || chr(10) || 'Disallow: /d_e/' ||
-        |    chr(10) || 'Allow:' || chr(10) || chr(10) ELSE '' END ||
-        |  'User-agent: *' || chr(10) || 'Disallow: /star/' || chr(10) ||
-        |  'Sitemap: https://' || source || '.example/sitemap.xml' ||
-        |  chr(10) AS robots_txt FROM hosts),
-        |ls0 AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
-        |  FROM rob),
-        |lns AS (SELECT host, i AS ln, ls[i] AS raw
-        |  FROM ls0, LATERAL unnest(range(1, len(ls) + 1)) u(i)),
-        |kv AS (SELECT host, ln, strpos(nc, ':') AS pos, nc FROM (
-        |  SELECT host, ln, CASE WHEN strpos(raw, '#') > 0
-        |    THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END AS nc
-        |  FROM lns)),
-        |kv2 AS (SELECT host, ln,
-        |  lower(trim(CASE WHEN pos > 0 THEN substr(nc, 1, pos - 1)
-        |    ELSE '' END)) AS k,
-        |  trim(CASE WHEN pos > 0 THEN substr(nc, pos + 1)
-        |    ELSE '' END) AS v FROM kv),
-        |tg AS (SELECT host, ln, k, v, (k = 'user-agent') AS ua FROM kv2),
-        |st AS (SELECT *, CASE WHEN ua AND NOT coalesce(
-        |    lag(ua) OVER (PARTITION BY host ORDER BY ln), false)
-        |  THEN 1 ELSE 0 END AS s FROM tg),
-        |grp AS (SELECT *, sum(s) OVER (PARTITION BY host ORDER BY ln)
-        |  AS g FROM st),
-        |agents AS (SELECT DISTINCT host, g, lower(v) AS a FROM grp
-        |  WHERE ua),
-        |ex AS (SELECT DISTINCT host, g FROM agents WHERE a = 'graftbot'),
-        |star AS (SELECT DISTINCT host, g FROM agents WHERE a = '*'),
-        |chosen AS (SELECT * FROM ex UNION ALL
-        |  SELECT s.* FROM star s WHERE NOT EXISTS (
-        |    SELECT 1 FROM ex e WHERE e.host = s.host)),
-        |rl AS (SELECT host, directive, pattern,
-        |  CAST(len(pattern) AS BIGINT) AS plen,
-        |  replace(replace(replace(replace(
-        |    CASE WHEN right(pattern, 1) = '$'
-        |      THEN substr(pattern, 1, len(pattern) - 1) ELSE pattern END,
-        |    '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') ||
-        |  CASE WHEN right(pattern, 1) = '$' THEN '' ELSE '%' END
-        |    AS like_pat
-        |  FROM (SELECT gr.host, gr.k AS directive, gr.v AS pattern
-        |    FROM grp gr JOIN chosen c ON gr.host = c.host AND gr.g = c.g
-        |    WHERE gr.k IN ('allow', 'disallow'))),
-        |urls AS (SELECT doc_id, source, source || '.example' AS host,
+    "q261_robots_filter" -> (s"WITH $RobotsRulesPreludeSql,\n" +
+      """urls AS (SELECT doc_id, source, source || '.example' AS host,
         |  CASE WHEN doc_id % 6 = 0 THEN '/private/' || lang || '/pub'
         |    WHEN doc_id % 6 = 1 THEN '/private/' || lang
         |    WHEN doc_id % 6 = 2 THEN '/tmp'
@@ -994,7 +1054,55 @@ object CurationQueries {
         |    OR b.doc_id IS NULL AS allowed,
         |  count(*) AS n_urls
         |FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
+
+    // q263 oracle: the shared robots prelude + the identical sitemap
+    // fixture, the same RE2 <loc> extraction, prefix-strip via the
+    // same replace, and the q261 precedence replay keyed by loc.
+    "q263_crawl_loop" -> (s"WITH $RobotsRulesPreludeSql,\n" +
+      """sm AS (SELECT source || '.example' AS host,
+        |  CASE WHEN len(source) = 4 THEN
+        |    '<?xml version="1.0"?>' || chr(10) || '<sitemapindex>' ||
+        |    chr(10) || '  <sitemap><loc> https://' || source ||
+        |    '.example/sm1.xml </loc></sitemap>' || chr(10) ||
+        |    '  <sitemap><loc>https://' || source ||
+        |    '.example/sm2.xml</loc></sitemap>' || chr(10) ||
+        |    '</sitemapindex>' || chr(10)
+        |  ELSE
+        |    '<?xml version="1.0"?>' || chr(10) || '<urlset>' ||
+        |    chr(10) || '  <url><loc> https://' || source ||
+        |    '.example/private/en/pub </loc>' ||
+        |    '<lastmod>2026-01-01</lastmod></url>' || chr(10) ||
+        |    '  <url><loc>https://' || source ||
+        |    '.example/tmp</loc></url>' || chr(10) ||
+        |    '  <url><loc>https://' || source ||
+        |    '.example/star/s</loc></url>' || chr(10) ||
+        |    '  <url><loc>https://' || source ||
+        |    '.example/open/a</loc></url>' || chr(10) ||
+        |    '</urlset>' || chr(10) END AS xml FROM hosts),
+        |locs AS (SELECT host,
+        |  CASE WHEN contains(lower(xml), '<sitemapindex')
+        |    THEN 'index' ELSE 'urlset' END AS kind,
+        |  unnest(regexp_extract_all(xml,
+        |    '(?is)<loc>\s*([^<]+?)\s*</loc>', 1)) AS loc FROM sm),
+        |lp AS (SELECT host, kind, loc,
+        |  replace(loc, 'https://' || host, '') AS path FROM locs
+        |  WHERE loc != ''),
+        |m AS (SELECT l.loc, r.directive, r.plen, r.pattern
+        |  FROM lp l JOIN rl r ON l.host = r.host
+        |    AND l.path LIKE r.like_pat ESCAPE '!'),
+        |best AS (SELECT loc, directive FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY loc
+        |    ORDER BY plen DESC,
+        |      CASE directive WHEN 'allow' THEN 0 ELSE 1 END,
+        |      pattern) AS rk FROM m) WHERE rk = 1)
+        |SELECT l.host, l.kind,
+        |  (b.loc IS NOT NULL AND b.directive = 'allow')
+        |    OR b.loc IS NULL AS allowed,
+        |  count(*) AS n_locs,
+        |  string_agg(l.path, '|' ORDER BY l.path) AS paths
+        |FROM lp l LEFT JOIN best b ON l.loc = b.loc
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
     // q262 oracle: same line/comment/key machinery, Sitemap lines are
     // group-independent; the commented-out line must NOT surface.

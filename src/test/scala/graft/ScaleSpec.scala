@@ -1301,6 +1301,20 @@ class ScaleSpec extends AnyFunSuite {
       s"rule table not broadcast into the URL stream:\n$plan")
   }
 
+  test("crawl loop: sitemap locs extract narrow, rules broadcast, windows host-bounded") {
+    // q263: the <loc> extraction is a codegen regexp per body (no
+    // shuffle), the rule table broadcasts into the loc stream, and
+    // every window carries the robots-host key.
+    val plan = executed(SparkEntry.queries("q263_crawl_loop")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split('\n').filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(__h"),
+        s"window not partitioned by robots host: $l")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rule table not broadcast into the loc stream:\n$plan")
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)
