@@ -833,8 +833,10 @@ object Curation {
     * unquantized float op is the final division — the oracle replays
     * everything (q234; ln-ULP per the q132 precedent).
     *
-    * Scale shape: training is two hash-aggs (bigram- and vocab-keyed)
-    * + a 1-row (V) aggregate; scoring folds each doc into counted
+    * Scale shape: training is ONE corpus pass — the fused
+    * unigram+bigram gram table ([[gramTable]], vocab-sized,
+    * checkpoint-materialized) from which the bigram/unigram/vocab
+    * relations derive by filters; scoring folds each doc into counted
     * DISTINCT bigrams in one kernel pass (NgramCountKernel — output
     * bounded by per-doc distinct pairs, not doc length; VERDICT r16
     * #3) and takes TWO equi-joins — on the bigram key and the
@@ -980,8 +982,9 @@ object Curation {
     * min(struct(−Σlp, label)) equals the oracle's (s DESC, label ASC)
     * rank, bit-for-bit, no float comparison anywhere in the decision.
     *
-    * Scale shape: training = two hash-aggs keyed by (label, ngram) —
-    * label multiplies keys, not passes; scoring = the single-pass
+    * Scale shape: training = ONE corpus pass into the (label, ngram)
+    * fused gram table ([[gramTable]]) — label multiplies keys, not
+    * passes; scoring = the single-pass
     * counted-bigram kernel (per-doc DISTINCT pairs, the big win in
     * char mode where the old positional generator emitted one row per
     * CODEPOINT; VERDICT r16 #3) × a broadcast of the |labels|-row
@@ -1081,10 +1084,10 @@ object Curation {
     * integers (3·cum ≥ n, 3·cum ≥ 2n), so bucket assignment replays
     * exactly.
     *
-    * Scale shape: training is the grouped hash-aggs; scoring is the
-    * narrow bigram generator + two (label, ngram) equi-joins + one
-    * doc-keyed hash-agg — no fanout (unlike langid, each doc scores
-    * ONE model). The tertile cutoffs come from a HISTOGRAM, not a
+    * Scale shape: training is ONE corpus pass into the grouped fused
+    * gram table ([[gramTable]]); scoring is the counted-bigram kernel
+    * generator + two (label, ngram) equi-joins + one doc-keyed
+    * hash-agg — no fanout (unlike langid, each doc scores ONE model). The tertile cutoffs come from a HISTOGRAM, not a
     * per-doc rank: per-(label, bin) counts (bin domain is bounded —
     * xent lives in a few hundred 0.01-wide bins regardless of corpus
     * size), one bounded-domain cumulative window over bins, and a
@@ -1347,6 +1350,45 @@ object Curation {
     */
   def robotsRules(robots: DataFrame, hostCol: String, contentCol: String,
                   agent: String): DataFrame = {
+    val ends = col("pattern").endsWith("$")
+    val core = when(ends,
+      expr("substring(pattern, 1, length(pattern) - 1)"))
+      .otherwise(col("pattern"))
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      core, "!", "!!"), "%", "!%"), "_", "!_"), "\\*", "%")
+    robotsChosenLines(robots, hostCol, contentCol, agent)
+      .filter(col("__k").isin("allow", "disallow"))
+      .select(col("__h").as(hostCol), col("__k").as("directive"),
+        col("__v").as("pattern"))
+      .withColumn("plen", length(col("pattern")).cast("long"))
+      .withColumn("like_pat",
+        concat(esc, when(ends, lit("")).otherwise(lit("%"))))
+  }
+
+  /** `Crawl-delay:` politeness extension (the de-facto standard Bing/
+    * Yandex honor): per host, the MINIMUM delay (seconds) across the
+    * groups applying to `agent` — conservative when several groups
+    * match; unparsable values are ignored (try_cast). Hosts whose
+    * applicable groups declare no delay emit no row. Same parse and
+    * group selection as [[robotsRules]].
+    */
+  def robotsCrawlDelays(robots: DataFrame, hostCol: String,
+                        contentCol: String, agent: String): DataFrame =
+    robotsChosenLines(robots, hostCol, contentCol, agent)
+      .filter(col("__k") === "crawl-delay")
+      .select(col("__h").as(hostCol),
+        expr("try_cast(__v AS double)").as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col(hostCol)).agg(min(col("__d")).as("crawl_delay"))
+
+  /** The shared RFC 9309 parse: comment strip, first-colon key/value
+    * split, consecutive-User-agent group runs, exact-agent groups
+    * over the `*` fallback. Returns the key/value lines of the CHOSEN
+    * groups only: (__h, __k lowercase, __v).
+    */
+  private def robotsChosenLines(robots: DataFrame, hostCol: String,
+                                contentCol: String,
+                                agent: String): DataFrame = {
     require(robots.columns.contains(hostCol), s"robotsRules: no $hostCol")
     require(robots.columns.contains(contentCol),
       s"robotsRules: no $contentCol")
@@ -1384,19 +1426,8 @@ object Curation {
     val chosen = exact.unionByName(
       star.join(exact.select(col("__h")).distinct(), Seq("__h"),
         "left_anti"))
-    val ends = col("pattern").endsWith("$")
-    val core = when(ends,
-      expr("substring(pattern, 1, length(pattern) - 1)"))
-      .otherwise(col("pattern"))
-    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      core, "!", "!!"), "%", "!%"), "_", "!_"), "\\*", "%")
-    tagged.filter(col("__k").isin("allow", "disallow"))
-      .join(chosen, Seq("__h", "__grp"))
-      .select(col("__h").as(hostCol), col("__k").as("directive"),
-        col("__v").as("pattern"))
-      .withColumn("plen", length(col("pattern")).cast("long"))
-      .withColumn("like_pat",
-        concat(esc, when(ends, lit("")).otherwise(lit("%"))))
+    tagged.join(chosen, Seq("__h", "__grp"))
+      .select(col("__h"), col("__k"), col("__v"))
   }
 
   /** Sitemap URLs declared anywhere in a robots.txt body (`Sitemap:`

@@ -59,8 +59,11 @@ object CurationQueries {
       |    'Disallow: /private/*' || chr(10) ||
       |    'Allow: /private/*/pub$' || chr(10) ||
       |    'Disallow: /tmp$' || chr(10) || 'Disallow: /d_e/' ||
-      |    chr(10) || 'Allow:' || chr(10) || chr(10) ELSE '' END ||
+      |    chr(10) || 'Allow:' || chr(10) ||
+      |    'Crawl-delay: fast' || chr(10) || 'Crawl-delay: 2' ||
+      |    chr(10) || chr(10) ELSE '' END ||
       |  'User-agent: *' || chr(10) || 'Disallow: /star/' || chr(10) ||
+      |  'Crawl-delay: 7' || chr(10) ||
       |  'Sitemap: https://' || source || '.example/sitemap.xml' ||
       |  chr(10) AS robots_txt FROM hosts),
       |ls0 AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
@@ -112,9 +115,11 @@ object CurationQueries {
         when(length(col("source")) === 4, lit(
           "User-agent: graftbot\nUser-Agent: graftbot-image\n" +
             "Disallow: /private/*\nAllow: /private/*/pub$\n" +
-            "Disallow: /tmp$\nDisallow: /d_e/\nAllow:\n\n"))
+            "Disallow: /tmp$\nDisallow: /d_e/\nAllow:\n" +
+            "Crawl-delay: fast\nCrawl-delay: 2\n\n"))
           .otherwise(lit("")),
-        lit("User-agent: *\nDisallow: /star/\nSitemap: https://"),
+        lit("User-agent: *\nDisallow: /star/\nCrawl-delay: 7\n" +
+          "Sitemap: https://"),
         col("source"), lit(".example/sitemap.xml\n")).as("robots_txt"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -238,6 +243,20 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_locs"),
           array_join(array_sort(collect_list($"path")), "|").as("paths"))
         .orderBy($"host", $"kind", $"allowed")
+    }),
+
+    // Crawl-delay politeness (the de-facto Bing/Yandex extension):
+    // min delay across the agent's chosen groups; the bogus
+    // 'Crawl-delay: fast' line pins try_cast tolerance, and the two
+    // delay populations pin group selection again (graftbot hosts 2.0
+    // vs star-fallback hosts 7.0). These same lines sit in the
+    // q261/q263 fixture, where the rule parser must IGNORE them
+    // (unknown-key tolerance, oracle-checked there).
+    "q264_crawl_delay" -> ((s, dir) => {
+      import s.implicits._
+      Curation.robotsCrawlDelays(robotsFixture(t(s, dir, "documents")),
+          "host", "robots_txt", "GraftBot")
+        .orderBy($"host")
     }),
 
     // Sitemap declarations from the same robots bodies (group-
@@ -1106,6 +1125,16 @@ object CurationQueries {
         |  string_agg(l.path, '|' ORDER BY l.path) AS paths
         |FROM lp l LEFT JOIN best b ON l.loc = b.loc
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // q264 oracle: the shared prelude's chosen-group machinery, keyed
+    // to crawl-delay lines; TRY_CAST drops the bogus value, MIN is
+    // the conservative multi-group rule.
+    "q264_crawl_delay" -> (s"WITH $RobotsRulesPreludeSql\n" +
+      """SELECT gr.host, min(TRY_CAST(gr.v AS DOUBLE)) AS crawl_delay
+        |FROM grp gr JOIN chosen c ON gr.host = c.host AND gr.g = c.g
+        |WHERE gr.k = 'crawl-delay'
+        |  AND TRY_CAST(gr.v AS DOUBLE) IS NOT NULL
+        |GROUP BY gr.host ORDER BY gr.host""".stripMargin),
 
     // q262 oracle: same line/comment/key machinery, Sitemap lines are
     // group-independent; the commented-out line must NOT surface.

@@ -1315,6 +1315,15 @@ class ScaleSpec extends AnyFunSuite {
       s"rule table not broadcast into the loc stream:\n$plan")
   }
 
+  test("crawl delays: host-bounded parse windows, one host-keyed agg") {
+    val plan = executed(SparkEntry.queries("q264_crawl_delay")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split('\n').filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(__h"),
+        s"window not partitioned by robots host: $l")
+    }
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)
