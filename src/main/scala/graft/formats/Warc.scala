@@ -141,13 +141,27 @@ object Warc {
       private var recNo = 0L
       private var done = false
 
+      private def finish(): Unit = {
+        done = true
+        // release the underlying handle NOW — binaryFiles packs many
+        // files per task, and waiting for finalizers leaks one open
+        // stream per file ("too many open files" on long-lived
+        // executors); every sibling codec closes in finally
+        try in.close() catch { case _: java.io.IOException => }
+      }
+
       private def advance(): Unit = {
         if (done) return
+        try advanceOrThrow()
+        catch { case e: Throwable => finish(); throw e }
+      }
+
+      private def advanceOrThrow(): Unit = {
         // skip inter-record blank lines (the record's trailing
         // CRLF CRLF separator, plus any padding)
         var line = readLine(in)
         while (line != null && line.isEmpty) line = readLine(in)
-        if (line == null) { done = true; return }
+        if (line == null) { finish(); return }
         if (!line.startsWith("WARC/"))
           throw new IllegalArgumentException(
             s"warc: expected version line, got '${line.take(60)}' " +
@@ -246,7 +260,8 @@ object Warc {
                   ts: String, body: Array[Byte],
                   httpStatus: java.lang.Integer = null,
                   httpMime: String = null,
-                  contentType: String = "application/octet-stream"): Unit = {
+                  contentType: String = "application/octet-stream",
+                  recNo: Long = 0L): Unit = {
     val payload: Array[Byte] =
       if (httpStatus != null) {
         val reason = if (httpStatus.intValue == 200) "OK"
@@ -263,7 +278,10 @@ object Warc {
     sb.append(s"WARC-Type: $warcType\r\n")
     if (url != null) sb.append(s"WARC-Target-URI: $url\r\n")
     if (ts != null) sb.append(s"WARC-Date: $ts\r\n")
-    sb.append(s"WARC-Record-ID: <urn:graft:$warcType:${payload.length}>\r\n")
+    // unique within the file (WARC requires unique record ids — a
+    // payload-length urn collides for equal-length records and
+    // standard consumers dedup/reject on it)
+    sb.append(s"WARC-Record-ID: <urn:graft:$recNo:$warcType:${payload.length}>\r\n")
     sb.append(s"Content-Type: $ct\r\n")
     sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
     out.write(sb.toString.getBytes(ISO_8859_1))
@@ -280,16 +298,29 @@ object Warc {
             recs: IterableOnce[(String, String, String, Array[Byte],
               java.lang.Integer, String)]): Unit = {
     val fos = new java.io.FileOutputStream(path)
+    // close() must run per member — finish() alone never releases the
+    // native zlib Deflater (~hundreds of KB each), so an N-record
+    // export would pin N deflaters until finalization. The shield
+    // keeps the member's close() from closing the shared file stream.
+    val shield = new java.io.FilterOutputStream(fos) {
+      override def close(): Unit = flush()
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        fos.write(b, off, len)
+    }
     val gz = path.endsWith(".gz")
     try {
       val it = recs.iterator
+      var recNo = 0L
       while (it.hasNext) {
         val (warcType, url, ts, body, status, mime) = it.next()
+        recNo += 1
         if (gz) {
-          val g = new GZIPOutputStream(fos, 1 << 16, true)
-          writeRecord(g, warcType, url, ts, body, status, mime)
-          g.finish() // close the MEMBER, keep the file stream open
-        } else writeRecord(fos, warcType, url, ts, body, status, mime)
+          val g = new GZIPOutputStream(shield, 1 << 16, true)
+          writeRecord(g, warcType, url, ts, body, status, mime,
+            recNo = recNo)
+          g.close() // ends the MEMBER + frees its deflater
+        } else writeRecord(fos, warcType, url, ts, body, status, mime,
+          recNo = recNo)
       }
     } finally fos.close()
   }

@@ -75,8 +75,15 @@ object NgramCountKernel {
   private def tokenize(bytes: Array[Byte], charMode: Boolean): Array[UTF8String] = {
     val nb = bytes.length
     if (charMode) {
-      var n = 0
-      var i = 0
+      if (nb == 0) return new Array[UTF8String](0)
+      // count EXACTLY the boundaries the emit loop below hits: one
+      // token per non-continuation byte at positions 1..nb-1, plus
+      // the final i == nb flush. Counting lead bytes from position 0
+      // would UNDERCOUNT by one when the input starts with a
+      // malformed continuation byte (raw crawl payloads reach this
+      // via warcread's binary→string cast) and overflow `out`.
+      var n = 1
+      var i = 1
       while (i < nb) { if ((bytes(i) & 0xc0) != 0x80) n += 1; i += 1 }
       val out = new Array[UTF8String](n)
       var t = 0
@@ -90,9 +97,7 @@ object NgramCountKernel {
         }
         i += 1
       }
-      // defensive: malformed leading continuation bytes would leave
-      // t < n; never emit null slots
-      if (t == n) out else java.util.Arrays.copyOf(out, t)
+      out
     } else {
       var cap = 16
       var out = new Array[UTF8String](cap)

@@ -766,10 +766,13 @@ object Curation {
     */
   private def countedBigrams(src: DataFrame, keeps: Seq[Column],
                              textCol: String, ngramMode: String): DataFrame = {
+    // NO size(__p) > 0 pre-filter: explode already drops empty/null
+    // arrays, and the deterministic predicate would be pushed below
+    // the projection — running the counting kernel TWICE per row
+    // (once in the scan filter, once in the generator input).
     val withP = src.select(keeps :+
         graft.functions.NgramCountExpr.bigramCounts(col(textCol), ngramMode)
           .as("__p"): _*)
-      .filter(size(col("__p")) > 0)
     val keepCols = withP.columns.filter(_ != "__p").toSeq.map(col)
     withP.select(keepCols :+ explode(col("__p")).as("__e"): _*)
       .select(keepCols :+ col("__e.w1").as("__w1") :+
@@ -1386,16 +1389,20 @@ object Curation {
     * over the `*` fallback. Returns the key/value lines of the CHOSEN
     * groups only: (__h, __k lowercase, __v).
     */
-  private def robotsChosenLines(robots: DataFrame, hostCol: String,
-                                contentCol: String,
-                                agent: String): DataFrame = {
-    require(robots.columns.contains(hostCol), s"robotsRules: no $hostCol")
-    require(robots.columns.contains(contentCol),
-      s"robotsRules: no $contentCol")
-    val lines = robots.select(col(hostCol).as("__h"),
-        posexplode(split(col(contentCol), "\n")).as(Seq("__ln", "__raw")))
-      // comment strip + first-colon key/value split via locate (the
-      // oracle mirrors with strpos/slicing — no limit-split in DuckDB)
+  /** One robots body → numbered key/value lines: (__h, __ln, __k
+    * lowercase, __v). RFC 9309 EOL is CR, LF or CRLF — split on LF
+    * and rtrim CR so CRLF files (the common case for real servers)
+    * parse identically; a missed CR would silently void EVERY rule
+    * ("graftbot\r" never equals "graftbot", patterns grow a trailing
+    * \r no path matches) and the filter would allow everything.
+    * Comment strip + first-colon split via locate (the oracle mirrors
+    * with strpos/slicing — no limit-split in DuckDB).
+    */
+  private def robotsKvLines(robots: DataFrame, hostCol: String,
+                            contentCol: String): DataFrame =
+    robots.select(col(hostCol).as("__h"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("__ln", "__raw0")))
+      .withColumn("__raw", rtrim(col("__raw0"), "\r"))
       .withColumn("__nc", when(locate("#", col("__raw")) > 0,
         substring(col("__raw"), lit(1), locate("#", col("__raw")) - 1))
         .otherwise(col("__raw")))
@@ -1407,6 +1414,14 @@ object Curation {
         trim(when(col("__pos") > 0,
           col("__nc").substr(col("__pos") + 1, length(col("__nc"))))
           .otherwise(lit(""))).as("__v"))
+
+  private def robotsChosenLines(robots: DataFrame, hostCol: String,
+                                contentCol: String,
+                                agent: String): DataFrame = {
+    require(robots.columns.contains(hostCol), s"robotsRules: no $hostCol")
+    require(robots.columns.contains(contentCol),
+      s"robotsRules: no $contentCol")
+    val lines = robotsKvLines(robots, hostCol, contentCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("__ln"))
     val tagged = lines
@@ -1436,19 +1451,9 @@ object Curation {
     */
   def robotsSitemaps(robots: DataFrame, hostCol: String,
                      contentCol: String): DataFrame =
-    robots.select(col(hostCol),
-        explode(split(col(contentCol), "\n")).as("__raw"))
-      .withColumn("__nc", when(locate("#", col("__raw")) > 0,
-        substring(col("__raw"), lit(1), locate("#", col("__raw")) - 1))
-        .otherwise(col("__raw")))
-      .withColumn("__pos", locate(":", col("__nc")))
-      .filter(col("__pos") > 0 &&
-        lower(trim(substring(col("__nc"), lit(1), col("__pos") - 1)))
-          === "sitemap")
-      .select(col(hostCol),
-        trim(col("__nc").substr(col("__pos") + 1, length(col("__nc"))))
-          .as("sitemap"))
-      .filter(col("sitemap") =!= "")
+    robotsKvLines(robots, hostCol, contentCol)
+      .filter(col("__k") === "sitemap" && col("__v") =!= "")
+      .select(col("__h").as(hostCol), col("__v").as("sitemap"))
 
   /** Sitemap XML parsing (sitemaps.org protocol): every `<loc>` entry
     * of each body, with the file's KIND from its root element —

@@ -1322,9 +1322,13 @@ object Pipeline {
         ctx.readers(rname) += 1
         def req(k: String) = m.args.getOrElse(k,
           throw new BuildError(s"robotsfilter: $k= required"))
+        // rules carry their host under the ROBOTS stream's column
+        // name; robotsFilter resolves the host on BOTH sides by the
+        // urls name — rename so rhost= != host= actually works
+        val rhost = m.args.getOrElse("rhost", req("host"))
         val rules = graft.operators.Curation.robotsRules(rob,
-          m.args.getOrElse("rhost", req("host")), req("content"),
-          req("agent"))
+          rhost, req("content"), req("agent"))
+          .withColumnRenamed(rhost, req("host"))
         ctx.writeStream(m, graft.operators.Curation.robotsFilter(
           urls, req("key"), req("host"), req("path"), rules), RowType)
       }),

@@ -54,21 +54,23 @@ object CurationQueries {
       |  '# robots fixture' || chr(10) || 'User-agent: otherbot' ||
       |    chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
       |  CASE WHEN len(source) = 4 THEN
-      |    'User-agent: graftbot' || chr(10) ||
-      |    'User-Agent: graftbot-image' || chr(10) ||
-      |    'Disallow: /private/*' || chr(10) ||
-      |    'Allow: /private/*/pub$' || chr(10) ||
-      |    'Disallow: /tmp$' || chr(10) || 'Disallow: /d_e/' ||
-      |    chr(10) || 'Allow:' || chr(10) ||
-      |    'Crawl-delay: fast' || chr(10) || 'Crawl-delay: 2' ||
-      |    chr(10) || chr(10) ELSE '' END ||
+      |    'User-agent: graftbot' || chr(13) || chr(10) ||
+      |    'User-Agent: graftbot-image' || chr(13) || chr(10) ||
+      |    'Disallow: /private/*' || chr(13) || chr(10) ||
+      |    'Allow: /private/*/pub$' || chr(13) || chr(10) ||
+      |    'Disallow: /tmp$' || chr(13) || chr(10) ||
+      |    'Disallow: /d_e/' || chr(13) || chr(10) ||
+      |    'Allow:' || chr(13) || chr(10) ||
+      |    'Crawl-delay: fast' || chr(13) || chr(10) ||
+      |    'Crawl-delay: 2' || chr(13) || chr(10) ||
+      |    chr(13) || chr(10) ELSE '' END ||
       |  'User-agent: *' || chr(10) || 'Disallow: /star/' || chr(10) ||
       |  'Crawl-delay: 7' || chr(10) ||
       |  'Sitemap: https://' || source || '.example/sitemap.xml' ||
       |  chr(10) AS robots_txt FROM hosts),
       |ls0 AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
       |  FROM rob),
-      |lns AS (SELECT host, i AS ln, ls[i] AS raw
+      |lns AS (SELECT host, i AS ln, rtrim(ls[i], chr(13)) AS raw
       |  FROM ls0, LATERAL unnest(range(1, len(ls) + 1)) u(i)),
       |kv AS (SELECT host, ln, strpos(nc, ':') AS pos, nc FROM (
       |  SELECT host, ln, CASE WHEN strpos(raw, '#') > 0
@@ -112,11 +114,15 @@ object CurationQueries {
       concat(col("source"), lit(".example")).as("host"),
       concat(
         lit("# robots fixture\nUser-agent: otherbot\nDisallow: /\n\n"),
+        // the graftbot block is CRLF-terminated — RFC 9309 allows CR,
+        // LF or CRLF, and real servers ship CRLF; a parser that
+        // misses the \r strip voids every rule here and the q261/
+        // q263/q264 oracles all shift
         when(length(col("source")) === 4, lit(
-          "User-agent: graftbot\nUser-Agent: graftbot-image\n" +
-            "Disallow: /private/*\nAllow: /private/*/pub$\n" +
-            "Disallow: /tmp$\nDisallow: /d_e/\nAllow:\n" +
-            "Crawl-delay: fast\nCrawl-delay: 2\n\n"))
+          "User-agent: graftbot\r\nUser-Agent: graftbot-image\r\n" +
+            "Disallow: /private/*\r\nAllow: /private/*/pub$\r\n" +
+            "Disallow: /tmp$\r\nDisallow: /d_e/\r\nAllow:\r\n" +
+            "Crawl-delay: fast\r\nCrawl-delay: 2\r\n\r\n"))
           .otherwise(lit("")),
         lit("User-agent: *\nDisallow: /star/\nCrawl-delay: 7\n" +
           "Sitemap: https://"),
@@ -1148,8 +1154,9 @@ object CurationQueries {
         |  CASE WHEN len(source) = 4 THEN 'sitemap: https://' || source
         |    || '.example/extra.xml' || chr(10) ELSE '' END
         |  AS robots_txt FROM hosts),
-        |lns AS (SELECT host, unnest(string_split(robots_txt, chr(10)))
-        |  AS raw FROM rob),
+        |lns AS (SELECT host, rtrim(raw0, chr(13)) AS raw FROM (
+        |  SELECT host, unnest(string_split(robots_txt, chr(10)))
+        |    AS raw0 FROM rob)),
         |kv AS (SELECT host, strpos(nc, ':') AS pos, nc FROM (
         |  SELECT host, CASE WHEN strpos(raw, '#') > 0
         |    THEN substr(raw, 1, strpos(raw, '#') - 1) ELSE raw END AS nc

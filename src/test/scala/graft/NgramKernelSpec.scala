@@ -157,6 +157,23 @@ class NgramKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed UTF-8 (leading continuation byte) must not crash the kernel") {
+    // raw crawl payloads reach char mode via warcread's binary→string
+    // cast — a leading 0x80..0xBF byte once overflowed the token array
+    val bad = UTF8String.fromBytes(Array(0x80.toByte, 'a'.toByte,
+      0x80.toByte, 'b'.toByte))
+    for (m <- Seq(true, false)) {
+      val pairs = NgramCountKernel.bigramCounts(bad, m)
+      val grams = NgramCountKernel.gramCounts(bad, m)
+      assert(pairs.numElements() >= 0 && grams.numElements() >= 0)
+    }
+    // char mode: boundaries at the lead bytes → tokens "a"-ish
+    // slices; total pair count must be tokens-1 = 2
+    val p = NgramCountKernel.bigramCounts(bad, true)
+    val total = (0 until p.numElements()).map(i => p.getStruct(i, 3).getLong(2)).sum
+    assert(total == 2, s"expected 2 adjacent pairs, got $total")
+  }
+
   test("null text and <2-token docs vanish exactly like the old gate") {
     val df = Seq[(java.lang.Long, String)]((1L, null), (2L, ""), (3L, " "),
       (4L, "one"), (5L, "two words")).toDF("id", "text")

@@ -117,12 +117,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("robotsfilter + sitemaps modules: rules gate the URL stream") {
     val d = tmp("robots")
-    // the robots body carries real newlines — ndjson's \n escapes
-    // deliver them through the line-delimited reader
+    // the robots body carries real newlines — ndjson's escapes
+    // deliver them through the line-delimited reader. CRLF endings +
+    // a robots-side host column named differently from the URL
+    // stream's (rhost=) both exercised here.
     java.nio.file.Files.write(java.nio.file.Paths.get(d, "robots.ndjson"),
-      ("{\"host\":\"h.example\",\"body\":\"User-agent: graftbot\\n" +
-        "Disallow: /priv/*\\nAllow: /priv/ok$\\nUser-agent: *\\n" +
-        "Disallow: /\\nSitemap: https://h.example/sm.xml\"}\n")
+      ("{\"srv\":\"h.example\",\"body\":\"User-agent: graftbot\\r\\n" +
+        "Disallow: /priv/*\\r\\nAllow: /priv/ok$\\r\\nUser-agent: *\\r\\n" +
+        "Disallow: /\\r\\nSitemap: https://h.example/sm.xml\\r\\n\"}\n")
         .getBytes("UTF-8"))
     writeCsv(d + "/urls.csv", "id,host,path",
       "1,h.example,/priv/ok",   // allow beats /priv/* on length
@@ -134,7 +136,7 @@ class PipelineSpec extends AnyFunSuite {
       s"fileread:in=$d/robots.ndjson:out=r0", "ndjsonread:in=r0:out=rob",
       s"fileread:in=$d/urls.csv:out=u0", "csvread:in=u0:out=urls",
       "robotsfilter:in=urls:robots=rob:agent=GraftBot:key=id" +
-        ":host=host:path=path:content=body:out=v",
+        ":host=host:rhost=srv:path=path:content=body:out=v",
       "csvwrite:in=v:out=w", s"filewrite:in=w:out=$out"))
     val rows = readOut(out).drop(1).map(_.split(",", -1))
       .map(a => a(0) -> a(3)).toMap
@@ -143,7 +145,7 @@ class PipelineSpec extends AnyFunSuite {
     val out2 = d + "/sm.csv"
     Pipeline.run(spark, Seq(
       s"fileread:in=$d/robots.ndjson:out=r1", "ndjsonread:in=r1:out=rb",
-      "sitemaps:in=rb:host=host:content=body:out=s",
+      "sitemaps:in=rb:host=srv:content=body:out=s",
       "csvwrite:in=s:out=sw", s"filewrite:in=sw:out=$out2"))
     assert(readOut(out2).drop(1) == Seq("h.example,https://h.example/sm.xml"))
   }
