@@ -19,6 +19,26 @@ import org.apache.spark.sql.types._
 // this module object.
 object EventStreams extends Serializable {
 
+  /** One-generation deferred checkpoint release for the bounded-view
+    * twins (ADVICE r16): the superseded snapshot a batch retires may
+    * still be under a reader's in-flight job — the getter handed it
+    * out just before the batch completed, and localCheckpoint
+    * truncates lineage, so unpersisting it mid-job fails the reader
+    * with missing blocks instead of recomputing. Retiring releases
+    * the PREVIOUS retiree, so a held snapshot stays readable across
+    * one full batch boundary; the documented contract (read fresh,
+    * finish before the next batch) still bounds the guarantee —
+    * surviving TWO boundaries can still race. Bounded state: at most
+    * one extra view-sized checkpoint alive.
+    */
+  private final class DeferredRelease extends Serializable {
+    @transient private var retired: DataFrame = null
+    def retire(df: DataFrame): Unit = synchronized {
+      if (retired != null) retired.unpersist(false)
+      retired = df
+    }
+  }
+
   val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
 
   /** JSON side-channel extraction (`props` column). */
@@ -526,21 +546,21 @@ object EventStreams extends Serializable {
     @volatile var view: DataFrame = parts(spark0.createDataFrame(
       spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
       .localCheckpoint()
+    val released = new DeferredRelease
     val q = rows.writeStream.outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          // release the superseded checkpoint after the new one
-          // materializes (localCheckpoint is eager) — ADVICE r14: the
-          // state here is rebuilt wholesale each batch, so without
-          // this every microbatch leaks one (resamples+1)-row
-          // checkpoint RDD over an unbounded stream
+          // release superseded checkpoints one generation late
+          // (DeferredRelease) — ADVICE r14: the state is rebuilt
+          // wholesale each batch, so never releasing would leak one
+          // (resamples+1)-row checkpoint RDD per microbatch forever
           val prev = view
           view = prev.unionByName(parts(batch.toDF()))
             .groupBy(col("__r"))
             .agg(sum(col("__s")).cast("decimal(38,0)").as("__s"))
             .localCheckpoint()
-          prev.unpersist(false)
+          released.retire(prev)
           ()
       }
       .start()
@@ -566,6 +586,7 @@ object EventStreams extends Serializable {
     @volatile var view: DataFrame = mom(spark0.createDataFrame(
       spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
       .localCheckpoint()
+    val released = new DeferredRelease
     val q = rows.writeStream.outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -574,7 +595,7 @@ object EventStreams extends Serializable {
           view = graft.operators.Similarity
             .pcaMergeMoments(prev, mom(batch.toDF()))
             .localCheckpoint()
-          prev.unpersist(false)
+          released.retire(prev)
           ()
       }
       .start()
@@ -826,12 +847,13 @@ object EventStreams extends Serializable {
     *
     * Getter contract (ADVICE r16, shared by every bounded-view twin in
     * this file): the returned `() => DataFrame` hands out the CURRENT
-    * checkpointed snapshot, and the next microbatch unpersists it once
-    * superseded — localCheckpoint truncates lineage, so a job still
-    * scanning a held snapshot across a batch boundary can fail with
-    * missing-block errors instead of recomputing. Call the getter
-    * fresh per read and finish the job before the next batch; don't
-    * cache the DataFrame across batch boundaries.
+    * checkpointed snapshot. Superseded snapshots are released ONE
+    * GENERATION LATE (DeferredRelease), so a snapshot taken just
+    * before a batch boundary stays readable through that boundary —
+    * localCheckpoint truncates lineage, so a release under a running
+    * job would fail it with missing blocks instead of recomputing.
+    * Still call the getter fresh per read; a job surviving TWO batch
+    * boundaries re-enters the race.
     */
   def crawlStatsStream(pages: DataFrame, htmlCol: String, sourceCol: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
@@ -858,13 +880,14 @@ object EventStreams extends Serializable {
     @volatile var view: DataFrame = agg(spark0.createDataFrame(
       spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], pages.schema))
       .localCheckpoint()
+    val released = new DeferredRelease
     val q = pages.writeStream.outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
           val prev = view
           view = merge(prev, agg(batch.toDF())).localCheckpoint()
-          prev.unpersist(false) // release the superseded checkpoint
+          released.retire(prev) // superseded, one generation late
           ()
       }
       .start()
