@@ -182,6 +182,46 @@ class FormatsSpec extends AnyFunSuite {
     assert(miss.status.intValue == 404 && miss.body.isEmpty)
   }
 
+  test("warc: records() closes the stream at EOF and on parse failure") {
+    // binaryFiles packs many files per task — finalizer-based cleanup
+    // exhausts handles, so the iterator must close deterministically
+    import java.nio.charset.StandardCharsets.UTF_8
+    class Tracked(b: Array[Byte]) extends java.io.ByteArrayInputStream(b) {
+      @volatile var closed = false
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.formats.Warc.writeRecord(bos, "response", "https://e/x",
+      "2026-01-01T00:00:00Z", "ok".getBytes(UTF_8), Int.box(200),
+      "text/plain")
+    val good = new Tracked(bos.toByteArray)
+    assert(graft.formats.Warc.records(good).size == 1)
+    assert(good.closed, "stream not closed after clean EOF")
+    val bad = new Tracked("not a warc header\r\n\r\n".getBytes(UTF_8))
+    intercept[IllegalArgumentException] {
+      graft.formats.Warc.records(bad).toSeq
+    }
+    assert(bad.closed, "stream not closed after parse failure")
+  }
+
+  test("warc: record ids are unique per file") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = java.nio.file.Files.createTempDirectory("warcids").toFile
+    val p = new java.io.File(d, "u.warc").getPath
+    // two records with EQUAL payload lengths — the old length-based
+    // urn collided here
+    graft.formats.Warc.write(p, Seq(
+      ("response", "https://e/1", "2026-01-01T00:00:00Z",
+        "aaaa".getBytes(UTF_8), Int.box(200): java.lang.Integer, "text/plain"),
+      ("response", "https://e/2", "2026-01-01T00:00:00Z",
+        "bbbb".getBytes(UTF_8), Int.box(200): java.lang.Integer, "text/plain")))
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val ids = "WARC-Record-ID: <([^>]+)>".r.findAllMatchIn(raw)
+      .map(_.group(1)).toSeq
+    assert(ids.size == 2 && ids.distinct.size == 2, ids.toString)
+  }
+
   test("warc: multi-member gzip file parses all records (Common Crawl layout)") {
     import java.nio.charset.StandardCharsets.UTF_8
     val f = tmp("warcgz") + "/t.warc.gz"
