@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -706,28 +706,47 @@ object TextQueries {
     // collapse), keep what scores as language. First-occurrence is
     // the md5-class hash-agg + keyed join (NEVER a class window — the
     // EXACTSUBSTR lesson); everything else rides the scan.
-    "q250_crawl_corpus" -> ((s, dir) => {
-      import s.implicits._
-      val mt = graft.functions.TextFunctions.htmlExtract(htmlPageCol)
-        .toMap.apply("main_text")
-      val ex = t(s, dir, "documents")
-        .select($"doc_id", $"source", mt.as("mt"))
-        .withColumn("flat", regexp_replace($"mt", "\n", " "))
-      val firsts = ex.filter($"mt" =!= "")
-        .groupBy(md5($"mt").as("h")).agg(min($"doc_id").as("fid"))
-      val marked = ex
-        .join(firsts, md5($"mt") === $"h" && $"doc_id" === $"fid",
-          "left_outer")
-        .select($"source", $"mt", $"flat", $"fid".isNotNull.as("is_first"),
-          qualityScore($"flat").as("q"))
-      marked.groupBy($"source").agg(
-          count(lit(1)).as("n_docs"),
-          count(when($"mt" =!= "", 1)).as("n_extracted"),
-          count(when($"is_first", 1)).as("n_unique"),
-          count(when($"is_first" && $"q" >= 0.55, 1)).as("n_kept"),
-          sum(when($"is_first" && $"q" >= 0.55, size(split($"flat", " ")))
-            .otherwise(lit(0))).cast("long").as("kept_tokens"))
-        .orderBy($"source")
+    "q250_crawl_corpus" -> ((s, dir) =>
+      crawlReport(t(s, dir, "documents"), htmlPageCol)),
+
+    // The q250 recipe over a REAL container (the q259 machinery): the
+    // page fixtures are framed into gzip'd WARC response records
+    // (404s for doc_id % 50 == 0, which therefore drop from the
+    // corpus), read back through warcread's streaming record parser,
+    // and the SAME extract → dedup → quality tail runs on the decoded
+    // payloads — content preservation through framing + gzip + HTTP
+    // split + UTF-8 is what separates this row from q250, and the
+    // oracle is exactly q250's replay restricted to the 200s.
+    "q265_warc_corpus" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), htmlPageCol.as("html"))
+        .orderBy(col("doc_id")).collect()
+      val d = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q265_" + dir.replaceAll("\\W", "_"))
+      d.mkdirs()
+      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
+        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
+          val id = r.getLong(0)
+          val miss = id % 50 == 0
+          ("response", s"https://${r.getString(1)}.example/doc/$id",
+            f"2026-02-${id % 28 + 1}%02dT00:00:00Z",
+            (if (miss) "" else r.getString(2)).getBytes(UTF_8),
+            Int.box(if (miss) 404 else 200): java.lang.Integer,
+            "text/html; charset=utf-8")
+        }
+        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      }
+      val crawled = graft.formats.Warc.read(s, s"$d/*.warc.gz")
+        .filter(col("warc_type") === "response" && col("status") === 200)
+        .select(
+          substring_index(col("url"), "/", -1).cast("bigint").as("doc_id"),
+          substring_index(substring_index(col("url"), "/", 3), "/", -1)
+            .as("host"),
+          col("payload").cast("string").as("html"))
+        .withColumn("source",
+          expr("replace(host, '.example', '')"))
+      crawlReport(crawled, col("html"))
     }),
 
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
@@ -1470,7 +1489,14 @@ object TextQueries {
     // extracted main text (md5-class hash-agg, the q43 rule) and the
     // q41 quality gate over the newline-flattened text, rolled up per
     // source.
-    "q250_crawl_corpus" -> crawlOracleSql,
+    "q250_crawl_corpus" -> crawlOracleSql(),
+
+    // q265 oracle: q250's full replay restricted to the crawled 200s
+    // (the 404'd doc_id % 50 rows never enter the corpus) — identical
+    // page build, extraction, dedup and quality CTEs; the WARC
+    // framing itself adds nothing the q259 round-trip doesn't already
+    // pin, which is the point: the container is transparent.
+    "q265_warc_corpus" -> crawlOracleSql(" WHERE doc_id % 50 != 0"),
 
     // q258 oracle: identical page construction (shared prelude), the
     // href contract as RE2 (first double-quoted href per anchor), the
@@ -1568,7 +1594,36 @@ object TextQueries {
     * construction, the three strip passes, the block split, and the
     * per-block (tc, lc, tx) struct list — carrying (doc_id, source).
     */
-  private def htmlCtes: String = {
+  /** The q250 crawl-to-corpus report tail over ANY (doc_id, source,
+    * html) relation: extract main text, first-occurrence exact dedup
+    * on the md5 class (hash-agg + keyed join — never a class window),
+    * quality gate, per-source counters.
+    */
+  private def crawlReport(df: DataFrame, html: Column): DataFrame = {
+    val mt = graft.functions.TextFunctions.htmlExtract(html)
+      .toMap.apply("main_text")
+    val ex = df.select(col("doc_id"), col("source"), mt.as("mt"))
+      .withColumn("flat", regexp_replace(col("mt"), "\n", " "))
+    val firsts = ex.filter(col("mt") =!= "")
+      .groupBy(md5(col("mt")).as("h")).agg(min(col("doc_id")).as("fid"))
+    val marked = ex
+      .join(firsts, md5(col("mt")) === col("h") &&
+        col("doc_id") === col("fid"), "left_outer")
+      .select(col("source"), col("mt"), col("flat"),
+        col("fid").isNotNull.as("is_first"),
+        qualityScore(col("flat")).as("q"))
+    marked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("mt") =!= "", 1)).as("n_extracted"),
+        count(when(col("is_first"), 1)).as("n_unique"),
+        count(when(col("is_first") && col("q") >= 0.55, 1)).as("n_kept"),
+        sum(when(col("is_first") && col("q") >= 0.55,
+          size(split(col("flat"), " "))).otherwise(lit(0)))
+          .cast("long").as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private def htmlCtes(where: String = ""): String = {
     val page =
       "'<html><head><title> ' || source || ' docs</title>" +
         "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
@@ -1592,7 +1647,7 @@ object TextQueries {
       "'(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'), " +
       "'(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'), " +
       "'(?s)<!--.*?-->', '', 'g')"
-    s"""WITH h AS (SELECT doc_id, source, $page AS html FROM documents),
+    s"""WITH h AS (SELECT doc_id, source, $page AS html FROM documents$where),
        |b AS (SELECT doc_id, source, html,
        |  regexp_split_to_array($pre, '$blockPat') AS bs FROM h),
        |p AS (SELECT doc_id, source, html,
@@ -1608,7 +1663,7 @@ object TextQueries {
     val title =
       "coalesce(regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)" +
         "</title\\s*>', 1), '')"
-    s"""$htmlCtes
+    s"""${htmlCtes()}
        |SELECT doc_id,
        |  ${hClean(hTxt(title))} AS title,
        |  coalesce(array_to_string(list_transform(list_filter(ps,
@@ -1624,8 +1679,8 @@ object TextQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
-  private def crawlOracleSql: String =
-    s"""$htmlCtes,
+  private def crawlOracleSql(where: String = ""): String =
+    s"""${htmlCtes(where)},
        |ex AS (SELECT doc_id, source,
        |  coalesce(array_to_string(list_transform(list_filter(ps,
        |    s -> $hKept), s -> s.tx), chr(10)), '') AS mt FROM p),

@@ -1176,6 +1176,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("warc crawl recipe: container scan feeds the same no-window dedup tail") {
+    // q265 = q250's tail over warcread's decoded payloads — the plan
+    // discipline is inherited: no class window, no cartesian, the
+    // firsts rule a hash-agg. (The WARC scan side is an RDD leaf —
+    // one streaming pass per file, gated structurally at q259.)
+    val plan = executed(SparkEntry.queries("q265_warc_corpus")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("source JSD: vocab-keyed joins + hash-aggs, no window, no cartesian") {
     // q254's per-word terms ride a w-keyed equi-join between the two
     // count tables; totals are 1-row broadcasts (tolerated BNLJs). A
