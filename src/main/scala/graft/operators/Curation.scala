@@ -1345,11 +1345,13 @@ object Curation {
     * the pattern as written — the RFC's longest-match specificity key.
     *
     * Scale shape: one narrow line split per robots body + ONE window
-    * partitioned by host whose size is the FILE's line count (robots
-    * bodies are KBs by protocol — bounded, never corpus-sized), then
-    * two host-keyed semi-joins for group selection. The result is a
-    * host-keyed rule relation, small by construction (the PiiPatterns
-    * posture) — [[robotsFilter]] broadcasts it.
+    * partitioned by (host, body) whose size is the FILE's line count
+    * (robots bodies are KBs by protocol — bounded, never
+    * corpus-sized), then two (host, body)-keyed semi-joins for group
+    * selection. The result is a host-keyed rule relation —
+    * [[robotsFilter]] broadcasts it when its optimizer estimate is
+    * small and shuffle-joins it when not (the rule table is
+    * host-cardinality at a web crawl, not a constant).
     */
   def robotsRules(robots: DataFrame, hostCol: String, contentCol: String,
                   agent: String): DataFrame = {
@@ -1389,25 +1391,35 @@ object Curation {
     * over the `*` fallback. Returns the key/value lines of the CHOSEN
     * groups only: (__h, __k lowercase, __v).
     */
-  /** One robots body → numbered key/value lines: (__h, __ln, __k
-    * lowercase, __v). RFC 9309 EOL is CR, LF or CRLF — split on LF
+  /** One robots body → numbered key/value lines: (__h, __bid, __ln,
+    * __k lowercase, __v). RFC 9309 EOL is CR, LF or CRLF — split on LF
     * and rtrim CR so CRLF files (the common case for real servers)
     * parse identically; a missed CR would silently void EVERY rule
     * ("graftbot\r" never equals "graftbot", patterns grow a trailing
     * \r no path matches) and the filter would allow everything.
     * Comment strip + first-colon split via locate (the oracle mirrors
     * with strpos/slicing — no limit-split in DuckDB).
+    *
+    * `__bid` identifies the BODY a line came from (md5 of the content
+    * — deterministic across re-evaluations of the plan's self-join
+    * branches, which a monotonically_increasing_id is not): a host
+    * carrying two distinct robots bodies (re-fetches flowing through
+    * the `robotsfilter` pipeline module) must number each body's
+    * lines independently, or the group window interleaves the two
+    * files' line numbers and User-agent group assignment silently
+    * misattributes Allow/Disallow rules across bodies (ADVICE r17).
     */
   private def robotsKvLines(robots: DataFrame, hostCol: String,
                             contentCol: String): DataFrame =
     robots.select(col(hostCol).as("__h"),
+        md5(coalesce(col(contentCol), lit(""))).as("__bid"),
         posexplode(split(col(contentCol), "\n")).as(Seq("__ln", "__raw0")))
       .withColumn("__raw", rtrim(col("__raw0"), "\r"))
       .withColumn("__nc", when(locate("#", col("__raw")) > 0,
         substring(col("__raw"), lit(1), locate("#", col("__raw")) - 1))
         .otherwise(col("__raw")))
       .withColumn("__pos", locate(":", col("__nc")))
-      .select(col("__h"), col("__ln"),
+      .select(col("__h"), col("__bid"), col("__ln"),
         lower(trim(when(col("__pos") > 0,
           substring(col("__nc"), lit(1), col("__pos") - 1))
           .otherwise(lit("")))).as("__k"),
@@ -1421,9 +1433,17 @@ object Curation {
     require(robots.columns.contains(hostCol), s"robotsRules: no $hostCol")
     require(robots.columns.contains(contentCol),
       s"robotsRules: no $contentCol")
-    val lines = robotsKvLines(robots, hostCol, contentCol)
+    // Exact duplicate (host, body) rows — a re-fetch returning the
+    // same file — collapse to one parse; DISTINCT bodies for a host
+    // are each parsed independently (window keyed by __bid below) and
+    // their chosen-group rules union, so neither duplicate nor
+    // re-fetched robots files can interleave line numbers inside one
+    // window partition (ADVICE r17).
+    val lines = robotsKvLines(
+      robots.select(col(hostCol), col(contentCol)).distinct(),
+      hostCol, contentCol)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h")).orderBy(col("__ln"))
+      .partitionBy(col("__h"), col("__bid")).orderBy(col("__ln"))
     val tagged = lines
       .withColumn("__ua", col("__k") === "user-agent")
       // group-start marker first, cumulative sum second (two exprs on
@@ -1433,15 +1453,19 @@ object Curation {
         !lag(col("__ua"), 1, false).over(w), 1).otherwise(0))
       .withColumn("__grp", sum(col("__st")).over(w))
     val agents = tagged.filter(col("__ua"))
-      .select(col("__h"), col("__grp"), lower(col("__v")).as("__a"))
+      .select(col("__h"), col("__bid"), col("__grp"),
+        lower(col("__v")).as("__a"))
     val exact = agents.filter(col("__a") === lit(agent.toLowerCase))
-      .select(col("__h"), col("__grp")).distinct()
+      .select(col("__h"), col("__bid"), col("__grp")).distinct()
     val star = agents.filter(col("__a") === "*")
-      .select(col("__h"), col("__grp")).distinct()
+      .select(col("__h"), col("__bid"), col("__grp")).distinct()
+    // exact-over-star is resolved PER BODY: each fetched robots.txt
+    // is an independent parse (a body naming the agent exactly
+    // suppresses only ITS OWN `*` groups, not another body's)
     val chosen = exact.unionByName(
-      star.join(exact.select(col("__h")).distinct(), Seq("__h"),
-        "left_anti"))
-    tagged.join(chosen, Seq("__h", "__grp"))
+      star.join(exact.select(col("__h"), col("__bid")).distinct(),
+        Seq("__h", "__bid"), "left_anti"))
+    tagged.join(chosen, Seq("__h", "__bid", "__grp"))
       .select(col("__h"), col("__k"), col("__v"))
   }
 
@@ -1481,21 +1505,42 @@ object Curation {
     * is allowed. Output: (idCol, hostCol, pathCol, allowed, rule,
     * directive) with rule/directive NULL for unmatched URLs.
     *
-    * Scale shape: the URL stream joins the BROADCAST rule relation on
-    * the host equi-key with the LIKE match as a residual condition
-    * (one probe per same-host rule — fanout bounded by the host's
-    * rule count, never corpus-sized), then ONE url-keyed hash-agg
-    * takes the precedence argmin as min(struct(−plen, dir_rank,
-    * pattern)) — exact integer/string comparisons, no window, no
-    * float anywhere, so the decision replays bit-for-bit in the
-    * oracle.
+    * Scale shape: the URL stream joins the rule relation on the host
+    * equi-key with the LIKE match as a residual condition (one probe
+    * per same-host rule — fanout bounded by the host's rule count,
+    * never corpus-sized), then ONE url-keyed hash-agg takes the
+    * precedence argmin as min(struct(−plen, dir_rank, pattern)) —
+    * exact integer/string comparisons, no window, no float anywhere,
+    * so the decision replays bit-for-bit in the oracle.
+    *
+    * Broadcast guard (VERDICT r17 #1, the bm25TopK pattern): the rule
+    * relation is HOST-cardinality — trivially broadcastable for a
+    * site crawl, tens of GB for a web-scale crawl (10⁷-10⁸ hosts ×
+    * several rules), where a forced broadcast OOMs the driver. The
+    * guard reads Catalyst's OPTIMIZER ESTIMATE of the rule relation
+    * (rowCount when CBO has it, else sizeInBytes over a deliberately
+    * small 64 B/row width so the bytes fallback OVERSTATES rows and
+    * large-but-unknown rule tables take the safe path) — plan-time
+    * only, no job launched. At or below `broadcastRuleLimit`
+    * estimated rows the rules broadcast into the URL stream; above
+    * it the join runs as a host-keyed shuffle equi-join (LIKE stays a
+    * residual; AQE skew-splits hub hosts). Bit-identical on both
+    * paths — same join, different physical strategy (CurationSpec
+    * pins it; ScaleSpec gates both shapes).
     */
   def robotsFilter(urls: DataFrame, idCol: String, hostCol: String,
-                   pathCol: String, rules: DataFrame): DataFrame = {
+                   pathCol: String, rules: DataFrame,
+                   broadcastRuleLimit: Long = 5000000L): DataFrame = {
     require(urls.columns.contains(idCol), s"robotsFilter: no $idCol")
-    val r = broadcast(rules.select(col(hostCol).as("__rh"),
+    require(broadcastRuleLimit >= 0,
+      s"robotsFilter: broadcastRuleLimit must be >= 0, got $broadcastRuleLimit")
+    val r0 = rules.select(col(hostCol).as("__rh"),
       col("directive").as("__dir"), col("pattern").as("__pat"),
-      col("plen").as("__plen"), col("like_pat").as("__like")))
+      col("plen").as("__plen"), col("like_pat").as("__like"))
+    val rStats = r0.queryExecution.optimizedPlan.stats
+    val rRowsEst: Long = rStats.rowCount.map(_.toLong)
+      .getOrElse(math.max(1L, (rStats.sizeInBytes / 64).toLong))
+    val r = if (rRowsEst <= broadcastRuleLimit) broadcast(r0) else r0
     val u = urls.select(col(idCol).as("__id"), col(hostCol).as("__uh"),
       col(pathCol).as("__path"))
     u.join(r, col("__uh") === col("__rh") &&

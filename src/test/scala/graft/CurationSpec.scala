@@ -510,6 +510,69 @@ class CurationSpec extends AnyFunSuite {
     assert(broad.nonEmpty && broad == shuffled)
   }
 
+  test("robotsFilter: the shuffle-join fallback is bit-equal to the broadcast path") {
+    // VERDICT r17 #1 (the bm25TopK precedent): above broadcastRuleLimit
+    // the rule table reaches the URL stream via a host-keyed shuffle
+    // equi-join instead of a broadcast. Same join + argmin, different
+    // physical strategy — every (id, host, path, allowed, rule,
+    // directive) row must be identical on both paths.
+    val robots = Seq(
+      ("a.example", "User-agent: graftbot\nDisallow: /private/*\n" +
+        "Allow: /private/*/pub$\nDisallow: /d_e/\n\nUser-agent: *\n" +
+        "Disallow: /\n"),
+      ("b.example", "User-agent: *\nDisallow: /star/\n"))
+      .toDF("host", "robots_txt")
+    val rules = Curation.robotsRules(robots, "host", "robots_txt",
+      "GraftBot")
+    val urls = Seq(
+      (1L, "a.example", "/private/en"), (2L, "a.example", "/private/en/pub"),
+      (3L, "a.example", "/d_e/x"), (4L, "a.example", "/dxe/x"),
+      (5L, "b.example", "/star/s"), (6L, "b.example", "/open"),
+      (7L, "c.example", "/norules"))
+      .toDF("id", "host", "path")
+    val broad = Curation.robotsFilter(urls, "id", "host", "path", rules)
+      .orderBy("id").collect().toSeq
+    val shuffled = Curation.robotsFilter(urls, "id", "host", "path", rules,
+        broadcastRuleLimit = 0L)
+      .orderBy("id").collect().toSeq
+    assert(broad.nonEmpty && broad == shuffled)
+    // and the verdicts themselves are the RFC ones
+    val allowed = broad.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(allowed == Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> true, 7L -> true))
+  }
+
+  test("robots parse: two bodies for one host are numbered independently (ADVICE r17)") {
+    // A host carrying TWO robots bodies (a re-fetch flowing through
+    // the robotsfilter pipeline module): before the (host, body)
+    // window key, both files' line numbers interleaved in one
+    // host-partitioned window and the User-agent group runs silently
+    // misattributed rules across bodies. Each body must parse as an
+    // independent file — body A's exact-graftbot group suppresses
+    // only A's own star group, body B falls back to ITS star group —
+    // and the chosen rules union.
+    val robots = Seq(
+      ("h.example", "User-agent: graftbot\nDisallow: /a\n\n" +
+        "User-agent: *\nDisallow: /suppressed\n"),
+      ("h.example", "User-agent: *\nDisallow: /b\n"))
+      .toDF("host", "robots_txt")
+    val rules = Curation.robotsRules(robots, "host", "robots_txt",
+        "graftbot")
+      .select($"directive", $"pattern").as[(String, String)]
+      .collect().toSet
+    assert(rules == Set(("disallow", "/a"), ("disallow", "/b")), rules)
+    // exact duplicate (host, body) rows collapse to ONE parse: no
+    // duplicated rule rows, no interleaved line numbers
+    val dup = Seq(
+      ("h.example", "User-agent: *\nDisallow: /x\nAllow: /x/ok\n"),
+      ("h.example", "User-agent: *\nDisallow: /x\nAllow: /x/ok\n"))
+      .toDF("host", "robots_txt")
+    val dupRules = Curation.robotsRules(dup, "host", "robots_txt", "any")
+      .select($"directive", $"pattern").as[(String, String)]
+      .collect().toSeq.sorted
+    assert(dupRules == Seq(("allow", "/x/ok"), ("disallow", "/x")), dupRules)
+  }
+
   test("LM family ngramMode=char: classifies unsegmented text the word path drops") {
     // VERDICT r14 #5. The q236 fixture: spaces stripped from the real
     // sf0.001 corpus, half the docs reversed → two "languages" with

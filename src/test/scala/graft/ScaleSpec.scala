@@ -1313,6 +1313,33 @@ class ScaleSpec extends AnyFunSuite {
       s"rule table not broadcast into the URL stream:\n$plan")
   }
 
+  test("robots fallback: above the guard the rule join is a shuffle join") {
+    // VERDICT r17 #1: the rule relation is host-cardinality at a web
+    // crawl — with broadcastRuleLimit forced to 0 (and auto-broadcast
+    // disabled so Catalyst can't silently re-promote the small test
+    // relation) the URL⋈rules join must degrade to a host-keyed
+    // shuffle equi-join (AQE-skew-splittable), never a cartesian or
+    // a driver-side broadcast materialization of an unbounded table.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = Tables(spark, sf, "documents")
+      val robots = d.select($"source").distinct().select(
+        concat($"source", lit(".example")).as("host"),
+        lit("User-agent: *\nDisallow: /private/\n").as("robots_txt"))
+      val rules = graft.operators.Curation.robotsRules(
+        robots, "host", "robots_txt", "graftbot")
+      val urls = d.select($"doc_id",
+        concat($"source", lit(".example")).as("host"),
+        concat(lit("/private/"), $"lang").as("path"))
+      val plan = executed(graft.operators.Curation.robotsFilter(
+        urls, "doc_id", "host", "path", rules, broadcastRuleLimit = 0L))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fallback lost the shuffle join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("crawl loop: sitemap locs extract narrow, rules broadcast, windows host-bounded") {
     // q263: the <loc> extraction is a codegen regexp per body (no
     // shuffle), the rule table broadcasts into the loc stream, and
