@@ -238,9 +238,17 @@ object Warc {
     spark.sparkContext.binaryFiles(path, mp)
       .flatMap { case (file, pds) =>
         val in = pds.open()
-        // binaryFiles' iterator is consumed fully within the task
-        // (records() is lazy; toArray would double peak memory only
-        // for the parsed rows, which ARE the task output anyway)
+        // records() closes the stream on clean EOF and on parse
+        // failure, but an iterator ABANDONED mid-stream (a limit/take
+        // cutting this flatMap short) would leak the handle until
+        // finalization — the exact fd-leak the eager close targets
+        // (ADVICE r17). Tie the handle to the TASK lifetime: close is
+        // idempotent, so the listener is a no-op when the iterator
+        // already finished.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => }
+          })
         records(in).map(r =>
           (file, r.recNo, r.warcType, r.url, r.ts,
             Option(r.status).map(_.intValue), r.mime, r.body))

@@ -71,6 +71,19 @@ object NgramCountKernel {
 
   private final val SP: Byte = ' '.toByte
 
+  /** Parity shim for MALFORMED UTF-8 (ADVICE r17): the regex/HOF
+    * formulations this kernel replaces run java.util.regex over
+    * `UTF8String.toString`, whose decoder substitutes U+FFFD for every
+    * malformed sequence — while the byte-level tokenizers below would
+    * split the RAW invalid bytes differently (warcread's binary→string
+    * cast ships such payloads verbatim). Route invalid input through
+    * the IDENTICAL toString decode so both paths see the same tokens;
+    * valid input (the isValid fast scan) passes through untouched, so
+    * the byte-parity contract is unconditional, not well-formed-only.
+    */
+  private def normalized(text: UTF8String): UTF8String =
+    if (text.isValid) text else UTF8String.fromString(text.toString)
+
   /** Token slices (views over `bytes`) per the mode's contract. */
   private def tokenize(bytes: Array[Byte], charMode: Boolean): Array[UTF8String] = {
     val nb = bytes.length
@@ -140,7 +153,7 @@ object NgramCountKernel {
     * binary (w1, w2); empty array when the doc has < 2 tokens.
     */
   def bigramCounts(text: UTF8String, charMode: Boolean): ArrayData = {
-    val tk = tokenize(text.getBytes, charMode)
+    val tk = tokenize(normalized(text).getBytes, charMode)
     val nw = tk.length
     if (nw < 2) return new GenericArrayData(Array.empty[Any])
     val m = new JHashMap[PairKey, Array[Long]]()
@@ -179,7 +192,7 @@ object NgramCountKernel {
     * binary order.
     */
   def gramCounts(text: UTF8String, charMode: Boolean): ArrayData = {
-    val tk = tokenize(text.getBytes, charMode)
+    val tk = tokenize(normalized(text).getBytes, charMode)
     val nw = tk.length
     val mu = new JHashMap[UTF8String, Array[Long]]()
     var i = 0

@@ -725,6 +725,12 @@ object TextQueries {
       val d = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_q265_" + dir.replaceAll("\\W", "_"))
       d.mkdirs()
+      // the sanitized dir key is lossy (distinct dataset paths can
+      // collide) and the directory persists across runs: clear every
+      // *.warc.gz FIRST so the glob below sees only this run's shards,
+      // never a stale layout from a prior corpus (ADVICE r17)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
       for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
         val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
           val id = r.getLong(0)

@@ -281,6 +281,30 @@ class FormatsSpec extends AnyFunSuite {
       yield s"b$s-$i").sorted)
   }
 
+  test("warc: an abandoned mid-stream read (limit) still returns and closes cleanly") {
+    // ADVICE r17: records() closes on clean EOF and on parse failure,
+    // but a limit/take cutting the binaryFiles flatMap short abandons
+    // the iterator mid-stream — read() now ties the handle to the
+    // TASK lifetime (addTaskCompletionListener, idempotent close), so
+    // the cut-short scan completes without leaking until finalization.
+    // Exercise exactly that path: many records per file, take(1) so
+    // every task abandons its iterator after the first row.
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = tmp("warcabandon")
+    graft.formats.Warc.write(s"$d/big.warc.gz",
+      (0 until 200).iterator.map(i =>
+        warcRec("response", s"https://a.example/$i", null,
+          ("x" * 4096).getBytes(UTF_8), Int.box(200), "text/plain")))
+    val first = graft.formats.Warc.read(spark, s"$d/*.warc.gz")
+      .limit(1).collect()
+    assert(first.length == 1)
+    // and a repeated cut-short scan stays healthy (no fd accumulation
+    // crash within the suite's ulimit)
+    for (_ <- 1 to 5)
+      assert(graft.formats.Warc.read(spark, s"$d/*.warc.gz")
+        .limit(1).count() == 1L)
+  }
+
   test("compactParquet sizes the write to the byte target") {
     def partFiles(p: String) = new java.io.File(p).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

@@ -157,21 +157,37 @@ class NgramKernelSpec extends AnyFunSuite {
     }
   }
 
-  test("malformed UTF-8 (leading continuation byte) must not crash the kernel") {
+  test("malformed UTF-8 matches the regex path exactly (U+FFFD normalization)") {
     // raw crawl payloads reach char mode via warcread's binary→string
-    // cast — a leading 0x80..0xBF byte once overflowed the token array
+    // cast — a leading 0x80..0xBF byte once overflowed the token
+    // array, and after that crash fix the byte-level tokenizer still
+    // DISAGREED with the regex reference (which decodes via toString,
+    // substituting U+FFFD per malformed sequence; ADVICE r17). The
+    // kernel now routes invalid input through the identical decode,
+    // so parity is unconditional, not well-formed-only: assert it on
+    // a DataFrame whose string column carries raw invalid bytes
+    // (binary→string cast, exactly the warcread path), in both modes.
+    val badRows = Seq(
+      Array(0x80.toByte, 'a'.toByte, 0x80.toByte, 'b'.toByte),
+      Array(0xC3.toByte), // truncated 2-byte sequence at EOF
+      Array('a'.toByte, ' '.toByte, 0xE2.toByte, 0x82.toByte), // cut 3-byte
+      Array(0xF0.toByte, 0x9F.toByte, 'x'.toByte, ' '.toByte, 'y'.toByte))
+    val df = badRows.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("id", "raw")
+      .select($"id", $"raw".cast("string").as("text"))
+    for (mode <- Seq("word", "char")) {
+      assertSetEqual(fastPairs(df, mode), refPairs(df, mode),
+        s"malformed/$mode pairs")
+      assertSetEqual(fastToks(df, mode), refToks(df, mode),
+        s"malformed/$mode tokens")
+    }
+    // direct-eval shape: [0x80, a, 0x80, b] decodes to 4 codepoints
+    // (U+FFFD a U+FFFD b) → 3 adjacent char pairs
     val bad = UTF8String.fromBytes(Array(0x80.toByte, 'a'.toByte,
       0x80.toByte, 'b'.toByte))
-    for (m <- Seq(true, false)) {
-      val pairs = NgramCountKernel.bigramCounts(bad, m)
-      val grams = NgramCountKernel.gramCounts(bad, m)
-      assert(pairs.numElements() >= 0 && grams.numElements() >= 0)
-    }
-    // char mode: boundaries at the lead bytes → tokens "a"-ish
-    // slices; total pair count must be tokens-1 = 2
     val p = NgramCountKernel.bigramCounts(bad, true)
     val total = (0 until p.numElements()).map(i => p.getStruct(i, 3).getLong(2)).sum
-    assert(total == 2, s"expected 2 adjacent pairs, got $total")
+    assert(total == 3, s"expected 3 adjacent pairs post-normalization, got $total")
   }
 
   test("null text and <2-token docs vanish exactly like the old gate") {
