@@ -58,6 +58,38 @@ class BenchSpec extends AnyFunSuite {
     assert(res.rc == 1 && res.json.contains(""""a_slow":"over budget"""))
   }
 
+  test("watchdog degrades, doesn't zero: a burst after completed samples keeps rc=0") {
+    // VERDICT r17 #4: the r17 driver artifact went rc=1 because ONE
+    // ambient steal burst pushed one sample of q224 over budget after
+    // that row already had completed samples — zeroing a row that has
+    // a measured floor fails the whole round for weather. A row with
+    // completed samples must keep their min, be tagged over_budget,
+    // and leave rc=0; rc=1 stays reserved for rows with NO completed
+    // sample (the watchdog test above).
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky: (SparkSession, String) => DataFrame = (s, _) => {
+      val n = calls.incrementAndGet()
+      val f = org.apache.spark.sql.functions.udf { (id: Long) =>
+        if (n > 1) Thread.sleep(30000); id
+      }
+      s.range(4).select(f(org.apache.spark.sql.functions.col("id")).as("v"))
+    }
+    val res = Bench.run(spark, "unused",
+      Map("a_flaky" -> flaky, "z_ok" -> good), passes = 3, budgetSecs = 2.0)
+    val fl = res.results.toMap.apply("a_flaky")
+    assert(fl.samples.size == 1, s"first completed sample must be kept: $fl")
+    assert(fl.errors.size == 1 && fl.errors.head.startsWith("over budget"))
+    assert(res.rc == 0, "a degraded row with a measured floor must not fail the run")
+    assert(res.overBudgetRows == Vector("a_flaky"))
+    assert(res.json.contains(""""over_budget":["a_flaky"]"""))
+    assert(res.json.contains(""""rc":0"""))
+    // the kept min still contributes to minsum
+    assert(res.minSum >= fl.min.get)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(res.compactJson)
+    assert(node.get("rc").asInt() == 0 && node.get("errors").asInt() == 1)
+  }
+
   test("all-green run has rc=0, min<=median per query, no errors field") {
     val res = Bench.run(spark, "unused", Map("q_a" -> good, "q_b" -> good), passes = 3)
     assert(res.rc == 0 && !res.json.contains("\"errors\""))
