@@ -481,6 +481,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("novelty standing-set state writes are O(batch novelty), not O(total)") {
+    // VERDICT r17 #3: the standing shingle set must be maintained as
+    // appended DISJOINT deltas — per-batch checkpointed state rows =
+    // the batch's never-seen shingles only. Re-feeding already-seen
+    // text must checkpoint ZERO state rows even as cumulative ingest
+    // keeps growing; a rewrite-the-whole-set regression would show
+    // monotonically growing probe values instead.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def doc(i: Long, stride: Int) =
+      (i, (0 to 8).map(j => s"tok${(i * 3 + stride * j) % 17}").mkString(" "))
+    val corpus0 = (1L to 6L).map(doc(_, 1)).toDF("doc_id", "text")
+    val fresh = (10L to 15L).map(doc(_, 3)) // stride-3: new vocabulary
+    val rerunA = (20L to 25L).map { case i => (i, fresh(0)._2) }
+    val rerunB = (30L to 35L).map { case i => (i, fresh(1)._2) }
+    val probe = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, String)]
+    val (q, current) = EventStreams.noveltyStream(
+      ms.toDF().toDF("doc_id", "text"), corpus0, "doc_id", "text",
+      k = 5, stateProbe = Some(probe))
+    try {
+      for (b <- Seq(fresh, rerunA, rerunB)) {
+        ms.addData(b); q.processAllAvailable()
+      }
+      assert(probe.size == 3, probe.toString)
+      assert(probe(0) > 0, s"fresh batch must checkpoint its novel delta: $probe")
+      assert(probe(1) == 0 && probe(2) == 0,
+        s"re-fed batches must checkpoint ZERO state rows: $probe")
+      // and the report is still right: every rerun doc scores 0.0
+      val reruns = current().filter($"doc_id" >= 20L).collect()
+      assert(reruns.length == 12)
+      assert(reruns.forall(_.getAs[Double]("novelty") == 0.0))
+    } finally q.stop()
+  }
+
   test("streaming crawl-extraction report is bit-equal to batch at every cut") {
     // q249/q250's streaming twin (the additive half): the HtmlKernel
     // pass is a stateless narrow map, and the per-source counters are
