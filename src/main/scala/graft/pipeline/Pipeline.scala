@@ -1345,6 +1345,62 @@ object Pipeline {
           df, req("host"), req("content")), RowType)
       }),
 
+    // Outlink extraction (q258/q260's anchor-href contract): one row
+    // per <a href="..."> per page, document order — the stage between
+    // fetched HTML and the robots gate / host link graph. html= may
+    // be a binary column (warcread payloads): cast is the UTF-8
+    // decode. Narrow kernel map + explode; zero shuffles.
+    Registered("outlinks", RowType, RowType,
+      "in=STREAM:html=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val h = m.args.getOrElse("html",
+          throw new BuildError("outlinks: html= required"))
+        if (!df.columns.contains(h))
+          throw new BuildError(s"outlinks: no column '$h'")
+        val keep = df.columns.filterNot(_ == h).map(col).toSeq
+        ctx.writeStream(m, df.select(keep :+ explode(
+          graft.functions.HtmlExpr.anchorHrefs(col(h).cast("string")))
+            .as("href"): _*), RowType)
+      }),
+
+    // Crawl-delay politeness extraction (q264): per-host minimum
+    // delay across the agent's chosen robots groups (RFC 9309 parse,
+    // de-facto Crawl-delay extension).
+    Registered("crawldelays", RowType, RowType,
+      "in=STREAM:agent=STR:host=COL:content=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"crawldelays: $k= required"))
+        ctx.writeStream(m, graft.operators.Curation.robotsCrawlDelays(
+          df, req("host"), req("content"), req("agent")), RowType)
+      }),
+
+    // Politeness-paced frontier schedule (q266): the ranked frontier
+    // stream × the delays= stream's per-host Crawl-delay budgets →
+    // per-host fetch slots of the next horizonms window, pure integer
+    // arithmetic (Curation.crawlSchedule).
+    Registered("crawlschedule", RowType, RowType,
+      "in=STREAM:delays=STREAM:host=COL:rank=COL:delay=COL" +
+        ":horizonms=60000:defaultdelayms=5000:out=STREAM",
+      (ctx, m) => {
+        val frontier = ctx.readStream(m, RowType)
+        val dname = m.args.getOrElse("delays",
+          throw new BuildError("crawlschedule: delays= required"))
+        val (dl, dt) = ctx.streams.getOrElse(dname,
+          throw new BuildError(s"crawlschedule: unknown stream '$dname'"))
+        if (dt != RowType)
+          throw new BuildError(s"crawlschedule: '$dname' is not a row stream")
+        ctx.readers(dname) += 1
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"crawlschedule: $k= required"))
+        ctx.writeStream(m, graft.operators.Curation.crawlSchedule(
+          frontier, req("host"), req("rank"), dl, req("delay"),
+          m.args.getOrElse("horizonms", "60000").toLong,
+          m.args.getOrElse("defaultdelayms", "5000").toLong), RowType)
+      }),
+
     // Per-group Jensen-Shannon divergence vs the whole input (q254).
     Registered("jsd", RowType, RowType,
       "in=STREAM:group=COL:text=COL:out=STREAM",

@@ -48,7 +48,7 @@ object CurationQueries {
     * group selection, and the identical pattern → LIKE ESCAPE '!'
     * translation.
     */
-  private val RobotsRulesPreludeSql: String =
+  private[queries] val RobotsRulesPreludeSql: String =
     """hosts AS (SELECT DISTINCT source FROM documents),
       |rob AS (SELECT source || '.example' AS host,
       |  '# robots fixture' || chr(10) || 'User-agent: otherbot' ||
@@ -109,7 +109,7 @@ object CurationQueries {
   /** The per-host robots fixture shared by q261/q263 — the Spark twin
     * of [[RobotsRulesPreludeSql]]'s `rob` CTE, byte for byte.
     */
-  private def robotsFixture(d: DataFrame): DataFrame =
+  private[queries] def robotsFixture(d: DataFrame): DataFrame =
     d.select(col("source")).distinct().select(
       concat(col("source"), lit(".example")).as("host"),
       concat(

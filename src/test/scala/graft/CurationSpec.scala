@@ -573,6 +573,27 @@ class CurationSpec extends AnyFunSuite {
     assert(dupRules == Seq(("allow", "/x/ok"), ("disallow", "/x")), dupRules)
   }
 
+  test("crawlSchedule: integer slots, politeness default, zero-delay clamp") {
+    val frontier = Seq(("a.x", 100L), ("b.x", 50L), ("c.x", 10L))
+      .toDF("host", "r_e10")
+    val delays = Seq(("a.x", 2.0), ("c.x", 0.0), ("zz.x", 9.0))
+      .toDF("host", "crawl_delay") // zz.x not on the frontier -> no rows
+    val out = Curation.crawlSchedule(frontier, "host", "r_e10",
+        delays, "crawl_delay", horizonMs = 6000L, defaultDelayMs = 3000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byHost = out.groupBy(_._1)
+    // a: 2 s -> 2000 ms -> slots 0..3; b: no declared delay -> default
+    // 3000 -> slots 0..2; c: 0 s clamps to 1 ms -> 6001 slots
+    assert(byHost.keySet == Set("a.x", "b.x", "c.x"))
+    assert(byHost("a.x").length == 4 && byHost("a.x").forall(_._2 == 2000L))
+    assert(byHost("b.x").length == 3 && byHost("b.x").forall(_._2 == 3000L))
+    assert(byHost("c.x").length == 6001 && byHost("c.x").forall(_._2 == 1L))
+    // slot times are exact products, horizon inclusive
+    assert(out.forall { case (_, d, s, t) => t == s * d && t <= 6000L })
+    assert(byHost("a.x").map(_._4).sorted.toSeq == Seq(0L, 2000L, 4000L, 6000L))
+  }
+
   test("LM family ngramMode=char: classifies unsegmented text the word path drops") {
     // VERDICT r14 #5. The q236 fixture: spaces stripped from the real
     // sf0.001 corpus, half the docs reversed → two "languages" with

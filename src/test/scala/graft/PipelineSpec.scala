@@ -150,6 +150,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(readOut(out2).drop(1) == Seq("h.example,https://h.example/sm.xml"))
   }
 
+  test("crawl loop e2e: warcread -> outlinks -> robotsfilter -> pagerank -> crawlschedule") {
+    // VERDICT r17 next #5: the operationally complete crawl loop as
+    // ONE pipeline — container in, per-host fetch schedule out. The
+    // robots gate is load-bearing: host x.example is linked ONLY via
+    // a disallowed path, so it must never reach the frontier or the
+    // schedule; b.example declares Crawl-delay 2 for graftbot, a gets
+    // the politeness default.
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = tmp("crawlsched")
+    def page(links: String*) = ("<html><body>" +
+      links.map(u => s"""<p><a href="$u">x</a></p>""").mkString +
+      "</body></html>")
+    graft.formats.Warc.write(s"$d/crawl.warc.gz", Iterator(
+      ("response", "https://a.example/p1", "2026-01-01T00:00:00Z",
+        page("https://b.example/ok", "https://x.example/priv/no")
+          .getBytes(UTF_8), Int.box(200): java.lang.Integer, "text/html"),
+      ("response", "https://b.example/p2", "2026-01-01T00:00:00Z",
+        page("https://a.example/z").getBytes(UTF_8),
+        Int.box(200): java.lang.Integer, "text/html")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "robots.ndjson"),
+      ("{\"host\":\"x.example\",\"body\":\"User-agent: graftbot\\n" +
+        "Disallow: /priv/*\\n\"}\n" +
+        "{\"host\":\"b.example\",\"body\":\"User-agent: graftbot\\n" +
+        "Crawl-delay: 2\\n\"}\n").getBytes("UTF-8"))
+    val out = s"$d/sched.csv"
+    Pipeline.run(spark, Seq(
+      s"warcread:in=$d/*.warc.gz:out=pages",
+      "select:in=pages:out=ph:exprs=url;text as html",
+      "outlinks:in=ph:html=html:out=lk",
+      "sql:in=lk:out=l2:query=SELECT href, " +
+        "substring_index(substr(href, 9, 100000), '/', 1) AS dst, " +
+        "substr(substr(href, 9, 100000), " +
+        "length(substring_index(substr(href, 9, 100000), '/', 1)) + 1) " +
+        "AS path, substring_index(substring_index(url, '/', 3), '/', -1) " +
+        "AS src FROM __in WHERE href LIKE 'https://%'",
+      s"fileread:in=$d/robots.ndjson:out=r0", "ndjsonread:in=r0:out=rob",
+      "robotsfilter:in=l2:robots=rob:agent=GraftBot:key=href:host=dst" +
+        ":rhost=host:path=path:content=body:out=v",
+      "filter:in=v:expr=allowed:out=g",
+      "sql:in=g:views=l2:out=e:query=SELECT DISTINCT l2.src, l2.dst " +
+        "FROM __in JOIN l2 ON __in.href = l2.href",
+      "pagerank:in=e:iters=2:out=pr",
+      "select:in=pr:out=rk:exprs=id as host" +
+        ";cast(floor(r * 1e10) as bigint) as r_e10",
+      "crawldelays:in=rob:agent=GraftBot:host=host:content=body:out=dl",
+      "crawlschedule:in=rk:delays=dl:host=host:rank=r_e10" +
+        ":delay=crawl_delay:horizonms=10000:defaultdelayms=5000:out=sc",
+      "sort:in=sc:by=t_ms,host:out=ss",
+      "csvwrite:in=ss:out=w", s"filewrite:in=w:out=$out"))
+    val lines = readOut(out)
+    assert(lines.head == "host,r_e10,delay_ms,slot,t_ms")
+    val rows = lines.tail.map(_.split(","))
+    // x.example gated out of the frontier entirely
+    assert(!rows.exists(_(0) == "x.example"), lines.mkString("|"))
+    // b: Crawl-delay 2 -> 2000 ms -> slots 0..5; a: default 5000 -> 0..2
+    val byHost = rows.groupBy(_(0))
+    assert(byHost.keySet == Set("a.example", "b.example"))
+    assert(byHost("b.example").length == 6 &&
+      byHost("b.example").forall(_(2) == "2000"))
+    assert(byHost("a.example").length == 3 &&
+      byHost("a.example").forall(_(2) == "5000"))
+    // schedule order: t=0 first, both hosts eligible at t=0
+    assert(rows.take(2).map(_(4)).toSeq == Seq("0", "0"))
+    // symmetric 2-node graph: equal ranks
+    assert(rows.map(_(1)).distinct.length == 1)
+  }
+
   test("hashsplit + assignids curation modules") {
     val d = tmp("splitids")
     writeCsv(d + "/in.csv", "id,v" +: (1 to 50).map(i => f"$i%03d,x$i"): _*)

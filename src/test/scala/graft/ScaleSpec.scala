@@ -1363,6 +1363,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl schedule: host-keyed join + horizon-bounded generator, no corpus window") {
+    // q266: the frontier⋈delays join is a host equi-join (both sides
+    // host-cardinality — NO forced broadcast anywhere in the
+    // operator), the slot fanout is a per-row sequence generator
+    // bounded by the caller's horizon, and the only windows in the
+    // plan are the robots PARSE windows (host-keyed, KB-bounded).
+    val plan = executed(SparkEntry.queries("q266_crawl_schedule")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.split('\n').filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(__h"),
+        s"window not robots-host-bounded: $l")
+    }
+    assert(plan.contains("Generate"), s"slot sequence generator lost:\n$plan")
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)
