@@ -333,8 +333,13 @@ object DedupPortableSql {
     * the shared hub-cut CTEs, raw-jaccard threshold then round, and
     * corpus-first verdict with min-id dup_of.
     */
+  /** `unionTail`: optional extra `UNION ALL SELECT …` rows appended to
+    * the verdict relation BEFORE the final ORDER BY — q267 unions the
+    * container's revisit-record verdicts with the incremental ones.
+    */
   def incrementalOracleSql(numPerm: Int, bands: Int, threshold: Double,
-                           maxBucket: Int, deltaPred: String): String = {
+                           maxBucket: Int, deltaPred: String,
+                           unionTail: String = ""): String = {
     val sigCols = sigColsSql(numPerm)
     val bandArms = bandArmsSql(numPerm, bands)
     s"""WITH d0 AS (
@@ -396,6 +401,7 @@ object DedupPortableSql {
        |  m.best_jaccard
        |FROM (SELECT doc_id FROM documents WHERE $deltaPred) base
        |LEFT JOIN m ON base.doc_id = m.id
+       |$unionTail
        |ORDER BY id""".stripMargin
   }
 

@@ -755,6 +755,67 @@ object TextQueries {
       crawlReport(crawled, col("html"))
     }),
 
+    // Revisit-aware container ingest (VERDICT r17 next #6): a
+    // re-crawl container carries the crawler's OWN dedup signal —
+    // `revisit` records mark URLs whose content was byte-identical to
+    // a standing capture (the signal Common Crawl actually emits;
+    // ISO 28500 §6.7.2, reference-by-target-URI here) — and a
+    // revisit-aware ingest CONSUMES it instead of dropping it: revisit
+    // rows short-circuit to exact-dup verdicts with NO shingling, no
+    // similarity join, nothing corpus-sized (that skip IS the scale
+    // win: at a daily Common Crawl cadence a large fraction of
+    // fetches are revisits), while the genuinely re-fetched pages
+    // (response records) run the standard incremental
+    // delta-vs-standing-corpus pass (the q110 machinery, verbatim).
+    // Fixture: standing corpus = docs with doc_id % 10 != 0 (already
+    // ingested parquet, as in production); the container holds
+    // response records for the % 10 == 0 pages and revisit records
+    // for the % 10 == 5 URLs (first captures standing in the corpus).
+    "q267_warc_revisit" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val docs = t(s, dir, "documents")
+      val pages = docs.filter(col("doc_id") % 10 === 0 ||
+          col("doc_id") % 10 === 5)
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val d = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q267_" + dir.replaceAll("\\W", "_"))
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
+        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
+          val id = r.getLong(0)
+          val url = s"https://${r.getString(1)}.example/doc/$id"
+          val ts = f"2026-03-${id % 28 + 1}%02dT00:00:00Z"
+          if (id % 10 == 5) // unchanged re-fetch: the dedup signal
+            ("revisit", url, ts, Array.empty[Byte],
+              null: java.lang.Integer, null: String)
+          else // changed/new fetch: full response payload
+            ("response", url, ts, r.getString(2).getBytes(UTF_8),
+              Int.box(200): java.lang.Integer, "text/plain; charset=utf-8")
+        }
+        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      }
+      val recs = graft.formats.Warc.read(s, s"$d/*.warc.gz")
+      val delta = recs.filter(col("warc_type") === "response" &&
+          col("status") === 200)
+        .select(substring_index(col("url"), "/", -1).cast("bigint")
+          .as("doc_id"), col("payload").cast("string").as("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val ver = graft.operators.DedupPortable.incrementalMinhashPortable(
+        corpus, delta, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.7)
+      val revisit = recs.filter(col("warc_type") === "revisit")
+        .select(substring_index(col("url"), "/", -1).cast("bigint").as("id"),
+          lit("revisit_unchanged").as("status"),
+          substring_index(col("url"), "/", -1).cast("bigint").as("dup_of"),
+          lit(1L).as("n_corpus"), lit(0L).as("n_delta"),
+          lit(1.0).as("best_jaccard"))
+      ver.unionByName(revisit).orderBy(col("id"))
+    }),
+
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
     // outlinks → per-(source, host) counts — the crawl-frontier
     // extraction (what the scheduler feeds back into the queue) and
@@ -1536,6 +1597,20 @@ object TextQueries {
     // framing itself adds nothing the q259 round-trip doesn't already
     // pin, which is the point: the container is transparent.
     "q265_warc_corpus" -> crawlOracleSql(" WHERE doc_id % 50 != 0"),
+
+    // q267 oracle: the q110 incremental replay verbatim over the
+    // % 10 == 0 delta (the container's response payloads decode back
+    // to documents.text — framing transparency is q259/q265's pinned
+    // contract), UNION the revisit rows as exact-dup verdicts keyed
+    // by their target URL's doc id.
+    "q267_warc_revisit" -> DedupPortableSql.incrementalOracleSql(
+      64, 16, 0.7, 64, "doc_id % 10 = 0",
+      unionTail =
+        """UNION ALL
+          |SELECT doc_id AS id, 'revisit_unchanged' AS status,
+          |  doc_id AS dup_of, CAST(1 AS BIGINT) AS n_corpus,
+          |  CAST(0 AS BIGINT) AS n_delta, 1.0 AS best_jaccard
+          |FROM documents WHERE doc_id % 10 = 5""".stripMargin),
 
     // q258 oracle: identical page construction (shared prelude), the
     // href contract as RE2 (first double-quoted href per anchor), the
