@@ -118,6 +118,14 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r18 WARC row: binaryFiles packs files smaller than
+      // max(openCostInBytes, bytesPerCore) into shared splits — the
+      // small-files mitigation. Real crawl segments (~1 GB) always
+      // exceed the 128 MB split ceiling and get one task each; shrink
+      // the open-cost floor so the fixture's ~0.4 MB shards play the
+      // role of GB segments and the task-per-file claim is testable
+      // at fixture scale.
+      .config("spark.files.openCostInBytes", "1024")
       .appName("graft-scale-rehearsal")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -131,6 +139,11 @@ object ScaleRehearsal {
     }
     if (args.contains("r17")) {
       rehearseR17(spark, sf01)
+      spark.stop()
+      return
+    }
+    if (args.contains("r18")) {
+      rehearseR18(spark, sf01)
       spark.stop()
       return
     }
@@ -647,6 +660,107 @@ object ScaleRehearsal {
     val nvIsolated = nv10.forall { case (id, v) => nv01(id % 7000000L) == v }
     println(s"rehearsal: q256 docs sf0.1=${nv01.size} 10x=${nv10.size} " +
       s"rows10x=$nvRows10 replicasBitEqual=$nvIsolated")
+  }
+
+  /** r18 row (VERDICT r17 next #7): WARC container scan at realistic
+    * file counts. Every prior q259/q265 fixture was driver-written
+    * and small; this row generates the containers DISTRIBUTED — each
+    * task streams its partition's pages into its OWN .warc.gz (the
+    * exact layout a distributed WARC export produces; on a cluster
+    * the local-file write becomes a Hadoop-FS stream, the per-task
+    * unit is identical) — and proves the two container-scan scale
+    * claims directly:
+    *  (a) parallelism = file count: gzip members are unsplittable, so
+    *      one task per .warc.gz is the unit of work (what every
+    *      Common Crawl consumer gets); the 10× corpus lands in 10×
+    *      the files and the scan must report exactly that many
+    *      partitions.
+    *  (b) content transparency at volume: per-source extraction
+    *      counters over the DECODED payloads (the q249 battery:
+    *      pages, extracted, block/char masses, outlinks) must be
+    *      EXACTLY 10× the 1× container run — framing + gzip + HTTP
+    *      split + UTF-8 lose nothing at file-count scale.
+    */
+  private def rehearseR18(spark: SparkSession, sf01: String): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs01 = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    def times10(docs: DataFrame): DataFrame = docs
+      .withColumn("r", explode(sequence(lit(0), lit(9))))
+      .select((col("doc_id") + col("r").cast("long") * 7000000L)
+        .as("doc_id"), col("source"), col("lang"), col("text"))
+    def writeWarc(docs: DataFrame, dir: String, nFiles: Int): Int = {
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      val page = graft.queries.TextQueries.htmlPageCol
+      docs.select(col("doc_id"), col("source"), page.as("html"))
+        .repartition(nFiles, col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            graft.formats.Warc.write(f"$dir/part-$pid%05d.warc.gz",
+              it.map { r =>
+                val id = r.getLong(0)
+                ("response",
+                  s"https://${r.getString(1)}.example/doc/$id",
+                  f"2026-04-${id % 28 + 1}%02dT00:00:00Z",
+                  r.getString(2).getBytes(UTF_8),
+                  Int.box(200): java.lang.Integer,
+                  "text/html; charset=utf-8")
+              })
+          }
+        }
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".warc.gz"))
+    }
+    def scanTotals(glob: String,
+                   minParts: Int): (Int, Long, Map[String, Seq[Long]]) = {
+      val raw = graft.formats.Warc.read(spark, glob, minPartitions = minParts)
+      val nParts = raw.rdd.getNumPartitions
+      val pages = raw.filter(col("warc_type") === "response")
+        .select(substring_index(substring_index(col("url"), "/", 3),
+          "/", -1).as("host"),
+          col("payload").cast("string").as("html"))
+      val f = graft.functions.TextFunctions.htmlExtract(col("html")).toMap
+      val per = pages.select(col("host"),
+          f("main_text").as("mt"), f("n_blocks").as("nb"),
+          f("kept_blocks").as("kb"), f("kept_chars").as("kc"),
+          size(graft.functions.HtmlExpr.anchorHrefs(col("html"))).as("nl"))
+        .groupBy(col("host")).agg(
+          count(lit(1)).as("n_pages"),
+          count(when(col("mt") =!= "", 1)).as("n_extracted"),
+          sum(col("nb")).as("blocks"),
+          sum(col("kb")).as("kept_blocks"),
+          sum(col("kc")).as("kept_chars"),
+          sum(col("nl")).as("outlinks"))
+        .collect()
+        .map(r => r.getString(0) -> (1 to 6).map(r.getLong).toSeq)
+        .toMap
+      (nParts, per.values.map(_.head).sum, per)
+    }
+    val files01 = timed("q259-warc-write-sf0.1")(
+      writeWarc(docs01, "target/warc_r18/sf01", 8))
+    val files10 = timed("q259-warc-write-10x")(
+      writeWarc(times10(docs01), "target/warc_r18/sf1", 80))
+    // minPartitions 4× the file count pushes the combine split size
+    // below ANY single shard (shard sizes vary with page content, so
+    // an avg-sized split still packs the small ones); gzip members
+    // are unsplittable, so the scan can NEVER exceed one task per
+    // file — the assert is that it reaches exactly that ceiling, the
+    // parallelism a 1000-executor cluster actually gets from a
+    // Common Crawl segment listing.
+    val (p01, n01, t01) = timed("q259-warc-scan-sf0.1")(
+      scanTotals("target/warc_r18/sf01/*.warc.gz", files01 * 4))
+    val (p10, n10, t10) = timed("q259-warc-scan-10x")(
+      scanTotals("target/warc_r18/sf1/*.warc.gz", files10 * 4))
+    val taskPerFile = p01 == files01 && p10 == files10
+    val exact10 = t01.keySet == t10.keySet &&
+      t01.forall { case (s, v) => t10(s) == v.map(_ * 10) }
+    println(s"rehearsal: q259 files sf0.1=$files01 10x=$files10 " +
+      s"scanParts sf0.1=$p01 10x=$p10 taskPerFile=$taskPerFile " +
+      s"pages sf0.1=$n01 10x=$n10 exact10x=$exact10")
   }
 
 }
