@@ -1378,6 +1378,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), s"slot sequence generator lost:\n$plan")
   }
 
+  test("warc revisit ingest: verdict union stays equi-keyed, no cartesian, no window") {
+    // q267: the revisit arm is a narrow filter+project off the
+    // container scan (NO shingling — that skip is the point), the
+    // response arm is the gated q110 incremental machinery; the union
+    // must not introduce a cartesian, a nested loop on data-sized
+    // sides, or any window.
+    val plan = executed(SparkEntry.queries("q267_warc_revisit")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("Union"), s"revisit verdict union lost:\n$plan")
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)
