@@ -106,6 +106,49 @@ object CurationQueries {
       |    FROM grp gr JOIN chosen c ON gr.host = c.host AND gr.g = c.g
       |    WHERE gr.k IN ('allow', 'disallow')))""".stripMargin
 
+  /** The q223 URL-normalization replay as reusable CTEs: given an
+    * upstream CTE `u0($keys, t0)`, appends u1..u8 ending with
+    * `u8($keys, url_norm)` — each step mirrors one rule of
+    * Curation.urlNormalize (fragment strip, unreserved percent-decode
+    * chain, scheme/authority lowercase, default-port strip, empty
+    * path, tracking-param filter + sort). PRE-STRIPPED (concatenate,
+    * never re-stripMargin — the q260 lesson). Shared by q223 and the
+    * q268 frontier-canonicalization composition.
+    */
+  private[queries] def urlNormChainSql(keys: String): String = {
+    val decChain = graft.operators.Curation.unreservedEncodings
+      .foldLeft("nf") { case (acc, (e, d)) =>
+        s"replace($acc, '$e', '$d')" }
+    val track = graft.operators.Curation.trackingParamPattern
+    s"""u1 AS (SELECT $keys, regexp_extract(t0, '^([^#]*)', 1) AS nf FROM u0),
+       |u2 AS (SELECT $keys, $decChain AS dec FROM u1),
+       |u3 AS (SELECT $keys, dec,
+       |  lower(regexp_extract(dec, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  regexp_replace(dec, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM u2),
+       |u4 AS (SELECT $keys, dec, scheme, rest,
+       |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth0 FROM u3),
+       |u5 AS (SELECT $keys, dec, scheme, rest, auth0,
+       |  regexp_replace(auth0, '\\.$$', '') AS auth1,
+       |  substr(rest, length(auth0) + 1, length(rest)) AS pathq FROM u4),
+       |u6 AS (SELECT $keys, dec, scheme, pathq,
+       |  CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
+       |       WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
+       |       ELSE auth1 END AS auth,
+       |  regexp_extract(pathq, '^([^?]*)', 1) AS path0 FROM u5),
+       |u7 AS (SELECT $keys, dec, scheme, auth,
+       |  CASE WHEN path0 = '' AND auth <> '' THEN '/' ELSE path0 END AS path,
+       |  array_to_string(list_sort(list_filter(
+       |    string_split(substr(pathq, length(path0) + 2, length(pathq)), '&'),
+       |    x -> x <> '' AND NOT regexp_matches(x, '$track'))), '&') AS q
+       |  FROM u6),
+       |u8 AS (SELECT $keys,
+       |  CASE WHEN scheme = '' THEN dec
+       |    ELSE scheme || '://' || auth || path ||
+       |      CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS url_norm
+       |  FROM u7)""".stripMargin
+  }
+
   /** The per-host robots fixture shared by q261/q263 — the Spark twin
     * of [[RobotsRulesPreludeSql]]'s `rob` CTE, byte for byte.
     */
@@ -614,6 +657,39 @@ object CurationQueries {
       t(s, dir, "documents").select($"doc_id",
           Curation.urlNormalize(url).as("url_norm"))
         .orderBy($"doc_id")
+    }),
+
+    // Frontier URL canonicalization (the crawl loop's missing first
+    // step, q223 composed into the q258 extraction): every page links
+    // the SAME resource twice under different spellings — uppercase
+    // host vs uppercase scheme + explicit :443, a %6F-encoded path
+    // octet vs its literal, tracking params + unsorted query vs
+    // sorted + a fragment — plus one genuinely distinct link. Without
+    // urlNormalize the frontier sees 2 distinct URLs per resource
+    // (double-fetch = wasted politeness budget); with it the variants
+    // collapse, so per source n_resources < n_raw_distinct, pinned
+    // exactly. Narrow kernel map + explode + one hash-agg with two
+    // distinct-counts.
+    "q268_frontier_urlnorm" -> ((s, dir) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val page = concat(
+        lit("<p><a href=\"https://"), upper($"source"),
+        lit(".example/d%6Fc/"), id,
+        lit("?utm_source=feed&b=2&a=1\">x</a> <a href=\"HTTPS://"),
+        $"source", lit(".EXAMPLE:443/doc/"), id,
+        lit("?a=1&b=2#frag\">y</a> <a href=\"https://"), $"source",
+        lit(".example/other/"), ($"doc_id" % 7).cast("string"),
+        lit("\">z</a></p>"))
+      t(s, dir, "documents")
+        .select($"source",
+          explode(graft.functions.HtmlExpr.anchorHrefs(page)).as("href"))
+        .select($"source", $"href",
+          Curation.urlNormalize($"href").as("u"))
+        .groupBy($"source").agg(count(lit(1)).as("n_links"),
+          countDistinct($"href").as("n_raw_distinct"),
+          countDistinct($"u").as("n_resources"))
+        .orderBy($"source")
     }),
 
     // Variable-span EXACTSUBSTR (q111's fixed 20-token windows at
@@ -1592,12 +1668,8 @@ object CurationQueries {
     // empty-path '/' -> tracking strip + param sort). The replace
     // chain interpolates Curation.unreservedEncodings — ONE source
     // list for both engines.
-    "q223_urlnorm" -> {
-      val decChain = graft.operators.Curation.unreservedEncodings
-        .foldLeft("nf") { case (acc, (e, d)) =>
-          s"replace($acc, '$e', '$d')" }
-      val track = graft.operators.Curation.trackingParamPattern
-      s"""WITH u0 AS (
+    "q223_urlnorm" ->
+      (s"""WITH u0 AS (
          |  SELECT doc_id,
          |    trim('HTTP://WWW.EXAMPLE-' || source || '.COM:80/D%6fC/' ||
          |      CAST(doc_id AS VARCHAR) ||
@@ -1606,34 +1678,32 @@ object CurationQueries {
          |           WHEN doc_id % 4 = 2 THEN ''
          |           ELSE '?utm_campaign=c&utm_medium=m' END) AS t0
          |  FROM documents),
-         |u1 AS (SELECT doc_id, regexp_extract(t0, '^([^#]*)', 1) AS nf FROM u0),
-         |u2 AS (SELECT doc_id, $decChain AS dec FROM u1),
-         |u3 AS (SELECT doc_id, dec,
-         |  lower(regexp_extract(dec, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |  regexp_replace(dec, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-         |  FROM u2),
-         |u4 AS (SELECT doc_id, dec, scheme, rest,
-         |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth0 FROM u3),
-         |u5 AS (SELECT doc_id, dec, scheme, rest, auth0,
-         |  regexp_replace(auth0, '\\.$$', '') AS auth1,
-         |  substr(rest, length(auth0) + 1, length(rest)) AS pathq FROM u4),
-         |u6 AS (SELECT doc_id, dec, scheme, pathq,
-         |  CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
-         |       WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
-         |       ELSE auth1 END AS auth,
-         |  regexp_extract(pathq, '^([^?]*)', 1) AS path0 FROM u5),
-         |u7 AS (SELECT doc_id, dec, scheme, auth,
-         |  CASE WHEN path0 = '' AND auth <> '' THEN '/' ELSE path0 END AS path,
-         |  array_to_string(list_sort(list_filter(
-         |    string_split(substr(pathq, length(path0) + 2, length(pathq)), '&'),
-         |    x -> x <> '' AND NOT regexp_matches(x, '$track'))), '&') AS q
-         |  FROM u6)
-         |SELECT doc_id,
-         |  CASE WHEN scheme = '' THEN dec
-         |    ELSE scheme || '://' || auth || path ||
-         |      CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS url_norm
-         |FROM u7 ORDER BY doc_id""".stripMargin
-    },
+         |""".stripMargin + urlNormChainSql("doc_id") + "\n" +
+        """SELECT doc_id, url_norm
+          |FROM u8 ORDER BY doc_id""".stripMargin),
+
+    // q268 oracle: the same page build, the RE2 href contract, then
+    // the SHARED normalization chain (urlNormChainSql — byte-for-byte
+    // the q223 replay) keyed by (source, href), and the two distinct
+    // counts.
+    "q268_frontier_urlnorm" ->
+      (s"""WITH h AS (SELECT source,
+         |    '<p><a href="https://' || upper(source) || '.example/d%6Fc/' ||
+         |    CAST(doc_id AS VARCHAR) ||
+         |    '?utm_source=feed&b=2&a=1">x</a> <a href="HTTPS://' ||
+         |    source || '.EXAMPLE:443/doc/' || CAST(doc_id AS VARCHAR) ||
+         |    '?a=1&b=2#frag">y</a> <a href="https://' || source ||
+         |    '.example/other/' || CAST(doc_id % 7 AS VARCHAR) ||
+         |    '">z</a></p>' AS html
+         |  FROM documents),
+         |u0 AS (SELECT source, href, href AS t0 FROM (
+         |  SELECT source, unnest(regexp_extract_all(html,
+         |    '(?is)<a\\b[^>]*?href="([^"]*)"', 1)) AS href FROM h) x),
+         |""".stripMargin + urlNormChainSql("source, href") + "\n" +
+        """SELECT source, count(*) AS n_links,
+          |  count(DISTINCT href) AS n_raw_distinct,
+          |  count(DISTINCT url_norm) AS n_resources
+          |FROM u8 GROUP BY source ORDER BY source""".stripMargin),
 
     // Variable-span EXACTSUBSTR: per-granularity segmentation blocks
     // (UNION ALL, one per window size), the same (g, md5(seg))
