@@ -918,4 +918,50 @@ object EventStreams extends Serializable {
       .start()
     (q, () => view)
   }
+
+  /** Streaming twin of the Crawl-delay politeness table (q264/q266's
+    * delay input): robots bodies stream in as they're re-fetched,
+    * each microbatch runs the SAME RFC 9309 parse
+    * ([[graft.operators.Curation.robotsCrawlDelays]] — per-body group
+    * selection, try_cast tolerance), and the standing per-host view
+    * is maintained by a host-keyed MIN merge. MIN is commutative-
+    * associative-exact and idempotent, so the view is bit-equal to a
+    * batch recompute over every body ingested so far at ANY cut —
+    * including the same body re-arriving in a later batch (the
+    * re-fetch case; the batch operator dedups identical (host, body)
+    * rows, the stream's second parse yields the same minima). State =
+    * one row per host with a declared delay, regardless of stream
+    * length; [[graft.operators.Curation.crawlSchedule]] consumes the
+    * snapshot directly.
+    *
+    * Getter contract: the DeferredRelease discipline shared by every
+    * bounded-view twin here (superseded snapshots released one
+    * generation late; call the getter fresh per read).
+    */
+  def crawlDelayStream(robots: DataFrame, hostCol: String,
+                       contentCol: String, agent: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    def delays(df: DataFrame): DataFrame =
+      graft.operators.Curation.robotsCrawlDelays(
+        df, hostCol, contentCol, agent)
+    def merge(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy(col(hostCol))
+        .agg(min(col("crawl_delay")).as("crawl_delay"))
+    val spark0 = robots.sparkSession
+    @volatile var view: DataFrame = delays(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], robots.schema))
+      .localCheckpoint()
+    val released = new DeferredRelease
+    val q = robots.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val prev = view
+          view = merge(prev, delays(batch.toDF())).localCheckpoint()
+          released.retire(prev)
+          ()
+      }
+      .start()
+    (q, () => view)
+  }
 }

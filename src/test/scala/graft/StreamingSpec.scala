@@ -517,6 +517,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl-delay view is bit-equal to batch at every cut, re-fetches take the min") {
+    // q264's streaming twin: robots bodies arrive as re-fetched; the
+    // per-host MIN merge must equal the batch operator over every
+    // body ingested so far at each cut — including a host whose
+    // re-fetched body declares a LOWER delay (the update case) and an
+    // identical body re-arriving (idempotence).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def body(delay: String) =
+      s"User-agent: graftbot\nCrawl-delay: $delay\nDisallow: /x\n"
+    val b1 = Seq(("a.example", body("5")), ("b.example", body("2")))
+    val b2 = Seq(("a.example", body("3")), // re-fetch, lower -> 3.0
+      ("b.example", body("2")),            // identical body -> no change
+      ("c.example", body("fast")))         // unparsable -> no row
+    val ms = MemoryStream[(String, String)]
+    val (q, current) = EventStreams.crawlDelayStream(
+      ms.toDF().toDF("host", "body"), "host", "body", "graftbot")
+    try {
+      var all = Seq.empty[(String, String)]
+      for (b <- Seq(b1, b2)) {
+        all = all ++ b
+        ms.addData(b); q.processAllAvailable()
+        val want = graft.operators.Curation.robotsCrawlDelays(
+            all.toDF("host", "body"), "host", "body", "graftbot")
+          .orderBy($"host").collect().toSeq
+        val got = current().orderBy($"host").collect().toSeq
+        assert(got == want, s"cut after batch ${b.head} diverged")
+      }
+      val m = current().collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(m == Map("a.example" -> 3.0, "b.example" -> 2.0), m.toString)
+    } finally q.stop()
+  }
+
   test("streaming crawl-extraction report is bit-equal to batch at every cut") {
     // q249/q250's streaming twin (the additive half): the HtmlKernel
     // pass is a stateless narrow map, and the per-source counters are
