@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** WARC/1.x container codec — the Common Crawl ingest format and the
   * last stage between "crawl files on disk" and the q250
@@ -255,6 +256,49 @@ object Warc {
       }
       .toDF("path", "rec_no", "warc_type", "url", "ts", "status", "mime",
         "payload")
+  }
+
+  /** CDX-style capture index over a [[read]] scan — the lookup
+    * artifact crawl archives publish NEXT TO the containers (CDX(J):
+    * one row per response capture, sorted by SURT key then timestamp,
+    * so "all captures of URL u" is a contiguous range a replayer or
+    * dedup pass can binary-search without touching the containers).
+    * Columns: (urlkey, ts14, url, mime, status, digest, filename,
+    * rec_no).
+    *
+    * Documented simplifications vs the CDXJ spec: urlkey is a
+    * simplified SURT (lowercased authority with its dot-parts
+    * REVERSED comma-joined + ')' + lowercased path+query — no port /
+    * userinfo / www-strip special cases), digest is md5-hex of the
+    * payload (CDXJ ships sha1-base32), and the in-container locator
+    * is the scan's record ordinal (`rec_no`) rather than a compressed
+    * byte offset (the streaming gzip-member parser doesn't surface
+    * offsets; the ordinal addresses a record within its member
+    * sequence just as uniquely). Every column is engine-replayable —
+    * the q269 oracle recomputes the index byte-for-byte in DuckDB.
+    *
+    * One narrow projection over the scan + whatever sort the caller
+    * asks for; at 100 TB this rides the per-file container pass and
+    * the sort is the index's own write-time contract (a range-
+    * partitioned sort on urlkey, the classic sorted-index build).
+    */
+  def cdxIndex(records: DataFrame): DataFrame = {
+    val host = regexp_extract(col("url"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val pathq = regexp_replace(col("url"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val dig =
+      if (records.columns.contains("payload")) md5(col("payload"))
+      else md5(col("text"))
+    records.filter(col("warc_type") === "response")
+      .select(
+        concat(array_join(reverse(split(lower(host), "\\.")), ","),
+          lit(")"), lower(pathq)).as("urlkey"),
+        substring(regexp_replace(col("ts"), "[^0-9]", ""), 1, 14)
+          .as("ts14"),
+        col("url"), col("mime"), col("status"), dig.as("digest"),
+        element_at(split(col("path"), "/"), -1).as("filename"),
+        col("rec_no"))
   }
 
   // --------------------------------------------------------------- write

@@ -2218,6 +2218,22 @@ object Pipeline {
         ctx.writeStream(m.copy(args = m.args - "in"), out, RowType)
       }),
 
+    // CDX-style capture index over a warcread stream (q269): one row
+    // per response capture, SURT urlkey + ts14 + digest + in-file
+    // ordinal — the lookup artifact a crawl archive publishes next to
+    // its containers (Warc.cdxIndex; works on both the text and
+    // :binary warcread shapes).
+    Registered("cdxindex", RowType, RowType,
+      "in=STREAM:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        for (c <- Seq("warc_type", "url", "ts", "path", "rec_no"))
+          if (!df.columns.contains(c))
+            throw new BuildError(s"cdxindex: input lacks column '$c' " +
+              "(expects a warcread stream)")
+        ctx.writeStream(m, graft.formats.Warc.cdxIndex(df), RowType)
+      }),
+
     Registered("bsonread", NoneType, RowType, "in=FILE:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("bsonread: in= required"))
       ctx.writeStream(m.copy(args = m.args - "in"),

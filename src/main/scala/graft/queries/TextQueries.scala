@@ -816,6 +816,38 @@ object TextQueries {
       ver.unionByName(revisit).orderBy(col("id"))
     }),
 
+    // CDX-style capture index (Warc.cdxIndex): the lookup artifact a
+    // crawl archive publishes next to its containers — one row per
+    // response capture, (urlkey, ts14)-sorted so all captures of a
+    // URL are a contiguous range. The fixture frames the % 5 == 0
+    // docs into 4 gzip'd shards; the oracle recomputes every column
+    // (simplified SURT, 14-digit timestamp, md5 digest, shard
+    // filename, in-file record ordinal) from the documents table.
+    "q269_warc_cdx" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val d = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q269_" + dir.replaceAll("\\W", "_"))
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
+        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
+          val id = r.getLong(0)
+          ("response", s"https://${r.getString(1)}.example/doc/$id",
+            f"2026-05-${id % 28 + 1}%02dT01:02:03Z",
+            r.getString(2).getBytes(UTF_8),
+            Int.box(200): java.lang.Integer, "text/plain; charset=utf-8")
+        }
+        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      }
+      graft.formats.Warc
+        .cdxIndex(graft.formats.Warc.read(s, s"$d/*.warc.gz"))
+        .orderBy(col("urlkey"), col("ts14"))
+    }),
+
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
     // outlinks → per-(source, host) counts — the crawl-frontier
     // extraction (what the scheduler feeds back into the queue) and
@@ -1603,6 +1635,33 @@ object TextQueries {
     // to documents.text — framing transparency is q259/q265's pinned
     // contract), UNION the revisit rows as exact-dup verdicts keyed
     // by their target URL's doc id.
+    // q269 oracle: every index column recomputed from documents —
+    // SURT key (reversed host dot-parts; source is already lowercase,
+    // the path lowercases ids/sources trivially), digit-stripped
+    // 14-char timestamp, md5 of the text (= md5 of the UTF-8 payload
+    // bytes the container carries), shard filename from the doc_id
+    // % 4 write split, and the in-file ordinal as a rank within the
+    // shard (records were written doc_id-ascending per shard).
+    "q269_warc_cdx" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(doc_id % 4 AS BIGINT) AS shard
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT
+        |  'example,' || source || ')/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS urlkey,
+        |  '202605' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    '010203' AS ts14,
+        |  'https://' || source || '.example/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  'text/plain; charset=utf-8' AS mime,
+        |  CAST(200 AS INTEGER) AS status,
+        |  md5(text) AS digest,
+        |  'shard' || CAST(shard AS VARCHAR) || '.warc.gz' AS filename,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+        |    AS BIGINT) AS rec_no
+        |FROM base ORDER BY urlkey, ts14""".stripMargin,
+
     "q267_warc_revisit" -> DedupPortableSql.incrementalOracleSql(
       64, 16, 0.7, 64, "doc_id % 10 = 0",
       unionTail =
