@@ -67,7 +67,14 @@ object Warc {
       ts: String,
       status: java.lang.Integer,
       mime: String,
-      body: Array[Byte])
+      body: Array[Byte],
+      // raw HTTP message head for application/http records (response
+      // status line + headers, ISO-8859-1, trailing CR of the last
+      // header line included — the bytes as framed); null when the
+      // record carries no embedded HTTP message. Response headers are
+      // curation signal (Content-Language, Last-Modified) the old
+      // parser silently discarded.
+      head: String = null)
 
   // ---------------------------------------------------------------- read
 
@@ -207,7 +214,8 @@ object Warc {
                   l.substring("content-type:".length).trim
               }.orNull
               Record(recNo, warcType, url, ts, status, mime,
-                java.util.Arrays.copyOfRange(payload, bs, payload.length))
+                java.util.Arrays.copyOfRange(payload, bs, payload.length),
+                head)
             }
           } else Record(recNo, warcType, url, ts, null, null, payload)
         nextRec = rec
@@ -252,10 +260,48 @@ object Warc {
           })
         records(in).map(r =>
           (file, r.recNo, r.warcType, r.url, r.ts,
-            Option(r.status).map(_.intValue), r.mime, r.body))
+            Option(r.status).map(_.intValue), r.mime, r.body,
+            Option(r.head)))
       }
       .toDF("path", "rec_no", "warc_type", "url", "ts", "status", "mime",
-        "payload")
+        "payload", "http_head")
+  }
+
+  /** Capture pairing (q270): join each `response` record with the
+    * `request` record of the same fetch — WARC writes them as
+    * concurrent records sharing WARC-Target-URI and WARC-Date (the
+    * full concurrent-to UUID plumbing is not framed by [[write]];
+    * (url, ts) is the same identity for any single-fetch capture).
+    * The request message rides the record payload verbatim (requests
+    * are framed raw here), so the verb and the politeness-relevant
+    * User-Agent parse out with anchored regexes; the response side
+    * contributes status/mime, the payload digest, and the declared
+    * Content-Length from the HTTP head the scan now surfaces.
+    * Output: (url, ts, status, mime, digest, content_length, verb,
+    * req_user_agent) — request columns null for captures without a
+    * request record. ONE (url, ts) equi-join of two prunes of the
+    * same scan; narrow otherwise.
+    */
+  def captures(records: DataFrame): DataFrame = {
+    val respDig =
+      if (records.columns.contains("payload")) md5(col("payload"))
+      else md5(col("text"))
+    val reqMsg =
+      (if (records.columns.contains("payload")) col("payload")
+       else col("text")).cast("string")
+    val resp = records.filter(col("warc_type") === "response")
+      .select(col("url"), col("ts"), col("status"), col("mime"),
+        respDig.as("digest"),
+        (if (records.columns.contains("http_head"))
+           expr("try_cast(regexp_extract(http_head, " +
+             "'(?i)content-length:[ \\\\t]*([0-9]+)', 1) AS BIGINT)")
+         else lit(null).cast("bigint")).as("content_length"))
+    val req = records.filter(col("warc_type") === "request")
+      .select(col("url"), col("ts"),
+        regexp_extract(reqMsg, "^([A-Z]+) ", 1).as("verb"),
+        regexp_extract(reqMsg, "(?im)^user-agent:[ \\t]*([^\\r\\n]*)", 1)
+          .as("req_user_agent"))
+    resp.join(req, Seq("url", "ts"), "left_outer")
   }
 
   /** CDX-style capture index over a [[read]] scan — the lookup

@@ -2234,6 +2234,20 @@ object Pipeline {
         ctx.writeStream(m, graft.formats.Warc.cdxIndex(df), RowType)
       }),
 
+    // Request/response capture pairing over a warcread stream (q270):
+    // one row per response with its request's verb/User-Agent and the
+    // declared Content-Length from the surfaced HTTP head.
+    Registered("captures", RowType, RowType,
+      "in=STREAM:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        for (c <- Seq("warc_type", "url", "ts"))
+          if (!df.columns.contains(c))
+            throw new BuildError(s"captures: input lacks column '$c' " +
+              "(expects a warcread stream)")
+        ctx.writeStream(m, graft.formats.Warc.captures(df), RowType)
+      }),
+
     Registered("bsonread", NoneType, RowType, "in=FILE:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("bsonread: in= required"))
       ctx.writeStream(m.copy(args = m.args - "in"),

@@ -848,6 +848,48 @@ object TextQueries {
         .orderBy(col("urlkey"), col("ts14"))
     }),
 
+    // Request/response capture pairing (Warc.captures): WARC frames a
+    // fetch as concurrent request + response records; pairing them
+    // recovers the politeness audit trail (which User-Agent fetched
+    // what) and the response's declared Content-Length from the HTTP
+    // head the scan now surfaces. Fixture: % 5 == 1 docs get a
+    // response; those also % 3 == 0 get the preceding request record
+    // with a GET message. One (url, ts) equi-join of two prunes of
+    // the same container scan.
+    "q270_warc_captures" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val d = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q270_" + dir.replaceAll("\\W", "_"))
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
+        val recs = rows.sortBy(_.getLong(0)).iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val url = s"https://${r.getString(1)}.example/doc/$id"
+          val ts = f"2026-06-${id % 28 + 1}%02dT00:00:00Z"
+          val req =
+            if (id % 3 == 0)
+              Iterator(("request", url, ts,
+                (s"GET /doc/$id HTTP/1.1\r\nHost: ${r.getString(1)}" +
+                  ".example\r\nUser-Agent: graftbot/1.0\r\n\r\n")
+                  .getBytes(UTF_8),
+                null: java.lang.Integer, null: String))
+            else Iterator.empty
+          req ++ Iterator(("response", url, ts,
+            r.getString(2).getBytes(UTF_8),
+            Int.box(200): java.lang.Integer, "text/html; charset=utf-8"))
+        }
+        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      }
+      graft.formats.Warc
+        .captures(graft.formats.Warc.read(s, s"$d/*.warc.gz"))
+        .orderBy(col("url"))
+    }),
+
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
     // outlinks → per-(source, host) counts — the crawl-frontier
     // extraction (what the scheduler feeds back into the queue) and
@@ -1661,6 +1703,25 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
         |    AS BIGINT) AS rec_no
         |FROM base ORDER BY urlkey, ts14""".stripMargin,
+
+    // q270 oracle: every paired-capture column recomputed from
+    // documents — the response head's Content-Length is the UTF-8
+    // byte length (strlen), the digest is md5 of the same bytes, and
+    // request columns exist exactly for the % 3 == 0 fetches.
+    "q270_warc_captures" ->
+      """SELECT
+        |  'https://' || source || '.example/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  '2026-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    'T00:00:00Z' AS ts,
+        |  CAST(200 AS INTEGER) AS status,
+        |  'text/html; charset=utf-8' AS mime,
+        |  md5(text) AS digest,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'GET' END AS verb,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'graftbot/1.0' END
+        |    AS req_user_agent
+        |FROM documents WHERE doc_id % 5 = 1 ORDER BY url""".stripMargin,
 
     "q267_warc_revisit" -> DedupPortableSql.incrementalOracleSql(
       64, 16, 0.7, 64, "doc_id % 10 = 0",
