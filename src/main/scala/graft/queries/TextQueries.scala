@@ -890,6 +890,54 @@ object TextQueries {
         .orderBy(col("url"))
     }),
 
+    // Digest-collapse over the capture index (q269 composed into the
+    // q43 rule): an archive stores ONE copy per payload digest and
+    // points later captures at it — exactly the dedup the revisit
+    // machinery (q267) emits signals for. The fixture plants exact
+    // duplicates (each odd doc serves its even sibling's text), so
+    // per digest the canonical capture is the (ts14, urlkey)-earliest
+    // and n_captures counts the collapse. One container scan + the
+    // cdx projection + ONE digest-keyed hash-agg — no window, no
+    // second scan.
+    "q271_cdx_digest_dedup" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), col("source"),
+          // ≡2 (mod 10) members serve their own text; ≡7 members
+          // serve the previous subset member's — planted exact-dup
+          // pairs five ids apart, both captured
+          expr("doc_id - CASE WHEN doc_id % 10 = 7 THEN 5 ELSE 0 END")
+            .as("src_id"))
+        .join(t(s, dir, "documents").select(col("doc_id").as("src_id"),
+          col("text")), Seq("src_id"))
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val d = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q271_" + dir.replaceAll("\\W", "_"))
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
+        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
+          val id = r.getLong(0)
+          ("response", s"https://${r.getString(1)}.example/doc/$id",
+            f"2026-07-${id % 28 + 1}%02dT00:00:00Z",
+            r.getString(2).getBytes(UTF_8),
+            Int.box(200): java.lang.Integer, "text/plain; charset=utf-8")
+        }
+        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      }
+      graft.formats.Warc
+        .cdxIndex(graft.formats.Warc.read(s, s"$d/*.warc.gz"))
+        .groupBy(col("digest"))
+        .agg(count(lit(1)).as("n_captures"),
+          min(struct(col("ts14"), col("urlkey"))).as("__c"))
+        .select(col("digest"), col("n_captures"),
+          col("__c.ts14").as("canonical_ts14"),
+          col("__c.urlkey").as("canonical_urlkey"))
+        .orderBy(col("canonical_urlkey"))
+    }),
+
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
     // outlinks → per-(source, host) counts — the crawl-frontier
     // extraction (what the scheduler feeds back into the queue) and
@@ -1703,6 +1751,31 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
         |    AS BIGINT) AS rec_no
         |FROM base ORDER BY urlkey, ts14""".stripMargin,
+
+    // q271 oracle: rebuild the planted captures (≡7 mod 10 members
+    // serve the previous member's text), group by md5 digest, take
+    // the (ts14, urlkey)-earliest capture as canonical via
+    // row_number — the same order min(struct) encodes.
+    "q271_cdx_digest_dedup" ->
+      """WITH caps AS (
+        |  SELECT md5(s.text) AS digest,
+        |    'example,' || d.source || ')/doc/' ||
+        |      CAST(d.doc_id AS VARCHAR) AS urlkey,
+        |    '202607' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |      || '000000' AS ts14
+        |  FROM (SELECT doc_id, source,
+        |          doc_id - CASE WHEN doc_id % 10 = 7 THEN 5 ELSE 0 END
+        |            AS src_id
+        |        FROM documents WHERE doc_id % 5 = 2) d
+        |  JOIN documents s ON s.doc_id = d.src_id),
+        |cnt AS (SELECT digest, count(*) AS n_captures
+        |        FROM caps GROUP BY digest),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY digest
+        |  ORDER BY ts14, urlkey) AS rk FROM caps)
+        |SELECT r.digest, cnt.n_captures, r.ts14 AS canonical_ts14,
+        |  r.urlkey AS canonical_urlkey
+        |FROM ranked r JOIN cnt USING (digest)
+        |WHERE r.rk = 1 ORDER BY canonical_urlkey""".stripMargin,
 
     // q270 oracle: every paired-capture column recomputed from
     // documents — the response head's Content-Length is the UTF-8
