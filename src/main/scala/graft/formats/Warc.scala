@@ -347,6 +347,42 @@ object Warc {
         col("rec_no"))
   }
 
+  /** Metadata-record enrichment (q272): WARC `metadata` records carry
+    * the crawler's own per-capture annotations as key:value lines
+    * (Common Crawl emits fetchTimeMs, charset-detected,
+    * languages-cld2 this way). Parse the requested keys
+    * (case-insensitive, first-colon split, trimmed) into one column
+    * each, keyed by the capture identity (url, ts) — the relation
+    * that joins onto [[captures]]. `keys` are emitted lower-cased
+    * with '-' → '_' so the columns are SQL-friendly. One narrow
+    * line-split + ONE (url, ts)-keyed hash-agg; a capture with
+    * several metadata records takes the per-key MAX (deterministic,
+    * order-free).
+    */
+  def captureMeta(records: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "captureMeta: at least one key")
+    val msg =
+      (if (records.columns.contains("payload")) col("payload")
+       else col("text")).cast("string")
+    val kv = records.filter(col("warc_type") === "metadata")
+      .select(col("url"), col("ts"),
+        explode(split(msg, "\n")).as("__l0"))
+      .select(col("url"), col("ts"), rtrim(col("__l0"), "\r").as("__l"))
+      .withColumn("__pos", locate(":", col("__l")))
+      .filter(col("__pos") > 0)
+      .select(col("url"), col("ts"),
+        lower(trim(substring(col("__l"), lit(1), col("__pos") - 1)))
+          .as("__k"),
+        trim(col("__l").substr(col("__pos") + 1, length(col("__l"))))
+          .as("__v"))
+    kv.groupBy(col("url"), col("ts"))
+      .agg(max(when(col("__k") === keys.head.toLowerCase, col("__v")))
+        .as(keys.head.toLowerCase.replace('-', '_')),
+        keys.tail.map(k =>
+          max(when(col("__k") === k.toLowerCase, col("__v")))
+            .as(k.toLowerCase.replace('-', '_'))): _*)
+  }
+
   // --------------------------------------------------------------- write
 
   /** Write one record. `httpStatus`/`httpMime` non-null ⇒ wrap `body`

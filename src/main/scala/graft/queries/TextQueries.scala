@@ -938,6 +938,52 @@ object TextQueries {
         .orderBy(col("canonical_urlkey"))
     }),
 
+    // Metadata-record enrichment (Warc.captureMeta) — the third and
+    // last WARC record type a crawl consumer reads (revisit = q267,
+    // request = q270): the crawler's per-capture annotations
+    // (fetchTimeMs, languages-cld2, the Common Crawl set) parsed from
+    // key:value payload lines into typed columns and joined onto the
+    // response captures. Fixture: % 5 == 3 docs get response +
+    // metadata records; % 3 == 0 among them omit the fetchTimeMs line
+    // (missing-key tolerance). One narrow line split + one (url, ts)
+    // hash-agg + the capture equi-join.
+    "q272_warc_metadata" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val d = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q272_" + dir.replaceAll("\\W", "_"))
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
+        val recs = rows.sortBy(_.getLong(0)).iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val url = s"https://${r.getString(1)}.example/doc/$id"
+          val ts = f"2026-08-${id % 28 + 1}%02dT00:00:00Z"
+          val meta = (if (id % 3 == 0) ""
+            else s"fetchTimeMs: ${id % 997}\r\n") +
+            s"Languages-cld2: ${r.getString(2)}\r\n" +
+            "charset-detected: UTF-8\r\n"
+          Iterator(
+            ("response", url, ts, r.getString(3).getBytes(UTF_8),
+              Int.box(200): java.lang.Integer, "text/html; charset=utf-8"),
+            ("metadata", url, ts, meta.getBytes(UTF_8),
+              null: java.lang.Integer, null: String))
+        }
+        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      }
+      val recs = graft.formats.Warc.read(s, s"$d/*.warc.gz")
+      graft.formats.Warc.captures(recs)
+        .join(graft.formats.Warc.captureMeta(recs,
+          Seq("fetchTimeMs", "languages-cld2")), Seq("url", "ts"), "left")
+        .select(col("url"), col("status"), col("digest"),
+          expr("try_cast(fetchtimems AS BIGINT)").as("fetch_time_ms"),
+          col("languages_cld2"))
+        .orderBy(col("url"))
+    }),
+
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
     // outlinks → per-(source, host) counts — the crawl-frontier
     // extraction (what the scheduler feeds back into the queue) and
@@ -1776,6 +1822,20 @@ object TextQueries {
         |  r.urlkey AS canonical_urlkey
         |FROM ranked r JOIN cnt USING (digest)
         |WHERE r.rk = 1 ORDER BY canonical_urlkey""".stripMargin,
+
+    // q272 oracle: the enrichment recomputed from documents — the
+    // fetchTimeMs column is null exactly for the % 3 == 0 captures
+    // whose metadata record omitted the line.
+    "q272_warc_metadata" ->
+      """SELECT
+        |  'https://' || source || '.example/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(200 AS INTEGER) AS status,
+        |  md5(text) AS digest,
+        |  CASE WHEN doc_id % 3 != 0 THEN CAST(doc_id % 997 AS BIGINT)
+        |    END AS fetch_time_ms,
+        |  lang AS languages_cld2
+        |FROM documents WHERE doc_id % 5 = 3 ORDER BY url""".stripMargin,
 
     // q270 oracle: every paired-capture column recomputed from
     // documents — the response head's Content-Length is the UTF-8
