@@ -1390,6 +1390,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Union"), s"revisit verdict union lost:\n$plan")
   }
 
+  test("container index family: narrow projections, equi-joins, no window anywhere") {
+    // q269 (cdx) is a pure projection + sort off the scan; q270
+    // (captures) is ONE (url, ts) equi-join of two prunes of the same
+    // scan; q271 (digest collapse) is one digest-keyed hash-agg; q272
+    // (metadata) adds one more (url, ts) hash-agg + equi-join. None
+    // may grow a window, a cartesian, or a nested loop on data-sized
+    // sides — at 100 TB all of these ride the per-file container
+    // pass.
+    for (q <- Seq("q269_warc_cdx", "q270_warc_captures",
+        "q271_cdx_digest_dedup", "q272_warc_metadata")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("windowspecdefinition"), s"$q grew a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)
