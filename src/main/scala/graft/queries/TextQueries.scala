@@ -722,28 +722,16 @@ object TextQueries {
       val pages = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), htmlPageCol.as("html"))
         .orderBy(col("doc_id")).collect()
-      val d = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q265_" + dir.replaceAll("\\W", "_"))
-      d.mkdirs()
-      // the sanitized dir key is lossy (distinct dataset paths can
-      // collide) and the directory persists across runs: clear every
-      // *.warc.gz FIRST so the glob below sees only this run's shards,
-      // never a stale layout from a prior corpus (ADVICE r17)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
-      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
-        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
-          val id = r.getLong(0)
-          val miss = id % 50 == 0
-          ("response", s"https://${r.getString(1)}.example/doc/$id",
-            f"2026-02-${id % 28 + 1}%02dT00:00:00Z",
-            (if (miss) "" else r.getString(2)).getBytes(UTF_8),
-            Int.box(if (miss) 404 else 200): java.lang.Integer,
-            "text/html; charset=utf-8")
-        }
-        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      val glob = warcFixture("q265", dir, pages) { r =>
+        val id = r.getLong(0)
+        val miss = id % 50 == 0
+        Iterator(("response", s"https://${r.getString(1)}.example/doc/$id",
+          f"2026-02-${id % 28 + 1}%02dT00:00:00Z",
+          (if (miss) "" else r.getString(2)).getBytes(UTF_8),
+          Int.box(if (miss) 404 else 200): java.lang.Integer,
+          "text/html; charset=utf-8"))
       }
-      val crawled = graft.formats.Warc.read(s, s"$d/*.warc.gz")
+      val crawled = graft.formats.Warc.read(s, glob)
         .filter(col("warc_type") === "response" && col("status") === 200)
         .select(
           substring_index(col("url"), "/", -1).cast("bigint").as("doc_id"),
@@ -778,26 +766,19 @@ object TextQueries {
           col("doc_id") % 10 === 5)
         .select(col("doc_id"), col("source"), col("text"))
         .orderBy(col("doc_id")).collect()
-      val d = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q267_" + dir.replaceAll("\\W", "_"))
-      d.mkdirs()
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
-      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
-        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
-          val id = r.getLong(0)
-          val url = s"https://${r.getString(1)}.example/doc/$id"
-          val ts = f"2026-03-${id % 28 + 1}%02dT00:00:00Z"
+      val glob = warcFixture("q267", dir, pages) { r =>
+        val id = r.getLong(0)
+        val url = s"https://${r.getString(1)}.example/doc/$id"
+        val ts = f"2026-03-${id % 28 + 1}%02dT00:00:00Z"
+        Iterator(
           if (id % 10 == 5) // unchanged re-fetch: the dedup signal
             ("revisit", url, ts, Array.empty[Byte],
               null: java.lang.Integer, null: String)
           else // changed/new fetch: full response payload
             ("response", url, ts, r.getString(2).getBytes(UTF_8),
-              Int.box(200): java.lang.Integer, "text/plain; charset=utf-8")
-        }
-        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+              Int.box(200): java.lang.Integer, "text/plain; charset=utf-8"))
       }
-      val recs = graft.formats.Warc.read(s, s"$d/*.warc.gz")
+      val recs = graft.formats.Warc.read(s, glob)
       val delta = recs.filter(col("warc_type") === "response" &&
           col("status") === 200)
         .select(substring_index(col("url"), "/", -1).cast("bigint")
@@ -828,23 +809,14 @@ object TextQueries {
       val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("source"), col("text"))
         .orderBy(col("doc_id")).collect()
-      val d = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q269_" + dir.replaceAll("\\W", "_"))
-      d.mkdirs()
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
-      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
-        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
-          val id = r.getLong(0)
-          ("response", s"https://${r.getString(1)}.example/doc/$id",
-            f"2026-05-${id % 28 + 1}%02dT01:02:03Z",
-            r.getString(2).getBytes(UTF_8),
-            Int.box(200): java.lang.Integer, "text/plain; charset=utf-8")
-        }
-        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      val glob = warcFixture("q269", dir, pages) { r =>
+        val id = r.getLong(0)
+        Iterator(("response", s"https://${r.getString(1)}.example/doc/$id",
+          f"2026-05-${id % 28 + 1}%02dT01:02:03Z",
+          r.getString(2).getBytes(UTF_8),
+          Int.box(200): java.lang.Integer, "text/plain; charset=utf-8"))
       }
-      graft.formats.Warc
-        .cdxIndex(graft.formats.Warc.read(s, s"$d/*.warc.gz"))
+      graft.formats.Warc.cdxIndex(graft.formats.Warc.read(s, glob))
         .orderBy(col("urlkey"), col("ts14"))
     }),
 
@@ -861,32 +833,23 @@ object TextQueries {
       val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 1)
         .select(col("doc_id"), col("source"), col("text"))
         .orderBy(col("doc_id")).collect()
-      val d = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q270_" + dir.replaceAll("\\W", "_"))
-      d.mkdirs()
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
-      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
-        val recs = rows.sortBy(_.getLong(0)).iterator.flatMap { r =>
-          val id = r.getLong(0)
-          val url = s"https://${r.getString(1)}.example/doc/$id"
-          val ts = f"2026-06-${id % 28 + 1}%02dT00:00:00Z"
-          val req =
-            if (id % 3 == 0)
-              Iterator(("request", url, ts,
-                (s"GET /doc/$id HTTP/1.1\r\nHost: ${r.getString(1)}" +
-                  ".example\r\nUser-Agent: graftbot/1.0\r\n\r\n")
-                  .getBytes(UTF_8),
-                null: java.lang.Integer, null: String))
-            else Iterator.empty
-          req ++ Iterator(("response", url, ts,
-            r.getString(2).getBytes(UTF_8),
-            Int.box(200): java.lang.Integer, "text/html; charset=utf-8"))
-        }
-        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      val glob = warcFixture("q270", dir, pages) { r =>
+        val id = r.getLong(0)
+        val url = s"https://${r.getString(1)}.example/doc/$id"
+        val ts = f"2026-06-${id % 28 + 1}%02dT00:00:00Z"
+        val req =
+          if (id % 3 == 0)
+            Iterator(("request", url, ts,
+              (s"GET /doc/$id HTTP/1.1\r\nHost: ${r.getString(1)}" +
+                ".example\r\nUser-Agent: graftbot/1.0\r\n\r\n")
+                .getBytes(UTF_8),
+              null: java.lang.Integer, null: String))
+          else Iterator.empty
+        req ++ Iterator(("response", url, ts,
+          r.getString(2).getBytes(UTF_8),
+          Int.box(200): java.lang.Integer, "text/html; charset=utf-8"))
       }
-      graft.formats.Warc
-        .captures(graft.formats.Warc.read(s, s"$d/*.warc.gz"))
+      graft.formats.Warc.captures(graft.formats.Warc.read(s, glob))
         .orderBy(col("url"))
     }),
 
@@ -912,23 +875,14 @@ object TextQueries {
           col("text")), Seq("src_id"))
         .select(col("doc_id"), col("source"), col("text"))
         .orderBy(col("doc_id")).collect()
-      val d = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q271_" + dir.replaceAll("\\W", "_"))
-      d.mkdirs()
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
-      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
-        val recs = rows.sortBy(_.getLong(0)).iterator.map { r =>
-          val id = r.getLong(0)
-          ("response", s"https://${r.getString(1)}.example/doc/$id",
-            f"2026-07-${id % 28 + 1}%02dT00:00:00Z",
-            r.getString(2).getBytes(UTF_8),
-            Int.box(200): java.lang.Integer, "text/plain; charset=utf-8")
-        }
-        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      val glob = warcFixture("q271", dir, pages) { r =>
+        val id = r.getLong(0)
+        Iterator(("response", s"https://${r.getString(1)}.example/doc/$id",
+          f"2026-07-${id % 28 + 1}%02dT00:00:00Z",
+          r.getString(2).getBytes(UTF_8),
+          Int.box(200): java.lang.Integer, "text/plain; charset=utf-8"))
       }
-      graft.formats.Warc
-        .cdxIndex(graft.formats.Warc.read(s, s"$d/*.warc.gz"))
+      graft.formats.Warc.cdxIndex(graft.formats.Warc.read(s, glob))
         .groupBy(col("digest"))
         .agg(count(lit(1)).as("n_captures"),
           min(struct(col("ts14"), col("urlkey"))).as("__c"))
@@ -952,29 +906,21 @@ object TextQueries {
       val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 3)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
         .orderBy(col("doc_id")).collect()
-      val d = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q272_" + dir.replaceAll("\\W", "_"))
-      d.mkdirs()
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
-      for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt)) {
-        val recs = rows.sortBy(_.getLong(0)).iterator.flatMap { r =>
-          val id = r.getLong(0)
-          val url = s"https://${r.getString(1)}.example/doc/$id"
-          val ts = f"2026-08-${id % 28 + 1}%02dT00:00:00Z"
-          val meta = (if (id % 3 == 0) ""
-            else s"fetchTimeMs: ${id % 997}\r\n") +
-            s"Languages-cld2: ${r.getString(2)}\r\n" +
-            "charset-detected: UTF-8\r\n"
-          Iterator(
-            ("response", url, ts, r.getString(3).getBytes(UTF_8),
-              Int.box(200): java.lang.Integer, "text/html; charset=utf-8"),
-            ("metadata", url, ts, meta.getBytes(UTF_8),
-              null: java.lang.Integer, null: String))
-        }
-        graft.formats.Warc.write(s"$d/shard$shard.warc.gz", recs)
+      val glob = warcFixture("q272", dir, pages) { r =>
+        val id = r.getLong(0)
+        val url = s"https://${r.getString(1)}.example/doc/$id"
+        val ts = f"2026-08-${id % 28 + 1}%02dT00:00:00Z"
+        val meta = (if (id % 3 == 0) ""
+          else s"fetchTimeMs: ${id % 997}\r\n") +
+          s"Languages-cld2: ${r.getString(2)}\r\n" +
+          "charset-detected: UTF-8\r\n"
+        Iterator(
+          ("response", url, ts, r.getString(3).getBytes(UTF_8),
+            Int.box(200): java.lang.Integer, "text/html; charset=utf-8"),
+          ("metadata", url, ts, meta.getBytes(UTF_8),
+            null: java.lang.Integer, null: String))
       }
-      val recs = graft.formats.Warc.read(s, s"$d/*.warc.gz")
+      val recs = graft.formats.Warc.read(s, glob)
       graft.formats.Warc.captures(recs)
         .join(graft.formats.Warc.captureMeta(recs,
           Seq("fetchTimeMs", "languages-cld2")), Seq("url", "ts"), "left")
@@ -1163,6 +1109,31 @@ object TextQueries {
     * drives the conditional <ul>, so any replica id offset must be
     * divisible by 7 to preserve the page population.
     */
+  /** Shared WARC fixture builder for the container rows (q265, q267,
+    * q269-q272): writes `pages` into 4 gzip'd shards under a
+    * tmp directory keyed (tag, dataset path) — clearing any stale
+    * *.warc.gz first so a prior run's layout never pollutes the glob
+    * (ADVICE r17) — and returns the glob. Sharding is doc_id % 4 with
+    * rows doc_id-ascending per shard (the rec_no contract the q269
+    * oracle replays). Driver-side test scaffolding by design: the
+    * READ path back out of these files is the distributed one under
+    * test.
+    */
+  private def warcFixture(tag: String, dir: String,
+      pages: Array[org.apache.spark.sql.Row])(
+      recsOf: org.apache.spark.sql.Row => Iterator[(String, String, String,
+        Array[Byte], java.lang.Integer, String)]): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_" + dir.replaceAll("\\W", "_"))
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+    for ((shard, rows) <- pages.groupBy(r => (r.getLong(0) % 4).toInt))
+      graft.formats.Warc.write(s"$d/shard$shard.warc.gz",
+        rows.sortBy(_.getLong(0)).iterator.flatMap(recsOf))
+    s"$d/*.warc.gz"
+  }
+
   private[graft] def htmlPageCol: org.apache.spark.sql.Column = concat(
     lit("<html><head><title> "), col("source"), lit(" docs</title>"),
     lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
