@@ -761,6 +761,23 @@ object ScaleRehearsal {
     println(s"rehearsal: q259 files sf0.1=$files01 10x=$files10 " +
       s"scanParts sf0.1=$p01 10x=$p10 taskPerFile=$taskPerFile " +
       s"pages sf0.1=$n01 10x=$n10 exact10x=$exact10")
+    // capture index (q269): one row per response at BOTH scales, and
+    // the distinct urlkeys match the row count (doc-unique paths —
+    // the index projection neither drops nor duplicates at volume)
+    def cdxTotals(glob: String): (Long, Long) = {
+      val idx = graft.formats.Warc.cdxIndex(
+        graft.formats.Warc.read(spark, glob))
+      val row = idx.agg(count(lit(1)),
+        countDistinct(col("urlkey"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val cx01 = timed("q269-cdx-sf0.1")(
+      cdxTotals("target/warc_r18/sf01/*.warc.gz"))
+    val cx10 = timed("q269-cdx-10x")(
+      cdxTotals("target/warc_r18/sf1/*.warc.gz"))
+    println(s"rehearsal: q269 cdx rows sf0.1=${cx01._1} 10x=${cx10._1} " +
+      s"exact10x=${cx10._1 == 10 * cx01._1 && cx01._1 == cx01._2 &&
+        cx10._1 == cx10._2}")
   }
 
 }
