@@ -938,6 +938,43 @@ object EventStreams extends Serializable {
     * bounded-view twin here (superseded snapshots released one
     * generation late; call the getter fresh per read).
     */
+  /** Streaming twin of the capture index (q269): container records
+    * stream in as segments land, each microbatch runs the SAME
+    * [[graft.formats.Warc.cdxIndex]] projection, and the index is
+    * maintained as APPEND-ONLY checkpointed deltas (a capture is a
+    * fact — it is never updated, so the index is pure accumulation;
+    * exactly the noveltyStream report discipline: per-batch WORK and
+    * per-batch STATE WRITES are O(batch), the getter unions deltas
+    * lazily on read, delta blocks are never unpersisted because they
+    * ARE the index). The (urlkey, ts14) sort is the READER's
+    * presentation contract, applied on the snapshot, not maintained
+    * incrementally — re-sorting the whole index per microbatch would
+    * be the O(total)-per-batch failure the delta list exists to
+    * avoid.
+    */
+  def cdxStream(records: DataFrame)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    val spark0 = records.sparkSession
+    @volatile var deltas: Vector[DataFrame] = Vector.empty
+    val empty: DataFrame = graft.formats.Warc.cdxIndex(
+      spark0.createDataFrame(
+        spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        records.schema))
+    val q = records.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          deltas = deltas :+ graft.formats.Warc.cdxIndex(batch.toDF())
+            .localCheckpoint()
+          ()
+      }
+      .start()
+    (q, () => {
+      val ds = deltas
+      if (ds.isEmpty) empty else ds.reduce(_.unionByName(_))
+    })
+  }
+
   def crawlDelayStream(robots: DataFrame, hostCol: String,
                        contentCol: String, agent: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {

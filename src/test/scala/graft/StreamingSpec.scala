@@ -517,6 +517,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming capture index equals the batch cdx over everything ingested, at every cut") {
+    // q269's streaming twin: containers land as segments; the index
+    // must be the batch cdxIndex of everything so far at each cut,
+    // with non-response records excluded and per-batch deltas only
+    // (the accumulation discipline is noveltyStream's report list).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def rec(no: Long, typ: String, u: String, ts: String, body: String) =
+      ("f.warc.gz", no, typ, u, ts,
+        if (typ == "response") Some(200) else None,
+        if (typ == "response") "text/plain" else null,
+        body.getBytes("UTF-8"), Option.empty[String])
+    val b1 = Seq(rec(1, "warcinfo", null, null, "m"),
+      rec(2, "response", "https://b.example/x", "2026-01-02T03:04:05Z", "one"))
+    val b2 = Seq(
+      rec(3, "response", "https://a.example/y", "2026-01-02T03:04:06Z", "two"),
+      rec(4, "request", "https://a.example/y", "2026-01-02T03:04:06Z", "GET"))
+    val ms = MemoryStream[(String, Long, String, String, String,
+      Option[Int], String, Array[Byte], Option[String])]
+    val (q, current) = EventStreams.cdxStream(ms.toDF().toDF("path",
+      "rec_no", "warc_type", "url", "ts", "status", "mime", "payload",
+      "http_head"))
+    try {
+      var all = Seq.empty[(String, Long, String, String, String,
+        Option[Int], String, Array[Byte], Option[String])]
+      for (b <- Seq(b1, b2)) {
+        all = all ++ b
+        ms.addData(b); q.processAllAvailable()
+        val want = graft.formats.Warc.cdxIndex(all.toDF("path", "rec_no",
+            "warc_type", "url", "ts", "status", "mime", "payload",
+            "http_head"))
+          .orderBy($"urlkey", $"ts14").collect().toSeq
+        val got = current().orderBy($"urlkey", $"ts14").collect().toSeq
+        assert(got == want, s"cut ${all.size} diverged")
+      }
+      assert(current().count() == 2) // responses only
+    } finally q.stop()
+  }
+
   test("streaming crawl-delay view is bit-equal to batch at every cut, re-fetches take the min") {
     // q264's streaming twin: robots bodies arrive as re-fetched; the
     // per-host MIN merge must equal the batch operator over every
