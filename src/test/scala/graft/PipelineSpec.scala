@@ -560,7 +560,10 @@ class PipelineSpec extends AnyFunSuite {
       "incdedup", "qualitygate", "diversity", "zipf", "bpe", "logit",
       "dupspans", "urlnorm", "labelprop", "spanowners", "manifestdiff",
       "bm25", "bootstrap", "lmscore", "lmlangid",
-      "dsir", "mlscore", "pplbuckets", "pca")
+      "dsir", "mlscore", "pplbuckets", "pca",
+      "warcread", "robotsfilter", "sitemaps", "novelty", "jsd", "chao1",
+      "htmlextract", "kripp",
+      "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
