@@ -59,6 +59,18 @@ object Bench {
       case (n, r) if r.samples.nonEmpty &&
         r.errors.exists(_.startsWith("over budget")) => n
     }
+    /** Rows that completed samples but ALSO hit a NON-watchdog error
+      * (a genuine intermittent exception — OOM, nondeterministic
+      * failure) on a later pass (ADVICE r18): these must not hide
+      * behind rc=0 the way tagged watchdog bursts legitimately do, so
+      * they get their own tagged list — CI gating on rc still sees
+      * success (the kept min is real), but the artifact names the
+      * anomaly instead of burying it in the errors map.
+      */
+    def anomalousRows: Vector[String] = results.collect {
+      case (n, r) if r.samples.nonEmpty &&
+        r.errors.exists(e => !e.startsWith("over budget")) => n
+    }
     def rc: Int = if (fatalRows.nonEmpty) 1 else 0
 
     private def numMap(f: QueryResult => Option[Double]): String =
@@ -81,7 +93,8 @@ object Bench {
             s"\"" + n + "\":\"" + r.errors.head.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
           }.mkString("{", ",", "}")
           val ob = overBudgetRows.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s""","errors":$m,"over_budget":$ob,"rc":$rc"""
+          val an = anomalousRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""","errors":$m,"over_budget":$ob,"anomalies":$an,"rc":$rc"""
         }
       val io = IoTagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","minsum":$minSum,""" +

@@ -1401,6 +1401,22 @@ object Pipeline {
           m.args.getOrElse("defaultdelayms", "5000").toLong), RowType)
       }),
 
+    // Per-URL change-rate estimate from a capture index (q275): the
+    // recrawl-priority signal — digest changes over observation
+    // intervals, exact integers (rate_e6 composes into
+    // crawlschedule's rank by cross-multiplication). Chain:
+    // warcread → cdxindex → changerate → crawlschedule.
+    Registered("changerate", RowType, RowType,
+      "in=STREAM:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        for (c <- Seq("urlkey", "ts14", "digest"))
+          if (!df.columns.contains(c))
+            throw new BuildError(s"changerate: input lacks column '$c' " +
+              "(expects a cdxindex stream)")
+        ctx.writeStream(m, graft.operators.Curation.changeRate(df), RowType)
+      }),
+
     // Per-group Jensen-Shannon divergence vs the whole input (q254).
     Registered("jsd", RowType, RowType,
       "in=STREAM:group=COL:text=COL:out=STREAM",

@@ -930,6 +930,55 @@ object TextQueries {
         .orderBy(col("url"))
     }),
 
+    // Point lookup against the PUBLISHED capture index (VERDICT r18
+    // next #1): the index exists so the containers are NEVER scanned
+    // for lookups — q269 builds the CDX, THIS row consumes it: the
+    // multi-capture fixture's index is written through the
+    // range-clustered sorted layout (disjoint per-file urlkey slices,
+    // the sortwrite/terasort contract — ScaleSpec proves the file
+    // pruning), then the archive's first canonical lookup runs
+    // against the artifact: ALL captures of a probe urlkey set (the
+    // batch shape a dedup-replay pass uses — probe broadcast into the
+    // index, one equi-join, zero container reads).
+    "q273_cdx_lookup_all" -> ((s, dir) => {
+      val idx = s.read.parquet(cdxSortedArtifact(s, dir))
+      idx.join(broadcast(cdxProbe(s, dir)), Seq("urlkey"))
+        .orderBy(col("urlkey"), col("ts14"))
+    }),
+
+    // The archive's second canonical lookup (the wayback query):
+    // LATEST capture of each probe urlkey strictly before T — one
+    // ts14 range filter on the sorted artifact + one urlkey-keyed
+    // max(struct) hash-agg; T = 20260301000000 cuts the fixture's
+    // third monthly capture off, so the answer is each URL's
+    // second-month digest. No window, no container read.
+    "q274_cdx_lookup_latest" -> ((s, dir) => {
+      val idx = s.read.parquet(cdxSortedArtifact(s, dir))
+      idx.join(broadcast(cdxProbe(s, dir)), Seq("urlkey"))
+        .filter(col("ts14") < "20260301000000")
+        .groupBy(col("urlkey"))
+        .agg(max(struct(col("ts14"), col("digest"), col("url")))
+          .as("__c"))
+        .select(col("urlkey"), col("__c.ts14").as("ts14"),
+          col("__c.digest").as("digest"), col("__c.url").as("url"))
+        .orderBy(col("urlkey"))
+    }),
+
+    // Per-URL change-rate estimate from the capture history (VERDICT
+    // r18 next #2 — Curation.changeRate): the fixture plants static
+    // (doc_id≡0 mod 3), changed-once (≡1) and every-capture-changing
+    // (≡2) URLs across three monthly captures; the estimator counts
+    // digest changes over intervals in exact integers (rate_e6 =
+    // changes·10⁶ div intervals), the recrawl-priority signal
+    // crawlSchedule's rank composes by cross-multiplication
+    // (PipelineSpec wires the cdxindex→changerate→crawlschedule
+    // chain). One urlkey-keyed hash-agg off the container scan.
+    "q275_change_rate" -> ((s, dir) =>
+      graft.operators.Curation.changeRate(
+        graft.formats.Warc.cdxIndex(
+          graft.formats.Warc.read(s, multiCaptureGlob(s, dir))))
+        .orderBy(col("urlkey"))),
+
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
     // outlinks → per-(source, host) counts — the crawl-frontier
     // extraction (what the scheduler feeds back into the queue) and
@@ -1134,6 +1183,67 @@ object TextQueries {
     s"$d/*.warc.gz"
   }
 
+  /** Multi-capture WARC fixture shared by the capture-index lookup /
+    * change-rate rows (q273/q274/q275): the % 5 == 4 docs (the last
+    * free residue — q269-q272 hold 0-3), each captured in THREE
+    * monthly snapshots (2026-01/02/03) with a planted change pattern:
+    * doc_id ≡ 0 (mod 3) never changes, ≡ 1 changes once at capture 2
+    * (body gains " v2"), ≡ 2 changes at every capture (" v2", " v3")
+    * — the static/slow/fast population a change-rate estimator must
+    * order correctly, all SQL-replayable (body = text || CASE...).
+    */
+  private def multiCaptureGlob(s: SparkSession, dir: String): String = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    warcFixture("q273", dir, pages) { r =>
+      val id = r.getLong(0)
+      (1 to 3).iterator.map { m =>
+        val body = r.getString(2) + (
+          if (id % 3 == 0 || m == 1) ""
+          else if (id % 3 == 1) " v2"
+          else " v" + m)
+        ("response", s"https://${r.getString(1)}.example/doc/$id",
+          f"2026-$m%02d-${id % 28 + 1}%02dT00:00:00Z",
+          body.getBytes(UTF_8), Int.box(200): java.lang.Integer,
+          "text/plain; charset=utf-8")
+      }
+    }
+  }
+
+  /** The q273/q274 probe set — every 3rd member of the multi-capture
+    * subset (doc_id ≡ 4 mod 15 ⊂ ≡ 4 mod 5), as urlkeys. Broadcast
+    * into the index join: the batch-lookup shape.
+    */
+  private def cdxProbe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 15 === 4)
+      .select(concat(lit("example,"), col("source"), lit(")/doc/"),
+        col("doc_id").cast("string")).as("urlkey")).distinct()
+
+  /** Build the multi-capture fixture's CDX and PUBLISH it through the
+    * range-clustered sorted layout (the sortwrite contract:
+    * repartitionByRange on (urlkey, ts14) gives each parquet file a
+    * DISJOINT slice of the key range, sortWithinPartitions orders
+    * inside) — the physical format a crawl archive ships its index
+    * in, so a point/range lookup prunes to the files whose footer
+    * min/max overlaps the key (ScaleSpec proves exactly that).
+    * Rebuilt per call — the index BUILD is part of the operation
+    * under test, and the content is deterministic so re-writes are
+    * idempotent. Returns the artifact path (dir-keyed tmp, the
+    * warcFixture convention).
+    */
+  private def cdxSortedArtifact(s: SparkSession, dir: String): String = {
+    val glob = multiCaptureGlob(s, dir)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_cdxidx_" + dir.replaceAll("\\W", "_")).getPath
+    graft.formats.Warc.cdxIndex(graft.formats.Warc.read(s, glob))
+      .repartitionByRange(8, col("urlkey"), col("ts14"))
+      .sortWithinPartitions(col("urlkey"), col("ts14"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   private[graft] def htmlPageCol: org.apache.spark.sql.Column = concat(
     lit("<html><head><title> "), col("source"), lit(" docs</title>"),
     lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
@@ -1149,6 +1259,43 @@ object TextQueries {
     lit("<div class=\"aside\"><a href=\"/m\">more "), col("source"),
     lit(" rows</a></div><footer><a href=\"/p\">privacy</a> &amp; " +
       "<a href=\"/t\">terms</a> &copy; site</footer></body></html>"))
+
+  /** The multi-capture fixture + its CDX replay as PRE-STRIPPED
+    * DuckDB CTEs ending at `cdx(urlkey, ts14, url, mime, status,
+    * digest, filename, rec_no)` and `probe(urlkey)` — shared by the
+    * q273/q274/q275 oracles (concatenate, never re-stripMargin: the
+    * q260 lesson).
+    */
+  private val cdxMultiPreludeSql: String =
+    """base AS (
+      |  SELECT doc_id, source, text, CAST(doc_id % 4 AS BIGINT) AS shard
+      |  FROM documents WHERE doc_id % 5 = 4),
+      |caps AS (
+      |  SELECT doc_id, source, shard, m,
+      |    text || CASE WHEN doc_id % 3 = 0 OR m = 1 THEN ''
+      |      WHEN doc_id % 3 = 1 THEN ' v2'
+      |      ELSE ' v' || CAST(m AS VARCHAR) END AS body
+      |  FROM base CROSS JOIN (SELECT unnest([1, 2, 3]) AS m) mm),
+      |cdx AS (
+      |  SELECT
+      |    'example,' || source || ')/doc/' || CAST(doc_id AS VARCHAR)
+      |      AS urlkey,
+      |    '2026' || lpad(CAST(m AS VARCHAR), 2, '0') ||
+      |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '000000'
+      |      AS ts14,
+      |    'https://' || source || '.example/doc/' ||
+      |      CAST(doc_id AS VARCHAR) AS url,
+      |    'text/plain; charset=utf-8' AS mime,
+      |    CAST(200 AS INTEGER) AS status,
+      |    md5(body) AS digest,
+      |    'shard' || CAST(shard AS VARCHAR) || '.warc.gz' AS filename,
+      |    CAST(row_number() OVER (PARTITION BY shard
+      |      ORDER BY doc_id, m) AS BIGINT) AS rec_no
+      |  FROM caps),
+      |probe AS (
+      |  SELECT DISTINCT 'example,' || source || ')/doc/' ||
+      |    CAST(doc_id AS VARCHAR) AS urlkey
+      |  FROM documents WHERE doc_id % 15 = 4)""".stripMargin
 
   /** Quality-score formula as DuckDB SQL over a text column — the 1:1
     * mirror of TextFunctions.qualityScore, shared by the q41/q46
@@ -1769,6 +1916,50 @@ object TextQueries {
         |    AS BIGINT) AS rec_no
         |FROM base ORDER BY urlkey, ts14""".stripMargin,
 
+    // q273 oracle: the multi-capture CDX replayed from documents
+    // (fixture construction, SURT key, ts14, digest, shard filename,
+    // per-shard (doc_id, m)-ordered record ordinal), restricted to
+    // the probe urlkeys — the sorted-artifact round trip must be
+    // content-transparent, so the oracle never sees the artifact.
+    "q273_cdx_lookup_all" -> (s"WITH $cdxMultiPreludeSql\n" +
+      """SELECT c.urlkey, c.ts14, c.url, c.mime, c.status, c.digest,
+        |  c.filename, c.rec_no
+        |FROM cdx c JOIN probe p USING (urlkey)
+        |ORDER BY urlkey, ts14""".stripMargin),
+
+    // q274 oracle: latest capture before T = 20260301000000 per probe
+    // urlkey — the row_number mirror of max(struct(ts14, digest,
+    // url)) (ties impossible: one capture per urlkey per month).
+    "q274_cdx_lookup_latest" -> (s"WITH $cdxMultiPreludeSql\n" +
+      """SELECT urlkey, ts14, digest, url FROM (
+        |  SELECT c.urlkey, c.ts14, c.digest, c.url,
+        |    row_number() OVER (PARTITION BY c.urlkey
+        |      ORDER BY c.ts14 DESC, c.digest DESC, c.url DESC) AS rk
+        |  FROM cdx c JOIN probe p USING (urlkey)
+        |  WHERE c.ts14 < '20260301000000')
+        |WHERE rk = 1 ORDER BY urlkey""".stripMargin),
+
+    // q275 oracle: the change-frequency estimator as a lag window
+    // (DuckDB's mirror of the sorted-sequence diff): changes = count
+    // of consecutive-digest inequalities per urlkey in ts14 order,
+    // intervals = n_captures − 1, rate_e6 = changes·10⁶ // intervals.
+    "q275_change_rate" -> (s"WITH $cdxMultiPreludeSql,\n" +
+      """lagd AS (SELECT urlkey, digest,
+        |    lag(digest) OVER (PARTITION BY urlkey ORDER BY ts14)
+        |      AS prev
+        |  FROM cdx),
+        |ch AS (SELECT urlkey,
+        |    CAST(count(*) AS BIGINT) AS n_captures,
+        |    CAST(count(CASE WHEN prev IS NOT NULL AND digest != prev
+        |      THEN 1 END) AS BIGINT) AS changes,
+        |    CAST(count(*) - 1 AS BIGINT) AS intervals
+        |  FROM lagd GROUP BY urlkey)
+        |SELECT urlkey, n_captures, changes, intervals,
+        |  CASE WHEN intervals = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE changes * CAST(1000000 AS BIGINT) // intervals
+        |  END AS rate_e6
+        |FROM ch ORDER BY urlkey""".stripMargin),
+
     // q271 oracle: rebuild the planted captures (≡7 mod 10 members
     // serve the previous member's text), group by md5 digest, take
     // the (ts14, urlkey)-earliest capture as canonical via
@@ -1902,7 +2093,7 @@ object TextQueries {
         |    AND TRY_CAST(gr.v AS DOUBLE) IS NOT NULL
         |  GROUP BY gr.host),
         |sl AS (SELECT r.host, r.r_e10,
-        |    greatest(coalesce(CAST(d.cd * 1000 AS BIGINT),
+        |    greatest(coalesce(CAST(floor(d.cd * 1000) AS BIGINT),
         |      CAST(5000 AS BIGINT)), CAST(1 AS BIGINT)) AS delay_ms
         |  FROM ranks r LEFT JOIN dl d ON r.host = d.host),
         |sched AS (SELECT host, r_e10, delay_ms,

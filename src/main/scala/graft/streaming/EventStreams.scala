@@ -919,25 +919,6 @@ object EventStreams extends Serializable {
     (q, () => view)
   }
 
-  /** Streaming twin of the Crawl-delay politeness table (q264/q266's
-    * delay input): robots bodies stream in as they're re-fetched,
-    * each microbatch runs the SAME RFC 9309 parse
-    * ([[graft.operators.Curation.robotsCrawlDelays]] — per-body group
-    * selection, try_cast tolerance), and the standing per-host view
-    * is maintained by a host-keyed MIN merge. MIN is commutative-
-    * associative-exact and idempotent, so the view is bit-equal to a
-    * batch recompute over every body ingested so far at ANY cut —
-    * including the same body re-arriving in a later batch (the
-    * re-fetch case; the batch operator dedups identical (host, body)
-    * rows, the stream's second parse yields the same minima). State =
-    * one row per host with a declared delay, regardless of stream
-    * length; [[graft.operators.Curation.crawlSchedule]] consumes the
-    * snapshot directly.
-    *
-    * Getter contract: the DeferredRelease discipline shared by every
-    * bounded-view twin here (superseded snapshots released one
-    * generation late; call the getter fresh per read).
-    */
   /** Streaming twin of the capture index (q269): container records
     * stream in as segments land, each microbatch runs the SAME
     * [[graft.formats.Warc.cdxIndex]] projection, and the index is
@@ -975,30 +956,75 @@ object EventStreams extends Serializable {
     })
   }
 
+  /** Streaming twin of the Crawl-delay politeness table (q264/q266's
+    * delay input): robots bodies stream in as they're re-fetched,
+    * each microbatch runs the SAME RFC 9309 parse
+    * ([[graft.operators.Curation.robotsCrawlDelays]] — per-body group
+    * selection, try_cast tolerance), and the standing per-host view
+    * is the host-keyed MIN over everything ingested. MIN is
+    * commutative-associative-exact and idempotent, so the snapshot is
+    * bit-equal to a batch recompute over every body so far at ANY cut
+    * — including the same body re-arriving in a later batch (the
+    * re-fetch case: its minima tie the standing ones and fold away).
+    *
+    * State discipline (VERDICT r18 #1 — the noveltyStream appended-
+    * delta fold applied to a MIN view): the standing view is a list
+    * of checkpointed TOUCHED-HOST deltas — per batch, the batch's
+    * host minima left-join the lazy union of prior deltas and only
+    * hosts that are NEW or strictly IMPROVED are checkpointed and
+    * appended. Re-checkpointing the merged view each batch was an
+    * O(|hosts|) state WRITE per microbatch (at web scale, a multi-GB
+    * rewrite to ingest a few thousand robots re-fetches); now
+    * per-batch checkpointed bytes are bounded by the batch's host
+    * count (StreamingSpec asserts it via `stateProbe`), while the
+    * getter resolves the per-host min lazily on read — the same
+    * read-side-scan/write-side-delta split as the novelty standing
+    * set. Delta blocks are never unpersisted (they ARE the state), so
+    * no snapshot is released under a concurrent reader.
+    *
+    * `stateProbe`, when supplied, receives the per-batch appended
+    * delta row count — the spec's O(touched-hosts) hook.
+    */
   def crawlDelayStream(robots: DataFrame, hostCol: String,
-                       contentCol: String, agent: String)
+                       contentCol: String, agent: String,
+                       stateProbe: Option[scala.collection.mutable.Buffer[Long]] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
     def delays(df: DataFrame): DataFrame =
       graft.operators.Curation.robotsCrawlDelays(
         df, hostCol, contentCol, agent)
-    def merge(a: DataFrame, b: DataFrame): DataFrame =
-      a.unionByName(b).groupBy(col(hostCol))
-        .agg(min(col("crawl_delay")).as("crawl_delay"))
     val spark0 = robots.sparkSession
-    @volatile var view: DataFrame = delays(spark0.createDataFrame(
+    val empty: DataFrame = delays(spark0.createDataFrame(
       spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row], robots.schema))
-      .localCheckpoint()
-    val released = new DeferredRelease
+    @volatile var deltas: Vector[DataFrame] = Vector.empty
     val q = robots.writeStream.outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          val prev = view
-          view = merge(prev, delays(batch.toDF())).localCheckpoint()
-          released.retire(prev)
+          val d = delays(batch.toDF())
+          val improved = deltas.lastOption match {
+            case None => d
+            case Some(_) =>
+              val cur = deltas.reduce(_.unionByName(_))
+                .groupBy(col(hostCol))
+                .agg(min(col("crawl_delay")).as("__cur"))
+              d.join(cur, Seq(hostCol), "left_outer")
+                .filter(col("__cur").isNull ||
+                  col("crawl_delay") < col("__cur"))
+                .select(col(hostCol), col("crawl_delay"))
+          }
+          // O(touched hosts): checkpoint ONLY new/improved rows;
+          // prior delta blocks are never rewritten or unpersisted
+          val ck = improved.localCheckpoint()
+          stateProbe.foreach(_ += ck.count())
+          deltas = deltas :+ ck
           ()
       }
       .start()
-    (q, () => view)
+    (q, () => {
+      val ds = deltas
+      if (ds.isEmpty) empty
+      else ds.reduce(_.unionByName(_)).groupBy(col(hostCol))
+        .agg(min(col("crawl_delay")).as("crawl_delay"))
+    })
   }
 }

@@ -222,6 +222,46 @@ class FormatsSpec extends AnyFunSuite {
     assert(ids.size == 2 && ids.distinct.size == 2, ids.toString)
   }
 
+  test("warc: two same-second fetches of one URL pair via Concurrent-To, not (url, ts)") {
+    // VERDICT r18 #2: (url, ts) is ambiguous when a URL is fetched
+    // twice within one WARC-Date second — the fallback join would
+    // cross-pair 2×2 and double-count captures. write() now frames
+    // WARC-Concurrent-To per fetch group and captures() prefers it:
+    // exactly 2 capture rows, each request attached to ITS response.
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = tmp("warcsamesec")
+    val u = "https://a.example/hot"
+    val ts = "2026-01-01T00:00:00Z"
+    def req(ua: String) = ("request", u, ts,
+      s"GET /hot HTTP/1.1\r\nHost: a.example\r\nUser-Agent: $ua\r\n\r\n"
+        .getBytes(UTF_8), null: java.lang.Integer, null: String)
+    def resp(body: String) = ("response", u, ts, body.getBytes(UTF_8),
+      Int.box(200): java.lang.Integer, "text/plain")
+    graft.formats.Warc.write(s"$d/s.warc.gz",
+      Seq(req("bot/1"), resp("first"), req("bot/2"), resp("second")))
+    val recs = graft.formats.Warc.read(spark, s"$d/*.warc.gz")
+    // the parser surfaces both UUID columns and the writer framed them
+    val reqRows = recs.filter(org.apache.spark.sql.functions.col(
+      "warc_type") === "request").select("concurrent_to").collect()
+    assert(reqRows.length == 2 && reqRows.forall(!_.isNullAt(0)),
+      reqRows.mkString(","))
+    val got = graft.formats.Warc.captures(recs)
+      .selectExpr("digest", "req_user_agent").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dig = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    assert(got == Set(dig("first") -> "bot/1", dig("second") -> "bot/2"),
+      got.toString)
+    // and the fallback still pairs containers WITHOUT the header:
+    // strip concurrent_to from the scan before pairing
+    val legacy = graft.formats.Warc.captures(
+      recs.withColumn("concurrent_to",
+        org.apache.spark.sql.functions.lit(null).cast("string")))
+    // 2 responses × 2 url-ts requests = 4 rows — the documented
+    // fallback ambiguity this test exists to contrast
+    assert(legacy.count() == 4)
+  }
+
   test("warc: multi-member gzip file parses all records (Common Crawl layout)") {
     import java.nio.charset.StandardCharsets.UTF_8
     val f = tmp("warcgz") + "/t.warc.gz"

@@ -563,7 +563,8 @@ class PipelineSpec extends AnyFunSuite {
       "dsir", "mlscore", "pplbuckets", "pca",
       "warcread", "robotsfilter", "sitemaps", "novelty", "jsd", "chao1",
       "htmlextract", "kripp",
-      "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures")
+      "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures",
+      "changerate")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 

@@ -1392,8 +1392,10 @@ class ScaleSpec extends AnyFunSuite {
 
   test("container index family: narrow projections, equi-joins, no window anywhere") {
     // q269 (cdx) is a pure projection + sort off the scan; q270
-    // (captures) is ONE (url, ts) equi-join of two prunes of the same
-    // scan; q271 (digest collapse) is one digest-keyed hash-agg; q272
+    // (captures) is TWO equi-joins of prunes of the same scan (the
+    // Concurrent-To UUID pass + the (url, ts) fallback for the
+    // residue — VERDICT r18 #2); q271 (digest collapse) is one
+    // digest-keyed hash-agg; q272
     // (metadata) adds one more (url, ts) hash-agg + equi-join. None
     // may grow a window, a cartesian, or a nested loop on data-sized
     // sides — at 100 TB all of these ride the per-file container
