@@ -1345,6 +1345,19 @@ object Pipeline {
           df, req("host"), req("content")), RowType)
       }),
 
+    // Full sitemap-entry parse with freshness fields (q276):
+    // loc/lastmod/changefreq/priority per <url>/<sitemap> block — the
+    // declared-freshness seed for crawlschedule.
+    Registered("sitemapentries", RowType, RowType,
+      "in=STREAM:host=COL:xml=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"sitemapentries: $k= required"))
+        ctx.writeStream(m, graft.operators.Curation.sitemapEntries(
+          df, req("host"), req("xml")), RowType)
+      }),
+
     // Outlink extraction (q258/q260's anchor-href contract): one row
     // per <a href="..."> per page, document order — the stage between
     // fetched HTML and the robots gate / host link graph. html= may
@@ -1399,6 +1412,33 @@ object Pipeline {
           frontier, req("host"), req("rank"), dl, req("delay"),
           m.args.getOrElse("horizonms", "60000").toLong,
           m.args.getOrElse("defaultdelayms", "5000").toLong), RowType)
+      }),
+
+    // Frontier seen-set filter (q277): exact anti join against a
+    // standing seen relation with Ops.bloomAntiJoin's
+    // no-false-negative bloom bypass — the crawl loop's
+    // re-discovery gate (outlinks → seenfilter → robotsfilter →
+    // crawlschedule).
+    Registered("seenfilter", RowType, RowType,
+      "in=STREAM:seen=STREAM:key=COL:on=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val sname = m.args.getOrElse("seen",
+          throw new BuildError("seenfilter: seen= required"))
+        val (sd, st) = ctx.streams.getOrElse(sname,
+          throw new BuildError(s"seenfilter: unknown stream '$sname'"))
+        if (st != RowType)
+          throw new BuildError(s"seenfilter: '$sname' is not a row stream")
+        ctx.readers(sname) += 1
+        val key = m.args.getOrElse("key",
+          throw new BuildError("seenfilter: key= required"))
+        val on = m.args.getOrElse("on", key)
+        if (!df.columns.contains(key))
+          throw new BuildError(s"seenfilter: no column '$key'")
+        if (!sd.columns.contains(on))
+          throw new BuildError(s"seenfilter: seen stream has no column '$on'")
+        ctx.writeStream(m,
+          graft.operators.Ops.bloomAntiJoin(df, key, sd, on), RowType)
       }),
 
     // Per-URL change-rate estimate from a capture index (q275): the
@@ -2797,7 +2837,8 @@ object Pipeline {
     // a `keep` flag, or filters to survivors with drop. Integer
     // cross-multiply thresholds — see the q219 scaladoc.
     Registered("qualitygate", RowType, RowType,
-      "in=STREAM:text=COL[:minwords=25][:maxwords=100000][:drop]:out=STREAM",
+      "in=STREAM:text=COL[:minwords=25][:maxwords=100000]" +
+        "[:mincompress=R][:maxcompress=R][:drop]:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         val text = m.args.getOrElse("text",
@@ -2807,9 +2848,32 @@ object Pipeline {
         if (minW < 1 || maxW < minW)
           throw new BuildError(
             s"qualitygate: need 1 <= minwords <= maxwords, got $minW..$maxW")
-        val keep = graft.functions.TextFunctions
+        // Deflate compression-ratio rule (q278's kernel): docs whose
+        // DEFLATE-ratio falls below mincompress= are boilerplate/
+        // templated (too compressible); above maxcompress= they are
+        // binary junk (incompressible). Bounds are decimal ratios,
+        // gated by exact integer cross-multiply at e6 scale — no
+        // float enters the verdict.
+        def e6(k: String): Option[Long] = m.args.get(k).map { v =>
+          try (BigDecimal(v) * 1000000).toLongExact
+          catch { case _: Exception =>
+            throw new BuildError(s"qualitygate: $k= must be a decimal " +
+              s"ratio with <= 6 fractional digits, got '$v'") }
+        }
+        val minC = e6("mincompress")
+        val maxC = e6("maxcompress")
+        val compressRules: Seq[org.apache.spark.sql.Column] =
+          if (minC.isEmpty && maxC.isEmpty) Seq.empty
+          else {
+            val dl = graft.functions.DeflateKernel.deflateLenCol(col(text)) *
+              lit(1000000L)
+            val nb = octet_length(col(text)).cast("long")
+            minC.map(v => dl >= lit(v) * nb).toSeq ++
+              maxC.map(v => dl <= lit(v) * nb).toSeq
+          }
+        val keep = (graft.functions.TextFunctions
           .gopherRules(col(text), minW, maxW)
-          .map(_._2).reduce(_ && _)
+          .map(_._2) ++ compressRules).reduce(_ && _)
         val out =
           if (m.args.contains("drop")) df.filter(keep)
           else df.withColumn("keep", keep)

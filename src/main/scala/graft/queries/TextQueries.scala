@@ -979,6 +979,56 @@ object TextQueries {
           graft.formats.Warc.read(s, multiCaptureGlob(s, dir))))
         .orderBy(col("urlkey"))),
 
+    // Frontier seen-set filter (VERDICT r18 next #7 — the last
+    // unwired edge of the operational crawl loop): re-discovered
+    // URLs must not re-enter the schedule, so the extracted outlink
+    // frontier anti-joins the standing seen set (a parquet side
+    // input, as in production — here written from documents so the
+    // oracle replays its construction). Ops.bloomAntiJoin: exact
+    // left_anti, but definitely-unseen URLs (most of a fresh
+    // frontier at a web crawl) bypass the shuffle through the bloom's
+    // no-false-negative fast path. PipelineSpec wires the full
+    // outlinks → seenfilter → robotsfilter → crawlschedule chain.
+    "q277_frontier_seen" -> ((s, dir) => {
+      import s.implicits._
+      val page = outlinkPageCol(s)
+      val urls = t(s, dir, "documents")
+        .select(explode(graft.functions.HtmlExpr.anchorHrefs(page))
+          .as("href"))
+        .filter($"href".startsWith("https://"))
+        .distinct()
+      graft.operators.Ops.bloomAntiJoin(urls, "href",
+          seenSetParquet(s, dir), "url")
+        .orderBy($"href")
+    }),
+
+    // Deflate compression-ratio quality signal (VERDICT r18 missing
+    // #4 — DeflateKernel): per-doc DEFLATE length at the fixed level
+    // over the UTF-8 bytes, ratio in exact integer micro-units
+    // (deflate_len·10⁶ div n_bytes) — the CCNet-class
+    // boilerplate/junk flag the q219/q245/q210 battery lacked.
+    // ORACLE POSTURE (the LSH precedent, documented up front): DuckDB
+    // cannot deflate, so the kernel itself is pinned in
+    // TextKernelsSpec (determinism, Inflater round-trip, reference ≡
+    // expression equality) and THIS row checks the distributed
+    // plumbing: the oracle joins documents against an expected side
+    // table computed by the INDEPENDENT driver-side reference loop
+    // (fresh Deflater, no Catalyst, no thread-local) that the query
+    // writes before running — pinned to the t2 compare dir (sf0.01,
+    // the driver's contract) because oracle SQL is static while the
+    // fixture path is dir-keyed.
+    "q278_deflate_ratio" -> ((s, dir) => {
+      import s.implicits._
+      writeDeflateExpected(s, dir)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          octet_length($"text").cast("bigint").as("n_bytes"),
+          graft.functions.DeflateKernel.deflateLenCol($"text")
+            .as("deflate_len"))
+        .withColumn("ratio_e6", expr("deflate_len * 1000000L div n_bytes"))
+        .orderBy($"doc_id")
+    }),
+
     // Outlink host histogram (HtmlKernel.anchorHrefs): pages →
     // outlinks → per-(source, host) counts — the crawl-frontier
     // extraction (what the scheduler feeds back into the queue) and
@@ -1210,6 +1260,55 @@ object TextQueries {
           "text/plain; charset=utf-8")
       }
     }
+  }
+
+  /** The q277 standing seen set as a PARQUET SIDE INPUT (the
+    * production posture — a prior crawl's URL table on disk): the
+    * even-slot self-page URLs plus the hub, derived from documents so
+    * the oracle reconstructs the identical set in SQL. Written to the
+    * dir-keyed tmp path and read back — the filter consumes the
+    * on-disk relation, not the in-memory plan.
+    */
+  private def seenSetParquet(s: SparkSession, dir: String): DataFrame = {
+    val seen = t(s, dir, "documents")
+      .filter((col("doc_id") % 13) % 2 === 0)
+      .select(concat(lit("https://"), col("source"), lit(".example/page/"),
+        (col("doc_id") % 13).cast("string")).as("url"))
+      .distinct()
+      .unionByName(s.range(1)
+        .select(lit("https://hub.example/h").as("url")))
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_seen_" + dir.replaceAll("\\W", "_")).getPath
+    seen.write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
+
+  /** The q278 expected-deflate side table's dir-keyed tmp path. The
+    * ORACLE embeds the sf0.01 instance of this path literally (static
+    * SQL, dir-keyed fixture — see the q278 scaladoc); other dirs
+    * still get their own fixture so a bench run at sf0.1 can never
+    * overwrite the compare dir's table.
+    */
+  private[queries] def deflateExpectedPath(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_deflate_expected_" + dir.replaceAll("\\W", "_")).getPath
+
+  /** Driver-side reference loop (DeflateKernel.deflateLenReference —
+    * fresh Deflater per doc, none of the kernel's pooling or codegen)
+    * → (doc_id, deflate_len) parquet. Deterministic content per dir,
+    * so re-writes are idempotent.
+    */
+  private def writeDeflateExpected(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0),
+        graft.functions.DeflateKernel.deflateLenReference(
+          r.getString(1).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))))
+      .toSeq
+      .toDF("doc_id", "deflate_len").coalesce(1)
+      .write.mode("overwrite").parquet(deflateExpectedPath(dir))
   }
 
   /** The q273/q274 probe set — every 3rd member of the multi-capture
@@ -1915,6 +2014,38 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
         |    AS BIGINT) AS rec_no
         |FROM base ORDER BY urlkey, ts14""".stripMargin,
+
+    // q277 oracle: the shared outlink prelude's absolute URLs, minus
+    // the seen set reconstructed exactly as the side-input parquet
+    // was built (even-slot self-page URLs + the hub) — NOT EXISTS is
+    // the anti-join mirror; the bloom fast path must be invisible.
+    "q277_frontier_seen" -> (outlinkCtesSql + ",\n" +
+      """u AS (SELECT DISTINCT href FROM l WHERE href LIKE 'https://%'),
+        |seen AS (
+        |  SELECT DISTINCT 'https://' || source || '.example/page/' ||
+        |    CAST(doc_id % 13 AS VARCHAR) AS url
+        |  FROM documents WHERE (doc_id % 13) % 2 = 0
+        |  UNION ALL SELECT 'https://hub.example/h')
+        |SELECT href FROM u
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = u.href)
+        |ORDER BY href""".stripMargin),
+
+    // q278 oracle: ratios recomputed in DuckDB over the
+    // reference-loop's expected side table (strlen = BYTE length in
+    // DuckDB, the octet_length mirror; // = integer div). The
+    // read_parquet path is the sf0.01 fixture instance — the t2
+    // compare dir per the driver contract; see the query scaladoc
+    // for the documented posture.
+    "q278_deflate_ratio" -> {
+      val p = deflateExpectedPath("/root/testdata/sf0.01")
+      s"""SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+         |  e.deflate_len,
+         |  e.deflate_len * CAST(1000000 AS BIGINT) // strlen(d.text)
+         |    AS ratio_e6
+         |FROM documents d
+         |JOIN read_parquet('$p/*.parquet') e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // q273 oracle: the multi-capture CDX replayed from documents
     // (fixture construction, SURT key, ts14, digest, shard filename,

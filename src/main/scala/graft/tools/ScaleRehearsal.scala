@@ -147,6 +147,11 @@ object ScaleRehearsal {
       spark.stop()
       return
     }
+    if (args.contains("r19")) {
+      rehearseR19(spark)
+      spark.stop()
+      return
+    }
 
     timed("generate-sf1")(replicate(spark, sf01, out))
 
@@ -681,6 +686,54 @@ object ScaleRehearsal {
     *      EXACTLY 10× the 1× container run — framing + gzip + HTTP
     *      split + UTF-8 lose nothing at file-count scale.
     */
+  /** r19 row (VERDICT r18 next #1's 10× half): the capture-index
+    * point lookup must stay O(one file) as the index grows — publish
+    * a sorted CDX at N and 10N urlkeys (10× FILES at constant
+    * per-file rows, the production posture: file size fixed, file
+    * count grows), then verify at BOTH scales that (a) per-file
+    * urlkey ranges are pairwise disjoint and (b) exactly ONE file's
+    * [min, max] covers a point key — the footer-stat invariant that
+    * makes the lookup independent of index size on a 1000-executor
+    * cluster.
+    */
+  private def rehearseR19(spark: SparkSession): Unit = {
+    def buildIdx(n: Long, files: Int, dir: String): Array[(String, String)] = {
+      spark.range(n).select(
+          format_string("example,h%07d)/p", col("id")).as("urlkey"),
+          lit("20260101000000").as("ts14"),
+          md5(col("id").cast("string")).as("digest"))
+        .repartitionByRange(files, col("urlkey"), col("ts14"))
+        .sortWithinPartitions(col("urlkey"), col("ts14"))
+        .write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("urlkey")), max(col("urlkey"))).head
+          (r.getString(0), r.getString(1))
+        }.sortBy(_._1)
+    }
+    def disjoint(spans: Array[(String, String)]): Boolean =
+      spans.sliding(2).forall {
+        case Array((_, hi), (lo2, _)) => hi < lo2
+        case _ => true
+      }
+    val key = "example,h0050000)/p"
+    def covering(spans: Array[(String, String)]): Int =
+      spans.count { case (lo, hi) => lo <= key && key <= hi }
+    val s01 = timed("cdx-index-build-n")(
+      buildIdx(100000L, 16, "target/cdx_r19/n1"))
+    val s10 = timed("cdx-index-build-10n")(
+      buildIdx(1000000L, 160, "target/cdx_r19/n10"))
+    val hit = timed("cdx-point-lookup-10n")(
+      spark.read.parquet("target/cdx_r19/n10")
+        .filter(col("urlkey") === key).count())
+    println(s"rehearsal: cdx files=${s01.length}->${s10.length} " +
+      s"disjointN=${disjoint(s01)} disjoint10N=${disjoint(s10)} " +
+      s"coveringN=${covering(s01)} covering10N=${covering(s10)} " +
+      s"lookupRows=$hit")
+  }
+
   private def rehearseR18(spark: SparkSession, sf01: String): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     val docs01 = spark.read.parquet(s"$sf01/documents.parquet")

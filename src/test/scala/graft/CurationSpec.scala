@@ -594,6 +594,69 @@ class CurationSpec extends AnyFunSuite {
     assert(byHost("a.x").map(_._4).sorted.toSeq == Seq(0L, 2000L, 4000L, 6000L))
   }
 
+  test("changeRate: planted fast/slow/static URLs order as the estimator predicts") {
+    // VERDICT r18 next #2: per-urlkey digest changes over intervals.
+    // fast changes every capture (2/2), slow once (1/2), static never
+    // (0/2); a single-capture URL has no interval and rate 0; capture
+    // ARRIVAL ORDER must not matter (the sorted-sequence contract).
+    val cdx = Seq(
+      ("fast)/a", "20260301000000", "d3"),   // deliberately unsorted
+      ("fast)/a", "20260101000000", "d1"),
+      ("fast)/a", "20260201000000", "d2"),
+      ("slow)/b", "20260101000000", "e1"),
+      ("slow)/b", "20260201000000", "e2"),
+      ("slow)/b", "20260301000000", "e2"),
+      ("static)/c", "20260101000000", "f1"),
+      ("static)/c", "20260201000000", "f1"),
+      ("static)/c", "20260301000000", "f1"),
+      ("once)/d", "20260101000000", "g1"))
+      .toDF("urlkey", "ts14", "digest")
+    val got = Curation.changeRate(cdx).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      "fast)/a" -> ((3L, 2L, 2L, 1000000L)),
+      "slow)/b" -> ((3L, 1L, 2L, 500000L)),
+      "static)/c" -> ((3L, 0L, 2L, 0L)),
+      "once)/d" -> ((1L, 0L, 0L, 0L))), got.toString)
+    // the schedule composition: priority = rank · (10⁶ + rate_e6) —
+    // equal-rank hosts order fast > slow > static under the exact
+    // integer cross-multiply
+    val pri = got.view.mapValues { case (_, _, _, rate) =>
+      10000L * (1000000L + rate) }.toMap
+    assert(pri("fast)/a") > pri("slow)/b") &&
+      pri("slow)/b") > pri("static)/c"), pri.toString)
+  }
+
+  test("sitemapEntries: freshness fields, tolerance, and block kinds") {
+    // VERDICT r18 missing #3: lastmod/changefreq/priority per block;
+    // absent fields null, junk priority nulled, loc-less blocks
+    // dropped, UPPER changefreq lowered, whitespace-tolerant loc,
+    // <sitemap> blocks in an index body.
+    val xml = Seq(
+      ("h1", "<urlset>" +
+        "<url><loc> https://h1/a </loc><lastmod>2026-01-02</lastmod>" +
+        "<changefreq>DAILY</changefreq><priority>0.8</priority></url>" +
+        "<url><loc>https://h1/b</loc></url>" +
+        "<url><lastmod>2026-02-02</lastmod></url>" +
+        "<url><loc>https://h1/c</loc><priority>junk</priority></url>" +
+        "</urlset>"),
+      ("h2", "<sitemapindex><sitemap><loc>https://h2/sm.xml</loc>" +
+        "<lastmod>2026-03-03</lastmod></sitemap></sitemapindex>"))
+      .toDF("host", "xml")
+    val got = Curation.sitemapEntries(xml, "host", "xml").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    assert(got == Set(
+      ("h1", "urlset", "https://h1/a", Some("2026-01-02"), Some("daily"),
+        Some(0.8)),
+      ("h1", "urlset", "https://h1/b", None, None, None),
+      ("h1", "urlset", "https://h1/c", None, None, None),
+      ("h2", "index", "https://h2/sm.xml", Some("2026-03-03"), None,
+        None)), got.toString)
+  }
+
   test("LM family ngramMode=char: classifies unsegmented text the word path drops") {
     // VERDICT r14 #5. The q236 fixture: spaces stripped from the real
     // sf0.001 corpus, half the docs reversed → two "languages" with

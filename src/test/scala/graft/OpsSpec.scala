@@ -224,6 +224,27 @@ class OpsSpec extends AnyFunSuite {
     assert(reduced < fact.count() / 2, s"bloom removed too little: $reduced")
   }
 
+  test("bloomAntiJoin: bit-equal to plain left_anti, incl. null keys") {
+    // VERDICT r18 next #7 — the frontier seen-set filter: the bloom
+    // bypass must be INVISIBLE (no false negatives ⇒ no seen row
+    // leaks through the sure-new arm; the exact anti join removes the
+    // false positives). Null fact keys match nothing in an anti join,
+    // so they must survive.
+    val fact = Tables(spark, TestSpark.sf, "lineitem")
+      .select(when($"l_partkey" % 97 === 0, lit(null).cast("long"))
+        .otherwise($"l_partkey").as("k"), $"l_quantity")
+    val dim = Tables(spark, TestSpark.sf, "part")
+      .filter($"p_size" <= 3).select($"p_partkey".as("sk"))
+    val plain = fact.join(dim, fact("k") === dim("sk"), "left_anti")
+      .orderBy($"k", $"l_quantity").collect()
+    val bloomed = Ops.bloomAntiJoin(fact, "k", dim, "sk",
+        expectedItems = 1024L, numBits = 16384L)
+      .orderBy($"k", $"l_quantity").collect()
+    assert(plain.toSeq == bloomed.toSeq)
+    assert(plain.nonEmpty && plain.length < fact.count()) // non-vacuous
+    assert(plain.exists(_.isNullAt(0)), "null-key rows lost")
+  }
+
   test("bloomPreFilter rejects mismatched key types (XxHash64 width trap)") {
     // int-vs-long keys hash differently (4 vs 8 bytes) → bloom false
     // negatives → silently dropped matches. The API must refuse.

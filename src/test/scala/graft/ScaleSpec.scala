@@ -1409,6 +1409,97 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("cdx sorted artifact: point lookup prunes to exactly one file, filter pushed to the scan") {
+    // VERDICT r18 next #1's gate: the index is PUBLISHED
+    // range-clustered (disjoint per-file urlkey slices), so a point
+    // lookup is answerable from the one file whose footer min/max
+    // covers the key — at 100 TB the other files are never opened
+    // (footer-stat row-group skipping; the q84/zorder precedent), and
+    // the predicate must reach the parquet scan as a pushed filter.
+    val d = java.nio.file.Files.createTempDirectory("cdxprune").toString
+    val idx = (0 until 4096)
+      .map(i => (f"example,h$i%04d)/p", "20260101000000", s"d$i"))
+      .toDF("urlkey", "ts14", "digest")
+    idx.repartitionByRange(8, $"urlkey", $"ts14")
+      .sortWithinPartitions($"urlkey", $"ts14")
+      .write.mode("overwrite").parquet(d)
+    val files = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 4, s"expected a multi-file artifact: ${files.length}")
+    val key = "example,h2049)/p"
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min($"urlkey"), max($"urlkey")).head
+      (r.getString(0), r.getString(1))
+    }
+    // disjoint ranges ⇒ exactly ONE file's [min, max] covers the key
+    val candidates = spans.count { case (lo, hi) => lo <= key && key <= hi }
+    assert(candidates == 1, s"lookup key spans $candidates files: ${spans.toSeq}")
+    val lookup = spark.read.parquet(d).filter($"urlkey" === key)
+    val plan = executed(lookup)
+    assert(plan.contains("PushedFilters: [IsNotNull(urlkey), EqualTo(urlkey,"),
+      s"urlkey predicate not pushed to the scan:\n$plan")
+    assert(lookup.count() == 1L)
+  }
+
+  test("cdx lookups (q273/q274): broadcast probe equi-join on the artifact, no window") {
+    // The batch-lookup shape: the tiny probe set broadcasts INTO the
+    // index scan (never the index into the probe), the q274 latest-
+    // before-T answer is one hash-agg, and no window/cartesian/NLJ
+    // appears anywhere.
+    for (q <- Seq("q273_cdx_lookup_all", "q274_cdx_lookup_latest")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"), s"$q probe not broadcast:\n$plan")
+      assert(!plan.contains("windowspecdefinition"), s"$q grew a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("change rate (q275): ONE urlkey hash-agg off the container scan, no window, no join") {
+    val plan = executed(SparkEntry.queries("q275_change_rate")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), s"window crept in:\n$plan")
+    assert(!plan.contains("Join"), s"changeRate must not join:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"urlkey agg lost:\n$plan")
+  }
+
+  test("sitemap freshness (q276): narrow block split, zero shuffles before the sort") {
+    // block split + per-field regexp are per-row codegen work; the
+    // ONLY exchange allowed is the presentation orderBy's range
+    // partitioning (and the fixture's source-distinct prep).
+    val plan = executed(SparkEntry.queries("q276_sitemap_freshness")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), s"entry parse must not join:\n$plan")
+    assert(plan.contains("Generate"), s"block explode lost:\n$plan")
+  }
+
+  test("frontier seen filter (q277): bloom bypass + exact anti join, no cartesian") {
+    // the sure-new arm must carry the bloom probe (scalar-subquery
+    // might_contain) and the residue an equi anti join — never a
+    // nested loop on data-sized sides.
+    val plan = executed(SparkEntry.queries("q277_frontier_seen")(spark, sf))
+    assert(plan.contains("BloomFilterMightContain") ||
+      plan.contains("might_contain"), s"bloom bypass lost:\n$plan")
+    assert(plan.contains("LeftAnti"), s"exact anti join lost:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
+
+  test("deflate ratio (q278): kernel rides the scan inside codegen, zero pre-sort shuffles") {
+    val df = SparkEntry.queries("q278_deflate_ratio")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), s"per-doc kernel must not join:\n$plan")
+    // the expression participates in whole-stage codegen
+    // (UnaryExpression with doGenCode — would sit outside every span
+    // as a fallback project otherwise); inspect the AQE FINAL plan,
+    // the pre-execution string carries no codegen markers
+    val fp = Explain.finalPlan(df)
+    assert(Explain.inCodegen(fp, "deflatelenexpr"),
+      s"deflate kernel fell out of codegen:\n$fp")
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)

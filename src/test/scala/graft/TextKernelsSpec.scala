@@ -262,4 +262,62 @@ class TextKernelsSpec extends AnyFunSuite {
       if (t.trim.isEmpty) assert(m("gram_den") == 0L, s"'$t' den")
     }
   }
+
+  test("deflate kernel: round-trip identity, determinism, reference equality, ordering") {
+    // The q278 oracle posture's spec half (VERDICT r18 missing #4):
+    // DuckDB can't deflate, so the KERNEL is pinned here —
+    // environment-independent properties, no magic byte counts.
+    import graft.functions.DeflateKernel
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.unsafe.types.UTF8String
+    val samples = Seq(
+      "", "a", "the same line\nthe same line\nthe same line\n" * 20,
+      "héllo wörld ünïcode ✓ 多字节 字符",
+      (0 until 400).map(i => ((i * 2654435761L) % 93 + 33).toChar)
+        .mkString) // pseudo-random: near-incompressible
+    for (s <- samples) {
+      val bytes = s.getBytes(UTF_8)
+      val viaKernel = DeflateKernel.deflateLen(UTF8String.fromString(s))
+      val viaRef = DeflateKernel.deflateLenReference(bytes)
+      // expression path (thread-local, reset-reused) == independent
+      // reference loop (fresh Deflater) — the two implementations
+      // share only the zlib contract
+      assert(viaKernel == viaRef, s"'${s.take(30)}': $viaKernel vs $viaRef")
+      // deterministic across repeated calls on the SAME pooled
+      // deflater (a dirty reset would show here)
+      assert(DeflateKernel.deflateLen(UTF8String.fromString(s)) == viaKernel)
+      // round-trip identity: the emitted stream really is raw DEFLATE
+      // of exactly these bytes
+      val d = new java.util.zip.Deflater(DeflateKernel.Level, true)
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      assert(out.size().toLong == viaKernel)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(out.toByteArray)
+      val back = new Array[Byte](bytes.length + 16)
+      val n = inf.inflate(back)
+      inf.end()
+      assert(n == bytes.length && back.take(n).toSeq == bytes.toSeq)
+    }
+    // boilerplate compresses FAR below shuffled-unique text of the
+    // same length — the signal the qualitygate rule keys on
+    val rep = "copyright footer menu " * 64
+    val rnd = new java.util.Random(12345) // LCG is javadoc-specified
+    val uniq = (0 until rep.length)
+      .map(_ => (rnd.nextInt(90) + 33).toChar).mkString
+    val rl = DeflateKernel.deflateLen(UTF8String.fromString(rep))
+    val ul = DeflateKernel.deflateLen(UTF8String.fromString(uniq))
+    assert(rl * 4 < ul, s"repetitive $rl not << unique $ul")
+    // the Catalyst expression agrees with the kernel on real docs and
+    // stays non-null for non-null input
+    val docs = Tables(spark, TestSpark.sf, "documents").limit(50)
+    val rows = docs.select($"text",
+      DeflateKernel.deflateLenCol($"text").as("dl")).collect()
+    for (r <- rows)
+      assert(r.getLong(1) ==
+        DeflateKernel.deflateLenReference(r.getString(0).getBytes(UTF_8)))
+  }
 }
