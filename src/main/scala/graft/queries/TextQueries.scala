@@ -811,7 +811,14 @@ object TextQueries {
         .orderBy(col("doc_id")).collect()
       val glob = warcFixture("q269", dir, pages) { r =>
         val id = r.getLong(0)
-        Iterator(("response", s"https://${r.getString(1)}.example/doc/$id",
+        // odd subset members fetch the www.-prefixed default-port form
+        // of the SAME resource — the urlkey must COLLAPSE both to one
+        // key (the archive rule, VERDICT r18 wrong #3) while the raw
+        // url column keeps the fetched form
+        val hostForm =
+          if (id % 2 == 1) s"www.${r.getString(1)}.example:443"
+          else s"${r.getString(1)}.example"
+        Iterator(("response", s"https://$hostForm/doc/$id",
           f"2026-05-${id % 28 + 1}%02dT01:02:03Z",
           r.getString(2).getBytes(UTF_8),
           Int.box(200): java.lang.Integer, "text/plain; charset=utf-8"))
@@ -2005,7 +2012,9 @@ object TextQueries {
         |    AS urlkey,
         |  '202605' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
         |    '010203' AS ts14,
-        |  'https://' || source || '.example/doc/' ||
+        |  'https://' || CASE WHEN doc_id % 2 = 1
+        |      THEN 'www.' || source || '.example:443'
+        |      ELSE source || '.example' END || '/doc/' ||
         |    CAST(doc_id AS VARCHAR) AS url,
         |  'text/plain; charset=utf-8' AS mime,
         |  CAST(200 AS INTEGER) AS status,

