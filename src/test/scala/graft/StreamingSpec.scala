@@ -557,6 +557,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming recrawl priority: changeRate over the cdx snapshot equals batch at every cut") {
+    // the r19 composition maintained incrementally: segments land,
+    // the index accumulates as appended deltas (cdxStream), and the
+    // change-rate estimate READ OFF THE SNAPSHOT must equal the batch
+    // estimator over everything ingested — a URL's rate rises as a
+    // changed capture arrives and falls back toward its long-run
+    // value as unchanged ones do.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def rec(no: Long, u: String, ts: String, body: String) =
+      ("f.warc.gz", no, "response", u, ts, Some(200), "text/plain",
+        body.getBytes("UTF-8"), Option.empty[String])
+    val hot = "https://hot.example/p"
+    val cold = "https://cold.example/p"
+    val b1 = Seq(rec(1, hot, "2026-01-01T00:00:00Z", "v1"),
+      rec(2, cold, "2026-01-01T00:00:00Z", "same"))
+    val b2 = Seq(rec(3, hot, "2026-02-01T00:00:00Z", "v2"),
+      rec(4, cold, "2026-02-01T00:00:00Z", "same"))
+    val b3 = Seq(rec(5, hot, "2026-03-01T00:00:00Z", "v3"),
+      rec(6, cold, "2026-03-01T00:00:00Z", "same"))
+    val ms = MemoryStream[(String, Long, String, String, String,
+      Option[Int], String, Array[Byte], Option[String])]
+    val (q, current) = EventStreams.cdxStream(ms.toDF().toDF("path",
+      "rec_no", "warc_type", "url", "ts", "status", "mime", "payload",
+      "http_head"))
+    try {
+      var all = Seq.empty[(String, Long, String, String, String,
+        Option[Int], String, Array[Byte], Option[String])]
+      for (b <- Seq(b1, b2, b3)) {
+        all = all ++ b
+        ms.addData(b); q.processAllAvailable()
+        val want = graft.operators.Curation.changeRate(
+            graft.formats.Warc.cdxIndex(all.toDF("path", "rec_no",
+              "warc_type", "url", "ts", "status", "mime", "payload",
+              "http_head")))
+          .orderBy($"urlkey").collect().toSeq
+        val got = graft.operators.Curation.changeRate(current())
+          .orderBy($"urlkey").collect().toSeq
+        assert(got == want, s"cut ${all.size} diverged")
+      }
+      val rates = graft.operators.Curation.changeRate(current())
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(rates == Map("example,hot)/p" -> 1000000L,
+        "example,cold)/p" -> 0L), rates.toString)
+    } finally q.stop()
+  }
+
   test("streaming crawl-delay view is bit-equal to batch at every cut, re-fetches take the min") {
     // q264's streaming twin: robots bodies arrive as re-fetched; the
     // per-host MIN merge must equal the batch operator over every
