@@ -399,6 +399,55 @@ object Warc {
         col("rec_no"))
   }
 
+  /** CDXJ text encoding of a [[cdxIndex]] relation (q279): the
+    * interchange FORMAT archives actually publish — one line per
+    * capture, `urlkey<SP>ts14<SP>{json}`, sorted by (urlkey, ts14) so
+    * plain binary search / merge tools work on the text itself. The
+    * JSON block carries the non-key columns (url, mime, status,
+    * digest, filename, rec_no). Writing sorted text is the same
+    * range-cluster contract as the parquet artifact: repartitionByRange
+    * on the key prefix + sortWithinPartitions, one text file per
+    * range slice.
+    */
+  def cdxjLines(cdx: DataFrame): DataFrame = {
+    // the key fields are space-DELIMITED, so a space inside a key
+    // would shear the line. URI-derived urlkeys are space-free by
+    // construction (a valid WARC-Target-URI carries %20); any
+    // space-bearing stray normalizes to its URI-encoded form on
+    // publication — defensive, documented, FormatsSpec-pinned.
+    val key = regexp_replace(col("urlkey"), " ", "%20")
+    cdx.select(key.as("__k"), col("ts14"),
+        concat_ws(" ", key, col("ts14"),
+          to_json(struct(col("url"), col("mime"), col("status"),
+            col("digest"), col("filename"), col("rec_no")))).as("value"))
+      .repartitionByRange(col("__k"), col("ts14"))
+      .sortWithinPartitions(col("__k"), col("ts14"))
+      .select(col("value"))
+  }
+
+  /** Parse CDXJ lines back to the typed index relation — the
+    * round-trip twin of [[cdxjLines]]: first two space-delimited
+    * fields are the key, the remainder is the JSON block (which may
+    * itself contain spaces). Malformed lines yield null fields via
+    * from_json's tolerance rather than killing the scan (the
+    * corrupt-record posture of the ndjson reader).
+    */
+  def cdxjParse(lines: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    val json = regexp_extract(v, "^\\S+ \\S+ (.*)$", 1)
+    val schema = "url STRING, mime STRING, status INT, digest STRING, " +
+      "filename STRING, rec_no BIGINT"
+    lines.select(
+      regexp_extract(v, "^(\\S+) ", 1).as("urlkey"),
+      regexp_extract(v, "^\\S+ (\\S+) ", 1).as("ts14"),
+      from_json(json, org.apache.spark.sql.types.StructType.fromDDL(schema))
+        .as("__j"))
+      .select(col("urlkey"), col("ts14"), col("__j.url").as("url"),
+        col("__j.mime").as("mime"), col("__j.status").as("status"),
+        col("__j.digest").as("digest"), col("__j.filename").as("filename"),
+        col("__j.rec_no").as("rec_no"))
+  }
+
   /** Metadata-record enrichment (q272): WARC `metadata` records carry
     * the crawler's own per-capture annotations as key:value lines
     * (Common Crawl emits fetchTimeMs, charset-detected,

@@ -1523,6 +1523,41 @@ object Curation {
         when(col("intervals") === 0L, 0L)
           .otherwise(expr("changes * 1000000L div intervals")))
 
+  /** Revisit DETECTION (q281 — the producer side of q267's consumer:
+    * real crawl writers, Heritrix-style, classify each fresh capture
+    * against the standing index BEFORE writing the container, so
+    * unchanged pages ship as `revisit` records instead of full
+    * payloads). Each new capture (urlkey, ts14, digest) joins the
+    * standing index's LATEST capture per urlkey:
+    *   - no standing urlkey → `new` (first discovery);
+    *   - digest equals the latest standing digest → `unchanged`
+    *     (emit a revisit record; the payload never ships);
+    *   - else → `changed` (full response record).
+    * Output: (urlkey, ts14, digest, verdict, standing_digest,
+    * standing_ts14) — standing columns null for `new`.
+    *
+    * Scale shape: ONE urlkey-keyed hash-agg collapses the standing
+    * index to its per-key latest (max(struct(ts14, digest)) — exact,
+    * order-free) + ONE urlkey equi-join against the fresh captures.
+    * No window, nothing corpus-sized beyond the index scan itself;
+    * at a daily cadence the fresh side is one day's captures and the
+    * agg side prunes to the standing index's key column family.
+    */
+  def revisitDetect(fresh: DataFrame, standing: DataFrame): DataFrame = {
+    val latest = standing.groupBy(col("urlkey"))
+      .agg(max(struct(col("ts14"), col("digest"))).as("__l"))
+      .select(col("urlkey"), col("__l.ts14").as("standing_ts14"),
+        col("__l.digest").as("standing_digest"))
+    fresh.select(col("urlkey"), col("ts14"), col("digest"))
+      .join(latest, Seq("urlkey"), "left_outer")
+      .withColumn("verdict",
+        when(col("standing_digest").isNull, "new")
+          .when(col("digest") === col("standing_digest"), "unchanged")
+          .otherwise("changed"))
+      .select(col("urlkey"), col("ts14"), col("digest"), col("verdict"),
+        col("standing_digest"), col("standing_ts14"))
+  }
+
   /** The shared RFC 9309 parse: comment strip, first-colon key/value
     * split, consecutive-User-agent group runs, exact-agent groups
     * over the `*` fallback. Returns the key/value lines of the CHOSEN

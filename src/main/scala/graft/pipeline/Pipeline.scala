@@ -2304,6 +2304,56 @@ object Pipeline {
         ctx.writeStream(m, graft.formats.Warc.captures(df), RowType)
       }),
 
+    // CDXJ text publication of a cdxindex stream (q279): sorted
+    // `urlkey<SP>ts14<SP>{json}` lines, one text file per range slice
+    // — the interchange format archives ship next to containers.
+    Registered("cdxjwrite", RowType, NoneType,
+      "in=STREAM:out=PATH",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        for (c <- Seq("urlkey", "ts14"))
+          if (!df.columns.contains(c))
+            throw new BuildError(s"cdxjwrite: input lacks column '$c' " +
+              "(expects a cdxindex stream)")
+        val path = m.args.getOrElse("out",
+          throw new BuildError("cdxjwrite: out= required"))
+        ctx.addSink(m.raw, () => {
+          graft.formats.Warc.cdxjLines(df).write.mode("overwrite").text(path)
+          ctx.log("cdxjwrite", s"wrote $path")
+          0L
+        })
+      }),
+
+    Registered("cdxjread", NoneType, RowType, "in=PATH:out=STREAM",
+      (ctx, m) => {
+        val path = m.args.getOrElse("in",
+          throw new BuildError("cdxjread: in= required"))
+        ctx.writeStream(m.copy(args = m.args - "in"),
+          graft.formats.Warc.cdxjParse(ctx.spark.read.text(path)), RowType)
+      }),
+
+    // Revisit detection against a standing index (q281): classify
+    // fresh captures new/unchanged/changed — the producer side of
+    // the revisit records q267's ingest consumes.
+    Registered("revisitdetect", RowType, RowType,
+      "in=STREAM:standing=STREAM:out=STREAM",
+      (ctx, m) => {
+        val fresh = ctx.readStream(m, RowType)
+        val sname = m.args.getOrElse("standing",
+          throw new BuildError("revisitdetect: standing= required"))
+        val (sd, st) = ctx.streams.getOrElse(sname,
+          throw new BuildError(s"revisitdetect: unknown stream '$sname'"))
+        if (st != RowType)
+          throw new BuildError(s"revisitdetect: '$sname' is not a row stream")
+        ctx.readers(sname) += 1
+        for (c <- Seq("urlkey", "ts14", "digest"); d <- Seq(fresh, sd))
+          if (!d.columns.contains(c))
+            throw new BuildError(s"revisitdetect: input lacks column '$c' " +
+              "(expects cdxindex streams)")
+        ctx.writeStream(m,
+          graft.operators.Curation.revisitDetect(fresh, sd), RowType)
+      }),
+
     Registered("bsonread", NoneType, RowType, "in=FILE:out=STREAM", (ctx, m) => {
       val path = m.args.getOrElse("in", throw new BuildError("bsonread: in= required"))
       ctx.writeStream(m.copy(args = m.args - "in"),

@@ -1009,6 +1009,61 @@ object TextQueries {
         .orderBy($"href")
     }),
 
+    // CDXJ text round-trip (the interchange format archives PUBLISH —
+    // one `urlkey<SP>ts14<SP>{json}` line per capture, sorted): the
+    // multi-capture index encodes to lines and parses back to the
+    // typed relation; the oracle recomputes the relation from
+    // documents, so framing + JSON + key-split transparency is the
+    // claim (the q265 posture for text instead of gzip). Line format
+    // itself is pinned in FormatsSpec on hostile content.
+    "q279_cdxj_roundtrip" -> ((s, dir) => {
+      val cdx = graft.formats.Warc.cdxIndex(
+        graft.formats.Warc.read(s, multiCaptureGlob(s, dir)))
+      graft.formats.Warc.cdxjParse(graft.formats.Warc.cdxjLines(cdx))
+        .orderBy(col("urlkey"), col("ts14"))
+    }),
+
+    // Index compaction (the LSM step every archive runs): a standing
+    // index segment (months 1-2) merges with a delta segment (months
+    // 2-3) whose month-2 captures are byte-identical re-ships — the
+    // overlapping-crawl-segment case. Compaction identity is the
+    // CAPTURE (urlkey, ts14, digest status mime url); locator columns
+    // (filename, rec_no) are segment-relative and legitimately differ
+    // between shipments, so the compacted index re-points them (here:
+    // dropped) and counts shipping segments. ONE distinct-union +
+    // capture-keyed hash-agg; republished through the sorted layout
+    // by the same sortwrite contract (PipelineSpec chains it).
+    "q280_cdx_compact" -> ((s, dir) => {
+      def seg(tag: String, months: Seq[Int]) =
+        graft.formats.Warc.cdxIndex(graft.formats.Warc.read(s,
+          multiCaptureGlob(s, dir, tag, months)))
+          .select(col("urlkey"), col("ts14"), col("url"), col("mime"),
+            col("status"), col("digest"))
+      seg("q280a", Seq(1, 2)).unionByName(seg("q280b", Seq(2, 3)))
+        .groupBy(col("urlkey"), col("ts14"), col("url"), col("mime"),
+          col("status"), col("digest"))
+        .agg(count(lit(1)).as("n_segments"))
+        .orderBy(col("urlkey"), col("ts14"))
+    }),
+
+    // Revisit DETECTION (Curation.revisitDetect — the producer side
+    // of q267's revisit CONSUMER): month-3 fresh captures of the
+    // whole subset classify against a standing index holding months
+    // 1-2 for HALF the subset (ids ≡ 4 mod 10) — so ≡ 9 mod 10 URLs
+    // are `new`, static (≡0 mod 3) and changed-once (≡1 mod 3, whose
+    // month-3 body equals month-2's) are `unchanged`, and
+    // every-capture-changing (≡2 mod 3) are `changed`. One standing
+    // per-key max agg + one urlkey equi-join.
+    "q281_revisit_detect" -> ((s, dir) => {
+      val standing = graft.formats.Warc.cdxIndex(graft.formats.Warc.read(
+        s, multiCaptureGlob(s, dir, "q281s", Seq(1, 2),
+          col("doc_id") % 10 === 4)))
+      val fresh = graft.formats.Warc.cdxIndex(graft.formats.Warc.read(
+        s, multiCaptureGlob(s, dir, "q281f", Seq(3))))
+      graft.operators.Curation.revisitDetect(fresh, standing)
+        .orderBy(col("urlkey"))
+    }),
+
     // Deflate compression-ratio quality signal (VERDICT r18 missing
     // #4 — DeflateKernel): per-doc DEFLATE length at the fixed level
     // over the UTF-8 bytes, ratio in exact integer micro-units
@@ -1249,14 +1304,20 @@ object TextQueries {
     * — the static/slow/fast population a change-rate estimator must
     * order correctly, all SQL-replayable (body = text || CASE...).
     */
-  private def multiCaptureGlob(s: SparkSession, dir: String): String = {
+  private def multiCaptureGlob(s: SparkSession, dir: String,
+      tag: String = "q273", months: Seq[Int] = Seq(1, 2, 3),
+      idFilter: org.apache.spark.sql.Column = lit(true)): String = {
     import java.nio.charset.StandardCharsets.UTF_8
-    val pages = t(s, dir, "documents").filter(col("doc_id") % 5 === 4)
+    val pages = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 4 && idFilter)
       .select(col("doc_id"), col("source"), col("text"))
       .orderBy(col("doc_id")).collect()
-    warcFixture("q273", dir, pages) { r =>
+    warcFixture(tag, dir, pages) { r =>
       val id = r.getLong(0)
-      (1 to 3).iterator.map { m =>
+      months.iterator.map { m =>
+        // the BODY is a function of (doc, month) alone, so the same
+        // capture shipped by two different fixture segments (the
+        // q280 compaction overlap) is byte-identical
         val body = r.getString(2) + (
           if (id % 3 == 0 || m == 1) ""
           else if (id % 3 == 1) " v2"
@@ -2055,6 +2116,51 @@ object TextQueries {
          |JOIN read_parquet('$p/*.parquet') e USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // q279 oracle: the full multi-capture index relation — the CDXJ
+    // encode/parse round trip must be content-transparent, so the
+    // oracle never sees the text form.
+    "q279_cdxj_roundtrip" -> (s"WITH $cdxMultiPreludeSql\n" +
+      """SELECT urlkey, ts14, url, mime, status, digest, filename,
+        |  rec_no
+        |FROM cdx ORDER BY urlkey, ts14""".stripMargin),
+
+    // q280 oracle: compaction = the capture-identity relation of ALL
+    // months with n_segments = 2 exactly for the month shipped by
+    // both segments (the overlap).
+    "q280_cdx_compact" -> (s"WITH $cdxMultiPreludeSql\n" +
+      """SELECT urlkey, ts14, url, mime, status, digest,
+        |  CAST(CASE WHEN substr(ts14, 5, 2) = '02' THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_segments
+        |FROM cdx ORDER BY urlkey, ts14""".stripMargin),
+
+    // q281 oracle: fresh month-3 captures classified against the
+    // standing months-1-2 half-subset — verdicts and both standing
+    // columns recomputed from the planted change pattern.
+    "q281_revisit_detect" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 5 = 4),
+        |f AS (SELECT doc_id, source,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN ''
+        |    WHEN doc_id % 3 = 1 THEN ' v2' ELSE ' v3' END AS body3,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN '' ELSE ' v2' END
+        |    AS body2
+        |  FROM base)
+        |SELECT 'example,' || source || ')/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS urlkey,
+        |  '202603' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    '000000' AS ts14,
+        |  md5(body3) AS digest,
+        |  CASE WHEN doc_id % 10 = 9 THEN 'new'
+        |       WHEN doc_id % 3 = 2 THEN 'changed'
+        |       ELSE 'unchanged' END AS verdict,
+        |  CASE WHEN doc_id % 10 = 4 THEN md5(body2) END
+        |    AS standing_digest,
+        |  CASE WHEN doc_id % 10 = 4 THEN '202602' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '000000'
+        |    END AS standing_ts14
+        |FROM f ORDER BY urlkey""".stripMargin,
 
     // q273 oracle: the multi-capture CDX replayed from documents
     // (fixture construction, SURT key, ts14, digest, shard filename,

@@ -289,6 +289,46 @@ class FormatsSpec extends AnyFunSuite {
     assert(keys(4) == "com:8080,example)/p", keys(4))
   }
 
+  test("cdxj: line format, hostile-content round trip, malformed-line tolerance") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cdx = Seq(
+      ("com,example)/p?q=%22x%20y%22", "20260101000000",
+        "https://example.com/p?q=\"x y\"", "text/html; charset=utf-8",
+        Some(200), "d1", "s0.warc.gz", 1L),
+      ("com,example)/ünï中", "20260102000000",
+        "https://example.com/ünï 中", null.asInstanceOf[String],
+        None: Option[Int], "d2", "s1.warc.gz", 2L),
+      // a space-bearing stray key normalizes to its URI-encoded form
+      // on publication (the line format is space-delimited)
+      ("com,example)/a b", "20260103000000",
+        "https://example.com/a b", "text/plain",
+        Some(200), "d3", "s2.warc.gz", 3L))
+      .toDF("urlkey", "ts14", "url", "mime", "status", "digest",
+        "filename", "rec_no")
+    val lines = graft.formats.Warc.cdxjLines(cdx)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // key prefix is plain text (binary-searchable); JSON starts at the
+    // third space-field; hostile content (quotes, spaces, unicode)
+    // rides inside the JSON block only
+    assert(lines.head
+      .startsWith("com,example)/a%20b 20260103000000 {"), lines.head)
+    val back = graft.formats.Warc.cdxjParse(lines.toDF("value"))
+      .orderBy(col("ts14")).collect()
+    assert(back.length == 3)
+    assert(back(0).getString(2) == "https://example.com/p?q=\"x y\"")
+    assert(back(1).getString(2) == "https://example.com/ünï 中")
+    assert(back(2).getString(0) == "com,example)/a%20b")
+    assert(back(2).getString(2) == "https://example.com/a b",
+      "raw url survives inside the JSON block")
+    assert(back(0).getInt(4) == 200 && back(1).isNullAt(4))
+    assert(back(1).isNullAt(3), "null mime must survive the round trip")
+    // a malformed line degrades to null fields, never kills the scan
+    val bad = graft.formats.Warc.cdxjParse(
+      Seq("not a cdxj line").toDF("value")).collect()
+    assert(bad.length == 1 && bad(0).isNullAt(2), bad.mkString)
+  }
+
   test("warc: multi-member gzip file parses all records (Common Crawl layout)") {
     import java.nio.charset.StandardCharsets.UTF_8
     val f = tmp("warcgz") + "/t.warc.gz"

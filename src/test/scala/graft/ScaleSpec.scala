@@ -1500,6 +1500,21 @@ class ScaleSpec extends AnyFunSuite {
       s"deflate kernel fell out of codegen:\n$fp")
   }
 
+  test("archive write path (q279/q280/q281): narrow encode, one union+agg, one join — no window") {
+    // q279 CDXJ encode/parse is per-row work either side of the
+    // range-partitioned sort; q280 compaction is distinct-union + ONE
+    // capture-keyed hash-agg; q281 revisit detection is one standing
+    // per-key max agg + one urlkey equi-join. None may grow a window,
+    // cartesian, or data-sized nested loop.
+    for (q <- Seq("q279_cdxj_roundtrip", "q280_cdx_compact",
+        "q281_revisit_detect")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("windowspecdefinition"), s"$q grew a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)
