@@ -79,6 +79,36 @@ object Similarity {
       Seq(col("sim").desc, col(idCol).asc), k)
   }
 
+  /** SEMANTIC benchmark decontamination (the embedding-space sibling
+    * of the q77 n-gram gate — the modern pipeline step: a training
+    * doc that paraphrases an eval item shares no shingles but sits
+    * next to it in embedding space): every train vector scores its
+    * MAX cosine against the full eval set and is flagged when it
+    * crosses `threshold`. Same scale shape as [[bruteForceTopK]]:
+    * eval is benchmark-sized so it broadcasts, ONE train-corpus scan,
+    * the codegen cosine in the projection, then ONE train-id-keyed
+    * max agg — no window, nothing train×train. max over doubles is
+    * exact selection (order-free), so the flag replays bit-for-bit.
+    * For corpora where even one scan per eval release is too much,
+    * feed ANN candidates ([[annTopK]]) through the same max/flag
+    * tail. Output: (idCol, labelCol, max_eval_sim (4 dp), contaminated).
+    */
+  def embeddingDecontaminate(train: DataFrame, eval: DataFrame,
+                             idCol: String, embCol: String,
+                             labelCol: String,
+                             threshold: Double): DataFrame = {
+    val ev = eval.select(col(embCol).as("__ee"))
+    train.select(col(idCol), col(labelCol), col(embCol))
+      .crossJoin(broadcast(ev))
+      .select(col(idCol), col(labelCol),
+        cosine(col(embCol), col("__ee")).as("__s"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(max(col("__s")).as("__m"))
+      .select(col(idCol), col(labelCol),
+        round(col("__m"), 4).as("max_eval_sim"),
+        (col("__m") >= lit(threshold)).as("contaminated"))
+  }
+
   /** k-NN majority-vote classification of held-out vectors against a
     * labeled corpus: neighbors from [[bruteForceTopK]] (broadcast
     * queries, ONE corpus scan, codegen cosine), then one tiny hash-agg

@@ -3385,6 +3385,27 @@ object Pipeline {
           m.args.getOrElse("kcodes", "16").toInt), RowType)
       }),
 
+    // Semantic benchmark decontamination (q282): flag train vectors
+    // whose max cosine against the broadcast eval stream crosses
+    // tau — the embedding-space sibling of `decontaminate`.
+    Registered("embdecontam", RowType, RowType,
+      "in=STREAM:eval=STREAM:key=COL:emb=COL:label=COL:tau=0.95:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val ename = m.args.getOrElse("eval",
+          throw new BuildError("embdecontam: eval= required"))
+        val (ev, et) = ctx.streams.getOrElse(ename,
+          throw new BuildError(s"embdecontam: unknown stream '$ename'"))
+        if (et != RowType)
+          throw new BuildError(s"embdecontam: '$ename' is not a row stream")
+        ctx.readers(ename) += 1
+        ctx.writeStream(m, graft.operators.Similarity.embeddingDecontaminate(
+          df, ev, reqArg(m, "embdecontam", "key"),
+          reqArg(m, "embdecontam", "emb"),
+          reqArg(m, "embdecontam", "label"),
+          m.args.getOrElse("tau", "0.95").toDouble), RowType)
+      }),
+
     Registered("semdedup", RowType, RowType,
       "in=STREAM:key=COL:emb=COL:k=8:tau=0.95:out=STREAM",
       (ctx, m) => {

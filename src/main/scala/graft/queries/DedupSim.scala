@@ -486,6 +486,24 @@ object DedupSim {
         .orderBy($"idA", $"idB")
     }),
 
+    // SEMANTIC benchmark decontamination (the embedding-space sibling
+    // of q77's n-gram gate): train vectors (vec_id % 25 != 0) flag
+    // when their MAX cosine against the broadcast eval set
+    // (vec_id % 25 == 0) crosses the threshold. The synthetic corpus
+    // is near-orthogonal (max cross-set cosine ≈ 0.46), so the 0.35
+    // fixture threshold sits inside the actual mass — real pipelines
+    // run 0.9+ on meaningful embeddings; the MACHINERY (broadcast
+    // eval, one corpus scan, codegen cosine, exact max, order-free
+    // flag) is what this row pins.
+    "q282_embed_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDecontaminate(
+          emb.filter($"vec_id" % 25 =!= 0), emb.filter($"vec_id" % 25 === 0),
+          "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy($"vec_id")
+    }),
+
     // Brute-force cosine top-5 for 10 query vectors: broadcast queries,
     // ONE corpus scan, per-query window top-k. Oracle-checked.
     "q53_cosine_topk" -> ((s, dir) => {
@@ -1175,6 +1193,20 @@ object DedupSim {
          |         + CAST(coalesce(n_actual, 0) AS DOUBLE)), 6) END AS f1
          |FROM bya FULL OUTER JOIN byp USING (label)
          |ORDER BY label""".stripMargin,
+
+    // q282 oracle: the same cross-set max — max over doubles is exact
+    // selection, round is output-only, the flag compares the RAW max.
+    "q282_embed_decontam" ->
+      s"""SELECT vec_id, label, round(m, 4) AS max_eval_sim,
+         |  m >= 0.35 AS contaminated
+         |FROM (
+         |  SELECT c.vec_id, c.label, max($cosSql) AS m
+         |  FROM (SELECT vec_id, label, embedding AS ea FROM embeddings
+         |        WHERE vec_id % 25 != 0) c,
+         |       (SELECT embedding AS eb FROM embeddings
+         |        WHERE vec_id % 25 = 0) q
+         |  GROUP BY c.vec_id, c.label)
+         |ORDER BY vec_id""".stripMargin,
 
     "q53_cosine_topk" ->
       s"""SELECT query_id, vec_id, round(sim, 4) AS sim, rk FROM (

@@ -770,7 +770,7 @@ class PipelineSpec extends AnyFunSuite {
       "htmlextract", "kripp",
       "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures",
       "changerate", "seenfilter", "sitemapentries",
-      "cdxjwrite", "cdxjread", "revisitdetect")
+      "cdxjwrite", "cdxjread", "revisitdetect", "embdecontam")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 

@@ -1515,6 +1515,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontamination (q282): eval broadcasts into ONE corpus scan + max agg, no window") {
+    // the eval side is benchmark-sized and must broadcast (a shuffled
+    // train×eval join at 100 TB would move the corpus); the flag is
+    // one train-keyed hash-agg — no window, no sort-merge, no
+    // train×train stage anywhere.
+    val plan = executed(SparkEntry.queries("q282_embed_decontam")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"eval side stopped broadcasting:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"max agg lost:\n$plan")
+  }
+
   test("robots sitemaps: narrow line split, zero pre-agg windows") {
     val plan = executed(SparkEntry.queries("q262_robots_sitemaps")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), plan)

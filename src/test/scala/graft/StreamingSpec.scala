@@ -605,6 +605,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming revisit detection: verdicts against the cdx snapshot equal batch at every cut") {
+    // the archive write path live: as the standing index accumulates
+    // (cdxStream deltas), a fixed fresh-crawl batch classifies
+    // against the SNAPSHOT — verdicts must equal the batch
+    // revisitDetect over everything indexed so far, and a URL flips
+    // new → unchanged once its first capture lands in the index.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def rec(no: Long, u: String, ts: String, body: String) =
+      ("f.warc.gz", no, "response", u, ts, Some(200), "text/plain",
+        body.getBytes("UTF-8"), Option.empty[String])
+    val b1 = Seq(rec(1, "https://a.example/p", "2026-01-01T00:00:00Z", "v1"))
+    val b2 = Seq(rec(2, "https://b.example/p", "2026-01-15T00:00:00Z", "same"))
+    val freshRows = Seq(
+      rec(3, "https://a.example/p", "2026-02-01T00:00:00Z", "v2"),   // changed
+      rec(4, "https://b.example/p", "2026-02-01T00:00:00Z", "same"), // unchanged once indexed
+      rec(5, "https://c.example/p", "2026-02-01T00:00:00Z", "first")) // never indexed
+    def cdxOf(rows: Seq[(String, Long, String, String, String,
+        Option[Int], String, Array[Byte], Option[String])]) =
+      graft.formats.Warc.cdxIndex(rows.toDF("path", "rec_no", "warc_type",
+        "url", "ts", "status", "mime", "payload", "http_head"))
+    val fresh = cdxOf(freshRows)
+    val ms = MemoryStream[(String, Long, String, String, String,
+      Option[Int], String, Array[Byte], Option[String])]
+    val (q, current) = EventStreams.cdxStream(ms.toDF().toDF("path",
+      "rec_no", "warc_type", "url", "ts", "status", "mime", "payload",
+      "http_head"))
+    try {
+      var all = Seq.empty[(String, Long, String, String, String,
+        Option[Int], String, Array[Byte], Option[String])]
+      for (b <- Seq(b1, b2)) {
+        all = all ++ b
+        ms.addData(b); q.processAllAvailable()
+        val want = graft.operators.Curation.revisitDetect(fresh, cdxOf(all))
+          .orderBy($"urlkey").collect().toSeq
+        val got = graft.operators.Curation.revisitDetect(fresh, current())
+          .orderBy($"urlkey").collect().toSeq
+        assert(got == want, s"cut ${all.size} diverged")
+      }
+      val verdicts = graft.operators.Curation.revisitDetect(fresh, current())
+        .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(verdicts == Map("example,a)/p" -> "changed",
+        "example,b)/p" -> "unchanged", "example,c)/p" -> "new"),
+        verdicts.toString)
+    } finally q.stop()
+  }
+
   test("streaming crawl-delay view is bit-equal to batch at every cut, re-fetches take the min") {
     // q264's streaming twin: robots bodies arrive as re-fetched; the
     // per-host MIN merge must equal the batch operator over every
