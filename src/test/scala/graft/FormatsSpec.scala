@@ -289,6 +289,66 @@ class FormatsSpec extends AnyFunSuite {
     assert(keys(4) == "com:8080,example)/p", keys(4))
   }
 
+  test("warc: detect -> frame -> ingest closes the revisit loop") {
+    // the full producer→consumer circle: yesterday's index classifies
+    // today's fetches (revisitDetect), the container is FRAMED from
+    // the verdicts — unchanged pages ship as payload-less `revisit`
+    // records, changed/new ship full responses — and the q267-style
+    // consumer reads it back with the dedup signal intact.
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = tmp("revloop")
+    def resp(no: Long, u: String, ts: String, body: String) =
+      ("f", no, "response", u, ts, Some(200), "text/plain",
+        body.getBytes(UTF_8), None: Option[String],
+        None: Option[String], None: Option[String])
+    def cdxOf(rows: Seq[(String, Long, String, String, String,
+        Option[Int], String, Array[Byte], Option[String],
+        Option[String], Option[String])]) =
+      graft.formats.Warc.cdxIndex(rows.toDF("path", "rec_no",
+        "warc_type", "url", "ts", "status", "mime", "payload",
+        "http_head", "record_id", "concurrent_to"))
+    val standing = Seq(
+      resp(1, "https://a.example/p", "2026-01-01T00:00:00Z", "stable"),
+      resp(2, "https://b.example/p", "2026-01-01T00:00:00Z", "v1"))
+    val freshBodies = Map("https://a.example/p" -> "stable",
+      "https://b.example/p" -> "v2", "https://c.example/p" -> "first")
+    val fresh = freshBodies.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((u, b), i) => resp(i + 1, u, "2026-02-01T00:00:00Z", b) }
+    val verdicts = graft.operators.Curation.revisitDetect(
+        cdxOf(fresh), cdxOf(standing))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // frame TODAY'S container from the verdicts (driver-side writer,
+    // the fixture posture): url back out of the verdict key
+    def urlOf(k: String) = {
+      val host = k.split("\\)")(0).split(",").reverse.mkString(".")
+      s"https://$host${k.split("\\)")(1)}"
+    }
+    graft.formats.Warc.write(s"$d/today.warc.gz",
+      verdicts.toSeq.sortBy(_._1).map { case (k, v) =>
+        val u = urlOf(k)
+        if (v == "unchanged")
+          ("revisit", u, "2026-02-01T00:00:00Z", Array.empty[Byte],
+            null: java.lang.Integer, null: String)
+        else ("response", u, "2026-02-01T00:00:00Z",
+          freshBodies(u).getBytes(UTF_8),
+          Int.box(200): java.lang.Integer, "text/plain")
+      })
+    val recs = graft.formats.Warc.read(spark, s"$d/*.warc.gz")
+    val revisits = recs.filter(col("warc_type") === "revisit")
+      .select(col("url"), org.apache.spark.sql.functions
+        .length(col("payload")).as("n")).collect()
+    assert(revisits.map(_.getString(0)).toSeq ==
+      Seq("https://a.example/p"), revisits.mkString(","))
+    assert(revisits.head.getInt(1) == 0, "revisit must ship NO payload")
+    val got = recs.filter(col("warc_type") === "response")
+      .selectExpr("url", "cast(payload as string)").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("https://b.example/p" -> "v2",
+      "https://c.example/p" -> "first"), got.toString)
+  }
+
   test("cdxj: line format, hostile-content round trip, malformed-line tolerance") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
