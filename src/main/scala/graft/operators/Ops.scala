@@ -779,6 +779,12 @@ object Ops {
     * leak a seen URL, and the anti join removes the false positives.
     * Null fact keys match nothing in an anti join, so they ride the
     * sure-new arm (probe is null → coalesce(false)).
+    *
+    * Cost note: the fact side is READ TWICE (two narrow filtered
+    * scans — the two arms of the union). At crawl scale two
+    * column-pruned scans of the frontier beat shuffling all of it
+    * through a plain anti join; when the fact is an expensive derived
+    * plan rather than a scan, persist it upstream first.
     */
   def bloomAntiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,

@@ -412,6 +412,53 @@ class PipelineSpec extends AnyFunSuite {
       "example|b)/p" -> "changed", "example|c)/p" -> "new"), rows.toString)
   }
 
+  test("compaction chain: two index segments union+dedup into one sorted artifact") {
+    // the q280 LSM step end-to-end in the DSL: overlapping segments'
+    // indexes union, the re-shipped captures collapse on the capture
+    // identity, and the merged index REPUBLISHES through sortwrite —
+    // disjoint per-file key ranges again, so lookups stay O(one file)
+    // after every compaction generation.
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions.{col, min, max}
+    val d = tmp("compact")
+    def seg(name: String, urls: Seq[(String, String, String)]): Unit =
+      graft.formats.Warc.write(s"$d/$name.warc.gz", urls.map {
+        case (u, ts, body) => ("response", u, ts, body.getBytes(UTF_8),
+          Int.box(200): java.lang.Integer, "text/plain")
+      })
+    // month-2 capture of a.example ships in BOTH segments
+    seg("seg1", Seq(
+      ("https://a.example/p", "2026-01-01T00:00:00Z", "v1"),
+      ("https://a.example/p", "2026-02-01T00:00:00Z", "v2"),
+      ("https://b.example/p", "2026-01-01T00:00:00Z", "b1")))
+    seg("seg2", Seq(
+      ("https://a.example/p", "2026-02-01T00:00:00Z", "v2"),
+      ("https://a.example/p", "2026-03-01T00:00:00Z", "v3"),
+      ("https://c.example/p", "2026-03-01T00:00:00Z", "c1")))
+    Pipeline.run(spark, Seq(
+      s"warcread:in=$d/seg1.warc.gz:out=r1", "cdxindex:in=r1:out=c1",
+      s"warcread:in=$d/seg2.warc.gz:out=r2", "cdxindex:in=r2:out=c2",
+      "select:in=c1:out=p1:exprs=urlkey;ts14;url;mime;status;digest",
+      "select:in=c2:out=p2:exprs=urlkey;ts14;url;mime;status;digest",
+      "union:in=p1:with=p2:out=u",
+      "dedup:in=u:key=urlkey,ts14,digest:out=m",
+      s"sortwrite:in=m:by=urlkey,ts14:files=2:out=$d/merged"))
+    val merged = spark.read.parquet(s"$d/merged")
+    assert(merged.count() == 5, "3 + 3 segments - 1 overlap = 5 captures")
+    assert(merged.filter(col("urlkey") === "example,a)/p").count() == 3)
+    // the republished artifact keeps disjoint per-file key ranges
+    val spans = new java.io.File(s"$d/merged").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("urlkey")), max(col("urlkey")),
+            min(col("ts14")), max(col("ts14"))).head
+        ((r.getString(0), r.getString(2)), (r.getString(1), r.getString(3)))
+      }.sortBy(_._1)
+    for (Array((_, hi), (lo2, _)) <- spans.sliding(2).filter(_.length == 2))
+      assert(hi._1 <= lo2._1, s"file ranges overlap: ${spans.toSeq}")
+  }
+
   test("sitemap freshness chain: sitemapentries seed-priority feeds crawlschedule") {
     // VERDICT r18 missing #3's composition: before any capture
     // history exists, the schedule seeds from DECLARED freshness —
