@@ -1504,7 +1504,10 @@ object Curation {
     * sequence is collect_list-bounded by captures-per-URL (a crawl
     * cadence constant — daily snapshots over months, never
     * corpus-sized), sorted and diffed with codegen'd array lambdas —
-    * no window, no self-join, no second pass over the index.
+    * no window, no self-join, no second pass over the index. The sort
+    * is (ts14, digest) — same-second duplicate captures (overlapping
+    * segments) order deterministically, and the oracle's lag window
+    * mirrors the full key.
     */
   def changeRate(cdx: DataFrame): DataFrame =
     cdx.groupBy(col("urlkey"))

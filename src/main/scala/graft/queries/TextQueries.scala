@@ -2220,8 +2220,8 @@ object TextQueries {
     // intervals = n_captures − 1, rate_e6 = changes·10⁶ // intervals.
     "q275_change_rate" -> (s"WITH $cdxMultiPreludeSql,\n" +
       """lagd AS (SELECT urlkey, digest,
-        |    lag(digest) OVER (PARTITION BY urlkey ORDER BY ts14)
-        |      AS prev
+        |    lag(digest) OVER (PARTITION BY urlkey
+        |      ORDER BY ts14, digest) AS prev
         |  FROM cdx),
         |ch AS (SELECT urlkey,
         |    CAST(count(*) AS BIGINT) AS n_captures,
