@@ -243,6 +243,141 @@ object Warc {
     }
   }
 
+  /** Split a (possibly multi-member) gzip stream into its members with
+    * EXACT compressed extents: (offset, length, decompressed bytes),
+    * offset/length in COMPRESSED bytes from the stream start — the
+    * replay locator a CDX index publishes so a consumer can
+    * range-request one record's member without touching the rest of
+    * the container (the reason Common Crawl ships one member per
+    * record at all). `GZIPInputStream` reads concatenated members
+    * transparently but buffers ahead, losing the boundaries; this is
+    * the member-aware twin: manual RFC 1952 header/trailer framing
+    * around a raw `Inflater`, whose `getRemaining` gives back the
+    * exact unconsumed tail of the last fed chunk. CRC32 and ISIZE are
+    * verified per member — a silently corrupt member is corpus loss
+    * nobody notices (the [[records]] loud-failure posture).
+    *
+    * The iterator closes `raw` at EOF and on failure; member payloads
+    * are record-sized (one record per member in the crawl layout),
+    * never file-sized.
+    */
+  def gzipMembers(raw: InputStream): Iterator[(Long, Long, Array[Byte])] = {
+    val chunk = 1 << 16
+    val in = new java.io.PushbackInputStream(
+      new BufferedInputStream(raw, chunk), chunk)
+    new Iterator[(Long, Long, Array[Byte])] {
+      private var pos = 0L
+      private var memberNo = 0L
+      private var nextM: (Long, Long, Array[Byte]) = null
+      private var done = false
+
+      private def finish(): Unit = {
+        done = true
+        try in.close() catch { case _: java.io.IOException => }
+      }
+
+      private def readN(n: Int, what: String): Array[Byte] = {
+        val out = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(out, off, n - off)
+          if (r < 0) throw new EOFException(
+            s"gzip: EOF inside $what (member ${memberNo + 1}, " +
+              s"byte $pos)")
+          off += r
+        }
+        pos += n
+        out
+      }
+
+      private def skipZeroTerminated(what: String): Unit = {
+        var b = in.read()
+        while (b > 0) { pos += 1; b = in.read() }
+        if (b < 0) throw new EOFException(
+          s"gzip: EOF inside $what (member ${memberNo + 1})")
+        pos += 1 // the terminating NUL
+      }
+
+      private def advance(): Unit = {
+        if (done) return
+        try advanceOrThrow()
+        catch { case e: Throwable => finish(); throw e }
+      }
+
+      private def advanceOrThrow(): Unit = {
+        val b0 = in.read()
+        if (b0 < 0) { finish(); return }
+        in.unread(b0)
+        val start = pos
+        val hdr = readN(10, "member header")
+        if ((hdr(0) & 0xFF) != 0x1F || (hdr(1) & 0xFF) != 0x8B)
+          throw new IllegalArgumentException(
+            f"gzip: bad magic 0x${hdr(0) & 0xFF}%02x${hdr(1) & 0xFF}%02x " +
+              s"at byte $start (member ${memberNo + 1})")
+        if (hdr(2) != 8) throw new IllegalArgumentException(
+          s"gzip: unsupported compression method ${hdr(2)} " +
+            s"(member ${memberNo + 1})")
+        val flg = hdr(3) & 0xFF
+        if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + data
+          val xl = readN(2, "FEXTRA length")
+          val n = (xl(0) & 0xFF) | ((xl(1) & 0xFF) << 8)
+          readN(n, "FEXTRA data")
+        }
+        if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+        if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+        if ((flg & 2) != 0) readN(2, "FHCRC")
+
+        val inf = new java.util.zip.Inflater(true)
+        val crc = new java.util.zip.CRC32
+        val out = new ByteArrayOutputStream(chunk)
+        val ibuf = new Array[Byte](chunk)
+        val obuf = new Array[Byte](chunk)
+        var lastLen = 0
+        try {
+          while (!inf.finished()) {
+            if (inf.needsInput()) {
+              val n = in.read(ibuf)
+              if (n < 0) throw new EOFException(
+                s"gzip: truncated deflate stream (member ${memberNo + 1}" +
+                  s", byte $pos)")
+              pos += n; lastLen = n
+              inf.setInput(ibuf, 0, n)
+            }
+            val m = inf.inflate(obuf)
+            if (m > 0) { out.write(obuf, 0, m); crc.update(obuf, 0, m) }
+          }
+          // bytes of the last chunk the deflate stream did NOT consume
+          // belong to the trailer / the next member — push them back
+          val rem = inf.getRemaining
+          if (rem > 0) { in.unread(ibuf, lastLen - rem, rem); pos -= rem }
+        } finally inf.end()
+
+        val tr = readN(8, "member trailer")
+        def le32(o: Int): Long =
+          (tr(o) & 0xFFL) | ((tr(o + 1) & 0xFFL) << 8) |
+            ((tr(o + 2) & 0xFFL) << 16) | ((tr(o + 3) & 0xFFL) << 24)
+        if (le32(0) != crc.getValue) throw new java.util.zip.ZipException(
+          f"gzip: CRC32 mismatch (member ${memberNo + 1}: stored " +
+            f"0x${le32(0)}%08x, computed 0x${crc.getValue}%08x)")
+        if (le32(4) != (out.size.toLong & 0xFFFFFFFFL))
+          throw new java.util.zip.ZipException(
+            s"gzip: ISIZE mismatch (member ${memberNo + 1}: stored " +
+              s"${le32(4)}, decompressed ${out.size})")
+        memberNo += 1
+        nextM = (start, pos - start, out.toByteArray)
+      }
+
+      override def hasNext: Boolean = {
+        if (nextM == null && !done) advance()
+        nextM != null
+      }
+      override def next(): (Long, Long, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException("gzip: past EOF")
+        val m = nextM; nextM = null; m
+      }
+    }
+  }
+
   /** Distributed WARC scan: one task per file (gzip members are not
     * splittable — see the object scaladoc for why that is the right
     * unit at crawl scale), each task a single streaming pass. Columns:
@@ -276,6 +411,81 @@ object Warc {
       }
       .toDF("path", "rec_no", "warc_type", "url", "ts", "status", "mime",
         "payload", "http_head", "record_id", "concurrent_to")
+  }
+
+  /** [[read]] plus REPLAY LOCATORS: two extra columns
+    * (member_offset, member_length) giving each record's gzip
+    * member's exact compressed extent in its container — what a CDX
+    * index publishes so a consumer can range-request ONE record
+    * (HTTP `Range: bytes=offset-(offset+length-1)` against the
+    * container on any blob store) instead of scanning the file
+    * ([[fetchMember]] is the local twin of that GET). Same task-per-
+    * file narrow scan as [[read]]; per-member inflation via
+    * [[gzipMembers]] keeps memory record-sized. `rec_no` stays the
+    * GLOBAL per-file ordinal (members almost always hold one record
+    * each — the crawl layout — but multi-record members are legal and
+    * then share one extent). Plain uncompressed `.warc` files have no
+    * member structure: their locator columns are null, documented —
+    * the locator contract is the gzip-member replay unit.
+    */
+  def readMembers(spark: SparkSession, path: String,
+                  minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (file, pds) =>
+        val in = pds.open()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => }
+          })
+        val buffered = new BufferedInputStream(in, 1 << 16)
+        buffered.mark(2)
+        val b0 = buffered.read(); val b1 = buffered.read()
+        buffered.reset()
+        def rowOf(r: Record, base: Long, off: Option[Long],
+                  len: Option[Long]) =
+          (file, base + r.recNo, r.warcType, r.url, r.ts,
+            Option(r.status).map(_.intValue), r.mime, r.body,
+            Option(r.head), Option(r.recordId), Option(r.concurrentTo),
+            off, len)
+        if (b0 == 0x1F && b1 == 0x8B) {
+          var base = 0L
+          gzipMembers(buffered).flatMap { case (off, len, bytes) =>
+            val rs = records(
+              new java.io.ByteArrayInputStream(bytes)).toVector
+            val b = base
+            base += rs.size
+            rs.iterator.map(rowOf(_, b, Some(off), Some(len)))
+          }
+        } else records(buffered).map(rowOf(_, 0L, None, None))
+      }
+      .toDF("path", "rec_no", "warc_type", "url", "ts", "status", "mime",
+        "payload", "http_head", "record_id", "concurrent_to",
+        "member_offset", "member_length")
+  }
+
+  /** Random-access replay: read ONE gzip member's records by its CDX
+    * locator — seek + exactly `length` bytes + member parse, never a
+    * container scan (the reason the index exists; on a blob store the
+    * identical bytes come from a ranged GET). Local-filesystem driver-
+    * side utility by design — the distributed half is [[readMembers]],
+    * which PRODUCES the locators. Returns the member's records
+    * materialized (member payloads are record-sized).
+    */
+  def fetchMember(path: String, offset: Long, length: Long): Seq[Record] = {
+    require(length > 0 && length <= Int.MaxValue,
+      s"warc: bad member length $length")
+    // binaryFiles surfaces local paths as file:/… URIs — accept both
+    val p = if (path.startsWith("file:")) path.stripPrefix("file:") else path
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      val b = new Array[Byte](length.toInt)
+      raf.seek(offset)
+      raf.readFully(b)
+      records(new java.io.ByteArrayInputStream(b)).toVector
+    } finally raf.close()
   }
 
   /** Capture pairing (q270): join each `response` record with the
@@ -360,11 +570,13 @@ object Warc {
     * wrong #3: `www.example.com` and `example.com` must index as ONE
     * urlkey), dot-parts REVERSED comma-joined + ')' + lowercased
     * path+query; no userinfo handling. digest is md5-hex of the
-    * payload (CDXJ ships sha1-base32), and the in-container locator
-    * is the scan's record ordinal (`rec_no`) rather than a compressed
-    * byte offset (the streaming gzip-member parser doesn't surface
-    * offsets; the ordinal addresses a record within its member
-    * sequence just as uniquely). Every column is engine-replayable —
+    * payload (CDXJ ships sha1-base32). The in-container locator is
+    * the scan's record ordinal (`rec_no`); feed a [[readMembers]]
+    * scan instead of [[read]] and the index ALSO carries the real
+    * thing — (offset, length) compressed gzip-member extents, the
+    * range-request locator (q284 pins them against writer-recorded
+    * truth; [[fetchMember]] consumes them). Every column is
+    * engine-replayable —
     * the q269 oracle recomputes the index byte-for-byte in DuckDB,
     * including the www/port collapse on its mixed-form fixture URLs.
     *
@@ -373,7 +585,16 @@ object Warc {
     * the sort is the index's own write-time contract (a range-
     * partitioned sort on urlkey, the classic sorted-index build).
     */
-  def cdxIndex(records: DataFrame): DataFrame = {
+  def cdxIndex(records: DataFrame): DataFrame = cdxIndex(records, false)
+
+  /** [[cdxIndex]] with `sha1Digest = true` ALSO emits
+    * `digest_sha1b32` — the sha1/base32 string CDXJ actually ships
+    * and wayback-family tools compare (graft.functions.Sha1B32Kernel;
+    * not oracle-replayable — DuckDB has no sha1 — so it is an opt-in
+    * SECOND column, kernel-pinned in FormatsSpec, while the md5
+    * `digest` stays the replayed default).
+    */
+  def cdxIndex(records: DataFrame, sha1Digest: Boolean): DataFrame = {
     val scheme = lower(regexp_extract(col("url"),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host0 = lower(regexp_extract(col("url"),
@@ -388,15 +609,30 @@ object Warc {
     val dig =
       if (records.columns.contains("payload")) md5(col("payload"))
       else md5(col("text"))
+    // a readMembers scan carries the gzip-member replay extents —
+    // pass them through as the index's (offset, length) locator
+    // columns (the CDX columns a range-requesting replayer consumes);
+    // a plain read scan keeps the original 8-column schema
+    val locators =
+      if (records.columns.contains("member_offset"))
+        Seq(col("member_offset").as("offset"),
+          col("member_length").as("length"))
+      else Nil
+    val sha1 =
+      if (!sha1Digest) Nil
+      else Seq(graft.functions.Sha1B32Kernel.sha1B32Col(
+        if (records.columns.contains("payload")) col("payload")
+        else encode(col("text"), "UTF-8")).as("digest_sha1b32"))
     records.filter(col("warc_type") === "response")
-      .select(
+      .select(Seq(
         concat(array_join(reverse(split(host, "\\.")), ","),
           lit(")"), lower(pathq)).as("urlkey"),
         substring(regexp_replace(col("ts"), "[^0-9]", ""), 1, 14)
           .as("ts14"),
-        col("url"), col("mime"), col("status"), dig.as("digest"),
+        col("url"), col("mime"), col("status"), dig.as("digest")) ++
+        sha1 ++ Seq(
         element_at(split(col("path"), "/"), -1).as("filename"),
-        col("rec_no"))
+        col("rec_no")) ++ locators: _*)
   }
 
   /** CDXJ text encoding of a [[cdxIndex]] relation (q279): the
@@ -564,34 +800,54 @@ object Warc {
     * fixture, with (url, ts) remaining the documented fallback for
     * containers without the header. The buffer is one group (≤ a
     * fetch's record count), never the file.
+    *
+    * Returns each record's (rec_no, offset, length) extent in the
+    * written file — for `.gz`, its gzip member's compressed extent:
+    * the WRITER-side truth (a byte counter on the file stream) that
+    * q284 pins the READER's independent inflater accounting
+    * ([[gzipMembers]] → [[readMembers]]) against.
     */
   def write(path: String,
             recs: IterableOnce[(String, String, String, Array[Byte],
-              java.lang.Integer, String)]): Unit = {
+              java.lang.Integer, String)]): Seq[(Long, Long, Long)] = {
     val fos = new java.io.FileOutputStream(path)
+    // every byte reaches the file through this counter — `written` IS
+    // the current file offset (the writer half of the q284 locator
+    // cross-check)
+    var written = 0L
+    val counting = new java.io.FilterOutputStream(fos) {
+      override def write(b: Int): Unit = { fos.write(b); written += 1 }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        fos.write(b, off, len); written += len
+      }
+    }
     // close() must run per member — finish() alone never releases the
     // native zlib Deflater (~hundreds of KB each), so an N-record
     // export would pin N deflaters until finalization. The shield
     // keeps the member's close() from closing the shared file stream.
-    val shield = new java.io.FilterOutputStream(fos) {
+    val shield = new java.io.FilterOutputStream(counting) {
       override def close(): Unit = flush()
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        fos.write(b, off, len)
+        counting.write(b, off, len)
     }
     val gz = path.endsWith(".gz")
+    val extents = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
     try {
       val it = recs.iterator.buffered
       var recNo = 0L
       def writeOne(t: (String, String, String, Array[Byte],
           java.lang.Integer, String), n: Long, cto: String): Unit = {
         val (warcType, url, ts, body, status, mime) = t
+        val start = written
         if (gz) {
           val g = new GZIPOutputStream(shield, 1 << 16, true)
           writeRecord(g, warcType, url, ts, body, status, mime,
             recNo = n, concurrentTo = cto)
           g.close() // ends the MEMBER + frees its deflater
-        } else writeRecord(fos, warcType, url, ts, body, status, mime,
+        } else writeRecord(counting, warcType, url, ts, body, status, mime,
           recNo = n, concurrentTo = cto)
+        extents += ((n, start, written - start))
       }
       while (it.hasNext) {
         val first = it.next()
@@ -623,5 +879,6 @@ object Warc {
         }
       }
     } finally fos.close()
+    extents.toSeq
   }
 }

@@ -2198,4 +2198,64 @@ object Ops {
       }
     } finally sym.unpersist(blocking = false)
   }
+
+  /** Atomic first-fit bin packing — the PAD-regime training-batch
+    * assembly step of an LLM data pipeline: whole documents into
+    * fixed token-budget contexts, docs never split, bins never
+    * overflow (contrast [[graft.operators.Curation.packSequences]],
+    * the CONCAT regime, where the running token offset alone decides
+    * the bin and a doc may straddle two). Both regimes are used in
+    * practice; this one feeds example-packed SFT/eval batches.
+    * Fully deterministic and engine-replayable, so an oracle
+    * recomputes the identical assignment: docs shard by the md5
+    * bucket of their id (the [[hashSplit]] hash family), pack in
+    * ascending-id order within each shard, and a doc whose tokens
+    * would overflow the open bin closes it and opens the next
+    * (first-fit-in-order). A doc larger than the whole budget sits
+    * ALONE in its own bin — visible as n_tokens > budget, never
+    * silently truncated (chunking is a different operator's job).
+    *
+    * Scale: ONE hash shuffle on the shard key, an in-partition sort,
+    * then a single O(rows) sequential pass per partition
+    * (mapPartitions — the genuine imperative case: a greedy running
+    * fill is order-dependent by definition; the window/agg encodings
+    * are O(shard²)). `shards` is both the parallelism and part of the
+    * assignment's identity: at 100 TB raise it so each shard stays
+    * executor-sized, and the result stays reproducible because
+    * membership and order depend only on (id, shards) — never on
+    * input partitioning (OpsSpec pins that invariance).
+    *
+    * Output: (idCol, n_tokens, shard, bin); a context is globally
+    * (shard, bin). Ids must be non-null integral (checked loudly).
+    */
+  def binPack(df: DataFrame, idCol: String, tokCol: String,
+              budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"binPack: budget must be > 0, got $budget")
+    require(shards > 0, s"binPack: shards must be > 0, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+        col(idCol).cast("long").as("__id"),
+        col(tokCol).cast("long").as("__tok"),
+        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % shards).as("__shard"))
+      .filter(assert_true(col("__id").isNotNull && col("__tok").isNotNull,
+        lit("binPack: id and token count must be non-null integral"))
+        .isNull)
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__id"))
+    prepared.as[(Long, Long, Long)].mapPartitions { it =>
+      // a partition holds whole shards (hash-partitioned on __shard),
+      // sorted (__shard, __id): reset the running bin at shard edges
+      var shard = -1L
+      var bin = 0L
+      var fill = 0L
+      it.map { case (id, tok, sh) =>
+        if (sh != shard) { shard = sh; bin = 0L; fill = 0L }
+        if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0L }
+        fill += tok
+        (id, tok, sh, bin)
+      }
+    }.toDF(idCol, "n_tokens", "shard", "bin")
+  }
 }

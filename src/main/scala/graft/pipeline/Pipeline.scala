@@ -1441,6 +1441,30 @@ object Pipeline {
           graft.operators.Ops.bloomAntiJoin(df, key, sd, on), RowType)
       }),
 
+    // Atomic first-fit bin packing (q285, Ops.binPack): docs into
+    // fixed token-budget training contexts — md5-sharded, first-fit
+    // in ascending-id order, docs never split, bins never overflow
+    // (vs `seqpack`, the cumulative-offset regime where a doc may
+    // straddle two bins). Deterministic under any input partitioning.
+    // Output adds (shard, bin); a context is (shard, bin).
+    Registered("binpack", RowType, RowType,
+      "in=STREAM:id=COL:tokens=COL:budget=N[:shards=8]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"binpack: $k= required"))
+        val (id, toks) = (req("id"), req("tokens"))
+        for (c <- Seq(id, toks))
+          if (!df.columns.contains(c))
+            throw new BuildError(s"binpack: no column '$c'")
+        val budget = req("budget").toLong
+        if (budget <= 0) throw new BuildError("binpack: budget= must be >= 1")
+        val shards = m.args.getOrElse("shards", "8").toInt
+        if (shards <= 0) throw new BuildError("binpack: shards= must be >= 1")
+        ctx.writeStream(m,
+          graft.operators.Ops.binPack(df, id, toks, budget, shards), RowType)
+      }),
+
     // Per-URL change-rate estimate from a capture index (q275): the
     // recrawl-priority signal — digest changes over observation
     // intervals, exact integers (rate_e6 composes into
@@ -2258,13 +2282,20 @@ object Pipeline {
     // streaming pass per task, multi-member gzip sniffed per file
     // (formats/Warc.scala). type= filters WARC-Type (default response —
     // the page payloads; type=all keeps warcinfo/request/metadata too);
-    // :binary keeps the raw payload bytes instead of the UTF-8 text.
+    // :binary keeps the raw payload bytes instead of the UTF-8 text;
+    // :locators adds each record's gzip-member compressed extent
+    // (member_offset, member_length — the range-request replay
+    // locator a downstream cdxindex publishes as (offset, length)).
     Registered("warcread", NoneType, RowType,
-      "in=FILE_OR_GLOB:out=STREAM[:type=response|all][:binary]", (ctx, m) => {
+      "in=FILE_OR_GLOB:out=STREAM[:type=response|all][:binary][:locators]",
+      (ctx, m) => {
         val path = m.args.getOrElse("in",
           throw new BuildError("warcread: in= required"))
         val typ = m.args.getOrElse("type", "response")
-        val all = graft.formats.Warc.read(ctx.spark, path)
+        val all =
+          if (m.args.contains("locators"))
+            graft.formats.Warc.readMembers(ctx.spark, path)
+          else graft.formats.Warc.read(ctx.spark, path)
         val filtered =
           if (typ == "all") all else all.filter(col("warc_type") === typ)
         val out =
@@ -2280,14 +2311,18 @@ object Pipeline {
     // its containers (Warc.cdxIndex; works on both the text and
     // :binary warcread shapes).
     Registered("cdxindex", RowType, RowType,
-      "in=STREAM:out=STREAM",
+      "in=STREAM:out=STREAM[:sha1]",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
         for (c <- Seq("warc_type", "url", "ts", "path", "rec_no"))
           if (!df.columns.contains(c))
             throw new BuildError(s"cdxindex: input lacks column '$c' " +
               "(expects a warcread stream)")
-        ctx.writeStream(m, graft.formats.Warc.cdxIndex(df), RowType)
+        // :sha1 adds digest_sha1b32 — the CDXJ wire digest standard
+        // archive tools compare (kernel-pinned; md5 stays the
+        // oracle-replayed default)
+        ctx.writeStream(m, graft.formats.Warc.cdxIndex(df,
+          m.args.contains("sha1")), RowType)
       }),
 
     // Request/response capture pairing over a warcread stream (q270):

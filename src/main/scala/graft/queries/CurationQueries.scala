@@ -531,6 +531,52 @@ object CurationQueries {
         .orderBy($"shard")
     }),
 
+    // Atomic first-fit bin packing (Ops.binPack — the PAD-regime
+    // training-batch assembly, vs q80's cumulative-offset CONCAT
+    // regime): documents into 90-whitespace-token contexts,
+    // md5-sharded 8 ways, first-fit in ascending-id order. budget=90
+    // sits inside the fixture's 10-99 token range, so both regimes
+    // are exercised: multi-doc bins AND oversized docs (>90 tokens)
+    // sitting alone in their own bin. The assignment is a pure
+    // function of (doc_id, shards, budget) — the oracle recomputes it
+    // with a recursive CTE walking each shard in the same order. ONE
+    // hash shuffle + in-partition sort + one sequential pass
+    // (ScaleSpec gates the shape).
+    "q285_bin_pack" -> ((s, dir) => {
+      import s.implicits._
+      Ops.binPack(
+          t(s, dir, "documents").select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", budget = 90L, shards = 8)
+        .orderBy($"doc_id")
+    }),
+
+    // Packing-efficiency report (the manifest a q285 packing run
+    // ships with — the number a 100 TB batch-assembly job is judged
+    // on): per shard, contexts built, docs packed, token totals, and
+    // exact integer utilization (sum_tokens·10⁶ div n_bins·budget;
+    // an oversized solo doc can push a bin past budget, so padding
+    // waste clamps at 0 per bin). Composition row: binPack → one
+    // (shard, bin) hash-agg → one shard hash-agg.
+    "q286_pack_efficiency" -> ((s, dir) => {
+      import s.implicits._
+      val budget = 90L
+      Ops.binPack(
+          t(s, dir, "documents").select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", budget = budget, shards = 8)
+        .groupBy($"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("fill"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_bins"),
+          sum($"n_docs").as("n_docs"),
+          sum($"fill").as("sum_tokens"),
+          sum(greatest(lit(budget) - $"fill", lit(0L))).as("padding"))
+        .withColumn("util_e6",
+          expr(s"sum_tokens * 1000000L div (n_bins * $budget)"))
+        .orderBy($"shard")
+    }),
+
     // Release-gate manifest diff (Ops.manifestDiff over two
     // Ops.shardManifest runs): the old release misses the doc_id%97
     // residue class AND its shard-7 manifest row (a lost shard), so
@@ -1506,6 +1552,71 @@ object CurationQueries {
         |    AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Seq-pack oracle: the greedy first-fit walk replayed with a
+    // recursive CTE — each recursion step advances EVERY shard by one
+    // doc (rn + 1), carrying (bin, fill) exactly as the engine's
+    // sequential pass does; the close-the-bin condition is the same
+    // fill > 0 AND fill + tok > budget on both sides.
+    "q285_bin_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM d),
+        |rec AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+        |    CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 90
+        |      THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 90
+        |      THEN n.n_tokens ELSE r.fill + n.n_tokens END
+        |  FROM rec r JOIN o n ON n.shard = r.shard AND n.rn = r.rn + 1)
+        |SELECT doc_id, n_tokens, shard, bin
+        |FROM rec ORDER BY doc_id""".stripMargin,
+
+    // Pack-efficiency oracle: the q285 recursive walk aggregated —
+    // same (shard, bin) fills, exact integer utilization.
+    "q286_pack_efficiency" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM d),
+        |rec AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+        |    CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 90
+        |      THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 90
+        |      THEN n.n_tokens ELSE r.fill + n.n_tokens END
+        |  FROM rec r JOIN o n ON n.shard = r.shard AND n.rn = r.rn + 1),
+        |bins AS (
+        |  SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(n_tokens) AS fill
+        |  FROM rec GROUP BY shard, bin)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(greatest(90 - fill, 0)) AS BIGINT) AS padding,
+        |  CAST(sum(fill) * 1000000 // (count(*) * 90) AS BIGINT) AS util_e6
+        |FROM bins GROUP BY shard ORDER BY shard""".stripMargin,
 
     // BM25 oracle: identical tokenization, identical FIXED-ORDER
     // double arithmetic (constants written as the same runtime

@@ -732,6 +732,63 @@ object ScaleRehearsal {
       s"disjointN=${disjoint(s01)} disjoint10N=${disjoint(s10)} " +
       s"coveringN=${covering(s01)} covering10N=${covering(s10)} " +
       s"lookupRows=$hit")
+
+    // Replay-locator row (the q284 invariant at scale): the reader's
+    // per-member extents must TILE every container byte-exactly —
+    // offset 0, no gaps/overlaps, last extent ending at file size —
+    // at N and 10N files (task-per-file, so the check is per-task
+    // local and scale-free by construction; what 10× proves is that
+    // the distributed member accounting never drifts when the fleet
+    // grows). Containers written distributed, one task per file, the
+    // r18 writeWarc posture.
+    def writeFleet(n: Long, nFiles: Int, dir: String): Unit = {
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+      spark.range(n).select(col("id"),
+          format_string("doc body %d with deterministic filler", col("id"))
+            .as("body"))
+        .repartition(nFiles, col("id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val _ = graft.formats.Warc.write(f"$dir/part-$pid%05d.warc.gz",
+              it.map { r =>
+                ("response", s"https://r.example/doc/${r.getLong(0)}",
+                  "2026-05-01T00:00:00Z",
+                  r.getString(1).getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8),
+                  Int.box(200): java.lang.Integer, "text/plain")
+              })
+          }
+        }
+    }
+    def tiling(dir: String): (Long, Long, Boolean) = {
+      val scan = graft.formats.Warc.readMembers(spark, s"$dir/*.warc.gz")
+      val perFile = scan.groupBy(col("path"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("member_offset")).as("n_off"),
+          min(col("member_offset")).as("lo"),
+          max(col("member_offset") + col("member_length")).as("end"),
+          sum(col("member_length")).as("bytes"))
+        .collect()
+      val sizes = perFile.map { r =>
+        val f = new java.io.File(r.getString(0).stripPrefix("file:"))
+        val tiled = r.getLong(3) == 0L && r.getLong(4) == f.length() &&
+          r.getLong(5) == f.length() && r.getLong(1) == r.getLong(2)
+        (r.getLong(1), tiled)
+      }
+      (sizes.length.toLong, sizes.map(_._1).sum, sizes.forall(_._2))
+    }
+    writeFleet(10000L, 8, "target/warcloc_r19/n1")
+    writeFleet(100000L, 80, "target/warcloc_r19/n10")
+    val (f1, r1, t1) = timed("warc-locator-tiling-n")(
+      tiling("target/warcloc_r19/n1"))
+    val (f10, r10, t10) = timed("warc-locator-tiling-10n")(
+      tiling("target/warcloc_r19/n10"))
+    println(s"rehearsal: warc-locators files=$f1->$f10 recs=$r1->$r10 " +
+      s"exact10x=${r10 == 10 * r1} tiledN=$t1 tiled10N=$t10")
   }
 
   private def rehearseR18(spark: SparkSession, sf01: String): Unit = {
@@ -753,7 +810,8 @@ object ScaleRehearsal {
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           if (it.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            graft.formats.Warc.write(f"$dir/part-$pid%05d.warc.gz",
+            // extents discarded: this rehearsal writes, it doesn't index
+            val _ = graft.formats.Warc.write(f"$dir/part-$pid%05d.warc.gz",
               it.map { r =>
                 val id = r.getLong(0)
                 ("response",

@@ -349,6 +349,159 @@ class FormatsSpec extends AnyFunSuite {
       "https://c.example/p" -> "first"), got.toString)
   }
 
+  test("warc: gzipMembers extents match the writer's byte counter and tile the file") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = tmp("warcmembers")
+    val p = s"$d/m.warc.gz"
+    val recs = (1 to 9).map(i => ("response", s"https://m.example/$i",
+      f"2026-01-$i%02dT00:00:00Z", (("body " * i) + i).getBytes(UTF_8),
+      Int.box(200): java.lang.Integer, "text/plain"))
+    val writer = graft.formats.Warc.write(p, recs)
+    val members = graft.formats.Warc.gzipMembers(
+      new java.io.FileInputStream(p)).toVector
+    // reader extents (inflater consumption accounting) == writer
+    // extents (byte counter on the file stream): the q284 invariant
+    assert(members.map(m => (m._1, m._2)) ==
+      writer.map(e => (e._2, e._3)).toVector, members.map(m => (m._1, m._2)))
+    // members TILE the file: start 0, contiguous, end == file length
+    assert(members.head._1 == 0L)
+    members.zip(members.tail).foreach { case (a, b) =>
+      assert(a._1 + a._2 == b._1, s"gap/overlap at ${b._1}") }
+    assert(members.last._1 + members.last._2 == new java.io.File(p).length())
+    // member-by-member parse == whole-stream parse, payloads byte-equal
+    val byMember = members.flatMap(m => graft.formats.Warc.records(
+      new java.io.ByteArrayInputStream(m._3)).toVector)
+    val whole = graft.formats.Warc.records(
+      new java.io.FileInputStream(p)).toVector
+    assert(byMember.size == whole.size)
+    byMember.zip(whole).foreach { case (a, b) =>
+      assert(a.url == b.url && java.util.Arrays.equals(a.body, b.body),
+        s"${a.url} vs ${b.url}") }
+  }
+
+  test("warc: gzipMembers fails loudly on corruption and truncation") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = tmp("warccorrupt")
+    val p = s"$d/c.warc.gz"
+    graft.formats.Warc.write(p, (1 to 3).map(i => ("response",
+      s"https://c.example/$i", "2026-01-01T00:00:00Z",
+      ("abcdefgh" * 16).getBytes(UTF_8),
+      Int.box(200): java.lang.Integer, "text/plain")))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // flip a byte inside the middle member's deflate data — either the
+    // inflater or the CRC32 trailer check must refuse it, never a
+    // silently wrong payload
+    val corrupt = bytes.clone()
+    corrupt(bytes.length / 2) = (corrupt(bytes.length / 2) ^ 0x55).toByte
+    intercept[Exception] {
+      graft.formats.Warc.gzipMembers(
+        new java.io.ByteArrayInputStream(corrupt)).toVector
+    }
+    // truncation mid-member: loud EOF, not a short result
+    intercept[java.io.EOFException] {
+      graft.formats.Warc.gzipMembers(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOf(bytes, bytes.length - 20))).toVector
+    }
+  }
+
+  test("warc: readMembers locators drive fetchMember random-access replay") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions.col
+    val d = tmp("warcfetch")
+    graft.formats.Warc.write(s"$d/f.warc.gz", (1 to 6).map(i =>
+      ("response", s"https://f.example/$i", f"2026-02-$i%02dT00:00:00Z",
+        s"payload number $i".getBytes(UTF_8),
+        Int.box(200): java.lang.Integer, "text/plain")))
+    val rows = graft.formats.Warc.readMembers(spark, s"$d/*.warc.gz")
+      .select(col("path"), col("url"), col("payload"),
+        col("member_offset"), col("member_length")).collect()
+    assert(rows.length == 6 && rows.forall(!_.isNullAt(3)))
+    rows.foreach { r =>
+      val got = graft.formats.Warc.fetchMember(
+        r.getString(0), r.getLong(3), r.getLong(4))
+      assert(got.size == 1, s"member holds ${got.size} records")
+      assert(got.head.url == r.getString(1))
+      assert(java.util.Arrays.equals(got.head.body,
+        r.getAs[Array[Byte]](2)), got.head.url)
+    }
+    // a plain .warc has no member structure: locators are null,
+    // the scan itself identical
+    graft.formats.Warc.write(s"$d/plain.warc", Seq(("response",
+      "https://f.example/p", "2026-02-01T00:00:00Z",
+      "x".getBytes(UTF_8), Int.box(200): java.lang.Integer, "text/plain")))
+    val plain = graft.formats.Warc.readMembers(spark, s"$d/plain.warc")
+      .select(col("url"), col("member_offset")).collect()
+    assert(plain.length == 1 && plain.head.isNullAt(1))
+  }
+
+  test("warc: wayback loop — index lookup -> range fetch -> digest verified") {
+    // the reason the locator columns exist: answer "latest capture of
+    // u before T" from the INDEX, then range-fetch exactly that one
+    // member and verify the payload against the indexed digest — no
+    // container scan anywhere on the read path.
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions._
+    val d = tmp("warcwayback")
+    graft.formats.Warc.write(s"$d/w.warc.gz",
+      for { u <- Seq("a", "b"); m <- Seq(1, 2, 3) } yield
+        ("response", s"https://$u.example/p", f"2026-0$m%d-01T00:00:00Z",
+          s"$u month $m".getBytes(UTF_8),
+          Int.box(200): java.lang.Integer, "text/plain"))
+    val idx = graft.formats.Warc.cdxIndex(
+      graft.formats.Warc.readMembers(spark, s"$d/*.warc.gz"))
+    val latest = idx.filter(col("ts14") < "20260301000000")
+      .groupBy(col("urlkey"))
+      .agg(max(struct(col("ts14"), col("digest"), col("offset"),
+        col("length"))).as("__c"))
+      .select(col("urlkey"), col("__c.ts14").as("ts14"),
+        col("__c.digest").as("digest"), col("__c.offset").as("offset"),
+        col("__c.length").as("length"))
+      .collect()
+    assert(latest.length == 2)
+    val md5hex = (b: Array[Byte]) =>
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    latest.foreach { r =>
+      assert(r.getString(1) == "20260201000000", r.toString) // month 2
+      val rec = graft.formats.Warc.fetchMember(s"$d/w.warc.gz",
+        r.getLong(3), r.getLong(4)).head
+      assert(md5hex(rec.body) == r.getString(2),
+        s"replayed payload digest mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("warc: cdx sha1-base32 digest — RFC vectors, kernel ≡ reference, wire width") {
+    // the digest CDXJ actually ships; NOT oracle-replayable (DuckDB
+    // has no sha1), so the pin is kernel-level: hardcoded RFC 3174
+    // vectors + expression ≡ independent-reference equality over a
+    // real container scan (the deflate-kernel posture).
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Sha1B32Kernel
+    assert(Sha1B32Kernel.sha1B32Reference("abc".getBytes(UTF_8)) ==
+      "VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+    assert(Sha1B32Kernel.sha1B32Reference(Array.empty[Byte]) ==
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    val d = tmp("warcsha1")
+    graft.formats.Warc.write(s"$d/s.warc.gz", (1 to 8).map(i =>
+      ("response", s"https://s.example/$i", "2026-03-01T00:00:00Z",
+        s"payload $i é中".getBytes(UTF_8),
+        Int.box(200): java.lang.Integer, "text/plain")))
+    val idx = graft.formats.Warc.cdxIndex(
+        graft.formats.Warc.read(spark, s"$d/*.warc.gz"), sha1Digest = true)
+      .select(col("url"), col("digest"), col("digest_sha1b32")).collect()
+    assert(idx.length == 8)
+    idx.foreach { r =>
+      val i = r.getString(0).split("/").last.toInt
+      val body = s"payload $i é中".getBytes(UTF_8)
+      assert(r.getString(2) == Sha1B32Kernel.sha1B32Reference(body),
+        r.getString(0))
+      assert(r.getString(2).matches("[A-Z2-7]{32}"), r.getString(2))
+      // and the md5 default column is untouched next to it
+      assert(r.getString(1).matches("[0-9a-f]{32}"))
+    }
+  }
+
   test("cdxj: line format, hostile-content round trip, malformed-line tolerance") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

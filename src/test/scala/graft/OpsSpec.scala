@@ -245,6 +245,44 @@ class OpsSpec extends AnyFunSuite {
     assert(plain.exists(_.isNullAt(0)), "null-key rows lost")
   }
 
+  test("binPack: greedy invariants, oversize isolation, partitioning invariance") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long")
+        .as("n_tokens"))
+    val budget = 90L
+    val packed = Ops.binPack(docs, "doc_id", "n_tokens", budget, 8)
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == docs.count())
+    val byBin = rows.groupBy(r => (r._3, r._4))
+    // every multi-doc bin respects the budget; an over-budget bin
+    // holds exactly ONE (oversized) doc
+    byBin.foreach { case ((sh, b), ds) =>
+      val fill = ds.map(_._2).sum
+      assert(fill <= budget || ds.length == 1,
+        s"bin ($sh,$b) holds ${ds.length} docs at $fill tokens")
+    }
+    assert(byBin.exists(_._2.length > 1), "no multi-doc bin — vacuous")
+    assert(rows.exists(_._2 > budget), "no oversized doc — vacuous")
+    // GREEDY, not just feasible: within a shard's id order, doc i+1
+    // starts a new bin iff it would overflow the open one
+    rows.groupBy(_._3).foreach { case (sh, ds) =>
+      var fill = 0L; var bin = 0L
+      ds.sortBy(_._1).foreach { case (id, tok, _, b) =>
+        if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0L }
+        fill += tok
+        assert(b == bin, s"doc $id in shard $sh: bin $b, greedy says $bin")
+      }
+    }
+    // assignment is a pure function of (id, shards, budget): any
+    // input partitioning/order produces the identical relation
+    val shuffled = Ops.binPack(docs.repartition(13, $"n_tokens")
+        .sortWithinPartitions($"n_tokens"),
+      "doc_id", "n_tokens", budget, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shuffled.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
   test("bloomPreFilter rejects mismatched key types (XxHash64 width trap)") {
     // int-vs-long keys hash differently (4 vs 8 bytes) → bloom false
     // negatives → silently dropped matches. The API must refuse.

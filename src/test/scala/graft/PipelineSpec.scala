@@ -256,7 +256,10 @@ class PipelineSpec extends AnyFunSuite {
           s"body $i".getBytes(UTF_8), Int.box(200): java.lang.Integer,
           "text/plain")))
     Pipeline.run(spark, Seq(
-      s"warcread:in=$d/*.warc.gz:out=recs",
+      // :locators → the published index carries each capture's
+      // gzip-member (offset, length) — the range-request replay
+      // contract, verified below by actually fetching the hit
+      s"warcread:in=$d/*.warc.gz:locators:out=recs",
       "cdxindex:in=recs:out=cdx",
       s"sortwrite:in=cdx:by=urlkey,ts14:files=4:out=$d/idx"))
     // disjoint per-file urlkey ranges — the file-pruning precondition
@@ -275,6 +278,14 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("urlkey") === "example,h07)/p").collect()
     assert(hit.length == 1 && hit(0).getAs[Long]("rec_no") == 8L,
       hit.mkString(","))
+    // …and its locator replays exactly that record by range access:
+    // index hit → one-member fetch → payload digest matches the index
+    val rec = graft.formats.Warc.fetchMember(s"$d/c.warc.gz",
+      hit(0).getAs[Long]("offset"), hit(0).getAs[Long]("length")).head
+    assert(new String(rec.body, UTF_8) == "body 7")
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(rec.body).map("%02x".format(_)).mkString
+    assert(md5hex == hit(0).getAs[String]("digest"))
   }
 
   test("recrawl chain: cdxindex -> changerate -> freshness-weighted crawlschedule") {
@@ -817,7 +828,7 @@ class PipelineSpec extends AnyFunSuite {
       "htmlextract", "kripp",
       "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures",
       "changerate", "seenfilter", "sitemapentries",
-      "cdxjwrite", "cdxjread", "revisitdetect", "embdecontam")
+      "cdxjwrite", "cdxjread", "revisitdetect", "embdecontam", "binpack")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 

@@ -1456,6 +1456,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("cdx replay locators (q284): extents ride the member scan — no join, no window") {
+    // the (offset, length) extents are computed IN the per-file member
+    // pass (gzipMembers' inflater consumption accounting) and pass
+    // through the index projection untouched — the writer-truth
+    // cross-check joins in the ORACLE, never in the engine, so the
+    // plan is the q269 shape plus two columns: narrow projection +
+    // the presentation sort, nothing else.
+    val plan = executed(SparkEntry.queries("q284_cdx_locators")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), s"locator index must not join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bin pack (q285): one shard shuffle + in-partition sort + sequential pass, no window") {
+    // greedy packing's only wide step is the shard hash exchange; the
+    // pass itself is per-partition sequential (the documented genuine-
+    // imperative case). Tolerated exchanges: shard hash + presentation
+    // sort. A window or join here is the O(shard²) encoding we
+    // rejected.
+    val plan = executed(SparkEntry.queries("q285_bin_pack")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), s"binPack must not join:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"sequential pack pass lost:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"binPack shuffles beyond shard+sort:\n$plan")
+    // the efficiency report (q286) stacks two hash-aggs on top —
+    // still no window, no join
+    val rpt = executed(SparkEntry.queries("q286_pack_efficiency")(spark, sf))
+    assert(!rpt.contains("windowspecdefinition"), rpt)
+    assert(!rpt.contains("Join"), s"pack report must not join:\n$rpt")
+  }
+
   test("change rate (q275): ONE urlkey hash-agg off the container scan, no window, no join") {
     val plan = executed(SparkEntry.queries("q275_change_rate")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), s"window crept in:\n$plan")
