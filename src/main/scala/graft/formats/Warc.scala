@@ -568,8 +568,8 @@ object Warc {
     * and the scheme's DEFAULT port stripped (`:80` for http, `:443`
     * for https — the classic archive collapse rules, VERDICT r18
     * wrong #3: `www.example.com` and `example.com` must index as ONE
-    * urlkey), dot-parts REVERSED comma-joined + ')' + lowercased
-    * path+query; no userinfo handling. digest is md5-hex of the
+    * urlkey), userinfo stripped, dot-parts REVERSED comma-joined +
+    * ')' + lowercased path+query. digest is md5-hex of the
     * payload (CDXJ ships sha1-base32). The in-container locator is
     * the scan's record ordinal (`rec_no`); feed a [[readMembers]]
     * scan instead of [[read]] and the index ALSO carries the real
@@ -597,9 +597,14 @@ object Warc {
   def cdxIndex(records: DataFrame, sha1Digest: Boolean): DataFrame = {
     val scheme = lower(regexp_extract(col("url"),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host0 = lower(regexp_extract(col("url"),
+    val hostA = lower(regexp_extract(col("url"),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    // archive collapse rules: default port, then leading www.
+    // archive collapse rules: userinfo stripped (SURT drops it — two
+    // fetches of one resource under different credentials are ONE
+    // capture key; a literal '@' in the authority is %40-encoded, so
+    // everything up to the last raw '@' is userinfo), then default
+    // port, then leading www.
+    val host0 = regexp_replace(hostA, "^[^@]*@", "")
     val host1 = when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)

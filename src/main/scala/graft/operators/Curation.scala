@@ -297,6 +297,31 @@ object Curation {
         when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
+  /** Anchor-text extraction — the classic web-corpus supervision
+    * signal: what OTHER pages call a URL (query-document pairs for
+    * retrieval training, title surrogates for untitled targets),
+    * mined from the same `<a>` pass as the crawl frontier. One row
+    * per anchor occurrence: (idCol, href, anchor) — href is the
+    * anchor's first double-quoted href (the q258/outlinks RE2
+    * contract: single-quoted/unquoted hrefs are deliberately out of
+    * contract), anchor is the tag's inner HTML with nested tags
+    * stripped and whitespace collapsed (an image-only anchor
+    * surfaces as ''). Narrow per-row regexp work riding the scan —
+    * the corpus rollup (q287) adds ONE (href, anchor) hash-agg.
+    * Both regexes are RE2-safe (lazy dot, ASCII \b), so the DuckDB
+    * oracle replays extraction and normalization byte-for-byte.
+    */
+  def anchorTexts(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val pat = lit("(?is)<a\\b[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>")
+    val pairs = arrays_zip(
+      regexp_extract_all(col(htmlCol), pat, lit(1)).as("href"),
+      regexp_extract_all(col(htmlCol), pat, lit(2)).as("anchor"))
+    df.select(col(idCol), explode(pairs).as("__a"))
+      .select(col(idCol), col("__a.href").as("href"),
+        trim(regexp_replace(regexp_replace(col("__a.anchor"),
+          "<[^>]*>", " "), "\\s+", " ")).as("anchor"))
+  }
+
   /** Variable-span EXACTSUBSTR (VERDICT r12 #5): [[segmentDedup]]'s
     * fixed 20-token windows extended to a MULTI-GRANULARITY window set
     * (default 100/50/20) with containment collapse, so a long repeated

@@ -2226,7 +2226,9 @@ object Ops {
     * input partitioning (OpsSpec pins that invariance).
     *
     * Output: (idCol, n_tokens, shard, bin); a context is globally
-    * (shard, bin). Ids must be non-null integral (checked loudly).
+    * (shard, bin). Ids must be non-null integral (checked loudly) and
+    * UNIQUE — the id is the total order inside a shard, so duplicate
+    * ids would leave the walk's tie order engine-defined.
     */
   def binPack(df: DataFrame, idCol: String, tokCol: String,
               budget: Long, shards: Int): DataFrame = {

@@ -1377,6 +1377,25 @@ object Pipeline {
             .as("href"): _*), RowType)
       }),
 
+    // Anchor-text extraction (q287, Curation.anchorTexts): one row
+    // per <a> occurrence with (href, normalized inner text) — the
+    // retrieval-training / title-surrogate signal mined from the
+    // same anchor pass as the frontier. id= names the page-identity
+    // column carried through.
+    Registered("anchortexts", RowType, RowType,
+      "in=STREAM:id=COL:html=COL:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"anchortexts: $k= required"))
+        val (id, h) = (req("id"), req("html"))
+        for (c <- Seq(id, h))
+          if (!df.columns.contains(c))
+            throw new BuildError(s"anchortexts: no column '$c'")
+        ctx.writeStream(m, graft.operators.Curation.anchorTexts(
+          df.withColumn(h, col(h).cast("string")), id, h), RowType)
+      }),
+
     // Crawl-delay politeness extraction (q264): per-host minimum
     // delay across the agent's chosen robots groups (RFC 9309 parse,
     // de-facto Crawl-delay extension).

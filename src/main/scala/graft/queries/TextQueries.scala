@@ -1156,6 +1156,28 @@ object TextQueries {
         .orderBy($"source", $"host")
     }),
 
+    // Anchor-text corpus (Curation.anchorTexts — the web-corpus
+    // supervision signal: what OTHER pages call a URL, the
+    // query-document pairs retrieval training mines from the same
+    // <a> pass as the frontier). The fixture plants markup inside
+    // anchor text (<b> + newline — the tag-strip/whitespace-collapse
+    // normalization must fire), an image-only anchor (surfaces as
+    // ''), a second anchor naming the same target differently (ALT
+    // rows), and a single-quoted href the contract deliberately
+    // skips. Narrow regexp extraction riding the scan + ONE
+    // (href, anchor) hash-agg.
+    "q287_anchor_corpus" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Curation.anchorTexts(
+          t(s, dir, "documents").select($"doc_id",
+            anchorPageCol(s).as("html")),
+          "doc_id", "html")
+        .groupBy($"href", $"anchor")
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct($"doc_id").as("n_pages"))
+        .orderBy($"href", $"anchor")
+    }),
+
     // Crawl-frontier e2e composition (VERDICT r16 #2): pages →
     // anchorHrefs (the q258 extraction) → absolute-host edge graph
     // (src = the page's own host, dst = the linked host, distinct) →
@@ -1283,6 +1305,26 @@ object TextQueries {
         lit("<p><a href='https://skip.example/q'>sq</a></p>"))
         .otherwise(lit("")),
       lit("<footer><a href=\"/local/rel\">rel</a></footer>" +
+        "</body></html>"))
+  }
+
+  /** The q287 anchor-corpus fixture page: markup inside anchor text
+    * (tag strip + whitespace collapse must fire), an image-only
+    * anchor, a doc_id%4 ALT anchor naming the same target twice, and
+    * an out-of-contract single-quoted href.
+    */
+  private def anchorPageCol(s: SparkSession): org.apache.spark.sql.Column = {
+    import s.implicits._
+    concat(
+      lit("<html><body><p><a href=\"https://t"),
+      ($"doc_id" % 17).cast("string"),
+      lit(".example/page\"> <b>see</b>\n  "), $"source",
+      lit(" page </a> and <a href=\"https://img.example/i\">" +
+        "<img src=\"x\"/></a>"),
+      when($"doc_id" % 4 === 0, concat(
+        lit("<a href=\"https://t"), ($"doc_id" % 17).cast("string"),
+        lit(".example/page\">ALT name</a>"))).otherwise(lit("")),
+      lit("<a href='https://skip.example/q'>out of contract</a>" +
         "</body></html>"))
   }
 
@@ -2379,6 +2421,40 @@ object TextQueries {
     // q258 oracle: identical page construction (shared prelude), the
     // href contract as RE2 (first double-quoted href per anchor), the
     // same host rule.
+    // q287 oracle: fixture page rebuilt from documents, the SAME RE2
+    // anchor pattern extracted twice (group 1 href, group 2 inner
+    // HTML), positionally zipped, tag-strip + whitespace-collapse
+    // normalization (regexp_replace 'g' — DuckDB defaults to
+    // first-match-only, unlike Spark), then the (href, anchor)
+    // hash-agg.
+    "q287_anchor_corpus" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  '<html><body><p><a href="https://t'
+        |  || CAST(doc_id % 17 AS VARCHAR)
+        |  || '.example/page"> <b>see</b>' || chr(10) || '  ' || source
+        |  || ' page </a> and <a href="https://img.example/i">'
+        |  || '<img src="x"/></a>'
+        |  || CASE WHEN doc_id % 4 = 0 THEN '<a href="https://t'
+        |    || CAST(doc_id % 17 AS VARCHAR)
+        |    || '.example/page">ALT name</a>' ELSE '' END
+        |  || '<a href=''https://skip.example/q''>out of contract</a>'
+        |  || '</body></html>' AS html
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |    unnest(list_zip(
+        |      regexp_extract_all(html,
+        |        '(?is)<a\b[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', 1),
+        |      regexp_extract_all(html,
+        |        '(?is)<a\b[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', 2))) AS a
+        |  FROM h),
+        |n AS (SELECT doc_id, a[1] AS href,
+        |    trim(regexp_replace(regexp_replace(a[2], '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS anchor
+        |  FROM z)
+        |SELECT href, anchor, CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM n GROUP BY href, anchor ORDER BY href, anchor""".stripMargin,
+
     // NOTE both q258/q260 oracles CONCATENATE the pre-stripped prelude
     // (never interpolate it into an outer stripMargin: the prelude's
     // line-leading '||' concat tokens would be margin-stripped a

@@ -828,7 +828,8 @@ class PipelineSpec extends AnyFunSuite {
       "htmlextract", "kripp",
       "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures",
       "changerate", "seenfilter", "sitemapentries",
-      "cdxjwrite", "cdxjread", "revisitdetect", "embdecontam", "binpack")
+      "cdxjwrite", "cdxjread", "revisitdetect", "embdecontam", "binpack",
+      "anchortexts")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 

@@ -1489,6 +1489,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(!rpt.contains("Join"), s"pack report must not join:\n$rpt")
   }
 
+  test("anchor corpus (q287): narrow regexp extraction + one hash-agg, no window, no join") {
+    // per-row regexp work rides the scan; the rollup is one
+    // (href, anchor) hash-agg (countDistinct expands, still agg-side)
+    val plan = executed(SparkEntry.queries("q287_anchor_corpus")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), s"anchor corpus must not join:\n$plan")
+    assert(plan.contains("Generate"), s"anchor explode lost:\n$plan")
+  }
+
   test("change rate (q275): ONE urlkey hash-agg off the container scan, no window, no join") {
     val plan = executed(SparkEntry.queries("q275_change_rate")(spark, sf))
     assert(!plan.contains("windowspecdefinition"), s"window crept in:\n$plan")

@@ -557,6 +557,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming capture index carries replay locators when the scan provides them") {
+    // a locator-bearing batch schema (warcread:locators) flows its
+    // (offset, length) columns through cdxIndex's auto-detect and the
+    // delta accumulation untouched — the live-maintained index is as
+    // range-request-consumable as the batch one
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def rec(no: Long, u: String, off: Long, len: Long) =
+      ("f.warc.gz", no, "response", u, "2026-01-01T00:00:00Z", Some(200),
+        "text/plain", s"b$no".getBytes("UTF-8"), Option.empty[String],
+        Some(off), Some(len))
+    val ms = MemoryStream[(String, Long, String, String, String,
+      Option[Int], String, Array[Byte], Option[String], Option[Long],
+      Option[Long])]
+    val (q, current) = EventStreams.cdxStream(ms.toDF().toDF("path",
+      "rec_no", "warc_type", "url", "ts", "status", "mime", "payload",
+      "http_head", "member_offset", "member_length"))
+    try {
+      ms.addData(Seq(rec(1, "https://a.example/1", 0L, 100L)))
+      q.processAllAvailable()
+      ms.addData(Seq(rec(2, "https://a.example/2", 100L, 80L)))
+      q.processAllAvailable()
+      val got = current().orderBy($"urlkey")
+        .select($"urlkey", $"offset", $"length").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("example,a)/1", 0L, 100L),
+        ("example,a)/2", 100L, 80L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming recrawl priority: changeRate over the cdx snapshot equals batch at every cut") {
     // the r19 composition maintained incrementally: segments land,
     // the index accumulates as appended deltas (cdxStream), and the
