@@ -790,6 +790,51 @@ object Warc {
     out.write("\r\n\r\n".getBytes(ISO_8859_1))
   }
 
+  /** Distributed container export — the WRITE half of [[read]]: one
+    * gzip'd container per partition (the crawl-segment layout: member
+    * per record, segment per task), each task streaming its partition
+    * through [[write]] without the driver ever seeing the data. This
+    * is how a 100 TB corpus ships back OUT as WARC/WET shards (e.g.
+    * extracted text as `conversion` records — the WET derivative, the
+    * q288 claim): parallelism = `nFiles`, sized like any shuffle
+    * output. `httpStatusCol` non-null frames HTTP response messages
+    * (mime = the HTTP Content-Type); absent, records are raw payloads
+    * with `mime` as the record-level Content-Type. Returns the shard
+    * count written.
+    */
+  def writeShards(records: DataFrame, dir: String, nFiles: Int,
+                  warcType: String, urlCol: String, tsCol: String,
+                  bodyCol: String, httpStatusCol: Option[String] = None,
+                  mime: String = "text/plain"): Int = {
+    require(nFiles > 0, s"warc: nFiles must be > 0, got $nFiles")
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".warc.gz")).foreach(_.delete())
+    val prepared = records.select(
+        col(urlCol).cast("string"), col(tsCol).cast("string"),
+        col(bodyCol).cast("binary"),
+        httpStatusCol.map(c => col(c).cast("int"))
+          .getOrElse(lit(null).cast("int")))
+      .repartition(nFiles)
+    val typ = warcType
+    val mm = mime
+    prepared.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val _ = write(f"$dir/part-$pid%05d.warc.gz", it.map { r =>
+          (typ, r.getString(0), r.getString(1),
+            r.getAs[Array[Byte]](2),
+            if (r.isNullAt(3)) null
+            else Int.box(r.getInt(3)): java.lang.Integer,
+            mm)
+        })
+      }
+    }
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".warc.gz"))
+  }
+
   /** Fixture/export writer: stream records to `path`, each record its
     * own gzip member when `path` ends `.gz` (the Common Crawl layout).
     * Driver-side by design — same posture as the spreadsheet/BSON
@@ -844,14 +889,19 @@ object Warc {
       def writeOne(t: (String, String, String, Array[Byte],
           java.lang.Integer, String), n: Long, cto: String): Unit = {
         val (warcType, url, ts, body, status, mime) = t
+        // a non-HTTP record's tuple mime is its record-level
+        // Content-Type (WET `conversion` records ship text/plain);
+        // null keeps the octet-stream default
+        val ct = if (status == null && mime != null) mime
+          else "application/octet-stream"
         val start = written
         if (gz) {
           val g = new GZIPOutputStream(shield, 1 << 16, true)
           writeRecord(g, warcType, url, ts, body, status, mime,
-            recNo = n, concurrentTo = cto)
+            contentType = ct, recNo = n, concurrentTo = cto)
           g.close() // ends the MEMBER + frees its deflater
         } else writeRecord(counting, warcType, url, ts, body, status, mime,
-          recNo = n, concurrentTo = cto)
+          contentType = ct, recNo = n, concurrentTo = cto)
         extents += ((n, start, written - start))
       }
       while (it.hasNext) {

@@ -1854,4 +1854,30 @@ object Curation {
             (lit(2.0) * (col("f2").cast("double") + lit(1.0))), 4)
           .as("chao1"))
   }
+
+  /** Registrable-domain (eTLD+1) annotation under a SUPPLIED
+    * public-suffix rule table (q290, the `regdomain` module) — the
+    * site-identity key crawl caps/dedup/schedules group on; see
+    * [[graft.functions.PslKernel]] for the publicsuffix.org match
+    * semantics. The rule stream's FIRST column is the raw PSL line
+    * (comments/blanks tolerated). Rules are bounded side data (the
+    * real list is ~10⁴ lines): collected once with a loud guard,
+    * compiled into hash sets, and embedded in the codegen kernel —
+    * the annotation is a narrow per-row pass riding the scan, ZERO
+    * joins/shuffles, no |rules| factor per row.
+    */
+  def registrableDomain(df: DataFrame, hostCol: String,
+                        rules: DataFrame,
+                        psOut: String = "public_suffix",
+                        rdOut: String = "reg_domain"): DataFrame = {
+    val limit = 1000000
+    val collected = rules.select(rules.columns.head).limit(limit + 1)
+      .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0)).toSeq
+    require(collected.size <= limit,
+      s"regdomain: rule table exceeds $limit rows — not a suffix list")
+    df.withColumn(psOut,
+        graft.functions.PslKernel.publicSuffixCol(col(hostCol), collected))
+      .withColumn(rdOut,
+        graft.functions.PslKernel.regDomainCol(col(hostCol), collected))
+  }
 }

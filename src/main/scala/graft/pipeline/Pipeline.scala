@@ -44,20 +44,17 @@ object Pipeline {
 
   final class BuildError(msg: String) extends RuntimeException(msg)
 
-  /** Keys that may legally FOLLOW `url=`/`cmd=` in a module word: the
-    * swallow (below) stops at the first of these, so the printed usage
-    * templates (`url=...:driver=...:table=...`) parse as documented.
-    */
-  private val PostUrlKeys = Set("driver", "user", "pw", "password",
-    "table", "query", "in", "out", "fetchsize")
-
   /** One parsed CLI word: `name(:k=v|:flag)*`. Flags parse as k -> "1".
     * `url=` swallows following `:`-segments (JDBC URLs contain colons)
-    * UNTIL a known `key=` argument appears — so both `...:url=jdbc:...`
-    * last-position and the usage-template order `url=...:table=t` work.
-    * Credentials belong in user=/pw= args, not inside the URL.
-    * `cmd=` (exec module) gets the same swallow — shell commands may
-    * contain colons too.
+    * UNTIL a `key=`-shaped argument appears (bare `\w+` key) — so both
+    * `...:url=jdbc:...` last-position and the usage-template order
+    * `url=...:table=t` parse as documented, and modules whose `url=`
+    * is a COLUMN name (urlnorm, warcwrite) take args in any order. A
+    * genuine URL's own colon-segments never look like `word=value`
+    * (JDBC attrs ride `;create=true`, query params `?a=b` — neither
+    * prefix is a bare `\w+`). Credentials belong in user=/pw= args,
+    * not inside the URL. `cmd=` (exec) gets the same swallow — shell
+    * commands may contain colons too.
     */
   def parseWord(word: String): ModuleSpec = {
     val parts = word.split(":", -1)
@@ -71,7 +68,7 @@ object Pipeline {
         val rest = parts.drop(i)
         val j = rest.indexWhere(p => {
           val eq = p.indexOf('=')
-          eq > 0 && PostUrlKeys.contains(p.substring(0, eq))
+          eq > 0 && p.substring(0, eq).matches("\\w+")
         }, 1)
         val url = (if (j < 0) rest else rest.take(j)).mkString(":")
         parts.slice(1, i) ++ (url +: (if (j < 0) Array.empty[String] else rest.drop(j)))
@@ -1460,6 +1457,33 @@ object Pipeline {
           graft.operators.Ops.bloomAntiJoin(df, key, sd, on), RowType)
       }),
 
+    // Registrable-domain (eTLD+1) annotation (q290,
+    // Curation.registrableDomain): public_suffix/reg_domain columns
+    // from a host column under publicsuffix.org rule semantics; the
+    // rule stream (first column = raw PSL line) is bounded side data
+    // compiled into the codegen kernel — narrow pass, zero joins.
+    Registered("regdomain", RowType, RowType,
+      "in=STREAM:host=COL:rules=STREAM[:ps=public_suffix]" +
+        "[:rd=reg_domain]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val h = m.args.getOrElse("host",
+          throw new BuildError("regdomain: host= required"))
+        if (!df.columns.contains(h))
+          throw new BuildError(s"regdomain: no column '$h'")
+        val rname = m.args.getOrElse("rules",
+          throw new BuildError("regdomain: rules= required"))
+        val (rd, rt) = ctx.streams.getOrElse(rname,
+          throw new BuildError(s"regdomain: unknown stream '$rname'"))
+        if (rt != RowType)
+          throw new BuildError(s"regdomain: '$rname' is not a row stream")
+        ctx.readers(rname) += 1
+        ctx.writeStream(m,
+          graft.operators.Curation.registrableDomain(df, h, rd,
+            m.args.getOrElse("ps", "public_suffix"),
+            m.args.getOrElse("rd", "reg_domain")), RowType)
+      }),
+
     // Atomic first-fit bin packing (q285, Ops.binPack): docs into
     // fixed token-budget training contexts — md5-sharded, first-fit
     // in ascending-id order, docs never split, bins never overflow
@@ -2375,6 +2399,39 @@ object Pipeline {
           graft.formats.Warc.cdxjLines(df).write.mode("overwrite").text(path)
           ctx.log("cdxjwrite", s"wrote $path")
           0L
+        })
+      }),
+
+    // Distributed container EXPORT (the write half of warcread): one
+    // gzip'd .warc.gz per partition — member per record, segment per
+    // task, driver never sees the data (Warc.writeShards). type=
+    // response frames HTTP envelopes from status=COL; the default
+    // conversion/resource path writes raw payloads with mime= as the
+    // record Content-Type — `type=conversion` IS the WET derivative
+    // export (q288).
+    Registered("warcwrite", RowType, NoneType,
+      "in=STREAM:out=DIR:url=COL:ts=COL:body=COL" +
+        "[:type=conversion][:status=COL][:mime=text/plain][:files=N]",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"warcwrite: $k= required"))
+        val out = req("out")
+        val (u, ts, b) = (req("url"), req("ts"), req("body"))
+        for (c <- Seq(u, ts, b) ++ m.args.get("status"))
+          if (!df.columns.contains(c))
+            throw new BuildError(s"warcwrite: no column '$c'")
+        val typ = m.args.getOrElse("type", "conversion")
+        val files = m.args.getOrElse("files", "0") match {
+          case "0" => ctx.spark.sparkContext.defaultParallelism
+          case n => n.toInt
+        }
+        ctx.addSink(m.raw, () => {
+          val n = graft.formats.Warc.writeShards(df, out, files, typ,
+            u, ts, b, m.args.get("status"),
+            m.args.getOrElse("mime", "text/plain"))
+          ctx.log("warcwrite", s"wrote $n shards to $out")
+          n.toLong
         })
       }),
 

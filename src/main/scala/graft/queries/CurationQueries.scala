@@ -1178,8 +1178,71 @@ object CurationQueries {
         .select($"doc_id", $"score", $"n_feats",
           ($"score" > 0).as("keep"))
         .orderBy($"doc_id")
+    }),
+
+    // Registrable-domain (eTLD+1) annotation under publicsuffix.org
+    // rule semantics — the site-identity key crawl caps/dedup/
+    // schedules should group on (host keys over-split `*.blogspot
+    // .com`-class sites; "last two labels" merges distinct `co.uk`
+    // sites). The fixture hosts exercise every rule class: a plain
+    // TLD, a private-domain rule (blogspot.com), a multi-label
+    // suffix (co.uk beating uk), wildcard (*.ck), the exception
+    // (!www.ck prevailing over the wildcard), and a host with NO
+    // matching rule (implicit-* fallback); the rule list itself
+    // carries a comment and a blank line (file-format tolerance).
+    // Rules are collected bounded side data compiled into the
+    // codegen kernel — the query plan is a narrow scan, zero joins.
+    "q290_registrable_domain" -> ((s, dir) => {
+      import s.implicits._
+      val m = $"doc_id" % 6
+      val host = when(m === 0, concat($"source", lit(".com")))
+        .when(m === 1, concat(lit("a"), ($"doc_id" % 7).cast("string"),
+          lit("."), $"source", lit(".blogspot.com")))
+        .when(m === 2, concat(lit("www."), $"source", lit(".co.uk")))
+        .when(m === 3, lit("x.www.ck"))
+        .when(m === 4, concat(lit("y"), ($"doc_id" % 3).cast("string"),
+          lit(".z.ck")))
+        .otherwise(concat($"source", lit(".example")))
+      val rules = PslFixtureRules.toDF("rule")
+      Curation.registrableDomain(
+          t(s, dir, "documents").select($"doc_id", host.as("host")),
+          "host", rules)
+        .orderBy($"doc_id")
+    }),
+
+    // The PSL key doing its job: the q112 domain cap re-keyed on
+    // reg_domain — every `a<k>.<source>.blogspot.com` host collapses
+    // into ONE `<source>.blogspot.com` cap group (the whole point:
+    // a host-keyed cap would admit 7 sub-hosts separately), while
+    // co.uk sites stay distinct per source. Same salted top-k
+    // machinery as q112 (hub-safe, never a bare class window).
+    "q291_regdomain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val m = $"doc_id" % 6
+      val host = when(m === 1, concat(lit("a"), ($"doc_id" % 7).cast("string"),
+          lit("."), $"source", lit(".blogspot.com")))
+        .otherwise(concat(lit("www."), $"source", lit(".co.uk")))
+      val annotated = Curation.registrableDomain(
+        t(s, dir, "documents")
+          .select($"doc_id", $"n_chars", host.as("host")),
+        "host", PslFixtureRules.toDF("rule"))
+      graft.operators.Ops.saltedTopKPerGroup(
+          annotated.select($"doc_id", $"n_chars", $"reg_domain"),
+          part = Seq("reg_domain"),
+          order = Seq($"n_chars".desc, $"doc_id".asc),
+          k = 10, saltCol = $"doc_id", saltParts = 8)
+        .select($"reg_domain", $"doc_id", $"n_chars", $"rk")
+        .orderBy($"reg_domain", $"rk")
     })
   )
+
+  /** Mini-PSL shared verbatim by the q290/q291 plans; the oracle
+    * replays its semantics inline (the q277 side-input precedent).
+    * Includes a comment and a blank line — the list file format.
+    */
+  private val PslFixtureRules: Seq[String] = Seq(
+    "// test snapshot", "com", "co.uk", "uk", "blogspot.com",
+    "*.ck", "!www.ck", "")
 
   /** Deterministic 64-bucket weight table shared verbatim by q190's
     * Spark plan and its DuckDB oracle.
@@ -2163,6 +2226,59 @@ object CurationQueries {
         |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
         |  FROM documents)
         |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    // q290 oracle: the publicsuffix.org algorithm replayed generically
+    // over the host's own suffixes — exception prevails (exc_i + 1),
+    // else longest match (min i), else implicit * (last label);
+    // wildcard matches via the one-label-shorter tail. The fixture
+    // rule set is inlined (the q277 side-input precedent).
+    "q290_registrable_domain" ->
+      """WITH hosts AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN source || '.com'
+        |    WHEN doc_id % 6 = 1 THEN 'a' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.' || source || '.blogspot.com'
+        |    WHEN doc_id % 6 = 2 THEN 'www.' || source || '.co.uk'
+        |    WHEN doc_id % 6 = 3 THEN 'x.www.ck'
+        |    WHEN doc_id % 6 = 4 THEN 'y' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.z.ck'
+        |    ELSE source || '.example' END AS host
+        |  FROM documents),
+        |lab AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+        |  len(string_split(host, '.')) AS n FROM hosts),
+        |s AS (SELECT doc_id, labels, n,
+        |  unnest(generate_series(1, n)) AS i FROM lab),
+        |m AS (SELECT doc_id, i, n,
+        |  array_to_string(labels[i:], '.') AS suf,
+        |  array_to_string(labels[i+1:], '.') AS tail FROM s),
+        |g AS (SELECT doc_id,
+        |  min(CASE WHEN suf = 'www.ck' THEN i END) AS exc_i,
+        |  min(CASE WHEN suf IN ('com', 'co.uk', 'uk', 'blogspot.com')
+        |    OR (i < n AND tail = 'ck') THEN i END) AS match_i
+        |  FROM m GROUP BY doc_id),
+        |r AS (SELECT l.doc_id, l.host, l.labels,
+        |  least(coalesce(g.exc_i + 1, g.match_i, l.n), l.n) AS ps_i
+        |  FROM lab l JOIN g USING (doc_id))
+        |SELECT doc_id, host,
+        |  array_to_string(labels[ps_i:], '.') AS public_suffix,
+        |  CASE WHEN ps_i >= 2
+        |    THEN array_to_string(labels[ps_i - 1:], '.') END AS reg_domain
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q291 oracle: reg_domain derived directly (the generic PSL
+    // replay is q290's job — here blogspot sub-hosts collapse to
+    // source.blogspot.com, co.uk rows to source.co.uk), then the
+    // q112 cap window on the collapsed key.
+    "q291_regdomain_cap" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 6 = 1 THEN source || '.blogspot.com'
+        |    ELSE source || '.co.uk' END AS reg_domain
+        |  FROM documents)
+        |SELECT reg_domain, doc_id, n_chars, rk FROM (
+        |  SELECT reg_domain, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY reg_domain
+        |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+        |  FROM d)
+        |WHERE rk <= 10 ORDER BY reg_domain, rk""".stripMargin,
 
     "q132_mixture_drift" ->
       """WITH c AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),

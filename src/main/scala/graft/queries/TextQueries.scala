@@ -743,6 +743,83 @@ object TextQueries {
       crawlReport(crawled, col("html"))
     }),
 
+    // WET round-trip (the Common Crawl DERIVATIVE corpus pipelines
+    // actually consume — C4/CCNet read the WET extracted-text
+    // containers, not the raw WARC): pages → htmlExtract main_text →
+    // framed as payload-only `conversion` records (ISO 28500 §6.8,
+    // Content-Type text/plain, no HTTP envelope) → read back. The
+    // oracle recomputes the extraction from documents in SQL (the
+    // q250 replay), so the row pins BOTH the extraction consistency
+    // and the conversion-record framing transparency — the q265
+    // posture for the text derivative. Writer is driver-side fixture
+    // scaffolding by design; the READ path is the distributed scan.
+    "q288_wet_roundtrip" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val mt = graft.functions.TextFunctions.htmlExtract(col("html"))
+        .toMap.apply("main_text")
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), htmlPageCol.as("html"))
+        .select(col("doc_id"), col("source"), mt.as("mt"))
+        .orderBy(col("doc_id")).collect()
+      val glob = warcFixture("q288", dir, pages) { r =>
+        val id = r.getLong(0)
+        Iterator(("conversion",
+          s"https://${r.getString(1)}.example/doc/$id",
+          f"2026-06-${id % 28 + 1}%02dT00:00:00Z",
+          r.getString(2).getBytes(UTF_8),
+          null: java.lang.Integer, "text/plain"))
+      }
+      graft.formats.Warc.read(s, glob)
+        .filter(col("warc_type") === "conversion")
+        .select(
+          substring_index(col("url"), "/", -1).cast("bigint").as("doc_id"),
+          octet_length(col("payload")).cast("bigint").as("n_bytes"),
+          md5(col("payload")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WAT round-trip — the THIRD Common Crawl artifact (WARC raw,
+    // WAT link/metadata JSON, WET text; q265 owns WARC, q288 WET):
+    // per page, a `metadata` record whose payload is the envelope
+    // JSON a WAT consumer parses — url, title, outlink list. Fully
+    // DISTRIBUTED both directions: the container is written by
+    // `Warc.writeShards` (one gzip'd segment per partition, the
+    // driver never sees a row — unlike the fixture-write rows, the
+    // writer under test here IS the cluster path) and re-read by the
+    // container scan, `from_json` decoding the envelope back to
+    // typed columns. The oracle replays title (q249's RE2) and the
+    // href contract (q258's RE2) from the page construction — so the
+    // row pins extraction AND JSON→gzip-container→JSON transparency
+    // end-to-end.
+    "q289_wat_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val page = htmlPageCol
+      val title = graft.functions.TextFunctions.htmlExtract(page)
+        .toMap.apply("title")
+      val urlCol = concat(lit("https://"), $"source",
+        lit(".example/doc/"), $"doc_id".cast("string"))
+      val wat = t(s, dir, "documents")
+        .select(urlCol.as("url"), lit("2026-07-01T00:00:00Z").as("ts"),
+          to_json(struct(urlCol.as("url"), title.as("title"),
+            graft.functions.HtmlExpr.anchorHrefs(page).as("links")))
+            .cast("binary").as("payload"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q289_" + dir.replaceAll("\\W", "_")).getPath
+      graft.formats.Warc.writeShards(wat, out, 4, "metadata",
+        "url", "ts", "payload", None, "application/json")
+      graft.formats.Warc.read(s, s"$out/*.warc.gz")
+        .filter(col("warc_type") === "metadata")
+        .select(from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "url string, title string, links array<string>")).as("j"))
+        .select(
+          substring_index($"j.url", "/", -1).cast("bigint").as("doc_id"),
+          $"j.title".as("title"),
+          size($"j.links").cast("bigint").as("n_links"),
+          md5(array_join($"j.links", "\n")).as("links_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // Revisit-aware container ingest (VERDICT r17 next #6): a
     // re-crawl container carries the crawler's OWN dedup signal —
     // `revisit` records mark URLs whose content was byte-identical to
@@ -2201,6 +2278,33 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
         |    AS BIGINT) AS rec_no
         |FROM base ORDER BY urlkey, ts14""".stripMargin,
+
+    // q288 oracle: the q250 SQL extraction replay hashed per doc —
+    // the WET conversion-record text must round-trip the container
+    // byte-for-byte (strlen = byte length, the octet_length mirror).
+    "q288_wet_roundtrip" -> (s"""${htmlCtes()},
+       |ex AS (SELECT doc_id,
+       |  coalesce(array_to_string(list_transform(list_filter(ps,
+       |    s -> $hKept), s -> s.tx), chr(10)), '') AS mt FROM p)
+       |SELECT doc_id, CAST(strlen(mt) AS BIGINT) AS n_bytes,
+       |  md5(mt) AS text_md5
+       |FROM ex ORDER BY doc_id""".stripMargin),
+
+    // q289 oracle: the WAT envelope fields replayed from the page
+    // construction — title via q249's RE2 + clean, hrefs via q258's
+    // first-double-quoted-href contract; the engine's values crossed
+    // JSON encode → gzip container → JSON decode to match these.
+    "q289_wat_roundtrip" -> (s"""${htmlCtes()},
+       |w AS (SELECT doc_id,
+       |  ${hClean(hTxt("coalesce(regexp_extract(html, " +
+           "'(?is)<title\\b[^>]*>(.*?)</title\\s*>', 1), '')"))} AS title,
+       |  regexp_extract_all(html,
+       |    '(?is)<a\\b[^>]*?href="([^"]*)"', 1) AS links
+       |  FROM p)
+       |SELECT doc_id, title,
+       |  CAST(len(links) AS BIGINT) AS n_links,
+       |  md5(array_to_string(links, chr(10))) AS links_fp
+       |FROM w ORDER BY doc_id""".stripMargin),
 
     // q277 oracle: the shared outlink prelude's absolute URLs, minus
     // the seen set reconstructed exactly as the side-input parquet

@@ -288,6 +288,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(md5hex == hit(0).getAs[String]("digest"))
   }
 
+  test("warcwrite: distributed WET export round-trips through warcread") {
+    // the write half of the container codec: one .warc.gz per
+    // partition, conversion records carrying extracted text (the WET
+    // derivative C4/CCNet consume) — re-read distributed, text
+    // byte-identical, shard count as requested.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = tmp("wetexport")
+    (1 to 25).map(i => (s"https://w.example/$i",
+        "2026-06-01T00:00:00Z", s"extracted text $i"))
+      .toDF("url", "ts", "text")
+      .write.mode("overwrite").parquet(s"$d/in")
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/in:out=docs",
+      s"warcwrite:in=docs:url=url:ts=ts:body=text:type=conversion" +
+        s":files=4:out=$d/wet"))
+    assert(new java.io.File(s"$d/wet").listFiles()
+      .count(_.getName.endsWith(".warc.gz")) == 4)
+    val got = graft.formats.Warc.read(spark, s"$d/wet/*.warc.gz")
+      .filter(col("warc_type") === "conversion")
+      .selectExpr("url", "cast(payload as string) AS t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == (1 to 25).map(i =>
+      s"https://w.example/$i" -> s"extracted text $i").toMap)
+  }
+
+  test("regdomain: PSL annotation from a rules side stream") {
+    import spark.implicits._
+    val d = tmp("regdom")
+    Seq("// snapshot", "com", "blogspot.com", "*.ck", "!www.ck")
+      .toDF("rule").write.mode("overwrite").parquet(s"$d/rules")
+    Seq("a.b.blogspot.com", "x.www.ck", "plain.zz")
+      .toDF("host").write.mode("overwrite").parquet(s"$d/in")
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/rules:out=rules",
+      s"parquetread:in=$d/in:out=hosts",
+      "regdomain:in=hosts:host=host:rules=rules:out=ann",
+      s"parquetwrite:in=ann:out=$d/out"))
+    val got = spark.read.parquet(s"$d/out")
+      .select("host", "public_suffix", "reg_domain").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a.b.blogspot.com", "blogspot.com", "b.blogspot.com"),
+      ("x.www.ck", "ck", "www.ck"),
+      ("plain.zz", "zz", "plain.zz")))
+  }
+
   test("recrawl chain: cdxindex -> changerate -> freshness-weighted crawlschedule") {
     // VERDICT r18 next #2: the fast-changing host outranks the static
     // one inside every time slot once changeRate's estimate
@@ -829,7 +876,7 @@ class PipelineSpec extends AnyFunSuite {
       "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures",
       "changerate", "seenfilter", "sitemapentries",
       "cdxjwrite", "cdxjread", "revisitdetect", "embdecontam", "binpack",
-      "anchortexts")
+      "anchortexts", "warcwrite", "regdomain")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 

@@ -1542,6 +1542,20 @@ class ScaleSpec extends AnyFunSuite {
       s"deflate kernel fell out of codegen:\n$fp")
   }
 
+  test("regdomain (q290): compiled-rules kernel rides the scan — zero joins, in codegen") {
+    // The PSL is driver-collected bounded side data compiled into
+    // the expression: annotation must stay a narrow per-row pass —
+    // NO join against the rule table, no window, nothing but the
+    // final presentation sort's exchange.
+    val df = SparkEntry.queries("q290_registrable_domain")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("Join"), s"rule table leaked into a join:\n$plan")
+    assert(!plan.contains("windowspecdefinition"), plan)
+    val fp = Explain.finalPlan(df)
+    assert(Explain.inCodegen(fp, "pslexpr"),
+      s"psl kernel fell out of codegen:\n$fp")
+  }
+
   test("archive write path (q279/q280/q281): narrow encode, one union+agg, one join — no window") {
     // q279 CDXJ encode/parse is per-row work either side of the
     // range-partitioned sort; q280 compaction is distinct-union + ONE

@@ -101,4 +101,64 @@ class UrlKernelSpec extends AnyFunSuite {
       .select(UrlFunctions.percentDecodeUnreserved($"s")).head()
     assert(r.isNullAt(0))
   }
+
+  // ---- PslKernel: publicsuffix.org rule semantics (q290) ----
+
+  private val pslRules = Seq(
+    "// comment line", "com", "co.uk", "uk", "blogspot.com",
+    "*.ck", "!www.ck", "  ", "COM") // dup after case-fold is harmless
+
+  private def psl(hosts: Seq[String]): Seq[(String, String)] = {
+    import graft.functions.PslKernel
+    hosts.toDF("h").select(
+        PslKernel.publicSuffixCol($"h", pslRules),
+        PslKernel.regDomainCol($"h", pslRules))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+  }
+
+  test("psl: every publicsuffix.org rule class") {
+    assert(psl(Seq(
+      "x.example.com",      // plain TLD rule
+      "a.b.blogspot.com",   // private-domain rule beats com
+      "site.co.uk",         // multi-label suffix beats uk
+      "foo.z.ck",           // wildcard: ps = z.ck
+      "a.www.ck",           // exception prevails over *.ck
+      "www.ck",             // the exception host itself registers
+      "plain.zz",           // no rule: implicit * = last label
+      "com",                // host IS a public suffix -> null rd
+      "single"              // one label, no rule -> ps = itself
+    )) == Seq(
+      ("com", "example.com"),
+      ("blogspot.com", "b.blogspot.com"),
+      ("co.uk", "site.co.uk"),
+      ("z.ck", "foo.z.ck"),
+      ("ck", "www.ck"),
+      ("ck", "www.ck"),
+      ("zz", "plain.zz"),
+      ("com", null),
+      ("single", null)))
+  }
+
+  test("psl: case-folds host, null propagates") {
+    assert(psl(Seq("A.B.BlogSpot.COM")) ==
+      Seq(("blogspot.com", "b.blogspot.com")))
+    val r = Seq(Option.empty[String]).toDF("h")
+      .select(graft.functions.PslKernel.regDomainCol($"h", pslRules)).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("psl: interpreted eval matches codegen") {
+    import graft.functions.{PslExpr, PslKernel}
+    import org.apache.spark.unsafe.types.UTF8String
+    val compiled = PslKernel.compile(pslRules)
+    for (h <- Seq("x.example.com", "a.www.ck", "foo.z.ck", "plain.zz",
+        "com", "a.b.blogspot.com")) {
+      val ps = PslKernel.publicSuffix(UTF8String.fromString(h), compiled)
+      val viaDf = psl(Seq(h)).head
+      assert(Option(ps).map(_.toString).orNull == viaDf._1, h)
+    }
+    val _ = PslExpr // touched: the expression type is the public surface
+  }
 }
