@@ -1756,6 +1756,120 @@ object Ops {
     } finally e.unpersist(blocking = false)
   }
 
+  /** EXACT harmonic centrality, bounded hops (q292): H(v) =
+    * Σ_{u≠v reaching v} 1/d(u,v) — the host-ranking metric web-scale
+    * corpora actually publish alongside PageRank (Common Crawl ranks
+    * its host graph by harmonic centrality; Boldi & Vigna, "Axioms
+    * for Centrality", 2014). Multi-source frontier BFS over PAIR
+    * state (u, v, d) — [[shortestPaths]] seeded at EVERY node, unit
+    * weights — then one hash-agg per target: terms are
+    * `1000000 div d` exact integers, so the score is deterministic
+    * and oracle-replayable (no float accumulation order).
+    *
+    * Scale posture, stated honestly: pair state is O(V·reachable) —
+    * exact mode is for graphs whose closure fits (host graphs to
+    * ~10⁴-10⁵ nodes, the q260-class crawl summaries), NOT the raw
+    * page graph. The web-scale path is [[hyperBallCentrality]]: O(V)
+    * sketch state per round, the published HyperBall algorithm.
+    * edges: (src, dst). Output: (id, reached, harmonic_e6) — only
+    * nodes with at least one in-path appear (harmonic 0 nodes have
+    * no terms, the oracle mirrors).
+    */
+  def harmonicCentrality(edges: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      var dist = nodes.select(col("id").as("u"), col("id"),
+          lit(0L).as("dist"))
+        .localCheckpoint(eager = true)
+      var frontier = dist
+      var hop = 0
+      var active = true
+      while (hop < maxHops && active) {
+        val relaxed = frontier.join(e, frontier("id") === e("src"))
+          .select(frontier("u"), e("dst").as("id"),
+            (frontier("dist") + lit(1L)).as("dist"),
+            lit(null).cast("long").as("__old"))
+        // one shuffle per round, the shortestPaths union-agg trick:
+        // min(dist) AND the previous distance come out of the same
+        // (u, id)-keyed aggregate, so "improved" is a filter.
+        val merged = dist
+          .select(col("u"), col("id"), col("dist"), col("dist").as("__old"))
+          .unionByName(relaxed)
+          .groupBy("u", "id")
+          .agg(min("dist").as("dist"), min("__old").as("__old"))
+          .localCheckpoint(eager = true)
+        val improved = merged
+          .filter(col("__old").isNull || col("dist") < col("__old"))
+          .select(col("u"), col("id"), col("dist"))
+        active = !improved.isEmpty
+        dist = merged.select(col("u"), col("id"), col("dist"))
+        frontier = improved
+        hop += 1
+      }
+      dist.filter(col("dist") > 0)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("reached"),
+          sum(expr("1000000 div dist")).as("harmonic_e6"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** HyperBall harmonic centrality (Boldi & Vigna, WWW 2013) — the
+    * 100 TB path [[harmonicCentrality]]'s scaladoc points at: per
+    * node ONE Datasketches HLL of its in-ball B_t(v) = {u : d(u,v)
+    * ≤ t}, grown per round by absorbing predecessors' balls
+    * (B_t(v) = {v} ∪ ⋃_{u→v} B_{t-1}(u) — one edge join + one
+    * hll_union_agg per round, state O(V) sketches regardless of
+    * reachability), harmonic accumulated from estimate deltas:
+    * Σ_t (|B_t| − |B_{t−1}|)/t. Estimates are deterministic (fixed
+    * hash) and EXACT while balls sit in the sketch's sparse-exact
+    * range — the spec pins bit-equality to the exact operator on the
+    * fixture graph; at true scale the error is the published ~1.6%
+    * (lgK 12) relative band. Same output shape as exact
+    * (id, reached, harmonic_e6), restricted to reached > 0.
+    */
+  def hyperBallCentrality(edges: DataFrame, maxHops: Int,
+                          lgK: Int = 12): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      var ball = nodes.groupBy("id")
+        .agg(expr(s"hll_sketch_agg(cast(id as string), $lgK)").as("sk"))
+        .withColumn("est", expr("hll_sketch_estimate(sk)"))
+        .withColumn("h", lit(0L))
+        .localCheckpoint(eager = true)
+      var hop = 1
+      var active = true
+      while (hop <= maxHops && active) {
+        val contrib = ball.join(e, ball("id") === e("src"))
+          .select(e("dst").as("id"), ball("sk"),
+            lit(null).cast("long").as("est"), lit(null).cast("long").as("h"))
+        val merged = ball.select(col("id"), col("sk"), col("est"), col("h"))
+          .unionByName(contrib)
+          .groupBy("id")
+          .agg(expr("hll_union_agg(sk, true)").as("sk"),
+            max("est").as("__prev"), max("h").as("h"))
+          .withColumn("est", expr("hll_sketch_estimate(sk)"))
+          .withColumn("h", col("h") +
+            greatest(col("est") - col("__prev"), lit(0L)) *
+              expr(s"1000000 div ${hop}"))
+          .localCheckpoint(eager = true)
+        active = !merged.filter(col("est") > col("__prev")).isEmpty
+        ball = merged.select(col("id"), col("sk"), col("est"), col("h"))
+        hop += 1
+      }
+      ball.filter(col("est") > 1)
+        .select(col("id"), (col("est") - 1).as("reached"),
+          col("h").as("harmonic_e6"))
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Deterministic hash-guided random walks — the DeepWalk/node2vec
     * sampling primitive (walk corpora for graph-embedding training),
     * made exactly replayable on any engine: at step t from node u the

@@ -2690,6 +2690,32 @@ object Pipeline {
           m.args.getOrElse("damping", "0.85").toDouble), RowType)
       }),
 
+    // Harmonic centrality (q292/q293, Ops.harmonicCentrality /
+    // hyperBallCentrality): the host-ranking metric web corpora
+    // publish alongside PageRank. mode=exact runs all-pairs bounded
+    // BFS (host-graph cardinalities); mode=hyperball runs the O(V)-
+    // sketch-state HyperBall path for web scale.
+    Registered("harmonic", RowType, RowType,
+      "in=STREAM:src=COL:dst=COL:hops=N[:mode=exact|hyperball]" +
+        "[:lgk=12]:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        val hops = m.args.getOrElse("hops", "6").toInt
+        if (hops < 1)
+          throw new BuildError(s"harmonic: hops must be >= 1, got $hops")
+        val edges = df.select(
+          col(m.args.getOrElse("src", "src")).as("src"),
+          col(m.args.getOrElse("dst", "dst")).as("dst"))
+        val out = m.args.getOrElse("mode", "exact") match {
+          case "exact" => graft.operators.Ops.harmonicCentrality(edges, hops)
+          case "hyperball" => graft.operators.Ops.hyperBallCentrality(
+            edges, hops, m.args.getOrElse("lgk", "12").toInt)
+          case x => throw new BuildError(
+            s"harmonic: mode must be exact|hyperball, got '$x'")
+        }
+        ctx.writeStream(m, out, RowType)
+      }),
+
     // k-core backbone extraction (q225 / Ops.kCore): iterative peel
     // to the maximal subgraph of minimum degree >= k; emits
     // (node, deg) core members.

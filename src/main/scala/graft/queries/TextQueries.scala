@@ -1267,20 +1267,42 @@ object TextQueries {
     // edges⋈ranks join + one hash-agg; no window anywhere.
     "q260_crawl_frontier" -> ((s, dir) => {
       import s.implicits._
-      val page = outlinkPageCol(s)
-      val edges = t(s, dir, "documents")
-        .select(concat($"source", lit(".example")).as("src"),
-          explode(graft.functions.HtmlExpr.anchorHrefs(page)).as("href"))
-        .filter($"href".startsWith("https://"))
-        .select($"src",
-          substring_index($"href".substr(lit(9), length($"href")), "/", 1)
-            .as("dst"))
-        .distinct()
-      Ops.pageRank(edges, iters = 3)
+      Ops.pageRank(hostGraphEdges(s, dir), iters = 3)
         .select($"id".as("host"),
           expr("cast(floor(r * 1e10) as bigint)").as("r_e10"))
         .orderBy($"r_e10".desc, $"host").limit(10)
         .orderBy($"r_e10".desc, $"host")
+    }),
+
+    // Harmonic centrality of the crawl host graph — the ranking
+    // metric web-scale corpora PUBLISH alongside PageRank (Common
+    // Crawl orders its host-level ranks by harmonic centrality;
+    // Boldi & Vigna 2014). Exact mode: multi-source frontier BFS
+    // over pair state + one hash-agg of 1000000 div d integer terms
+    // — right for host-graph cardinalities (the q260 summary level),
+    // with q293's HyperBall as the O(V)-state web-scale path. The
+    // oracle replays 6 full relaxation rounds over the pair state
+    // (the q179 iterated-CTE posture, seeded at EVERY node).
+    "q292_harmonic_centrality" -> ((s, dir) => {
+      import s.implicits._
+      Ops.harmonicCentrality(hostGraphEdges(s, dir), maxHops = 6)
+        .select($"id".as("host"), $"reached", $"harmonic_e6")
+        .orderBy($"host")
+    }),
+
+    // The SAME centrality through HyperBall (Boldi & Vigna, WWW
+    // 2013) — per-node HLL in-balls grown by one edge join + one
+    // hll_union_agg per round, O(V) sketch state however deep the
+    // reachability: THE web-scale path. On this graph the sketches
+    // sit in their sparse-exact range, so the row shares q292's
+    // EXACT oracle — the approximation's exactness window is itself
+    // part of the pinned contract (OpsSpec pins hyperball ≡ exact on
+    // a planted cycle/chain graph too).
+    "q293_hyperball_centrality" -> ((s, dir) => {
+      import s.implicits._
+      Ops.hyperBallCentrality(hostGraphEdges(s, dir), maxHops = 6)
+        .select($"id".as("host"), $"reached", $"harmonic_e6")
+        .orderBy($"host")
     }),
 
     // Politeness-paced frontier schedule (VERDICT r17 missing #1):
@@ -1403,6 +1425,55 @@ object TextQueries {
         lit(".example/page\">ALT name</a>"))).otherwise(lit("")),
       lit("<a href='https://skip.example/q'>out of contract</a>" +
         "</body></html>"))
+  }
+
+  /** q292/q293 shared oracle: all-pairs bounded BFS as iterated full
+    * relaxation rounds over (u, id, dist) pair state — defs, not
+    * vals (the oracleSql-initialization-order note below).
+    */
+  private def harmonicOracleSql: String = {
+    val rounds = 6
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT u, id, min(dist) AS dist FROM (
+         |    SELECT u, id, dist FROM p${i - 1}
+         |    UNION ALL
+         |    SELECT p.u, e.dst AS id, p.dist + 1 AS dist
+         |    FROM p${i - 1} p JOIN edges e ON e.src = p.id)
+         |  GROUP BY u, id)""".stripMargin
+    }.mkString(",\n")
+    outlinkCtesSql + ",\n" +
+      s"""edges AS (SELECT DISTINCT source || '.example' AS src,
+         |    string_split(substr(href, 9), '/')[1] AS dst
+         |  FROM l WHERE href LIKE 'https://%'),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |p0 AS (SELECT id AS u, id, CAST(0 AS BIGINT) AS dist FROM nodes),
+         |$steps
+         |SELECT id AS host, CAST(count(*) AS BIGINT) AS reached,
+         |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
+         |FROM p$rounds WHERE dist > 0 GROUP BY id
+         |ORDER BY host""".stripMargin
+  }
+
+  /** The distinct host→host edge relation of the outlink fixture —
+    * shared by q260 (PageRank), q292 (harmonic), q293 (HyperBall):
+    * source hosts link the hub, themselves, a data-dependent
+    * s<k>.example, and (doc_id % 3) skip.example; relative links
+    * drop at the https:// gate.
+    */
+  private def hostGraphEdges(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val page = outlinkPageCol(s)
+    t(s, dir, "documents")
+      .select(concat($"source", lit(".example")).as("src"),
+        explode(graft.functions.HtmlExpr.anchorHrefs(page)).as("href"))
+      .filter($"href".startsWith("https://"))
+      .select($"src",
+        substring_index($"href".substr(lit(9), length($"href")), "/", 1)
+          .as("dst"))
+      .distinct()
   }
 
   /** The q258/q260 shared oracle prelude: page construction + the href
@@ -2592,6 +2663,15 @@ object TextQueries {
       Operators.pageRankRoundsSql(3) + "\n" +
       """SELECT id AS host, CAST(floor(r * 1e10) AS BIGINT) AS r_e10
         |FROM r3 ORDER BY r_e10 DESC, host LIMIT 10""".stripMargin),
+
+    // q292/q293 oracle (shared — the HyperBall row's contract IS
+    // exactness in the sketch's sparse range): 6 full relaxation
+    // rounds over the all-pairs BFS state (the q179 posture seeded
+    // at every node), then the integer harmonic sum. Self pairs stay
+    // at dist 0 under min and drop at the dist > 0 gate; in-degree-0
+    // nodes have no terms and are absent, mirroring both operators.
+    "q292_harmonic_centrality" -> harmonicOracleSql,
+    "q293_hyperball_centrality" -> harmonicOracleSql,
 
     // q266 oracle: q260's edge + PageRank CTEs verbatim, the robots
     // prelude's chosen-group machinery keyed to crawl-delay lines

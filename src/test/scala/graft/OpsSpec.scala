@@ -1398,4 +1398,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("kappa") == 1.0, out(0).toString)
     assert(out(1).getAs[Double]("kappa") == -1.0, out(1).toString)
   }
+
+  test("harmonicCentrality: hand-computed chain + cycle + unreachable") {
+    import graft.operators.Ops
+    // a->b->c chain, c->a closing a 3-cycle, d->a extra spoke,
+    // e isolated on the out side only (x->e gives e in-degree 1),
+    // plus a self loop a->a (must not contribute).
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"),
+      ("x", "e"), ("a", "a")).toDF("src", "dst")
+    val got = Ops.harmonicCentrality(edges, maxHops = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("reached"), r.getAs[Long]("harmonic_e6"))).toMap
+    // distances into a: b(2 via c? no: b->c->a = 2), c(1), d(1),
+    // x/e unreachable to a. H(a) = 1/1 + 1/1 + 1/2 = 2.5
+    assert(got("a") == ((3L, 2500000L)), got.toString)
+    // into b: a(1), c(2), d(2) -> 1 + 0.5 + 0.5 = 2.0
+    assert(got("b") == ((3L, 2000000L)), got.toString)
+    // into c: b(1), a(2), d(3) -> 1 + 0.5 + 1/3(333333) = 1833333
+    assert(got("c") == ((3L, 1833333L)), got.toString)
+    // into e: x(1) only
+    assert(got("e") == ((1L, 1000000L)), got.toString)
+    // d and x have no in-paths -> absent
+    assert(!got.contains("d") && !got.contains("x"), got.toString)
+  }
+
+  test("hyperBallCentrality: bit-equal to exact in the sparse range") {
+    import graft.operators.Ops
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"),
+      ("x", "e"), ("a", "a")).toDF("src", "dst")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getAs[Long]("reached"),
+        r.getAs[Long]("harmonic_e6"))).sortBy(_._1).toSeq
+    assert(key(Ops.hyperBallCentrality(edges, maxHops = 6)) ==
+      key(Ops.harmonicCentrality(edges, maxHops = 6)))
+  }
 }
