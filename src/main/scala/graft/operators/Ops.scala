@@ -1870,6 +1870,45 @@ object Ops {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Largest-remainder (Hamilton) integer apportionment of a total
+    * budget across keys proportional to a non-negative long weight
+    * (q294) — the deterministic quota step between a host RANKING
+    * and a fetch SCHEDULE (and the same primitive behind sampling
+    * quotas / shard assignment): each key gets floor(total·w/Σw),
+    * then the missing units go to the largest fractional remainders,
+    * ties broken by key ascending. Exact long arithmetic end-to-end
+    * (caller keeps total·Σw inside long range), so the result is
+    * engine-portable, and Σ(budget) == total EXACTLY when Σw > 0 —
+    * the invariant float rounding cannot give (Σw == 0 degrades to
+    * all-zero budgets). Plan: two scalar aggs broadcast back + ONE
+    * key-cardinality rank window (keys are host/domain-level — the
+    * q266 class — never corpus-sized; documented, not corpus data).
+    * Output: (key, weight, budget).
+    */
+  def apportionBudget(df: DataFrame, keyCol: String, weightCol: String,
+                      total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val w = df.select(col(keyCol).as("__k"),
+      col(weightCol).cast("long").as("__w"))
+    val tot = w.agg(sum("__w").as("__tot"))
+    val base = w.crossJoin(broadcast(tot))
+      .select(col("__k"), col("__w"),
+        when(col("__tot") > 0, expr(s"(${total}L * __w) div __tot"))
+          .otherwise(lit(0L)).as("__quota"),
+        when(col("__tot") > 0, expr(s"(${total}L * __w) % __tot"))
+          .otherwise(lit(0L)).as("__rem"),
+        col("__tot"))
+    val used = base.agg(sum("__quota").as("__used"),
+      max("__tot").as("__t2"))
+    base.crossJoin(broadcast(used))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__rem").desc, col("__k").asc)))
+      .select(col("__k").as(keyCol), col("__w").as("weight"),
+        (col("__quota") + when(col("__t2") > 0 &&
+            col("__rn") <= lit(total) - col("__used"), 1L)
+          .otherwise(0L)).as("budget"))
+  }
+
   /** Deterministic hash-guided random walks — the DeepWalk/node2vec
     * sampling primitive (walk corpora for graph-embedding training),
     * made exactly replayable on any engine: at step t from node u the

@@ -2690,6 +2690,25 @@ object Pipeline {
           m.args.getOrElse("damping", "0.85").toDouble), RowType)
       }),
 
+    // Largest-remainder budget apportionment (q294,
+    // Ops.apportionBudget): total=N split across key rows
+    // proportional to weight=COL, exact integers, sum == N.
+    Registered("apportion", RowType, RowType,
+      "in=STREAM:key=COL:weight=COL:total=N:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        def req(k: String) = m.args.getOrElse(k,
+          throw new BuildError(s"apportion: $k= required"))
+        val (k, w) = (req("key"), req("weight"))
+        for (c <- Seq(k, w)) if (!df.columns.contains(c))
+          throw new BuildError(s"apportion: no column '$c'")
+        val total = req("total").toLong
+        if (total < 0)
+          throw new BuildError(s"apportion: total must be >= 0, got $total")
+        ctx.writeStream(m,
+          graft.operators.Ops.apportionBudget(df, k, w, total), RowType)
+      }),
+
     // Harmonic centrality (q292/q293, Ops.harmonicCentrality /
     // hyperBallCentrality): the host-ranking metric web corpora
     // publish alongside PageRank. mode=exact runs all-pairs bounded

@@ -1233,6 +1233,22 @@ object CurationQueries {
           k = 10, saltCol = $"doc_id", saltParts = 8)
         .select($"reg_domain", $"doc_id", $"n_chars", $"rk")
         .orderBy($"reg_domain", $"rk")
+    }),
+
+    // Crawl-budget apportionment — the quota step between a ranking
+    // and a schedule: a total of 997 fetches (prime, so fractional
+    // remainders actually fire) split across sources proportional to
+    // their doc counts by the largest-remainder (Hamilton) method,
+    // exact long arithmetic throughout. Σ(budget) == 997 EXACTLY —
+    // the invariant a float split cannot give and the property the
+    // oracle replays term-for-term.
+    "q294_crawl_budget" -> ((s, dir) => {
+      import s.implicits._
+      val weights = t(s, dir, "documents")
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      graft.operators.Ops.apportionBudget(weights, "source", "n_docs",
+          total = 997L)
+        .orderBy($"source")
     })
   )
 
@@ -2279,6 +2295,24 @@ object CurationQueries {
         |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
         |  FROM d)
         |WHERE rk <= 10 ORDER BY reg_domain, rk""".stripMargin,
+
+    // q294 oracle: Hamilton apportionment replayed in exact integer
+    // SQL — floor quotas via //, remainders ranked DESC with key-asc
+    // ties, the leftover units (997 − Σfloor) topped up one each.
+    "q294_crawl_budget" ->
+      """WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS tot FROM w),
+        |b AS (SELECT source, n_docs,
+        |  (997 * n_docs) // tot AS quota,
+        |  (997 * n_docs) % tot AS rem FROM w CROSS JOIN t),
+        |u AS (SELECT sum(quota) AS used FROM b),
+        |r AS (SELECT source, n_docs, quota,
+        |  row_number() OVER (ORDER BY rem DESC, source ASC) AS rn FROM b)
+        |SELECT source, n_docs AS weight,
+        |  CAST(quota + CASE WHEN rn <= 997 - used THEN 1 ELSE 0 END
+        |    AS BIGINT) AS budget
+        |FROM r CROSS JOIN u ORDER BY source""".stripMargin,
 
     "q132_mixture_drift" ->
       """WITH c AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),

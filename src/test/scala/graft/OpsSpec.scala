@@ -1432,4 +1432,38 @@ class OpsSpec extends AnyFunSuite {
     assert(key(Ops.hyperBallCentrality(edges, maxHops = 6)) ==
       key(Ops.harmonicCentrality(edges, maxHops = 6)))
   }
+
+  test("apportionBudget: Hamilton quotas, exact sum, remainder ties") {
+    import graft.operators.Ops
+    // total 10 over weights 5/3/1/1 (Σ=10): exact quotas 5/3/1/1.
+    val even = Ops.apportionBudget(
+        Seq(("a", 5L), ("b", 3L), ("c", 1L), ("d", 1L)).toDF("k", "w"),
+        "k", "w", total = 10L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("budget")).toMap
+    assert(even == Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
+    // total 10 over 3/3/3 (Σ=9): quotas 3/3/3 + 1 leftover -> the
+    // remainder tie (all rem=3) breaks by key ASC: a gets it.
+    val tie = Ops.apportionBudget(
+        Seq(("a", 3L), ("b", 3L), ("c", 3L)).toDF("k", "w"),
+        "k", "w", total = 10L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("budget")).toMap
+    assert(tie == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // classic Hamilton: 7 over 4/3/2 (Σ=9): floors 3/2/1 = 6, one
+    // leftover; remainders 1/3/5 -> c's is largest.
+    val ham = Ops.apportionBudget(
+        Seq(("a", 4L), ("b", 3L), ("c", 2L)).toDF("k", "w"),
+        "k", "w", total = 7L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("budget")).toMap
+    assert(ham == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    // zero-weight key gets 0; Σ stays exact
+    val z = Ops.apportionBudget(
+        Seq(("a", 0L), ("b", 7L)).toDF("k", "w"), "k", "w", total = 5L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("budget")).toMap
+    assert(z == Map("a" -> 0L, "b" -> 5L))
+    // degenerate all-zero weights: all budgets 0, no division blowup
+    val zz = Ops.apportionBudget(
+        Seq(("a", 0L), ("b", 0L)).toDF("k", "w"), "k", "w", total = 5L)
+      .collect().map(r => r.getAs[Long]("budget")).toSeq
+    assert(zz == Seq(0L, 0L))
+  }
 }

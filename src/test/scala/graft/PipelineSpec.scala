@@ -876,7 +876,7 @@ class PipelineSpec extends AnyFunSuite {
       "outlinks", "crawldelays", "crawlschedule", "cdxindex", "captures",
       "changerate", "seenfilter", "sitemapentries",
       "cdxjwrite", "cdxjread", "revisitdetect", "embdecontam", "binpack",
-      "anchortexts", "warcwrite", "regdomain", "harmonic")
+      "anchortexts", "warcwrite", "regdomain", "harmonic", "apportion")
     assert(expected.subsetOf(names), (expected -- names).toString)
   }
 
