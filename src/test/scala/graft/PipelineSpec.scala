@@ -335,6 +335,28 @@ class PipelineSpec extends AnyFunSuite {
       ("plain.zz", "zz", "plain.zz")))
   }
 
+  test("rank-to-budget chain: harmonic -> apportion over a host graph") {
+    // the scheduling composition: centrality ranks hosts, the
+    // apportionment turns ranks into an exact-integer fetch budget.
+    import spark.implicits._
+    val d = tmp("rankbudget")
+    Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("d", "b"))
+      .toDF("src", "dst").write.mode("overwrite").parquet(s"$d/edges")
+    Pipeline.run(spark, Seq(
+      s"parquetread:in=$d/edges:out=e",
+      "harmonic:in=e:hops=4:mode=exact:out=ranks",
+      "apportion:in=ranks:key=id:weight=harmonic_e6:total=100:out=budget",
+      s"parquetwrite:in=budget:out=$d/out"))
+    val rows = spark.read.parquet(s"$d/out")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("weight"),
+        r.getAs[Long]("budget")))
+    assert(rows.map(_._3).sum == 100L, rows.mkString(","))
+    // monotone: a strictly higher harmonic weight never gets a
+    // strictly smaller budget (Hamilton never inverts order)
+    for (x <- rows; y <- rows if x._2 > y._2)
+      assert(x._3 >= y._3, s"$x vs $y")
+  }
+
   test("recrawl chain: cdxindex -> changerate -> freshness-weighted crawlschedule") {
     // VERDICT r18 next #2: the fast-changing host outranks the static
     // one inside every time slot once changeRate's estimate
