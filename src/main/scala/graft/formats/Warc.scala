@@ -640,6 +640,32 @@ object Warc {
         col("rec_no")) ++ locators: _*)
   }
 
+  /** CDX index-server lookup scopes (q295) — the `matchType`
+    * semantics the Common Crawl / pywb index API exposes (exact |
+    * prefix | host | domain), expressed as SARGABLE predicates on
+    * the SURT urlkey so the range-clustered sorted artifact answers
+    * each by FILE PRUNING (equality / StartsWith both push to the
+    * parquet scan and prune on footer min/max — the whole point of
+    * SURT is that a domain and all its subdomains share one key
+    * prefix). `key` is, per scope: exact/prefix = a full/partial
+    * urlkey; host/domain = the SURT host label sequence WITHOUT the
+    * ')' (e.g. `com,example`). Domain scope is boundary-correct: it
+    * matches `key)` (the host itself) and `key,` (any subdomain) but
+    * NOT `key<more-label-chars>` — the naive raw-prefix match would
+    * (the planted q295 trap host), which is why the scope owns the
+    * boundary characters instead of the caller.
+    */
+  def cdxScope(index: DataFrame, scope: String, key: String): DataFrame =
+    scope match {
+      case "exact" => index.filter(col("urlkey") === key)
+      case "prefix" => index.filter(col("urlkey").startsWith(key))
+      case "host" => index.filter(col("urlkey").startsWith(key + ")"))
+      case "domain" => index.filter(col("urlkey").startsWith(key + ")") ||
+        col("urlkey").startsWith(key + ","))
+      case x => throw new IllegalArgumentException(
+        s"cdxScope: matchType must be exact|prefix|host|domain, got '$x'")
+    }
+
   /** CDXJ text encoding of a [[cdxIndex]] relation (q279): the
     * interchange FORMAT archives actually publish — one line per
     * capture, `urlkey<SP>ts14<SP>{json}`, sorted by (urlkey, ts14) so

@@ -1048,6 +1048,59 @@ object TextQueries {
         .orderBy(col("urlkey"))
     }),
 
+    // Index-server lookup SCOPES over the published artifact — the
+    // CDX API's matchType surface (host | domain | prefix; exact is
+    // q273's probe join): each scope is a sargable urlkey predicate
+    // (Warc.cdxScope), so the sorted artifact answers by file
+    // pruning. The fixture plants the three host shapes that
+    // separate the scopes: the bare host, a subdomain (domain scope
+    // must include it, host scope must not), and a boundary-trap
+    // host sharing the bare host as a raw string prefix (
+    // `{source}x.example` — a naive prefix domain match would
+    // swallow it; the scope's owned ')' / ',' boundary must not).
+    "q295_cdx_scope_lookup" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val pages = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val glob = warcFixture("q295", dir, pages) { r =>
+        val id = r.getLong(0)
+        val src = r.getString(1)
+        val host = (id % 3) match {
+          case 0 => s"$src.example"
+          case 1 => s"sub.$src.example"
+          case _ => s"${src}x.example"
+        }
+        Iterator(("response", s"https://$host/doc/$id",
+          f"2026-05-${id % 28 + 1}%02dT00:00:00Z",
+          r.getString(2).getBytes(UTF_8),
+          Int.box(200): java.lang.Integer, "text/html"))
+      }
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q295idx_" + dir.replaceAll("\\W", "_")).getPath
+      graft.formats.Warc.cdxIndex(graft.formats.Warc.read(s, glob))
+        .repartitionByRange(8, col("urlkey"), col("ts14"))
+        .sortWithinPartitions(col("urlkey"), col("ts14"))
+        .write.mode("overwrite").parquet(out)
+      val idx = s.read.parquet(out)
+      // probe src1: the testdata's own source names carry the REAL
+      // trap — src10..src19 share src1 as a raw string prefix, so
+      // the three scopes return provably different relations: host ⊂
+      // domain (adds the subdomain, still excludes src10-19 and the
+      // src1x trap) ⊂ raw prefix (swallows them all — the documented
+      // difference between caller-owned raw prefixes and the
+      // boundary-owning domain scope)
+      val base = "example,src1"
+      graft.formats.Warc.cdxScope(idx, "host", base)
+        .withColumn("scope", lit("host"))
+        .unionByName(graft.formats.Warc.cdxScope(idx, "domain", base)
+          .withColumn("scope", lit("domain")))
+        .unionByName(graft.formats.Warc.cdxScope(idx, "prefix", base)
+          .withColumn("scope", lit("prefix")))
+        .select(col("scope"), col("urlkey"), col("ts14"), col("digest"))
+        .orderBy(col("scope"), col("urlkey"))
+    }),
+
     // Per-URL change-rate estimate from the capture history (VERDICT
     // r18 next #2 — Curation.changeRate): the fixture plants static
     // (doc_id≡0 mod 3), changed-once (≡1) and every-capture-changing
@@ -2504,6 +2557,35 @@ object TextQueries {
         |  FROM cdx c JOIN probe p USING (urlkey)
         |  WHERE c.ts14 < '20260301000000')
         |WHERE rk = 1 ORDER BY urlkey""".stripMargin),
+
+    // q295 oracle: the scope semantics replayed over SQL-rebuilt
+    // urlkeys — host = p || ')', domain = p || ')' OR p || ',' (the
+    // boundary chars the src10-19/src1x collision proves necessary),
+    // prefix = the RAW caller prefix (which deliberately swallows
+    // them — the semantic the other two scopes exist to avoid).
+    "q295_cdx_scope_lookup" ->
+      """WITH f AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 7 = 3),
+        |k AS (SELECT
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'example,' || source
+        |    WHEN 1 THEN 'example,' || source || ',sub'
+        |    ELSE 'example,' || source || 'x' END
+        |    || ')/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+        |  '202605' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    || '000000' AS ts14,
+        |  md5(text) AS digest FROM f)
+        |SELECT scope, urlkey, ts14, digest FROM (
+        |  SELECT 'host' AS scope, urlkey, ts14, digest FROM k
+        |    WHERE starts_with(urlkey, 'example,src1)')
+        |  UNION ALL
+        |  SELECT 'domain', urlkey, ts14, digest FROM k
+        |    WHERE starts_with(urlkey, 'example,src1)')
+        |       OR starts_with(urlkey, 'example,src1,')
+        |  UNION ALL
+        |  SELECT 'prefix', urlkey, ts14, digest FROM k
+        |    WHERE starts_with(urlkey, 'example,src1'))
+        |ORDER BY scope, urlkey""".stripMargin,
 
     // q275 oracle: the change-frequency estimator as a lag window
     // (DuckDB's mirror of the sorted-sequence diff): changes = count

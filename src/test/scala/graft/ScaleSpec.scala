@@ -1442,6 +1442,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(lookup.count() == 1L)
   }
 
+  test("cdx scopes (q295): StartsWith pushed to the artifact scan, prefix covers a key subrange") {
+    // each matchType is a sargable urlkey predicate: the parquet scan
+    // must show it in PushedFilters (footer min/max pruning at
+    // scale), and on a range-clustered artifact a host-scope prefix
+    // covers only the contiguous file slice that can hold it.
+    val d = java.nio.file.Files.createTempDirectory("cdxscope").toString
+    val idx = (0 until 4096)
+      .map(i => (f"example,h$i%04d)/p", "20260101000000", s"d$i"))
+      .toDF("urlkey", "ts14", "digest")
+    idx.repartitionByRange(8, $"urlkey", $"ts14")
+      .sortWithinPartitions($"urlkey", $"ts14")
+      .write.mode("overwrite").parquet(d)
+    val files = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 4, s"expected a multi-file artifact: ${files.length}")
+    val scoped = graft.formats.Warc.cdxScope(
+      spark.read.parquet(d), "host", "example,h2049")
+    val plan = executed(scoped)
+    assert(plan.contains("StringStartsWith(urlkey,example,h2049))"),
+      s"host-scope prefix not pushed:\n$plan")
+    // disjoint ranges: the prefix's [lo, hi] overlaps exactly one file
+    val lo = "example,h2049)"
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min($"urlkey"), max($"urlkey")).head
+      (r.getString(0), r.getString(1))
+    }
+    val candidates = spans.count { case (l, h) =>
+      l <= lo + "￿" && lo <= h } // any overlap with [lo, lo+inf)
+    assert(candidates == 1, s"host scope spans $candidates files")
+    assert(scoped.count() == 1L)
+  }
+
   test("cdx lookups (q273/q274): broadcast probe equi-join on the artifact, no window") {
     // The batch-lookup shape: the tiny probe set broadcasts INTO the
     // index scan (never the index into the probe), the q274 latest-
