@@ -2353,6 +2353,27 @@ object Pipeline {
     // ordinal — the lookup artifact a crawl archive publishes next to
     // its containers (Warc.cdxIndex; works on both the text and
     // :binary warcread shapes).
+    // Index-server matchType lookups (q295, Warc.cdxScope): scoped
+    // retrieval from a published CDX stream — sargable SURT-prefix
+    // predicates, so a range-clustered artifact answers by pruning.
+    Registered("cdxlookup", RowType, RowType,
+      "in=STREAM:scope=exact|prefix|host|domain:key=K:out=STREAM",
+      (ctx, m) => {
+        val df = ctx.readStream(m, RowType)
+        if (!df.columns.contains("urlkey"))
+          throw new BuildError("cdxlookup: input lacks column 'urlkey' " +
+            "(expects a cdx index stream)")
+        val scope = m.args.getOrElse("scope",
+          throw new BuildError("cdxlookup: scope= required"))
+        if (!Set("exact", "prefix", "host", "domain").contains(scope))
+          throw new BuildError(
+            s"cdxlookup: scope must be exact|prefix|host|domain, got '$scope'")
+        val key = m.args.getOrElse("key",
+          throw new BuildError("cdxlookup: key= required"))
+        ctx.writeStream(m, graft.formats.Warc.cdxScope(df, scope, key),
+          RowType)
+      }),
+
     Registered("cdxindex", RowType, RowType,
       "in=STREAM:out=STREAM[:sha1]",
       (ctx, m) => {
