@@ -789,6 +789,44 @@ object ScaleRehearsal {
       tiling("target/warcloc_r19/n10"))
     println(s"rehearsal: warc-locators files=$f1->$f10 recs=$r1->$r10 " +
       s"exact10x=${r10 == 10 * r1} tiledN=$t1 tiled10N=$t10")
+
+    // Harmonic-centrality row (q292/q293 invariant at scale): C
+    // disjoint ring-with-chord components — per-node scores are a
+    // pure function of position in the component, so 10× components
+    // must give EXACTLY 10× output rows with an identical per-score
+    // histogram, and HyperBall (whose state is O(V) sketches either
+    // way) must stay bit-equal to exact while balls sit in the
+    // sparse-exact range. This is the property that makes the pair
+    // (exact for host graphs, HyperBall for the web) trustworthy:
+    // growth changes ROW COUNT, never per-node values.
+    def ringEdges(comps: Int): DataFrame =
+      spark.range(comps.toLong).select(col("id").as("c"))
+        .withColumn("i", explode(sequence(lit(0), lit(9))))
+        .select(
+          concat(col("c"), lit(":"), col("i")).as("src"),
+          concat(col("c"), lit(":"), (col("i") + 1) % 10).as("dst"))
+        .unionByName(spark.range(comps.toLong).select(
+          concat(col("id"), lit(":0")).as("src"),
+          concat(col("id"), lit(":5")).as("dst")))
+    def hist(df: DataFrame): (Long, Map[(Long, Long), Long]) = {
+      val rows = df.groupBy(col("reached"), col("harmonic_e6"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      (rows.values.sum, rows)
+    }
+    val (hn, hh) = timed("harmonic-exact-n")(
+      hist(graft.operators.Ops.harmonicCentrality(ringEdges(30), 6)))
+    val (h10, hh10) = timed("harmonic-exact-10n")(
+      hist(graft.operators.Ops.harmonicCentrality(ringEdges(300), 6)))
+    val (bn, bh) = timed("harmonic-hyperball-n")(
+      hist(graft.operators.Ops.hyperBallCentrality(ringEdges(30), 6)))
+    val (b10, bh10) = timed("harmonic-hyperball-10n")(
+      hist(graft.operators.Ops.hyperBallCentrality(ringEdges(300), 6)))
+    val scaled = hh.map { case (k, v) => k -> v * 10 }
+    println(s"rehearsal: harmonic rows=$hn->$h10 " +
+      s"exact10x=${h10 == 10 * hn && hh10 == scaled} " +
+      s"hyperballEqualN=${bn == hn && bh == hh} " +
+      s"hyperballEqual10N=${b10 == h10 && bh10 == hh10}")
   }
 
   private def rehearseR18(spark: SparkSession, sf01: String): Unit = {
