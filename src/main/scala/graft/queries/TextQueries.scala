@@ -346,6 +346,36 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Realized token-budget cut — the mixture-REALIZATION step after
+    // q45's counting and q252's weighting: a global 120k-token
+    // budget apportioned across sources by token mass (the q294
+    // Hamilton split, Σ == total exactly), then each source keeps
+    // docs in doc_id order while its cumulative count fits the
+    // quota. The running sum is a source-partitioned ordered window
+    // — the one shape with inherently sequential semantics (a
+    // prefix cut); partitions are source-cardinality and the
+    // per-partition sort is docs-per-source, the same sort a real
+    // realization pass pays (the boundary doc needs the prefix).
+    "q296_token_budget_cut" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          tokenCount($"text").cast("long").as("tk"))
+      val budgets = graft.operators.Ops.apportionBudget(
+        toks.groupBy($"source").agg(sum($"tk").as("src_tokens")),
+        "source", "src_tokens", total = 120000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+      toks.join(budgets.select($"source", $"budget"), Seq("source"))
+        .withColumn("cum", sum($"tk").over(w))
+        .filter($"cum" <= $"budget")
+        .groupBy($"source")
+        .agg(max($"budget").as("budget"),
+          count(lit(1)).as("kept_docs"),
+          max($"cum").as("kept_tokens"))
+        .orderBy($"source")
+    }),
+
     // CCNet-style perplexity filter: train the add-one-smoothed bigram
     // LM on the 90% reference split, score EVERY doc by average
     // negative log-likelihood, keep the fluent ones. Unlike q69 (inner
@@ -1925,6 +1955,32 @@ object TextQueries {
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))) AS BIGINT) AS est_bpe_tokens,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q296 oracle: the q294 Hamilton split over per-source token
+    // masses, then the prefix cut as a cumulative window — both
+    // sides the exact same integer arithmetic.
+    "q296_token_budget_cut" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents),
+        |w AS (SELECT source, sum(tk) AS src_tokens FROM tk GROUP BY 1),
+        |t AS (SELECT sum(src_tokens) AS tot FROM w),
+        |b0 AS (SELECT source, src_tokens,
+        |  (120000 * src_tokens) // tot AS quota,
+        |  (120000 * src_tokens) % tot AS rem FROM w CROSS JOIN t),
+        |u AS (SELECT sum(quota) AS used FROM b0),
+        |bud AS (SELECT source, quota + CASE WHEN row_number()
+        |    OVER (ORDER BY rem DESC, source ASC) <= 120000 - used
+        |    THEN 1 ELSE 0 END AS budget FROM b0 CROSS JOIN u),
+        |c AS (SELECT tk.source, tk.tk, bud.budget,
+        |  sum(tk.tk) OVER (PARTITION BY tk.source ORDER BY tk.doc_id)
+        |    AS cum
+        |  FROM tk JOIN bud USING (source))
+        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+        |  CAST(count(*) AS BIGINT) AS kept_docs,
+        |  CAST(max(cum) AS BIGINT) AS kept_tokens
+        |FROM c WHERE cum <= budget GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // identical counts, identical fixed-order PMI arithmetic
     "q188_pmi_collocations" ->
