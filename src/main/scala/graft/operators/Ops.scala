@@ -1775,7 +1775,18 @@ object Ops {
     * nodes with at least one in-path appear (harmonic 0 nodes have
     * no terms, the oracle mirrors).
     */
-  def harmonicCentrality(edges: DataFrame, maxHops: Int): DataFrame = {
+  def harmonicCentrality(edges: DataFrame, maxHops: Int): DataFrame =
+    pairDistances(edges, maxHops)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("1000000 div dist")).as("harmonic_e6"))
+
+  /** The exact all-pairs bounded-BFS state both [[harmonicCentrality]]
+    * and [[neighborhoodFunction]] aggregate: one (u, id, dist > 0) row
+    * per ordered reachable pair within `maxHops`. Same scale posture
+    * as the exact centrality — pair state, host-graph cardinalities.
+    */
+  private def pairDistances(edges: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1811,10 +1822,23 @@ object Ops {
         hop += 1
       }
       dist.filter(col("dist") > 0)
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("reached"),
-          sum(expr("1000000 div dist")).as("harmonic_e6"))
     } finally e.unpersist(blocking = false)
+  }
+
+  /** Exact neighborhood function within `maxHops` (q297): per
+    * distance d, the number of ordered pairs u≠v with d(u,v) == d
+    * and the running total — N(t) in Boldi & Vigna's terms, the
+    * curve effective-diameter estimates read off (eff. diameter at q
+    * = min t with cum ≥ q·N(max)). One dist-keyed hash-agg + one
+    * |distinct dists|-row cumulative window over the
+    * [[pairDistances]] state; same host-graph posture (the HyperBall
+    * per-round estimates are the web-scale curve).
+    */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int): DataFrame = {
+    val hist = pairDistances(edges, maxHops)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+    hist.withColumn("cum_pairs",
+      sum(col("n_pairs")).over(Window.orderBy(col("dist"))))
   }
 
   /** HyperBall harmonic centrality (Boldi & Vigna, WWW 2013) — the

@@ -2736,7 +2736,7 @@ object Pipeline {
     // BFS (host-graph cardinalities); mode=hyperball runs the O(V)-
     // sketch-state HyperBall path for web scale.
     Registered("harmonic", RowType, RowType,
-      "in=STREAM:src=COL:dst=COL:hops=N[:mode=exact|hyperball]" +
+      "in=STREAM:src=COL:dst=COL:hops=N[:mode=exact|hyperball|nf]" +
         "[:lgk=12]:out=STREAM",
       (ctx, m) => {
         val df = ctx.readStream(m, RowType)
@@ -2750,8 +2750,9 @@ object Pipeline {
           case "exact" => graft.operators.Ops.harmonicCentrality(edges, hops)
           case "hyperball" => graft.operators.Ops.hyperBallCentrality(
             edges, hops, m.args.getOrElse("lgk", "12").toInt)
+          case "nf" => graft.operators.Ops.neighborhoodFunction(edges, hops)
           case x => throw new BuildError(
-            s"harmonic: mode must be exact|hyperball, got '$x'")
+            s"harmonic: mode must be exact|hyperball|nf, got '$x'")
         }
         ctx.writeStream(m, out, RowType)
       }),

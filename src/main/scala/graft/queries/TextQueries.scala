@@ -1388,6 +1388,26 @@ object TextQueries {
         .orderBy($"host")
     }),
 
+    // Exact neighborhood function N(d) of the host graph — the
+    // distance-distribution curve effective-diameter estimates read
+    // off (Boldi & Vigna's other published statistic): per distance,
+    // ordered-pair count + running total, one dist-keyed hash-agg
+    // over the shared pair-BFS state (the HyperBall per-round
+    // estimates are the web-scale twin of this exact curve). On the
+    // SYMMETRIC view — distance distributions are conventionally
+    // quoted on the undirected host graph, and the directed fixture
+    // is bipartite-flat (every pair at d=1); symmetrizing gives the
+    // multi-distance curve the statistic exists for.
+    "q297_neighborhood_function" -> ((s, dir) => {
+      import s.implicits._
+      val e = hostGraphEdges(s, dir)
+      Ops.neighborhoodFunction(
+          e.unionByName(e.select($"dst".as("src"), $"src".as("dst"))),
+          maxHops = 6)
+        .select($"dist", $"n_pairs", $"cum_pairs")
+        .orderBy($"dist")
+    }),
+
     // Politeness-paced frontier schedule (VERDICT r17 missing #1):
     // q260's ranked frontier × q264's Crawl-delay budgets → the
     // per-host fetch slots of the next 30 s horizon, ordered
@@ -1510,34 +1530,43 @@ object TextQueries {
         "</body></html>"))
   }
 
-  /** q292/q293 shared oracle: all-pairs bounded BFS as iterated full
-    * relaxation rounds over (u, id, dist) pair state — defs, not
-    * vals (the oracleSql-initialization-order note below).
+  /** q292/q293/q297 shared oracle prelude: all-pairs bounded BFS as
+    * iterated full relaxation rounds over (u, id, dist) pair state,
+    * ending at CTE `p6` — defs, not vals (the
+    * oracleSql-initialization-order note below).
     */
-  private def harmonicOracleSql: String = {
+  private def pairBfsCtesSql(sym: Boolean = false): String = {
     val rounds = 6
+    val rel = if (sym) "esym" else "edges"
     val steps = (1 to rounds).map { i =>
       s"""p$i AS (
          |  SELECT u, id, min(dist) AS dist FROM (
          |    SELECT u, id, dist FROM p${i - 1}
          |    UNION ALL
          |    SELECT p.u, e.dst AS id, p.dist + 1 AS dist
-         |    FROM p${i - 1} p JOIN edges e ON e.src = p.id)
+         |    FROM p${i - 1} p JOIN $rel e ON e.src = p.id)
          |  GROUP BY u, id)""".stripMargin
     }.mkString(",\n")
+    val symCte = if (!sym) "" else
+      """esym AS (SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |""".stripMargin
     outlinkCtesSql + ",\n" +
       s"""edges AS (SELECT DISTINCT source || '.example' AS src,
          |    string_split(substr(href, 9), '/')[1] AS dst
          |  FROM l WHERE href LIKE 'https://%'),
-         |nodes AS (SELECT DISTINCT id FROM (
+         |${symCte}nodes AS (SELECT DISTINCT id FROM (
          |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
          |p0 AS (SELECT id AS u, id, CAST(0 AS BIGINT) AS dist FROM nodes),
-         |$steps
-         |SELECT id AS host, CAST(count(*) AS BIGINT) AS reached,
-         |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
-         |FROM p$rounds WHERE dist > 0 GROUP BY id
-         |ORDER BY host""".stripMargin
+         |$steps""".stripMargin
   }
+
+  private def harmonicOracleSql: String =
+    pairBfsCtesSql() + "\n" +
+      """SELECT id AS host, CAST(count(*) AS BIGINT) AS reached,
+        |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
+        |FROM p6 WHERE dist > 0 GROUP BY id
+        |ORDER BY host""".stripMargin
 
   /** The distinct host→host edge relation of the outlink fixture —
     * shared by q260 (PageRank), q292 (harmonic), q293 (HyperBall):
@@ -2810,6 +2839,15 @@ object TextQueries {
     // nodes have no terms and are absent, mirroring both operators.
     "q292_harmonic_centrality" -> harmonicOracleSql,
     "q293_hyperball_centrality" -> harmonicOracleSql,
+
+    // q297 oracle: the same pair-BFS rounds over the SYMMETRIZED
+    // edge set, then distance histogram + running-total window.
+    "q297_neighborhood_function" -> (pairBfsCtesSql(sym = true) + "\n" +
+      """SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(count(*)) OVER (ORDER BY dist) AS BIGINT)
+        |    AS cum_pairs
+        |FROM p6 WHERE dist > 0 GROUP BY dist
+        |ORDER BY dist""".stripMargin),
 
     // q266 oracle: q260's edge + PageRank CTEs verbatim, the robots
     // prelude's chosen-group machinery keyed to crawl-delay lines

@@ -1422,6 +1422,19 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains("d") && !got.contains("x"), got.toString)
   }
 
+  test("neighborhoodFunction: distance histogram of the same graph") {
+    import graft.operators.Ops
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"),
+      ("x", "e"), ("a", "a")).toDF("src", "dst")
+    val got = Ops.neighborhoodFunction(edges, maxHops = 6)
+      .orderBy("dist").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cum_pairs"))).toSeq
+    // d=1: a→b b→c c→a d→a x→e (5); d=2: a→c b→a c→b d→b (4);
+    // d=3: d→c (1); self pairs never appear
+    assert(got == Seq((1L, 5L, 5L), (2L, 4L, 9L), (3L, 1L, 10L)), got)
+  }
+
   test("hyperBallCentrality: bit-equal to exact in the sparse range") {
     import graft.operators.Ops
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"),

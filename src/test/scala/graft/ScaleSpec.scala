@@ -1475,6 +1475,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(scoped.count() == 1L)
   }
 
+  test("budget apportionment (q294/q296): broadcast scalars, no corpus-keyed shuffle joins") {
+    // q294: the rank window runs over KEY-cardinality rows (sources/
+    // hosts), and the two scalar aggregates come back as broadcasts —
+    // never a shuffle join of corpus data against itself. q296 stacks
+    // the per-source prefix-cut window (inherently ordered semantics)
+    // plus a broadcast of the tiny budget table into the doc stream.
+    for (q <- Seq("q294_crawl_budget", "q296_token_budget_cut")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: key-level sides must broadcast, not shuffle-join:\n$plan")
+    }
+  }
+
   test("cdx lookups (q273/q274): broadcast probe equi-join on the artifact, no window") {
     // The batch-lookup shape: the tiny probe set broadcasts INTO the
     // index scan (never the index into the probe), the q274 latest-
