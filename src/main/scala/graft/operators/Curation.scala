@@ -795,7 +795,10 @@ object Curation {
     // arrays, and the deterministic predicate would be pushed below
     // the projection — running the counting kernel TWICE per row
     // (once in the scan filter, once in the generator input).
-    val withP = src.select(keeps :+
+    // spreadForKernel: the counting kernel is the CPU of the whole
+    // scoring pass — don't let an unsplittable source serialize it
+    // (r19; no-op when the scan already parallelizes).
+    val withP = Ops.spreadForKernel(src).select(keeps :+
         graft.functions.NgramCountExpr.bigramCounts(col(textCol), ngramMode)
           .as("__p"): _*)
     val keepCols = withP.columns.filter(_ != "__p").toSeq.map(col)
@@ -823,7 +826,8 @@ object Curation {
     */
   private def gramTable(src: DataFrame, keeps: Seq[Column],
                         textCol: String, ngramMode: String): DataFrame = {
-    val withP = src.select(keeps :+
+    // spreadForKernel: same rationale as countedBigrams (r19)
+    val withP = Ops.spreadForKernel(src).select(keeps :+
         graft.functions.NgramCountExpr.gramCounts(col(textCol), ngramMode)
           .as("__p"): _*)
     val keepCols = withP.columns.filter(_ != "__p").toSeq.map(col)

@@ -22,6 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Round-robin spread for a CPU-dense narrow kernel input
+    * (optimization guide §2.5, "input skew: one huge unsplittable
+    * file — repartition immediately after the read"): a kernel that
+    * costs orders of magnitude more CPU per byte than a scan inherits
+    * the SCAN's partitioning, and a source that arrives as one
+    * unsplittable unit (single-row-group parquet, a gzip member, one
+    * small file) runs the whole kernel in ONE task no matter how many
+    * cores exist — measured r19: the q236 char-bigram pass ran 2.1 s
+    * on 1 of 32 cores, q237's anchor segmentation 3.9 s of CPU on 2.
+    *
+    * The spread only fires when the input plan is NARROW (no Exchange
+    * anywhere — i.e. partitioning came straight from the source) AND
+    * its partition count is below the session's default parallelism.
+    * At production scale a 100 TB scan has thousands of splits, the
+    * guard is false, and the plan is untouched — so this never adds a
+    * corpus-sized shuffle where the scan already parallelizes; it
+    * only repairs the degenerate under-split case, at the cost of one
+    * round-robin exchange of exactly the kernel's input columns
+    * (callers project first). Safe on results: every downstream
+    * consumer is partitioning-agnostic by the repo's determinism
+    * contract (exact integer/decimal aggregation), which shuffles
+    * already exercise.
+    *
+    * The narrow check reads the pre-AQE physical plan (no execution);
+    * `.rdd.getNumPartitions` on a narrow plan builds the RDD chain
+    * without running a job (AQE wraps only plans with exchanges).
+    */
+  def spreadForKernel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val narrow = df.queryExecution.sparkPlan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty
+    if (narrow && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   /** Exact duplicate removal over an optional column subset. */
   def dedupExact(df: DataFrame, subset: Seq[String] = Nil): DataFrame =
     if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset)

@@ -1151,7 +1151,11 @@ object CurationQueries {
     "q236_lm_char_langid" -> ((s, dir) => {
       import s.implicits._
       val stripped = regexp_replace($"text", " ", "")
-      val unseg = t(s, dir, "documents").select($"doc_id",
+      // the regex strip + reverse fixture prep is itself a CPU-dense
+      // narrow pass — spread it off the single-split scan (r19), or it
+      // serializes ~1.3 s/pass into one task before the LM kernel
+      val unseg = graft.operators.Ops.spreadForKernel(
+        t(s, dir, "documents")).select($"doc_id",
         when($"doc_id" % 2 === 0, "aa").otherwise("bb").as("lang"),
         when($"doc_id" % 2 === 0, stripped).otherwise(reverse(stripped))
           .as("text"))
